@@ -1,0 +1,146 @@
+"""Backfill operators: LOCF (sample-and-hold) with expiration, and
+per-entity linear interpolation.
+
+Parity:
+- locf ← dssl/mimicUsefulFunction.R:301-332
+  (mimic.SampleAndHoldPropagation.WithExpiration): emits the carried value,
+  the time since the last observed sample, and the carried value nulled
+  again once ts - last_sample_ts > valid_time. Strictly backward-looking.
+- locf with default ← mimicUsefulFunction.R:711-718
+  (singlePatientSampleAndHoldInterpolation): leading nulls get defVal.
+- interpolate ← mimicUsefulFunction.R:631-708
+  (mimic.singlePatientLinearInterpolation + aux.linear_approx): linear
+  interpolation between non-null neighbors; a null FIRST element becomes
+  defVal; a null LAST element becomes the last non-null value; an all-null
+  entity becomes defVal everywhere. Needs the *next* non-null value, so it
+  is forward-looking: gated by leakage_ok (train-prep only, never features).
+
+Scale: locf is pure window expressions (one entity exchange, WindowExec,
+whole-stage codegen). interpolate is a grouped-map Arrow UDF with a fully
+vectorized pandas body (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mpds_spark.operators.asof import LeakageError
+
+
+def locf(
+    df: DataFrame,
+    value: str = "value",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    valid_time: float | None = None,
+    default: float | None = None,
+    out_prefix: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward per entity, with optional expiration
+    and optional default for leading nulls.
+
+    Adds columns:
+      {p}_locf                — carried value (current row's own value wins)
+      {p}_time_since_sample   — ts - ts(last non-null), null if never seen
+      {p}_locf_expir          — carried value, nulled when
+                                time_since_sample > valid_time
+                                (only when valid_time is not None)
+    """
+    p = out_prefix or value
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.col(ts).cast("double")
+    carried = F.last(F.col(value), ignorenulls=True).over(w)
+    last_sample_t = F.last(
+        F.when(F.col(value).isNotNull(), t), ignorenulls=True
+    ).over(w)
+    tsls = t - last_sample_t
+
+    out = df.withColumn(f"{p}_locf", carried).withColumn(
+        f"{p}_time_since_sample", tsls
+    )
+    if valid_time is not None:
+        out = out.withColumn(
+            f"{p}_locf_expir",
+            F.when(tsls > F.lit(float(valid_time)), F.lit(None)).otherwise(carried),
+        )
+    if default is not None:
+        out = out.withColumn(
+            f"{p}_locf", F.coalesce(F.col(f"{p}_locf"), F.lit(default))
+        )
+    return out
+
+
+def interpolate(
+    df: DataFrame,
+    value: str = "value",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    default: float = 0.0,
+    out_col: str | None = None,
+    leakage_ok: bool = False,
+) -> DataFrame:
+    """Per-entity linear interpolation of nulls (reference semantics above).
+
+    Forward-looking (uses the next non-null sample): requires leakage_ok.
+    """
+    if not leakage_ok:
+        raise LeakageError(
+            "interpolate() uses future samples (forward-looking); pass "
+            "leakage_ok=True — train-prep only, never feature columns."
+        )
+    oc = out_col or f"{value}_interp"
+    schema = df.withColumn(oc, F.col(value).cast("double")).schema
+    cols = [f.name for f in schema.fields]
+
+    # timestamps → float seconds for the kernel
+    work = df
+    if str(df.schema[ts].dataType).lower().startswith("timestamp"):
+        work = df.withColumn("__ts_d", F.col(ts).cast("double"))
+        ts_num = "__ts_d"
+    else:
+        ts_num = ts
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_num, kind="mergesort").reset_index(drop=True)
+        x = pdf[ts_num].to_numpy(dtype="float64")
+        y = pdf[value].to_numpy(dtype="float64", na_value=np.nan)
+        pdf[oc] = _interp_reference(x, y, default)
+        return pdf[cols]
+
+    return work.groupBy(entity).applyInPandas(fn, schema)
+
+
+def _interp_reference(x: np.ndarray, y: np.ndarray, def_val: float) -> np.ndarray:
+    """Pure-numpy transcription of mimic.singlePatientLinearInterpolation
+    (mimicUsefulFunction.R:669-708) + mimic.aux.linear_approx (:631-667)."""
+    y = y.copy()
+    non_na = ~np.isnan(y)
+    if non_na.all():
+        return y
+    if not non_na.any():
+        return np.full_like(y, def_val, dtype="float64")
+    # pad last with last non-null, first with default (reference order)
+    if np.isnan(y[-1]):
+        y[-1] = y[non_na][-1]
+    if np.isnan(y[0]):
+        y[0] = def_val
+    # linear_approx: interpolate remaining interior nulls between neighbors
+    non_na = ~np.isnan(y)
+    xi = x[non_na]
+    yi = y[non_na]
+    nan_idx = np.where(~non_na)[0]
+    if len(nan_idx):
+        # position of each nan between its non-null neighbors
+        pos = np.searchsorted(xi, x[nan_idx], side="right")
+        xp, yp = xi[pos - 1], yi[pos - 1]
+        xn, yn = xi[pos], yi[pos]
+        y[nan_idx] = (yn * (x[nan_idx] - xp) + yp * (xn - x[nan_idx])) / (xn - xp)
+    return y

@@ -1,0 +1,263 @@
+"""Sessionization and interval/range-window operators.
+
+Parity:
+- sessionize: gap-based session ids (the batch analogue of
+  F.session_window) — the classic lag+cumsum trick.
+- remove_short_on_intervals ← mimicUsefulFunction.R:384-436
+  (mimic.RemoveShortOnIntervals): a run of 1s survives only if the time
+  span first-1-row → last-1-row is >= time_th; null signal counts as 0.
+- unite_adjacent_on_intervals ← mimicUsefulFunction.R:449-494
+  (mimic.UniteAdjacentOnIntervals): 0-gaps between two 1-runs are filled
+  when (first-1-of-next-run ts) - (last-1-of-prev-run ts) <= union_th.
+- event_response ← dssFunctionLibrary.R:1350-1368 + 1419-1503
+  (time-weighted trapezoidal averages over the post-event window
+  (t_e, t_e+wind] and, in pre_post mode, the pre-event window
+  [t_e-wind, t_e]). Implemented with pure range-frame window sums — no
+  join, no Python: the trapezoid Σ (v_{j-1}+v_j)/2·(t_j−t_{j-1}) over the
+  window equals a range-frame sum of per-row segment terms minus the
+  boundary segment.
+- interval_join: the generic two-table range join (events × observations
+  with obs.ts in (ev.ts, ev.ts+wind]) + aggregation — the SQL-expressible
+  sibling of event_response for oracle checks.
+
+Scale: everything except interval_join is window-only (one entity range
+exchange, WindowExec, codegen). interval_join is a range join: the small
+side should be broadcast (events ≪ observations is the common case) —
+Catalyst picks BroadcastNestedLoopJoin under the 64MB threshold; above it,
+bucketize ts and equi-join on (entity, bucket) to make it a sort-merge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    gap: float = 1800.0,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Per-entity session ids: a new session starts when the gap to the
+    previous row exceeds `gap` (ts units; seconds for timestamps)."""
+    w = Window.partitionBy(entity).orderBy(ts)
+    t = F.col(ts).cast("double")
+    new_sess = (t - F.lag(t, 1).over(w) > F.lit(float(gap))).cast("long")
+    sid = F.sum(F.coalesce(new_sess, F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, sid)
+
+
+def _runs(df: DataFrame, entity: str, ts: str, signal: str):
+    """Tag each row with the id of the 1-run it belongs to (null for 0-rows).
+    Null signal counts as 0 (reference: sig_raw[is.na(sig_raw)] = 0)."""
+    w = Window.partitionBy(entity).orderBy(ts)
+    sig = F.coalesce(F.col(signal), F.lit(0))
+    prev = F.coalesce(F.lag(sig).over(w), F.lit(0))
+    rising = ((sig == 1) & (prev == 0)).cast("long")
+    run_id = F.sum(rising).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sig, F.when(sig == 1, run_id)
+
+
+def remove_short_on_intervals(
+    df: DataFrame,
+    signal: str = "signal",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    time_th: float = 3600.0,
+    out_col: str = "signal_clean",
+) -> DataFrame:
+    sig, run = _runs(df, entity, ts, signal)
+    d = df.withColumn("__sig", sig).withColumn("__run", run)
+    wr = Window.partitionBy(entity, "__run")
+    t = F.col(ts).cast("double")
+    dur = F.max(t).over(wr) - F.min(t).over(wr)
+    keep = F.col("__run").isNotNull() & (dur >= F.lit(float(time_th)))
+    return d.withColumn(out_col, F.when(keep, 1).otherwise(0)).drop(
+        "__sig", "__run"
+    )
+
+
+def unite_adjacent_on_intervals(
+    df: DataFrame,
+    signal: str = "signal",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    union_th: float = 3600.0,
+    out_col: str = "signal_united",
+) -> DataFrame:
+    w = Window.partitionBy(entity).orderBy(ts)
+    t = F.col(ts).cast("double")
+    sig = F.coalesce(F.col(signal), F.lit(0))
+    ev_t = F.when(sig == 1, t)
+    prev_on = F.max(ev_t).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    next_on = F.min(ev_t).over(w.rowsBetween(1, Window.unboundedFollowing))
+    fill = (
+        (sig == 0)
+        & prev_on.isNotNull()
+        & next_on.isNotNull()
+        & (next_on - prev_on <= F.lit(float(union_th)))
+    )
+    return df.withColumn(
+        out_col, F.when((sig == 1) | fill, 1).otherwise(0)
+    )
+
+
+def event_response(
+    df: DataFrame,
+    value: str = "value",
+    event: str = "event",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    wind: float = 3600.0,
+    pre_post: bool = False,
+    leakage_ok: bool = False,
+) -> DataFrame:
+    """For each event row: time-weighted trapezoidal average of `value` over
+    the post-event window (and pre-event window in pre_post mode).
+
+    Output columns (non-event rows dropped): num_after, avg_after and — in
+    pre_post mode — num_before, avg_before, avg_now, trend_before,
+    trend_after, matching dss.Auxiliary.CalculateDSSResponseToTreatment[.PrePost]
+    (dssFunctionLibrary.R:1419-1503). NULL when the window is empty, as in
+    the reference.
+
+    Forward-looking by definition (label/eval op): requires leakage_ok.
+    """
+    from mpds_spark.operators.asof import LeakageError
+
+    if not leakage_ok:
+        raise LeakageError(
+            "event_response aggregates future rows; pass leakage_ok=True "
+            "(labels/eval only, never features)."
+        )
+    w = Window.partitionBy(entity).orderBy(F.col(ts).cast("double"))
+    t = F.col(ts).cast("double")
+    v = F.col(value).cast("double")
+
+    # per-row trailing segment: (v_{j-1}+v_j)/2 * (t_j - t_{j-1})
+    lag_v = F.lag(v).over(w)
+    lag_t = F.lag(t).over(w)
+    seg = (lag_v + v) / F.lit(2.0) * (t - lag_t)
+    dt = t - lag_t
+
+    d = (
+        df.withColumn("__seg", seg)
+        .withColumn("__dt", dt)
+        .withColumn("__t", t)
+        .withColumn("__v", v)
+    )
+    wd = float(wind)
+    # float range frames need SQL window syntax (the py4j rangeBetween
+    # binding only accepts longs)
+    post_frame = (
+        f"OVER (PARTITION BY `{entity}` ORDER BY __t "
+        f"RANGE BETWEEN CURRENT ROW AND {wd!r} FOLLOWING)"
+    )
+    # rows j with t_j in [t_e, t_e+w]; trapezoid needs segments j=e+1..f,
+    # i.e. the frame sum minus the current row's own trailing segment.
+    n_post = F.expr(f"count(__t) {post_frame}") - 1
+    num_post = F.expr(f"sum(__seg) {post_frame}") - F.coalesce(
+        F.col("__seg"), F.lit(0.0)
+    )
+    den_post = F.expr(f"sum(__dt) {post_frame}") - F.coalesce(
+        F.col("__dt"), F.lit(0.0)
+    )
+    avg_after = F.when(n_post >= 1, num_post / den_post)
+
+    if not pre_post:
+        # plain-mode parity (dssFunctionLibrary.R:1440-1447): num_after counts
+        # the event row too; avg_before is the event row's own value.
+        out = (
+            d.withColumn(
+                "num_before", F.when(n_post >= 1, F.lit(1)).cast("long")
+            )
+            .withColumn("avg_before", F.when(n_post >= 1, F.col("__v")))
+            .withColumn("num_after", F.when(n_post >= 1, n_post + 1).cast("long"))
+            .withColumn("avg_after", avg_after)
+        )
+        return out.filter(F.col(event) == 1).drop("__seg", "__dt", "__t", "__v")
+
+    out = d.withColumn("num_after", F.when(n_post >= 1, n_post).cast("long"))
+    out = out.withColumn("avg_after", avg_after)
+
+    if pre_post:
+        pre_frame = (
+            f"OVER (PARTITION BY `{entity}` ORDER BY __t "
+            f"RANGE BETWEEN {wd!r} PRECEDING AND CURRENT ROW)"
+        )
+        # rows j=b..e in frame; segments j=b+1..e = frame sum minus the
+        # FIRST frame row's trailing segment (it crosses the window start).
+        first_seg = F.expr(f"first_value(__seg) {pre_frame}")
+        first_dt = F.expr(f"first_value(__dt) {pre_frame}")
+        n_pre = F.expr(f"count(__t) {pre_frame}") - 1
+        num_pre = F.expr(f"sum(__seg) {pre_frame}") - F.coalesce(
+            first_seg, F.lit(0.0)
+        )
+        den_pre = F.expr(f"sum(__dt) {pre_frame}") - F.coalesce(
+            first_dt, F.lit(0.0)
+        )
+        ok = (n_pre >= 1) & (F.col("num_after").isNotNull())
+        avg_before = F.when(ok, num_pre / den_pre)
+        out = (
+            out.withColumn("num_before", F.when(ok, n_pre + 1).cast("long"))
+            .withColumn("avg_before", avg_before)
+            .withColumn("avg_now", F.when(ok, F.col("__v")))
+            .withColumn("trend_before", F.when(ok, F.col("__v") - avg_before))
+            .withColumn(
+                "trend_after", F.when(ok, F.col("avg_after") - F.col("__v"))
+            )
+            .withColumn(
+                "avg_after", F.when(ok, F.col("avg_after"))
+            )
+            .withColumn(
+                "num_after", F.when(ok, F.col("num_after"))
+            )
+        )
+
+    return out.filter(F.col(event) == 1).drop("__seg", "__dt", "__t", "__v")
+
+
+def interval_join(
+    events: DataFrame,
+    obs: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    value: str = "value",
+    wind: float = 3600.0,
+    how: str = "post",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Generic range join: events x observations of the same entity with
+    obs.ts in (ev.ts, ev.ts+wind] ("post") or [ev.ts-wind, ev.ts) ("pre"),
+    aggregated per event. SQL-expressible (oracle-checkable).
+
+    The events side is broadcast when small (Catalyst auto-broadcast);
+    at scale, pre-bucketize ts on both sides and add a bucket equi-key.
+    """
+    ev = events.select(
+        F.col(entity).alias("__e"), F.col(ts).alias("__ets")
+    )
+    et = F.col("__ets").cast("double")
+    ot = F.col(ts).cast("double")
+    if how == "post":
+        cond = (F.col(entity) == F.col("__e")) & (ot > et) & (ot <= et + wind)
+    elif how == "pre":
+        cond = (F.col(entity) == F.col("__e")) & (ot < et) & (ot >= et - wind)
+    else:
+        raise ValueError(how)
+    if aggs is None:
+        aggs = [
+            F.count(F.lit(1)).alias("n_obs"),
+            F.avg(F.col(value)).alias("avg_value"),
+        ]
+    joined = obs.join(F.broadcast(ev), cond, "inner")
+    return (
+        joined.groupBy(F.col("__e").alias(entity), F.col("__ets").alias("event_ts"))
+        .agg(*aggs)
+    )

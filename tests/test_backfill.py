@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+import oracles
+from conftest import make_entity_series
+
+from mpds_spark.operators.asof import LeakageError
+from mpds_spark.operators.backfill import interpolate, locf
+
+
+def test_locf_with_expiration_matches_reference(spark):
+    pdf = make_entity_series(null_frac=0.4)
+    df = spark.createDataFrame(pdf)
+    got = (
+        locf(df, value="value", valid_time=20.0)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    o_locf, o_tsls, o_expir = oracles.locf_with_expiration(
+        s["entity_id"].to_numpy(), s["ts"].to_numpy(), s["value"].to_numpy(), 20.0
+    )
+    np.testing.assert_allclose(got["value_locf"].to_numpy(dtype=float), o_locf)
+    np.testing.assert_allclose(
+        got["value_time_since_sample"].to_numpy(dtype=float), o_tsls
+    )
+    np.testing.assert_allclose(
+        got["value_locf_expir"].to_numpy(dtype=float), o_expir
+    )
+
+
+def test_locf_default_fills_leading_nulls(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "a"],
+            "ts": [1.0, 2.0, 3.0],
+            "value": [np.nan, 5.0, np.nan],
+        }
+    )
+    got = (
+        locf(spark.createDataFrame(pdf), value="value", default=-1.0)
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert got["value_locf"].tolist() == [-1.0, 5.0, 5.0]
+
+
+def test_interpolate_matches_reference(spark):
+    pdf = make_entity_series(null_frac=0.5)
+    df = spark.createDataFrame(pdf)
+    got = (
+        interpolate(df, value="value", default=0.0, leakage_ok=True)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    expected = np.concatenate(
+        [
+            oracles.interpolate_single(
+                g["ts"].to_numpy(), g["value"].to_numpy(), 0.0
+            )
+            for _, g in s.groupby("entity_id", sort=True)
+        ]
+    )
+    np.testing.assert_allclose(
+        got["value_interp"].to_numpy(dtype=float), expected, rtol=1e-12
+    )
+
+
+def test_interpolate_all_null_entity_gets_default(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a"],
+            "ts": [1.0, 2.0],
+            "value": [None, None],
+        }
+    )
+    got = (
+        interpolate(
+            spark.createDataFrame(pdf, "entity_id string, ts double, value double"),
+            value="value",
+            default=3.5,
+            leakage_ok=True,
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert got["value_interp"].tolist() == [3.5, 3.5]
+
+
+def test_interpolate_requires_leakage_opt_in(spark):
+    df = spark.createDataFrame(make_entity_series())
+    with pytest.raises(LeakageError):
+        interpolate(df, value="value")

@@ -1,0 +1,125 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracles
+from conftest import make_entity_series
+
+from mpds_spark.operators.asof import LeakageError
+from mpds_spark.operators.sessionize import (
+    event_response,
+    interval_join,
+    remove_short_on_intervals,
+    sessionize,
+    unite_adjacent_on_intervals,
+)
+
+
+def test_sessionize_gap_rule(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 5 + ["b"] * 2,
+            "ts": [0.0, 10.0, 100.0, 105.0, 300.0, 0.0, 500.0],
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(pdf), gap=50.0)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert got["session_id"].tolist() == [0, 0, 1, 1, 2, 0, 1]
+
+
+@pytest.mark.parametrize("th", [5.0, 25.0, 60.0])
+def test_remove_short_on_intervals_matches_reference(spark, th):
+    pdf = make_entity_series(seed=11)
+    df = spark.createDataFrame(pdf)
+    got = (
+        remove_short_on_intervals(df, signal="signal", time_th=th)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    expected = oracles.remove_short_on_intervals(
+        s["entity_id"].to_numpy(), s["ts"].to_numpy(), s["signal"].to_numpy(), th
+    )
+    np.testing.assert_array_equal(got["signal_clean"].to_numpy(), expected)
+
+
+@pytest.mark.parametrize("th", [2.0, 15.0, 50.0])
+def test_unite_adjacent_on_intervals_matches_reference(spark, th):
+    pdf = make_entity_series(seed=13)
+    df = spark.createDataFrame(pdf)
+    got = (
+        unite_adjacent_on_intervals(df, signal="signal", union_th=th)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    expected = oracles.unite_adjacent_on_intervals(
+        s["entity_id"].to_numpy(), s["ts"].to_numpy(), s["signal"].to_numpy(), th
+    )
+    np.testing.assert_array_equal(got["signal_united"].to_numpy(), expected)
+
+
+@pytest.mark.parametrize("pre_post", [False, True])
+def test_event_response_matches_reference(spark, pre_post):
+    pdf = make_entity_series(seed=17, null_frac=0.0)
+    pdf["value"] = pdf["value"].astype(float)
+    df = spark.createDataFrame(pdf)
+    wind = 40.0
+    got = (
+        event_response(
+            df, value="value", event="event", wind=wind,
+            pre_post=pre_post, leakage_ok=True,
+        )
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    treat_idx = np.where(s["event"].to_numpy() == 1)[0]
+    expected = oracles.response_to_treatment(
+        s["entity_id"].to_numpy(),
+        s["ts"].to_numpy(),
+        s["value"].to_numpy(),
+        treat_idx,
+        wind,
+        pre_post=pre_post,
+    )
+    assert len(got) == len(expected)
+    cols = ["num_before", "num_after", "avg_before", "avg_after"]
+    if pre_post:
+        cols += ["avg_now", "trend_before", "trend_after"]
+    for c in cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(dtype=float),
+            expected[c].to_numpy(dtype=float),
+            rtol=1e-10,
+            atol=1e-10,
+            err_msg=c,
+        )
+
+
+def test_event_response_requires_leakage_opt_in(spark):
+    df = spark.createDataFrame(make_entity_series())
+    with pytest.raises(LeakageError):
+        event_response(df)
+
+
+def test_interval_join_counts(spark):
+    obs = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 5,
+            "ts": [0.0, 1.0, 2.0, 3.0, 10.0],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+        }
+    )
+    events = pd.DataFrame({"entity_id": ["a"], "ts": [1.0]})
+    got = interval_join(
+        spark.createDataFrame(events),
+        spark.createDataFrame(obs),
+        wind=2.5,
+    ).toPandas()
+    assert len(got) == 1
+    assert got["n_obs"].iloc[0] == 2  # ts 2.0 and 3.0
+    assert got["avg_value"].iloc[0] == pytest.approx(3.5)

@@ -1,0 +1,112 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+import oracles
+from conftest import make_entity_series
+
+from mpds_spark.operators.asof import LeakageError, time_since_event
+from mpds_spark.operators.windows import (
+    derived_features,
+    interleave_split,
+    lag_lead_diff,
+)
+
+
+def test_derived_features_matches_reference(spark):
+    pdf = make_entity_series(null_frac=0.0)
+    pdf = pdf.rename(columns={"value": "dss"})
+    df = spark.createDataFrame(pdf)
+    got = (
+        derived_features(df, value="dss")
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    feat_cols = [
+        "dss_avg",
+        "dss_ht_avg",
+        "dss_ht_sq_avg",
+        "dss_max",
+        "dss_min",
+        "dss_rate_avg",
+        "dss_rate_ht_avg",
+        "dss_abs_rate_avg",
+        "dss_abs_rate_ht_avg",
+    ]
+    expected = (
+        pdf.sort_values(["entity_id", "ts"])
+        .groupby("entity_id", group_keys=False)
+        .apply(lambda g: oracles.derived_features(g, value="dss", ts="ts"))
+        .reset_index(drop=True)
+    )
+    for c in feat_cols:
+        np.testing.assert_allclose(
+            got[c].to_numpy(), expected[c].to_numpy(), rtol=1e-12, atol=1e-12,
+            err_msg=c,
+        )
+
+
+def test_time_since_event_matches_reference(spark):
+    pdf = make_entity_series()
+    df = spark.createDataFrame(pdf)
+    got = (
+        time_since_event(df, include_forward=True, leakage_ok=True)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    s = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    t_next, t_first, t_since_last, t_since_first = oracles.time_since_to_event(
+        s["entity_id"].to_numpy(), s["ts"].to_numpy(), s["event"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        got["time_since_last_event"].to_numpy(dtype=float), t_since_last
+    )
+    np.testing.assert_allclose(
+        got["time_since_first_event"].to_numpy(dtype=float), t_since_first
+    )
+    np.testing.assert_allclose(
+        got["time_to_next_event"].to_numpy(dtype=float), t_next
+    )
+    np.testing.assert_allclose(
+        got["time_to_first_event"].to_numpy(dtype=float), t_first
+    )
+
+
+def test_time_since_event_forward_requires_leakage_opt_in(spark):
+    df = spark.createDataFrame(make_entity_series())
+    with pytest.raises(LeakageError):
+        time_since_event(df, include_forward=True)
+
+
+def test_lag_lead_diff_first_row_defaults(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "a", "b"],
+            "ts": [1.0, 3.0, 7.0, 2.0],
+            "value": [5.0, 2.0, 9.0, 4.0],
+        }
+    )
+    got = (
+        lag_lead_diff(spark.createDataFrame(pdf), "value")
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert got["value_diff"].tolist() == [0.0, -3.0, 7.0, 0.0]
+    assert got["value_abs_diff"].tolist() == [0.0, 3.0, 7.0, 0.0]
+    assert got["diff_ts"].tolist() == [1.0, 2.0, 4.0, 1.0]
+
+
+def test_interleave_split(spark):
+    pdf = pd.DataFrame(
+        {
+            "entity_id": ["a"] * 4 + ["b"] * 3,
+            "ts": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0],
+        }
+    )
+    got = (
+        interleave_split(spark.createDataFrame(pdf))
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert got["phase"].tolist() == [0, 1, 0, 1, 0, 1, 0]
+    assert got["pair_id"].tolist() == [0, 0, 1, 1, 0, 0, 1]
