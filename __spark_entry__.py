@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship pipeline on sf0.001 — mask → LOCF → sessionize →
+as-of join (clicks→purchases) → expanding-window derived features.
+queries()/oracle_sql(): one entry per implemented operator (SURVEY.md §2),
+each with a DuckDB-equivalent SQL twin; see mpds_spark/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from mpds_spark.operators.asof import asof_join
+    from mpds_spark.operators.backfill import locf
+    from mpds_spark.operators.sessionize import sessionize
+    from mpds_spark.operators.windows import derived_features
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("value"),
+    )
+    filled = locf(ev, value="value", valid_time=3600.0, default=0.0)
+    sess = sessionize(filled, gap=1800.0)
+    feats = derived_features(
+        sess.withColumn("dss", F.coalesce("value_locf_expir", F.lit(0.0))),
+        value="dss",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "entity_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(
+        feats.drop("event_type"), purchases, on="ts", by="entity_id"
+    )
+    return joined.select(
+        "event_id",
+        "entity_id",
+        "ts",
+        "session_id",
+        "dss",
+        "dss_avg",
+        "dss_max",
+        "dss_abs_rate_avg",
+        "purchase_value",
+        F.col("ts_r").alias("purchase_ts"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mpds_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mpds_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -32,6 +32,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mpds_spark.functions.timeutil import epoch_seconds
 from pyspark.sql.types import StructField, StructType
 
 
@@ -61,7 +63,7 @@ def time_since_event(
         )
     w = Window.partitionBy(entity).orderBy(ts)
     prev = w.rowsBetween(Window.unboundedPreceding, -1)
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     ev_ts = F.when(F.col(event) == 1, t)
 
     out = df.withColumn(
@@ -141,7 +143,14 @@ def asof_join(
         out_names[c] = c + suffix if c in left.columns else c
     right_on_out = f"{on}{suffix}"
 
-    r = right.select(by, on, *right_cols)
+    # Alias every right column to a fresh name: when left and right share
+    # lineage (self-as-of over one table), identical attribute ids make the
+    # analyzer dedupe/prune right-side columns out of the cogroup silently.
+    r = right.select(
+        F.col(by).alias("__asof_by"),
+        F.col(on).alias("__asof_on"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
 
     left_fields = list(left.schema.fields)
     right_fields = [StructField(right_on_out, right.schema[on].dataType, True)] + [
@@ -162,24 +171,26 @@ def asof_join(
             for c in right_cols:
                 out[out_names[c]] = pd.Series([pd.NA] * len(lpdf), dtype=object)
             return out
-        rpdf = rpdf.sort_values(on, kind="mergesort").reset_index(drop=True)
+        rpdf = rpdf.sort_values("__asof_on", kind="mergesort").reset_index(
+            drop=True
+        )
         l_on = lpdf[on].to_numpy()
-        r_on = rpdf[on].to_numpy()
+        r_on = rpdf["__asof_on"].to_numpy()
         idx = _merge_asof_arrays(l_on, r_on, direction, allow_exact_matches)
         valid = idx >= 0
         take = np.clip(idx, 0, len(rpdf) - 1)
-        matched_on = rpdf[on].to_numpy()[take]
+        matched_on = r_on[take]
         if tol is not None:
             dist = np.abs(l_on - matched_on)
             valid = valid & (dist <= tol)
         picked = rpdf.iloc[take].reset_index(drop=True)
         out[right_on_out] = pd.Series(matched_on).mask(~valid)
         for c in right_cols:
-            out[out_names[c]] = picked[c].mask(~valid)
+            out[out_names[c]] = picked[out_names[c]].mask(~valid)
         return out
 
     return (
         left.groupBy(by)
-        .cogroup(r.groupBy(by))
+        .cogroup(r.groupBy("__asof_by"))
         .applyInPandas(merge, out_schema)
     )

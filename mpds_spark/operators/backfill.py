@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mpds_spark.functions.timeutil import epoch_seconds
+
 from mpds_spark.operators.asof import LeakageError
 
 
@@ -56,7 +58,7 @@ def locf(
         .orderBy(ts)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     carried = F.last(F.col(value), ignorenulls=True).over(w)
     last_sample_t = F.last(
         F.when(F.col(value).isNotNull(), t), ignorenulls=True
@@ -103,7 +105,7 @@ def interpolate(
     # timestamps → float seconds for the kernel
     work = df
     if str(df.schema[ts].dataType).lower().startswith("timestamp"):
-        work = df.withColumn("__ts_d", F.col(ts).cast("double"))
+        work = df.withColumn("__ts_d", epoch_seconds(df, ts))
         ts_num = "__ts_d"
     else:
         ts_num = ts

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mpds_spark.functions.timeutil import epoch_seconds
+
 
 def smoothness_pairs(
     df: DataFrame,
@@ -43,7 +45,7 @@ def smoothness_pairs(
     """
     w = Window.partitionBy(entity).orderBy(ts)
     out = df
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     for c in cols:
         out = out.withColumn(f"{c}_pair_diff", F.lead(c).over(w) - F.col(c))
     out = out.withColumn("pair_diff_ts", F.lead(t).over(w) - t)
@@ -69,7 +71,7 @@ def ordering_pairs(
     out = df.withColumn("__rn", rn)
     for c in cols:
         out = out.withColumn(f"{c}_pair_diff", F.lead(c).over(w) - F.col(c))
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     out = out.withColumn("pair_diff_ts", F.lead(t).over(w) - t)
     # keep only the even (before) rows that have an after partner
     return out.filter(
@@ -169,13 +171,13 @@ def cross_stage_pairs(
     a = df.select(
         F.col(key).alias("on_key"),
         F.col(entity).alias("__e1"),
-        F.col(ts).cast("double").alias("__t1"),
+        epoch_seconds(df, ts).alias("__t1"),
         F.col(stage).alias("__s1"),
     )
     b = df.select(
         F.col(key).alias("off_key"),
         F.col(entity).alias("__e2"),
-        F.col(ts).cast("double").alias("__t2"),
+        epoch_seconds(df, ts).alias("__t2"),
         F.col(stage).alias("__s2"),
     )
     cond = (F.col("__s1") > F.col("__s2")) & (

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from mpds_spark.functions.timeutil import epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -43,7 +45,7 @@ def sessionize(
     """Per-entity session ids: a new session starts when the gap to the
     previous row exceeds `gap` (ts units; seconds for timestamps)."""
     w = Window.partitionBy(entity).orderBy(ts)
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     new_sess = (t - F.lag(t, 1).over(w) > F.lit(float(gap))).cast("long")
     sid = F.sum(F.coalesce(new_sess, F.lit(0))).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -75,7 +77,7 @@ def remove_short_on_intervals(
     sig, run = _runs(df, entity, ts, signal)
     d = df.withColumn("__sig", sig).withColumn("__run", run)
     wr = Window.partitionBy(entity, "__run")
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     dur = F.max(t).over(wr) - F.min(t).over(wr)
     keep = F.col("__run").isNotNull() & (dur >= F.lit(float(time_th)))
     return d.withColumn(out_col, F.when(keep, 1).otherwise(0)).drop(
@@ -92,7 +94,7 @@ def unite_adjacent_on_intervals(
     out_col: str = "signal_united",
 ) -> DataFrame:
     w = Window.partitionBy(entity).orderBy(ts)
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     sig = F.coalesce(F.col(signal), F.lit(0))
     ev_t = F.when(sig == 1, t)
     prev_on = F.max(ev_t).over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -136,8 +138,8 @@ def event_response(
             "event_response aggregates future rows; pass leakage_ok=True "
             "(labels/eval only, never features)."
         )
-    w = Window.partitionBy(entity).orderBy(F.col(ts).cast("double"))
-    t = F.col(ts).cast("double")
+    w = Window.partitionBy(entity).orderBy(epoch_seconds(df, ts))
+    t = epoch_seconds(df, ts)
     v = F.col(value).cast("double")
 
     # per-row trailing segment: (v_{j-1}+v_j)/2 * (t_j - t_{j-1})
@@ -243,8 +245,8 @@ def interval_join(
     ev = events.select(
         F.col(entity).alias("__e"), F.col(ts).alias("__ets")
     )
-    et = F.col("__ets").cast("double")
-    ot = F.col(ts).cast("double")
+    et = epoch_seconds(ev.select(F.col("__ets")), "__ets")
+    ot = epoch_seconds(obs, ts)
     if how == "post":
         cond = (F.col(entity) == F.col("__e")) & (ot > et) & (ot <= et + wind)
     elif how == "pre":

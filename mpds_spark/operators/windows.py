@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from mpds_spark.functions.timeutil import epoch_seconds
+
 
 def entity_window(entity: str = "entity_id", ts: str = "ts") -> WindowSpec:
     return Window.partitionBy(entity).orderBy(ts)
@@ -50,7 +52,8 @@ def lag_lead_diff(
     p = prefix or value
     w = entity_window(entity, ts)
     dv = F.col(value) - F.lag(value, 1).over(w)
-    dt = F.col(ts).cast("double") - F.lag(F.col(ts).cast("double"), 1).over(w)
+    te = epoch_seconds(df, ts)
+    dt = te - F.lag(te, 1).over(w)
     return (
         df.withColumn(f"{p}_diff", F.coalesce(dv, F.lit(0.0)))
         .withColumn(f"{p}_abs_diff", F.coalesce(F.abs(dv), F.lit(0.0)))
@@ -76,7 +79,7 @@ def derived_features(
     """
     w = entity_window(entity, ts)
     we = expanding(w)
-    t = F.col(ts).cast("double")
+    t = epoch_seconds(df, ts)
     v = F.col(value)
 
     line_num = F.row_number().over(w)

@@ -1,0 +1,722 @@
+"""Driver-facing query catalog: one entry per implemented operator, each with
+a DuckDB oracle-SQL twin (same column names, same semantics).
+
+Conventions shared by Spark and SQL sides (so the driver's order-insensitive
+value-hash matches):
+- entity key = events.user_id, event time = events.ts (unique per user —
+  verified at all SFs), deterministic window order = (ts).
+- every float column that passes through an order-sensitive float reduction
+  (group-by avg/sum, range-frame sums) is rounded to 6 decimals on BOTH
+  sides; integer-exact or order-deterministic values are left exact.
+- time distances are epoch-second doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mpds_spark.functions.timeutil import duck_round
+from mpds_spark.operators.asof import asof_join, time_since_event
+from mpds_spark.operators.backfill import locf
+from mpds_spark.operators.pairs import smoothness_pairs
+from mpds_spark.operators.scale import fit_robust_scaler, rescale_scores
+from mpds_spark.operators.sessionize import (
+    event_response,
+    interval_join,
+    remove_short_on_intervals,
+    sessionize,
+    unite_adjacent_on_intervals,
+)
+from mpds_spark.operators.windows import (
+    derived_features,
+    interleave_split,
+    lag_lead_diff,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events")
+
+
+def _r6(c):
+    return duck_round(c, 6)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_derived_features(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.col("value").alias("dss"),
+    )
+    out = derived_features(ev, value="dss")
+    # dss_avg recomputed from exact integer cents: the data is 2-decimal, so
+    # float cumsums divided by power-of-two row counts land exactly on
+    # 6-decimal rounding boundaries where 1-ulp engine differences flip the
+    # rounded digit. Integer sums are exact in both engines.
+    w = Window.partitionBy("entity_id").orderBy("ts")
+    cents = (
+        F.signum("dss") * F.floor(F.abs(F.col("dss")) * 100 + F.lit(0.5))
+    ).cast("long")
+    cs_c = F.sum(cents).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn(
+        "dss_avg", (cs_c / F.lit(100.0)) / F.row_number().over(w)
+    )
+    return out.select(
+        "event_id",
+        *[
+            _r6(c).alias(c)
+            for c in (
+                "dss_avg",
+                "dss_ht_avg",
+                "dss_ht_sq_avg",
+                "dss_max",
+                "dss_min",
+                "dss_rate_avg",
+                "dss_abs_rate_avg",
+            )
+        ],
+    )
+
+
+SQL_DERIVED = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, value AS dss FROM events
+), d AS (
+  SELECT event_id, user_id, t, dss,
+    row_number() OVER w AS rn,
+    sum(CAST(floor(abs(dss)*100 + 0.5)*sign(dss) AS BIGINT)) OVER we AS cs_c,
+    sum(t) OVER we AS cs_t,
+    sum(t*t) OVER we AS cs_t2,
+    sum(dss) OVER we AS cs_d,
+    sum(dss*t) OVER we AS cs_dt,
+    sum(dss*t*t) OVER we AS cs_dt2,
+    max(dss) OVER we AS cmax,
+    min(dss) OVER we AS cmin,
+    coalesce(abs(dss - lag(dss) OVER w), 0) AS adiff,
+    coalesce(dss - lag(dss) OVER w, 0) AS sdiff,
+    coalesce(abs(t - lag(t) OVER w), 1) AS dt
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t),
+         we AS (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT event_id, rn, cs_c, cs_t, cs_t2, cs_d, cs_dt, cs_dt2, cmax, cmin,
+    sum(sdiff/dt) OVER we AS cs_rate,
+    sum(adiff/dt) OVER we AS cs_arate
+  FROM d
+  WINDOW we AS (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+  round((cs_c / 100.0) / rn, 6) AS dss_avg,
+  round(cs_dt / cs_t, 6)   AS dss_ht_avg,
+  round(cs_dt2 / cs_t2, 6) AS dss_ht_sq_avg,
+  round(cmax, 6)           AS dss_max,
+  round(cmin, 6)           AS dss_min,
+  round(cs_rate / rn, 6)   AS dss_rate_avg,
+  round(cs_arate / rn, 6)  AS dss_abs_rate_avg
+FROM f
+"""
+
+
+def q_locf(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = locf(ev, value="v", valid_time=3600.0)
+    return out.select(
+        "event_id",
+        F.col("v_locf").alias("locf"),
+        _r6("v_time_since_sample").alias("time_since_sample"),
+        F.col("v_locf_expir").alias("locf_expir"),
+    )
+
+
+SQL_LOCF = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+), d AS (
+  SELECT event_id, t,
+    last_value(v IGNORE NULLS) OVER we AS locf,
+    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER we AS last_t
+  FROM e
+  WINDOW we AS (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, locf,
+  round(t - last_t, 6) AS time_since_sample,
+  CASE WHEN t - last_t > 3600 THEN NULL ELSE locf END AS locf_expir
+FROM d
+"""
+
+
+def q_time_since_purchase(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+    )
+    out = time_since_event(ev, include_forward=True, leakage_ok=True)
+    return out.select(
+        "event_id",
+        _r6("time_since_last_event").alias("t_since_last"),
+        _r6("time_since_first_event").alias("t_since_first"),
+        _r6("time_to_next_event").alias("t_to_next"),
+    )
+
+
+SQL_TIME_SINCE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev
+  FROM events
+)
+SELECT event_id,
+  round(t - max(CASE WHEN ev = 1 THEN t END) OVER
+    (PARTITION BY user_id ORDER BY t
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS t_since_last,
+  round(t - min(CASE WHEN ev = 1 THEN t END) OVER
+    (PARTITION BY user_id ORDER BY t
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 6) AS t_since_first,
+  round(min(CASE WHEN ev = 1 THEN t END) OVER
+    (PARTITION BY user_id ORDER BY t
+     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) - t, 6) AS t_to_next
+FROM e
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    s = sessionize(ev, gap=1800.0)
+    return s.groupBy(
+        F.col("entity_id").alias("user_id"), F.col("session_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.min("ts")).alias("t_start"),
+        _r6(F.max("ts")).alias("t_end"),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t, value FROM events
+), g AS (
+  SELECT user_id, t, value,
+    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), d AS (
+  SELECT user_id, t, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  round(min(t), 6) AS t_start, round(max(t), 6) AS t_end,
+  round(sum(value), 6) AS sum_value
+FROM d GROUP BY user_id, session_id
+"""
+
+
+def q_asof_purchase(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(clicks, purchases, on="ts", by="entity_id")
+    return out.select(
+        "event_id",
+        F.col("purchase_value"),
+        _r6("ts_r").alias("purchase_ts"),
+    )
+
+
+SQL_ASOF_PURCHASE = """
+WITH c AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, epoch(ts) AS t, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, p.value AS purchase_value, round(p.t, 6) AS purchase_ts
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t
+"""
+
+
+def q_asof_orders(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("ts"),
+        "o_totalprice",
+    )
+    out = asof_join(ev, orders, on="ts", by="entity_id")
+    return out.select(
+        "event_id",
+        F.col("o_totalprice").alias("last_order_price"),
+        _r6("ts_r").alias("last_order_ts"),
+    )
+
+
+SQL_ASOF_ORDERS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+), o AS (
+  SELECT o_custkey, epoch(o_orderdate) AS t, o_totalprice FROM orders
+)
+SELECT e.event_id, o.o_totalprice AS last_order_price,
+       round(o.t, 6) AS last_order_ts
+FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.t >= o.t
+"""
+
+
+def q_lag_lead(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    out = lag_lead_diff(ev, "value")
+    return out.select(
+        "event_id",
+        _r6("value_diff").alias("value_diff"),
+        _r6("value_abs_diff").alias("value_abs_diff"),
+        _r6("diff_ts").alias("diff_ts"),
+    )
+
+
+SQL_LAG_LEAD = """
+WITH e AS (SELECT event_id, user_id, epoch(ts) AS t, value FROM events)
+SELECT event_id,
+  round(coalesce(value - lag(value) OVER w, 0), 6) AS value_diff,
+  round(coalesce(abs(value - lag(value) OVER w), 0), 6) AS value_abs_diff,
+  round(coalesce(abs(t - lag(t) OVER w), 1), 6) AS diff_ts
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    obs = ev.select(F.col("user_id").alias("entity_id"), "ts", "value")
+    out = interval_join(purchases, obs, wind=3600.0)
+    return out.select(
+        F.col("entity_id").alias("user_id"),
+        F.col("event_ts").cast("timestamp").cast("double").alias("event_ts"),
+        "n_obs",
+        _r6("avg_value").alias("avg_value"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT user_id, epoch(ts) AS et FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch(ts) AS t, value FROM events
+)
+SELECT p.user_id, p.et AS event_ts, count(*) AS n_obs,
+       round(avg(e.value), 6) AS avg_value
+FROM p JOIN e ON e.user_id = p.user_id AND e.t > p.et AND e.t <= p.et + 3600
+GROUP BY p.user_id, p.et
+"""
+
+
+def q_smoothness_pairs(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    out = smoothness_pairs(ev, ["value"])
+    return out.select(
+        "event_id",
+        _r6("value_pair_diff").alias("value_pair_diff"),
+        _r6("pair_diff_ts").alias("pair_diff_ts"),
+    )
+
+
+SQL_SMOOTHNESS = """
+WITH e AS (SELECT event_id, user_id, epoch(ts) AS t, value FROM events)
+SELECT event_id,
+  round(lead(value) OVER w - value, 6) AS value_pair_diff,
+  round(lead(t) OVER w - t, 6) AS pair_diff_ts
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+QUALIFY lead(t) OVER w IS NOT NULL
+"""
+
+
+def q_interleave(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    out = interleave_split(ev)
+    return out.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+SQL_INTERLEAVE = """
+WITH e AS (
+  SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS rn
+  FROM events
+)
+SELECT (rn + 1) % 2 AS phase, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM e GROUP BY 1
+"""
+
+
+def q_per_user_max(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_PER_USER_MAX = """
+SELECT user_id, max(value) AS max_value, count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_remove_short(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        (F.col("value") > 15).cast("int").alias("signal"),
+    )
+    out = remove_short_on_intervals(ev, time_th=1200.0)
+    return out.select("event_id", "signal", "signal_clean")
+
+
+SQL_REMOVE_SHORT = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         CASE WHEN value > 15 THEN 1 ELSE 0 END AS sig
+  FROM events
+), x AS (
+  SELECT *, CASE WHEN sig = 1 AND coalesce(lag(sig)
+      OVER (PARTITION BY user_id ORDER BY t), 0) = 0
+      THEN 1 ELSE 0 END AS rising
+  FROM e
+), r AS (
+  SELECT *, sum(rising)
+      OVER (PARTITION BY user_id ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM x
+), g AS (
+  SELECT *, CASE WHEN sig = 1 THEN rid END AS run_key FROM r
+), d AS (
+  SELECT *, max(t) OVER wr - min(t) OVER wr AS dur
+  FROM g WINDOW wr AS (PARTITION BY user_id, run_key)
+)
+SELECT event_id, sig AS signal,
+  CASE WHEN run_key IS NOT NULL AND dur >= 1200 THEN 1 ELSE 0 END AS signal_clean
+FROM d
+"""
+
+
+def q_unite_adjacent(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        (F.col("value") > 15).cast("int").alias("signal"),
+    )
+    out = unite_adjacent_on_intervals(ev, union_th=1200.0)
+    return out.select("event_id", "signal", "signal_united")
+
+
+SQL_UNITE_ADJACENT = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         CASE WHEN value > 15 THEN 1 ELSE 0 END AS sig
+  FROM events
+), d AS (
+  SELECT *,
+    max(CASE WHEN sig = 1 THEN t END) OVER
+      (PARTITION BY user_id ORDER BY t
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_on,
+    min(CASE WHEN sig = 1 THEN t END) OVER
+      (PARTITION BY user_id ORDER BY t
+       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_on
+  FROM e
+)
+SELECT event_id, sig AS signal,
+  CASE WHEN sig = 1 OR (prev_on IS NOT NULL AND next_on IS NOT NULL
+                        AND next_on - prev_on <= 1200)
+       THEN 1 ELSE 0 END AS signal_united
+FROM d
+"""
+
+
+def q_event_response(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+    )
+    out = event_response(
+        ev, value="value", event="event", wind=3600.0, leakage_ok=True
+    )
+    return out.select(
+        "event_id",
+        "num_before",
+        "num_after",
+        _r6("avg_before").alias("avg_before"),
+        _r6("avg_after").alias("avg_after"),
+    )
+
+
+SQL_EVENT_RESPONSE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev
+  FROM events
+), s AS (
+  SELECT *,
+    (lag(value) OVER w + value) / 2 * (t - lag(t) OVER w) AS seg,
+    t - lag(t) OVER w AS dt
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), d AS (
+  SELECT *,
+    count(t) OVER wp - 1 AS n_post,
+    sum(seg) OVER wp - coalesce(seg, 0) AS num_post,
+    sum(dt) OVER wp - coalesce(dt, 0) AS den_post
+  FROM s WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                       RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING)
+)
+SELECT event_id,
+  CASE WHEN n_post >= 1 THEN 1 END AS num_before,
+  CASE WHEN n_post >= 1 THEN n_post + 1 END AS num_after,
+  CASE WHEN n_post >= 1 THEN round(value, 6) END AS avg_before,
+  CASE WHEN n_post >= 1 THEN round(num_post / den_post, 6) END AS avg_after
+FROM d WHERE ev = 1
+"""
+
+
+def q_robust_scale(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    params = fit_robust_scaler(ev, ["value"])
+    med, iqr = params["value"]
+    return ev.select(
+        "event_id",
+        _r6((F.col("value") - F.lit(med)) / F.lit(iqr)).alias("value_scaled"),
+    )
+
+
+SQL_ROBUST_SCALE = """
+WITH p AS (
+  SELECT quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+  FROM events
+)
+SELECT event_id, round((value - med) / iqr, 6) AS value_scaled
+FROM events, p
+"""
+
+
+def q_rescale_scores(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", F.col("value").alias("score"))
+    out, _ = rescale_scores(ev, score="score")
+    return out.select("event_id", _r6("mpds").alias("mpds"))
+
+
+SQL_RESCALE = """
+WITH p AS (
+  SELECT quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.85) - quantile_cont(value, 0.15) AS iqr
+  FROM events
+)
+SELECT event_id,
+  round(least(greatest(50 * (value - med) / iqr + 50, 0), 100), 6) AS mpds
+FROM events, p
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+  length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+  length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_chars = F.length("text")
+    stop = F.size(
+        F.expr(
+            r"filter(split(trim(text), '\\s+'), "
+            "w -> w in ('the','a','of','and','to','in','is','for'))"
+        )
+    )
+    return docs.select(
+        "doc_id",
+        _r6(n_chars / n_words).alias("avg_word_len"),
+        _r6(stop / n_words).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY = """
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(text), '\\s+') AS words,
+    length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+  round(n_chars / length(words), 6) AS avg_word_len,
+  round(length(list_filter(words,
+    w -> w IN ('the','a','of','and','to','in','is','for'))) * 1.0
+    / length(words), 6) AS stopword_ratio
+FROM t
+"""
+
+
+
+
+def _rewrite_rounds(sql: str) -> str:
+    """Replace round(expr, 6) in oracle SQL with the exact floor-based
+    half-away-from-zero formula the Spark side uses (duck_round), so both
+    engines perform the identical IEEE double ops — no round-tie drift."""
+    out = []
+    i = 0
+    token = "round("
+    while True:
+        j = sql.find(token, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        depth = 1
+        k = j + len(token)
+        while depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        inner = sql[j + len(token) : k - 1]
+        body, _, digits = inner.rpartition(",")
+        assert digits.strip() == "6", inner
+        out.append(
+            f"(floor(abs({body})*1000000.0 + 0.5)/1000000.0*sign({body}))"
+        )
+        i = k
+    return "".join(out)
+
+QUERIES = {
+    "derived_features": q_derived_features,
+    "locf": q_locf,
+    "time_since_purchase": q_time_since_purchase,
+    "sessionize": q_sessionize,
+    "asof_purchase": q_asof_purchase,
+    "asof_orders": q_asof_orders,
+    "lag_lead": q_lag_lead,
+    "interval_join": q_interval_join,
+    "smoothness_pairs": q_smoothness_pairs,
+    "interleave": q_interleave,
+    "per_user_max": q_per_user_max,
+    "remove_short": q_remove_short,
+    "unite_adjacent": q_unite_adjacent,
+    "event_response": q_event_response,
+    "robust_scale": q_robust_scale,
+    "rescale_scores": q_rescale_scores,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+}
+
+_RAW_ORACLES = {
+    "derived_features": SQL_DERIVED,
+    "locf": SQL_LOCF,
+    "time_since_purchase": SQL_TIME_SINCE,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_purchase": SQL_ASOF_PURCHASE,
+    "asof_orders": SQL_ASOF_ORDERS,
+    "lag_lead": SQL_LAG_LEAD,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "smoothness_pairs": SQL_SMOOTHNESS,
+    "interleave": SQL_INTERLEAVE,
+    "per_user_max": SQL_PER_USER_MAX,
+    "remove_short": SQL_REMOVE_SHORT,
+    "unite_adjacent": SQL_UNITE_ADJACENT,
+    "event_response": SQL_EVENT_RESPONSE,
+    "robust_scale": SQL_ROBUST_SCALE,
+    "rescale_scores": SQL_RESCALE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY,
+}
+
+
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
