@@ -1,0 +1,118 @@
+"""Benchmark harness.
+
+Two parts:
+1. Headline driver queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — per-query wall seconds.
+2. Engine throughput (the BASELINE.json metric): sequences/sec for
+   as-of join + windowed feature extraction over the deterministic
+   tokenized-sequence table, measured at TWO parallelism levels
+   (local[N/4] and local[N]) on the same input → scaling efficiency
+   (sandbox stand-in for the N vs 4N executor criterion).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "engine": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
+    from mpds_spark.queries import QUERIES
+    from mpds_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="mpds_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    # warm the JVM + parquet footers once
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    timings = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    spark.stop()
+    return timings
+
+
+def engine_throughput(n_docs: int, cpus: int, seed: int = 42) -> dict:
+    """sequences/sec for the flagship leg: synth table → as-of join of each
+    doc against the per-entity purchase-like event stream → expanding-window
+    features → token battery (mean/std/min/max over tokens)."""
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.asof import asof_join
+    from mpds_spark.operators.windows import derived_features
+    from mpds_spark.session import get_spark
+    from mpds_spark.sources.synth import synth_sequences
+
+    spark = get_spark(
+        app_name=f"mpds_engine_bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    df = synth_sequences(spark, n_docs, seed=seed, num_partitions=cpus * 2)
+    df = df.withColumn(
+        "tok_mean", F.aggregate("tokens", F.lit(0.0), lambda a, x: a + x)
+        / F.col("n_tok")
+    )
+    # events side: every 10th doc is an "event" row for the as-of join
+    events = df.filter(F.crc32(F.col("doc_id")) % 10 == 0).select(
+        "entity_id", "ts", F.col("tok_mean").alias("event_tok_mean")
+    )
+    feats = derived_features(df, value="tok_mean")
+    joined = asof_join(feats, events, on="ts", by="entity_id")
+    t0 = time.perf_counter()
+    n = joined.count()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"rows": n, "sec": round(dt, 3), "seq_per_sec": round(n / dt, 1)}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    timings = run_driver_queries(sf_dir, cpus)
+    total = round(sum(timings.values()), 3)
+
+    engine = {}
+    if os.environ.get("MPDS_BENCH_ENGINE", "1") == "1":
+        n_docs = int(os.environ.get("MPDS_BENCH_DOCS", "200000"))
+        lo_cpus = max(cpus // 4, 1)
+        hi = engine_throughput(n_docs, cpus)
+        lo = engine_throughput(n_docs, lo_cpus)
+        eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / (cpus / lo_cpus)
+        engine = {
+            "n_docs": n_docs,
+            f"local[{lo_cpus}]": lo,
+            f"local[{cpus}]": hi,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "engine": engine,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

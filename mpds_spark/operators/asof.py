@@ -9,20 +9,25 @@ Two operators:
   emits before updating lastEventHT), and "next event" excludes it too.
 
 - asof_join: two-table point-in-time join (Spark has no native ASOF JOIN).
-  Physical plan: both sides are shuffled once on the entity key
-  (FlatMapCoGroupsInPandas), each co-group is sorted and merged with a
-  vectorized numpy searchsorted two-pointer — no per-row Python. Backward
-  direction is the default and the only one allowed for feature columns;
-  forward/nearest require leakage_ok=True (zero-temporal-leakage rule,
-  BASELINE.json north_rule).
+  Two physical strategies:
 
-Scale notes:
-- The cogroup shuffle is the single exchange of the pipeline leg; AQE skew
-  splitting does not apply to grouped-map Python, so genuinely hot entities
-  should be pre-split with operators.salting (boundary-replay) — the engine
-  keeps groups bounded via spark.sql.execution.arrow.maxRecordsPerBatch for
-  transfer and relies on sort-spill inside the JVM before the Python stage.
-- searchsorted is O((n+m) log m) per group, memory O(n+m) in Arrow batches.
+  * "window" (default for backward/forward): tag-union both sides, ONE
+    shuffle + sort on (entity, on, side), then the match is a pure
+    last(struct, ignoreNulls) expanding window — i.e. the sort-merge as-of
+    scan expressed as LOCF over the merged stream. 100% JVM (WindowExec,
+    whole-stage codegen feeding it), no Python workers, streaming O(n+m),
+    spill-safe, and AQE/skew machinery applies normally. This is the
+    scale path: a single giant entity is still a single WindowExec
+    partition, but sort + running-last spill instead of materializing a
+    pandas group.
+  * "cogroup" (required for direction="nearest", available for the rest):
+    cogrouped Arrow groups merged with vectorized numpy searchsorted —
+    no per-row Python, but pays JVM->Arrow->pandas transfer and holds one
+    entity per pandas group.
+
+  Backward direction is the default and the only one allowed for feature
+  columns; forward/nearest require leakage_ok=True (zero-temporal-leakage
+  rule, BASELINE.json north_rule).
 """
 
 from __future__ import annotations
@@ -123,18 +128,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_r",
     leakage_ok: bool = False,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Point-in-time as-of join: for each left row, the latest right row of
     the same `by` key with right.on <= left.on (backward; >= for forward).
 
     Matches pandas.merge_asof semantics (differentially tested against it).
     tolerance is in the on-column's unit (seconds for numeric/timestamp).
+    strategy: "window" (default; JVM-only, see module docstring) or
+    "cogroup" (Arrow searchsorted; the only one supporting "nearest").
     """
     if direction != "backward" and not leakage_ok:
         raise LeakageError(
             f"asof_join(direction={direction!r}) looks forward in time; "
             "pass leakage_ok=True (labels/eval only, never features)."
         )
+    if strategy is None:
+        strategy = "cogroup" if direction == "nearest" else "window"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]
     # disambiguate collisions with left columns
@@ -142,6 +152,16 @@ def asof_join(
     for c in right_cols:
         out_names[c] = c + suffix if c in left.columns else c
     right_on_out = f"{on}{suffix}"
+
+    if strategy == "window":
+        if direction == "nearest":
+            raise ValueError("strategy='window' supports backward/forward only")
+        return _asof_window(
+            left, right, on, by, direction, tolerance, allow_exact_matches,
+            right_cols, out_names, right_on_out,
+        )
+    if strategy != "cogroup":
+        raise ValueError(f"unknown strategy {strategy!r}")
 
     # Alias every right column to a fresh name: when left and right share
     # lineage (self-as-of over one table), identical attribute ids make the
@@ -194,3 +214,80 @@ def asof_join(
         .cogroup(r.groupBy("__asof_by"))
         .applyInPandas(merge, out_schema)
     )
+
+
+def _asof_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    direction: str,
+    tolerance: float | None,
+    allow_exact_matches: bool,
+    right_cols: list[str],
+    out_names: dict[str, str],
+    right_on_out: str,
+) -> DataFrame:
+    """As-of join as LOCF over the tag-union of both sides.
+
+    Plan: union(left+side, right+side) → WindowExec partitioned by entity,
+    ordered by (on, side) → last(struct(right row), ignoreNulls) over the
+    expanding frame → keep left rows. One exchange, zero Python. The right
+    row is carried as ONE struct so all its columns come from the same
+    matched row (independent per-column last() could mix rows when the
+    right side itself has nulls — pandas merge_asof is row-wise).
+
+    Tie order encodes exact-match semantics: scanning toward the match
+    direction, right rows at an equal `on` sort before left rows iff exact
+    matches are allowed.
+    """
+    payload = F.struct(
+        F.col(on).alias("__m_on"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__r", F.lit(None).cast(right.select(payload).schema[0].dataType)
+    )
+    r_tag = right.select(
+        F.col(by), F.col(on), payload.alias("__r")
+    ).withColumn("__side", F.lit(0))
+    for f in left.schema.fields:
+        if f.name not in (by, on):
+            r_tag = r_tag.withColumn(f.name, F.lit(None).cast(f.dataType))
+    u = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # side sort value: 0 scans first. Right-first at ties <=> exact allowed.
+    side_rank = F.when(
+        F.col("__side") == 0,
+        F.lit(0 if allow_exact_matches else 1),
+    ).otherwise(F.lit(1 if allow_exact_matches else 0))
+    order = (
+        [F.col(on).asc(), side_rank.asc()]
+        if direction == "backward"
+        else [F.col(on).desc(), side_rank.asc()]
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__r", ignorenulls=True).over(w)
+    u = u.withColumn("__match", matched).filter(F.col("__side") == 1)
+
+    m_on = F.col("__match.__m_on")
+    valid = m_on.isNotNull()
+    if tolerance is not None:
+        t_l = epoch_seconds(u, on)
+        t_m = (
+            m_on.cast("timestamp").cast("double")
+            if u.schema["__match"].dataType["__m_on"].dataType.typeName().startswith("timestamp")
+            else m_on.cast("double")
+        )
+        valid = valid & (F.abs(t_l - t_m) <= F.lit(float(tolerance)))
+
+    out = u.withColumn(right_on_out, F.when(valid, m_on))
+    for c in right_cols:
+        out = out.withColumn(
+            out_names[c], F.when(valid, F.col(f"__match.{out_names[c]}"))
+        )
+    return out.drop("__side", "__r", "__match")

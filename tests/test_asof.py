@@ -41,6 +41,7 @@ def _pandas_asof(left, right, direction, tolerance=None, allow_exact=True):
     return out.sort_values(["entity_id", "ts"]).reset_index(drop=True)
 
 
+@pytest.mark.parametrize("strategy", ["window", "cogroup"])
 @pytest.mark.parametrize(
     "direction,tolerance,allow_exact",
     [
@@ -52,7 +53,11 @@ def _pandas_asof(left, right, direction, tolerance=None, allow_exact=True):
         ("nearest", None, True),
     ],
 )
-def test_asof_join_matches_pandas(spark, direction, tolerance, allow_exact):
+def test_asof_join_matches_pandas(
+    spark, direction, tolerance, allow_exact, strategy
+):
+    if direction == "nearest" and strategy == "window":
+        pytest.skip("nearest requires cogroup")
     left, right = _random_two_tables()
     got = (
         asof_join(
@@ -62,6 +67,7 @@ def test_asof_join_matches_pandas(spark, direction, tolerance, allow_exact):
             tolerance=tolerance,
             allow_exact_matches=allow_exact,
             leakage_ok=True,
+            strategy=strategy,
         )
         .orderBy("entity_id", "ts")
         .toPandas()
