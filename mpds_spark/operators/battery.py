@@ -1,0 +1,118 @@
+"""Spark operators wrapping the feature batteries.
+
+- extract_token_battery: per-row 18-stat vector over the `tokens` array —
+  mapInPandas (streaming Arrow batches, bounded memory, no shuffle at all:
+  a pure map stage pipelined onto the scan). Token arrays pass through
+  UNTOUCHED (the BASELINE.json per-row exact-equality invariant).
+- extract_accel_battery: per-(entity, ts) 153-feature accel vector over an
+  F2-shaped long table — applyInPandas after the one entity range exchange.
+
+Both emit ArrayType(DoubleType) feature vectors + a names manifest
+(the reference's positional header contract, extractAccelTestV2.m:49-59).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+from mpds_spark.functions.battery import (
+    TOKEN_STAT_NAMES,
+    accel_feature_names,
+    extract_accel_features,
+    token_features,
+)
+
+
+def token_battery_names() -> list[str]:
+    return list(TOKEN_STAT_NAMES)
+
+
+def extract_token_battery(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    out_col: str = "features",
+) -> DataFrame:
+    """Append the per-sequence feature vector; all input columns (including
+    the token payload) pass through byte-identical."""
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                token_features(np.asarray(tok, dtype=np.int64))
+                for tok in pdf[tokens_col]
+            ]
+            out = pdf[cols].copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(gen, schema)
+
+
+def extract_accel_battery(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    t_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+    out_col: str = "features",
+) -> DataFrame:
+    """One row per (entity, ts) recording: the full extractAccelTestV2
+    battery (153 doubles, accel_feature_names() order)."""
+    key_fields = [df.schema[entity], df.schema[ts]]
+    schema = StructType(
+        key_fields + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        vec = extract_accel_features(
+            pdf[t_col].to_numpy(float),
+            pdf[x_col].to_numpy(float),
+            pdf[y_col].to_numpy(float),
+            pdf[z_col].to_numpy(float),
+        )
+        return pd.DataFrame(
+            {
+                entity: [pdf[entity].iloc[0]],
+                ts: [pdf[ts].iloc[0]],
+                out_col: [vec],
+            }
+        )
+
+    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+
+
+def slice_modality(
+    df: DataFrame, features: str, start: int, length: int, out_col: str
+) -> DataFrame:
+    """Positional modality slice (NB cell 14 contract): F.slice is 1-based."""
+    return df.withColumn(out_col, F.slice(features, start + 1, length))
+
+
+def score_dot(
+    df: DataFrame, features: str, weights: list[float], out_col: str = "score"
+) -> DataFrame:
+    """Dot-product scoring (NB cell 14 pairs.dot(weights)) — JVM-side
+    zip_with + aggregate over the array column, no Python."""
+    w = F.array(*[F.lit(float(v)) for v in weights])
+    return df.withColumn(
+        out_col,
+        F.aggregate(
+            F.zip_with(features, w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )

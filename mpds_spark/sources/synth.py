@@ -38,9 +38,8 @@ SCHEMA = (
 
 def _mix(i: np.ndarray, seed: int, salt: int) -> np.ndarray:
     """splitmix64-style deterministic hash of the doc counter (vectorized)."""
-    z = (i.astype(np.uint64) + np.uint64(seed * 0x9E3779B97F4A7C15 + salt)) * np.uint64(
-        0xBF58476D1CE4E5B9
-    )
+    key = (seed * 0x9E3779B97F4A7C15 + salt) & 0xFFFFFFFFFFFFFFFF
+    z = (i.astype(np.uint64) + np.uint64(key)) * np.uint64(0xBF58476D1CE4E5B9)
     z ^= z >> np.uint64(27)
     z *= np.uint64(0x94D049BB133111EB)
     z ^= z >> np.uint64(31)

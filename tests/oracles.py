@@ -261,3 +261,75 @@ def interpolate_single(x, y, def_val):
             q = idx[idx > i][0]
             out[i] = (y[q] * (x[i] - x[p]) + y[p] * (x[q] - x[i])) / (x[q] - x[p])
     return out
+
+
+def fastdfa_loop(x):
+    """Literal double-loop transcription of fastdfa_core.c:41-161 + fastdfa.m
+    — the independent oracle for the vectorized kernel."""
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    # cumulativeSum (fastdfa_core.c:214)
+    y = np.cumsum(x)
+    # scales (fastdfa_core.c:257-263)
+    n_scales = int(np.log10(n) / np.log10(2.0))
+    if float(1 << (n_scales - 1)) > n / 2.5:
+        n_scales -= 1
+    intervals = np.zeros(n_scales, dtype=np.int64)
+    for scale in range(n_scales - 1, -1, -1):
+        subdivs = 1 << scale
+        intervals[scale] = int(n / subdivs + 0.5)
+    flucts = np.zeros(n_scales)
+    for scale in range(n_scales - 1, -1, -1):
+        trend = np.zeros(n)
+        m = int(intervals[scale])
+        idx = 0
+        while idx < n:
+            start = idx
+            end = idx + m - 1
+            if end >= n:
+                for i in range(start, n):
+                    trend[i] = y[i]
+                break
+            iw = end - start + 1
+            sy = 0.0
+            sxy = 0.0
+            for i in range(start, end + 1):
+                sy += y[i]
+                sxy += y[i] * float(i)
+            sx = (end + start) * iw / 2.0
+            sxx = iw * (2.0 * end * end + 2.0 * start * start
+                        + 2.0 * start * end + end - start) / 6.0
+            delta = iw * sxx - sx * sx
+            b = (sy * sxx - sx * sxy) / delta
+            a = (iw * sxy - sx * sy) / delta
+            for i in range(start, end + 1):
+                trend[i] = a * i + b
+            idx += m
+        accum = float(((y - trend) ** 2).sum())
+        flucts[scale] = np.sqrt(accum / n)
+    coeffs = np.polyfit(np.log10(intervals.astype(float)), np.log10(flucts), 1)
+    return float(coeffs[0])
+
+
+def tap_segments_loop(tsp, x):
+    """Literal transcription of extractTapTestV2.m:26-51."""
+    tsp = np.asarray(tsp, dtype=float) - float(tsp[0])
+    x = np.asarray(x, dtype=float)
+    mid = (x.max() - x.min()) / 2.0 + x.min()
+    s = 0.0
+    start = 0.0
+    prev = 0.0
+    t_stay, t_move = [], []
+    for i in range(len(x)):
+        if s == 0:
+            s = np.sign(x[i] - mid)
+            start = tsp[i]
+        else:
+            new_sign = np.sign(x[i] - mid)
+            if new_sign != s:
+                t_stay.append(prev - start)
+                t_move.append(tsp[i] - prev)
+                start = tsp[i]
+                s = new_sign
+        prev = tsp[i]
+    return np.array(t_stay), np.array(t_move)
