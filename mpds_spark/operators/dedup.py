@@ -1,0 +1,156 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side (higher-order array functions + joins) — no Python UDFs:
+- exact_dedup: hash-groupBy on md5(text).
+- shingle word n-grams → explode → self-join: n-gram Jaccard pairs.
+- MinHash signatures: min over shingles of md5(seed|shingle) per seed —
+  hex-string min is numeric min for fixed-width hex, so the same signature
+  is computable in any engine (DuckDB oracle twin).
+- LSH candidate pairs: band the signature, bucket-join on (band_id, band
+  hash) — candidates = pairs agreeing on >= 1 full band.
+- SimHash (16-bit): per-bit sign-sum of word hashes, term-frequency
+  weighted.
+
+Scale notes: shingle explode multiplies rows by ~doc length — the
+self-join partitions by shingle, so hot shingles (stopword n-grams) skew;
+cap with a document-frequency filter (max_df) exactly like the classic
+stopword cut. MinHash/LSH replaces the quadratic all-pairs join with
+O(docs x bands) bucket joins — the scale path for 10^9+ docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def words_col(text: str = "text"):
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc (docs shorter than n words
+    produce none)."""
+    w = words_col(text)
+    sh = F.when(
+        F.size(w) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}), "
+            f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {n})))"
+        ),
+    ).otherwise(F.array())
+    return df.withColumn("shingle", F.explode(F.array_distinct(sh)))
+
+
+def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    return df.groupBy(F.md5(text).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min(key).alias("keep_doc_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """All doc pairs sharing >= 1 shingle, with Jaccard >= threshold.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct n-gram sets.
+    """
+    sh = shingles(df, text).select(F.col(key).alias("k"), "shingle")
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("k").alias("doc_a"), "shingle")
+    b = sh.select(F.col("k").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("k").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("k").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def minhash_signature(
+    df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 8, n: int = 3
+) -> DataFrame:
+    """k-hash MinHash signature per doc: h_i = min over shingles of
+    md5('<i>|' || shingle) — hex strings, engine-portable."""
+    sh = shingles(df, text)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs whose MinHash signatures agree on at
+    least one full band (band hash = concat of band_size signature slots)."""
+    sig = minhash_signature(df, text, key, k, n)
+    bands = []
+    for b in range(k // band_size):
+        cols = [f"h{b * band_size + j}" for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bh")
+            )
+        )
+    exploded = sig.select(
+        F.col(key).alias("k"), F.explode(F.array(*bands)).alias("bb")
+    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = exploded.select(F.col("k").alias("doc_a"), "band", "bh")
+    b = exploded.select(F.col("k").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per doc: bit b set iff the term-frequency-weighted
+    sign-sum of word-hash bit b is positive. Word hash = first 4 hex chars
+    of md5(word) (engine-portable)."""
+    w = df.select(
+        F.col(key).alias("k"), F.explode(words_col(text)).alias("word")
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long")
+    w = w.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(16)
+    ]
+    sums = w.groupBy("k").agg(*aggs)
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col("k").alias(key), sim.cast("long").alias("simhash"))

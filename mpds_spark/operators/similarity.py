@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. All
+  arithmetic JVM-side (zip_with + aggregate in double), broadcast of the
+  query set, so the big side streams: O(Q x N) with no shuffle of N.
+- lsh_cosine_topk: sign-code bucketed variant (the scale path): vectors are
+  partitioned by a b-bit hyperplane sign code; queries only scan their own
+  bucket. With deterministic axis-aligned hyperplanes (components 0..b-1)
+  the bucket assignment is engine-portable for the DuckDB oracle; swap in
+  seeded random hyperplanes for production use (same plumbing).
+
+Scale notes: brute force is a broadcast-nested-loop over the corpus — fine
+for Q small; for Q x N both large, bucket both sides (lsh_cosine_topk) so
+the join is an equi-join on the code, shuffling each side once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query among `vectors`
+    (self-matches by id excluded). cos = dot/sqrt(aa)/sqrt(bb) in double."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__q")
+    )
+    j = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("__q"), F.col("__v")) / F.sqrt(
+        _dot(F.col("__q"), F.col("__q"))
+    ) / F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    scored = j.withColumn("cosine", cos).drop("__q", "__v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_code(col: str, bits: int = 4) -> Column:
+    """Deterministic b-bit bucket: sign bits of the first b components."""
+    code = F.lit(0)
+    for i in range(bits):
+        code = code + F.when(
+            F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return code.cast("int")
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign-code
+    bucket — an equi-join on the code instead of a cross join."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__v"),
+        sign_code(vec_col, bits).alias("__code"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("__q"),
+        sign_code(vec_col, bits).alias("__code"),
+    )
+    j = v.join(F.broadcast(q), "__code").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("__q"), F.col("__v")) / F.sqrt(
+        _dot(F.col("__q"), F.col("__q"))
+    ) / F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    scored = j.withColumn("cosine", cos).drop("__q", "__v", "__code")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

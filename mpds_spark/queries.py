@@ -593,36 +593,25 @@ FROM documents GROUP BY 1
 
 
 def q_token_count(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
-        F.length("text").alias("n_chars_calc"),
-    )
+    return token_count(load(spark, sf_dir, "documents"))
 
 
 SQL_TOKEN_COUNT = """
 SELECT doc_id,
-  length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-  length(text) AS n_chars_calc
+  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
 FROM documents
 """
 
 
 def q_quality_score(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.trim("text"), r"\s+"))
-    n_chars = F.length("text")
-    stop = F.size(
-        F.expr(
-            r"filter(split(trim(text), '\\s+'), "
-            "w -> w in ('the','a','of','and','to','in','is','for'))"
-        )
-    )
-    return docs.select(
+    q = quality_score(load(spark, sf_dir, "documents"))
+    return q.select(
         "doc_id",
-        _r6(n_chars / n_words).alias("avg_word_len"),
-        _r6(stop / n_words).alias("stopword_ratio"),
+        "n_words",
+        _r6("avg_word_len").alias("avg_word_len"),
+        _r6("stopword_ratio").alias("stopword_ratio"),
+        _r6("distinct_ratio").alias("distinct_ratio"),
     )
 
 
@@ -634,10 +623,12 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-  round(n_chars / length(words), 6) AS avg_word_len,
-  round(length(list_filter(words,
+  len(words) AS n_words,
+  round(n_chars / len(words), 6) AS avg_word_len,
+  round(len(list_filter(words,
     w -> w IN ('the','a','of','and','to','in','is','for'))) * 1.0
-    / length(words), 6) AS stopword_ratio
+    / len(words), 6) AS stopword_ratio,
+  round(len(list_distinct(words)) * 1.0 / len(words), 6) AS distinct_ratio
 FROM t
 """
 
@@ -719,4 +710,332 @@ _RAW_ORACLES = {
 }
 
 
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+# ------------------------------------------------- training-pipeline ops
+
+from mpds_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from mpds_spark.operators.pairs import ordering_pairs  # noqa: E402
+from mpds_spark.operators.similarity import cosine_topk, lsh_cosine_topk  # noqa: E402
+from mpds_spark.operators.text import (  # noqa: E402
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from mpds_spark.operators.backfill import interpolate  # noqa: E402
+
+_SHINGLE_SQL = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 3
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.05)
+    return out.select("doc_a", "doc_b", "n_common", _r6("jaccard").alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH e AS ({_SHINGLE_SQL}),
+sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM e a JOIN e b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM c
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    return minhash_signature(load(spark, sf_dir, "documents"), k=8)
+
+
+SQL_MINHASH = f"""
+WITH e AS ({_SHINGLE_SQL})
+SELECT doc_id,
+  {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+FROM e GROUP BY doc_id
+"""
+
+
+def q_lsh_candidates(spark, sf_dir):
+    return lsh_candidate_pairs(load(spark, sf_dir, "documents"), k=8, band_size=2)
+
+
+SQL_LSH_CANDIDATES = f"""
+WITH e AS ({_SHINGLE_SQL}),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM e GROUP BY doc_id
+),
+b AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bh FROM sig"
+      for bi in range(4))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+FROM b a JOIN b c USING (band, bh) WHERE a.doc_id < c.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash16(load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16)
+)
+SQL_SIMHASH = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(word), 1, 4))::UBIGINT AS h FROM w
+), s AS (
+  SELECT doc_id,
+    {_SIMHASH_SUMS}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM s
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(load(spark, sf_dir, "documents"), n=5)
+
+
+SQL_FINGERPRINT = """
+WITH e AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(words) - 3),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                || ' ' || words[i+3] || ' ' || words[i+4]))) AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents)
+  WHERE len(words) >= 5
+)
+SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max,
+       count(*) AS n_shingles
+FROM e GROUP BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+SQL_LANG_ID = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id, len(words) AS n_words,
+    len(list_filter(words, x -> x IN ('the','and','of','to','is'))) AS n_en,
+    len(list_filter(words, x -> x IN ('der','die','und','ist','das'))) AS n_de,
+    len(list_filter(words, x -> x IN ('le','la','et','est','les'))) AS n_fr,
+    len(list_filter(words, x -> x IN ('el','la','los','es','una'))) AS n_es
+  FROM w
+)
+SELECT doc_id, n_words, n_en, n_de, n_fr, n_es,
+  CASE WHEN n_en = g AND g > 0 THEN 'en'
+       WHEN n_de = g AND g > 0 THEN 'de'
+       WHEN n_fr = g AND g > 0 THEN 'fr'
+       WHEN n_es = g AND g > 0 THEN 'es'
+       ELSE 'und' END AS lang_pred
+FROM (SELECT *, greatest(n_en, n_de, n_fr, n_es) AS g FROM s)
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return out.select(
+        "query_id", "neighbor_id", _r6("cosine").alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 5
+), v AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qv, vv) / sqrt(list_dot_product(qv, qv))
+      / sqrt(list_dot_product(vv, vv)) AS cosine
+  FROM q, v WHERE query_id <> neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    out = lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4)
+    return out.select(
+        "query_id", "neighbor_id", _r6("cosine").alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_LSH = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS code
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, code FROM base WHERE vec_id < 5
+), s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+    list_dot_product(qv, b.v) / sqrt(list_dot_product(qv, qv))
+      / sqrt(list_dot_product(b.v, b.v)) AS cosine
+  FROM q JOIN base b USING (code) WHERE query_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+"""
+
+
+def q_interpolate(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = interpolate(ev, value="v", default=0.0, leakage_ok=True)
+    return out.select("event_id", _r6("v_interp").alias("v_interp"))
+
+
+SQL_INTERPOLATE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+), m AS (
+  SELECT *,
+    min(t) OVER pw AS t_first, max(t) OVER pw AS t_last,
+    count(v) OVER pw AS n_val,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val
+  FROM e WINDOW pw AS (PARTITION BY user_id)
+), p AS (
+  SELECT *, CASE WHEN v IS NOT NULL THEN v
+                 WHEN n_val = 0 THEN 0.0
+                 WHEN t = t_last THEN last_val
+                 WHEN t = t_first THEN 0.0
+            END AS v2
+  FROM m
+), d AS (
+  SELECT *,
+    last_value(v2 IGNORE NULLS) OVER wp AS yp,
+    last_value(CASE WHEN v2 IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS xp,
+    first_value(v2 IGNORE NULLS) OVER wf AS yn,
+    first_value(CASE WHEN v2 IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS xn
+  FROM p
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id,
+  round(CASE WHEN v2 IS NOT NULL THEN v2
+             ELSE (yn * (t - xp) + yp * (xn - t)) / (xn - xp) END, 6) AS v_interp
+FROM d
+"""
+
+
+def q_ordering_pairs(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    out = ordering_pairs(ev, ["value"])
+    return out.select(
+        "event_id",
+        _r6("value_pair_diff").alias("value_pair_diff"),
+        _r6("pair_diff_ts").alias("pair_diff_ts"),
+    )
+
+
+SQL_ORDERING_PAIRS = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, value,
+    row_number() OVER w AS rn,
+    lead(value) OVER w AS next_v,
+    lead(t) OVER w AS next_t
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+)
+SELECT event_id,
+  round(next_v - value, 6) AS value_pair_diff,
+  round(next_t - t, 6) AS pair_diff_ts
+FROM e WHERE rn % 2 = 1 AND next_t IS NOT NULL
+"""
+
+
+QUERIES.update(
+    {
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signature": q_minhash_signature,
+        "lsh_candidates": q_lsh_candidates,
+        "simhash": q_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "interpolate": q_interpolate,
+        "ordering_pairs": q_ordering_pairs,
+    }
+)
+_RAW_ORACLES.update(
+    {
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_signature": SQL_MINHASH,
+        "lsh_candidates": SQL_LSH_CANDIDATES,
+        "simhash": SQL_SIMHASH,
+        "doc_fingerprint": SQL_FINGERPRINT,
+        "lang_id": SQL_LANG_ID,
+        "ann_cosine_topk": SQL_ANN_COSINE,
+        "ann_lsh_topk": SQL_ANN_LSH,
+        "interpolate": SQL_INTERPOLATE,
+        "ordering_pairs": SQL_ORDERING_PAIRS,
+    }
+)
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
