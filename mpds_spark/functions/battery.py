@@ -127,3 +127,231 @@ def token_features(tokens: np.ndarray) -> np.ndarray:
     # unit-step grid: band-limit to (0.01, 0.5] (grid Nyquist); FFT
     # periodogram (O(n log n)) — Lomb is for irregular timestamps only
     return stat_battery(a, t, min_f=0.01, max_f=0.5, regular_grid=True)
+
+
+# -------------------------------------------------- tap / react / audio
+
+STAT15_NAMES = [
+    "mean", "std", "q1", "q3", "iqr", "median", "mode", "range",
+    "s", "k", "mse", "En", "meanTKEO", "ar1", "dfa",
+]
+
+REACT_STAT_NAMES = [
+    "sum", "mean", "std", "q1", "q3", "iqr", "median", "mode", "range",
+    "s", "k", "mse", "En", "meanTKEO", "dfa",
+]
+
+
+def _base11(a: np.ndarray) -> list[float]:
+    """The shared mean..mse block (extractTapTestV2.m:72-83 order)."""
+    q1 = float(S.prctile(a, 25)[0])
+    q3 = float(S.prctile(a, 75)[0])
+    return [
+        float(a.mean()),
+        S.matlab_std(a),
+        q1,
+        q3,
+        q3 - q1,
+        S.matlab_median(a),
+        S.matlab_mode(a),
+        float(a.max() - a.min()),
+        S.skewness(a),
+        S.kurtosis(a),
+        float(np.mean(a * a)),
+    ]
+
+
+def stat_battery15(a: np.ndarray) -> np.ndarray:
+    """Tap stay/move battery (extractTapTestV2.m:57-89): 15 stats, no
+    zcr/dfc (durations have no time axis)."""
+    a = np.asarray(a, dtype=float)
+    if len(a) == 0:
+        return np.full(15, np.nan)
+    return np.array(
+        _base11(a) + [S.entropy(a), K.mean_tkeo(a), K.ar1(a), K.fastdfa(a)]
+    )
+
+
+def react_battery(lag: np.ndarray) -> np.ndarray:
+    """extractReactTestV1.m:50-84: 15 stats over the reaction-lag vector
+    (sum first; no zcr/dfc/ar1)."""
+    a = np.asarray(lag, dtype=float)
+    if len(a) == 0:
+        return np.full(15, np.nan)
+    return np.array(
+        [float(a.sum())]
+        + _base11(a)
+        + [S.entropy(a), K.mean_tkeo(a), K.fastdfa(a)]
+    )
+
+
+def reaction_lags(
+    tsp: np.ndarray, btn_visible: np.ndarray, btn_pressed: np.ndarray
+) -> np.ndarray:
+    """extractReactTestV1.m:27-47: mismatch state machine — a lag opens when
+    visible != pressed and closes (emitting the duration) when they match.
+
+    Vectorized: every maximal mismatch run opens at its first row and closes
+    at the first match row after it; a trailing run never closes.
+    """
+    t = np.asarray(tsp, dtype=float)
+    mm = np.asarray(btn_visible) != np.asarray(btn_pressed)
+    if len(t) == 0 or not mm.any():
+        return np.array([])
+    edges = np.diff(mm.astype(np.int8))
+    starts = np.where(edges == 1)[0] + 1
+    if mm[0]:
+        starts = np.concatenate([[0], starts])
+    ends = np.where(edges == -1)[0] + 1  # first match row after each run
+    n = min(len(starts), len(ends))  # trailing open run emits nothing
+    return t[ends[:n]] - t[starts[:n]]
+
+
+def extract_react_features(
+    tsp: np.ndarray, btn_visible: np.ndarray, btn_pressed: np.ndarray
+) -> np.ndarray:
+    return react_battery(reaction_lags(tsp, btn_visible, btn_pressed))
+
+
+def react_feature_names() -> list[str]:
+    return [f"touch_{s}" for s in REACT_STAT_NAMES]
+
+
+def tap_feature_names() -> list[str]:
+    names = ["ntaps"]
+    names += [f"{ax}_{st}" for ax in ("stay", "move") for st in STAT15_NAMES]
+    names += ["t_xcorr", "t_mi", "t_xEn"]
+    names += [f"{ax}_{st}" for ax in ("scaled_x", "scaled_y") for st in STAT_NAMES]
+    names += ["scaled_xy_xcorr", "scaled_xy_mi", "scaled_xy_xEn"]
+    for side in ("left", "right"):
+        names += [f"scaled_{ax}_{side}_{st}" for ax in ("x", "y") for st in STAT_NAMES]
+    names += [f"scaled_xy_left_{c}" for c in CROSS_NAMES]
+    names += [f"scaled_xy_right_{c}" for c in CROSS_NAMES]
+    return names
+
+
+def _roundn100(v: float) -> float:
+    """MATLAB roundn(x, 2): round to the nearest 100."""
+    return float(np.floor(abs(v) / 100.0 + 0.5) * 100.0 * np.sign(v))
+
+
+def extract_tap_features(
+    tsp: np.ndarray, x: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """extractTapTestV2.m end-to-end: ntaps + stay/move batteries + cross +
+    scaled-x/y batteries + cross + left/right-subset batteries + crosses.
+
+    getStatFeatures / getCrossFeatures are missing from the reference repo;
+    reconstructed (per call-site naming, SURVEY.md §2.9) as the 18-stat
+    battery over each scaled column of the subset with its own timestamps,
+    and the standard cross battery on the (x, y) pair.
+    """
+    tsp = np.asarray(tsp, dtype=float)
+    x = np.asarray(x, dtype=float)
+    y = np.asarray(y, dtype=float)
+    t0 = tsp - tsp[0]
+    stay, move = K.tap_segments(tsp, x)
+    ntaps = float(len(stay))
+
+    scaler = _roundn100(x.max())
+    sx = x / scaler
+    sy = y / scaler
+
+    feats = [ntaps]
+    feats += list(stat_battery15(stay))
+    feats += list(stat_battery15(move))
+    if len(stay) >= 2 and len(move) >= 2 and len(stay) == len(move):
+        feats += list(cross_battery(stay, move))
+    else:
+        feats += [np.nan] * 3
+    feats += list(stat_battery(sx, t0))
+    feats += list(stat_battery(sy, t0))
+    feats += list(cross_battery(sx, sy))
+
+    mid = (x.max() - x.min()) / 2.0 + x.min()
+    for mask in (x < mid, x > mid):
+        ts_side = t0[mask]
+        for col in (sx[mask], sy[mask]):
+            if len(col) >= 2:
+                feats += list(stat_battery(col, ts_side))
+            else:
+                feats += [np.nan] * len(STAT_NAMES)
+    for mask in (x < mid, x > mid):
+        a, b = sx[mask], sy[mask]
+        if len(a) >= 2:
+            feats += list(cross_battery(a, b))
+        else:
+            feats += [np.nan] * 3
+    return np.asarray(feats, dtype=float)
+
+
+AUDIO_FEATURE_NAMES = [
+    "length", "amp_mean", "amp_std", "amp_p1_1", "amp_p1_0",
+    "amp_p2_2", "amp_p2_1", "amp_p2_0", "amp_dfa",
+    "pitch", "pitch_std", "pitch_p1_1", "pitch_p1_0",
+    "pitch_p2_2", "pitch_p2_1", "pitch_p2_0", "pitch_dfa",
+]
+
+
+def extract_audio_features(data: np.ndarray, fs: float) -> np.ndarray:
+    """extractAudioTestV1.m end-to-end: 0.5 s frames, per-frame peak
+    amplitude, threshold (q90-min)/4+min, contiguous above-threshold runs,
+    longest run trimmed to its middle half, then amplitude/pitch stats +
+    deg-1/deg-2 trends + DFA. Frame indices are 1-based (MATLAB parity).
+    Returns NaNs when no frame crosses the threshold."""
+    data = np.asarray(data, dtype=float)
+    frame = int(fs * 0.5)
+    nframes = len(data) // frame
+    if nframes < 1:
+        return np.full(17, np.nan)
+    frames = data[: nframes * frame].reshape(nframes, frame)
+    amp = np.abs(frames).max(axis=1)
+
+    amp_t = (float(S.prctile(amp, 90)[0]) - amp.min()) / 4.0 + amp.min()
+    runs = []  # (start, end, len_secs): 1-based; interior end = first frame below
+    start = 0
+    for i in range(1, nframes + 1):
+        if amp[i - 1] > amp_t:
+            if start == 0:
+                start = i
+        elif start != 0:
+            runs.append((start, i, (i - start) * 0.5))
+            start = 0
+    if start != 0:
+        runs.append((start, nframes, (nframes - start + 1) * 0.5))
+    if not runs:
+        return np.full(17, np.nan)
+
+    v_start, v_end, v_len = max(runs, key=lambda r: r[2])
+    rng = v_end - v_start + 1
+    v_start += rng // 4
+    v_end -= rng // 4
+
+    idx = np.arange(v_start, v_end + 1)  # 1-based frame indices
+    amp_sl = amp[v_start - 1 : v_end]
+    amp_p1 = np.polyfit(idx, amp_sl, 1)
+    amp_p2 = np.polyfit(idx, amp_sl, 2)
+
+    pitch = np.array(
+        [K.pwelch_pitch(frames[i - 1], fs, 10240) for i in idx]
+    )
+    v_data = data[(v_start - 1) * frame : v_end * frame]
+    v_pitch = K.pwelch_pitch(v_data, fs, 10240)
+    pitch_p1 = np.polyfit(idx, pitch, 1)
+    pitch_p2 = np.polyfit(idx, pitch, 2)
+
+    return np.array(
+        [
+            v_len,
+            float(amp_sl.mean()),
+            S.matlab_std(amp_sl),
+            amp_p1[0], amp_p1[1],
+            amp_p2[0], amp_p2[1], amp_p2[2],
+            K.fastdfa(amp_sl),
+            v_pitch,
+            S.matlab_std(pitch),
+            pitch_p1[0], pitch_p1[1],
+            pitch_p2[0], pitch_p2[1], pitch_p2[2],
+            K.fastdfa(pitch),
+        ]
+    )

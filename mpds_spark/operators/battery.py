@@ -116,3 +116,93 @@ def score_dot(
             lambda acc, v: acc + v,
         ),
     )
+
+
+def extract_tap_battery(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    t_col: str = "t",
+    x_col: str = "x",
+    y_col: str = "y",
+    out_col: str = "features",
+) -> DataFrame:
+    """One row per (entity, ts) tap recording: extractTapTestV2 battery
+    (151 doubles, tap_feature_names() order)."""
+    from mpds_spark.functions.battery import extract_tap_features
+
+    schema = StructType(
+        [df.schema[entity], df.schema[ts], StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        vec = extract_tap_features(
+            pdf[t_col].to_numpy(float),
+            pdf[x_col].to_numpy(float),
+            pdf[y_col].to_numpy(float),
+        )
+        return pd.DataFrame(
+            {entity: [pdf[entity].iloc[0]], ts: [pdf[ts].iloc[0]], out_col: [vec]}
+        )
+
+    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+
+
+def extract_react_battery(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    t_col: str = "t",
+    visible_col: str = "btn_visible",
+    pressed_col: str = "btn_pressed",
+    out_col: str = "features",
+) -> DataFrame:
+    """One row per (entity, ts) reaction recording: extractReactTestV1
+    battery (15 doubles, react_feature_names() order)."""
+    from mpds_spark.functions.battery import extract_react_features
+
+    schema = StructType(
+        [df.schema[entity], df.schema[ts], StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        vec = extract_react_features(
+            pdf[t_col].to_numpy(float),
+            pdf[visible_col].to_numpy(),
+            pdf[pressed_col].to_numpy(),
+        )
+        return pd.DataFrame(
+            {entity: [pdf[entity].iloc[0]], ts: [pdf[ts].iloc[0]], out_col: [vec]}
+        )
+
+    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+
+
+def extract_audio_battery(
+    df: DataFrame,
+    sample_col: str = "sample",
+    fs_col: str = "fs",
+    out_col: str = "features",
+) -> DataFrame:
+    """Audio recordings arrive one per row (sample: array<double>, fs:int) —
+    a pure map stage (mapInPandas), no shuffle."""
+    from mpds_spark.functions.battery import extract_audio_features
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            feats = [
+                extract_audio_features(np.asarray(s, dtype=float), float(fs))
+                for s, fs in zip(pdf[sample_col], pdf[fs_col])
+            ]
+            out = pdf[cols].copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(gen, schema)

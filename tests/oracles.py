@@ -333,3 +333,19 @@ def tap_segments_loop(tsp, x):
                 s = new_sign
         prev = tsp[i]
     return np.array(t_stay), np.array(t_move)
+
+
+def reaction_lags_loop(tsp, v, p):
+    """Literal transcription of extractReactTestV1.m:27-47."""
+    lags = []
+    mismatch = False
+    start = 0.0
+    for i in range(len(tsp)):
+        if mismatch:
+            if v[i] == p[i]:
+                lags.append(tsp[i] - start)
+                mismatch = False
+        elif v[i] != p[i]:
+            mismatch = True
+            start = tsp[i]
+    return np.array(lags)

@@ -1,0 +1,94 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from mpds_spark.pipelines.mpds import (
+    apply_robust_scaler_array,
+    fit_robust_scaler_array,
+    mpds_pipeline,
+    pair_feature_diffs,
+)
+
+
+def _design_matrix(n_entities=6, visits=8, k=12, seed=67):
+    """Interleaved design matrix: per entity, `visits` visit pairs (before,
+    after) = 2*visits rows; after-rows shifted up so a positive weight on the
+    shifted dims should score pairs positively."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for e in range(n_entities):
+        base = rng.normal(0, 1, k)
+        for v in range(visits):
+            t0 = v * 100.0 + rng.uniform(0, 5)
+            before = base + rng.normal(0, 0.3, k)
+            after = before + 1.0 + rng.normal(0, 0.1, k)  # medication effect
+            rows.append((f"e{e}", t0, before.tolist()))
+            rows.append((f"e{e}", t0 + 10.0, after.tolist()))
+    return pd.DataFrame(rows, columns=["entity_id", "ts", "features"])
+
+
+def _pandas_reference(pdf, weights):
+    """Independent pandas implementation of the pipeline for differential
+    testing (mirrors NB cells 5,16,12,14,28-29 semantics)."""
+    pdf = pdf.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    X = np.stack(pdf["features"].to_numpy())
+    med = np.percentile(X, 50, axis=0)
+    iqr = np.percentile(X, 75, axis=0) - np.percentile(X, 25, axis=0)
+    iqr[iqr == 0] = 1.0
+    Xs = (X - med) / iqr
+    w = np.asarray(weights)
+    # ordering pairs: rows (0,1), (2,3) ... per entity
+    diffs = []
+    for e, g in pdf.assign(row=np.arange(len(pdf))).groupby("entity_id"):
+        idx = g["row"].to_numpy()
+        for i in range(0, len(idx) - 1, 2):
+            diffs.append(Xs[idx[i + 1]] - Xs[idx[i]])
+    diffs = np.stack(diffs)
+    acc = float((diffs @ w >= 0).mean())
+    scores = Xs @ w
+    q15, q50, q85 = np.percentile(scores, [15, 50, 85])
+    z = (scores - q50) / (q85 - q15)
+    mpds = np.clip(50 * z + 50, 0, 100)
+    return acc, scores, mpds
+
+
+def test_mpds_pipeline_matches_pandas_reference(spark):
+    pdf = _design_matrix()
+    weights = [1.0] * 12
+    df = spark.createDataFrame(pdf)
+    out = mpds_pipeline(df, weights)
+
+    acc_row = out["ordering_accuracy"].collect()[0]
+    exp_acc, exp_scores, exp_mpds = _pandas_reference(pdf, weights)
+    assert acc_row["n_pairs"] == 6 * 8
+    assert acc_row["accuracy"] == pytest.approx(exp_acc)
+    assert exp_acc > 0.95  # the injected effect is detectable
+
+    got = (
+        out["scored"]
+        .orderBy("entity_id", "ts")
+        .select("score", "mpds")
+        .toPandas()
+    )
+    np.testing.assert_allclose(got["score"].to_numpy(), exp_scores, rtol=1e-9)
+    np.testing.assert_allclose(got["mpds"].to_numpy(), exp_mpds, rtol=1e-9)
+    assert (got["mpds"] >= 0).all() and (got["mpds"] <= 100).all()
+
+
+def test_scaler_array_roundtrip(spark):
+    pdf = _design_matrix(n_entities=3, visits=4)
+    df = spark.createDataFrame(pdf)
+    med, iqr = fit_robust_scaler_array(df)
+    scaled = apply_robust_scaler_array(df, med, iqr)
+    X = np.stack(
+        scaled.orderBy("entity_id", "ts").toPandas()["features"].to_numpy()
+    )
+    # median of each scaled column ~ 0
+    np.testing.assert_allclose(np.median(X, axis=0), 0.0, atol=1e-9)
+
+
+def test_smoothness_pair_count(spark):
+    pdf = _design_matrix(n_entities=2, visits=3)
+    df = spark.createDataFrame(pdf)
+    n = pair_feature_diffs(df, "smoothness").count()
+    assert n == 2 * (6 - 1)

@@ -1,0 +1,84 @@
+import numpy as np
+import pandas as pd
+
+from mpds_spark.operators.asof import asof_join
+from mpds_spark.operators.salting import hot_entity_stats, salted_asof_join
+from mpds_spark.operators.windows import derived_features
+
+
+def _skewed_tables(seed=41, n_entities=6, hot_mult=100):
+    """One entity with hot_mult x the rows of the others (skew fixture)."""
+    rng = np.random.default_rng(seed)
+    frames_l, frames_r = [], []
+    for e in range(n_entities):
+        n = 30 * (hot_mult if e == 0 else 1)
+        lts = np.sort(rng.uniform(0, 10 * 86400, n))
+        frames_l.append(
+            pd.DataFrame(
+                {"entity_id": f"e{e}", "ts": lts, "lv": rng.normal(size=n)}
+            )
+        )
+        m = max(n // 3, 2)
+        rts = np.sort(rng.uniform(0, 10 * 86400, m))
+        frames_r.append(
+            pd.DataFrame(
+                {"entity_id": f"e{e}", "ts": rts, "rv": rng.normal(size=m).round(4)}
+            )
+        )
+    return (
+        pd.concat(frames_l, ignore_index=True),
+        pd.concat(frames_r, ignore_index=True),
+    )
+
+
+def test_salted_asof_equals_unsalted(spark):
+    lpdf, rpdf = _skewed_tables()
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    plain = (
+        asof_join(left, right)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    salted = (
+        salted_asof_join(left, right, chunk_span=86400.0)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert len(plain) == len(salted) == len(lpdf)
+    for c in ("rv", "ts_r"):
+        a = plain[c].to_numpy(dtype=float)
+        b = salted[c].to_numpy(dtype=float)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f"salted mismatch in {c}"
+
+
+def test_window_ops_survive_hot_entity(spark):
+    """The sort-based paths must handle a 100x hot entity and return results
+    equal to a pandas groupby reference (no salting required)."""
+    lpdf, _ = _skewed_tables(hot_mult=100)
+    df = spark.createDataFrame(lpdf)
+    got = (
+        derived_features(df, value="lv")
+        .orderBy("entity_id", "ts")
+        .select("entity_id", "ts", "dss_avg")
+        .toPandas()
+    )
+    import oracles
+
+    exp = (
+        lpdf.sort_values(["entity_id", "ts"])
+        .groupby("entity_id", group_keys=False)
+        .apply(lambda g: oracles.derived_features(g, value="lv", ts="ts"))
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["dss_avg"].to_numpy(), exp["dss_avg"].to_numpy(), rtol=1e-12
+    )
+
+
+def test_hot_entity_stats(spark):
+    lpdf, _ = _skewed_tables(hot_mult=50)
+    stats = hot_entity_stats(spark.createDataFrame(lpdf))
+    assert stats[0][0] == "e0"
+    assert stats[0][2] > 0.8  # hot entity holds >80% of rows
