@@ -1039,3 +1039,387 @@ _RAW_ORACLES.update(
     }
 )
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+# ------------------------------------------------- SURVEY §2 long tail
+
+from mpds_spark.operators.pairs import cross_stage_pairs, pair_diff  # noqa: E402
+from mpds_spark.operators.scale import (  # noqa: E402
+    apply_center_rescale,
+    fit_center_rescale,
+)
+
+
+def q_pair_diff(spark, sf_dir):
+    """Pair-table materialized diff (calculateDiffMatrix parity): the k-th
+    purchase of each user paired with their k-th click."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp").cast("double"))
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("k", F.row_number().over(w))
+        .select("user_id", "k", F.col("event_id").alias("on_key"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("k", F.row_number().over(w))
+        .select("user_id", "k", F.col("event_id").alias("off_key"))
+    )
+    pairs = purchases.join(clicks, ["user_id", "k"]).select("on_key", "off_key")
+    data = ev.select("event_id", "value")
+    out = pair_diff(pairs, data, key="event_id", cols=["value"])
+    return out.select("on_key", "off_key", _r6("value_diff").alias("value_diff"))
+
+
+SQL_PAIR_DIFF = """
+WITH p AS (
+  SELECT user_id, event_id AS on_key, value AS v_on,
+    row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS k
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS off_key, value AS v_off,
+    row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts)) AS k
+  FROM events WHERE event_type = 'click'
+)
+SELECT on_key, off_key, round(v_on - v_off, 6) AS value_diff
+FROM p JOIN c USING (user_id, k)
+"""
+
+
+def q_cross_stage_pairs(spark, sf_dir):
+    """Theta pairs (generateBalancedPairs parity): stage = event_id % 4 over
+    purchase rows, same-user pairs with stage_on > stage_off and time gap
+    >= 1h, aggregated."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    d = ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        (F.col("event_id") % 4).alias("stage"),
+    )
+    pairs = cross_stage_pairs(d, key="event_id", min_ht_gap=3600.0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _r6(F.avg(F.col("on_stage") - F.col("off_stage"))).alias("avg_stage_gap"),
+    )
+
+
+SQL_CROSS_STAGE = """
+WITH p AS (
+  SELECT event_id, user_id, epoch(ts) AS t, event_id % 4 AS stage
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT count(*) AS n_pairs,
+  round(avg(a.stage - b.stage), 6) AS avg_stage_gap
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.stage > b.stage AND abs(a.t - b.t) >= 3600
+"""
+
+
+def q_event_response_prepost(spark, sf_dir):
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("event"),
+    )
+    out = event_response(
+        ev, value="value", event="event", wind=3600.0, pre_post=True,
+        leakage_ok=True,
+    )
+    return out.select(
+        "event_id",
+        "num_before",
+        "num_after",
+        _r6("avg_before").alias("avg_before"),
+        _r6("avg_after").alias("avg_after"),
+        _r6("avg_now").alias("avg_now"),
+        _r6("trend_before").alias("trend_before"),
+        _r6("trend_after").alias("trend_after"),
+    )
+
+
+SQL_EVENT_RESPONSE_PREPOST = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev
+  FROM events
+), s AS (
+  SELECT *,
+    (lag(value) OVER w + value) / 2 * (t - lag(t) OVER w) AS seg,
+    t - lag(t) OVER w AS dt
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), d AS (
+  SELECT *,
+    count(t) OVER wp - 1 AS n_post,
+    sum(seg) OVER wp - coalesce(seg, 0) AS num_post,
+    sum(dt) OVER wp - coalesce(dt, 0) AS den_post,
+    count(t) OVER wb - 1 AS n_pre,
+    sum(seg) OVER wb - coalesce(first_value(seg) OVER wb, 0) AS num_pre,
+    sum(dt) OVER wb - coalesce(first_value(dt) OVER wb, 0) AS den_pre
+  FROM s
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING),
+         wb AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+  CASE WHEN ok THEN n_pre + 1 END AS num_before,
+  CASE WHEN ok THEN n_post END AS num_after,
+  CASE WHEN ok THEN round(num_pre / den_pre, 6) END AS avg_before,
+  CASE WHEN ok THEN round(num_post / den_post, 6) END AS avg_after,
+  CASE WHEN ok THEN round(value, 6) END AS avg_now,
+  CASE WHEN ok THEN round(value - num_pre / den_pre, 6) END AS trend_before,
+  CASE WHEN ok THEN round(num_post / den_post - value, 6) END AS trend_after
+FROM (SELECT *, n_pre >= 1 AND n_post >= 1 AS ok FROM d) WHERE ev = 1
+"""
+
+
+def q_topk_users(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(F.max("value").alias("max_value"))
+    w = Window.orderBy(F.col("max_value").desc(), F.col("user_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("rank", "user_id", "max_value")
+    )
+
+
+SQL_TOPK = """
+WITH a AS (SELECT user_id, max(value) AS max_value FROM events GROUP BY 1)
+SELECT rank, user_id, max_value FROM (
+  SELECT *, row_number() OVER (ORDER BY max_value DESC, user_id) AS rank
+  FROM a
+) WHERE rank <= 10
+"""
+
+
+def q_histogram_lift(spark, sf_dir):
+    """20-bucket histogram of value + cumulative lift (dssFunctionLibrary
+    1779-1796 parity: hist + cumsum ratios)."""
+    ev = _events(spark, sf_dir)
+    mm = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi = float(mm[0]), float(mm[1])
+    b = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * 20).cast("int"),
+        F.lit(19),
+    )
+    counts = ev.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    total = ev.count()
+    return counts.withColumn(
+        "cum_ratio", _r6(F.sum("n").over(w) / F.lit(float(total)))
+    ).select("bucket", "n", "cum_ratio")
+
+
+SQL_HISTOGRAM = """
+WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(CAST(floor((value - lo) / (hi - lo) * 20) AS INT), 19) AS bucket
+  FROM events, mm
+), c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+SELECT bucket, n,
+  round(sum(n) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    / CAST((SELECT count(*) FROM events) AS DOUBLE), 6) AS cum_ratio
+FROM c
+"""
+
+
+def q_value_counts(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_VALUE_COUNTS = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
+
+
+def q_set_ops(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    return spark.createDataFrame(
+        [
+            (
+                p.union(c).distinct().count(),
+                p.intersect(c).count(),
+                p.exceptAll(c).count(),
+            )
+        ],
+        "n_union long, n_intersect long, n_except long",
+    )
+
+
+SQL_SET_OPS = """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c)) AS n_union,
+  (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM c)) AS n_except
+"""
+
+
+def q_discrete_entropy_mi(spark, sf_dir):
+    """Table-level discrete entropy + MI (InfoTheory parity at table scale):
+    x = event_type, y = (value > 15). H from value counts; MI = Hx+Hy-Hxy."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("x"),
+        (F.col("value") > 15).cast("int").alias("y"),
+    )
+    n = ev.count()
+
+    def h(df_counts):
+        return df_counts.agg(
+            F.sum(
+                -(F.col("c") / F.lit(float(n)))
+                * F.log2(F.col("c") / F.lit(float(n)))
+            ).alias("h")
+        ).collect()[0]["h"]
+
+    hx = h(ev.groupBy("x").agg(F.count(F.lit(1)).alias("c")))
+    hy = h(ev.groupBy("y").agg(F.count(F.lit(1)).alias("c")))
+    hxy = h(ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c")))
+    return spark.createDataFrame(
+        [(round(hx, 6), round(hy, 6), round(hx + hy - hxy, 6))],
+        "h_x double, h_y double, mi_xy double",
+    )
+
+
+SQL_ENTROPY_MI = """
+WITH e AS (
+  SELECT event_type AS x, CASE WHEN value > 15 THEN 1 ELSE 0 END AS y
+  FROM events
+), n AS (SELECT count(*)::DOUBLE AS n FROM e),
+hx AS (SELECT sum(-(c/n)*log2(c/n)) AS h
+       FROM (SELECT x, count(*)::DOUBLE AS c FROM e GROUP BY 1), n),
+hy AS (SELECT sum(-(c/n)*log2(c/n)) AS h
+       FROM (SELECT y, count(*)::DOUBLE AS c FROM e GROUP BY 1), n),
+hxy AS (SELECT sum(-(c/n)*log2(c/n)) AS h
+        FROM (SELECT x, y, count(*)::DOUBLE AS c FROM e GROUP BY 1, 2), n)
+SELECT round(hx.h, 6) AS h_x, round(hy.h, 6) AS h_y,
+       round(hx.h + hy.h - hxy.h, 6) AS mi_xy
+FROM hx, hy, hxy
+"""
+
+
+def q_column_medians(spark, sf_dir):
+    """Per-column medians with manual overrides (mimicUsefulFunction.R
+    583-628 parity: apply(dataMat,2,medianNA) + override dict)."""
+    li = load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    overrides = {"l_tax": 0.04}
+    row = li.agg(
+        *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in cols]
+    ).collect()[0]
+    vals = [
+        (c, float(overrides.get(c, row[c])))
+        for c in cols
+    ]
+    return spark.createDataFrame(vals, "col_name string, median_val double").select(
+        "col_name", _r6("median_val").alias("median_val")
+    )
+
+
+SQL_COLUMN_MEDIANS = """
+SELECT col_name, round(median_val, 6) AS median_val FROM (
+  SELECT 'l_quantity' AS col_name, quantile_cont(l_quantity, 0.5) AS median_val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', quantile_cont(l_extendedprice, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', quantile_cont(l_discount, 0.5) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', 0.04 FROM lineitem LIMIT 4
+)
+"""
+
+
+def q_center_rescale(spark, sf_dir):
+    """calculateCenteringAndRescalingDataForMatrix parity on lineitem."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    params = fit_center_rescale(li, ["l_quantity"])
+    out = apply_center_rescale(li, params)
+    return out.select(
+        "l_orderkey", "l_linenumber", _r6("l_quantity").alias("q_scaled")
+    )
+
+
+SQL_CENTER_RESCALE = """
+WITH p AS (
+  SELECT avg(l_quantity) AS m, min(l_quantity) AS lo, max(l_quantity) AS hi
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  round((l_quantity - m) / (hi - lo), 6) AS q_scaled
+FROM lineitem, p
+"""
+
+
+def q_sampled_pairs_det(spark, sf_dir):
+    """Deterministic pseudo-sampled user pairs (subsampleSetOfPossiblePairs
+    parity — true seeded sampling is engine-specific, so the catalog variant
+    selects pairs by a portable hash predicate)."""
+    ev = _events(spark, sf_dir)
+    users = ev.select("user_id").distinct()
+    a = users.select(F.col("user_id").alias("u1"))
+    b = users.select(F.col("user_id").alias("u2"))
+    pairs = a.crossJoin(b).filter(F.col("u1") < F.col("u2"))
+    sel = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("u1"), F.col("u2"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+        == 0
+    )
+    return pairs.filter(sel)
+
+
+SQL_SAMPLED_PAIRS = """
+WITH u AS (SELECT DISTINCT user_id FROM events)
+SELECT a.user_id AS u1, b.user_id AS u2
+FROM u a, u b
+WHERE a.user_id < b.user_id
+  AND ('0x' || substring(md5(a.user_id || '_' || b.user_id), 1, 4))::UBIGINT % 37 = 0
+"""
+
+
+QUERIES.update(
+    {
+        "pair_diff": q_pair_diff,
+        "cross_stage_pairs": q_cross_stage_pairs,
+        "event_response_prepost": q_event_response_prepost,
+        "topk_users": q_topk_users,
+        "histogram_lift": q_histogram_lift,
+        "value_counts": q_value_counts,
+        "set_ops": q_set_ops,
+        "discrete_entropy_mi": q_discrete_entropy_mi,
+        "column_medians": q_column_medians,
+        "center_rescale": q_center_rescale,
+        "sampled_pairs_det": q_sampled_pairs_det,
+    }
+)
+_RAW_ORACLES.update(
+    {
+        "pair_diff": SQL_PAIR_DIFF,
+        "cross_stage_pairs": SQL_CROSS_STAGE,
+        "event_response_prepost": SQL_EVENT_RESPONSE_PREPOST,
+        "topk_users": SQL_TOPK,
+        "histogram_lift": SQL_HISTOGRAM,
+        "value_counts": SQL_VALUE_COUNTS,
+        "set_ops": SQL_SET_OPS,
+        "discrete_entropy_mi": SQL_ENTROPY_MI,
+        "column_medians": SQL_COLUMN_MEDIANS,
+        "center_rescale": SQL_CENTER_RESCALE,
+        "sampled_pairs_det": SQL_SAMPLED_PAIRS,
+    }
+)
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
