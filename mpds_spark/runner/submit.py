@@ -1,0 +1,125 @@
+"""Cluster entry point (north-rule: `spark-submit --py-files`).
+
+Usage (cluster):
+    zip -r mpds_spark.zip mpds_spark
+    spark-submit --py-files mpds_spark.zip -m ...  # or:
+    spark-submit --py-files mpds_spark.zip mpds_spark/runner/submit.py \
+        extract --input <iceberg-table-or-parquet> --output <dir> \
+        --entity-buckets 256 --resume
+
+Subcommands:
+    synth    — write the deterministic tokenized-sequence table
+    extract  — battery + expanding features + as-of enrichment, bucket-
+               partitioned with lineage manifests (resumable)
+    bench    — engine throughput at the current master's parallelism
+
+Local smoke: python -m mpds_spark.runner.submit synth --docs 10000 --output /tmp/x
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from mpds_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"mpds_{args.cmd}",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def cmd_synth(args) -> int:
+    from mpds_spark.sources.io import write_sequences
+    from mpds_spark.sources.synth import synth_sequences
+
+    spark = _spark(args)
+    df = synth_sequences(spark, args.docs, seed=args.seed)
+    fmt = write_sequences(df, args.output, n_buckets=args.entity_buckets)
+    print(json.dumps({"written": args.docs, "format": fmt, "to": args.output}))
+    spark.stop()
+    return 0
+
+
+def cmd_extract(args) -> int:
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.asof import asof_join
+    from mpds_spark.operators.battery import extract_token_battery
+    from mpds_spark.operators.windows import derived_features
+    from mpds_spark.runner.checkpoint import run_partitioned
+    from mpds_spark.sources.io import read_sequences
+
+    spark = _spark(args)
+    df = read_sequences(spark, args.input)
+    if "bucket" in df.columns:
+        df = df.drop("bucket")
+
+    def transform(part):
+        feat = extract_token_battery(part).drop("tokens")
+        feat = feat.withColumn("dss", F.element_at("features", 1))
+        events = feat.filter(F.crc32(F.col("doc_id")) % 10 == 0).select(
+            "entity_id", "ts", F.col("dss").alias("event_val")
+        )
+        return asof_join(derived_features(feat, value="dss"), events)
+
+    res = run_partitioned(
+        spark,
+        df,
+        transform,
+        args.output,
+        n_buckets=args.entity_buckets,
+        spec=args.spec,
+    )
+    print(json.dumps(res))
+    spark.stop()
+    return 1 if res["failed"] else 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    t0 = time.time()
+    cpus = int(args.master.split("[")[-1].rstrip("]")) if "[" in args.master else 8
+    out = bench_mod.engine_throughput(args.docs, cpus, seed=args.seed)
+    out["wall_total"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mpds_spark")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--docs", type=int, default=100_000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--output", required=True)
+    s.add_argument("--entity-buckets", type=int, default=16)
+
+    e = sub.add_parser("extract")
+    e.add_argument("--input", required=True)
+    e.add_argument("--output", required=True)
+    e.add_argument("--entity-buckets", type=int, default=16)
+    e.add_argument("--spec", default="battery-v1")
+    e.add_argument("--resume", action="store_true", help="(default behavior)")
+
+    b = sub.add_parser("bench")
+    b.add_argument("--docs", type=int, default=100_000)
+    b.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    return {"synth": cmd_synth, "extract": cmd_extract, "bench": cmd_bench}[
+        args.cmd
+    ](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Streaming sessionization: the session_window aggregate must agree with
+the batch gap-sessionize operator, and the same query must run as an actual
+Structured Streaming job (file source -> memory sink)."""
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from mpds_spark.operators.sessionize import sessionize
+from mpds_spark.streaming.sessions import (
+    session_agg,
+    stream_sessions_from_files,
+)
+
+SCHEMA = "user_id long, ts timestamp, value double"
+
+
+def _events_pdf(seed=83, n_users=5, n=400):
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for u in range(n_users):
+        t = base
+        for _ in range(n // n_users):
+            # gaps: mostly minutes, sometimes > 30 min (session break)
+            gap_s = float(rng.choice([60, 300, 2400, 4000], p=[0.5, 0.3, 0.1, 0.1]))
+            t = t + pd.Timedelta(seconds=gap_s * (1 + rng.uniform(0, 0.2)))
+            rows.append((u, t, round(float(rng.normal()), 3)))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+
+def test_session_window_agrees_with_batch_sessionize(spark):
+    pdf = _events_pdf()
+    df = spark.createDataFrame(pdf, SCHEMA)
+
+    native = session_agg(df, gap="30 minutes").orderBy(
+        "user_id", "session_start"
+    )
+    npdf = native.toPandas()
+
+    # batch operator: same gap, then per-session min/max/count/sum
+    s = sessionize(df, entity="user_id", gap=1800.0)
+    ours = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("t_min"),
+        )
+        .orderBy("user_id", "t_min")
+        .toPandas()
+    )
+    assert len(npdf) == len(ours)
+    np.testing.assert_array_equal(
+        npdf["n_events"].to_numpy(), ours["n_events"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        npdf["sum_value"].to_numpy(dtype=float),
+        ours["sum_value"].to_numpy(dtype=float),
+        rtol=1e-9,
+    )
+    # session_window start == first event ts of the session
+    np.testing.assert_array_equal(
+        npdf["session_start"].to_numpy(), ours["t_min"].to_numpy()
+    )
+
+
+def test_streaming_job_runs_end_to_end(spark, tmp_path):
+    pdf = _events_pdf(n=150)
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.parquet(src)
+
+    q = (
+        stream_sessions_from_files(spark, src, SCHEMA, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select count(*) as n from sess_test").collect()[0]["n"]
+    finally:
+        q.stop()
+    batch_n = session_agg(
+        spark.createDataFrame(pdf, SCHEMA), gap="30 minutes"
+    ).count()
+    assert got == batch_n > 0
