@@ -36,27 +36,56 @@ def stat_battery(
     0.5-20 Hz for 50-200 Hz accel sampling).
     """
     a = np.asarray(a, dtype=float)
-    q1 = float(S.prctile(a, 25)[0])
-    q3 = float(S.prctile(a, 75)[0])
+    n = len(a)
+    # ONE sort shared by quantiles, median, mode and entropy (same values as
+    # the reference-convention helpers in mlstats — prctile's midpoint
+    # interpolation, MATLAB median/mode/value-count entropy)
+    xs = np.sort(a, kind="mergesort")
+    if n > 1:
+        qgrid = (np.arange(1, n + 1) - 0.5) / n * 100.0
+        q1, q3 = np.interp([25.0, 75.0], qgrid, xs)
+    else:
+        q1 = q3 = xs[0]
+    med = (xs[(n - 1) // 2] + xs[n // 2]) / 2.0
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    mode = xs[starts[np.argmax(counts)]]  # first max run = smallest value
+    p = counts / n
+    ent = float(-np.dot(p, np.log2(p + S.EPS)))
+    # one moment pass shared by std / skewness / kurtosis (biased, MATLAB)
+    mu = a.mean()
+    d = a - mu
+    d2 = d * d
+    m2 = d2.mean()
+    std = float(np.sqrt(d2.sum() / (n - 1))) if n > 1 else 0.0
+    skew = float((d2 * d).mean() / m2**1.5) if m2 > 0 else np.nan
+    kurt = float((d2 * d2).mean() / (m2 * m2)) if m2 > 0 else np.nan
+    # zcr(normalize_z(a)): z-scoring is a positive affine map when std > 0,
+    # so the sign pattern equals (a - mean) > 0; std == 0 gives all-False
+    # either way (normalize_z returns a - mean)
+    zcr = float(np.sum(np.abs(np.diff((d > 0).astype(np.int8)))) / n)
     if regular_grid:
         dfc, dfc_amp = K.fft_dominant_freq(a, min_f, max_f)
     else:
         dfc, dfc_amp = K.dominant_freq(a, t, min_f, max_f)
     return np.array(
         [
-            a.mean(),
-            S.matlab_std(a),
+            mu,
+            std,
             q1,
             q3,
             q3 - q1,
-            S.matlab_median(a),
-            S.matlab_mode(a),
-            a.max() - a.min(),
-            S.skewness(a),
-            S.kurtosis(a),
+            med,
+            mode,
+            xs[-1] - xs[0],
+            skew,
+            kurt,
             float(np.mean(a * a)),
-            S.entropy(a),
-            K.zcr(S.normalize_z(a)),
+            ent,
+            zcr,
             dfc,
             dfc_amp,
             K.mean_tkeo(a),
