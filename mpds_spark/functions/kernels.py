@@ -227,11 +227,18 @@ def tap_segments(tsp: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray
     x = np.asarray(x, dtype=float)
     mid = (x.max() - x.min()) / 2.0 + x.min()
     s = np.sign(x - mid)
-    # loop starts at the first sample (s==0 only before the first row)
-    change = np.where(s[1:] != s[:-1])[0] + 1  # indices where sign flips
+    # reference state machine stays UNINITIALIZED while sign == 0
+    # (extractTapTestV2.m:31-34 re-inits on s==0), so leading zero-signs
+    # are skipped; after init, every element-to-element sign change fires.
+    nz = np.flatnonzero(s != 0)
+    if len(nz) == 0:
+        return np.array([]), np.array([])
+    k0 = nz[0]
+    sa = s[k0:]
+    change = np.where(sa[1:] != sa[:-1])[0] + 1 + k0
     if len(change) == 0:
         return np.array([]), np.array([])
-    seg_start = np.concatenate([[0], change])  # start index of each segment
+    seg_start = np.concatenate([[k0], change])  # start index of each segment
     t_start = tsp[seg_start[:-1]]
     t_prev = tsp[change - 1]  # last sample before the flip
     t_flip = tsp[change]
