@@ -227,22 +227,23 @@ def tap_segments(tsp: np.ndarray, x: np.ndarray) -> tuple[np.ndarray, np.ndarray
     x = np.asarray(x, dtype=float)
     mid = (x.max() - x.min()) / 2.0 + x.min()
     s = np.sign(x - mid)
-    # reference state machine stays UNINITIALIZED while sign == 0
-    # (extractTapTestV2.m:31-34 re-inits on s==0), so leading zero-signs
-    # are skipped; after init, every element-to-element sign change fires.
-    nz = np.flatnonzero(s != 0)
-    if len(nz) == 0:
+    # Reference state-machine semantics (extractTapTestV2.m:29-45), run-based:
+    # the machine is UNINITIALIZED while its state sign is 0 — it (re-)inits
+    # at the next sample without emitting. A transition from a NONZERO state
+    # to a different sign (including 0) emits (Tstay, Tmove). Hence, over
+    # maximal equal-sign runs: an emission fires at the start of every run
+    # whose PREVIOUS run has nonzero sign; Tstay spans the previous run.
+    n = len(s)
+    run_starts = np.concatenate([[0], np.where(s[1:] != s[:-1])[0] + 1])
+    run_signs = s[run_starts]
+    if len(run_starts) < 2:
         return np.array([]), np.array([])
-    k0 = nz[0]
-    sa = s[k0:]
-    change = np.where(sa[1:] != sa[:-1])[0] + 1 + k0
-    if len(change) == 0:
+    emit = run_signs[:-1] != 0  # for runs 1..m-1: previous run nonzero?
+    c = run_starts[1:][emit]  # emission indices (starts of runs)
+    prev_start = run_starts[:-1][emit]
+    if len(c) == 0:
         return np.array([]), np.array([])
-    seg_start = np.concatenate([[k0], change])  # start index of each segment
-    t_start = tsp[seg_start[:-1]]
-    t_prev = tsp[change - 1]  # last sample before the flip
-    t_flip = tsp[change]
-    return t_prev - t_start, t_flip - t_prev
+    return tsp[c - 1] - tsp[prev_start], tsp[c] - tsp[c - 1]
 
 
 def find_peaks_simple(x: np.ndarray) -> np.ndarray:
