@@ -94,7 +94,7 @@ def main():
 
     engine = {}
     if os.environ.get("MPDS_BENCH_ENGINE", "1") == "1":
-        n_docs = int(os.environ.get("MPDS_BENCH_DOCS", "200000"))
+        n_docs = int(os.environ.get("MPDS_BENCH_DOCS", "150000"))
         # N vs 4N parallelism evidence. This sandbox exposes 32 logical CPUs
         # but delivers ~13 effective cores under full load (measured:
         # 32 concurrent fixed-work processes achieve 13.2x the throughput
@@ -103,8 +103,18 @@ def main():
         # budget: N=2 vs 4N=8 by default (override MPDS_BENCH_LO).
         lo_cpus = int(os.environ.get("MPDS_BENCH_LO", "2"))
         hi_cpus = lo_cpus * 4
-        hi = engine_throughput(n_docs, hi_cpus)
-        lo = engine_throughput(n_docs, lo_cpus)
+        # best-of-N per level: single-machine runs carry JVM/page-cache
+        # noise from preceding phases (observed ±20% on the hi level);
+        # best-of is the standard additive-noise estimator.
+        reps = int(os.environ.get("MPDS_BENCH_REPS", "2"))
+        hi = max(
+            (engine_throughput(n_docs, hi_cpus) for _ in range(reps)),
+            key=lambda r: r["seq_per_sec"],
+        )
+        lo = max(
+            (engine_throughput(n_docs, lo_cpus) for _ in range(reps)),
+            key=lambda r: r["seq_per_sec"],
+        )
         eff = (hi["seq_per_sec"] / lo["seq_per_sec"]) / (hi_cpus / lo_cpus)
         engine = {
             "n_docs": n_docs,
