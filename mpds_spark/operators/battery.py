@@ -206,3 +206,39 @@ def extract_audio_battery(
             yield out
 
     return df.mapInPandas(gen, schema)
+
+
+def score_dot_sliced(
+    df: DataFrame,
+    features: str,
+    weights: list[float],
+    n_slices: int,
+    key: str,
+    out_col: str = "score",
+) -> DataFrame:
+    """Sliced-model scoring (dssFunctionLibrary.R:1946-2010 parity:
+    dss.Aux.SliceGBRT + dss.Aux.CollectSlices): the weight vector is split
+    into n_slices shards, each shard produces a PARTIAL score row (as if
+    read from a separate model-slice file), and the merge is a
+    groupBy(key).sum — bounded memory per shard at scale."""
+    k = len(weights)
+    per = (k + n_slices - 1) // n_slices
+    parts = []
+    for s in range(n_slices):
+        lo = s * per
+        hi = min(lo + per, k)
+        if lo >= hi:
+            break
+        w = F.array(*[F.lit(float(v)) for v in weights[lo:hi]])
+        partial = F.aggregate(
+            F.zip_with(F.slice(features, lo + 1, hi - lo), w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        parts.append(
+            df.select(F.col(key), F.lit(s).alias("slice_id"), partial.alias("p"))
+        )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    return long.groupBy(key).agg(F.sum("p").alias(out_col))

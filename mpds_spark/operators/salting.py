@@ -115,3 +115,51 @@ def hot_entity_stats(df: DataFrame, entity: str = "entity_id", top: int = 5):
         .collect()
     )
     return [(r[entity], r["count"], r["count"] / total) for r in rows]
+
+
+def salted_expanding_sum(
+    df: DataFrame,
+    value: str,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    chunk_span: float = 86400.0,
+    out_col: str = "cumsum",
+) -> DataFrame:
+    """Expanding (prefix) sum decomposed for hot entities: the classic
+    two-pass scan.
+
+    Pass 1 (parallel): within-(entity, time-chunk) expanding sum — each
+    chunk is an independent window partition, so a 10^8-row entity becomes
+    chunk_count parallel tasks instead of one giant sorted partition.
+    Pass 2 (tiny): per-chunk totals → exclusive running total over the
+    chunk sequence (one row per entity-chunk) joined back as the carry.
+
+    result = within_chunk_cumsum + carry. Float caveat: the summation
+    TREE differs from the single-pass window, so values agree to ~ulp
+    (exact for integer-valued data).
+    """
+    t = epoch_seconds(df, ts)
+    chunk = F.floor(t / F.lit(float(chunk_span)))
+    d = df.withColumn("__chunk", chunk)
+
+    w_in = (
+        Window.partitionBy(entity, "__chunk")
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__local", F.sum(value).over(w_in))
+
+    totals = d.groupBy(entity, "__chunk").agg(F.sum(value).alias("__tot"))
+    w_ch = (
+        Window.partitionBy(entity)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = totals.withColumn(
+        "__carry", F.coalesce(F.sum("__tot").over(w_ch), F.lit(0.0))
+    ).select(entity, "__chunk", "__carry")
+
+    out = d.join(carry, [entity, "__chunk"], "left").withColumn(
+        out_col, F.col("__local") + F.coalesce(F.col("__carry"), F.lit(0.0))
+    )
+    return out.drop("__chunk", "__local", "__carry")

@@ -1423,3 +1423,37 @@ _RAW_ORACLES.update(
     }
 )
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_sliced_score(spark, sf_dir):
+    """Sliced-model scoring over embeddings: 64 weights in 4 shards,
+    partial scores merged by sum (CollectSlices parity)."""
+    from mpds_spark.operators.battery import score_dot_sliced
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    weights = [((i * 7) % 13 - 6) / 10.0 for i in range(64)]  # deterministic
+    out = score_dot_sliced(emb, "e", weights, n_slices=4, key="vec_id")
+    return out.select("vec_id", _r6("score").alias("score"))
+
+
+def _w64():
+    return [((i * 7) % 13 - 6) / 10.0 for i in range(64)]
+
+
+SQL_SLICED_SCORE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+parts AS (
+  {" UNION ALL ".join(
+      "SELECT vec_id, list_dot_product(v[%d:%d], [%s]) AS p FROM e"
+      % (s*16+1, s*16+16,
+         ", ".join(repr(((i*7)%13-6)/10.0) for i in range(s*16, s*16+16)))
+      for s in range(4))}
+)
+SELECT vec_id, round(sum(p), 6) AS score FROM parts GROUP BY vec_id
+"""
+
+QUERIES["sliced_score"] = q_sliced_score
+_RAW_ORACLES["sliced_score"] = SQL_SLICED_SCORE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

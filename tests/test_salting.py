@@ -82,3 +82,33 @@ def test_hot_entity_stats(spark):
     stats = hot_entity_stats(spark.createDataFrame(lpdf))
     assert stats[0][0] == "e0"
     assert stats[0][2] > 0.8  # hot entity holds >80% of rows
+
+
+def test_salted_expanding_sum_equals_plain(spark):
+    import numpy as np
+    from pyspark.sql import Window, functions as F
+
+    from mpds_spark.operators.salting import salted_expanding_sum
+
+    lpdf, _ = _skewed_tables(seed=101, hot_mult=60)
+    # integer values -> exact equality between summation trees
+    lpdf["lv"] = np.round(lpdf["lv"] * 100).astype("int64").astype("float64")
+    df = spark.createDataFrame(lpdf)
+    got = (
+        salted_expanding_sum(df, "lv", chunk_span=86400.0)
+        .orderBy("entity_id", "ts")
+        .toPandas()["cumsum"]
+        .to_numpy()
+    )
+    w = (
+        Window.partitionBy("entity_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = (
+        df.withColumn("cumsum", F.sum("lv").over(w))
+        .orderBy("entity_id", "ts")
+        .toPandas()["cumsum"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, exp)
