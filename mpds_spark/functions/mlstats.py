@@ -168,3 +168,37 @@ def normalize_z(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, dtype=float)
     s = np.std(x, ddof=1)
     return (x - x.mean()) / s if s > 0 else x - x.mean()
+
+
+def decimal_to_bin_matrix(dec: np.ndarray, n_classes: int) -> np.ndarray:
+    """mimicUsefulFunction.R:204-235 (aux.DecimalVecToBinMatrix): class ids
+    0..n_classes-1 -> binary matrix, MSB in column 0."""
+    dec = np.asarray(dec, dtype=np.int64)
+    uniq = np.unique(dec)
+    if not np.array_equal(uniq, np.arange(n_classes)):
+        raise ValueError(
+            f"class ids must be exactly 0..{n_classes - 1}, got {uniq}"
+        )
+    n_bits = int(np.ceil(np.log2(n_classes)))
+    out = np.empty((len(dec), n_bits), dtype=np.int64)
+    tmp = dec.copy()
+    for b in range(n_bits - 1, -1, -1):
+        out[:, b] = tmp % 2
+        tmp //= 2
+    return out
+
+
+def diff_energy(vec1: np.ndarray, vec2: np.ndarray) -> dict:
+    """mimicUsefulFunction.R:238-252: total L1 diff energy + per-component
+    and total fractional energies."""
+    v1 = np.asarray(vec1, dtype=float)
+    v2 = np.asarray(vec2, dtype=float)
+    d = v1 - v2
+    total = float(np.abs(d).sum())
+    per_comp = 2 * np.abs(d) / (np.abs(v1) + np.abs(v2))
+    frac_total = 2 * total / (np.abs(v1).sum() + np.abs(v2).sum())
+    return {
+        "total_diff_energy": total,
+        "fraction_per_component": per_comp,
+        "fraction_of_total": float(frac_total),
+    }

@@ -191,3 +191,45 @@ def cross_stage_pairs(
         .withColumnRenamed("__s1", "on_stage")
         .withColumnRenamed("__s2", "off_stage")
     )
+
+
+def random_ordered_pairs(
+    df: DataFrame,
+    key: str,
+    rank: str,
+    n_pairs: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded random rank-ordered pairs (mimicUsefulFunction.R:162-193
+    createRandomPairsOrderedByRank): oversample 2x candidate pairs with
+    replacement, drop same-key / equal-rank pairs, orient so the higher
+    rank is `on` (vector_swap, :153-158), dedupe, cap at n_pairs.
+    """
+    keyed = df.select(F.col(key).alias("k"), F.col(rank).alias("r"))
+    n = keyed.count()
+    frac = min(1.0, 4.0 * n_pairs / max(n * n, 1)) ** 0.5
+    a = keyed.sample(withReplacement=True, fraction=max(frac * n, 1.0) / n, seed=seed)
+    a = a.withColumn("__i", F.monotonically_increasing_id())
+    b = keyed.sample(
+        withReplacement=True, fraction=max(frac * n, 1.0) / n, seed=seed + 1
+    ).withColumn("__i", F.monotonically_increasing_id())
+    cand = (
+        a.alias("x")
+        .join(b.alias("y"), "__i")
+        .select(
+            F.col("x.k").alias("k1"),
+            F.col("x.r").alias("r1"),
+            F.col("y.k").alias("k2"),
+            F.col("y.r").alias("r2"),
+        )
+        .filter((F.col("k1") != F.col("k2")) & (F.col("r1") != F.col("r2")))
+    )
+    oriented = cand.select(
+        F.when(F.col("r1") >= F.col("r2"), F.col("k1"))
+        .otherwise(F.col("k2"))
+        .alias("on_key"),
+        F.when(F.col("r1") >= F.col("r2"), F.col("k2"))
+        .otherwise(F.col("k1"))
+        .alias("off_key"),
+    )
+    return oriented.dropDuplicates(["on_key", "off_key"]).limit(n_pairs)

@@ -110,3 +110,31 @@ def test_interleave_split(spark):
     )
     assert got["phase"].tolist() == [0, 1, 0, 1, 0, 1, 0]
     assert got["pair_id"].tolist() == [0, 0, 1, 1, 0, 0, 1]
+
+
+def test_random_ordered_pairs_orientation(spark):
+    import pandas as pd
+
+    from mpds_spark.operators.pairs import random_ordered_pairs
+
+    pdf = pd.DataFrame({"key": range(40), "rank": [i % 7 for i in range(40)]})
+    out = random_ordered_pairs(
+        spark.createDataFrame(pdf), key="key", rank="rank", n_pairs=25
+    ).toPandas()
+    assert 0 < len(out) <= 25
+    ranks = dict(zip(pdf["key"], pdf["rank"]))
+    for _, r in out.iterrows():
+        assert ranks[r.on_key] > ranks[r.off_key]
+    assert not out.duplicated(["on_key", "off_key"]).any()
+
+
+def test_decimal_to_bin_and_diff_energy():
+    import numpy as np
+
+    from mpds_spark.functions.mlstats import decimal_to_bin_matrix, diff_energy
+
+    m = decimal_to_bin_matrix(np.array([0, 1, 2, 3]), 4)
+    np.testing.assert_array_equal(m, [[0, 0], [0, 1], [1, 0], [1, 1]])
+    r = diff_energy([1.0, -2.0, 3.0], [1.0, 2.0, 0.0])
+    assert r["total_diff_energy"] == 7.0
+    np.testing.assert_allclose(r["fraction_per_component"], [0.0, 2.0, 2.0])
