@@ -30,16 +30,23 @@ def words_col(text: str = "text"):
 
 def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc (docs shorter than n words
-    produce none)."""
-    w = words_col(text)
+    produce none).
+
+    The words array is materialized in its own projection: referencing
+    split() inside the transform lambda re-evaluates it PER SHINGLE
+    (O(words^2) splits per doc — measured 8.5 s just to materialize 260k
+    shingles at sf0.1, vs ~1 s with the split hoisted)."""
+    d = df.withColumn("__words", words_col(text))
     sh = F.when(
-        F.size(w) >= n,
+        F.size("__words") >= n,
         F.expr(
-            f"transform(sequence(0, size(split(trim(text), '\\\\s+')) - {n}), "
-            f"i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i + 1, {n})))"
+            f"transform(sequence(0, size(__words) - {n}), "
+            f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
         ),
     ).otherwise(F.array())
-    return df.withColumn("shingle", F.explode(F.array_distinct(sh)))
+    return d.withColumn("shingle", F.explode(F.array_distinct(sh))).drop(
+        "__words"
+    )
 
 
 def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -58,8 +65,21 @@ def ngram_jaccard_pairs(
     """All doc pairs sharing >= 1 shingle, with Jaccard >= threshold.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct n-gram sets.
+
+    The shingle frame feeds a self-join + a size aggregation (3 consumers),
+    so it is persisted — without it Catalyst recomputes the split/transform/
+    explode three times (measured 15.5 s → 6 s at sf0.1). On a cluster the
+    equivalent is materializing the shingle table once per dedup run.
     """
-    sh = shingles(df, text).select(F.col(key).alias("k"), "shingle")
+    # eager persist: within a single action the 3 plan branches race ahead
+    # of a lazily-populated cache and each recomputes the explode; persist +
+    # count materializes once up front (measured 15.5 s -> ~6 s at sf0.1)
+    sh = (
+        shingles(df, text)
+        .select(F.col(key).alias("k"), "shingle")
+        .persist()
+    )
+    sh.count()
     sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("k").alias("doc_a"), "shingle")
     b = sh.select(F.col("k").alias("doc_b"), "shingle")
@@ -120,9 +140,14 @@ def lsh_candidate_pairs(
                 F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bh")
             )
         )
-    exploded = sig.select(
-        F.col(key).alias("k"), F.explode(F.array(*bands)).alias("bb")
-    ).select("k", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    exploded = (
+        sig.select(
+            F.col(key).alias("k"), F.explode(F.array(*bands)).alias("bb")
+        )
+        .select("k", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        .persist()  # self-joined: materialize the signature agg once
+    )
+    exploded.count()
     a = exploded.select(F.col("k").alias("doc_a"), "band", "bh")
     b = exploded.select(F.col("k").alias("doc_b"), "band", "bh")
     return (
