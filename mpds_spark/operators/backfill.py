@@ -88,10 +88,16 @@ def interpolate(
     default: float = 0.0,
     out_col: str | None = None,
     leakage_ok: bool = False,
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-entity linear interpolation of nulls (reference semantics above).
 
     Forward-looking (uses the next non-null sample): requires leakage_ok.
+
+    strategy="window" (default): pure window expressions — JVM-only, one
+    entity exchange, no pandas group materialization (scale path).
+    strategy="pandas": grouped-map Arrow numpy kernel (the original
+    transcription; differential-tested equal to the window plan).
     """
     if not leakage_ok:
         raise LeakageError(
@@ -99,6 +105,10 @@ def interpolate(
             "leakage_ok=True — train-prep only, never feature columns."
         )
     oc = out_col or f"{value}_interp"
+    if strategy == "window":
+        return _interpolate_window(df, value, entity, ts, default, oc)
+    if strategy != "pandas":
+        raise ValueError(f"unknown strategy {strategy!r}")
     schema = df.withColumn(oc, F.col(value).cast("double")).schema
     cols = [f.name for f in schema.fields]
 
@@ -118,6 +128,56 @@ def interpolate(
         return pdf[cols]
 
     return work.groupBy(entity).applyInPandas(fn, schema)
+
+
+def _interpolate_window(
+    df: DataFrame, value: str, entity: str, ts: str, default: float, oc: str
+) -> DataFrame:
+    """Reference interpolation as pure window expressions (same formula and
+    padding rules as _interp_reference; one exchange, WindowExec only):
+    1. pad: last row's null <- last non-null; first row's null <- default;
+       all-null entity <- default everywhere
+    2. interior nulls: (yn*(x-xp) + yp*(xn-x)) / (xn-xp) between the padded
+       previous/next non-null neighbors.
+    """
+    t = epoch_seconds(df, ts)
+    w = Window.partitionBy(entity).orderBy(t)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    v = F.col(value).cast("double")
+    n_val = F.count(v).over(full)
+    last_val = F.last(v, ignorenulls=True).over(full)
+    rn = F.row_number().over(w)
+    n_rows = F.count(F.lit(1)).over(full)
+
+    v2 = (
+        F.when(v.isNotNull(), v)
+        .when(n_val == 0, F.lit(float(default)))
+        .when(rn == n_rows, last_val)  # pad last (before first: R order)
+        .when(rn == 1, F.lit(float(default)))  # pad first with default
+    )
+    d = df.withColumn("__v2", v2).withColumn("__t", t)
+    wb = Window.partitionBy(entity).orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy(entity).orderBy("__t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    yp = F.last("__v2", ignorenulls=True).over(wb)
+    xp = F.last(
+        F.when(F.col("__v2").isNotNull(), F.col("__t")), ignorenulls=True
+    ).over(wb)
+    yn = F.first("__v2", ignorenulls=True).over(wf)
+    xn = F.first(
+        F.when(F.col("__v2").isNotNull(), F.col("__t")), ignorenulls=True
+    ).over(wf)
+    interp = (yn * (F.col("__t") - xp) + yp * (xn - F.col("__t"))) / (xn - xp)
+    out = d.withColumn(
+        oc, F.when(F.col("__v2").isNotNull(), F.col("__v2")).otherwise(interp)
+    )
+    return out.drop("__v2", "__t")
 
 
 def _interp_reference(x: np.ndarray, y: np.ndarray, def_val: float) -> np.ndarray:

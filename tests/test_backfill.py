@@ -47,11 +47,17 @@ def test_locf_default_fills_leading_nulls(spark):
     assert got["value_locf"].tolist() == [-1.0, 5.0, 5.0]
 
 
-def test_interpolate_matches_reference(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("strategy", ["window", "pandas"])
+def test_interpolate_matches_reference(spark, strategy):
     pdf = make_entity_series(null_frac=0.5)
     df = spark.createDataFrame(pdf)
     got = (
-        interpolate(df, value="value", default=0.0, leakage_ok=True)
+        interpolate(
+            df, value="value", default=0.0, leakage_ok=True, strategy=strategy
+        )
         .orderBy("entity_id", "ts")
         .toPandas()
     )
@@ -79,17 +85,21 @@ def test_interpolate_all_null_entity_gets_default(spark):
             "value": [None, None],
         }
     )
-    got = (
-        interpolate(
-            spark.createDataFrame(pdf, "entity_id string, ts double, value double"),
-            value="value",
-            default=3.5,
-            leakage_ok=True,
+    for strategy in ("window", "pandas"):
+        got = (
+            interpolate(
+                spark.createDataFrame(
+                    pdf, "entity_id string, ts double, value double"
+                ),
+                value="value",
+                default=3.5,
+                leakage_ok=True,
+                strategy=strategy,
+            )
+            .orderBy("ts")
+            .toPandas()
         )
-        .orderBy("ts")
-        .toPandas()
-    )
-    assert got["value_interp"].tolist() == [3.5, 3.5]
+        assert got["value_interp"].tolist() == [3.5, 3.5]
 
 
 def test_interpolate_requires_leakage_opt_in(spark):
