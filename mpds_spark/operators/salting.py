@@ -7,8 +7,10 @@ Two mechanisms, matching how each operator class scales:
    SPILLS rather than OOMs, so they need no salting — AQE skew-join
    splitting covers the join legs. (Verified by the hot-entity smoke test.)
 
-2. Grouped-map Arrow ops (cogroup as-of, interpolate) materialize one
-   pandas group per entity — a 10^8-row entity breaks that. salted_asof_join
+2. Grouped-map Arrow ops (cogroup as-of, interpolate strategy='pandas')
+   materialize one pandas group per entity — a 10^8-row entity breaks
+   that (the DEFAULT interpolate/as-of strategies are window-based and
+   skew-safe without salting). salted_asof_join
    splits each entity's LEFT rows into time-range chunks of bounded size and
    replays the single latest RIGHT row before each chunk boundary into the
    chunk ("boundary-overlap replay"), so every chunk is self-contained for a
