@@ -36,6 +36,10 @@ from mpds_spark.operators.windows import (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the oracle compares epoch seconds against DuckDB's naive-UTC epoch():
+    # pin the session tz so TIMESTAMP_NTZ -> TIMESTAMP casts are UTC even on
+    # a driver-created session that didn't set it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
