@@ -25,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from mpds_spark.operators.sessionize import sessionize
     from mpds_spark.operators.windows import derived_features
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sf_dir = "/root/testdata/sf0.001"
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
