@@ -83,7 +83,10 @@ def salted_asof_join(
     r_all = r_tag.select(by, "__chunk", on, *right_cols).unionByName(carry_rows)
 
     # join within the salted key (entity, chunk): encode as one key column
-    sep = F.lit("")  # separator unlikely to appear in entity ids
+    # sentinel separator: must be explicit and impossible in entity ids —
+    # an empty/absent separator would merge e.g. entity "u1" chunk 2251
+    # with entity "u12" chunk 251 (both "u12251") across entities
+    sep = F.lit("\u001f")
     l_salted = l_tag.withColumn(
         "__skey", F.concat(F.col(by).cast("string"), sep, F.col("__chunk"))
     )

@@ -234,13 +234,18 @@ def interval_join(
     wind: float = 3600.0,
     how: str = "post",
     aggs: list[Column] | None = None,
+    broadcast_events: bool = False,
 ) -> DataFrame:
     """Generic range join: events x observations of the same entity with
     obs.ts in (ev.ts, ev.ts+wind] ("post") or [ev.ts-wind, ev.ts) ("pre"),
     aggregated per event. SQL-expressible (oracle-checkable).
 
-    The events side is broadcast when small (Catalyst auto-broadcast);
-    at scale, pre-bucketize ts on both sides and add a bucket equi-key.
+    The condition carries an entity equi-key, so the default plan is a
+    sort-merge join on entity with the range as a post-filter — safe for a
+    large events side. Pass broadcast_events=True only when the caller
+    KNOWS the events side is small (e.g. a filtered trigger set); forcing
+    the hint on a large side would OOM the driver at scale. At 100-TB
+    scale, pre-bucketize ts on both sides and add a bucket equi-key.
     """
     ev = events.select(
         F.col(entity).alias("__e"), F.col(ts).alias("__ets")
@@ -258,7 +263,8 @@ def interval_join(
             F.count(F.lit(1)).alias("n_obs"),
             F.avg(F.col(value)).alias("avg_value"),
         ]
-    joined = obs.join(F.broadcast(ev), cond, "inner")
+    ev_side = F.broadcast(ev) if broadcast_events else ev
+    joined = obs.join(ev_side, cond, "inner")
     return (
         joined.groupBy(F.col("__e").alias(entity), F.col("__ets").alias("event_ts"))
         .agg(*aggs)

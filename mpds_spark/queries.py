@@ -232,8 +232,8 @@ WITH e AS (
   FROM e
 ), d AS (
   SELECT user_id, t, value,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -339,7 +339,8 @@ def q_interval_join(spark, sf_dir):
         F.col("user_id").alias("entity_id"), "ts"
     )
     obs = ev.select(F.col("user_id").alias("entity_id"), "ts", "value")
-    out = interval_join(purchases, obs, wind=3600.0)
+    # purchases are a small filtered trigger set (~2% of events) -> broadcast
+    out = interval_join(purchases, obs, wind=3600.0, broadcast_events=True)
     return out.select(
         F.col("entity_id").alias("user_id"),
         F.col("event_ts").cast("timestamp").cast("double").alias("event_ts"),

@@ -9,8 +9,9 @@ per-partition lineage + metrics". Design:
   maps to one storage partition.
 - Each bucket is processed independently: transform(bucket_df) → parquet
   under <out>/bucket=<k>/ + a JSON manifest row under <out>/_lineage/ with
-  {bucket, status, rows_in, rows_out, wall_sec, input_fingerprint,
-  spec_hash, finished_at}.
+  {bucket, status, rows_out, wall_sec, input_fingerprint,
+  spec_hash, finished_at}. (rows_in is deliberately not recorded: it would
+  cost a full extra scan of the bucket before the transform.)
 - resume: buckets whose manifest says "done" WITH a matching
   input_fingerprint + spec_hash are skipped (anti-join of the bucket list
   against the manifest); everything else recomputes. Changing either the

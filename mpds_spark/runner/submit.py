@@ -85,7 +85,11 @@ def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
     t0 = time.time()
-    cpus = int(args.master.split("[")[-1].rstrip("]")) if "[" in args.master else 8
+    cpus = (
+        int(args.master.split("[")[-1].rstrip("]"))
+        if args.master and "[" in args.master
+        else 8
+    )
     out = bench_mod.engine_throughput(args.docs, cpus, seed=args.seed)
     out["wall_total"] = round(time.time() - t0, 1)
     print(json.dumps(out))

@@ -110,7 +110,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001", names: list[str] | None = None)
     width = max(len(r["name"]) for r in results)
     n_bad = 0
     for r in results:
-        ok = r["status"] in ("EXACT", "CLOSE", "NO_ORACLE(rows-only)")
+        # The driver gate hashes exact values: CLOSE is a failure there, so
+        # treat it as one here too (still reported separately above).
+        ok = r["status"] in ("EXACT", "NO_ORACLE(rows-only)")
         n_bad += not ok
         print(
             f"{r['name']:<{width}}  {r['status']:<12} "
