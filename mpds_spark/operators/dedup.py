@@ -28,9 +28,18 @@ def words_col(text: str = "text"):
     return F.split(F.trim(F.col(text)), r"\s+")
 
 
-def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame, text: str = "text", n: int = 3, max_df: int | None = None
+) -> DataFrame:
     """Distinct word n-gram shingles per doc (docs shorter than n words
     produce none).
+
+    max_df: drop shingles appearing in MORE than max_df documents — the
+    stopword-shingle cut. A hot shingle ("of the and") is shared by a large
+    doc fraction, so a shingle-keyed self-join gets one giant skewed task;
+    it also carries ~zero dedup signal. The DF filter is the same groupBy
+    shuffle key as the downstream join, so it adds one agg + semi-join, not
+    a new partitioning.
 
     The words array is materialized in its own projection: referencing
     split() inside the transform lambda re-evaluates it PER SHINGLE
@@ -44,9 +53,18 @@ def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
             f"i -> concat_ws(' ', slice(__words, i + 1, {n})))"
         ),
     ).otherwise(F.array())
-    return d.withColumn("shingle", F.explode(F.array_distinct(sh))).drop(
+    out = d.withColumn("shingle", F.explode(F.array_distinct(sh))).drop(
         "__words"
     )
+    if max_df is not None:
+        keep = (
+            out.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        out = out.join(keep, "shingle", "left_semi")
+    return out
 
 
 def exact_dedup(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
@@ -61,10 +79,18 @@ def ngram_jaccard_pairs(
     key: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All doc pairs sharing >= 1 shingle, with Jaccard >= threshold.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct n-gram sets.
+    With max_df set, BOTH the intersection and the set sizes are computed
+    over the DF-filtered shingle sets (consistent Jaccard semantics on the
+    reduced universe).
+
+    This is the exact/quadratic baseline: the self-join is keyed by shingle
+    and blows up on hot shingles — at corpus scale use near_dup_pairs()
+    (LSH candidates → exact Jaccard verify) and/or max_df.
 
     The shingle frame feeds a self-join + a size aggregation (3 consumers),
     so it is persisted — without it Catalyst recomputes the split/transform/
@@ -75,7 +101,7 @@ def ngram_jaccard_pairs(
     # of a lazily-populated cache and each recomputes the explode; persist +
     # count materializes once up front (measured 15.5 s -> ~6 s at sf0.1)
     sh = (
-        shingles(df, text)
+        shingles(df, text, n=n, max_df=max_df)
         .select(F.col(key).alias("k"), "shingle")
         .persist()
     )
@@ -113,7 +139,7 @@ def minhash_signature(
 ) -> DataFrame:
     """k-hash MinHash signature per doc: h_i = min over shingles of
     md5('<i>|' || shingle) — hex strings, engine-portable."""
-    sh = shingles(df, text)
+    sh = shingles(df, text, n=n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -158,6 +184,65 @@ def lsh_candidate_pairs(
     )
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    threshold: float = 0.1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Scale-safe near-dup detection: LSH candidates → exact-Jaccard verify.
+
+    Two-tier plan (the 100-TB default):
+    1. lsh_candidate_pairs — banded MinHash bucket join, O(docs × bands)
+       instead of the all-pairs shingle self-join.
+    2. Exact Jaccard ONLY on the candidates: each candidate pair is joined
+       to its two shingle sets (partitioned by doc key, so intermediate
+       size is Σ|shingles(doc)| over candidates — linear in candidates,
+       never quadratic in the corpus) and filtered by threshold.
+
+    Returns (doc_a, doc_b, n_common, jaccard) like ngram_jaccard_pairs,
+    restricted to LSH candidates; recall is governed by (k, band_size) —
+    with k=8, band_size=2 the match probability is 1-(1-j^2)^4.
+    """
+    sh = (
+        shingles(df, text, n=n, max_df=max_df)
+        .select(F.col(key).alias("k"), "shingle")
+        .persist()
+    )
+    sh.count()  # eager: consumed by candidates, sizes and both verify legs
+    cand = lsh_candidate_pairs(df, text, key, k, band_size, n)
+    sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
+    # verify: shingles of doc_a restricted to candidate pairs, matched
+    # against shingles of doc_b — both joins are doc-keyed (no shingle key)
+    a_sh = cand.join(
+        sh.select(F.col("k").alias("doc_a"), "shingle"), "doc_a"
+    )
+    common = a_sh.join(
+        sh.select(F.col("k").alias("doc_b"), "shingle"), ["doc_b", "shingle"]
+    ).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    out = (
+        common.join(
+            sizes.select(F.col("k").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("k").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
 def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     """16-bit SimHash per doc: bit b set iff the term-frequency-weighted
     sign-sum of word-hash bit b is positive. Word hash = first 4 hex chars
@@ -179,3 +264,119 @@ def simhash16(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
         bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return sums.select(F.col("k").alias(key), sim.cast("long").alias("simhash"))
+
+
+def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc, as two 32-bit halves (sim_hi = bits 63..32,
+    sim_lo = bits 31..0, both non-negative BIGINTs).
+
+    16-bit simhash16 is kept for back-compat, but 2^16 codes collide
+    massively at production corpus sizes; 64-bit is the standard width.
+    Two conv'd 32-bit halves (md5 hex chars 1-8 / 9-16) keep every value
+    < 2^32, so the arithmetic stays inside signed BIGINT in any engine
+    (a single 64-bit unsigned hash would overflow a signed long)."""
+    w = df.select(
+        F.col(key).alias("k"), F.explode(words_col(text)).alias("word")
+    )
+    w = w.withColumn("md5", F.md5("word")).select(
+        "k",
+        F.conv(F.substring("md5", 1, 8), 16, 10).cast("long").alias("hh"),
+        F.conv(F.substring("md5", 9, 8), 16, 10).cast("long").alias("hl"),
+    )
+    aggs = []
+    for half, col in (("hi", "hh"), ("lo", "hl")):
+        for b in range(32):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(col), b).bitwiseAND(1) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"s_{half}_{b}")
+            )
+    sums = w.groupBy("k").agg(*aggs)
+    outs = {}
+    for half in ("hi", "lo"):
+        acc = None
+        for b in range(32):
+            bit = F.when(F.col(f"s_{half}_{b}") > 0, F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+            acc = bit if acc is None else acc + bit
+        outs[half] = acc.cast("long")
+    return sums.select(
+        F.col("k").alias(key),
+        outs["hi"].alias("sim_hi"),
+        outs["lo"].alias("sim_lo"),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming candidate join + verify.
+
+    The 64-bit code is split into 4 contiguous 16-bit bands; by pigeonhole,
+    any pair with Hamming distance <= 3 agrees exactly on >= 1 band, so the
+    band equi-join finds ALL such pairs without an all-pairs comparison
+    (candidates = docs sharing a (band_idx, band_value) bucket — the
+    standard Manku/Jain/Sarma simhash dedup layout). Candidates are then
+    verified with an exact popcount(xor) <= max_hamming filter.
+
+    max_hamming > 3 weakens the guarantee to "recall among band-sharing
+    pairs" (use more/narrower bands for a hard guarantee at higher radii).
+    """
+    sig = simhash64(df, text, key).persist()
+    sig.count()  # self-joined below: materialize the signature agg once
+    bands = [
+        F.struct(
+            F.lit(0).alias("band"),
+            F.col("sim_lo").bitwiseAND(65535).alias("bv"),
+        ),
+        F.struct(
+            F.lit(1).alias("band"),
+            F.shiftright("sim_lo", 16).bitwiseAND(65535).alias("bv"),
+        ),
+        F.struct(
+            F.lit(2).alias("band"),
+            F.col("sim_hi").bitwiseAND(65535).alias("bv"),
+        ),
+        F.struct(
+            F.lit(3).alias("band"),
+            F.shiftright("sim_hi", 16).bitwiseAND(65535).alias("bv"),
+        ),
+    ]
+    expl = sig.select(
+        F.col(key).alias("k"), "sim_hi", "sim_lo",
+        F.explode(F.array(*bands)).alias("bb"),
+    ).select(
+        "k", "sim_hi", "sim_lo",
+        F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
+    )
+    a = expl.select(
+        F.col("k").alias("doc_a"),
+        F.col("sim_hi").alias("hi_a"),
+        F.col("sim_lo").alias("lo_a"),
+        "band", "bv",
+    )
+    b = expl.select(
+        F.col("k").alias("doc_b"),
+        F.col("sim_hi").alias("hi_b"),
+        F.col("sim_lo").alias("lo_b"),
+        "band", "bv",
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
+    ).alias("hamming")
+    return (
+        cand.select("doc_a", "doc_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1462,3 +1462,148 @@ SELECT vec_id, round(sum(p), 6) AS score FROM parts GROUP BY vec_id
 QUERIES["sliced_score"] = q_sliced_score
 _RAW_ORACLES["sliced_score"] = SQL_SLICED_SCORE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+# ------------------------------------------------- round-2 ops
+
+from mpds_spark.operators.dedup import (  # noqa: E402
+    near_dup_pairs,
+    simhash64,
+    simhash_near_dups,
+)
+
+
+def q_near_dup_verified(spark, sf_dir):
+    """Scale-safe near-dup: LSH candidates -> exact-Jaccard verify (the
+    100-TB default plan; ngram_jaccard is the quadratic baseline)."""
+    docs = load(spark, sf_dir, "documents")
+    out = near_dup_pairs(docs, k=8, band_size=2, threshold=0.05)
+    return out.select(
+        "doc_a", "doc_b", "n_common", _r6("jaccard").alias("jaccard")
+    )
+
+
+_LSH_BAND_SQL = f"""
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM e GROUP BY doc_id
+),
+b AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bh FROM sig"
+      for bi in range(4))}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c USING (band, bh) WHERE a.doc_id < c.doc_id
+)
+"""
+
+SQL_NEAR_DUP_VERIFIED = f"""
+WITH e AS ({_SHINGLE_SQL}),
+{_LSH_BAND_SQL},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+  FROM cand
+  JOIN e ea ON ea.doc_id = cand.doc_a
+  JOIN e eb ON eb.doc_id = cand.doc_b AND eb.shingle = ea.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+  round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05
+"""
+
+
+def q_simhash64(spark, sf_dir):
+    return simhash64(load(spark, sf_dir, "documents"))
+
+
+_S64_SUMS = ",\n    ".join(
+    f"sum(CASE WHEN ({col} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{half}_{b}"
+    for half, col in (("hi", "hh"), ("lo", "hl"))
+    for b in range(32)
+)
+_S64_HI = " + ".join(
+    f"CASE WHEN s_hi_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_S64_LO = " + ".join(
+    f"CASE WHEN s_lo_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+)
+_S64_SIG_SQL = f"""
+w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(word), 1, 8))::UBIGINT AS hh,
+    ('0x' || substring(md5(word), 9, 8))::UBIGINT AS hl
+  FROM w
+), s AS (
+  SELECT doc_id,
+    {_S64_SUMS}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    CAST({_S64_HI} AS BIGINT) AS sim_hi,
+    CAST({_S64_LO} AS BIGINT) AS sim_lo
+  FROM s
+)
+"""
+
+SQL_SIMHASH64 = f"""
+WITH {_S64_SIG_SQL}
+SELECT doc_id, sim_hi, sim_lo FROM sig
+"""
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    out = simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH {_S64_SIG_SQL},
+bands AS (
+  SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_lo & 65535 AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+    a.sim_hi AS hi_a, a.sim_lo AS lo_a, c.sim_hi AS hi_b, c.sim_lo AS lo_b
+  FROM bands a JOIN bands c USING (band, bv) WHERE a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT)
+    AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+"""
+
+QUERIES.update(
+    {
+        "near_dup_verified": q_near_dup_verified,
+        "simhash64": q_simhash64,
+        "simhash_near_dups": q_simhash_near_dups,
+    }
+)
+_RAW_ORACLES.update(
+    {
+        "near_dup_verified": SQL_NEAR_DUP_VERIFIED,
+        "simhash64": SQL_SIMHASH64,
+        "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    }
+)
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

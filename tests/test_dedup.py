@@ -1,0 +1,91 @@
+"""Dedup operator tests: max_df shingle cut, candidates→verify near-dup,
+64-bit SimHash + banded Hamming near-dups.
+
+Semantics parity targets are the classic training-data-dedup algorithms
+(MinHash-LSH banding, SimHash pigeonhole bands); the documents-table oracle
+queries in mpds_spark/queries.py are the value-exact DuckDB twins — these
+tests cover the algebraic properties the SQL twins can't (subset relations,
+pigeonhole guarantees, DF-cap behavior).
+"""
+
+import pytest
+
+from mpds_spark.operators.dedup import (
+    near_dup_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash64,
+    simhash_near_dups,
+)
+
+DOCS = [
+    # two near-identical docs (one word differs), one unrelated, one exact dup
+    ("d1", "the quick brown fox jumps over the lazy dog again and again ok"),
+    ("d2", "the quick brown fox jumps over the lazy cat again and again ok"),
+    ("d3", "completely different content about spark window aggregation"),
+    ("d4", "the quick brown fox jumps over the lazy dog again and again ok"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_max_df_drops_hot_shingles(spark, docs_df):
+    full = shingles(docs_df)
+    capped = shingles(docs_df, max_df=2)
+    # 'the quick brown' appears in d1, d2, d4 (df=3) -> dropped at max_df=2
+    hot = {r.shingle for r in full.select("shingle").distinct().collect()}
+    kept = {r.shingle for r in capped.select("shingle").distinct().collect()}
+    assert "the quick brown" in hot
+    assert "the quick brown" not in kept
+    # everything kept has df <= 2, and nothing outside the original set
+    assert kept < hot
+
+
+def test_max_df_jaccard_consistent_sizes(spark, docs_df):
+    # sizes are computed over the SAME filtered universe as the intersection:
+    # jaccard of the exact-dup pair must still be 1.0 under any max_df
+    out = ngram_jaccard_pairs(docs_df, threshold=0.0, max_df=2).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert pairs[("d1", "d4")] == 1.0
+
+
+def test_near_dup_verified_subset_of_exact(spark, docs_df):
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): (r.n_common, round(r.jaccard, 9))
+        for r in near_dup_pairs(docs_df, threshold=0.3).collect()
+    }
+    # candidates→verify returns a subset of the all-pairs result, with
+    # IDENTICAL n_common/jaccard values on the shared pairs
+    assert set(verified) <= set(exact)
+    for k, v in verified.items():
+        assert exact[k] == v
+    # the high-sim pairs must be recalled (8 hashes, 4 bands, j>=0.9)
+    assert ("d1", "d4") in verified and ("d1", "d2") in verified
+
+
+def test_simhash64_halves_and_dups(spark, docs_df):
+    rows = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64(docs_df).collect()}
+    for hi, lo in rows.values():
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+    # exact duplicates get identical signatures
+    assert rows["d1"] == rows["d4"]
+    # unrelated doc differs
+    assert rows["d3"] != rows["d1"]
+
+
+def test_simhash_near_dups_pigeonhole(spark, docs_df):
+    out = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dups(docs_df, max_hamming=3).collect()
+    }
+    # exact dup pair: hamming 0, always found (agrees on all 4 bands)
+    assert out[("d1", "d4")] == 0
+    # unrelated doc is not within hamming<=3 of anything
+    assert not any("d3" in k for k in out)
