@@ -185,12 +185,13 @@ def cross_stage_pairs(
     )
     if within_entity:
         cond = cond & (F.col("__e1") == F.col("__e2"))
-    return (
+    out = (
         a.join(b, cond, "inner")
-        .select("on_key", "off_key", "__s1", "__s2")
         .withColumnRenamed("__s1", "on_stage")
         .withColumnRenamed("__s2", "off_stage")
+        .withColumnRenamed("__e1", "on_entity")
     )
+    return out.select("on_key", "off_key", "on_stage", "off_stage", "on_entity")
 
 
 def random_ordered_pairs(
@@ -201,18 +202,46 @@ def random_ordered_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Seeded random rank-ordered pairs (mimicUsefulFunction.R:162-193
-    createRandomPairsOrderedByRank): oversample 2x candidate pairs with
-    replacement, drop same-key / equal-rank pairs, orient so the higher
-    rank is `on` (vector_swap, :153-158), dedupe, cap at n_pairs.
+    createRandomPairsOrderedByRank): oversample ~2x candidate pairs, drop
+    same-key / equal-rank pairs, orient so the higher rank is `on`
+    (vector_swap, :153-158), dedupe, cap at n_pairs.
+
+    Every stage is a deterministic function of row CONTENT, so the output
+    pair set is identical under any partition layout:
+    - sampling: hash-threshold (md5(salt|k|r) as uniform u in [0,1), keep
+      u < p) instead of DataFrame.sample, whose per-partition seeded
+      sampler selects different rows when the layout changes;
+    - zip: row_number over a content-hash order on each side, joined on
+      the rank — monotonically_increasing_id would depend on layout, so
+      two independently sampled frames would have no aligned ids;
+    - cap: top-n_pairs by pair-content hash, not a bare limit().
+    Scale note: the global-order windows are single-partition, but they
+    run over the O(n_pairs) sample, not the corpus — bounded by design.
     """
     keyed = df.select(F.col(key).alias("k"), F.col(rank).alias("r"))
     n = keyed.count()
-    frac = min(1.0, 4.0 * n_pairs / max(n * n, 1)) ** 0.5
-    a = keyed.sample(withReplacement=True, fraction=max(frac * n, 1.0) / n, seed=seed)
-    a = a.withColumn("__i", F.monotonically_increasing_id())
-    b = keyed.sample(
-        withReplacement=True, fraction=max(frac * n, 1.0) / n, seed=seed + 1
-    ).withColumn("__i", F.monotonically_increasing_id())
+    # aim for ~2*n_pairs candidate rows per side (capped at the table size)
+    p = min(1.0, 2.0 * n_pairs / max(n, 1))
+
+    def _hash_sample(s, salt):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(salt), "k", "r")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        )
+        return s.filter(u < F.lit(p))
+
+    def _det_index(s, salt):
+        w = Window.orderBy(F.md5(F.concat_ws("|", F.lit(salt), "k", "r")))
+        return s.withColumn("__i", F.row_number().over(w))
+
+    a = _det_index(_hash_sample(keyed, f"{seed}a"), f"{seed}oa")
+    b = _det_index(_hash_sample(keyed, f"{seed}b"), f"{seed}ob")
     cand = (
         a.alias("x")
         .join(b.alias("y"), "__i")
@@ -231,5 +260,116 @@ def random_ordered_pairs(
         F.when(F.col("r1") >= F.col("r2"), F.col("k2"))
         .otherwise(F.col("k1"))
         .alias("off_key"),
+    ).dropDuplicates(["on_key", "off_key"])
+    w_cap = Window.orderBy(
+        F.md5(F.concat_ws("|", F.lit(str(seed)), "on_key", "off_key"))
     )
-    return oriented.dropDuplicates(["on_key", "off_key"]).limit(n_pairs)
+    return (
+        oriented.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= n_pairs)
+        .drop("__rn")
+    )
+
+
+def _hash_rank_cap(df: DataFrame, partition_cols, order_cols, cap: int):
+    """Deterministic analogue of the reference's random subsampling: keep
+    the first `cap` rows per partition under a content-hash order. Engine-
+    and layout-independent (row_number over md5 of the row's own keys)."""
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.md5(F.concat_ws("|", *order_cols))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def clinical_pairs(
+    df: DataFrame,
+    key: str,
+    stage: str = "stage",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    min_ht_gap: float = 0.0,
+    considered: DataFrame | None = None,
+    intra_cap: int | None = None,
+    inter_cap: int | None = None,
+    inter_rows_per_stage: int | None = None,
+) -> DataFrame:
+    """Intra + inter entity clinical-comparison pairs.
+
+    Parity: dssGenerateClinicalComparisons (dssFunctionLibrary.R:119-171).
+    - rows restricted to `considered` entities (:133-135 consideredIDs)
+      and non-negative stages (:67 uniq_stages >= 0);
+    - pass 1 (intra, :139-152): per-entity cross-stage pairs (stage_on >
+      stage_off, |ts gap| >= min_ht_gap), capped per (entity, stage-combo)
+      by intra_cap;
+    - pass 2 (inter, :156-168): the SAME pair generation globally across
+      entities, restricted to rows already used by pass 1 ("generate pairs
+      only between entries that were already used"), capped per stage-combo
+      by inter_cap;
+    - output: union, deduped (:169 unique(rbind(...))), pair_type = 'intra'
+      for pairs produced by pass 1.
+
+    Where the reference subsamples RANDOMLY (subsampleSetOfPossiblePairs,
+    :38-52), this engine caps DETERMINISTICALLY by content-hash rank, so
+    results are engine/layout/seed-independent and oracle-checkable.
+
+    Scale: the inter pass is a global self-join — quadratic in the used-row
+    count. inter_rows_per_stage bounds it the way the reference's sampling
+    does: cap the used rows per stage (hash-rank) BEFORE the join, so the
+    join input — not just the output — is bounded.
+    """
+    d = df.filter(F.col(stage) >= 0)
+    if considered is not None:
+        d = d.join(considered, entity, "left_semi")
+
+    intra = cross_stage_pairs(
+        d, key, stage, entity, ts, min_ht_gap, within_entity=True
+    )
+    if intra_cap is not None:
+        intra = _hash_rank_cap(
+            intra,
+            ["on_entity", "on_stage", "off_stage"],
+            ["on_key", "off_key"],
+            intra_cap,
+        )
+    intra = intra.select("on_key", "off_key", "on_stage", "off_stage").persist()
+    intra.count()  # consumed by used-keys and the final union
+
+    used = (
+        intra.select(F.col("on_key").alias(key))
+        .unionByName(intra.select(F.col("off_key").alias(key)))
+        .distinct()
+    )
+    used_rows = d.join(used, key, "left_semi")
+    if inter_rows_per_stage is not None:
+        used_rows = _hash_rank_cap(
+            used_rows, [stage], [F.col(key).cast("string")], inter_rows_per_stage
+        )
+    inter = cross_stage_pairs(
+        used_rows, key, stage, entity, ts, min_ht_gap, within_entity=False
+    )
+    if inter_cap is not None:
+        inter = _hash_rank_cap(
+            inter, ["on_stage", "off_stage"], ["on_key", "off_key"], inter_cap
+        )
+    inter = inter.select("on_key", "off_key", "on_stage", "off_stage")
+
+    both = intra.withColumn("__prio", F.lit(0)).unionByName(
+        inter.withColumn("__prio", F.lit(1))
+    )
+    return (
+        both.groupBy("on_key", "off_key")
+        .agg(
+            F.min("on_stage").alias("on_stage"),
+            F.min("off_stage").alias("off_stage"),
+            F.min("__prio").alias("__prio"),
+        )
+        .withColumn(
+            "pair_type",
+            F.when(F.col("__prio") == 0, F.lit("intra")).otherwise(F.lit("inter")),
+        )
+        .drop("__prio")
+    )

@@ -1245,18 +1245,23 @@ SQL_VALUE_COUNTS = "SELECT event_type, count(*) AS n FROM events GROUP BY 1"
 
 
 def q_set_ops(spark, sf_dir):
+    """Distinct-set union/intersect/except cardinalities in ONE job:
+    one scan of events, one shuffle on user_id (bool_or per side), one
+    conditional-count agg — replaces the naive 3-actions/3-scans plan
+    (was the only reason a trivial query cost 3.7 s in the r1 bench)."""
     ev = _events(spark, sf_dir)
-    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    c = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    return spark.createDataFrame(
-        [
-            (
-                p.union(c).distinct().count(),
-                p.intersect(c).count(),
-                p.exceptAll(c).count(),
-            )
-        ],
-        "n_union long, n_intersect long, n_except long",
+    sides = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "purchase").alias("__p"),
+            F.max(F.col("event_type") == "click").alias("__c"),
+        )
+    )
+    return sides.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(F.col("__p") & F.col("__c"), 1)).alias("n_intersect"),
+        F.count(F.when(F.col("__p") & ~F.col("__c"), 1)).alias("n_except"),
     )
 
 
@@ -1606,4 +1611,94 @@ _RAW_ORACLES.update(
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
     }
 )
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_clinical_pairs(spark, sf_dir):
+    """Intra+inter clinical comparisons (dssGenerateClinicalComparisons
+    parity, dssFunctionLibrary.R:119-171): purchase rows, stage =
+    event_id % 4, considered entities = user_id % 5 == 0; per-entity pairs
+    capped at 3 per (entity, stage-combo), then a global inter-entity pass
+    over used rows (40 rows/stage) capped at 50 per stage-combo. All caps
+    are content-hash-rank (deterministic), mirrored exactly in the oracle."""
+    from mpds_spark.operators.pairs import clinical_pairs
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    d = ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        (F.col("event_id") % 4).alias("stage"),
+    )
+    considered = (
+        d.filter(F.col("entity_id") % 5 == 0).select("entity_id").distinct()
+    )
+    return clinical_pairs(
+        d,
+        key="event_id",
+        min_ht_gap=3600.0,
+        considered=considered,
+        intra_cap=3,
+        inter_rows_per_stage=40,
+        inter_cap=50,
+    )
+
+
+SQL_CLINICAL_PAIRS = """
+WITH p AS (
+  SELECT event_id, user_id, epoch(ts) AS t, event_id % 4 AS stage
+  FROM events
+  WHERE event_type = 'purchase' AND user_id % 5 = 0 AND event_id % 4 >= 0
+),
+intra0 AS (
+  SELECT a.event_id AS on_key, b.event_id AS off_key,
+         a.stage AS on_stage, b.stage AS off_stage, a.user_id AS on_entity
+  FROM p a JOIN p b
+    ON a.user_id = b.user_id AND a.stage > b.stage AND abs(a.t - b.t) >= 3600
+),
+intra AS (
+  SELECT on_key, off_key, on_stage, off_stage FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY on_entity, on_stage, off_stage
+      ORDER BY md5(on_key || '|' || off_key)) AS rn
+    FROM intra0) WHERE rn <= 3
+),
+used AS (
+  SELECT on_key AS event_id FROM intra
+  UNION
+  SELECT off_key FROM intra
+),
+ur AS (
+  SELECT * FROM (
+    SELECT p.*, row_number() OVER (
+      PARTITION BY stage ORDER BY md5(CAST(event_id AS VARCHAR))) AS rn
+    FROM p WHERE event_id IN (SELECT event_id FROM used)
+  ) WHERE rn <= 40
+),
+inter0 AS (
+  SELECT a.event_id AS on_key, b.event_id AS off_key,
+         a.stage AS on_stage, b.stage AS off_stage
+  FROM ur a JOIN ur b
+    ON a.stage > b.stage AND abs(a.t - b.t) >= 3600
+),
+inter AS (
+  SELECT on_key, off_key, on_stage, off_stage FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY on_stage, off_stage
+      ORDER BY md5(on_key || '|' || off_key)) AS rn
+    FROM inter0) WHERE rn <= 50
+)
+SELECT on_key, off_key, min(on_stage) AS on_stage,
+  min(off_stage) AS off_stage,
+  CASE WHEN min(prio) = 0 THEN 'intra' ELSE 'inter' END AS pair_type
+FROM (
+  SELECT *, 0 AS prio FROM intra
+  UNION ALL
+  SELECT *, 1 AS prio FROM inter
+)
+GROUP BY on_key, off_key
+"""
+
+QUERIES["clinical_pairs"] = q_clinical_pairs
+_RAW_ORACLES["clinical_pairs"] = SQL_CLINICAL_PAIRS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
