@@ -23,14 +23,28 @@ from pyspark.sql import functions as F
 
 
 def fit_robust_scaler(
-    df: DataFrame, cols: list[str], q_low: float = 0.25, q_high: float = 0.75
+    df: DataFrame,
+    cols: list[str],
+    q_low: float = 0.25,
+    q_high: float = 0.75,
+    approx: bool = False,
+    accuracy: int = 10000,
 ) -> dict[str, tuple[float, float]]:
-    """One agg pass → {col: (median, iqr)}. Exact percentiles (sklearn parity)."""
+    """One agg pass → {col: (median, iqr)}.
+
+    approx=False (default): exact `percentile` — sklearn parity, used by
+    every oracle query; single-reduce sort per column, fine to ~10^8 rows.
+    approx=True: `approx_percentile` (Greenwald-Khanna sketch, mergeable
+    partials) — the 100-TB fit path for wide (400+ col) fits, where the
+    exact variant's per-column sort buffers don't fit; error is bounded by
+    1/accuracy of the rank."""
+    fn = "approx_percentile" if approx else "percentile"
+    acc = f", {accuracy}" if approx else ""
     aggs = []
     for c in cols:
         aggs.append(
             F.expr(
-                f"percentile(`{c}`, array(0.5, {q_low}, {q_high}))"
+                f"{fn}(`{c}`, array(0.5, {q_low}, {q_high}){acc})"
             ).alias(f"__p_{c}")
         )
     row = df.agg(*aggs).collect()[0]

@@ -61,13 +61,47 @@ def cosine_topk(
 
 
 def sign_code(col: str, bits: int = 4) -> Column:
-    """Deterministic b-bit bucket: sign bits of the first b components."""
+    """Deterministic b-bit bucket: sign bits of the first b components.
+    Axis-aligned — engine-portable (DuckDB oracle twin), but a weak hash
+    for real embeddings whose energy concentrates in few axes; production
+    path is random_hyperplane_code."""
     code = F.lit(0)
     for i in range(bits):
         code = code + F.when(
             F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return code.cast("int")
+
+
+def random_hyperplane_code(
+    col: str, bits: int, dim: int, seed: int = 42
+) -> Column:
+    """Production LSH bucket: b-bit sign code against seeded random Gaussian
+    hyperplanes (the classic SRP / sim-hash for cosine). The planes are
+    generated driver-side (numpy, deterministic by seed) and embedded as
+    array literals, so the per-row dot products stay JVM-side (zip_with +
+    aggregate) — no Python in the hot path, and the same seed gives the
+    same buckets on any cluster layout."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    code = F.lit(0)
+    for i in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        d = _dot(F.transform(F.col(col), lambda x: x.cast("double")), plane)
+        code = code + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return code.cast("int")
+
+
+def _probe_codes(code: Column, bits: int, n_probes: int) -> Column:
+    """Multiprobe set: the code itself plus the n_probes codes at Hamming
+    distance 1 (one bucket boundary flipped). Recall rises steeply with a
+    few probes because near-misses usually differ in exactly one sign."""
+    probes = [code]
+    for i in range(min(n_probes, bits)):
+        probes.append(code.bitwiseXOR(F.lit(1 << i)))
+    return F.array(*probes)
 
 
 def lsh_cosine_topk(
@@ -77,19 +111,36 @@ def lsh_cosine_topk(
     bits: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    code_fn=None,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-code
-    bucket — an equi-join on the code instead of a cross join."""
+    bucket — an equi-join on the code instead of a cross join.
+
+    code_fn: column factory (vec_col, bits) -> Column; defaults to the
+    axis-aligned sign_code (oracle-portable). Pass
+    lambda c, b: random_hyperplane_code(c, b, dim, seed) for production.
+    n_probes: additionally probe that many Hamming-1 neighbor buckets of
+    each QUERY's code (vectors stay single-bucket, so the corpus is still
+    scanned once; only the small query side fans out)."""
+    if code_fn is None:
+        code_fn = sign_code
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__v"),
-        sign_code(vec_col, bits).alias("__code"),
+        code_fn(vec_col, bits).alias("__code"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__q"),
-        sign_code(vec_col, bits).alias("__code"),
+        code_fn(vec_col, bits).alias("__qcode"),
     )
+    if n_probes > 0:
+        q = q.withColumn(
+            "__code", F.explode(_probe_codes(F.col("__qcode"), bits, n_probes))
+        ).drop("__qcode")
+    else:
+        q = q.withColumnRenamed("__qcode", "__code")
     j = v.join(F.broadcast(q), "__code").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

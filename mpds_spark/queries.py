@@ -1203,19 +1203,35 @@ SELECT rank, user_id, max_value FROM (
 
 def q_histogram_lift(spark, sf_dir):
     """20-bucket histogram of value + cumulative lift (dssFunctionLibrary
-    1779-1796 parity: hist + cumsum ratios)."""
+    1779-1796 parity: hist + cumsum ratios).
+
+    One ACTION (was 3): the (min, max) fit is a broadcast-joined 1-row
+    subquery instead of a driver collect, and the total comes from a window
+    sum over the tiny 20-row counts frame instead of a third scan."""
     ev = _events(spark, sf_dir)
-    mm = ev.agg(F.min("value"), F.max("value")).collect()[0]
-    lo, hi = float(mm[0]), float(mm[1])
+    mm = ev.agg(
+        F.min("value").alias("__lo"), F.max("value").alias("__hi")
+    )
     b = F.least(
-        F.floor((F.col("value") - F.lit(lo)) / F.lit(hi - lo) * 20).cast("int"),
+        F.floor(
+            (F.col("value") - F.col("__lo"))
+            / (F.col("__hi") - F.col("__lo"))
+            * 20
+        ).cast("int"),
         F.lit(19),
     )
-    counts = ev.groupBy(b.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        ev.join(F.broadcast(mm))
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    total = ev.count()
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return counts.withColumn(
-        "cum_ratio", _r6(F.sum("n").over(w) / F.lit(float(total)))
+        "cum_ratio",
+        _r6(F.sum("n").over(w) / F.sum("n").over(w_all).cast("double")),
     ).select("bucket", "n", "cum_ratio")
 
 
@@ -1277,27 +1293,33 @@ SELECT
 
 def q_discrete_entropy_mi(spark, sf_dir):
     """Table-level discrete entropy + MI (InfoTheory parity at table scale):
-    x = event_type, y = (value > 15). H from value counts; MI = Hx+Hy-Hxy."""
+    x = event_type, y = (value > 15). H from value counts; MI = Hx+Hy-Hxy.
+
+    ONE grouped job (was 4 actions / 4 scans): a single groupBy(x, y) pass
+    produces the joint cell counts; marginals and the total are window sums
+    over the TINY |X|x|Y| cell frame, and each marginal entropy folds back
+    to a sum over cells: H(X) = -sum_cells (c/n)*log2(cx/n), because the
+    cells of one x group to (cx/n)*log2(cx/n)."""
     ev = _events(spark, sf_dir).select(
         F.col("event_type").alias("x"),
         (F.col("value") > 15).cast("int").alias("y"),
     )
-    n = ev.count()
-
-    def h(df_counts):
-        return df_counts.agg(
-            F.sum(
-                -(F.col("c") / F.lit(float(n)))
-                * F.log2(F.col("c") / F.lit(float(n)))
-            ).alias("h")
-        ).collect()[0]["h"]
-
-    hx = h(ev.groupBy("x").agg(F.count(F.lit(1)).alias("c")))
-    hy = h(ev.groupBy("y").agg(F.count(F.lit(1)).alias("c")))
-    hxy = h(ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c")))
-    return spark.createDataFrame(
-        [(round(hx, 6), round(hy, 6), round(hx + hy - hxy, 6))],
-        "h_x double, h_y double, mi_xy double",
+    cells = ev.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    cells = (
+        cells.withColumn("n", F.sum("c").over(Window.partitionBy()))
+        .withColumn("cx", F.sum("c").over(Window.partitionBy("x")))
+        .withColumn("cy", F.sum("c").over(Window.partitionBy("y")))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    raw = cells.agg(
+        F.sum(-p * F.log2(F.col("cx") / F.col("n").cast("double"))).alias("hx"),
+        F.sum(-p * F.log2(F.col("cy") / F.col("n").cast("double"))).alias("hy"),
+        F.sum(-p * F.log2(p)).alias("hxy"),
+    )
+    return raw.select(
+        _r6(F.col("hx")).alias("h_x"),
+        _r6(F.col("hy")).alias("h_y"),
+        _r6(F.col("hx") + F.col("hy") - F.col("hxy")).alias("mi_xy"),
     )
 
 
