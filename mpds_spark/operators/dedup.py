@@ -135,11 +135,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    df: DataFrame, text: str = "text", key: str = "doc_id", k: int = 8, n: int = 3
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """k-hash MinHash signature per doc: h_i = min over shingles of
-    md5('<i>|' || shingle) — hex strings, engine-portable."""
-    sh = shingles(df, text, n=n)
+    md5('<i>|' || shingle) — hex strings, engine-portable.
+
+    shingle_df: optional precomputed (key, shingle) frame (e.g. a persisted
+    one shared with a verify stage) — avoids re-exploding the corpus."""
+    sh = shingles(df, text, n=n) if shingle_df is None else shingle_df
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -154,10 +162,11 @@ def lsh_candidate_pairs(
     k: int = 8,
     band_size: int = 2,
     n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs whose MinHash signatures agree on at
     least one full band (band hash = concat of band_size signature slots)."""
-    sig = minhash_signature(df, text, key, k, n)
+    sig = minhash_signature(df, text, key, k, n, shingle_df=shingle_df)
     bands = []
     for b in range(k // band_size):
         cols = [f"h{b * band_size + j}" for j in range(band_size)]
@@ -214,7 +223,20 @@ def near_dup_pairs(
         .persist()
     )
     sh.count()  # eager: consumed by candidates, sizes and both verify legs
-    cand = lsh_candidate_pairs(df, text, key, k, band_size, n)
+    cand = lsh_candidate_pairs(
+        df,
+        text,
+        key,
+        k,
+        band_size,
+        n,
+        # reuse the persisted shingle frame for the signatures too — one
+        # corpus explode for the whole candidates+verify pipeline. NOTE:
+        # with max_df set, signatures are computed over the SAME filtered
+        # universe as the verify stage (consistent, and the DF cut only
+        # removes near-zero-signal shingles from the min-hash pool).
+        shingle_df=sh.select(F.col("k").alias(key), "shingle"),
+    )
     sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
     # verify: shingles of doc_a restricted to candidate pairs, matched
     # against shingles of doc_b — both joins are doc-keyed (no shingle key)

@@ -112,3 +112,42 @@ def test_salted_expanding_sum_equals_plain(spark):
         .to_numpy()
     )
     np.testing.assert_array_equal(got, exp)
+
+
+def test_salted_key_no_collision_numeric_suffix_entities(spark):
+    """ADVICE r1 (high): entity 'u1' at chunk 12 and entity 'u11' at chunk 2
+    must NOT merge into one salted group. With a collision, u11's right row
+    would leak into u1's as-of matches (or vice versa); with the sentinel
+    separator the salted result equals the unsalted one exactly."""
+    day = 86400.0
+    lpdf = pd.DataFrame(
+        {
+            # u1 rows live in chunks 11-12, u11 rows in chunks 1-2:
+            # concat without a separator gives 'u112' for BOTH (u1|12, u11|2)
+            "entity_id": ["u1", "u1", "u11", "u11"],
+            "ts": [11.5 * day, 12.5 * day, 1.5 * day, 2.5 * day],
+            "lv": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "entity_id": ["u1", "u11"],
+            "ts": [11.2 * day, 1.2 * day],
+            "rv": [100.0, 200.0],
+        }
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    plain = asof_join(left, right).orderBy("entity_id", "ts").toPandas()
+    salted = (
+        salted_asof_join(left, right, chunk_span=day)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert plain[["entity_id", "ts", "rv"]].equals(
+        salted[["entity_id", "ts", "rv"]]
+    )
+    # and each entity matched its OWN right row
+    by_e = {r.entity_id: set(salted[salted.entity_id == r.entity_id]["rv"])
+            for r in right.collect()}
+    assert by_e["u1"] == {100.0} and by_e["u11"] == {200.0}
