@@ -87,3 +87,82 @@ def test_streaming_job_runs_end_to_end(spark, tmp_path):
         spark.createDataFrame(pdf, SCHEMA), gap="30 minutes"
     ).count()
     assert got == batch_n > 0
+
+
+def test_stateful_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """Streaming as-of enrichment (applyInPandasWithState) pinned against
+    the batch asof_join: same (obs -> latest ref at-or-before) matches when
+    arrival order respects event time (files fed in ts order, one file per
+    micro-batch so state must carry across batches)."""
+    import numpy as np
+    import pandas as pd
+
+    from mpds_spark.operators.asof import asof_join
+    from mpds_spark.streaming.stateful import (
+        EVENT_SCHEMA,
+        streaming_asof_enrich,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for e in ["a", "b", "c"]:
+        n = 60
+        ts = np.sort(rng.uniform(0, 1000, n)).round(3)
+        kinds = np.where(rng.uniform(size=n) < 0.3, "ref", "obs")
+        vals = rng.normal(size=n).round(4)
+        rows.append(
+            pd.DataFrame(
+                {"entity_id": e, "ts": ts, "kind": kinds, "value": vals}
+            )
+        )
+    pdf = pd.concat(rows, ignore_index=True).sort_values("ts")
+
+    # 3 files in event-time order -> 3 micro-batches (maxFilesPerTrigger=1)
+    src = str(tmp_path / "asof_src")
+    chunks = np.array_split(pdf, 3)
+    for i, ch in enumerate(chunks):
+        spark.createDataFrame(ch, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("asof_enrich_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("select * from asof_enrich_test")
+            .orderBy("entity_id", "ts")
+            .toPandas()
+        )
+    finally:
+        q.stop()
+
+    df = spark.createDataFrame(pdf, EVENT_SCHEMA)
+    obs = df.filter("kind = 'obs'").select("entity_id", "ts", "value")
+    ref = df.filter("kind = 'ref'").select(
+        "entity_id", "ts", F.col("value").alias("ref_val")
+    )
+    exp = (
+        asof_join(obs, ref, on="ts", by="entity_id")
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    np.testing.assert_array_equal(
+        got["entity_id"].to_numpy(), exp["entity_id"].to_numpy()
+    )
+    for s_col, b_col in [("ref_val", "ref_val"), ("ref_ts", "ts_r")]:
+        a = got[s_col].to_numpy(dtype=float)
+        b = exp[b_col].to_numpy(dtype=float)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f"mismatch in {s_col}"
