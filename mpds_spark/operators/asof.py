@@ -121,7 +121,7 @@ def asof_join(
     left: DataFrame,
     right: DataFrame,
     on: str = "ts",
-    by: str = "entity_id",
+    by: str | list[str] = "entity_id",
     direction: str = "backward",
     tolerance: float | None = None,
     allow_exact_matches: bool = True,
@@ -131,22 +131,25 @@ def asof_join(
     strategy: str | None = None,
 ) -> DataFrame:
     """Point-in-time as-of join: for each left row, the latest right row of
-    the same `by` key with right.on <= left.on (backward; >= for forward).
+    the same `by` key(s) with right.on <= left.on (backward; >= for forward).
 
     Matches pandas.merge_asof semantics (differentially tested against it).
-    tolerance is in the on-column's unit (seconds for numeric/timestamp).
-    strategy: "window" (default; JVM-only, see module docstring) or
-    "cogroup" (Arrow searchsorted; the only one supporting "nearest").
+    `by` may be a single column or a list (composite key — e.g. the salted
+    (entity, chunk) pair). tolerance is in the on-column's unit (seconds
+    for numeric/timestamp). strategy: "window" (default; JVM-only, see
+    module docstring) or "cogroup" (Arrow searchsorted; the only one
+    supporting "nearest").
     """
     if direction != "backward" and not leakage_ok:
         raise LeakageError(
             f"asof_join(direction={direction!r}) looks forward in time; "
             "pass leakage_ok=True (labels/eval only, never features)."
         )
+    by_list = [by] if isinstance(by, str) else list(by)
     if strategy is None:
         strategy = "cogroup" if direction == "nearest" else "window"
     if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (on, by)]
+        right_cols = [c for c in right.columns if c not in [on, *by_list]]
     # disambiguate collisions with left columns
     out_names = {}
     for c in right_cols:
@@ -157,7 +160,7 @@ def asof_join(
         if direction == "nearest":
             raise ValueError("strategy='window' supports backward/forward only")
         return _asof_window(
-            left, right, on, by, direction, tolerance, allow_exact_matches,
+            left, right, on, by_list, direction, tolerance, allow_exact_matches,
             right_cols, out_names, right_on_out,
         )
     if strategy != "cogroup":
@@ -166,8 +169,9 @@ def asof_join(
     # Alias every right column to a fresh name: when left and right share
     # lineage (self-as-of over one table), identical attribute ids make the
     # analyzer dedupe/prune right-side columns out of the cogroup silently.
+    by_aliases = [f"__asof_by{i}" for i in range(len(by_list))]
     r = right.select(
-        F.col(by).alias("__asof_by"),
+        *[F.col(b).alias(a) for b, a in zip(by_list, by_aliases)],
         F.col(on).alias("__asof_on"),
         *[F.col(c).alias(out_names[c]) for c in right_cols],
     )
@@ -210,8 +214,8 @@ def asof_join(
         return out
 
     return (
-        left.groupBy(by)
-        .cogroup(r.groupBy("__asof_by"))
+        left.groupBy(*by_list)
+        .cogroup(r.groupBy(*by_aliases))
         .applyInPandas(merge, out_schema)
     )
 
@@ -220,7 +224,7 @@ def _asof_window(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    by: str,
+    by: list[str],
     direction: str,
     tolerance: float | None,
     allow_exact_matches: bool,
@@ -249,10 +253,10 @@ def _asof_window(
         "__r", F.lit(None).cast(right.select(payload).schema[0].dataType)
     )
     r_tag = right.select(
-        F.col(by), F.col(on), payload.alias("__r")
+        *[F.col(b) for b in by], F.col(on), payload.alias("__r")
     ).withColumn("__side", F.lit(0))
     for f in left.schema.fields:
-        if f.name not in (by, on):
+        if f.name not in [*by, on]:
             r_tag = r_tag.withColumn(f.name, F.lit(None).cast(f.dataType))
     u = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
@@ -267,7 +271,7 @@ def _asof_window(
         else [F.col(on).desc(), side_rank.asc()]
     )
     w = (
-        Window.partitionBy(by)
+        Window.partitionBy(*by)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

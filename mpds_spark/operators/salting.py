@@ -82,30 +82,22 @@ def salted_asof_join(
     )
     r_all = r_tag.select(by, "__chunk", on, *right_cols).unionByName(carry_rows)
 
-    # join within the salted key (entity, chunk): encode as one key column
-    # sentinel separator: must be explicit and impossible in entity ids —
-    # an empty/absent separator would merge e.g. entity "u1" chunk 2251
-    # with entity "u12" chunk 251 (both "u12251") across entities
-    sep = F.lit("\u001f")
-    l_salted = l_tag.withColumn(
-        "__skey", F.concat(F.col(by).cast("string"), sep, F.col("__chunk"))
-    )
-    r_salted = r_all.withColumn(
-        "__skey", F.concat(F.col(by).cast("string"), sep, F.col("__chunk"))
-    ).drop(by, "__chunk")
-
+    # join within the salted key: (entity, chunk) stays a TWO-COLUMN
+    # composite key (asof_join supports by=[...]), so there is no string
+    # encoding that could collide (e.g. entity 'u1' chunk 2251 vs entity
+    # 'u12' chunk 251 under concatenation).
     # strategy defaults to "cogroup": that's the path whose per-group pandas
     # memory the salting bounds (the "window" path never needed it).
     out = asof_join(
-        l_salted.drop("__chunk"),
-        r_salted,
+        l_tag,
+        r_all,
         on=on,
-        by="__skey",
+        by=[by, "__chunk"],
         right_cols=right_cols,
         suffix=suffix,
         strategy=strategy,
     )
-    return out.drop("__skey")
+    return out.drop("__chunk")
 
 
 def hot_entity_stats(df: DataFrame, entity: str = "entity_id", top: int = 5):

@@ -144,3 +144,39 @@ def test_asof_join_forward_requires_leakage_opt_in(spark):
             spark.createDataFrame(right),
             direction="forward",
         )
+
+
+def test_asof_join_composite_by_key(spark):
+    """by=[...] composite keys: matches must respect BOTH key columns, on
+    both physical strategies."""
+    import pandas as pd
+
+    lpdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "b"],
+            "region": ["x", "y", "x"],
+            "ts": [10.0, 10.0, 10.0],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "b"],
+            "region": ["x", "y", "y"],
+            "ts": [5.0, 6.0, 7.0],
+            "rv": [1.0, 2.0, 3.0],
+        }
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for strategy in ("window", "cogroup"):
+        out = (
+            asof_join(
+                left, right, on="ts", by=["entity_id", "region"],
+                strategy=strategy,
+            )
+            .orderBy("entity_id", "region")
+            .toPandas()
+        )
+        # (a,x)->1, (a,y)->2, (b,x)-> no match (b's only ref is region y)
+        assert out["rv"].tolist()[:2] == [1.0, 2.0]
+        assert pd.isna(out["rv"].iloc[2])
