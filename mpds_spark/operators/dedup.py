@@ -389,16 +389,17 @@ def simhash_near_dups(
         F.col("sim_lo").alias("lo_b"),
         "band", "bv",
     )
-    cand = (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-    )
     ham = (
         F.bit_count(F.expr("hi_a ^ hi_b")) + F.bit_count(F.expr("lo_a ^ lo_b"))
     ).alias("hamming")
+    # popcount-filter BEFORE the dedupe: the verify predicate is cheap
+    # column math, so pruning chance collisions first shrinks the distinct's
+    # shuffle (an exact dup still contributes its 4 band-duplicates, but
+    # far-apart pairs never reach the exchange)
     return (
-        cand.select("doc_a", "doc_b", ham)
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
