@@ -156,3 +156,46 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_fn=None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup framing of ANN): all pairs
+    sharing a sign-code bucket with cosine >= threshold.
+
+    Same two-tier shape as the text near-dup path: the bucket equi-join is
+    the candidate generator (O(corpus) per bucket, never all-pairs), the
+    exact cosine is the verify. Recall is governed by (bits, code_fn) —
+    axis-aligned sign_code stays oracle-portable; pass
+    random_hyperplane_code + more bits for production (a pair at cosine c
+    survives one random hyperplane with prob 1 - arccos(c)/pi).
+    """
+    if code_fn is None:
+        code_fn = sign_code
+    base = vectors.select(
+        F.col(id_col).alias("k"),
+        _as_double(vec_col).alias("__v"),
+        code_fn(vec_col, bits).alias("__code"),
+    )
+    a = base.select(
+        F.col("k").alias("vec_a"), F.col("__v").alias("__va"), "__code"
+    )
+    b = base.select(
+        F.col("k").alias("vec_b"), F.col("__v").alias("__vb"), "__code"
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+        _dot(F.col("__va"), F.col("__va"))
+    ) / F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    return (
+        a.join(b, "__code")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

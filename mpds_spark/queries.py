@@ -1724,3 +1724,36 @@ GROUP BY on_key, off_key
 QUERIES["clinical_pairs"] = q_clinical_pairs
 _RAW_ORACLES["clinical_pairs"] = SQL_CLINICAL_PAIRS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (driver-mandated dedup family):
+    sign-code bucket candidates -> exact cosine >= 0.35 verify."""
+    from mpds_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.35, bits=4)
+    return out.select("vec_a", "vec_b", _r6("cosine").alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS code
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+    / sqrt(list_dot_product(b.v, b.v)), 6) AS cosine
+FROM base a JOIN base b USING (code)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v))
+    / sqrt(list_dot_product(b.v, b.v)) >= 0.35
+"""
+
+QUERIES["embedding_near_dups"] = q_embedding_near_dups
+_RAW_ORACLES["embedding_near_dups"] = SQL_EMBEDDING_NEAR_DUPS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
