@@ -1757,3 +1757,66 @@ WHERE a.vec_id < b.vec_id
 QUERIES["embedding_near_dups"] = q_embedding_near_dups
 _RAW_ORACLES["embedding_near_dups"] = SQL_EMBEDDING_NEAR_DUPS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_random_ordered_pairs(spark, sf_dir):
+    """Seeded random rank-ordered pairs (createRandomPairsOrderedByRank
+    parity) over purchase events, rank = value. The operator is a pure
+    function of row content (hash-threshold sampling, hash-rank zip,
+    hash-rank cap), so the DuckDB oracle mirrors it exactly."""
+    from mpds_spark.operators.pairs import random_ordered_pairs
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    d = ev.select("event_id", "value")
+    return random_ordered_pairs(
+        d, key="event_id", rank="value", n_pairs=200, seed=42
+    )
+
+
+def _rop_u(salt: str) -> str:
+    """uniform-[0,1) hash of (salt, k, r) — DuckDB twin of the operator's
+    conv(substring(md5(concat_ws('|', salt, k, r)), 1, 8), 16, 10)/2^32."""
+    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || CAST(r AS VARCHAR)"
+    return f"('0x' || substring(md5({key}), 1, 8))::UBIGINT / 4294967296.0"
+
+
+def _rop_h(salt: str) -> str:
+    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || CAST(r AS VARCHAR)"
+    return f"md5({key})"
+
+
+SQL_RANDOM_ORDERED_PAIRS = f"""
+WITH k0 AS (
+  SELECT event_id AS k, value AS r FROM events WHERE event_type = 'purchase'
+),
+n AS (SELECT count(*)::DOUBLE AS n FROM k0),
+pa AS (
+  SELECT k, r FROM k0, n WHERE {_rop_u("42a")} < least(1.0, 2.0 * 200 / n)
+),
+pb AS (
+  SELECT k, r FROM k0, n WHERE {_rop_u("42b")} < least(1.0, 2.0 * 200 / n)
+),
+ia AS (SELECT k, r, row_number() OVER (ORDER BY {_rop_h("42oa")}) AS i FROM pa),
+ib AS (SELECT k, r, row_number() OVER (ORDER BY {_rop_h("42ob")}) AS i FROM pb),
+cand AS (
+  SELECT a.k AS k1, a.r AS r1, b.k AS k2, b.r AS r2
+  FROM ia a JOIN ib b USING (i)
+  WHERE a.k <> b.k AND a.r <> b.r
+),
+o AS (
+  SELECT DISTINCT
+    CASE WHEN r1 >= r2 THEN k1 ELSE k2 END AS on_key,
+    CASE WHEN r1 >= r2 THEN k2 ELSE k1 END AS off_key
+  FROM cand
+)
+SELECT on_key, off_key FROM (
+  SELECT *, row_number() OVER (ORDER BY
+    md5('42' || '|' || CAST(on_key AS VARCHAR)
+        || '|' || CAST(off_key AS VARCHAR))) AS rn
+  FROM o
+) WHERE rn <= 200
+"""
+
+QUERIES["random_ordered_pairs"] = q_random_ordered_pairs
+_RAW_ORACLES["random_ordered_pairs"] = SQL_RANDOM_ORDERED_PAIRS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
