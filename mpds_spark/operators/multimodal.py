@@ -80,14 +80,21 @@ def ppm_image_decoder(payload: bytes, meta) -> np.ndarray:
     # byte, then the raster (comments '#...' allowed between tokens)
     tokens, pos = [], 0
     while len(tokens) < 3:
-        while rest[pos : pos + 1].isspace():
+        while pos < len(rest) and rest[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(rest):
+            raise ValueError("truncated PPM/PGM header")
         if rest[pos : pos + 1] == b"#":
-            pos = rest.index(b"\n", pos) + 1
+            nl = rest.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM/PGM header comment")
+            pos = nl + 1
             continue
         end = pos
-        while not rest[end : end + 1].isspace():
+        while end < len(rest) and not rest[end : end + 1].isspace():
             end += 1
+        if end >= len(rest):
+            raise ValueError("truncated PPM/PGM header")
         tokens.append(int(rest[pos:end]))
         pos = end
     w, h, maxval = tokens
@@ -136,15 +143,20 @@ def default_decoder(payload: bytes, meta) -> np.ndarray:
     """Magic-byte-sniffing decoder: real decode for the uncompressed
     formats this container can handle (PCM WAV, PPM/PGM, 24-bit BMP,
     rawvideo via meta.codec); raises NotImplementedError naming the format
-    for compressed codecs (pass decoder= a codec-lib-backed callable)."""
+    for compressed codecs (pass decoder= a codec-lib-backed callable).
+
+    The explicit meta.codec declaration takes precedence over content
+    sniffing: a headerless raw frame whose first bytes happen to spell
+    'BM'/'P6'/RIFF (guaranteed occurrences at corpus scale) must not be
+    misrouted to an image/audio parser."""
+    if meta is not None and (meta["codec"] or "") == "rawvideo":
+        return raw_video_decoder(payload, meta)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return wav_audio_decoder(payload, meta)
     if payload[:2] in (b"P5", b"P6"):
         return ppm_image_decoder(payload, meta)
     if payload[:2] == b"BM":
         return bmp_image_decoder(payload, meta)
-    if meta is not None and (meta["codec"] or "") == "rawvideo":
-        return raw_video_decoder(payload, meta)
     raise NotImplementedError(
         f"no stdlib decoder for payload starting {payload[:8]!r} "
         f"(codec={meta['codec'] if meta is not None else None!r}); "

@@ -261,13 +261,8 @@ def random_ordered_pairs(
         .otherwise(F.col("k1"))
         .alias("off_key"),
     ).dropDuplicates(["on_key", "off_key"])
-    w_cap = Window.orderBy(
-        F.md5(F.concat_ws("|", F.lit(str(seed)), "on_key", "off_key"))
-    )
-    return (
-        oriented.withColumn("__rn", F.row_number().over(w_cap))
-        .filter(F.col("__rn") <= n_pairs)
-        .drop("__rn")
+    return _hash_rank_cap(
+        oriented, [], [F.lit(str(seed)), "on_key", "off_key"], n_pairs
     )
 
 

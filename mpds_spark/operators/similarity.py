@@ -89,7 +89,11 @@ def random_hyperplane_code(
     code = F.lit(0)
     for i in range(bits):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
-        d = _dot(F.transform(F.col(col), lambda x: x.cast("double")), plane)
+        # no separate cast pass: zip_with's x * y promotes float -> double
+        # per element (exact), so each bit costs ONE array traversal — a
+        # hoisted transform(cast) column would be re-evaluated per bit
+        # anyway (Spark does not CSE lambda-bearing higher-order functions)
+        d = _dot(F.col(col), plane)
         code = code + F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return code.cast("int")
 
@@ -170,11 +174,17 @@ def embedding_near_dup_pairs(
     sharing a sign-code bucket with cosine >= threshold.
 
     Same two-tier shape as the text near-dup path: the bucket equi-join is
-    the candidate generator (O(corpus) per bucket, never all-pairs), the
-    exact cosine is the verify. Recall is governed by (bits, code_fn) —
+    the candidate generator, the exact cosine is the verify. The join is
+    quadratic WITHIN each bucket — candidates ~ n^2 / 2^bits for balanced
+    buckets — so `bits` must scale with the corpus (bits ~ log2(n) + c
+    keeps expected bucket size ~2^-c * n^... constant work per doc); the
+    default bits=4 suits the small oracle fixture, NOT a 10^9-doc corpus.
+    Recall: a pair at cosine c agrees on one random hyperplane with prob
+    1 - arccos(c)/pi, so higher bits trades recall for candidate volume —
+    recover recall with multiple independent code tables (run this with
+    several seeds and union, the standard banding construction).
     axis-aligned sign_code stays oracle-portable; pass
-    random_hyperplane_code + more bits for production (a pair at cosine c
-    survives one random hyperplane with prob 1 - arccos(c)/pi).
+    random_hyperplane_code for production.
     """
     if code_fn is None:
         code_fn = sign_code

@@ -9,11 +9,15 @@ O(1) state per entity (vs buffering either stream).
 
 Semantics contract: within a micro-batch, rows are processed in event-time
 order (references visible to same-timestamp observations, matching the
-batch join's allow_exact_matches=True). ACROSS micro-batches the state only
-moves forward, so exact batch equivalence holds when per-entity arrival
-order respects event time (the usual log-shipping case). Late references
-are applied from their arrival point onward — the standard streaming
-trade-off; bound it upstream with a watermark + reorder buffer if needed.
+batch join's allow_exact_matches=True), and the carried state participates
+in that order as a synthetic reference row at its own event time — so a
+LATE reference (event time older than the state) enriches only the
+observations that precede the state in event time, and the state itself is
+monotone in event time by construction. Exact batch equivalence holds when
+per-entity arrival order respects event time (the usual log-shipping
+case); under late data the standard streaming trade-off applies — a late
+reference is visible only from its arrival batch onward, never
+retroactively; bound it upstream with a watermark + reorder buffer.
 
 Scale: state is one (ts, value) pair per entity (tiny, RocksDB/HDFS state
 store safe at 10^8 entities); the per-batch work is a vectorized pandas
@@ -56,23 +60,41 @@ def _enrich_group(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (entity,) = key
-    ref_ts, ref_val = state.get if state.exists else (None, None)
     batch = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        # inject the carried state as a synthetic ref row AT ITS OWN ts, so
+        # the event-time merge below treats it like any other reference:
+        # a late batch ref (ts < state.ts) fills only observations before
+        # the state ref, and the state itself only ever moves FORWARD in
+        # event time (a plain "fill unmatched from state" would let a late
+        # ref overwrite newer carried state)
+        ref_ts, ref_val = state.get
+        batch = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "entity_id": [entity],
+                        "ts": [ref_ts],
+                        "kind": ["ref"],
+                        "value": [ref_val],
+                    }
+                ),
+                batch,
+            ],
+            ignore_index=True,
+        )
     # event-time order; references sort BEFORE observations at equal ts so
-    # an obs at t sees a ref at t (allow_exact_matches=True parity)
+    # an obs at t sees a ref at t (allow_exact_matches=True parity). The
+    # mergesort is stable, so the injected state row precedes a batch ref
+    # at the same ts and the newer (batch) one wins the ffill tie.
     batch = batch.sort_values(
         ["ts", "kind"],
         key=lambda s: s.map({"ref": 0, "obs": 1}) if s.name == "kind" else s,
         kind="mergesort",
     )
     is_ref = (batch["kind"] == "ref").to_numpy()
-    # carried-state ffill: reference columns, forward-filled from the prior
-    # micro-batches' state
     r_ts = batch["ts"].where(is_ref).ffill()
     r_val = batch["value"].where(is_ref).ffill()
-    if ref_ts is not None:
-        r_ts = r_ts.fillna(ref_ts)
-        r_val = r_val.fillna(ref_val)
     obs = ~is_ref
     out = pd.DataFrame(
         {
@@ -84,10 +106,10 @@ def _enrich_group(
         }
     )
     if is_ref.any():
+        # max-event-time ref (sorted ascending -> the last ref row); with
+        # the injected state row included this is monotone by construction
         last = batch[is_ref].iloc[-1]
         state.update((float(last["ts"]), float(last["value"])))
-    elif state.exists:
-        state.update((ref_ts, ref_val))
     yield out
 
 

@@ -208,3 +208,25 @@ def test_raw_video_frames_real_bytes(spark):
     np.testing.assert_allclose(
         np.asarray(out.frame.iloc[1], float), video[3] / 255.0, atol=1e-12
     )
+
+
+def test_ppm_truncated_header_raises():
+    from mpds_spark.operators.multimodal import ppm_image_decoder
+
+    for bad in (b"P6 12", b"P6\n#comment with no newline", b"P6 3 2"):
+        with pytest.raises(ValueError, match="truncated"):
+            ppm_image_decoder(bad, None)
+
+
+def test_rawvideo_magic_collision_routes_by_meta():
+    """default_decoder must honor meta.codec='rawvideo' even when the frame
+    bytes begin with an image/audio magic (b'BM' here)."""
+    from mpds_spark.operators.multimodal import default_decoder
+
+    frame = np.full((2, 4), 0, dtype=np.uint8)
+    payload = (b"BM" + frame.tobytes()[2:])  # first two luma pixels = 66,77
+    meta = {"width": 4, "height": 2, "sample_rate": 0,
+            "n_frames": 1, "codec": "rawvideo"}
+    out = default_decoder(payload, meta)
+    assert out.shape == (1, 8)
+    assert out[0, 0] == 66 / 255.0 and out[0, 1] == 77 / 255.0

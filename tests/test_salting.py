@@ -117,8 +117,9 @@ def test_salted_expanding_sum_equals_plain(spark):
 def test_salted_key_no_collision_numeric_suffix_entities(spark):
     """ADVICE r1 (high): entity 'u1' at chunk 12 and entity 'u11' at chunk 2
     must NOT merge into one salted group. With a collision, u11's right row
-    would leak into u1's as-of matches (or vice versa); with the sentinel
-    separator the salted result equals the unsalted one exactly."""
+    would leak into u1's as-of matches (or vice versa); the salted join now
+    keys on the (entity, chunk) two-column composite, so no string encoding
+    exists to collide, and the salted result equals the unsalted exactly."""
     day = 86400.0
     lpdf = pd.DataFrame(
         {

@@ -166,3 +166,57 @@ def test_stateful_asof_enrich_matches_batch_asof(spark, tmp_path):
         b = exp[b_col].to_numpy(dtype=float)
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), f"mismatch in {s_col}"
+
+
+def test_stateful_asof_enrich_late_reference(spark, tmp_path):
+    """A late reference (event time older than the carried state) must only
+    enrich observations BEFORE the state in event time; the state stays
+    monotone (obs after the state still see the newer reference)."""
+    import pandas as pd
+
+    from mpds_spark.streaming.stateful import (
+        EVENT_SCHEMA,
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "late_src")
+    b1 = pd.DataFrame(
+        {"entity_id": ["a"], "ts": [100.0], "kind": ["ref"], "value": [1.0]}
+    )
+    b2 = pd.DataFrame(
+        {
+            "entity_id": ["a", "a", "a"],
+            "ts": [50.0, 70.0, 200.0],
+            "kind": ["ref", "obs", "obs"],
+            "value": [2.0, 0.0, 0.0],
+        }
+    )
+    for ch in (b1, b2):
+        spark.createDataFrame(ch, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_asof_enrich(stream)
+        .writeStream.format("memory")
+        .queryName("late_ref_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("select * from late_ref_test").orderBy("ts").toPandas()
+        )
+    finally:
+        q.stop()
+    # obs@70: latest at-or-before among seen = late ref@50 (value 2.0)
+    # obs@200: the carried state ref@100 (value 1.0), NOT the late one
+    assert got["ts"].tolist() == [70.0, 200.0]
+    assert got["ref_val"].tolist() == [2.0, 1.0]
+    assert got["ref_ts"].tolist() == [50.0, 100.0]
