@@ -44,6 +44,14 @@ def salted_asof_join(
     the right side contributes its own-chunk rows PLUS a carry row — the
     latest right row of any earlier chunk — so matches across chunk
     boundaries are preserved exactly.
+
+    Tie caveat: "identical to the unsalted join" holds when the right side
+    is UNIQUE on (by, on). With duplicate right timestamps the carry picks
+    the max-by-struct row among the tied latest, while an unsalted as-of's
+    winner among ties is engine/scan-order-dependent in ANY engine — a
+    tied as-of match is not well-posed. Pre-aggregate duplicates (e.g.
+    one row per (entity, ts)) when exact cross-engine parity matters; the
+    asof_salted catalog query does exactly that and is driver-gate EXACT.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]

@@ -1820,3 +1820,57 @@ SELECT on_key, off_key FROM (
 QUERIES["random_ordered_pairs"] = q_random_ordered_pairs
 _RAW_ORACLES["random_ordered_pairs"] = SQL_RANDOM_ORDERED_PAIRS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_asof_salted(spark, sf_dir):
+    """The SALTED as-of path through the driver gate: asof_orders semantics
+    executed via salted_asof_join with a 30-day chunk span (many chunks per
+    entity + boundary-carry replay exercised at sf scale). The oracle is a
+    PLAIN ASOF JOIN — the gate thus certifies the documented salted ==
+    unsalted equivalence on real data, not just a pytest fixture.
+
+    Orders are pre-aggregated to one row per (entity, ts) (max price):
+    ~32 customers place 2 orders on the same date at sf0.01, and an as-of
+    match against duplicate timestamps has no defined winner in EITHER
+    engine — the dedupe makes the query well-posed without weakening the
+    chunk/carry coverage."""
+    from mpds_spark.operators.salting import salted_asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("entity_id"),
+            F.col("o_orderdate").cast("timestamp").cast("double").alias("ts"),
+        )
+        .agg(F.max("o_totalprice").alias("o_totalprice"))
+    )
+    out = salted_asof_join(
+        ev, orders, on="ts", by="entity_id", chunk_span=30 * 86400.0
+    )
+    return out.select(
+        "event_id",
+        F.col("o_totalprice").alias("last_order_price"),
+        _r6("ts_r").alias("last_order_ts"),
+    )
+
+
+SQL_ASOF_SALTED = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+), o AS (
+  SELECT o_custkey, epoch(o_orderdate) AS t, max(o_totalprice) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, o.o_totalprice AS last_order_price,
+       round(o.t, 6) AS last_order_ts
+FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.t >= o.t
+"""
+
+QUERIES["asof_salted"] = q_asof_salted
+_RAW_ORACLES["asof_salted"] = SQL_ASOF_SALTED
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
