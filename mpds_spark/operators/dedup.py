@@ -8,8 +8,11 @@ All JVM-side (higher-order array functions + joins) — no Python UDFs:
   is computable in any engine (DuckDB oracle twin).
 - LSH candidate pairs: band the signature, bucket-join on (band_id, band
   hash) — candidates = pairs agreeing on >= 1 full band.
-- SimHash (16-bit): per-bit sign-sum of word hashes, term-frequency
-  weighted.
+- near_dup_pairs: LSH candidates → exact-Jaccard verify over ONE shared
+  persisted shingle frame — the two-tier default at corpus scale.
+- SimHash: 16-bit (back-compat oracle) and 64-bit as two 32-bit halves;
+  simhash_near_dups = 4x16-bit pigeonhole band join (guaranteed recall at
+  Hamming <= 3) + popcount verify.
 
 Scale notes: shingle explode multiplies rows by ~doc length — the
 self-join partitions by shingle, so hot shingles (stopword n-grams) skew;

@@ -45,6 +45,12 @@ def salted_asof_join(
     latest right row of any earlier chunk — so matches across chunk
     boundaries are preserved exactly.
 
+    Sizing: each (entity, chunk) becomes ONE pandas group, and grouped-map
+    overhead is per GROUP, not per row — pick chunk_span so groups hold
+    ~10^5-10^6 left rows (the point of salting is splitting a 10^8-row
+    entity into bounded groups, not splitting small entities into dust:
+    measured 210 s for 600k rows in 24k groups vs seconds at sane spans).
+
     Tie caveat: "identical to the unsalted join" holds when the right side
     is UNIQUE on (by, on). With duplicate right timestamps the carry picks
     the max-by-struct row among the tied latest, while an unsalted as-of's

@@ -42,3 +42,48 @@ def test_bucketed_join_has_no_shuffle(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+def test_iceberg_shim_layout_contract(spark, tmp_path):
+    """The parquet fallback must honor the Iceberg layout contract:
+    bucket=<k> dirs from the same pmod(crc32(entity), n) transform the
+    lineage runner uses, every entity in exactly ONE bucket, and a bucket
+    filter pruned to that directory's files at scan time."""
+    import os
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mpds_spark.sources.io import read_sequences, write_sequences
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(200)],
+            "entity_id": [f"e{i % 23}" for i in range(200)],
+            "tokens": [[i, i + 1] for i in range(200)],
+        }
+    )
+    target = str(tmp_path / "seq_table")
+    fmt = write_sequences(
+        spark.createDataFrame(pdf), target, n_buckets=8
+    )
+    assert fmt == "parquet"  # no Iceberg jar in this container
+    dirs = sorted(d for d in os.listdir(target) if d.startswith("bucket="))
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+
+    back = read_sequences(spark, target)
+    got = back.select("entity_id", "bucket").distinct().collect()
+    # one bucket per entity, and it is the documented transform
+    seen = {}
+    for r in got:
+        assert seen.setdefault(r.entity_id, r.bucket) == r.bucket
+        assert r.bucket == zlib.crc32(r.entity_id.encode()) % 8
+
+    # partition pruning: a bucket predicate must reach the scan as a
+    # partition filter, not a post-scan filter
+    one = back.filter(F.col("bucket") == got[0].bucket)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
