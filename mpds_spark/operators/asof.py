@@ -213,9 +213,18 @@ def asof_join(
             out[out_names[c]] = picked[out_names[c]].mask(~valid)
         return out
 
+    # Pin the cogroup's parallelism with a USER-SPECIFIED repartition on the
+    # group keys: grouped-map cost is per GROUP (pandas/Arrow round-trip),
+    # but AQE coalesces shuffle partitions by BYTES — a many-groups/
+    # small-bytes stage gets collapsed onto a handful of tasks and the
+    # groups execute serially (measured 186 s -> 36 s at sf0.1 for 7k
+    # salted groups). AQE never coalesces user repartitions, and the
+    # cogroup reuses this hash partitioning (no extra exchange).
+    nparts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        left.groupBy(*by_list)
-        .cogroup(r.groupBy(*by_aliases))
+        left.repartition(nparts, *by_list)
+        .groupBy(*by_list)
+        .cogroup(r.repartition(nparts, *by_aliases).groupBy(*by_aliases))
         .applyInPandas(merge, out_schema)
     )
 
