@@ -127,7 +127,10 @@ def interpolate(
         pdf[oc] = _interp_reference(x, y, default)
         return pdf[cols]
 
-    return work.groupBy(entity).applyInPandas(fn, schema)
+    # pin parallelism: see asof.py cogroup note — AQE's byte-based
+    # coalescing serializes many-groups/small-bytes grouped-map stages
+    n = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return work.repartition(n, entity).groupBy(entity).applyInPandas(fn, schema)
 
 
 def _interpolate_window(

@@ -30,6 +30,16 @@ from mpds_spark.functions.battery import (
 )
 
 
+def _pin_group_parallelism(df, *keys):
+    """User-specified repartition on the group keys before a grouped-map:
+    grouped-map cost is per GROUP, but AQE coalesces shuffle partitions by
+    BYTES — a many-groups/small-bytes stage collapses onto a few tasks and
+    executes groups serially (measured 6x on the salted as-of). AQE never
+    coalesces user repartitions, and groupBy reuses the partitioning."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *keys)
+
+
 def token_battery_names() -> list[str]:
     return list(TOKEN_STAT_NAMES)
 
@@ -92,7 +102,11 @@ def extract_accel_battery(
             }
         )
 
-    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+    return (
+        _pin_group_parallelism(df, entity, ts)
+        .groupBy(entity, ts)
+        .applyInPandas(fn, schema)
+    )
 
 
 def slice_modality(
@@ -146,7 +160,11 @@ def extract_tap_battery(
             {entity: [pdf[entity].iloc[0]], ts: [pdf[ts].iloc[0]], out_col: [vec]}
         )
 
-    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+    return (
+        _pin_group_parallelism(df, entity, ts)
+        .groupBy(entity, ts)
+        .applyInPandas(fn, schema)
+    )
 
 
 def extract_react_battery(
@@ -177,7 +195,11 @@ def extract_react_battery(
             {entity: [pdf[entity].iloc[0]], ts: [pdf[ts].iloc[0]], out_col: [vec]}
         )
 
-    return df.groupBy(entity, ts).applyInPandas(fn, schema)
+    return (
+        _pin_group_parallelism(df, entity, ts)
+        .groupBy(entity, ts)
+        .applyInPandas(fn, schema)
+    )
 
 
 def extract_audio_battery(
