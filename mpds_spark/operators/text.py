@@ -86,3 +86,69 @@ def doc_fingerprint(
         F.max(F.md5("shingle")).alias("fp_max"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+    max_symbol_word_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1), each
+    emitted as an auditable signal column plus the final `passes` flag:
+
+    - word count in [min_words, max_words];
+    - mean word length in [min, max];
+    - >= min_alpha_word_ratio of words contain an alphabetic character;
+    - >= min_distinct_stopwords distinct function words present;
+    - <= max_symbol_word_ratio of words are symbol artifacts ('#', '...').
+
+    All JVM-side array expressions over ONE split of the text (no Python,
+    no shuffle — a pure map stage that pipelines onto the scan at any
+    corpus size). Emitting the per-rule booleans instead of only the
+    verdict is deliberate: at 100 TB you audit WHICH rule fires by
+    aggregating the signal columns before committing to a filter."""
+    w = words_col(text)
+    d = df.withColumn("__w", w)
+    n_words = F.size("__w")
+    mean_wl = (
+        F.expr("aggregate(transform(__w, x -> length(x)), 0L, (a, x) -> a + x)")
+        / n_words
+    )
+    alpha_ratio = (
+        F.size(F.expr("filter(__w, x -> x rlike '[a-zA-Z]')")) / n_words
+    )
+    stop_list = "'the','a','of','and','to','in','is','for','that','with'"
+    n_stop = F.size(
+        F.expr(f"array_intersect(array_distinct(__w), array({stop_list}))")
+    )
+    symbol_ratio = (
+        F.size(F.expr("filter(__w, x -> x in ('#', '...', '…'))")) / n_words
+    )
+    rules = {
+        "ok_n_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_alpha_ratio": alpha_ratio >= min_alpha_word_ratio,
+        "ok_stopwords": n_stop >= min_distinct_stopwords,
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+    }
+    passes = None
+    for expr in rules.values():
+        passes = expr if passes is None else (passes & expr)
+    return d.select(
+        F.col(key),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        n_stop.alias("n_distinct_stopwords"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        passes.alias("passes"),
+    )

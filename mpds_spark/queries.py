@@ -1897,3 +1897,68 @@ FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.t >= o.t
 QUERIES["asof_salted"] = q_asof_salted
 _RAW_ORACLES["asof_salted"] = SQL_ASOF_SALTED
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality signals (Rae et al. 2021 A1.1) over documents —
+    thresholds tuned so the synthetic corpus splits non-trivially
+    (min_words=8; the corpus has no 50-word floor)."""
+    from mpds_spark.operators.text import gopher_quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    out = gopher_quality_filter(docs, min_words=8, min_mean_word_len=3.0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r6("mean_word_len").alias("mean_word_len"),
+        _r6("alpha_word_ratio").alias("alpha_word_ratio"),
+        "n_distinct_stopwords",
+        _r6("symbol_word_ratio").alias("symbol_word_ratio"),
+        "ok_n_words",
+        "ok_mean_word_len",
+        "ok_alpha_ratio",
+        "ok_stopwords",
+        "ok_symbol_ratio",
+        "passes",
+    )
+
+
+SQL_GOPHER_QUALITY = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws)
+      AS mean_word_len,
+    len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      / len(ws) AS alpha_word_ratio,
+    len(list_intersect(list_distinct(ws),
+        ['the','a','of','and','to','in','is','for','that','with']))
+      AS n_distinct_stopwords,
+    len(list_filter(ws, x -> x IN ('#', '...', '…')))::DOUBLE / len(ws)
+      AS symbol_word_ratio
+  FROM w
+)
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+  n_distinct_stopwords,
+  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+  (n_words >= 8 AND n_words <= 100000) AS ok_n_words,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+  (alpha_word_ratio >= 0.8) AS ok_alpha_ratio,
+  (n_distinct_stopwords >= 2) AS ok_stopwords,
+  (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+  ((n_words >= 8 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (alpha_word_ratio >= 0.8)
+   AND (n_distinct_stopwords >= 2)
+   AND (symbol_word_ratio <= 0.1)) AS passes
+FROM s
+"""
+
+QUERIES["gopher_quality"] = q_gopher_quality
+_RAW_ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
