@@ -406,3 +406,88 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex converges to the MINIMUM vertex id reachable from it — the
+    canonical-representative step that turns near-dup PAIRS into dedup
+    GROUPS.
+
+    Each iteration is one join + one groupBy-min over the (vertex, label)
+    frame (both keyed by vertex/neighbor — ordinary hash exchanges, AQE
+    applies); iterations needed = graph diameter in label-hops, which for
+    dedup clusters (small, dense) is a handful. The frame is persisted per
+    round and the loop stops at the first fixpoint (no label changed) —
+    a driver-side convergence CHECK, not driver-side data.
+
+    At 10^12-edge scale, swap min-label for the large-star/small-star
+    variant; the per-iteration plan shape (join + min-agg) is the same.
+    """
+    verts = (
+        edges.select(F.col(src).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("v")))
+        .distinct()
+    )
+    # undirected: propagate labels both ways
+    und = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = verts.withColumn("label", F.col("v")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["a"] == labels["v"])
+            .select(F.col("b").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_keep_list(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Final dedup verdict per document: its near-dup component and whether
+    it is the KEPT representative (the component's minimum id — the same
+    keep-smallest convention as exact_dedup). Docs in no pair keep
+    themselves."""
+    comp = connected_components(pairs, src, dst)
+    out = docs.select(key).join(
+        comp.withColumnRenamed("doc_id", key), key, "left"
+    )
+    component = F.coalesce("component", F.col(key))
+    return out.select(
+        F.col(key),
+        component.alias("component"),
+        (component == F.col(key)).alias("keep"),
+    )

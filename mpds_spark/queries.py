@@ -1962,3 +1962,56 @@ FROM s
 QUERIES["gopher_quality"] = q_gopher_quality
 _RAW_ORACLES["gopher_quality"] = SQL_GOPHER_QUALITY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_near_dup_components(spark, sf_dir):
+    """Dedup GROUPS from near-dup PAIRS: connected components by iterative
+    min-label propagation (join + min-agg per round, fixpoint-terminated) +
+    keep = component representative (min id). The oracle computes the same
+    components with a DuckDB RECURSIVE CTE — an iterative Spark algorithm
+    checked against a recursive SQL one."""
+    from mpds_spark.operators.dedup import dedup_keep_list, near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(docs, k=8, band_size=2, threshold=0.05)
+    return dedup_keep_list(docs, pairs)
+
+
+SQL_NEAR_DUP_COMPONENTS = f"""
+WITH RECURSIVE e AS ({_SHINGLE_SQL}),
+{_LSH_BAND_SQL},
+sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+common AS (
+  SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+  FROM cand
+  JOIN e ea ON ea.doc_id = cand.doc_a
+  JOIN e eb ON eb.doc_id = cand.doc_b AND eb.shingle = ea.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
+),
+comp AS (SELECT v AS doc_id, min(label) AS component FROM reach GROUP BY v)
+SELECT d.doc_id,
+  coalesce(c.component, d.doc_id) AS component,
+  (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+QUERIES["near_dup_components"] = q_near_dup_components
+_RAW_ORACLES["near_dup_components"] = SQL_NEAR_DUP_COMPONENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

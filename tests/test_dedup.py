@@ -89,3 +89,43 @@ def test_simhash_near_dups_pigeonhole(spark, docs_df):
     assert out[("d1", "d4")] == 0
     # unrelated doc is not within hamming<=3 of anything
     assert not any("d3" in k for k in out)
+
+
+def test_connected_components_topologies(spark):
+    """Chain (needs multiple propagation rounds), triangle, and an isolated
+    pair — labels converge to the min id of each component."""
+    from mpds_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # chain 9-8-7-6-5 (min label must travel 4 hops)
+            ("d9", "d8"), ("d8", "d7"), ("d7", "d6"), ("d6", "d5"),
+            # triangle
+            ("t2", "t3"), ("t3", "t1"), ("t1", "t2"),
+            # pair
+            ("z2", "z1"),
+        ],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert {k: v for k, v in got.items() if k.startswith("d")} == {
+        f"d{i}": "d5" for i in range(5, 10)
+    }
+    assert {k: v for k, v in got.items() if k.startswith("t")} == {
+        f"t{i}": "t1" for i in (1, 2, 3)
+    }
+    assert got["z1"] == got["z2"] == "z1"
+
+
+def test_dedup_keep_list(spark, docs_df):
+    from mpds_spark.operators.dedup import dedup_keep_list, near_dup_pairs
+
+    pairs = near_dup_pairs(docs_df, threshold=0.3)
+    out = {r.doc_id: (r.component, r.keep) for r in
+           dedup_keep_list(docs_df, pairs).collect()}
+    # d1, d2, d4 form one near-dup component; d1 (min id) is kept
+    assert out["d1"] == ("d1", True)
+    assert out["d2"] == ("d1", False)
+    assert out["d4"] == ("d1", False)
+    # unrelated d3 keeps itself
+    assert out["d3"] == ("d3", True)
