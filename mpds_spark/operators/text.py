@@ -152,3 +152,75 @@ def gopher_quality_filter(
         *[expr.alias(name) for name, expr in rules.items()],
         passes.alias("passes"),
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+) -> DataFrame:
+    """Gopher-style repetition rules (Rae et al. 2021 A1.1, 'repetition
+    removal'): the fraction of characters contained in the most common
+    word 2-gram / 3-gram, plus the duplicate-word fraction.
+
+    Conventions (mirrored exactly by the DuckDB oracle twin):
+    - grams are counted WITH multiplicity (no distinct — repetition is the
+      signal here, unlike the dedup shingles);
+    - char_frac(n) = max over grams of count * length(gram) / total word
+      chars (ties resolved by the max product, deterministic);
+    - total chars = sum of word lengths (whitespace-independent).
+
+    Plan: one explode + one (doc, gram) count + one per-doc max per n —
+    all shuffles keyed by doc (no self-join, linear in corpus size).
+    """
+    w = df.withColumn("__w", words_col(text))
+    n_words = F.size("__w")
+    tot_chars = F.expr(
+        "aggregate(transform(__w, x -> length(x)), 0L, (a, x) -> a + x)"
+    )
+    base = w.select(
+        F.col(key),
+        n_words.alias("n_words"),
+        tot_chars.alias("__chars"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__w")) / n_words.cast("double")
+        ).alias("dup_word_frac"),
+        F.col("__w"),
+    )
+
+    def top_frac(n: int):
+        grams = F.expr(
+            f"CASE WHEN size(__w) >= {n} THEN transform("
+            f"sequence(0, size(__w) - {n}), "
+            f"i -> concat_ws(' ', slice(__w, i + 1, {n}))) "
+            "ELSE array() END"
+        )
+        g = base.select(F.col(key), F.col("__chars"), grams.alias("__g"))
+        counts = g.select(
+            F.col(key), "__chars", F.explode("__g").alias("gram")
+        ).groupBy(key, "__chars", "gram").agg(F.count(F.lit(1)).alias("c"))
+        return counts.groupBy(key).agg(
+            (
+                F.max(F.col("c") * F.length("gram"))
+                / F.first("__chars").cast("double")
+            ).alias(f"top{n}_char_frac")
+        )
+
+    out = (
+        base.drop("__w")
+        .join(top_frac(2), key, "left")
+        .join(top_frac(3), key, "left")
+        .na.fill({"top2_char_frac": 0.0, "top3_char_frac": 0.0})
+    )
+    return out.select(
+        F.col(key),
+        "n_words",
+        "dup_word_frac",
+        "top2_char_frac",
+        "top3_char_frac",
+        (F.col("top2_char_frac") <= max_top2_char_frac).alias("ok_top2"),
+        (F.col("top3_char_frac") <= max_top3_char_frac).alias("ok_top3"),
+    )

@@ -2020,3 +2020,76 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 QUERIES["near_dup_components"] = q_near_dup_components
 _RAW_ORACLES["near_dup_components"] = SQL_NEAR_DUP_COMPONENTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition-removal signals over documents: most-common
+    2-/3-gram character fractions (with-multiplicity counting) and
+    duplicate-word fraction, with the A1.1 thresholds as flags."""
+    from mpds_spark.operators.text import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    out = repetition_signals(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r6("dup_word_frac").alias("dup_word_frac"),
+        _r6("top2_char_frac").alias("top2_char_frac"),
+        _r6("top3_char_frac").alias("top3_char_frac"),
+        "ok_top2",
+        "ok_top3",
+    )
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ws) AS n_words,
+    list_sum(list_transform(ws, x -> length(x))) AS chars,
+    1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup_word_frac,
+    ws
+  FROM w
+), g2 AS (
+  SELECT doc_id, chars, unnest(
+    CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE []::VARCHAR[] END) AS gram
+  FROM base
+), c2 AS (
+  SELECT doc_id, gram, any_value(chars) AS chars, count(*) AS c
+  FROM g2 GROUP BY 1, 2
+), t2 AS (
+  SELECT doc_id,
+    max(c * length(gram)) / any_value(chars)::DOUBLE AS top2_char_frac
+  FROM c2 GROUP BY doc_id
+), g3 AS (
+  SELECT doc_id, chars, unnest(
+    CASE WHEN len(ws) >= 3
+      THEN list_transform(range(1, len(ws) - 1),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      ELSE []::VARCHAR[] END) AS gram
+  FROM base
+), c3 AS (
+  SELECT doc_id, gram, any_value(chars) AS chars, count(*) AS c
+  FROM g3 GROUP BY 1, 2
+), t3 AS (
+  SELECT doc_id,
+    max(c * length(gram)) / any_value(chars)::DOUBLE AS top3_char_frac
+  FROM c3 GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+  round(b.dup_word_frac, 6) AS dup_word_frac,
+  round(coalesce(t2.top2_char_frac, 0.0), 6) AS top2_char_frac,
+  round(coalesce(t3.top3_char_frac, 0.0), 6) AS top3_char_frac,
+  (coalesce(t2.top2_char_frac, 0.0) <= 0.20) AS ok_top2,
+  (coalesce(t3.top3_char_frac, 0.0) <= 0.18) AS ok_top3
+FROM base b
+LEFT JOIN t2 ON t2.doc_id = b.doc_id
+LEFT JOIN t3 ON t3.doc_id = b.doc_id
+"""
+
+QUERIES["repetition_signals"] = q_repetition_signals
+_RAW_ORACLES["repetition_signals"] = SQL_REPETITION
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
