@@ -2093,3 +2093,47 @@ LEFT JOIN t3 ON t3.doc_id = b.doc_id
 QUERIES["repetition_signals"] = q_repetition_signals
 _RAW_ORACLES["repetition_signals"] = SQL_REPETITION
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """lsh_cosine_topk with 2 Hamming-1 probes on the query side: recall
+    recovered from neighbor buckets without rescanning the corpus (the
+    vectors stay single-bucket)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4, n_probes=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r6("cosine").alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_LSH_MULTIPROBE = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS code
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv,
+    unnest([code, xor(code, 1), xor(code, 2)]) AS code
+  FROM base WHERE vec_id < 5
+), s AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+    list_dot_product(qv, b.v) / sqrt(list_dot_product(qv, qv))
+      / sqrt(list_dot_product(b.v, b.v)) AS cosine
+  FROM q JOIN base b USING (code) WHERE query_id <> b.vec_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+"""
+
+QUERIES["ann_lsh_multiprobe"] = q_ann_lsh_multiprobe
+_RAW_ORACLES["ann_lsh_multiprobe"] = SQL_ANN_LSH_MULTIPROBE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
