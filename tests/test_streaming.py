@@ -220,3 +220,45 @@ def test_stateful_asof_enrich_late_reference(spark, tmp_path):
     assert got["ts"].tolist() == [70.0, 200.0]
     assert got["ref_val"].tolist() == [2.0, 1.0]
     assert got["ref_ts"].tolist() == [50.0, 100.0]
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates-on-hash keeps exactly one row per distinct
+    text across micro-batches, matching the batch exact_dedup group set."""
+    import pandas as pd
+
+    from mpds_spark.operators.dedup import exact_dedup
+    from mpds_spark.streaming.dedup import stream_exact_dedup
+
+    texts = [f"document body {i % 7}" for i in range(40)]  # 7 distinct
+    pdf = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(40)], "text": texts}
+    )
+    src = str(tmp_path / "dedup_src")
+    for lo in (0, 20):  # two micro-batches; dups span the boundary
+        spark.createDataFrame(pdf.iloc[lo : lo + 20]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "select text_hash, count(*) as n from dedup_stream_test group by 1"
+        ).toPandas()
+    finally:
+        q.stop()
+    batch = exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert set(got.text_hash) == set(batch.text_hash)
+    assert (got.n == 1).all()  # exactly one survivor per hash, ever
