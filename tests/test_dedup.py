@@ -129,3 +129,31 @@ def test_dedup_keep_list(spark, docs_df):
     assert out["d4"] == ("d1", False)
     # unrelated d3 keeps itself
     assert out["d3"] == ("d3", True)
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Differential: alternating large/small-star CC equals min-label
+    propagation on random graphs (including long chains, where the star
+    algorithm's round count advantage matters)."""
+    import numpy as np
+
+    from mpds_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(99)
+    edges = []
+    # random sparse graph over 60 nodes
+    for _ in range(50):
+        a, b = rng.integers(0, 60, 2)
+        if a != b:
+            edges.append((f"n{a:02d}", f"n{b:02d}"))
+    # plus a long chain (diameter 19)
+    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(19)]
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lab = {r.doc_id: r.component for r in connected_components(e, max_iter=40).collect()}
+    star = {r.doc_id: r.component for r in connected_components_star(e).collect()}
+    assert lab == star
+    # the chain collapsed to its minimum
+    assert star["c19"] == "c00"
