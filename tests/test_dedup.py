@@ -131,7 +131,8 @@ def test_dedup_keep_list(spark, docs_df):
     assert out["d3"] == ("d3", True)
 
 
-def test_star_cc_matches_label_propagation(spark):
+@pytest.mark.parametrize("seed", [99, 7, 2024])
+def test_star_cc_matches_label_propagation(spark, seed):
     """Differential: alternating large/small-star CC equals min-label
     propagation on random graphs (including long chains, where the star
     algorithm's round count advantage matters)."""
@@ -142,7 +143,7 @@ def test_star_cc_matches_label_propagation(spark):
         connected_components_star,
     )
 
-    rng = np.random.default_rng(99)
+    rng = np.random.default_rng(seed)
     edges = []
     # random sparse graph over 60 nodes
     for _ in range(50):
