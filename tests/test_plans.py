@@ -106,3 +106,24 @@ def test_interval_join_default_is_not_nested_loop(spark, series_df):
     # become a nested-loop product
     assert _n(plan, "CartesianProduct") == 0
     assert _n(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_catalog_plan_inventory(spark):
+    """Global plan contract over EVERY catalog query (planning only, no
+    execution): no CartesianProduct anywhere; BroadcastNestedLoopJoin only
+    where it is the design (broadcast 1-row fits, bounded sampled cross
+    joins, hash-capped theta passes, broadcast-query exact ANN baseline)."""
+    from mpds_spark.queries import QUERIES
+
+    BNLJ_BY_DESIGN = {
+        "ann_cosine_topk",     # broadcast query set x corpus (exact baseline)
+        "histogram_lift",      # broadcast 1-row (min, max) fit
+        "sampled_pairs_det",   # bounded sampled cross join (reference parity)
+        "clinical_pairs",      # inter theta pass over hash-capped rows
+    }
+    sf = "/root/testdata/sf0.001"
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf))
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_BY_DESIGN:
+            assert "BroadcastNestedLoopJoin" not in plan, name
