@@ -166,9 +166,19 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     n: int = 3,
     shingle_df: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs whose MinHash signatures agree on at
-    least one full band (band hash = concat of band_size signature slots)."""
+    least one full band (band hash = concat of band_size signature slots).
+
+    max_bucket: drop (band, hash) buckets larger than this before the
+    self-join — the oversized-bucket guard. EXACT duplicates all share
+    every band, so one doc duplicated 10^6 times makes a single bucket
+    whose self-join emits 10^12 pairs; the standard pipeline runs
+    exact_dedup FIRST (collapsing identical texts), and max_bucket bounds
+    whatever slips through (e.g. boilerplate-dominated docs). Pairs inside
+    a dropped bucket are still found through their other bands unless they
+    collide there too."""
     sig = minhash_signature(df, text, key, k, n, shingle_df=shingle_df)
     bands = []
     for b in range(k // band_size):
@@ -186,6 +196,14 @@ def lsh_candidate_pairs(
         .persist()  # self-joined: materialize the signature agg once
     )
     exploded.count()
+    if max_bucket is not None:
+        ok = (
+            exploded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bh")
+        )
+        exploded = exploded.join(ok, ["band", "bh"], "left_semi")
     a = exploded.select(F.col("k").alias("doc_a"), "band", "bh")
     b = exploded.select(F.col("k").alias("doc_b"), "band", "bh")
     return (
@@ -340,6 +358,7 @@ def simhash_near_dups(
     text: str = "text",
     key: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming candidate join + verify.
 
@@ -380,6 +399,17 @@ def simhash_near_dups(
         "k", "sim_hi", "sim_lo",
         F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"),
     )
+    if max_bucket is not None:
+        # oversized-bucket guard (see lsh_candidate_pairs): exact dups share
+        # ALL bands, so collapse identical texts with exact_dedup first and
+        # bound the residual boilerplate buckets here
+        ok = (
+            expl.groupBy("band", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bv")
+        )
+        expl = expl.join(ok, ["band", "bv"], "left_semi")
     a = expl.select(
         F.col("k").alias("doc_a"),
         F.col("sim_hi").alias("hi_a"),

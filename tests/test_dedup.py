@@ -158,3 +158,22 @@ def test_star_cc_matches_label_propagation(spark, seed):
     assert lab == star
     # the chain collapsed to its minimum
     assert star["c19"] == "c00"
+
+
+def test_max_bucket_guard_drops_oversized_buckets(spark):
+    """The oversized-bucket guard: 6 exact copies share every band; with
+    max_bucket=5 the copy-bucket joins are dropped (no candidate pairs),
+    while a small distinct pair elsewhere is unaffected."""
+    from mpds_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(f"c{i}", "alpha beta gamma delta epsilon zeta") for i in range(6)]
+    rows += [
+        ("x1", "one two three four five six seven"),
+        ("x2", "one two three four five six eight"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    unguarded = lsh_candidate_pairs(df).collect()
+    assert sum(1 for r in unguarded if r.doc_a.startswith("c")) == 15  # 6C2
+    guarded = lsh_candidate_pairs(df, max_bucket=5).collect()
+    assert not any(r.doc_a.startswith("c") for r in guarded)
+    assert any({r.doc_a, r.doc_b} == {"x1", "x2"} for r in guarded)
