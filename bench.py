@@ -118,8 +118,9 @@ def main():
         #   or MPDS_BENCH_MAX_REPS is hit — more minutes of coverage means
         #   better odds of catching a quiet window for the hi leg.
         # All reps are reported so the spread is auditable.
-        reps = int(os.environ.get("MPDS_BENCH_REPS", "3"))
-        max_reps = int(os.environ.get("MPDS_BENCH_MAX_REPS", "5"))
+        reps = max(1, int(os.environ.get("MPDS_BENCH_REPS", "3")))
+        # the adaptive ceiling never undercuts the requested minimum
+        max_reps = max(reps, int(os.environ.get("MPDS_BENCH_MAX_REPS", "5")))
         target = float(os.environ.get("MPDS_BENCH_EFF_TARGET", "0.82"))
         hi_runs, lo_runs = [], []
 

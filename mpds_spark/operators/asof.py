@@ -220,11 +220,12 @@ def asof_join(
     # groups execute serially (measured 186 s -> 36 s at sf0.1 for 7k
     # salted groups). AQE never coalesces user repartitions, and the
     # cogroup reuses this hash partitioning (no extra exchange).
-    nparts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    from mpds_spark.operators.util import pin_group_parallelism
+
     return (
-        left.repartition(nparts, *by_list)
+        pin_group_parallelism(left, *by_list)
         .groupBy(*by_list)
-        .cogroup(r.repartition(nparts, *by_aliases).groupBy(*by_aliases))
+        .cogroup(pin_group_parallelism(r, *by_aliases).groupBy(*by_aliases))
         .applyInPandas(merge, out_schema)
     )
 

@@ -127,10 +127,13 @@ def interpolate(
         pdf[oc] = _interp_reference(x, y, default)
         return pdf[cols]
 
-    # pin parallelism: see asof.py cogroup note — AQE's byte-based
-    # coalescing serializes many-groups/small-bytes grouped-map stages
-    n = int(work.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return work.repartition(n, entity).groupBy(entity).applyInPandas(fn, schema)
+    from mpds_spark.operators.util import pin_group_parallelism
+
+    return (
+        pin_group_parallelism(work, entity)
+        .groupBy(entity)
+        .applyInPandas(fn, schema)
+    )
 
 
 def _interpolate_window(

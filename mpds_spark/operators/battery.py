@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+from mpds_spark.operators.util import pin_group_parallelism
+
 from mpds_spark.functions.battery import (
     TOKEN_STAT_NAMES,
     accel_feature_names,
@@ -29,15 +31,6 @@ from mpds_spark.functions.battery import (
     token_features,
 )
 
-
-def _pin_group_parallelism(df, *keys):
-    """User-specified repartition on the group keys before a grouped-map:
-    grouped-map cost is per GROUP, but AQE coalesces shuffle partitions by
-    BYTES — a many-groups/small-bytes stage collapses onto a few tasks and
-    executes groups serially (measured 6x on the salted as-of). AQE never
-    coalesces user repartitions, and groupBy reuses the partitioning."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *keys)
 
 
 def token_battery_names() -> list[str]:
@@ -103,7 +96,7 @@ def extract_accel_battery(
         )
 
     return (
-        _pin_group_parallelism(df, entity, ts)
+        pin_group_parallelism(df, entity, ts)
         .groupBy(entity, ts)
         .applyInPandas(fn, schema)
     )
@@ -161,7 +154,7 @@ def extract_tap_battery(
         )
 
     return (
-        _pin_group_parallelism(df, entity, ts)
+        pin_group_parallelism(df, entity, ts)
         .groupBy(entity, ts)
         .applyInPandas(fn, schema)
     )
@@ -196,7 +189,7 @@ def extract_react_battery(
         )
 
     return (
-        _pin_group_parallelism(df, entity, ts)
+        pin_group_parallelism(df, entity, ts)
         .groupBy(entity, ts)
         .applyInPandas(fn, schema)
     )

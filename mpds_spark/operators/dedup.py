@@ -478,6 +478,7 @@ def connected_components(
     und.count()
     verts = und.select(F.col("a").alias("v")).distinct()
     labels = verts.withColumn("label", F.col("v")).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und["a"] == labels["v"])
@@ -501,7 +502,18 @@ def connected_components(
         changed = upd.filter(F.col("label") != F.col("__old")).count()
         labels = upd.drop("__old")
         if changed == 0:
+            converged = True
             break
+    und.unpersist()
+    if not converged:
+        # silently-unconverged labels are WRONG components; min-label needs
+        # diameter rounds — raise so callers either bump max_iter or switch
+        # to connected_components_star (log-round, diameter-free)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use "
+            "connected_components_star"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -570,18 +582,21 @@ def connected_components_star(
             )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # vertex universe BEFORE dropping self-loops: a vertex appearing only in
+    # a self-loop edge is a singleton component, same as connected_components
     verts = (
-        e.select(F.col("u").alias("doc_id"))
-        .unionByName(e.select(F.col("v").alias("doc_id")))
+        raw.select(F.col("u").alias("doc_id"))
+        .unionByName(raw.select(F.col("v").alias("doc_id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
     for _ in range(max_iter):
         e2 = star(star(e, large=True), large=False).localCheckpoint(eager=True)
         # fixpoint: the edge SET is unchanged (both directions of anti-join)
@@ -590,7 +605,16 @@ def connected_components_star(
         )
         e = e2
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # at a non-fixpoint the edge frame still has multiple rows per
+        # vertex — the final left join would FAN OUT with conflicting
+        # components; fail loudly instead
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "double-rounds"
+        )
     # at the fixpoint every edge is (vertex, component-min); isolated-in-e
     # vertices (the minima themselves) map to themselves
     comp = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))

@@ -1824,7 +1824,7 @@ ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 def q_asof_salted(spark, sf_dir):
     """The SALTED as-of path through the driver gate: asof_orders semantics
-    executed via salted_asof_join with a 30-day chunk span (many chunks per
+    executed via salted_asof_join with a 90-day chunk span (several chunks per
     entity + boundary-carry replay exercised at sf scale). The oracle is a
     PLAIN ASOF JOIN — the gate thus certifies the documented salted ==
     unsalted equivalence on real data, not just a pytest fixture.

@@ -109,10 +109,12 @@ def test_interval_join_default_is_not_nested_loop(spark, series_df):
 
 
 def test_catalog_plan_inventory(spark):
-    """Global plan contract over EVERY catalog query (planning only, no
-    execution): no CartesianProduct anywhere; BroadcastNestedLoopJoin only
-    where it is the design (broadcast 1-row fits, bounded sampled cross
-    joins, hash-capped theta passes, broadcast-query exact ANN baseline)."""
+    """Global plan contract over the catalog: no CartesianProduct anywhere;
+    BroadcastNestedLoopJoin only where it is the design (broadcast 1-row
+    fits, bounded sampled cross joins, hash-capped theta passes,
+    broadcast-query exact ANN baseline). Queries whose CONSTRUCTION runs
+    eager work (iterative CC: per-round checkpoint actions) are excluded —
+    their plan shape is covered by their own operator tests."""
     from mpds_spark.queries import QUERIES
 
     BNLJ_BY_DESIGN = {
@@ -121,8 +123,11 @@ def test_catalog_plan_inventory(spark):
         "sampled_pairs_det",   # bounded sampled cross join (reference parity)
         "clinical_pairs",      # inter theta pass over hash-capped rows
     }
+    EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
+        if name in EAGER_CONSTRUCTION:
+            continue
         plan = _plan(fn(spark, sf))
         assert "CartesianProduct" not in plan, name
         if name not in BNLJ_BY_DESIGN:
