@@ -523,12 +523,19 @@ def dedup_keep_list(
     key: str = "doc_id",
     src: str = "doc_a",
     dst: str = "doc_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Final dedup verdict per document: its near-dup component and whether
     it is the KEPT representative (the component's minimum id — the same
     keep-smallest convention as exact_dedup). Docs in no pair keep
-    themselves."""
-    comp = connected_components(pairs, src, dst)
+    themselves. algorithm: "label" (min-label propagation — diameter-bound
+    rounds, fine for small dedup clusters) or "star" (large/small-star —
+    log rounds, the choice when clusters can chain)."""
+    cc = {
+        "label": connected_components,
+        "star": connected_components_star,
+    }[algorithm]
+    comp = cc(pairs, src, dst)
     out = docs.select(key).join(
         comp.withColumnRenamed("doc_id", key), key, "left"
     )

@@ -177,3 +177,15 @@ def test_max_bucket_guard_drops_oversized_buckets(spark):
     guarded = lsh_candidate_pairs(df, max_bucket=5).collect()
     assert not any(r.doc_a.startswith("c") for r in guarded)
     assert any({r.doc_a, r.doc_b} == {"x1", "x2"} for r in guarded)
+
+
+def test_dedup_keep_list_star_algorithm(spark, docs_df):
+    """keep-list via the star-CC algorithm equals the min-label default."""
+    from mpds_spark.operators.dedup import dedup_keep_list, near_dup_pairs
+
+    pairs = near_dup_pairs(docs_df, threshold=0.3)
+    a = {(r.doc_id, r.component, r.keep)
+         for r in dedup_keep_list(docs_df, pairs).collect()}
+    b = {(r.doc_id, r.component, r.keep)
+         for r in dedup_keep_list(docs_df, pairs, algorithm="star").collect()}
+    assert a == b
