@@ -33,6 +33,8 @@ def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     )
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from mpds_spark.operators.util import release_scratch
+
     timings = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
@@ -40,6 +42,9 @@ def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
+        # free operator-internal persisted/checkpointed scratch so the 52-
+        # query session doesn't accrue executor storage across queries
+        release_scratch()
     spark.stop()
     return timings
 

@@ -26,6 +26,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mpds_spark.operators.util import (
+    defer_release,
+    release_rdds,
+    scratch_persist,
+    tracked_local_checkpoint,
+)
+
 
 def words_col(text: str = "text"):
     return F.split(F.trim(F.col(text)), r"\s+")
@@ -102,13 +109,14 @@ def ngram_jaccard_pairs(
     """
     # eager persist: within a single action the 3 plan branches race ahead
     # of a lazily-populated cache and each recomputes the explode; persist +
-    # count materializes once up front (measured 15.5 s -> ~6 s at sf0.1)
-    sh = (
-        shingles(df, text, n=n, max_df=max_df)
-        .select(F.col(key).alias("k"), "shingle")
-        .persist()
+    # count materializes once up front (measured 15.5 s -> ~6 s at sf0.1).
+    # Registered for release_scratch() — the final consuming action is the
+    # caller's, so the operator can't unpersist here itself.
+    sh = scratch_persist(
+        shingles(df, text, n=n, max_df=max_df).select(
+            F.col(key).alias("k"), "shingle"
+        )
     )
-    sh.count()
     sizes = sh.groupBy("k").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("k").alias("doc_a"), "shingle")
     b = sh.select(F.col("k").alias("doc_b"), "shingle")
@@ -188,14 +196,13 @@ def lsh_candidate_pairs(
                 F.lit(b).alias("band"), F.concat_ws("|", *cols).alias("bh")
             )
         )
-    exploded = (
+    exploded = scratch_persist(  # self-joined: materialize the sig agg once
         sig.select(
             F.col(key).alias("k"), F.explode(F.array(*bands)).alias("bb")
+        ).select(
+            "k", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
         )
-        .select("k", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        .persist()  # self-joined: materialize the signature agg once
     )
-    exploded.count()
     if max_bucket is not None:
         ok = (
             exploded.groupBy("band", "bh")
@@ -238,12 +245,12 @@ def near_dup_pairs(
     restricted to LSH candidates; recall is governed by (k, band_size) —
     with k=8, band_size=2 the match probability is 1-(1-j^2)^4.
     """
-    sh = (
-        shingles(df, text, n=n, max_df=max_df)
-        .select(F.col(key).alias("k"), "shingle")
-        .persist()
+    # eager: consumed by candidates, sizes and both verify legs
+    sh = scratch_persist(
+        shingles(df, text, n=n, max_df=max_df).select(
+            F.col(key).alias("k"), "shingle"
+        )
     )
-    sh.count()  # eager: consumed by candidates, sizes and both verify legs
     cand = lsh_candidate_pairs(
         df,
         text,
@@ -372,8 +379,8 @@ def simhash_near_dups(
     max_hamming > 3 weakens the guarantee to "recall among band-sharing
     pairs" (use more/narrower bands for a hard guarantee at higher radii).
     """
-    sig = simhash64(df, text, key).persist()
-    sig.count()  # self-joined below: materialize the signature agg once
+    # self-joined below: materialize the signature agg once
+    sig = scratch_persist(simhash64(df, text, key))
     bands = [
         F.struct(
             F.lit(0).alias("band"),
@@ -477,7 +484,9 @@ def connected_components(
     )
     und.count()
     verts = und.select(F.col("a").alias("v")).distinct()
-    labels = verts.withColumn("label", F.col("v")).localCheckpoint(eager=True)
+    labels, prev = tracked_local_checkpoint(
+        verts.withColumn("label", F.col("v"))
+    )
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -488,23 +497,29 @@ def connected_components(
         )
         # carry the old label through the update so convergence is a FILTER
         # on the checkpointed frame, not another join — one action per round
-        upd = (
-            labels.join(neigh, "v", "left")
-            .select(
+        upd, ids = tracked_local_checkpoint(
+            labels.join(neigh, "v", "left").select(
                 "v",
                 F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        # the new checkpoint is materialized (eager) and nothing references
+        # the previous round's frame anymore — free its blocks now instead
+        # of accruing one checkpoint per round for the session's lifetime
+        release_rdds(prev)
+        prev = ids
         changed = upd.filter(F.col("label") != F.col("__old")).count()
         labels = upd.drop("__old")
         if changed == 0:
             converged = True
             break
     und.unpersist()
+    # the final round's blocks back the RETURNED frame: release only after
+    # the caller's final action (next release_scratch())
+    defer_release(prev)
     if not converged:
         # silently-unconverged labels are WRONG components; min-label needs
         # diameter rounds — raise so callers either bump max_iter or switch
@@ -592,24 +607,27 @@ def connected_components_star(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # vertex universe BEFORE dropping self-loops: a vertex appearing only in
     # a self-loop edge is a singleton component, same as connected_components
-    verts = (
+    verts, verts_ids = tracked_local_checkpoint(
         raw.select(F.col("u").alias("doc_id"))
         .unionByName(raw.select(F.col("v").alias("doc_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    e = (
-        raw.filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e, prev = tracked_local_checkpoint(
+        raw.filter(F.col("u") != F.col("v")).distinct()
     )
     converged = False
     for _ in range(max_iter):
-        e2 = star(star(e, large=True), large=False).localCheckpoint(eager=True)
+        e2, ids = tracked_local_checkpoint(
+            star(star(e, large=True), large=False)
+        )
         # fixpoint: the edge SET is unchanged (both directions of anti-join)
         changed = (
             e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
         )
+        # the fixpoint check was the last reference to the previous round —
+        # free its checkpoint blocks (see connected_components)
+        release_rdds(prev)
+        prev = ids
         e = e2
         if changed == 0:
             converged = True
@@ -617,11 +635,17 @@ def connected_components_star(
     if not converged:
         # at a non-fixpoint the edge frame still has multiple rows per
         # vertex — the final left join would FAN OUT with conflicting
-        # components; fail loudly instead
+        # components; fail loudly instead (freeing the blocks first)
+        release_rdds(prev)
+        release_rdds(verts_ids)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} "
             "double-rounds"
         )
+    # the final round + vertex universe back the RETURNED frame — release
+    # only after the caller's final action
+    defer_release(prev)
+    defer_release(verts_ids)
     # at the fixpoint every edge is (vertex, component-min); isolated-in-e
     # vertices (the minima themselves) map to themselves
     comp = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component"))

@@ -208,9 +208,16 @@ def random_ordered_pairs(
 
     Every stage is a deterministic function of row CONTENT, so the output
     pair set is identical under any partition layout:
-    - sampling: hash-threshold (md5(salt|k|r) as uniform u in [0,1), keep
-      u < p) instead of DataFrame.sample, whose per-partition seeded
-      sampler selects different rows when the layout changes;
+    - sampling: hash-threshold (md5(salt|k|rkey) as uniform u in [0,1),
+      keep u < p) instead of DataFrame.sample, whose per-partition seeded
+      sampler selects different rows when the layout changes. rkey is the
+      CANONICAL integer encoding floor(r * 1e6 + 0.5) cast to BIGINT, not
+      the raw double's string form: engines render doubles differently
+      outside the plain-decimal range (Spark '1.0E7' vs DuckDB
+      '10000000.0'), so hashing the raw string would silently diverge on
+      rank values >= 1e7 or needing 17-digit repr. The contract is
+      micro-unit rank resolution (ranks closer than 5e-7 may hash alike —
+      they still pair/orient correctly, only the sampling hash coarsens);
     - zip: row_number over a content-hash order on each side, joined on
       the rank — monotonically_increasing_id would depend on layout, so
       two independently sampled frames would have no aligned ids;
@@ -218,7 +225,11 @@ def random_ordered_pairs(
     Scale note: the global-order windows are single-partition, but they
     run over the O(n_pairs) sample, not the corpus — bounded by design.
     """
-    keyed = df.select(F.col(key).alias("k"), F.col(rank).alias("r"))
+    # canonical integer rank encoding for every hash input (see docstring)
+    rkey = F.floor(F.col("r") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    keyed = df.select(
+        F.col(key).alias("k"), F.col(rank).alias("r"), rkey.alias("__rk")
+    )
     n = keyed.count()
     # aim for ~2*n_pairs candidate rows per side (capped at the table size)
     p = min(1.0, 2.0 * n_pairs / max(n, 1))
@@ -227,7 +238,7 @@ def random_ordered_pairs(
         u = (
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("|", F.lit(salt), "k", "r")), 1, 8
+                    F.md5(F.concat_ws("|", F.lit(salt), "k", "__rk")), 1, 8
                 ),
                 16,
                 10,
@@ -237,7 +248,7 @@ def random_ordered_pairs(
         return s.filter(u < F.lit(p))
 
     def _det_index(s, salt):
-        w = Window.orderBy(F.md5(F.concat_ws("|", F.lit(salt), "k", "r")))
+        w = Window.orderBy(F.md5(F.concat_ws("|", F.lit(salt), "k", "__rk")))
         return s.withColumn("__i", F.row_number().over(w))
 
     a = _det_index(_hash_sample(keyed, f"{seed}a"), f"{seed}oa")
@@ -330,8 +341,13 @@ def clinical_pairs(
             ["on_key", "off_key"],
             intra_cap,
         )
-    intra = intra.select("on_key", "off_key", "on_stage", "off_stage").persist()
-    intra.count()  # consumed by used-keys and the final union
+    # consumed by used-keys and the final union; released by the caller's
+    # next release_scratch() (the final action is outside this operator)
+    from mpds_spark.operators.util import scratch_persist
+
+    intra = scratch_persist(
+        intra.select("on_key", "off_key", "on_stage", "off_stage")
+    )
 
     used = (
         intra.select(F.col("on_key").alias(key))

@@ -168,8 +168,11 @@ def repetition_signals(
     Conventions (mirrored exactly by the DuckDB oracle twin):
     - grams are counted WITH multiplicity (no distinct — repetition is the
       signal here, unlike the dedup shingles);
-    - char_frac(n) = max over grams of count * length(gram) / total word
-      chars (ties resolved by the max product, deterministic);
+    - char_frac(n) = count * length of the MOST FREQUENT gram / total word
+      chars — rank by count as in the cited Gopher rule (NOT max over grams
+      of the product, under which a rare long gram could outrank a frequent
+      short one); count ties broken by longer gram, then lexicographically
+      greater gram (deterministic);
     - total chars = sum of word lengths (whitespace-independent).
 
     Plan: one explode + one (doc, gram) count + one per-doc max per n —
@@ -202,11 +205,27 @@ def repetition_signals(
         counts = g.select(
             F.col(key), "__chars", F.explode("__g").alias("gram")
         ).groupBy(key, "__chars", "gram").agg(F.count(F.lit(1)).alias("c"))
-        return counts.groupBy(key).agg(
-            (
-                F.max(F.col("c") * F.length("gram"))
-                / F.first("__chars").cast("double")
-            ).alias(f"top{n}_char_frac")
+        # arg-max by (count, length, gram): max over lexicographically
+        # ordered structs picks the most frequent gram with the documented
+        # deterministic tie-break, then we take THAT gram's count * length
+        best = F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                F.length("gram").alias("ln"),
+                F.col("gram").alias("g"),
+            )
+        )
+        return (
+            counts.groupBy(key, "__chars")
+            .agg(best.alias("__b"))
+            .select(
+                F.col(key),
+                (
+                    F.col("__b.c")
+                    * F.col("__b.ln")
+                    / F.col("__chars").cast("double")
+                ).alias(f"top{n}_char_frac"),
+            )
         )
 
     out = (

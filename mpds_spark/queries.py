@@ -1395,32 +1395,42 @@ FROM lineitem, p
 def q_sampled_pairs_det(spark, sf_dir):
     """Deterministic pseudo-sampled user pairs (subsampleSetOfPossiblePairs
     parity — true seeded sampling is engine-specific, so the catalog variant
-    selects pairs by a portable hash predicate)."""
+    selects ~1/37 of ordered pairs by a portable hash predicate).
+
+    The predicate is SPLITTABLE by design: pair (u1, u2) is sampled iff
+    (h(u1) + h(u2)) % 37 == 0 with h(u) = md5-derived per-user hash mod 37.
+    Each side then carries its own bucket h(u) and the pair condition
+    becomes the EQUI-join h(u2) == (37 - h(u1)) % 37 — a hash/sort-merge
+    join, not the O(U^2)-compute BroadcastNestedLoopJoin that a pair-hash
+    predicate (md5(u1||u2)) forces. Same sampling semantics (uniform
+    deterministic 1/37 of pairs), scale-safe plan shape; the operator-level
+    API keeps sampled_pairs' max_exact guard for the true-random variant."""
     ev = _events(spark, sf_dir)
-    users = ev.select("user_id").distinct()
-    a = users.select(F.col("user_id").alias("u1"))
-    b = users.select(F.col("user_id").alias("u2"))
-    pairs = a.crossJoin(b).filter(F.col("u1") < F.col("u2"))
-    sel = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("_", F.col("u1"), F.col("u2"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 37
-        == 0
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 37
+    users = ev.select("user_id").distinct().withColumn("__h", h)
+    a = users.select(
+        F.col("user_id").alias("u1"),
+        ((F.lit(37) - F.col("__h")) % 37).alias("__want"),
     )
-    return pairs.filter(sel)
+    b = users.select(F.col("user_id").alias("u2"), F.col("__h").alias("__want"))
+    return (
+        a.join(b, "__want")
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+    )
 
 
 SQL_SAMPLED_PAIRS = """
-WITH u AS (SELECT DISTINCT user_id FROM events)
+WITH u AS (
+  SELECT user_id,
+    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 4))::UBIGINT % 37 AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+)
 SELECT a.user_id AS u1, b.user_id AS u2
-FROM u a, u b
+FROM u a JOIN u b ON b.h = (37 - a.h) % 37
 WHERE a.user_id < b.user_id
-  AND ('0x' || substring(md5(a.user_id || '_' || b.user_id), 1, 4))::UBIGINT % 37 = 0
 """
 
 
@@ -1773,15 +1783,22 @@ def q_random_ordered_pairs(spark, sf_dir):
     )
 
 
+# canonical rank encoding for hash inputs: floor(r*1e6 + 0.5) as BIGINT —
+# NEVER the raw double's string form, which renders differently across
+# engines outside the plain-decimal range (Spark '1.0E7' vs DuckDB
+# '10000000.0'). Mirrors pairs.random_ordered_pairs exactly.
+_ROP_RK = "CAST(CAST(floor(r * 1000000 + 0.5) AS BIGINT) AS VARCHAR)"
+
+
 def _rop_u(salt: str) -> str:
-    """uniform-[0,1) hash of (salt, k, r) — DuckDB twin of the operator's
-    conv(substring(md5(concat_ws('|', salt, k, r)), 1, 8), 16, 10)/2^32."""
-    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || CAST(r AS VARCHAR)"
+    """uniform-[0,1) hash of (salt, k, rkey) — DuckDB twin of the operator's
+    conv(substring(md5(concat_ws('|', salt, k, rkey)), 1, 8), 16, 10)/2^32."""
+    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || {_ROP_RK}"
     return f"('0x' || substring(md5({key}), 1, 8))::UBIGINT / 4294967296.0"
 
 
 def _rop_h(salt: str) -> str:
-    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || CAST(r AS VARCHAR)"
+    key = f"'{salt}' || '|' || CAST(k AS VARCHAR) || '|' || {_ROP_RK}"
     return f"md5({key})"
 
 
@@ -1976,9 +1993,12 @@ def q_near_dup_components(spark, sf_dir):
     # simhash pairs as the edge source: same dedup-groups semantics as the
     # MinHash pipeline (which near_dup_verified already times separately)
     # at a third of the pipeline cost — the query's subject is the
-    # components algorithm, not a second run of the pair generator
+    # components algorithm, not a second run of the pair generator.
+    # algorithm="star": the catalog demonstrates the diameter-free
+    # large-/small-star path (log rounds — the 10^12-edge choice), not the
+    # diameter-bound min-label variant; both are differential-tested equal.
     pairs = simhash_near_dups(docs, max_hamming=3)
-    return dedup_keep_list(docs, pairs)
+    return dedup_keep_list(docs, pairs, algorithm="star")
 
 
 SQL_NEAR_DUP_COMPONENTS = f"""
@@ -2061,9 +2081,12 @@ WITH w AS (
   SELECT doc_id, gram, any_value(chars) AS chars, count(*) AS c
   FROM g2 GROUP BY 1, 2
 ), t2 AS (
-  SELECT doc_id,
-    max(c * length(gram)) / any_value(chars)::DOUBLE AS top2_char_frac
-  FROM c2 GROUP BY doc_id
+  -- most-frequent gram (rank by count, ties: longer gram then greater
+  -- gram), take ITS count * length — mirrors the Spark struct arg-max
+  SELECT doc_id, c * length(gram) / chars::DOUBLE AS top2_char_frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn FROM c2)
+  WHERE rn = 1
 ), g3 AS (
   SELECT doc_id, chars, unnest(
     CASE WHEN len(ws) >= 3
@@ -2075,9 +2098,10 @@ WITH w AS (
   SELECT doc_id, gram, any_value(chars) AS chars, count(*) AS c
   FROM g3 GROUP BY 1, 2
 ), t3 AS (
-  SELECT doc_id,
-    max(c * length(gram)) / any_value(chars)::DOUBLE AS top3_char_frac
-  FROM c3 GROUP BY doc_id
+  SELECT doc_id, c * length(gram) / chars::DOUBLE AS top3_char_frac
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn FROM c3)
+  WHERE rn = 1
 )
 SELECT b.doc_id, b.n_words,
   round(b.dup_word_frac, 6) AS dup_word_frac,

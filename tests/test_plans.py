@@ -9,6 +9,8 @@ regressions):
   range as a post-filter — not a nested loop.
 """
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -22,6 +24,13 @@ def _plan(df) -> str:
 
 def _n(plan: str, token: str) -> int:
     return plan.count(token)
+
+
+def _shuffles(plan: str) -> int:
+    """Shuffle exchanges ONLY — a bare 'Exchange' substring also matches
+    BroadcastExchange/ReusedExchange (which don't repartition the big side),
+    so the one-exchange contracts count whole node names."""
+    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan))
 
 
 @pytest.fixture(scope="module")
@@ -46,7 +55,7 @@ def test_asof_window_plan_one_exchange_no_python(spark, series_df):
     ).filter("value > 0")
     plan = _plan(asof_join(series_df, right))
     # union of both sides -> ONE shuffle on entity -> WindowExec
-    assert _n(plan, "Exchange") == 1, plan
+    assert _shuffles(plan) == 1, plan
     assert _n(plan, "ArrowEvalPython") == 0 and _n(plan, "BatchEvalPython") == 0
     assert _n(plan, "FlatMapCoGroupsInPandas") == 0
     assert _n(plan, "Window") >= 1
@@ -56,7 +65,7 @@ def test_derived_features_plan_one_exchange(spark, series_df):
     from mpds_spark.operators.windows import derived_features
 
     plan = _plan(derived_features(series_df, value="value"))
-    assert _n(plan, "Exchange") == 1, plan
+    assert _shuffles(plan) == 1, plan
     assert _n(plan, "ArrowEvalPython") == 0 and _n(plan, "BatchEvalPython") == 0
 
 
@@ -67,7 +76,7 @@ def test_interpolate_plan_one_exchange_no_python(spark, series_df):
         "value", F.when(F.col("value") > 0, F.col("value"))
     )
     plan = _plan(interpolate(masked, value="value", leakage_ok=True))
-    assert _n(plan, "Exchange") == 1, plan
+    assert _shuffles(plan) == 1, plan
     assert _n(plan, "ArrowEvalPython") == 0 and _n(plan, "BatchEvalPython") == 0
 
 
@@ -77,7 +86,7 @@ def test_sessionize_plan_single_entity_exchange(spark, series_df):
     plan = _plan(sessionize(series_df, gap=1800.0))
     # gap-flag window + session-sum window share the entity partitioning:
     # one exchange total
-    assert _n(plan, "Exchange") == 1, plan
+    assert _shuffles(plan) == 1, plan
 
 
 def test_lsh_candidates_plan_no_cartesian(spark):
@@ -120,7 +129,6 @@ def test_catalog_plan_inventory(spark):
     BNLJ_BY_DESIGN = {
         "ann_cosine_topk",     # broadcast query set x corpus (exact baseline)
         "histogram_lift",      # broadcast 1-row (min, max) fit
-        "sampled_pairs_det",   # bounded sampled cross join (reference parity)
         "clinical_pairs",      # inter theta pass over hash-capped rows
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}

@@ -88,6 +88,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", names: list[str] | None = None)
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     results = []
+    from mpds_spark.operators.util import release_scratch
+
     for name, fn in qs.items():
         if names and name not in names:
             continue
@@ -96,6 +98,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001", names: list[str] | None = None)
         except Exception as e:  # noqa: BLE001
             results.append({"name": name, "status": f"SPARK_ERROR {e}"})
             continue
+        finally:
+            release_scratch()
         if name not in os_:
             results.append(
                 {"name": name, "status": "NO_ORACLE(rows-only)", "rows_spark": len(sdf)}

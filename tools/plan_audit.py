@@ -12,25 +12,34 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-NODES = [
-    "Exchange",
-    "SortMergeJoin",
-    "BroadcastHashJoin",
-    "BroadcastNestedLoopJoin",
-    "CartesianProduct",
-    "Window",
-    "ArrowEvalPython",
-    "BatchEvalPython",
-    "FlatMapGroupsInPandas",
-    "FlatMapCoGroupsInPandas",
-    "MapInPandas",
-    "InMemoryTableScan",
-    "WholeStageCodegen",
-]
+# Whole-node-name patterns (substring counting overstates: bare "Exchange"
+# also matches BroadcastExchange/ReusedExchange, "Window" matches
+# WindowGroupLimit). Shuffle vs broadcast exchanges are counted separately —
+# only the former is a repartitioning of the big side.
+NODES = {
+    "ShuffleExchange": r"\bExchange (?:hash|range|Single)",
+    "BroadcastExchange": r"\bBroadcastExchange\b",
+    "ReusedExchange": r"\bReusedExchange\b",
+    "SortMergeJoin": r"\bSortMergeJoin\b",
+    "BroadcastHashJoin": r"\bBroadcastHashJoin\b",
+    "ShuffledHashJoin": r"\bShuffledHashJoin\b",
+    "BroadcastNestedLoopJoin": r"\bBroadcastNestedLoopJoin\b",
+    "CartesianProduct": r"\bCartesianProduct\b",
+    "Window": r"\bWindow\b(?!GroupLimit)",
+    "WindowGroupLimit": r"\bWindowGroupLimit\b",
+    "ArrowEvalPython": r"\bArrowEvalPython\b",
+    "BatchEvalPython": r"\bBatchEvalPython\b",
+    "FlatMapGroupsInPandas": r"\bFlatMapGroupsInPandas\b",
+    "FlatMapCoGroupsInPandas": r"\bFlatMapCoGroupsInPandas\b",
+    "MapInPandas": r"\bMapInPandas\b",
+    "InMemoryTableScan": r"\bInMemoryTableScan\b",
+    "WholeStageCodegen": r"\bWholeStageCodegen\b",
+}
 
 
 def main() -> int:
@@ -50,7 +59,7 @@ def main() -> int:
                 .executedPlan()
                 .toString()
             )
-            counts = {n: plan.count(n) for n in NODES}
+            counts = {n: len(re.findall(p, plan)) for n, p in NODES.items()}
             out = {"query": name} | {k: v for k, v in counts.items() if v}
         except Exception as e:  # noqa: BLE001
             out = {"query": name, "error": str(e)[:200]}
