@@ -128,6 +128,223 @@ def hot_entity_stats(df: DataFrame, entity: str = "entity_id", top: int = 5):
     return [(r[entity], r["count"], r["count"] / total) for r in rows]
 
 
+def salted_locf(
+    df: DataFrame,
+    value: str = "value",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    valid_time: float | None = None,
+    default: float | None = None,
+    out_prefix: str | None = None,
+    chunk_span: float = 86400.0,
+) -> DataFrame:
+    """LOCF decomposed for hot entities — same output columns/semantics as
+    backfill.locf, but the expanding last(ignoreNulls) runs per (entity,
+    time-chunk) window partition with a per-chunk carry, so a 10^8-row
+    entity becomes chunk_count parallel window tasks instead of ONE sorted
+    WindowExec partition (the remaining single-giant-entity bottleneck
+    after salted_asof_join/salted_expanding_sum).
+
+    Two-pass shape:
+    1. within-chunk expanding last(value, ignoreNulls) + last sample time —
+       each (entity, chunk) is an independent window partition;
+    2. per-chunk LAST non-null sample (one row per entity-chunk) → carried
+       across the chunk sequence (last ignoreNulls over strictly EARLIER
+       chunks) → joined back; a row falls back to the carry only when its
+       own chunk has no earlier sample.
+
+    last() is a selection (no arithmetic), so the result is BIT-IDENTICAL
+    to the unsalted locf — tested row-for-row — provided (entity, ts) is
+    unique (with duplicate timestamps "the last row" is scan-order-
+    dependent in ANY engine; see salted_asof_join's tie caveat).
+    """
+    p = out_prefix or value
+    t = epoch_seconds(df, ts)
+    d = df.withColumn("__t", t).withColumn(
+        "__chunk", F.floor(F.col("__t") / F.lit(float(chunk_span)))
+    )
+    v = F.col(value)
+
+    w_in = (
+        Window.partitionBy(entity, "__chunk")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local_carried = F.last(v, ignorenulls=True).over(w_in)
+    local_last_t = F.last(
+        F.when(v.isNotNull(), F.col("__t")), ignorenulls=True
+    ).over(w_in)
+    d = d.withColumn("__lc", local_carried).withColumn("__lt", local_last_t)
+
+    # pass 2: latest non-null sample per (entity, chunk) — struct max by
+    # sample time — then "latest so far over EARLIER chunks" via
+    # last(ignoreNulls) on the tiny per-chunk frame
+    chunk_last = d.groupBy(entity, "__chunk").agg(
+        F.max(
+            F.when(v.isNotNull(), F.struct(F.col("__t").alias("t"), v.alias("v")))
+        ).alias("__s")
+    )
+    w_prev = (
+        Window.partitionBy(entity)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = chunk_last.select(
+        entity,
+        "__chunk",
+        F.last("__s", ignorenulls=True).over(w_prev).alias("__cs"),
+    )
+    out = d.join(carry, [entity, "__chunk"], "left")
+
+    carried = F.coalesce(F.col("__lc"), F.col("__cs.v"))
+    tsls = F.col("__t") - F.coalesce(F.col("__lt"), F.col("__cs.t"))
+    out = out.withColumn(f"{p}_locf", carried).withColumn(
+        f"{p}_time_since_sample", tsls
+    )
+    if valid_time is not None:
+        out = out.withColumn(
+            f"{p}_locf_expir",
+            F.when(tsls > F.lit(float(valid_time)), F.lit(None)).otherwise(
+                carried
+            ),
+        )
+    if default is not None:
+        out = out.withColumn(
+            f"{p}_locf", F.coalesce(F.col(f"{p}_locf"), F.lit(default))
+        )
+    return out.drop("__t", "__chunk", "__lc", "__lt", "__cs")
+
+
+def salted_derived_features(
+    df: DataFrame,
+    value: str = "dss",
+    entity: str = "entity_id",
+    ts: str = "ts",
+    chunk_span: float = 86400.0,
+) -> DataFrame:
+    """windows.derived_features decomposed for hot entities: every expanding
+    aggregate (9 running sums, row count, max, min) computed as
+    within-(entity, chunk) window + per-chunk carry — the same two-pass
+    scan as salted_expanding_sum, generalized. One within-chunk WindowExec
+    + one tiny per-chunk agg/window + one join replaces the single giant
+    per-entity WindowExec partition.
+
+    The lag-based per-row terms (diff/rate) cross chunk boundaries via the
+    previous chunk's LAST row (t, v), replayed through a per-chunk lag —
+    so row-level values are IDENTICAL to the unsalted operator.
+
+    Float caveat (same as salted_expanding_sum): the running-sum TREE
+    differs from the single-pass window, so sums agree to ~ulp (exact for
+    integer-valued data — the bit-equality tests use that); max/min/count
+    and all lag terms are exact. Requires unique (entity, ts) like every
+    order-based operator here.
+    """
+    from mpds_spark.operators.windows import _nan_to_zero
+
+    t = epoch_seconds(df, ts)
+    d = df.withColumn("__t", t).withColumn(
+        "__chunk", F.floor(F.col("__t") / F.lit(float(chunk_span)))
+    )
+    v = F.col(value)
+
+    w_row = Window.partitionBy(entity, "__chunk").orderBy("__t")
+    w_in = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_seq = Window.partitionBy(entity).orderBy("__chunk")
+    w_prev = w_seq.rowsBetween(Window.unboundedPreceding, -1)
+
+    # chunk-boundary lag carry: previous chunk's last (t, v)
+    last_rows = d.groupBy(entity, "__chunk").agg(
+        F.max(F.struct(F.col("__t").alias("t"), v.alias("v"))).alias("__lr")
+    )
+    prev_last = last_rows.select(
+        entity, "__chunk", F.lag("__lr").over(w_seq).alias("__plr")
+    )
+    d = d.join(prev_last, [entity, "__chunk"], "left")
+
+    rn_local = F.row_number().over(w_row)
+    lag_v = F.when(rn_local == 1, F.col("__plr.v")).otherwise(
+        F.lag(value).over(w_row)
+    )
+    lag_t = F.when(rn_local == 1, F.col("__plr.t")).otherwise(
+        F.lag("__t").over(w_row)
+    )
+    dv = v - lag_v
+    dt = F.col("__t") - lag_t
+    abs_diff = F.coalesce(F.abs(dv), F.lit(0.0))
+    diff_t = F.coalesce(F.abs(dt), F.lit(1.0))
+    signed_diff = F.coalesce(dv, F.lit(0.0))
+    abs_rate = abs_diff / diff_t
+    rate = signed_diff / diff_t
+
+    tt = F.col("__t")
+    terms = {
+        "v": v.cast("double"),
+        "vt": v * tt,
+        "vtt": v * tt * tt,
+        "t": tt,
+        "tsq": tt * tt,
+        "rate": rate,
+        "ratet": rate * tt,
+        "arate": abs_rate,
+        "aratet": abs_rate * tt,
+    }
+    # materialize term columns first: they contain window expressions (lag),
+    # which cannot appear inside an aggregate directly
+    for nm, expr in terms.items():
+        d = d.withColumn(f"__x_{nm}", expr)
+
+    # pass 1: within-chunk expanding aggregates (one WindowExec)
+    for nm in terms:
+        d = d.withColumn(f"__l_{nm}", F.sum(f"__x_{nm}").over(w_in))
+    d = (
+        d.withColumn("__lcnt", rn_local)
+        .withColumn("__lmax", F.max(v).over(w_in))
+        .withColumn("__lmin", F.min(v).over(w_in))
+    )
+
+    # pass 2: per-chunk totals → exclusive running carry (tiny frame)
+    tot_aggs = [F.sum(f"__x_{nm}").alias(f"__tot_{nm}") for nm in terms] + [
+        F.count(F.lit(1)).alias("__tot_cnt"),
+        F.max(v).alias("__tot_max"),
+        F.min(v).alias("__tot_min"),
+    ]
+    totals = d.groupBy(entity, "__chunk").agg(*tot_aggs)
+    carry_cols = [
+        F.sum(f"__tot_{nm}").over(w_prev).alias(f"__c_{nm}") for nm in terms
+    ] + [
+        F.sum("__tot_cnt").over(w_prev).alias("__c_cnt"),
+        F.max("__tot_max").over(w_prev).alias("__c_max"),
+        F.min("__tot_min").over(w_prev).alias("__c_min"),
+    ]
+    carry = totals.select(entity, "__chunk", *carry_cols)
+    out = d.join(carry, [entity, "__chunk"], "left")
+
+    def full(nm: str):
+        l, c = F.col(f"__l_{nm}"), F.col(f"__c_{nm}")
+        # both-null stays null (all-null prefix — unsalted sum is null too;
+        # _nan_to_zero maps it to 0 exactly like the unsalted plan)
+        return F.when(l.isNull() & c.isNull(), F.lit(None)).otherwise(
+            F.coalesce(l, F.lit(0.0)) + F.coalesce(c, F.lit(0.0))
+        )
+
+    line_num = F.col("__lcnt") + F.coalesce(F.col("__c_cnt"), F.lit(0))
+    feats = {
+        "dss_avg": full("v") / line_num,
+        "dss_ht_avg": full("vt") / full("t"),
+        "dss_ht_sq_avg": full("vtt") / full("tsq"),
+        # greatest/least skip nulls — matches max/min over the union prefix
+        "dss_max": F.greatest("__lmax", "__c_max"),
+        "dss_min": F.least("__lmin", "__c_min"),
+        "dss_rate_avg": full("rate") / line_num,
+        "dss_rate_ht_avg": full("ratet") / full("t"),
+        "dss_abs_rate_avg": full("arate") / line_num,
+        "dss_abs_rate_ht_avg": full("aratet") / full("t"),
+    }
+    for name, expr in feats.items():
+        out = out.withColumn(name, _nan_to_zero(expr))
+    return out.select(*df.columns, *feats.keys())
+
+
 def salted_expanding_sum(
     df: DataFrame,
     value: str,
