@@ -60,15 +60,17 @@ def cosine_topk(
     )
 
 
-def sign_code(col: str, bits: int = 4) -> Column:
-    """Deterministic b-bit bucket: sign bits of the first b components.
+def sign_code(col: str, bits: int = 4, offset: int = 0) -> Column:
+    """Deterministic b-bit bucket: sign bits of components offset+1..offset+b.
     Axis-aligned — engine-portable (DuckDB oracle twin), but a weak hash
     for real embeddings whose energy concentrates in few axes; production
-    path is random_hyperplane_code."""
+    path is random_hyperplane_code. offset selects a disjoint component
+    window, giving INDEPENDENT oracle-portable code tables for the
+    multi-table banding construction."""
     code = F.lit(0)
     for i in range(bits):
         code = code + F.when(
-            F.element_at(F.col(col), i + 1) > 0, F.lit(1 << i)
+            F.element_at(F.col(col), offset + i + 1) > 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
     return code.cast("int")
 
@@ -162,30 +164,100 @@ def lsh_cosine_topk(
     )
 
 
+def banded_code_candidates(
+    vectors: DataFrame,
+    code_cols: list[Column],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate pairs agreeing on >= 1 of K independent code tables — the
+    standard banding construction that recovers recall as `bits` grows with
+    the corpus. One explode into (table, code) rows + ONE equi-join on
+    (table, code) + a distinct replaces K separate joins; duplicates across
+    tables are deduped BEFORE the (more expensive) cosine verify.
+
+    Recall math: a pair at angle θ agrees on one b-bit table with
+    p = (1 - θ/π)^b, and on >= 1 of K tables with 1 - (1-p)^K — so K
+    recovers what larger b (needed to keep buckets small at corpus scale)
+    costs. Candidate volume stays O(K * Σ bucket²)."""
+    tables = F.array(
+        *[
+            F.struct(F.lit(i).alias("t"), c.alias("code"))
+            for i, c in enumerate(code_cols)
+        ]
+    )
+    base = vectors.select(
+        F.col(id_col).alias("k"), F.explode(tables).alias("tc")
+    ).select("k", F.col("tc.t").alias("t"), F.col("tc.code").alias("code"))
+    a = base.select(F.col("k").alias("vec_a"), "t", "code")
+    b = base.select(F.col("k").alias("vec_b"), "t", "code")
+    return (
+        a.join(b, ["t", "code"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
-    bits: int = 4,
+    bits: int | str = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     code_fn=None,
+    seeds: list[int] | None = None,
+    dim: int | None = None,
+    code_cols: list[Column] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup framing of ANN): all pairs
-    sharing a sign-code bucket with cosine >= threshold.
+    sharing a code bucket (in >= 1 of K code tables) with cosine >= threshold.
 
     Same two-tier shape as the text near-dup path: the bucket equi-join is
     the candidate generator, the exact cosine is the verify. The join is
     quadratic WITHIN each bucket — candidates ~ n^2 / 2^bits for balanced
-    buckets — so `bits` must scale with the corpus (bits ~ log2(n) + c
-    keeps expected bucket size ~2^-c * n^... constant work per doc); the
-    default bits=4 suits the small oracle fixture, NOT a 10^9-doc corpus.
-    Recall: a pair at cosine c agrees on one random hyperplane with prob
-    1 - arccos(c)/pi, so higher bits trades recall for candidate volume —
-    recover recall with multiple independent code tables (run this with
-    several seeds and union, the standard banding construction).
-    axis-aligned sign_code stays oracle-portable; pass
-    random_hyperplane_code for production.
+    buckets — so `bits` must scale with the corpus: bits="auto" derives
+    max(4, ceil(log2(n_docs)) + 2), keeping the expected bucket size ~1/4
+    constant per doc. auto is explicit OPT-IN because it needs a count()
+    action; the plan stays action-free with an integer bits. The default
+    bits=4 suits the small oracle fixture, NOT a 10^9-doc corpus.
+
+    Recall at higher bits is recovered with K independent code tables
+    (banded union — see banded_code_candidates): pass seeds=[s1..sK] for
+    seeded random-hyperplane tables (production; recall pytest-gated vs
+    brute force), or code_cols=[...] for explicit tables (e.g. axis-aligned
+    sign_code at disjoint offsets — the oracle-portable twin). Single-table
+    default keeps the original plan (axis-aligned sign_code, DuckDB twin).
     """
+    if bits == "auto":
+        n_docs = vectors.count()
+        import math
+
+        bits = max(4, math.ceil(math.log2(max(n_docs, 2))) + 2)
+    if seeds is not None and code_cols is None:
+        if dim is None:
+            dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+        code_cols = [
+            random_hyperplane_code(vec_col, bits, dim, seed=s) for s in seeds
+        ]
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.sqrt(
+        _dot(F.col("__va"), F.col("__va"))
+    ) / F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    if code_cols is not None:
+        cand = banded_code_candidates(vectors, code_cols, vec_col, id_col)
+        va = vectors.select(
+            F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("__va")
+        )
+        vb = vectors.select(
+            F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("__vb")
+        )
+        return (
+            cand.join(va, "vec_a")
+            .join(vb, "vec_b")
+            .withColumn("cosine", cos)
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
     if code_fn is None:
         code_fn = sign_code
     base = vectors.select(
@@ -199,9 +271,6 @@ def embedding_near_dup_pairs(
     b = base.select(
         F.col("k").alias("vec_b"), F.col("__v").alias("__vb"), "__code"
     )
-    cos = _dot(F.col("__va"), F.col("__vb")) / F.sqrt(
-        _dot(F.col("__va"), F.col("__va"))
-    ) / F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
     return (
         a.join(b, "__code")
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -1769,6 +1769,61 @@ _RAW_ORACLES["embedding_near_dups"] = SQL_EMBEDDING_NEAR_DUPS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 
+def q_embedding_near_dups_multi(spark, sf_dir):
+    """Multi-table banded candidate union (VERDICT r2 #5): K=2 independent
+    4-bit code tables (axis-aligned sign codes over DISJOINT component
+    windows — the oracle-portable twin of K seeded random-hyperplane
+    tables), one (table, code) equi-join + dedupe, cosine verify. The
+    seeded-random production variant (seeds=[...]) shares this exact plan
+    and is recall-gated in pytest vs brute force."""
+    from mpds_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        sign_code,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(
+        emb,
+        threshold=0.35,
+        code_cols=[sign_code("embedding", 4, 0), sign_code("embedding", 4, 4)],
+    )
+    return out.select("vec_a", "vec_b", _r6("cosine").alias("cosine"))
+
+
+def _dd_sign_code(offset: int) -> str:
+    return " + ".join(
+        f"CASE WHEN embedding[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(4)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS_MULTI = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    ({_dd_sign_code(0)}) AS c0,
+    ({_dd_sign_code(4)}) AS c1
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM base a JOIN base b ON (a.c0 = b.c0 OR a.c1 = b.c1)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+  round(list_dot_product(x.v, y.v) / sqrt(list_dot_product(x.v, x.v))
+    / sqrt(list_dot_product(y.v, y.v)), 6) AS cosine
+FROM cand c
+JOIN base x ON x.vec_id = c.vec_a
+JOIN base y ON y.vec_id = c.vec_b
+WHERE list_dot_product(x.v, y.v) / sqrt(list_dot_product(x.v, x.v))
+    / sqrt(list_dot_product(y.v, y.v)) >= 0.35
+"""
+
+QUERIES["embedding_near_dups_multi"] = q_embedding_near_dups_multi
+_RAW_ORACLES["embedding_near_dups_multi"] = SQL_EMBEDDING_NEAR_DUPS_MULTI
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
 def q_random_ordered_pairs(spark, sf_dir):
     """Seeded random rank-ordered pairs (createRandomPairsOrderedByRank
     parity) over purchase events, rank = value. The operator is a pure

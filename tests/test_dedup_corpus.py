@@ -1,0 +1,79 @@
+"""dedup_corpus pipeline: end-to-end keep list + kill/resume contract
+(VERDICT r2 #7): killing the run after stage k and resuming must produce a
+keep list byte-identical to an uninterrupted run, re-running NO completed
+stage."""
+
+import numpy as np
+import pandas as pd
+
+from mpds_spark.pipelines.dedup_corpus import dedup_corpus
+
+
+def _corpus(seed=5):
+    """20 base docs + exact duplicates (every 3rd) + near-dup variants
+    (every 4th: last word swapped — Jaccard ~0.54 over 3-shingles)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    did = 0
+    for b in range(20):
+        words = [str(w) for w in rng.choice(vocab, size=12, replace=True)]
+        base = " ".join(words)
+        rows.append((f"d{did:03d}", base))
+        did += 1
+        if b % 3 == 0:
+            rows.append((f"d{did:03d}", base))  # exact dup
+            did += 1
+        if b % 4 == 0:
+            rows.append((f"d{did:03d}", " ".join(words[:-1] + ["zz"])))
+            did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_dedup_corpus_end_to_end_and_resume(spark, tmp_path):
+    docs = spark.createDataFrame(_corpus())
+
+    full = dedup_corpus(spark, docs, str(tmp_path / "full"), threshold=0.5)
+    assert full["stages"]["02_pairs"] == "ran"
+    assert full["stages"]["04_keep"] == "ran"
+    a = (
+        full["keep"].toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    # exact dups collapsed: every non-kept doc maps to a kept representative
+    kept_ids = set(a[a["keep"]]["doc_id"])
+    assert 0 < len(kept_ids) < len(a)
+    assert set(a["component"]) <= set(a["exact_rep"])
+    for _, r in a.iterrows():
+        assert (r["doc_id"] == r["exact_rep"]) or (r["exact_rep"] in set(a["doc_id"]))
+
+    # ---- kill after stage 2, resume, byte-identical keep list
+    d2 = str(tmp_path / "resume")
+    part = dedup_corpus(spark, docs, d2, threshold=0.5, stop_after=2)
+    assert part["keep"] is None
+    assert part["stages"]["02_pairs"] == "ran"
+
+    res = dedup_corpus(spark, docs, d2, threshold=0.5)
+    assert res["stages"]["01_exact"] == "skipped"  # per-bucket lineage hit
+    assert res["stages"]["02_pairs"] == "skipped"
+    assert res["stages"]["03_components"] == "ran"
+    b = res["keep"].toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # a second full resume re-runs NOTHING and still reads the same verdict
+    res2 = dedup_corpus(spark, docs, d2, threshold=0.5)
+    assert all(v == "skipped" for v in res2["stages"].values())
+    c = res2["keep"].toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_dedup_corpus_spec_change_invalidates_downstream_only(spark, tmp_path):
+    """Changing a stage-2 parameter must re-run stages 2-4 but keep the
+    per-bucket stage-1 lineage valid (spec strings chain downstream)."""
+    docs = spark.createDataFrame(_corpus(seed=9))
+    d = str(tmp_path / "run")
+    dedup_corpus(spark, docs, d, threshold=0.5)
+    res = dedup_corpus(spark, docs, d, threshold=0.4)
+    assert res["stages"]["01_exact"] == "skipped"
+    assert res["stages"]["02_pairs"] == "ran"
+    assert res["stages"]["04_keep"] == "ran"
