@@ -327,9 +327,24 @@ def clinical_pairs(
     does: cap the used rows per stage (hash-rank) BEFORE the join, so the
     join input — not just the output — is bounded.
     """
+    from mpds_spark.operators.util import (
+        defer_release,
+        tracked_local_checkpoint,
+    )
+
     d = df.filter(F.col(stage) >= 0)
     if considered is not None:
         d = d.join(considered, entity, "left_semi")
+    # materialize the considered-rows frame ONCE and TRUNCATE its lineage:
+    # it is referenced by both legs of the intra self-join and (through
+    # used_rows) both legs of the inter pass — unmaterialized, every
+    # reference re-expands the whole scan + semi-join subtree (measured:
+    # the base table scanned 39x in one plan at sf0.001). localCheckpoint
+    # (not persist) so each reference is a flat RDD scan — the plan no
+    # longer grows multiplicatively with stage cardinality. Safe because
+    # every downstream cap is a content-hash rank (layout-independent).
+    d, _ids = tracked_local_checkpoint(d)
+    defer_release(_ids)
 
     intra = cross_stage_pairs(
         d, key, stage, entity, ts, min_ht_gap, within_entity=True
@@ -341,13 +356,13 @@ def clinical_pairs(
             ["on_key", "off_key"],
             intra_cap,
         )
-    # consumed by used-keys and the final union; released by the caller's
-    # next release_scratch() (the final action is outside this operator)
-    from mpds_spark.operators.util import scratch_persist
-
-    intra = scratch_persist(
+    # consumed by used-keys and the final union; blocks released by the
+    # caller's next release_scratch() (the final action is outside this
+    # operator)
+    intra, _ids = tracked_local_checkpoint(
         intra.select("on_key", "off_key", "on_stage", "off_stage")
     )
+    defer_release(_ids)
 
     used = (
         intra.select(F.col("on_key").alias(key))
@@ -359,6 +374,10 @@ def clinical_pairs(
         used_rows = _hash_rank_cap(
             used_rows, [stage], [F.col(key).cast("string")], inter_rows_per_stage
         )
+    # both inter self-join legs reference this capped frame: materialize it
+    # once (its cap window would otherwise be planned and executed twice)
+    used_rows, _ids = tracked_local_checkpoint(used_rows)
+    defer_release(_ids)
     inter = cross_stage_pairs(
         used_rows, key, stage, entity, ts, min_ht_gap, within_entity=False
     )
