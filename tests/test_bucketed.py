@@ -87,3 +87,37 @@ def test_iceberg_shim_layout_contract(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
     )[1][:120]
+
+
+def test_iceberg_runtime_or_skip_with_reason(spark, tmp_path):
+    """VERDICT r2 #10: the real Iceberg runtime path has never executed in
+    this sandbox (no iceberg-spark-runtime jar on the box — verified by
+    filesystem search — and no network to fetch one). Make the gap VISIBLE
+    instead of silent: exercise a REAL Iceberg write/read round-trip when
+    the class is present; otherwise SKIP with the probe error recorded.
+    The parquet shim's layout contract is covered separately by
+    test_iceberg_shim_layout_contract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(
+            "Iceberg runtime unavailable in sandbox; probe error: "
+            f"{str(e)[:160]}"
+        )
+    from mpds_spark.sources.io import read_sequences, write_sequences
+
+    spark.conf.set(
+        "spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("entity_id"), F.col("id").alias("v")
+    )
+    assert write_sequences(df, "it.db.seq", spark) == "iceberg"
+    assert read_sequences(spark, "it.db.seq").count() == 100
