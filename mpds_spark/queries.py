@@ -169,6 +169,29 @@ FROM d
 """
 
 
+def q_locf_salted(spark, sf_dir):
+    """The SALTED LOCF path through the driver gate (VERDICT r2 #3): locf
+    semantics executed via salted_locf with a 90-day chunk span (several
+    chunks per entity, chunk-prefix carry exercised at sf scale). The
+    oracle is the PLAIN LOCF SQL — the driver gate certifies
+    salted == unsalted == oracle, like asof_salted does for the as-of."""
+    from mpds_spark.operators.salting import salted_locf
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    out = salted_locf(ev, value="v", valid_time=3600.0, chunk_span=90 * 86400.0)
+    return out.select(
+        "event_id",
+        F.col("v_locf").alias("locf"),
+        _r6("v_time_since_sample").alias("time_since_sample"),
+        F.col("v_locf_expir").alias("locf_expir"),
+    )
+
+
 def q_time_since_purchase(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         "event_id",
@@ -673,6 +696,7 @@ def _rewrite_rounds(sql: str) -> str:
 QUERIES = {
     "derived_features": q_derived_features,
     "locf": q_locf,
+    "locf_salted": q_locf_salted,
     "time_since_purchase": q_time_since_purchase,
     "sessionize": q_sessionize,
     "asof_purchase": q_asof_purchase,
@@ -695,6 +719,7 @@ QUERIES = {
 _RAW_ORACLES = {
     "derived_features": SQL_DERIVED,
     "locf": SQL_LOCF,
+    "locf_salted": SQL_LOCF,  # salted == unsalted == oracle (the gate point)
     "time_since_purchase": SQL_TIME_SINCE,
     "sessionize": SQL_SESSIONIZE,
     "asof_purchase": SQL_ASOF_PURCHASE,

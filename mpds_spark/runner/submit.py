@@ -12,6 +12,8 @@ Subcommands:
     extract  — battery + expanding features + as-of enrichment, bucket-
                partitioned with lineage manifests (resumable)
     bench    — engine throughput at the current master's parallelism
+    dedup    — end-to-end corpus dedup (exact -> LSH near-dup pairs ->
+               star CC -> keep list), stage-resumable under --output
 
 Local smoke: python -m mpds_spark.runner.submit synth --docs 10000 --output /tmp/x
 """
@@ -96,6 +98,43 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    from mpds_spark.pipelines.dedup_corpus import dedup_corpus
+    from mpds_spark.sources.io import read_table
+
+    spark = _spark(args)
+    if args.input.endswith(".parquet") or "/" in args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        docs = read_table(spark, args.sf_dir, args.input)
+    res = dedup_corpus(
+        spark,
+        docs,
+        args.output,
+        text=args.text_col,
+        key=args.key_col,
+        n_buckets=args.entity_buckets,
+        threshold=args.threshold,
+        max_df=args.max_df,
+    )
+    keep = res["keep"]
+    n_docs = keep.count()
+    n_keep = keep.filter("keep").count()
+    print(
+        json.dumps(
+            {
+                "stages": res["stages"],
+                "docs": n_docs,
+                "kept": n_keep,
+                "removed": n_docs - n_keep,
+                "out": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mpds_spark")
     p.add_argument("--master", default=None)
@@ -119,10 +158,23 @@ def main(argv=None) -> int:
     b.add_argument("--docs", type=int, default=100_000)
     b.add_argument("--seed", type=int, default=42)
 
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True, help="parquet path or table name")
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    d.add_argument("--output", required=True)
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--key-col", default="doc_id")
+    d.add_argument("--entity-buckets", type=int, default=8)
+    d.add_argument("--threshold", type=float, default=0.5)
+    d.add_argument("--max-df", type=int, default=None)
+
     args = p.parse_args(argv)
-    return {"synth": cmd_synth, "extract": cmd_extract, "bench": cmd_bench}[
-        args.cmd
-    ](args)
+    return {
+        "synth": cmd_synth,
+        "extract": cmd_extract,
+        "bench": cmd_bench,
+        "dedup": cmd_dedup,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":
