@@ -205,25 +205,31 @@ def repetition_signals(
         counts = g.select(
             F.col(key), "__chars", F.explode("__g").alias("gram")
         ).groupBy(key, "__chars", "gram").agg(F.count(F.lit(1)).alias("c"))
-        # arg-max by (count, length, gram): max over lexicographically
-        # ordered structs picks the most frequent gram with the documented
-        # deterministic tie-break, then we take THAT gram's count * length
-        best = F.max(
-            F.struct(
-                F.col("c").alias("c"),
-                F.length("gram").alias("ln"),
-                F.col("gram").alias("g"),
-            )
-        )
+        # arg-max by (count, length) PACKED into one BIGINT (count*2^20 +
+        # length; gram lengths < 1M chars). Two measured pitfalls here:
+        # - a max over a struct (or padded-string) buffer falls off the
+        #   hash-aggregate path to SortAggregate, which sorts the whole
+        #   exploded gram frame (12.8 s vs 0.5 s at sf0.1) — pack into a
+        #   LONG so max stays in whole-stage-codegen HashAggregate;
+        # - __chars must come through first(), NOT the grouping key: as a
+        #   grouping expression the higher-order aggregate(transform(...))
+        #   gets inlined and re-evaluated per exploded gram row — O(words²)
+        #   per doc (9-12 s vs 0.5 s at sf0.1).
+        # The gram itself is NOT needed: grams tied on (count, length) all
+        # yield the same count * length product, so the packed max selects
+        # exactly the value the (count, length, gram)-ranked arg-max would —
+        # the gram tie-break exists only to make the ORACLE's row_number
+        # pick deterministic.
+        packed = F.col("c") * F.lit(1 << 20).cast("long") + F.length("gram")
         return (
-            counts.groupBy(key, "__chars")
-            .agg(best.alias("__b"))
+            counts.groupBy(key)
+            .agg(F.max(packed).alias("__b"), F.first("__chars").alias("__ch"))
             .select(
                 F.col(key),
                 (
-                    F.col("__b.c")
-                    * F.col("__b.ln")
-                    / F.col("__chars").cast("double")
+                    F.shiftright("__b", 20)
+                    * (F.col("__b").bitwiseAND((1 << 20) - 1))
+                    / F.col("__ch").cast("double")
                 ).alias(f"top{n}_char_frac"),
             )
         )

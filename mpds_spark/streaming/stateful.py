@@ -56,19 +56,19 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _enrich_group(
-    key, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (entity,) = key
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    if state.exists:
+def _enrich_core(entity, batch: pd.DataFrame, carried):
+    """Shared event-time merge kernel (both stateful APIs delegate here).
+
+    carried: (ref_ts, ref_val) or None. Returns (out_pdf, new_state) where
+    new_state is (ts, val) to persist, or None when no ref was seen."""
+    if carried is not None:
         # inject the carried state as a synthetic ref row AT ITS OWN ts, so
         # the event-time merge below treats it like any other reference:
         # a late batch ref (ts < state.ts) fills only observations before
         # the state ref, and the state itself only ever moves FORWARD in
         # event time (a plain "fill unmatched from state" would let a late
         # ref overwrite newer carried state)
-        ref_ts, ref_val = state.get
+        ref_ts, ref_val = carried
         batch = pd.concat(
             [
                 pd.DataFrame(
@@ -105,11 +105,24 @@ def _enrich_group(
             "ref_ts": r_ts[obs].to_numpy(),
         }
     )
+    new_state = None
     if is_ref.any():
         # max-event-time ref (sorted ascending -> the last ref row); with
         # the injected state row included this is monotone by construction
         last = batch[is_ref].iloc[-1]
-        state.update((float(last["ts"]), float(last["value"])))
+        new_state = (float(last["ts"]), float(last["value"]))
+    return out, new_state
+
+
+def _enrich_group(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (entity,) = key
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    carried = tuple(state.get) if state.exists else None
+    out, new_state = _enrich_core(entity, batch, carried)
+    if new_state is not None:
+        state.update(new_state)
     yield out
 
 
@@ -126,4 +139,48 @@ def streaming_asof_enrich(events):
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_asof_enrich_tws(events):
+    """The same operator on the Spark 4.x transformWithStateInPandas API
+    (the successor to applyInPandasWithState: typed per-state-variable
+    handles, RocksDB-backed, timers/TTL available). Identical semantics —
+    both delegate to _enrich_core — and pinned against the same batch twin.
+
+    Requires the RocksDB state store provider:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+    and the `protobuf` python package (the transformWithState driver worker
+    speaks protobuf to the JVM state server) — absent in this sandbox, so
+    the equivalence test SKIPs with the probe recorded there; semantics are
+    covered by the applyInPandasWithState twin via the shared _enrich_core.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class AsofEnrichProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ref", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            (entity,) = key
+            batch = pd.concat(list(rows), ignore_index=True)
+            carried = tuple(self._state.get()) if self._state.exists() else None
+            out, new_state = _enrich_core(entity, batch, carried)
+            if new_state is not None:
+                self._state.update(new_state)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("entity_id").transformWithStateInPandas(
+        statefulProcessor=AsofEnrichProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="None",
     )

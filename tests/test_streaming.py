@@ -262,3 +262,107 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     batch = exact_dedup(spark.createDataFrame(pdf)).toPandas()
     assert set(got.text_hash) == set(batch.text_hash)
     assert (got.n == 1).all()  # exactly one survivor per hash, ever
+
+
+def test_tws_asof_enrich_matches_batch_asof(spark, tmp_path):
+    """streaming_asof_enrich_tws (the Spark 4.x transformWithStateInPandas
+    API, RocksDB state store) pinned against the batch asof_join with the
+    same harness as the applyInPandasWithState test — both stateful APIs
+    share _enrich_core, so this certifies the new-API plumbing.
+
+    transformWithState's python driver worker speaks protobuf to the JVM
+    state server; the sandbox has no `protobuf` package (and no installs),
+    so this SKIPs with the probe recorded when the dependency is missing —
+    the semantics stay covered by the applyInPandasWithState twin."""
+    import importlib.util
+
+    try:
+        # find_spec on a submodule raises when the parent package is absent
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        pytest.skip(
+            "transformWithStateInPandas requires the protobuf package "
+            "(StateMessage_pb2), absent in this sandbox; semantics covered "
+            "by the applyInPandasWithState twin via shared _enrich_core"
+        )
+    import numpy as np
+    import pandas as pd
+
+    from mpds_spark.operators.asof import asof_join
+    from mpds_spark.streaming.stateful import (
+        EVENT_SCHEMA,
+        streaming_asof_enrich_tws,
+    )
+
+    rng = np.random.default_rng(57)
+    rows = []
+    for e in ["a", "b"]:
+        n = 40
+        ts = np.sort(rng.uniform(0, 1000, n)).round(3)
+        kinds = np.where(rng.uniform(size=n) < 0.3, "ref", "obs")
+        vals = rng.normal(size=n).round(4)
+        rows.append(
+            pd.DataFrame({"entity_id": e, "ts": ts, "kind": kinds, "value": vals})
+        )
+    pdf = pd.concat(rows, ignore_index=True).sort_values("ts")
+
+    src = str(tmp_path / "tws_src")
+    for ch in np.array_split(pdf, 3):
+        spark.createDataFrame(ch, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_asof_enrich_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_asof_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("select * from tws_asof_test")
+            .orderBy("entity_id", "ts")
+            .toPandas()
+        )
+    finally:
+        q.stop()
+        if old is not None:
+            spark.conf.set(provider_key, old)
+        else:
+            spark.conf.unset(provider_key)
+
+    df = spark.createDataFrame(pdf, EVENT_SCHEMA)
+    obs = df.filter("kind = 'obs'").select("entity_id", "ts", "value")
+    ref = df.filter("kind = 'ref'").select(
+        "entity_id", "ts", F.col("value").alias("ref_val")
+    )
+    exp = (
+        asof_join(obs, ref, on="ts", by="entity_id")
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+    assert len(got) == len(exp) > 0
+    for s_col, b_col in [("ref_val", "ref_val"), ("ref_ts", "ts_r")]:
+        a = got[s_col].to_numpy(dtype=float)
+        b = exp[b_col].to_numpy(dtype=float)
+        same = (a == b) | (np.isnan(a) & np.isnan(b))
+        assert same.all(), f"mismatch in {s_col}"
