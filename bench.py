@@ -68,10 +68,14 @@ def engine_throughput(n_docs: int, cpus: int, seed: int = 42) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    # 8 tasks per core: sequence lengths are log-uniform (8..4096), so
-    # coarse partitions straggle — finer tasks level the per-task token
-    # mass and lift 2->8-core scaling efficiency from 0.73 to 0.82.
-    df = synth_sequences(spark, n_docs, seed=seed, num_partitions=cpus * 8)
+    # FIXED partition count, identical for every parallelism leg: the
+    # batched battery's per-sequence cost depends on Arrow chunk size,
+    # which follows partition size — tying partitions to `cpus` would let
+    # the low-core leg batch better and understate scaling efficiency.
+    # 64 partitions: ~2.3k-row tasks average the log-uniform per-task token
+    # mass to ~3% rel std and give the hi leg 8 waves (small tail loss)
+    # while keeping Arrow chunks large enough for same-length batching.
+    df = synth_sequences(spark, n_docs, seed=seed, num_partitions=64)
     feat = extract_token_battery(df)
     # project the token payload OUT before any exchange: the temporal leg
     # only needs (keys, ts, feature vector) — at 10^12-row scale the token

@@ -280,3 +280,93 @@ def pwelch_pitch(data: np.ndarray, fs: float, nfft: int = 512) -> float:
         return np.nan
     best = pk[np.argmax(psd[pk])]
     return float((best + 1) / len(psd) * (fs / 2.0))
+
+
+# ---------------------------------------------------------------- batched
+# Same-length batched variants. The scalar kernels above spend 60-120us of
+# numpy call overhead PER SCALE per sequence (fastdfa is ~80% of the token
+# battery); stacking B same-length sequences into a (B, n) matrix runs the
+# identical per-scale formulas once for the whole group. Numerics: every
+# reduction uses the same axis-wise pairwise summation as the 1-D path, so
+# results match the scalar kernels to <= 1e-12 relative (the final log-log
+# slope uses the closed-form OLS instead of np.polyfit's scaled lstsq —
+# differential-tested in tests/test_battery_batch.py).
+
+
+def fastdfa_batch(X: np.ndarray) -> np.ndarray:
+    """fastdfa for a (B, n) batch of same-length sequences -> (B,) alphas.
+
+    Mirrors fastdfa_core.c:41-161,255-263 exactly as fastdfa() does: DFA on
+    the per-row cumulative sum, binary-subdivision interval widths, closed
+    form per-interval linear detrend on absolute indices, tail kept raw.
+    """
+    X = np.asarray(X, dtype=float)
+    B, n = X.shape
+    if n < 8:
+        return np.full(B, np.nan)
+    intervals = _dfa_intervals(n)
+    if len(intervals) < 2:
+        return np.full(B, np.nan)
+    Y = np.cumsum(X, axis=1)
+    S = len(intervals)
+    flucts = np.empty((B, S), dtype=float)
+    for s in range(S):
+        m = int(intervals[s])
+        k = n // m
+        if k > 0:
+            xm = Y[:, : k * m].reshape(B, k, m)
+            starts = np.arange(k, dtype=float) * m
+            ends = starts + m - 1
+            j = np.arange(m, dtype=float)
+            sy = xm.sum(axis=2)                       # (B, k)
+            sxy = starts * sy + (xm * j).sum(axis=2)  # (B, k)
+            sx = (ends + starts) * m / 2.0            # (k,)
+            sxx = m * (
+                2 * ends**2 + 2 * starts**2 + 2 * starts * ends + ends - starts
+            ) / 6.0
+            delta = m * sxx - sx * sx
+            b = (sy * sxx - sx * sxy) / delta         # (B, k)
+            a = (m * sxy - sx * sy) / delta           # (B, k)
+            trend = (
+                a[:, :, None] * (starts[None, :, None] + j[None, None, :])
+                + b[:, :, None]
+            )
+            resid = ((xm - trend) ** 2).sum(axis=(1, 2))
+        else:
+            resid = np.zeros(B)
+        flucts[:, s] = np.sqrt(resid / n)
+    with np.errstate(divide="ignore"):
+        lx = np.log10(intervals.astype(float))        # (S,)
+        ly = np.log10(flucts)                         # (B, S)
+    ok = np.isfinite(ly)
+    w = ok.astype(float)
+    cnt = w.sum(axis=1)
+    ly0 = np.where(ok, ly, 0.0)
+    sx_ = w @ lx
+    sy_ = ly0.sum(axis=1)
+    sxx_ = w @ (lx * lx)
+    sxy_ = ly0 @ lx
+    denom = cnt * sxx_ - sx_ * sx_
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (cnt * sxy_ - sx_ * sy_) / denom
+    return np.where((cnt >= 2) & (denom != 0), slope, np.nan)
+
+
+def fft_dominant_freq_batch(
+    X: np.ndarray, min_f: float = 0.01, max_f: float = 0.5
+) -> tuple[np.ndarray, np.ndarray]:
+    """fft_dominant_freq for a (B, n) batch -> ((B,) freqs, (B,) powers)."""
+    X = np.asarray(X, dtype=float)
+    B, n = X.shape
+    if n < 4:
+        return np.full(B, np.nan), np.full(B, np.nan)
+    xc = X - X.mean(axis=1)[:, None]
+    p = np.abs(np.fft.rfft(xc, axis=1)) ** 2 / n      # (B, F)
+    f = np.arange(p.shape[1]) / n
+    keep = (f > min_f) & (f <= max_f)
+    if not keep.any():
+        return np.full(B, np.nan), np.full(B, np.nan)
+    fk, pk = f[keep], p[:, keep]
+    i = np.argmax(pk, axis=1)
+    rows = np.arange(B)
+    return fk[i], pk[rows, i]
