@@ -2074,11 +2074,14 @@ def q_near_dup_components(spark, sf_dir):
     # MinHash pipeline (which near_dup_verified already times separately)
     # at a third of the pipeline cost — the query's subject is the
     # components algorithm, not a second run of the pair generator.
-    # algorithm="star": the catalog demonstrates the diameter-free
-    # large-/small-star path (log rounds — the 10^12-edge choice), not the
-    # diameter-bound min-label variant; both are differential-tested equal.
+    # algorithm="auto": a verified near-dup edge set is orders of magnitude
+    # smaller than the corpus, so the adaptive path measures the edge count
+    # and runs driver union-find below 5M edges (identical labels), keeping
+    # the diameter-free large-/small-star loop (log rounds — the 10^12-edge
+    # choice) for larger graphs; all three variants are differential-tested
+    # equal in tests/test_dedup_groups.py.
     pairs = simhash_near_dups(docs, max_hamming=3)
-    return dedup_keep_list(docs, pairs, algorithm="star")
+    return dedup_keep_list(docs, pairs, algorithm="auto")
 
 
 SQL_NEAR_DUP_COMPONENTS = f"""

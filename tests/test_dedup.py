@@ -189,3 +189,59 @@ def test_dedup_keep_list_star_algorithm(spark, docs_df):
     b = {(r.doc_id, r.component, r.keep)
          for r in dedup_keep_list(docs_df, pairs, algorithm="star").collect()}
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [99, 7])
+def test_driver_cc_matches_distributed(spark, seed):
+    """Differential: the driver union-find path (connected_components_auto
+    below the edge threshold) emits identical labels to min-label
+    propagation, including self-loop-only singletons."""
+    import numpy as np
+
+    from mpds_spark.operators.dedup import (
+        connected_components,
+        connected_components_auto,
+        connected_components_driver,
+    )
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (f"n{a:02d}", f"n{b:02d}")
+        for a, b in rng.integers(0, 60, (50, 2))
+        if a != b
+    ]
+    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(19)]
+    edges.append(("s77", "s77"))  # self-loop: singleton component
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lab = {
+        r.doc_id: r.component
+        for r in connected_components(e, max_iter=40).collect()
+    }
+    drv = {
+        r.doc_id: r.component for r in connected_components_driver(e).collect()
+    }
+    auto = {
+        r.doc_id: r.component for r in connected_components_auto(e).collect()
+    }
+    assert lab == drv == auto
+    assert drv["s77"] == "s77"
+
+
+def test_auto_cc_above_threshold_uses_star(spark):
+    """Over the driver threshold the auto path must run the distributed
+    star loop (forced by driver_max_edges=0) and still match."""
+    from mpds_spark.operators.dedup import (
+        connected_components_auto,
+        connected_components_driver,
+    )
+
+    edges = [("a2", "a1"), ("a3", "a2"), ("b2", "b1")]
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    star = {
+        r.doc_id: r.component
+        for r in connected_components_auto(e, driver_max_edges=0).collect()
+    }
+    drv = {
+        r.doc_id: r.component for r in connected_components_driver(e).collect()
+    }
+    assert star == drv == {"a1": "a1", "a2": "a1", "a3": "a1", "b1": "b1", "b2": "b1"}
