@@ -28,7 +28,7 @@ def fit_robust_scaler(
     q_low: float = 0.25,
     q_high: float = 0.75,
     approx: bool = False,
-    accuracy: int = 10000,
+    accuracy: int = 100,
 ) -> dict[str, tuple[float, float]]:
     """One agg pass → {col: (median, iqr)}.
 
@@ -121,4 +121,115 @@ def apply_center_rescale(
     for c, (mean, lo, hi) in params.items():
         spread = (hi - lo) or 1.0
         out = out.withColumn(c, (F.col(c) - F.lit(mean)) / F.lit(spread))
+    return out
+
+
+def exact_quantiles_bracketed(
+    df: DataFrame,
+    cols: list[str],
+    p: float = 0.5,
+    guard: float = 0.05,
+    accuracy: int = 100,
+) -> dict[str, float]:
+    """EXACT linear-interpolation quantile (Spark `percentile` / SQL
+    quantile_cont semantics) per column, computed scale-correctly.
+
+    Spark's exact `percentile` aggregate materializes a value->count map
+    per partition and merges the maps on one reducer — fine for
+    low-cardinality columns, pathological for high-cardinality ones (600k
+    distinct prices take ~3 s at sf0.1; at 10^12 rows the merge is
+    unrunnable). This is the standard bracketed-selection algorithm:
+
+      1. ONE agg over all columns: non-null count + approx_percentile
+         bracket [p-guard, p+guard] (t-digest; rank error n/accuracy —
+         accuracy=100 keeps the per-row insert cheap while the error,
+         0.01n, stays 5x inside the guard*n = 0.05n margin).
+      2. ONE agg over all columns: exact #values strictly below each
+         bracket's lo (turns in-bracket ranks into global ranks).
+      3. Sort ONLY the in-bracket slices (~2*guard*n rows per column,
+         all columns stacked into one (col, value) frame, one window) and
+         read off the two order statistics quantile_cont interpolates at
+         pos = (n-1)*p.
+
+    If a bracket misses the needed ranks (data skew beyond the t-digest
+    bound — cannot happen while guard*n > n/accuracy, but guarded anyway)
+    that column falls back to the exact aggregate.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    lo_p, hi_p = max(p - guard, 0.0), min(p + guard, 1.0)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.expr(
+                f"approx_percentile({c}, array({lo_p}, {hi_p}), {accuracy})"
+            ).alias(f"__b_{c}"),
+        ]
+    first = d.agg(*aggs).collect()[0]
+    out: dict[str, float] = {}
+    ranks: dict[str, tuple[int, int, float]] = {}
+    brackets: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        n = first[f"__n_{c}"]
+        if n == 0:
+            out[c] = float("nan")
+            continue
+        lo, hi = first[f"__b_{c}"]
+        pos = (n - 1) * p
+        # 1-based global ranks of the two order statistics to interpolate
+        ranks[c] = (int(pos) + 1, min(int(pos) + 2, n), pos - int(pos))
+        brackets[c] = (float(lo), float(hi))
+    if not ranks:
+        return out
+    below = d.agg(
+        *[
+            F.sum((F.col(c) < F.lit(brackets[c][0])).cast("long")).alias(c)
+            for c in ranks
+        ]
+    ).collect()[0]
+    want: dict[str, set] = {}
+    for c in ranks:
+        k_lo, k_hi, _ = ranks[c]
+        nb = below[c] or 0
+        want[c] = {k_lo - nb, k_hi - nb}
+    # ONE scan for every column's in-bracket slice: explode each row into
+    # (col, val) structs, keep only in-bracket values (a union of per-column
+    # filtered scans would re-read the table once per column)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("__col"), F.col(c).alias("__val"))
+            for c in ranks
+        ]
+    )
+    in_bracket = None
+    for c, (lo, hi) in brackets.items():
+        cnd = (F.col("__col") == c) & F.col("__val").between(lo, hi)
+        in_bracket = cnd if in_bracket is None else (in_bracket | cnd)
+    stacked = (
+        d.select(F.explode(pairs).alias("__e"))
+        .select("__e.__col", "__e.__val")
+        .filter(in_bracket)
+    )
+    w = Window.partitionBy("__col").orderBy("__val")
+    conds = None
+    for c, ks in want.items():
+        cnd = (F.col("__col") == c) & F.col("__r").isin(*ks)
+        conds = cnd if conds is None else (conds | cnd)
+    rows = (
+        stacked.withColumn("__r", F.row_number().over(w))
+        .filter(conds)
+        .collect()
+    )
+    vals = {(r["__col"], r["__r"]): r["__val"] for r in rows}
+    for c, (k_lo, k_hi, frac) in ranks.items():
+        nb = below[c] or 0
+        a, b = vals.get((c, k_lo - nb)), vals.get((c, k_hi - nb))
+        if a is None or b is None:
+            out[c] = float(
+                d.agg(F.expr(f"percentile({c}, {p})")).collect()[0][0]
+            )
+            continue
+        out[c] = float(a + (b - a) * frac)
     return out

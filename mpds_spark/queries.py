@@ -1368,14 +1368,17 @@ FROM hx, hy, hxy
 def q_column_medians(spark, sf_dir):
     """Per-column medians with manual overrides (mimicUsefulFunction.R
     583-628 parity: apply(dataMat,2,medianNA) + override dict)."""
+    from mpds_spark.operators.scale import exact_quantiles_bracketed
+
     li = load(spark, sf_dir, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     overrides = {"l_tax": 0.04}
-    row = li.agg(
-        *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in cols]
-    ).collect()[0]
+    # exact medians via bracketed selection (approx bracket + exact ranks):
+    # high-cardinality columns make the one-reducer `percentile` map merge
+    # the bottleneck (and a non-starter at 10^12 rows)
+    med = exact_quantiles_bracketed(li, cols, p=0.5)
     vals = [
-        (c, float(overrides.get(c, row[c])))
+        (c, float(overrides.get(c, med[c])))
         for c in cols
     ]
     return spark.createDataFrame(vals, "col_name string, median_val double").select(
