@@ -39,17 +39,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among `vectors`
     (self-matches by id excluded). cos = dot/sqrt(aa)/sqrt(bb) in double."""
+    # per-vector norms computed ONCE per side (not per Q x N pair);
+    # (dot/nq)/nv keeps the float op order of dot/sqrt(qq)/sqrt(vv)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__v")
-    )
+    ).withColumn("__nv", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__q")
-    )
+    ).withColumn("__nq", F.sqrt(_dot(F.col("__q"), F.col("__q"))))
     j = v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("__q"), F.col("__v")) / F.sqrt(
-        _dot(F.col("__q"), F.col("__q"))
-    ) / F.sqrt(_dot(F.col("__v"), F.col("__v")))
-    scored = j.withColumn("cosine", cos).drop("__q", "__v")
+    cos = _dot(F.col("__q"), F.col("__v")) / F.col("__nq") / F.col("__nv")
+    scored = j.withColumn("cosine", cos).drop("__q", "__v", "__nq", "__nv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -135,12 +135,12 @@ def lsh_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__v"),
         code_fn(vec_col, bits).alias("__code"),
-    )
+    ).withColumn("__nv", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("__q"),
         code_fn(vec_col, bits).alias("__qcode"),
-    )
+    ).withColumn("__nq", F.sqrt(_dot(F.col("__q"), F.col("__q"))))
     if n_probes > 0:
         q = q.withColumn(
             "__code", F.explode(_probe_codes(F.col("__qcode"), bits, n_probes))
@@ -150,10 +150,11 @@ def lsh_cosine_topk(
     j = v.join(F.broadcast(q), "__code").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    cos = _dot(F.col("__q"), F.col("__v")) / F.sqrt(
-        _dot(F.col("__q"), F.col("__q"))
-    ) / F.sqrt(_dot(F.col("__v"), F.col("__v")))
-    scored = j.withColumn("cosine", cos).drop("__q", "__v", "__code")
+    # per-vector norms precomputed above (see cosine_topk)
+    cos = _dot(F.col("__q"), F.col("__v")) / F.col("__nq") / F.col("__nv")
+    scored = j.withColumn("cosine", cos).drop(
+        "__q", "__v", "__code", "__nq", "__nv"
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -240,17 +241,23 @@ def embedding_near_dup_pairs(
         code_cols = [
             random_hyperplane_code(vec_col, bits, dim, seed=s) for s in seeds
         ]
-    cos = _dot(F.col("__va"), F.col("__vb")) / F.sqrt(
-        _dot(F.col("__va"), F.col("__va"))
-    ) / F.sqrt(_dot(F.col("__vb"), F.col("__vb")))
+    # norms are PER-VECTOR quantities: compute sqrt(dot(v,v)) once per
+    # vector and carry the scalar through the pair join, instead of two
+    # extra array dots per CANDIDATE PAIR (3x the array work on the
+    # quadratic-within-bucket candidate set). (dot/na)/nb keeps the exact
+    # float op order of dot/sqrt(aa)/sqrt(bb) — cosines stay bit-equal.
+    cos = (
+        _dot(F.col("__va"), F.col("__vb")) / F.col("__na") / F.col("__nb")
+    )
     if code_cols is not None:
         cand = banded_code_candidates(vectors, code_cols, vec_col, id_col)
+        norm = F.sqrt(_dot(F.col("__v"), F.col("__v")))
         va = vectors.select(
-            F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("__va")
-        )
+            F.col(id_col).alias("vec_a"), _as_double(vec_col).alias("__v")
+        ).select("vec_a", F.col("__v").alias("__va"), norm.alias("__na"))
         vb = vectors.select(
-            F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("__vb")
-        )
+            F.col(id_col).alias("vec_b"), _as_double(vec_col).alias("__v")
+        ).select("vec_b", F.col("__v").alias("__vb"), norm.alias("__nb"))
         return (
             cand.join(va, "vec_a")
             .join(vb, "vec_b")
@@ -264,12 +271,23 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("k"),
         _as_double(vec_col).alias("__v"),
         code_fn(vec_col, bits).alias("__code"),
+    ).select(
+        "k",
+        "__v",
+        "__code",
+        F.sqrt(_dot(F.col("__v"), F.col("__v"))).alias("__n"),
     )
     a = base.select(
-        F.col("k").alias("vec_a"), F.col("__v").alias("__va"), "__code"
+        F.col("k").alias("vec_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__code",
     )
     b = base.select(
-        F.col("k").alias("vec_b"), F.col("__v").alias("__vb"), "__code"
+        F.col("k").alias("vec_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__code",
     )
     return (
         a.join(b, "__code")
