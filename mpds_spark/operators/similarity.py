@@ -296,3 +296,138 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------- IVF
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 100_000,
+    max_iter: int = 10,
+    seed: int = 42,
+):
+    """Deterministic spherical k-means centroids for IVF, as a (k, dim)
+    numpy array.
+
+    Lloyd iterations run driver-side on a DETERMINISTIC content-hash
+    sample (crc32(id) ordering — layout-independent): the centroid set is
+    O(k*dim) and the sample O(sample_size*dim), both tiny next to the
+    corpus, while assignment (the O(n) part) stays distributed in
+    ivf_assign. This is the same split MLlib's KMeans ends at — the model
+    it ships back IS a driver-resident centroid matrix. Vectors are
+    L2-normalized so nearest-centroid-by-dot == nearest-by-cosine."""
+    import numpy as np
+
+    sample = (
+        vectors.select(F.col(id_col).alias("k"), _as_double(vec_col).alias("v"))
+        .orderBy(F.crc32(F.col("k").cast("string")), F.col("k"))
+        .limit(sample_size)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].to_numpy())
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(max_iter):
+        # spherical Lloyd step: assign by max dot, re-mean, re-normalize
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def nearest_centroids_col(
+    vec_col: str, centroids, n_probe: int = 1
+) -> Column:
+    """Array of the n_probe centroid ids with the highest cosine to the
+    row's vector (ties broken by LOWER centroid id). Pure JVM expression:
+    the centroid matrix is embedded as array literals (O(k*dim) plan
+    bytes), scored with zip_with/aggregate dots, ranked with array_sort on
+    (-cos, id) structs — no Python in the per-row path."""
+    import math
+
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=float)
+    # sequential-sum norms: sqrt of a left-to-right accumulation — the
+    # same double result as a JVM aggregate() or DuckDB list_dot_product
+    # over the identical literals (BLAS norms can differ by 1 ulp and flip
+    # a tie in the oracle comparison)
+    norms = np.array(
+        [math.sqrt(sum(float(x) * float(x) for x in row)) for row in C]
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -_dot(
+                        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                        F.array(*[F.lit(float(x)) for x in C[j]]),
+                    )
+                    / float(max(norms[j], 1e-300))
+                ).alias("negcos"),
+                F.lit(j).alias("cid"),
+            )
+            for j in range(len(C))
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n_probe).getField("cid")
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = 3,
+    n_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: vectors live in ONE inverted list (their
+    nearest centroid); each query probes its n_probe nearest lists. The
+    probe join is an equi-join on centroid id — the corpus shuffles once
+    by list id regardless of query count, and raising n_probe trades
+    recall for scanned-list volume (the classic IVF knob).
+
+    centroids: (k, dim) array-like — kmeans_centroids() output, or any
+    deterministic centroid set (e.g. seed vectors) for engine-portable
+    tests. Scoring reuses the precomputed-norm cosine of cosine_topk."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("__v"),
+        F.element_at(nearest_centroids_col(vec_col, centroids, 1), 1).alias(
+            "__list"
+        ),
+    ).withColumn("__nv", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("__q"),
+            nearest_centroids_col(vec_col, centroids, n_probe).alias("__probes"),
+        )
+        .withColumn("__nq", F.sqrt(_dot(F.col("__q"), F.col("__q"))))
+        .withColumn("__list", F.explode("__probes"))
+        .drop("__probes")
+    )
+    j = v.join(F.broadcast(q), "__list").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot(F.col("__q"), F.col("__v")) / F.col("__nq") / F.col("__nv")
+    scored = j.withColumn("cosine", cos).drop(
+        "__q", "__v", "__list", "__nq", "__nv"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -2247,3 +2247,76 @@ FROM r WHERE rank <= 3
 QUERIES["ann_lsh_multiprobe"] = q_ann_lsh_multiprobe
 _RAW_ORACLES["ann_lsh_multiprobe"] = SQL_ANN_LSH_MULTIPROBE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: the corpus is partitioned into inverted
+    lists by nearest centroid (cosine, ties to the lower centroid id);
+    each query probes its 2 nearest lists via an equi-join on list id —
+    the corpus shuffles once regardless of query count. The catalog
+    variant uses a DETERMINISTIC centroid set (the embeddings of
+    vec_id < 8) so DuckDB can replay the assignment; the production
+    k-means path (kmeans_centroids) shares the exact plan and is
+    recall-gated in pytest vs brute force."""
+    from mpds_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = [
+        row["v"]
+        for row in emb.filter(F.col("vec_id") < 8)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), centroids=cent, k=3, n_probe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", _r6("cosine").alias("cosine"), "rank"
+    )
+
+
+SQL_ANN_IVF = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < 8
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vv FROM embeddings
+), vassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY list_dot_product(vv, cv) / sqrt(list_dot_product(cv, cv))
+        DESC, c.cid) AS rn
+    FROM v, c) WHERE rn = 1
+), qassign AS (
+  SELECT query_id, cid FROM (
+    SELECT v.vec_id AS query_id, c.cid, row_number() OVER (
+      PARTITION BY v.vec_id
+      ORDER BY list_dot_product(vv, cv) / sqrt(list_dot_product(cv, cv))
+        DESC, c.cid) AS rn
+    FROM v, c WHERE v.vec_id < 5) WHERE rn <= 2
+), s AS (
+  SELECT qa.query_id, va.vec_id AS neighbor_id,
+    list_dot_product(x.vv, y.vv) / sqrt(list_dot_product(x.vv, x.vv))
+      / sqrt(list_dot_product(y.vv, y.vv)) AS cosine
+  FROM qassign qa
+  JOIN vassign va ON va.cid = qa.cid
+  JOIN v x ON x.vec_id = qa.query_id
+  JOIN v y ON y.vec_id = va.vec_id
+  WHERE qa.query_id <> va.vec_id
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+FROM r WHERE rank <= 3
+"""
+
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+_RAW_ORACLES["ann_ivf_topk"] = SQL_ANN_IVF
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

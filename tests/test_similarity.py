@@ -145,3 +145,70 @@ def test_embedding_near_dups_auto_bits(spark, emb_df):
     a = {(r.vec_a, r.vec_b) for r in auto.collect()}
     e = {(r.vec_a, r.vec_b) for r in explicit.collect()}
     assert a == e and len(a) > 0
+
+
+def test_ivf_kmeans_recall(spark, emb_df):
+    """IVF with k-means centroids: n_probe=1 must already find most true
+    neighbors on clustered data (lists align with clusters); n_probe=2
+    must push recall@3 >= 0.9 and never decrease it."""
+    from mpds_spark.operators.similarity import (
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    queries = emb_df.filter(emb_df.vec_id % 20 == 0)
+    truth = _topk_sets(cosine_topk(emb_df, queries, k=3))
+    C = kmeans_centroids(emb_df, n_centroids=8, seed=7)
+    assert C.shape == (8, DIM)
+
+    def recall(n_probe):
+        got = _topk_sets(
+            ivf_cosine_topk(emb_df, queries, C, k=3, n_probe=n_probe)
+        )
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    assert r2 >= 0.9, (r1, r2)
+
+
+def test_ivf_deterministic_centroids_exact_vs_brute_within_list(spark, emb_df):
+    """With centroids = the cluster centers themselves and n_probe=8 (all
+    lists probed), IVF degenerates to brute force — rank lists must match
+    exactly."""
+    from mpds_spark.operators.similarity import ivf_cosine_topk
+
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((8, DIM)) * 3
+    queries = emb_df.filter(emb_df.vec_id % 50 == 0)
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb_df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(
+            emb_df, queries, centers, k=3, n_probe=8
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_nearest_centroids_tie_break(spark):
+    """Equal-cosine centroids resolve to the LOWER centroid id (the
+    documented tie rule the DuckDB oracle mirrors)."""
+    from mpds_spark.operators.similarity import nearest_centroids_col
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # centroids 0 and 1 are the same direction (cos=1 for both)
+    got = df.select(
+        nearest_centroids_col(
+            "embedding", [[2.0, 0.0], [1.0, 0.0], [0.0, 1.0]], n_probe=2
+        ).alias("p")
+    ).collect()[0]["p"]
+    assert list(got) == [0, 1]
