@@ -126,19 +126,53 @@ def _enrich_group(
     yield out
 
 
-def streaming_asof_enrich(events):
+def streaming_asof_enrich(events, state_ttl_ms: int | None = None):
     """Streaming point-in-time enrichment: for every kind='obs' row emit
     (entity_id, ts, value, ref_val, ref_ts) where (ref_ts, ref_val) is the
     latest kind='ref' row of the same entity at or before ts (seen so far).
     Input: a STREAMING DataFrame of EVENT_SCHEMA (applyInPandasWithState is
     streaming-only; the batch twin is operators/asof.asof_join, which the
-    equivalence test pins this operator against)."""
+    equivalence test pins this operator against).
+
+    state_ttl_ms: optional per-entity state TTL (processing time). An
+    entity with no traffic for TTL has its carried reference REMOVED —
+    the engine fires expired timers on background cleanup triggers (note
+    these run CONTINUOUSLY once any timer exists; give the query a
+    processingTime trigger in production, and poll the sink rather than
+    processAllAvailable in tests). The state-bounding knob for long-tail
+    entity universes (10^8 entities whose majority go quiet; without
+    expiry the state store only ever grows). Semantics change under TTL, by design:
+    an observation arriving after its entity's state expired sees ref_val
+    NULL until a fresh reference arrives. Default None = exact batch-twin
+    semantics."""
+    if state_ttl_ms is None:
+        return events.groupBy("entity_id").applyInPandasWithState(
+            _enrich_group,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def enrich_ttl(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # expiry trigger: drop the carried reference, emit nothing
+            state.remove()
+            return
+        for out in _enrich_group(key, pdfs, state):
+            if state.exists:
+                # (re)arm the expiry clock on every batch that touches the
+                # key (setTimeoutDuration requires defined state; a key
+                # with no reference yet has nothing to expire)
+                state.setTimeoutDuration(state_ttl_ms)
+            yield out
+
     return events.groupBy("entity_id").applyInPandasWithState(
-        _enrich_group,
+        enrich_ttl,
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

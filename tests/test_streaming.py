@@ -366,3 +366,71 @@ def test_tws_asof_enrich_matches_batch_asof(spark, tmp_path):
         b = exp[b_col].to_numpy(dtype=float)
         same = (a == b) | (np.isnan(a) & np.isnan(b))
         assert same.all(), f"mismatch in {s_col}"
+
+
+def test_stateful_asof_enrich_state_ttl(spark, tmp_path):
+    """state_ttl_ms: an entity idle for longer than the TTL has its carried
+    reference dropped (the engine fires expired timers on background
+    cleanup triggers) — later observations see a NULL ref until a fresh
+    reference arrives, which re-populates state within its batch."""
+    import time
+
+    import pandas as pd
+
+    from mpds_spark.streaming.stateful import (
+        EVENT_SCHEMA,
+        streaming_asof_enrich,
+    )
+
+    src = str(tmp_path / "ttl_src")
+
+    def feed(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["entity_id", "ts", "kind", "value"]
+        )
+        spark.createDataFrame(pdf, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    feed([("a", 1.0, "ref", 10.0), ("a", 2.0, "obs", 0.1),
+          ("b", 1.0, "ref", 20.0)])
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_asof_enrich(stream, state_ttl_ms=500)
+        .writeStream.format("memory")
+        .queryName("asof_ttl_test")
+        .outputMode("append")
+        .start()
+    )
+    def wait_rows(n, deadline=60.0):
+        # processAllAvailable cannot settle here: with ProcessingTimeTimeout
+        # the engine keeps running empty "cleaning up state" trigger batches
+        # (it cannot prove no timer is pending), so poll the sink instead
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline:
+            if spark.sql("select * from asof_ttl_test").count() >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    try:
+        wait_rows(1)
+        time.sleep(2.0)  # > TTL: both entities idle past expiry
+        # a: expired -> NULL; b: a FRESH ref in the same batch re-populates
+        # state before the (event-time later) observation
+        feed([("a", 4.0, "obs", 0.3), ("b", 5.0, "ref", 30.0),
+              ("b", 6.0, "obs", 0.4)])
+        wait_rows(3)
+        got = {
+            (r["entity_id"], r["ts"]): r["ref_val"]
+            for r in spark.sql("select * from asof_ttl_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("a", 2.0)] == 10.0      # pre-expiry: enriched
+    assert got[("a", 4.0)] is None      # expired: NULL until a new ref
+    assert got[("b", 6.0)] == 30.0      # fresh ref re-populates state
