@@ -76,11 +76,13 @@ def engine_throughput(n_docs: int, cpus: int, seed: int = 42) -> dict:
     # mass to ~3% rel std and give the hi leg 8 waves (small tail loss)
     # while keeping Arrow chunks large enough for same-length batching.
     df = synth_sequences(spark, n_docs, seed=seed, num_partitions=64)
-    feat = extract_token_battery(df)
-    # project the token payload OUT before any exchange: the temporal leg
-    # only needs (keys, ts, feature vector) — at 10^12-row scale the token
-    # arrays are ~85% of the bytes and must never ride through a shuffle.
-    feat = feat.drop("tokens").withColumn("dss", F.element_at("features", 1))
+    # keep_tokens=False: the temporal leg only needs (keys, ts, feature
+    # vector) — at 10^12-row scale the token arrays are ~85% of the bytes
+    # and must never ride through a shuffle, nor pay the Python->JVM
+    # transfer out of the battery stage (the passthrough contract itself
+    # is pinned by the token-equality tests).
+    feat = extract_token_battery(df, keep_tokens=False)
+    feat = feat.withColumn("dss", F.element_at("features", 1))
     events = feat.filter(F.crc32(F.col("doc_id")) % 10 == 0).select(
         "entity_id", "ts", F.col("dss").alias("event_val")
     )

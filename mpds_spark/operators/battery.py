@@ -1,9 +1,10 @@
 """Spark operators wrapping the feature batteries.
 
 - extract_token_battery: per-row 18-stat vector over the `tokens` array —
-  mapInPandas (streaming Arrow batches, bounded memory, no shuffle at all:
-  a pure map stage pipelined onto the scan). Token arrays pass through
-  UNTOUCHED (the BASELINE.json per-row exact-equality invariant).
+  mapInArrow (zero-copy views over the Arrow list buffers, bounded memory,
+  no shuffle at all: a pure map stage pipelined onto the scan). Token
+  arrays pass through UNTOUCHED (the BASELINE.json per-row exact-equality
+  invariant) by reusing the input Arrow column.
 - extract_accel_battery: per-(entity, ts) 153-feature accel vector over an
   F2-shaped long table — applyInPandas after the one entity range exchange.
 
@@ -42,46 +43,73 @@ def extract_token_battery(
     df: DataFrame,
     tokens_col: str = "tokens",
     out_col: str = "features",
+    keep_tokens: bool = True,
 ) -> DataFrame:
     """Append the per-sequence feature vector; all input columns (including
-    the token payload) pass through byte-identical."""
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, ArrayType(DoubleType()))]
-    )
-    cols = [f.name for f in df.schema.fields]
+    the token payload) pass through byte-identical.
 
-    # same-length group batching: one vectorized battery call per distinct
-    # length instead of ~0.3-2 ms of numpy call overhead per sequence
-    # (fastdfa alone is ~80% of the scalar path). Input batches are
-    # re-chunked to a FIXED row count so the per-sequence cost does not
-    # depend on partition size (keeps the two scaling-bench legs, which use
-    # different partition counts, measuring Spark overhead — not Arrow
-    # batch-size effects). 4096 rows x ~650 tokens x 8 B ~ 21 MB per core.
+    Arrow-native (mapInArrow): token arrays are read as zero-copy numpy
+    views over the Arrow list buffers (flat values + offsets) and passed
+    through by REUSING the input Arrow column — no pandas object-column
+    materialization in either direction (the per-element list<->object
+    conversion was ~40% of the stage). Same-length groups run one
+    vectorized battery call per distinct length (fastdfa alone is ~80% of
+    the scalar path), over chunks re-sliced to a FIXED row count so the
+    per-sequence cost does not depend on partition size (keeps scaling
+    legs with different partition counts comparable).
+
+    keep_tokens=False drops the payload from the OUTPUT schema: at
+    10^12-row scale the token arrays are ~85% of the bytes, and a consumer
+    that immediately projects them away (the temporal join leg) should not
+    pay their Python->JVM transfer. Default True preserves the per-row
+    passthrough contract (BASELINE.json token-equality invariant).
+    """
+    import pyarrow as pa
+
+    out_fields = [f for f in df.schema.fields if keep_tokens or f.name != tokens_col]
+    schema = StructType(out_fields + [StructField(out_col, ArrayType(DoubleType()))])
     chunk_rows = 4096
+    names = [f.name for f in out_fields]
 
-    def _featurize(pdf: pd.DataFrame) -> pd.DataFrame:
-        arrs = [np.asarray(tok, dtype=np.int64) for tok in pdf[tokens_col]]
-        out = pdf[cols].copy()
-        out[out_col] = list(token_features_batch(arrs))
-        return out
+    def _featurize(batch: pa.RecordBatch) -> pa.RecordBatch:
+        col = batch.column(batch.schema.get_field_index(tokens_col))
+        try:
+            flat = col.values.to_numpy(zero_copy_only=True)
+            offs = col.offsets.to_numpy(zero_copy_only=True)
+        except pa.ArrowInvalid:  # nulls in the buffers: copying fallback
+            flat = col.values.to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+        arrs = [flat[offs[j] : offs[j + 1]] for j in range(len(col))]
+        feats = token_features_batch(arrs)
+        fla = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(arrs) + 1, dtype=np.int32) * feats.shape[1]),
+            pa.array(feats.ravel()),
+        )
+        cols = [
+            batch.column(batch.schema.get_field_index(n)) for n in names
+        ] + [fla]
+        return pa.RecordBatch.from_arrays(cols, names=names + [out_col])
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: list[pd.DataFrame] = []
+    def gen(batches):
+        buf: list[pa.RecordBatch] = []
         nbuf = 0
-        for pdf in batches:
-            buf.append(pdf)
-            nbuf += len(pdf)
+        for batch in batches:
+            buf.append(batch)
+            nbuf += batch.num_rows
             while nbuf >= chunk_rows:
-                cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-                yield _featurize(cat.iloc[:chunk_rows])
-                rest = cat.iloc[chunk_rows:].reset_index(drop=True)
-                buf = [rest] if len(rest) else []
-                nbuf = len(rest)
+                tbl = pa.Table.from_batches(buf).combine_chunks()
+                head = tbl.slice(0, chunk_rows).combine_chunks().to_batches()
+                assert len(head) == 1
+                yield _featurize(head[0])
+                rest = tbl.slice(chunk_rows).combine_chunks().to_batches()
+                buf = rest
+                nbuf = sum(b.num_rows for b in buf)
         if nbuf:
-            cat = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
-            yield _featurize(cat)
+            tbl = pa.Table.from_batches(buf).combine_chunks()
+            for b in tbl.to_batches():
+                yield _featurize(b)
 
-    return df.mapInPandas(gen, schema)
+    return df.mapInArrow(gen, schema)
 
 
 def extract_accel_battery(

@@ -93,23 +93,39 @@ def synth_sequences(
     if num_partitions is None:
         num_partitions = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            i = pdf["id"].to_numpy()
+    def gen(batches):
+        # Arrow-native: the token payload is emitted as ONE flat int32
+        # buffer + offsets (ListArray) instead of a pandas object column —
+        # the per-element list->Arrow conversion was most of the stage.
+        import pyarrow as pa
+
+        for batch in batches:
+            i = batch.column(0).to_numpy(zero_copy_only=False)
             bucket, ts, n_tok, src_idx = derive_fields(i, seed, n_entities, hot_frac)
             toks = [tokens_for(int(ii), int(nt), seed) for ii, nt in zip(i, n_tok)]
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.char.add("doc_", np.char.zfill(i.astype("U12"), 10)),
-                    "tokens": toks,
-                    "n_tok": n_tok,
-                    "source": SOURCES[src_idx],
-                    "entity_id": np.char.add(
-                        "ent_", np.char.zfill(bucket.astype("U8"), 5)
+            offsets = np.zeros(len(toks) + 1, dtype=np.int64)
+            np.cumsum(n_tok.astype(np.int64), out=offsets[1:])
+            tokens_arr = pa.LargeListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(
+                    np.concatenate(toks) if toks else np.empty(0, np.int32)
+                ),
+            ).cast(pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.char.add("doc_", np.char.zfill(i.astype("U12"), 10))
                     ),
-                    "ts": ts,
-                }
+                    tokens_arr,
+                    pa.array(n_tok),
+                    pa.array(SOURCES[src_idx]),
+                    pa.array(
+                        np.char.add("ent_", np.char.zfill(bucket.astype("U8"), 5))
+                    ),
+                    pa.array(ts),
+                ],
+                names=["doc_id", "tokens", "n_tok", "source", "entity_id", "ts"],
             )
 
-    df = spark.range(0, n_docs, numPartitions=num_partitions).mapInPandas(gen, SCHEMA)
+    df = spark.range(0, n_docs, numPartitions=num_partitions).mapInArrow(gen, SCHEMA)
     return df
