@@ -231,5 +231,120 @@ def exact_quantiles_bracketed(
                 d.agg(F.expr(f"percentile({c}, {p})")).collect()[0][0]
             )
             continue
-        out[c] = float(a + (b - a) * frac)
+        # lower*(1-f) + higher*f: the EXACT float formula both Spark's
+        # Percentile and DuckDB's quantile_cont use — lo + (hi-lo)*f
+        # differs by 1 ulp on cases like (26965.01, 26965.05, f=0.25)
+        out[c] = float(a * (1.0 - frac) + b * frac)
     return out
+
+
+def exact_grouped_quantiles(
+    df: DataFrame,
+    key: str,
+    col: str,
+    p: float = 0.5,
+    guard: float = 0.05,
+    accuracy: int = 100,
+) -> DataFrame:
+    """EXACT per-group linear-interpolation quantile (quantile_cont
+    semantics), fully distributed — the grouped twin of
+    exact_quantiles_bracketed.
+
+    Plan: (1) one groupBy agg for per-key non-null count + approx bracket
+    [p-guard, p+guard]; (2) broadcast the tiny per-key bracket frame back
+    onto the data for one pass computing per-key below-bracket counts;
+    (3) a window over ONLY the in-bracket slice of each key (~2*guard*n_k
+    rows) reads off the two order statistics at pos = (n_k - 1) * p, and
+    pure column math interpolates. No value->count map ever concentrates
+    on a reducer (Spark's exact `percentile` does), and nothing lands on
+    the driver — group count and group size are both unbounded.
+
+    Rank-coverage guarantee: t-digest rank error n_k/accuracy <= guard*n_k
+    whenever accuracy > 1/guard (100 >> 20); unlike the global variant no
+    per-column fallback is needed because the guarantee is per-group by
+    the same inequality. Returns (key, q_<col>) one row per group with a
+    non-null value; empty groups simply don't appear (same as GROUP BY).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(F.col(key).alias("__k"), F.col(col).cast("double").alias("__x"))
+    lo_p, hi_p = max(p - guard, 0.0), min(p + guard, 1.0)
+    # rank-coverage: the t-digest bracket guarantees the two interpolation
+    # ranks only while guard*n - n/accuracy >= 2 (n >= 50 at 0.05/100);
+    # below n=100 the bracket is simply [min, max] — the whole group IS
+    # the in-bracket slice, and a 100-row sort per tiny group is free
+    small = F.col("__n") < 100
+    br = d.groupBy("__k").agg(
+        F.count("__x").alias("__n"),
+        F.expr(
+            f"approx_percentile(__x, array({lo_p}, {hi_p}), {accuracy})"
+        ).alias("__b"),
+        F.min("__x").alias("__mn"),
+        F.max("__x").alias("__mx"),
+    ).select(
+        "__k",
+        "__n",
+        F.when(small, F.col("__mn"))
+        .otherwise(F.element_at("__b", 1))
+        .alias("__lo"),
+        F.when(small, F.col("__mx"))
+        .otherwise(F.element_at("__b", 2))
+        .alias("__hi"),
+        F.floor((F.col("__n") - 1) * F.lit(p)).alias("__ipos"),
+        ((F.col("__n") - 1) * F.lit(p) - F.floor((F.col("__n") - 1) * F.lit(p))).alias(
+            "__frac"
+        ),
+    )
+    joined = d.join(F.broadcast(br), "__k")
+    below = (
+        joined.filter(F.col("__x") < F.col("__lo"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    ranks = br.join(below, "__k", "left").select(
+        "__k",
+        "__ipos",
+        "__frac",
+        "__n",
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
+    w = Window.partitionBy("__k").orderBy("__x")
+    slice_ = (
+        joined.filter(F.col("__x").between(F.col("__lo"), F.col("__hi")))
+        .select("__k", "__x")
+        .withColumn("__r", F.row_number().over(w))
+    )
+    # global rank of the two order stats, rebased into the slice
+    need = ranks.select(
+        "__k",
+        "__frac",
+        (F.col("__ipos") + 1 - F.col("__nb")).alias("__r_lo"),
+        (
+            F.least(F.col("__ipos") + 2, F.col("__n")) - F.col("__nb")
+        ).alias("__r_hi"),
+    )
+    got = (
+        slice_.join(F.broadcast(need), "__k")
+        .filter(
+            (F.col("__r") == F.col("__r_lo")) | (F.col("__r") == F.col("__r_hi"))
+        )
+        .groupBy("__k", "__frac")
+        .agg(
+            F.min(F.when(F.col("__r") == F.col("__r_lo"), F.col("__x"))).alias(
+                "__v_lo"
+            ),
+            F.min(F.when(F.col("__r") == F.col("__r_hi"), F.col("__x"))).alias(
+                "__v_hi"
+            ),
+        )
+    )
+    return got.select(
+        F.col("__k").alias(key),
+        # lower*(1-f) + higher*f: the exact float formula of both Spark's
+        # Percentile and DuckDB's quantile_cont (1-ulp different from
+        # lo + (hi-lo)*f, which breaks value-hash parity)
+        (
+            F.col("__v_lo") * (F.lit(1.0) - F.col("__frac"))
+            + F.col("__v_hi") * F.col("__frac")
+        ).alias(f"q_{col}"),
+    )

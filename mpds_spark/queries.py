@@ -2320,3 +2320,31 @@ FROM r WHERE rank <= 3
 QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
 _RAW_ORACLES["ann_ivf_topk"] = SQL_ANN_IVF
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_grouped_medians(spark, sf_dir):
+    """Per-group EXACT median via distributed bracketed selection (the
+    grouped twin of column_medians' algorithm): per-key approx bracket ->
+    per-key below-count -> window over only the in-bracket slices. No
+    value->count map concentrates on a reducer and nothing is collected
+    on the driver, so both group count and group size are unbounded —
+    Spark's exact `percentile` aggregate cannot say either at 10^12
+    rows."""
+    from mpds_spark.operators.scale import exact_grouped_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    out = exact_grouped_quantiles(li, "l_returnflag", "l_extendedprice", p=0.5)
+    return out.select(
+        "l_returnflag", _r6("q_l_extendedprice").alias("median_price")
+    )
+
+
+SQL_GROUPED_MEDIANS = """
+SELECT l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+QUERIES["grouped_medians"] = q_grouped_medians
+_RAW_ORACLES["grouped_medians"] = SQL_GROUPED_MEDIANS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
