@@ -333,24 +333,26 @@ def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
         F.conv(F.substring("md5", 1, 8), 16, 10).cast("long").alias("hh"),
         F.conv(F.substring("md5", 9, 8), 16, 10).cast("long").alias("hl"),
     )
-    aggs = []
+    # the classic +1/-1 bit vote, folded: sum over words of (+1 if bit set
+    # else -1) == 2*count_of_set_bits - n_words, so each of the 64 votes is
+    # a plain conditional-free SUM of the extracted bit (integer-identical,
+    # half the per-row expression work of a CASE per bit)
+    aggs = [F.count(F.lit(1)).alias("n_w")]
     for half, col in (("hi", "hh"), ("lo", "hl")):
         for b in range(32):
             aggs.append(
-                F.sum(
-                    F.when(
-                        F.shiftright(F.col(col), b).bitwiseAND(1) == 1, 1
-                    ).otherwise(-1)
-                ).alias(f"s_{half}_{b}")
+                F.sum(F.shiftright(F.col(col), b).bitwiseAND(1)).alias(
+                    f"c_{half}_{b}"
+                )
             )
     sums = w.groupBy("k").agg(*aggs)
     outs = {}
     for half in ("hi", "lo"):
         acc = None
         for b in range(32):
-            bit = F.when(F.col(f"s_{half}_{b}") > 0, F.lit(1 << b)).otherwise(
-                F.lit(0)
-            )
+            bit = F.when(
+                2 * F.col(f"c_{half}_{b}") - F.col("n_w") > 0, F.lit(1 << b)
+            ).otherwise(F.lit(0))
             acc = bit if acc is None else acc + bit
         outs[half] = acc.cast("long")
     return sums.select(
