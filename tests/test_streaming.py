@@ -434,3 +434,69 @@ def test_stateful_asof_enrich_state_ttl(spark, tmp_path):
     assert got[("a", 2.0)] == 10.0      # pre-expiry: enriched
     assert got[("a", 4.0)] is None      # expired: NULL until a new ref
     assert got[("b", 6.0)] == 30.0      # fresh ref re-populates state
+
+
+def test_session_watermark_drops_late_event(spark, tmp_path):
+    """Watermarked session agg (append mode): an event arriving LATER than
+    the watermark bound is dropped — it neither reopens its (already
+    emitted) session nor appears in a new one. The §2.10 late-data
+    contract: state is bounded because anything older than
+    max_event_time - watermark can be ignored."""
+    import pandas as pd
+
+    from mpds_spark.streaming.sessions import session_agg
+
+    schema = "user_id string, ts timestamp, value double"
+    src = str(tmp_path / "wm_src")
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # session A (10:00-10:05) then an 11:00 event: watermark -> 10:30,
+    # so session A (ends 10:15 < 10:30) is emitted and finalized
+    feed(
+        [
+            ("u1", "2024-01-01 10:00:00", 1.0),
+            ("u1", "2024-01-01 10:05:00", 1.0),
+            ("u1", "2024-01-01 11:00:00", 1.0),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        session_agg(stream, gap="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("wm_sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 09:00 is far behind the 10:30 watermark -> must be DROPPED;
+        # 12:30 advances the watermark so the 11:00 session flushes too
+        feed(
+            [
+                ("u1", "2024-01-01 09:00:00", 99.0),
+                ("u1", "2024-01-01 12:30:00", 1.0),
+            ]
+        )
+        q.processAllAvailable()
+        feed([("u1", "2024-01-01 14:00:00", 1.0)])  # flush the 12:30 one
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from wm_sessions order by session_start"
+        ).collect()
+    finally:
+        q.stop()
+    starts = [r["session_start"].strftime("%H:%M") for r in rows]
+    # emitted: 10:00 (2 events), 11:00, 12:30 — the 14:00 flusher is still
+    # in state (nothing advanced the watermark past it), and the late
+    # 09:00 event appears NOWHERE
+    assert starts == ["10:00", "11:00", "12:30"]
+    assert [r["n_events"] for r in rows] == [2, 1, 1]
+    assert all(r["sum_value"] == r["n_events"] * 1.0 for r in rows)  # no 99.0
