@@ -249,3 +249,61 @@ def repetition_signals(
         (F.col("top2_char_frac") <= max_top2_char_frac).alias("ok_top2"),
         (F.col("top3_char_frac") <= max_top3_char_frac).alias("ok_top3"),
     )
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least `min_hits` distinct word n-grams with a held-out evaluation /
+    benchmark set (the overlap rule of Brown et al. 2020 Appendix C and
+    Gao et al. 2020 §6; n=8..13 in production — parameterized here).
+
+    Returns one row per corpus doc: `n_shingles` (distinct n-grams in the
+    doc), `n_hits` (how many also occur anywhere in the eval set),
+    `hit_frac` = n_hits/n_shingles, and the `contaminated` flag.
+
+    Scale shape: the eval side is benchmarks (MBs) while the corpus is the
+    100-TB side, so the eval set's DISTINCT shingle table is broadcast and
+    the corpus shingle frame is consumed in ONE pass — a broadcast left
+    join marking hits followed by a single doc-keyed aggregation (one
+    shuffle, keyed by doc). No shingle-keyed self-join exists anywhere, so
+    hot stopword shingles cannot skew a reducer; docs shorter than n words
+    surface with n_shingles=0 rather than silently dropping.
+    """
+    corpus = shingles(df, text, n=n).select(F.col(key), "shingle")
+    ev = (
+        shingles(eval_df, text, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    agg = (
+        corpus.join(F.broadcast(ev), "shingle", "left")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    return (
+        df.select(F.col(key))
+        .join(agg, key, "left")
+        .na.fill({"n_shingles": 0, "n_hits": 0})
+        .select(
+            F.col(key),
+            F.col("n_shingles"),
+            F.col("n_hits"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_hits") / F.col("n_shingles").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_frac"),
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
+    )

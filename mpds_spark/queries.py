@@ -2348,3 +2348,99 @@ FROM lineitem GROUP BY l_returnflag
 QUERIES["grouped_medians"] = q_grouped_medians
 _RAW_ORACLES["grouped_medians"] = SQL_GROUPED_MEDIANS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (Brown et al. 2020 App. C): corpus docs
+    (doc_id % 13 != 0) flagged when they share any distinct 3-gram with
+    the held-out eval slice (doc_id % 13 == 0). Eval shingles broadcast;
+    one doc-keyed shuffle."""
+    from mpds_spark.operators.text import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    ev = docs.filter(F.col("doc_id") % 13 == 0)
+    out = decontaminate(corpus, ev, n=3, min_hits=1)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        _r6("hit_frac").alias("hit_frac"),
+        "contaminated",
+    )
+
+
+SQL_DECONTAMINATE = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+ce AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+         AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM corpus)
+  WHERE len(words) >= 3
+),
+ee AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_distinct(list_transform(
+             range(1, len(words) - 1),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+           AS shingle
+    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS words
+          FROM documents WHERE doc_id % 13 = 0)
+    WHERE len(words) >= 3)
+),
+agg AS (
+  SELECT ce.doc_id, count(*) AS n_shingles, count(ee.shingle) AS n_hits
+  FROM ce LEFT JOIN ee ON ce.shingle = ee.shingle
+  GROUP BY ce.doc_id
+)
+SELECT c.doc_id,
+  coalesce(n_shingles, 0) AS n_shingles,
+  coalesce(n_hits, 0) AS n_hits,
+  round(CASE WHEN coalesce(n_shingles, 0) > 0
+        THEN coalesce(n_hits, 0) / CAST(n_shingles AS DOUBLE)
+        ELSE 0.0 END, 6) AS hit_frac,
+  coalesce(n_hits, 0) >= 1 AS contaminated
+FROM corpus c LEFT JOIN agg ON c.doc_id = agg.doc_id
+"""
+
+QUERIES["decontaminate"] = q_decontaminate
+_RAW_ORACLES["decontaminate"] = SQL_DECONTAMINATE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Deterministic per-source token-budget sample in content-hash order,
+    via the BUCKETED two-pass strategy (per-(source, md5-nibble) totals ->
+    driver prefix carries -> intra-bucket running sum) — the 100-TB path;
+    bit-equal to the single-window strategy (pytest-pinned), and the
+    oracle is the plain global window."""
+    from mpds_spark.operators.sampling import sample_token_budget
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_token_budget(
+        docs, budget=700, group="source", strategy="bucketed"
+    )
+
+
+SQL_SAMPLE_TOKEN_BUDGET = """
+WITH t AS (
+  SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+    md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tok,
+    sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM t
+)
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= 700
+"""
+
+QUERIES["sample_token_budget"] = q_sample_token_budget
+_RAW_ORACLES["sample_token_budget"] = SQL_SAMPLE_TOKEN_BUDGET
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -1,0 +1,130 @@
+"""decontaminate + sample_token_budget operator tests: overlap semantics,
+min_hits threshold, zero-shingle docs, budget-prefix properties, and the
+bit-equality of the bucketed two-pass sampler vs the single-window one
+(the DuckDB value twins live in mpds_spark/queries.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpds_spark.operators.sampling import sample_token_budget
+from mpds_spark.operators.text import decontaminate
+
+CORPUS = [
+    # d1 shares the eval 3-gram "alpha beta gamma"; d2 shares nothing;
+    # d3 is too short for any 3-gram; d4 shares two eval 3-grams
+    ("d1", "noise alpha beta gamma more noise words here"),
+    ("d2", "completely unrelated text with no overlap at all"),
+    ("d3", "two words"),
+    ("d4", "alpha beta gamma delta overlapping run of eval text"),
+]
+EVAL = [
+    ("e1", "alpha beta gamma delta is the eval benchmark prompt"),
+    ("e2", "another held out question"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    return corpus, ev
+
+
+def test_decontaminate_flags_overlap(frames):
+    corpus, ev = frames
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, ev, n=3).collect()
+    }
+    assert len(out) == 4
+    assert out["d1"]["contaminated"] and out["d1"]["n_hits"] == 1
+    assert not out["d2"]["contaminated"] and out["d2"]["n_hits"] == 0
+    # too short for any 3-gram: surfaces with zero counts, not dropped
+    assert out["d3"]["n_shingles"] == 0 and out["d3"]["hit_frac"] == 0.0
+    assert not out["d3"]["contaminated"]
+    # d4: "alpha beta gamma" + "beta gamma delta" both occur in e1
+    assert out["d4"]["n_hits"] == 2
+    assert out["d4"]["hit_frac"] == pytest.approx(
+        2 / out["d4"]["n_shingles"]
+    )
+
+
+def test_decontaminate_min_hits(frames):
+    corpus, ev = frames
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, ev, n=3, min_hits=2).collect()
+    }
+    assert out == {"d1": False, "d2": False, "d3": False, "d4": True}
+
+
+def _doc_table(spark, n=400, groups=5):
+    rows = [
+        (
+            i,
+            f"g{i % groups}",
+            " ".join(f"w{i}_{j}" for j in range(3 + (i * 7) % 40)),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+
+def test_budget_respected_and_greedy_prefix(spark):
+    docs = _doc_table(spark)
+    out = sample_token_budget(docs, budget=300, group="source").toPandas()
+    assert (out["cum_tok"] <= 300).all()
+    # per-group: kept set is the exact greedy prefix of the hash order
+    full = sample_token_budget(docs, budget=10**9, group="source").toPandas()
+    for g, grp in full.groupby("source"):
+        kept = set(out.loc[out["source"] == g, "doc_id"])
+        ordered = grp.sort_values("cum_tok")
+        run, expect = 0, set()
+        for _, r in ordered.iterrows():
+            run += r["n_tok"]
+            if run <= 300:
+                expect.add(r["doc_id"])
+        assert kept == expect, g
+
+
+def test_bucketed_strategy_bit_equal(spark):
+    docs = _doc_table(spark, n=600, groups=4)
+    a = (
+        sample_token_budget(docs, budget=500, strategy="window")
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        sample_token_budget(docs, budget=500, strategy="bucketed")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    # and with 256 buckets (2 nibbles)
+    c = (
+        sample_token_budget(docs, budget=500, strategy="bucketed", nibbles=2)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == c
+
+
+def test_layout_independence(spark):
+    docs = _doc_table(spark, n=300, groups=3)
+    a = (
+        sample_token_budget(docs, budget=400)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        sample_token_budget(docs.repartition(13, "doc_id"), budget=400)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_unknown_strategy_raises(spark):
+    docs = _doc_table(spark, n=10, groups=1)
+    with pytest.raises(ValueError):
+        sample_token_budget(docs, budget=10, strategy="nope")
