@@ -500,3 +500,88 @@ def test_session_watermark_drops_late_event(spark, tmp_path):
     assert starts == ["10:00", "11:00", "12:30"]
     assert [r["n_events"] for r in rows] == [2, 1, 1]
     assert all(r["sum_value"] == r["n_events"] * 1.0 for r in rows)  # no 99.0
+
+
+def test_streaming_token_budget_matches_batch(spark, tmp_path):
+    """Single micro-batch: the streaming admission equals the batch
+    sample_token_budget keep set (same hash order, same prefix rule).
+    Second micro-batch: admission continues from carried per-source totals
+    — the sequential-greedy semantics — and never exceeds the budget."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.dedup import words_col
+    from mpds_spark.operators.sampling import sample_token_budget
+    from mpds_spark.streaming.sampling import (
+        IN_SCHEMA,
+        _admit_core,
+        streaming_token_budget,
+    )
+
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"w{i}_{j}" for j in range(2 + (i * 5) % 17)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    toks = docs.select(
+        "doc_id", "source", F.size(words_col("text")).cast("long").alias("n_tok")
+    )
+    budget = 150
+
+    src = str(tmp_path / "budget_src")
+    toks.filter(F.col("doc_id") < 60).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        streaming_token_budget(
+            spark.readStream.schema(IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            budget=budget,
+        )
+        .writeStream.format("memory")
+        .queryName("budget_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = spark.sql("select * from budget_stream_test").toPandas()
+        # batch equivalence on the first (single) micro-batch
+        want1 = (
+            sample_token_budget(
+                docs.filter(F.col("doc_id") < 60), budget=budget
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got1.sort_values("doc_id").reset_index(drop=True)[want1.columns],
+            want1,
+        )
+        # second micro-batch: carried state continues the greedy scan
+        toks.filter(F.col("doc_id") >= 60).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        got2 = spark.sql("select * from budget_stream_test").toPandas()
+    finally:
+        q.stop()
+
+    pdf = toks.toPandas()
+    expect = []
+    for s, grp in pdf.groupby("source"):
+        seen = 0
+        for lo, hi in ((0, 60), (60, 120)):
+            part = grp[(grp.doc_id >= lo) & (grp.doc_id < hi)]
+            out, seen = _admit_core(s, part, seen, budget)
+            expect.append(out)
+    want2 = (
+        pd.concat(expect, ignore_index=True)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got2 = got2.sort_values("doc_id").reset_index(drop=True)[want2.columns]
+    pd.testing.assert_frame_equal(
+        got2.astype(want2.dtypes.to_dict()), want2
+    )
+    assert (got2.cum_tok <= budget).all()
