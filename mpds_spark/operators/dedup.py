@@ -23,7 +23,7 @@ O(docs x bands) bucket joins — the scale path for 10^9+ docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpds_spark.operators.util import (
@@ -731,3 +731,85 @@ def connected_components_auto(
     if n <= driver_max_edges:
         return connected_components_driver(ed, "u", "v")
     return connected_components_star(ed, "u", "v", max_iter=max_iter)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    tokens: str | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Substring-level duplication signals (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": duplicated token spans of
+    length >= k): for every doc, how many of its overlapping k-gram
+    positions belong to a k-gram occurring >= min_df times in the WHOLE
+    corpus (within-doc repeats count), and what fraction of its tokens is
+    covered by the union of those spans.
+
+    Works on a token array column (`tokens=`, any element type — elements
+    are stringified before hashing) or on whitespace words of `text`.
+    Returns (key, n_tok, n_dup_positions, covered_tok, dup_tok_frac);
+    docs shorter than k tokens surface with zeros.
+
+    Shape at scale: occurrence rows are doc-length-linear (one per
+    position); the global gram count is one hash aggregation keyed by the
+    md5 gram (uniform by construction), the dup filter joins back on the
+    same key, and span-union coverage is a per-doc lead() window — covered
+    = sum over kept positions of min(next_pos - pos, k), the closed form
+    of interval union for equal-length spans. No self-join anywhere, so a
+    gram duplicated a million times costs its occurrence rows, not the
+    square of them.
+    """
+    toks = F.col(tokens) if tokens is not None else words_col(text)
+    base = df.select(F.col(key), toks.alias("__t")).withColumn(
+        "__s", F.expr("transform(__t, x -> cast(x as string))")
+    )
+    n_tok = F.size("__t").cast("long")
+    grams = F.when(
+        n_tok >= k,
+        F.expr(
+            f"transform(sequence(1, size(__s) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(__s, i, {k}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(key), F.posexplode(grams).alias("__p0", "gram")
+    ).select(F.col(key), (F.col("__p0") + 1).alias("pos"), "gram")
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_df)
+        .select("gram")
+    )
+    kept = occ.join(dup, "gram").select(F.col(key), "pos")
+    w = Window.partitionBy(key).orderBy("pos")
+    spans = kept.withColumn(
+        "__cspan",
+        F.least(
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k)),
+            F.lit(k),
+        ).cast("long"),
+    )
+    agg = spans.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_dup_positions"),
+        F.sum("__cspan").alias("covered_tok"),
+    )
+    return (
+        base.select(F.col(key), n_tok.alias("n_tok"))
+        .join(agg, key, "left")
+        .na.fill({"n_dup_positions": 0, "covered_tok": 0})
+        .select(
+            F.col(key),
+            "n_tok",
+            "n_dup_positions",
+            "covered_tok",
+            F.when(
+                F.col("n_tok") > 0,
+                F.col("covered_tok") / F.col("n_tok").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_tok_frac"),
+        )
+    )

@@ -2444,3 +2444,57 @@ FROM c WHERE cum_tok <= 700
 QUERIES["sample_token_budget"] = q_sample_token_budget
 _RAW_ORACLES["sample_token_budget"] = SQL_SAMPLE_TOKEN_BUDGET
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level dup signals (Lee et al. 2021): per-doc count of
+    8-gram positions whose gram occurs >= 2 times corpus-wide, plus the
+    token fraction covered by the union of those spans (closed-form
+    interval union via lead())."""
+    from mpds_spark.operators.dedup import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, k=8, min_df=2)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_dup_positions",
+        "covered_tok",
+        _r6("dup_tok_frac").alias("dup_tok_frac"),
+    )
+
+
+SQL_DUPLICATE_SPANS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+      i -> {'pos': i, 'gram': md5(array_to_string(ws[i:i+7], ' '))})) AS s
+  FROM t WHERE len(ws) >= 8
+), occ AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+d AS (
+  SELECT o.doc_id, o.pos,
+    least(coalesce(lead(o.pos) OVER (PARTITION BY o.doc_id ORDER BY o.pos)
+                   - o.pos, 8), 8) AS cspan
+  FROM occ o JOIN dup USING (gram)
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_positions,
+         CAST(sum(cspan) AS BIGINT) AS covered_tok
+  FROM d GROUP BY doc_id
+)
+SELECT t.doc_id,
+  len(ws) AS n_tok,
+  coalesce(n_dup_positions, 0) AS n_dup_positions,
+  coalesce(covered_tok, 0) AS covered_tok,
+  round(CASE WHEN len(ws) > 0
+        THEN coalesce(covered_tok, 0) / CAST(len(ws) AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_tok_frac
+FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+QUERIES["duplicate_spans"] = q_duplicate_spans
+_RAW_ORACLES["duplicate_spans"] = SQL_DUPLICATE_SPANS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

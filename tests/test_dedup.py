@@ -245,3 +245,39 @@ def test_auto_cc_above_threshold_uses_star(spark):
         r.doc_id: r.component for r in connected_components_driver(e).collect()
     }
     assert star == drv == {"a1": "a1", "a2": "a1", "a3": "a1", "b1": "b1", "b2": "b1"}
+
+
+def test_duplicate_spans_token_arrays(spark):
+    """duplicate_spans over int32 token arrays (the north-rule payload):
+    hand-checked span coverage, within-doc repeats, and sub-k docs."""
+    from mpds_spark.operators.dedup import duplicate_spans
+
+    shared = list(range(100, 108))  # the duplicated 8-gram
+    rows = [
+        # d1/d2 share `shared` once each (cross-doc dup)
+        (1, shared + [1, 2, 3, 4]),
+        (2, [9, 8, 7] + shared),
+        # d3: within-doc repeat of its own 8-gram (positions 1 and 9)
+        (3, list(range(200, 208)) * 2),
+        # d4: unique content, no dup grams
+        (4, list(range(300, 312))),
+        # d5: shorter than k
+        (5, [1, 2, 3]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, tokens="tokens", k=8, min_df=2).collect()
+    }
+    assert out[1]["n_dup_positions"] == 1 and out[1]["covered_tok"] == 8
+    assert out[1]["dup_tok_frac"] == pytest.approx(8 / 12)
+    assert out[2]["n_dup_positions"] == 1 and out[2]["covered_tok"] == 8
+    # d3: 16 tokens, grams at pos 1..9; pos 1 and 9 are the repeated gram
+    # (200..207); but ALL its grams are... each gram pos1..9 appears how
+    # often corpus-wide? gram(pos1)=gram(pos9)=200..207 twice; grams at
+    # pos 2..8 are unique -> kept positions {1, 9}, coverage
+    # min(9-1, 8) + 8 = 16 (the whole doc)
+    assert out[3]["n_dup_positions"] == 2 and out[3]["covered_tok"] == 16
+    assert out[3]["dup_tok_frac"] == pytest.approx(1.0)
+    assert out[4]["n_dup_positions"] == 0 and out[4]["dup_tok_frac"] == 0.0
+    assert out[5]["n_tok"] == 3 and out[5]["covered_tok"] == 0
