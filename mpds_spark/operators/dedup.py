@@ -733,6 +733,37 @@ def connected_components_auto(
     return connected_components_star(ed, "u", "v", max_iter=max_iter)
 
 
+def _dup_span_positions(df, tokens, text, key, k, min_df):
+    """Shared k-gram occurrence machinery for duplicate_spans /
+    remove_duplicate_spans: returns (base, kept) where base carries the
+    raw (__t) and stringified (__s) token arrays per key and kept is the
+    (key, pos) frame of 1-based positions whose k-gram occurs >= min_df
+    times corpus-wide (one gram-keyed hash agg + one gram-keyed join —
+    occurrence-linear, no self-join)."""
+    toks = F.col(tokens) if tokens is not None else words_col(text)
+    base = df.select(F.col(key), toks.alias("__t")).withColumn(
+        "__s", F.expr("transform(__t, x -> cast(x as string))")
+    )
+    grams = F.when(
+        F.size("__t") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__s) - {k} + 1), "
+            f"i -> md5(concat_ws(' ', slice(__s, i, {k}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(key), F.posexplode(grams).alias("__p0", "gram")
+    ).select(F.col(key), (F.col("__p0") + 1).alias("pos"), "gram")
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_df)
+        .select("gram")
+    )
+    kept = occ.join(dup, "gram").select(F.col(key), "pos")
+    return base, kept
+
+
 def duplicate_spans(
     df: DataFrame,
     tokens: str | None = None,
@@ -762,28 +793,8 @@ def duplicate_spans(
     gram duplicated a million times costs its occurrence rows, not the
     square of them.
     """
-    toks = F.col(tokens) if tokens is not None else words_col(text)
-    base = df.select(F.col(key), toks.alias("__t")).withColumn(
-        "__s", F.expr("transform(__t, x -> cast(x as string))")
-    )
+    base, kept = _dup_span_positions(df, tokens, text, key, k, min_df)
     n_tok = F.size("__t").cast("long")
-    grams = F.when(
-        n_tok >= k,
-        F.expr(
-            f"transform(sequence(1, size(__s) - {k} + 1), "
-            f"i -> md5(concat_ws(' ', slice(__s, i, {k}))))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = base.select(
-        F.col(key), F.posexplode(grams).alias("__p0", "gram")
-    ).select(F.col(key), (F.col("__p0") + 1).alias("pos"), "gram")
-    dup = (
-        occ.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_df)
-        .select("gram")
-    )
-    kept = occ.join(dup, "gram").select(F.col(key), "pos")
     w = Window.partitionBy(key).orderBy("pos")
     spans = kept.withColumn(
         "__cspan",
@@ -812,4 +823,62 @@ def duplicate_spans(
             .otherwise(F.lit(0.0))
             .alias("dup_tok_frac"),
         )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    tokens: str | None = None,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """The actionable twin of duplicate_spans: REMOVE every token covered
+    by a corpus-duplicated k-gram span and return the cleaned arrays —
+    the apply step of Lee et al. 2021's substring dedup.
+
+    Returns (key, tokens_clean, n_tok, n_tok_clean); tokens_clean keeps
+    the input element type. Docs without duplicated spans pass their
+    arrays through untouched (byte-identical — pinned by test).
+
+    Span starts are merged into disjoint intervals per doc (one
+    collect-sorted aggregation, then a linear fold over the sorted
+    starts), so the final filter is exists()-over-intervals per token:
+    O(n_tok * n_merged_intervals) JVM work per doc with
+    n_merged_intervals <= distinct dup regions, never per-row Python.
+    """
+    base, kept = _dup_span_positions(df, tokens, text, key, k, min_df)
+    starts = kept.groupBy(key).agg(
+        F.sort_array(F.collect_list("pos")).alias("__starts")
+    )
+    # fold sorted starts into disjoint [b, e) intervals: a start within
+    # the previous interval extends it (equal-length spans, so the new
+    # end s + k always >= the previous end for sorted s)
+    merged = F.expr(
+        "aggregate(__starts, cast(array() as array<struct<b:int,e:int>>), "
+        f"(acc, s) -> if(size(acc) > 0 AND s <= element_at(acc, -1).e, "
+        f"  concat(slice(acc, 1, size(acc) - 1), "
+        f"    array(named_struct('b', element_at(acc, -1).b, "
+        f"                       'e', s + {k}))), "
+        f"  concat(acc, array(named_struct('b', s, 'e', s + {k})))))"
+    )
+    out = (
+        base.join(starts, key, "left")
+        .withColumn("__iv", merged)
+        .withColumn(
+            "tokens_clean",
+            F.when(F.col("__starts").isNull(), F.col("__t")).otherwise(
+                F.expr(
+                    "filter(__t, (x, i) -> NOT exists(__iv, "
+                    "m -> m.b <= i + 1 AND i + 1 < m.e))"
+                )
+            ),
+        )
+    )
+    return out.select(
+        F.col(key),
+        "tokens_clean",
+        F.size("__t").cast("long").alias("n_tok"),
+        F.size("tokens_clean").cast("long").alias("n_tok_clean"),
     )

@@ -2498,3 +2498,51 @@ FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
 QUERIES["duplicate_spans"] = q_duplicate_spans
 _RAW_ORACLES["duplicate_spans"] = SQL_DUPLICATE_SPANS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_remove_dup_spans(spark, sf_dir):
+    """Apply step of substring dedup: strip every token covered by a
+    corpus-duplicated 8-gram and return a content hash of the cleaned
+    word array — value-exact proof the rewritten arrays match the
+    oracle's, not just their lengths."""
+    from mpds_spark.operators.dedup import remove_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, k=8, min_df=2)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_tok_clean",
+        F.md5(F.concat_ws(" ", "tokens_clean")).alias("clean_hash"),
+    )
+
+
+SQL_REMOVE_DUP_SPANS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 8 + 2),
+      i -> {'pos': i, 'gram': md5(array_to_string(ws[i:i+7], ' '))})) AS s
+  FROM t WHERE len(ws) >= 8
+), occ AS (SELECT doc_id, s.pos AS pos, s.gram AS gram FROM g),
+dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT o.doc_id, unnest(range(o.pos, o.pos + 8)) AS cp
+  FROM occ o JOIN dup USING (gram)
+), cl AS (
+  SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+  len(ws) AS n_tok,
+  len(list_filter(ws, (x, i) -> NOT list_contains(coalesce(cps, []), i)))
+    AS n_tok_clean,
+  md5(coalesce(array_to_string(
+    list_filter(ws, (x, i) -> NOT list_contains(coalesce(cps, []), i)),
+    ' '), '')) AS clean_hash
+FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id
+"""
+
+QUERIES["remove_dup_spans"] = q_remove_dup_spans
+_RAW_ORACLES["remove_dup_spans"] = SQL_REMOVE_DUP_SPANS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -281,3 +281,48 @@ def test_duplicate_spans_token_arrays(spark):
     assert out[3]["dup_tok_frac"] == pytest.approx(1.0)
     assert out[4]["n_dup_positions"] == 0 and out[4]["dup_tok_frac"] == 0.0
     assert out[5]["n_tok"] == 3 and out[5]["covered_tok"] == 0
+
+
+def test_remove_duplicate_spans_passthrough_and_removal(spark):
+    """Cleaned arrays drop exactly the covered spans; docs without dup
+    grams pass their token arrays through byte-identical."""
+    from mpds_spark.operators.dedup import remove_duplicate_spans
+
+    shared = list(range(100, 108))
+    rows = [
+        (1, shared + [1, 2, 3, 4]),
+        (2, [9, 8, 7] + shared),
+        (3, list(range(300, 312))),  # untouched
+        (4, [5, 6]),  # sub-k, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, tokens="tokens", k=8, min_df=2
+        ).collect()
+    }
+    assert out[1]["tokens_clean"] == [1, 2, 3, 4]
+    assert out[2]["tokens_clean"] == [9, 8, 7]
+    assert out[3]["tokens_clean"] == list(range(300, 312))  # byte-identical
+    assert out[4]["tokens_clean"] == [5, 6]
+    assert out[1]["n_tok"] == 12 and out[1]["n_tok_clean"] == 4
+
+
+def test_remove_duplicate_spans_overlapping_merge(spark):
+    """Overlapping duplicated grams merge into one interval: a doc that is
+    one long repeat of another collapses to its unique suffix only."""
+    from mpds_spark.operators.dedup import remove_duplicate_spans
+
+    body = list(range(50, 62))  # 12 tokens, duplicated wholesale
+    rows = [(1, body + [7]), (2, body + [9])]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, tokens="tokens", k=8, min_df=2
+        ).collect()
+    }
+    # grams at pos 1..5 of each doc are shared -> coverage 1..12 merged
+    assert out[1]["tokens_clean"] == [7]
+    assert out[2]["tokens_clean"] == [9]
