@@ -751,9 +751,13 @@ def _dup_span_positions(df, tokens, text, key, k, min_df):
             f"i -> md5(concat_ws(' ', slice(__s, i, {k}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = base.select(
-        F.col(key), F.posexplode(grams).alias("__p0", "gram")
-    ).select(F.col(key), (F.col("__p0") + 1).alias("pos"), "gram")
+    # occ feeds two plan branches (the gram-count agg and the join back);
+    # without the persist each branch re-runs the full-corpus posexplode
+    occ = scratch_persist(
+        base.select(
+            F.col(key), F.posexplode(grams).alias("__p0", "gram")
+        ).select(F.col(key), (F.col("__p0") + 1).alias("pos"), "gram")
+    )
     dup = (
         occ.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__c"))
