@@ -326,3 +326,46 @@ def test_remove_duplicate_spans_overlapping_merge(spark):
     # grams at pos 1..5 of each doc are shared -> coverage 1..12 merged
     assert out[1]["tokens_clean"] == [7]
     assert out[2]["tokens_clean"] == [9]
+
+
+def test_span_measure_apply_consistency(spark):
+    """Cross-op invariant: duplicate_spans' interval-union coverage equals
+    the tokens actually removed by remove_duplicate_spans, per doc, on a
+    messy synthetic corpus (shared spans, within-doc repeats, overlaps,
+    sub-k docs)."""
+    import random
+
+    from mpds_spark.operators.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    rng = random.Random(11)
+    shared_a = [rng.randrange(1000) for _ in range(10)]
+    shared_b = [rng.randrange(1000) for _ in range(9)]
+    rows = []
+    for d in range(40):
+        toks = [rng.randrange(1000, 5000) for _ in range(rng.randrange(0, 30))]
+        if d % 3 == 0:
+            pos = rng.randrange(0, len(toks) + 1)
+            toks = toks[:pos] + shared_a + toks[pos:]
+        if d % 5 == 0:
+            toks = shared_b + toks + shared_b  # within-doc repeat too
+        rows.append((d, toks))
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    meas = {
+        r["doc_id"]: r
+        for r in duplicate_spans(df, tokens="tokens", k=8, min_df=2).collect()
+    }
+    appl = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            df, tokens="tokens", k=8, min_df=2
+        ).collect()
+    }
+    assert set(meas) == set(appl) == set(range(40))
+    for d in range(40):
+        assert (
+            meas[d]["covered_tok"]
+            == appl[d]["n_tok"] - appl[d]["n_tok_clean"]
+        ), d
