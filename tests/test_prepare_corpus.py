@@ -1,0 +1,90 @@
+"""prepare_corpus pipeline: quality -> dedup -> decontamination -> token
+budget as one resumable run. Funnel must drop the planted low-quality /
+duplicate / contaminated docs at the right stage, and killing after stage
+k then resuming must yield a byte-identical final selection re-running no
+completed stage."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mpds_spark.pipelines.prepare_corpus import prepare_corpus
+
+
+def _corpus(seed=9):
+    rng = np.random.default_rng(seed)
+    vocab = [f"word{i}" for i in range(100)]
+    rows, bases = [], []
+    did = 0
+    for b in range(24):
+        # 'of the' prefix keeps every base doc past the >=2-distinct-
+        # stopwords and mean-word-length Gopher rules deterministically
+        base = "of the " + " ".join(rng.choice(vocab, size=10))
+        src = f"s{b % 3}"
+        bases.append(base)
+        rows.append((did, base, src)); did += 1
+        if b % 4 == 0:  # exact duplicate
+            rows.append((did, base, src)); did += 1
+        if b % 6 == 0:  # low quality: too short (min_words=8)
+            rows.append((did, "tiny doc", src)); did += 1
+    # contaminated docs: fresh content (NOT near-dups of any base doc, so
+    # they survive dedup) carrying the eval 3-gram verbatim
+    for i in range(4):
+        fresh = " ".join(rng.choice(vocab, size=10))
+        rows.append((did, f"alpha beta gamma of the {fresh}", f"s{i % 3}"))
+        did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+
+
+EVAL = [(0, "alpha beta gamma delta eval prompt")]
+
+
+def test_prepare_corpus_funnel_and_resume(spark, tmp_path):
+    docs = spark.createDataFrame(_corpus())
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    out1 = str(tmp_path / "full")
+
+    res = prepare_corpus(
+        spark, docs, ev, out1, budget=10**6, min_words=8,
+        decontam_n=3, dedup_threshold=0.5,
+    )
+    f = res["funnel"]
+    n_in = f["00_input"]
+    # stage drops: 4 short docs fail quality; exact dups collapse in dedup;
+    # the 4 contaminated docs are dropped at decontam; budget=1e6 keeps all
+    assert f["01_quality"] == n_in - 4
+    assert f["02_dedup"] < f["01_quality"]  # planted exact dups collapsed
+    assert f["03_decontam"] == f["02_dedup"] - 4
+    assert f["04_budget"] == f["03_decontam"]  # budget large enough
+    sel1 = sorted(r["doc_id"] for r in res["selected"].collect())
+    assert len(sel1) == f["04_budget"]
+
+    # kill after stage 2, then resume in a FRESH out_dir ... same dir:
+    out2 = str(tmp_path / "resumed")
+    part = prepare_corpus(
+        spark, docs, ev, out2, budget=10**6, min_words=8,
+        decontam_n=3, dedup_threshold=0.5, stop_after=2,
+    )
+    assert part["selected"] is None and "03_decontam" not in part["funnel"]
+    res2 = prepare_corpus(
+        spark, docs, ev, out2, budget=10**6, min_words=8,
+        decontam_n=3, dedup_threshold=0.5,
+    )
+    # completed stages were read back, not recomputed
+    assert res2["stages"]["01_quality"] == "skipped"
+    sel2 = sorted(r["doc_id"] for r in res2["selected"].collect())
+    assert sel2 == sel1  # byte-identical final selection
+
+
+def test_prepare_corpus_budget_caps_per_source(spark, tmp_path):
+    docs = spark.createDataFrame(_corpus())
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    res = prepare_corpus(
+        spark, docs, ev, str(tmp_path / "b"), budget=40, min_words=8,
+    )
+    pdf = res["selected"].toPandas()
+    assert (pdf["cum_tok"] <= 40).all()
+    assert set(pdf["source"]) <= {"s0", "s1", "s2"}
+    # every source hits close to its budget (docs are ~10 tokens)
+    got = pdf.groupby("source")["n_tok"].sum()
+    assert (got > 20).all()
