@@ -135,6 +135,45 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Full corpus preparation (quality -> dedup -> decontaminate ->
+    token budget) — the cluster entry for pipelines/prepare_corpus."""
+    from mpds_spark.pipelines.prepare_corpus import prepare_corpus
+    from mpds_spark.sources.io import read_table
+
+    spark = _spark(args)
+
+    def _load(name):
+        if name.endswith(".parquet") or "/" in name:
+            return spark.read.parquet(name)
+        return read_table(spark, args.sf_dir, name)
+
+    res = prepare_corpus(
+        spark,
+        _load(args.input),
+        _load(args.eval_input),
+        args.output,
+        text=args.text_col,
+        key=args.key_col,
+        budget=args.budget,
+        group=args.group_col,
+        min_words=args.min_words,
+        decontam_n=args.decontam_n,
+        dedup_threshold=args.threshold,
+    )
+    print(
+        json.dumps(
+            {
+                "stages": res["stages"],
+                "funnel": res["funnel"],
+                "out": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mpds_spark")
     p.add_argument("--master", default=None)
@@ -168,12 +207,26 @@ def main(argv=None) -> int:
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("--max-df", type=int, default=None)
 
+    pr = sub.add_parser("prepare")
+    pr.add_argument("--input", required=True, help="parquet path or table name")
+    pr.add_argument("--eval-input", required=True, help="benchmark/eval set")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--key-col", default="doc_id")
+    pr.add_argument("--group-col", default="source")
+    pr.add_argument("--budget", type=int, default=10**9)
+    pr.add_argument("--min-words", type=int, default=8)
+    pr.add_argument("--decontam-n", type=int, default=3)
+    pr.add_argument("--threshold", type=float, default=0.5)
+
     args = p.parse_args(argv)
     return {
         "synth": cmd_synth,
         "extract": cmd_extract,
         "bench": cmd_bench,
         "dedup": cmd_dedup,
+        "prepare": cmd_prepare,
     }[args.cmd](args)
 
 
