@@ -307,3 +307,44 @@ def decontaminate(
             (F.col("n_hits") >= min_hits).alias("contaminated"),
         )
     )
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score (the LM-perplexity filter of
+    CCNet, Wenzek et al. 2020 §4.3, with the KenLM model replaced by the
+    corpus's own add-alpha-smoothed unigram distribution — deterministic
+    and dependency-free):
+
+        p(w) = (count(w) + alpha) / (N + alpha * V)
+        score(doc) = mean over the doc's words of -ln p(w)
+
+    High score = improbable words = gibberish/rare content; low score =
+    stopword-heavy boilerplate. Emitted per doc with n_words so callers
+    can threshold by quantile per language/source.
+
+    Shape at scale: one word-keyed count aggregation (uniform key space,
+    partial aggregation collapses repeats map-side), the (N, V) totals via
+    a single tiny collect, then one join of the exploded corpus back to
+    the count table and a doc-keyed mean — occurrence-linear, no
+    self-join, skew-free (the hottest word's occurrences spread across
+    partitions until the final doc-keyed agg)."""
+    w = df.select(F.col(key), F.explode(words_col(text)).alias("word"))
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_tokens, vocab = int(tot["n"]), int(tot["v"])
+    denom = float(n_tokens) + alpha * float(vocab)
+    neglogp = -F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+    scored = w.join(counts.withColumn("__nlp", neglogp), "word")
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.avg("__nlp").alias("unigram_nll"),
+        )
+    )

@@ -2546,3 +2546,33 @@ FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id
 QUERIES["remove_dup_spans"] = q_remove_dup_spans
 _RAW_ORACLES["remove_dup_spans"] = SQL_REMOVE_DUP_SPANS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_unigram_nll(spark, sf_dir):
+    """CCNet-style LM quality score: corpus add-1-smoothed unigram NLL per
+    doc (mean -ln p(word)); high = gibberish, low = boilerplate."""
+    from mpds_spark.operators.text import unigram_logprob_score
+
+    docs = load(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs, alpha=1.0)
+    return out.select(
+        "doc_id", "n_words", _r6("unigram_nll").alias("unigram_nll")
+    )
+
+
+SQL_UNIGRAM_NLL = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c) AS n, count(*) AS v FROM c)
+SELECT w.doc_id,
+  count(*) AS n_words,
+  round(avg(-ln((c.c + 1.0) / (t.n + 1.0 * t.v))), 6) AS unigram_nll
+FROM w JOIN c USING (word) CROSS JOIN t
+GROUP BY w.doc_id
+"""
+
+QUERIES["unigram_nll"] = q_unigram_nll
+_RAW_ORACLES["unigram_nll"] = SQL_UNIGRAM_NLL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

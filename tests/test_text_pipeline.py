@@ -128,3 +128,24 @@ def test_unknown_strategy_raises(spark):
     docs = _doc_table(spark, n=10, groups=1)
     with pytest.raises(ValueError):
         sample_token_budget(docs, budget=10, strategy="nope")
+
+
+def test_unigram_logprob_score_hand_computed(spark):
+    """Hand-checked add-1 unigram NLL on a 3-doc corpus; the repeated word
+    scores lower (more probable) than singletons."""
+    import math
+
+    from mpds_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x z"), ("c", "q")], ["doc_id", "text"]
+    )
+    # counts: x=3, y=1, z=1, q=1 -> N=6, V=4, denom=10
+    out = {r["doc_id"]: r for r in unigram_logprob_score(docs).collect()}
+    p = {"x": 4 / 10, "y": 2 / 10, "z": 2 / 10, "q": 2 / 10}
+    exp_a = -(2 * math.log(p["x"]) + math.log(p["y"])) / 3
+    assert out["a"]["unigram_nll"] == pytest.approx(exp_a, rel=1e-12)
+    assert out["c"]["unigram_nll"] == pytest.approx(-math.log(p["q"]), rel=1e-12)
+    # boilerplate (common words) scores lower than rare-word docs
+    assert out["a"]["unigram_nll"] < out["c"]["unigram_nll"]
+    assert out["a"]["n_words"] == 3
