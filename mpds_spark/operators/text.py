@@ -348,3 +348,48 @@ def unigram_logprob_score(
             F.avg("__nlp").alias("unigram_nll"),
         )
     )
+
+def lm_quality_buckets(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    group: str | None = "source",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank docs by
+    the unigram-LM NLL and cut each group (language/source) at its own
+    tercile boundaries — head = most-probable third (boilerplate-leaning),
+    tail = least-probable third (gibberish-leaning).
+
+    Buckets are per-GROUP quantiles, not global: a niche source's docs are
+    judged against their own distribution, the property that makes the
+    split usable for mixture curation. Tercile boundaries come from
+    scale.exact_grouped_quantiles (distributed bracketed selection —
+    quantile_cont semantics with unbounded group count/size; no per-group
+    sort, no driver collect); boundary docs tie into the LOWER bucket
+    (score <= q1 -> head, <= q2 -> middle, else tail).
+    """
+    from mpds_spark.operators.scale import exact_grouped_quantiles
+
+    scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
+    cols = [F.col(key), F.col("n_words"), F.col("unigram_nll")]
+    if group is None:
+        joined = scores.withColumn("__g", F.lit("all"))
+        gcol = "__g"
+    else:
+        joined = scores.join(df.select(F.col(key), F.col(group)), key)
+        gcol = group
+        cols.insert(1, F.col(group))
+    q1 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=1 / 3).select(
+        F.col(gcol), F.col("q_unigram_nll").alias("__q1")
+    )
+    q2 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=2 / 3).select(
+        F.col(gcol), F.col("q_unigram_nll").alias("__q2")
+    )
+    out = joined.join(F.broadcast(q1), gcol).join(F.broadcast(q2), gcol)
+    bucket = (
+        F.when(F.col("unigram_nll") <= F.col("__q1"), F.lit("head"))
+        .when(F.col("unigram_nll") <= F.col("__q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return out.select(*cols, bucket.alias("bucket"))

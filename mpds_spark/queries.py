@@ -2576,3 +2576,51 @@ GROUP BY w.doc_id
 QUERIES["unigram_nll"] = q_unigram_nll
 _RAW_ORACLES["unigram_nll"] = SQL_UNIGRAM_NLL
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: per-source terciles of the unigram-LM
+    NLL (exact grouped quantile_cont via distributed bracketed selection);
+    boundary docs tie into the lower bucket."""
+    from mpds_spark.operators.text import lm_quality_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    out = lm_quality_buckets(docs, group="source")
+    return out.select(
+        "doc_id",
+        "source",
+        "n_words",
+        _r6("unigram_nll").alias("unigram_nll"),
+        "bucket",
+    )
+
+
+SQL_LM_QUALITY_BUCKETS = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), c AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+nll AS (
+  SELECT w.doc_id, count(*) AS n_words,
+    avg(-ln((c.c + 1.0) / (t.n + 1.0 * t.v))) AS s
+  FROM w JOIN c USING (word) CROSS JOIN t GROUP BY w.doc_id
+),
+j AS (
+  SELECT n.doc_id, d.source, n.n_words, n.s
+  FROM nll n JOIN documents d USING (doc_id)
+),
+q AS (
+  SELECT source, quantile_cont(s, 1.0/3) AS q1, quantile_cont(s, 2.0/3) AS q2
+  FROM j GROUP BY source
+)
+SELECT j.doc_id, j.source, j.n_words, round(j.s, 6) AS unigram_nll,
+  CASE WHEN j.s <= q.q1 THEN 'head'
+       WHEN j.s <= q.q2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM j JOIN q USING (source)
+"""
+
+QUERIES["lm_quality_buckets"] = q_lm_quality_buckets
+_RAW_ORACLES["lm_quality_buckets"] = SQL_LM_QUALITY_BUCKETS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -149,3 +149,28 @@ def test_unigram_logprob_score_hand_computed(spark):
     # boilerplate (common words) scores lower than rare-word docs
     assert out["a"]["unigram_nll"] < out["c"]["unigram_nll"]
     assert out["a"]["n_words"] == 3
+
+
+def test_lm_quality_buckets_terciles(spark):
+    """Each group splits ~evenly into head/middle/tail by its OWN score
+    distribution, and bucket order tracks score order within a group."""
+    from mpds_spark.operators.text import lm_quality_buckets
+
+    # two sources with very different score scales: per-group quantiles
+    # must bucket each source against itself
+    rows = []
+    for i in range(30):
+        # monotone mix: more singleton words -> higher NLL
+        s0 = " ".join(["common"] * (31 - i) + [f"rare{i}_{j}" for j in range(i + 1)])
+        s1 = " ".join(["shared"] * (2 * i + 1) + [f"uniq{i}_{j}" for j in range(30 - i)])
+        rows.append((i, "s0", s0))
+        rows.append((100 + i, "s1", s1))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    pdf = lm_quality_buckets(docs, group="source").toPandas()
+    for g, grp in pdf.groupby("source"):
+        counts = grp["bucket"].value_counts()
+        assert set(counts.index) == {"head", "middle", "tail"}, g
+        assert counts.max() - counts.min() <= 2, (g, counts.to_dict())
+        h = grp.loc[grp.bucket == "head", "unigram_nll"].max()
+        t = grp.loc[grp.bucket == "tail", "unigram_nll"].min()
+        assert h < t, g
