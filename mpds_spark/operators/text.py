@@ -370,6 +370,7 @@ def lm_quality_buckets(
     (score <= q1 -> head, <= q2 -> middle, else tail).
     """
     from mpds_spark.operators.scale import exact_grouped_quantiles
+    from mpds_spark.operators.util import scratch_persist
 
     scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
     cols = [F.col(key), F.col("n_words"), F.col("unigram_nll")]
@@ -380,6 +381,9 @@ def lm_quality_buckets(
         joined = scores.join(df.select(F.col(key), F.col(group)), key)
         gcol = group
         cols.insert(1, F.col(group))
+    # the scored frame feeds both tercile passes AND the final labeling —
+    # persist once or the word-explode scoring join recomputes three times
+    joined = scratch_persist(joined)
     q1 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=1 / 3).select(
         F.col(gcol), F.col("q_unigram_nll").alias("__q1")
     )
