@@ -307,3 +307,60 @@ def score_dot_sliced(
     for p in parts[1:]:
         long = long.unionByName(p)
     return long.groupBy(key).agg(F.sum("p").alias(out_col))
+
+def chunk_tokens(
+    df: DataFrame,
+    length: int,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    key: str = "doc_id",
+    keep_remainder: bool = True,
+) -> DataFrame:
+    """Split each doc's token array into training-length chunks: chunk i
+    covers 1-based positions [1 + i*stride, 1 + i*stride + length);
+    default stride = length (disjoint), stride < length gives the
+    overlapping-context variant (trailing chunks clip at the doc end).
+    keep_remainder=False emits only full-length windows — the default
+    keeps the tail, because silently dropping remainder tokens is how
+    training sets lose their document endings.
+
+    Pure JVM array ops (sequence -> transform(slice) -> posexplode): a
+    per-row map that pipelines onto the scan with no shuffle at any corpus
+    size; token VALUES are slices of the input array, byte-identical
+    passthrough (pinned by test).
+
+    Returns (key, chunk_id, n_tok_chunk, tokens_col), chunk_id 0-based in
+    document order.
+    """
+    stride = length if stride is None else stride
+    if stride <= 0 or length <= 0:
+        raise ValueError("length and stride must be positive")
+    n = F.size(tokens_col)
+    # chunk count: starts are 1 + i*stride; keep_remainder admits any
+    # start <= n, else only starts with a full window (start+length-1 <= n)
+    min_rows = 1 if keep_remainder else length
+    # build the expression with the count inlined (expr has no bind params)
+    nc_sql = (
+        f"floor((size({tokens_col}) - 1) / {stride}) + 1"
+        if keep_remainder
+        else f"floor((size({tokens_col}) - {length}) / {stride}) + 1"
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, int({nc_sql}) - 1), "
+        f"i -> slice({tokens_col}, 1 + i * {stride}, {length}))"
+    )
+    from pyspark.sql.types import ArrayType
+
+    empty = F.array().cast(ArrayType(df.schema[tokens_col].dataType))
+    out = df.select(
+        F.col(key),
+        F.posexplode(
+            F.when(n >= min_rows, chunks).otherwise(empty)
+        ).alias("chunk_id", "__chunk"),
+    )
+    return out.select(
+        F.col(key),
+        "chunk_id",
+        F.size("__chunk").alias("n_tok_chunk"),
+        F.col("__chunk").alias(tokens_col),
+    )

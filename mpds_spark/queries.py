@@ -2624,3 +2624,43 @@ FROM j JOIN q USING (source)
 QUERIES["lm_quality_buckets"] = q_lm_quality_buckets
 _RAW_ORACLES["lm_quality_buckets"] = SQL_LM_QUALITY_BUCKETS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Training-length chunking of the documents' word arrays (length 32,
+    disjoint, remainder kept): per-chunk id, size, and a content hash of
+    the chunk — value-exact proof of the split points and passthrough."""
+    from mpds_spark.operators.battery import chunk_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    out = chunk_tokens(docs, length=32)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_tok_chunk",
+        F.md5(F.concat_ws(" ", "tokens")).alias("chunk_hash"),
+    )
+
+
+SQL_CHUNK_TOKENS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(
+      range(0, CAST(floor((len(ws) - 1) / 32.0) AS BIGINT) + 1),
+      i -> {'cid': i, 'chunk': ws[1 + i*32 : (i+1)*32]})) AS s
+  FROM t WHERE len(ws) >= 1
+)
+SELECT doc_id,
+  CAST(s.cid AS INT) AS chunk_id,
+  CAST(len(s.chunk) AS INT) AS n_tok_chunk,
+  md5(coalesce(array_to_string(s.chunk, ' '), '')) AS chunk_hash
+FROM g
+"""
+
+QUERIES["chunk_tokens"] = q_chunk_tokens
+_RAW_ORACLES["chunk_tokens"] = SQL_CHUNK_TOKENS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

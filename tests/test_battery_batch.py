@@ -83,3 +83,34 @@ def test_fft_batch_matches_scalar():
         for i in range(6):
             ef, ep = K.fft_dominant_freq(X[i])
             _assert_feature_close([f[i], p[i]], [ef, ep])
+
+
+def test_chunk_tokens_passthrough_and_bounds(spark):
+    """Chunk values are byte-identical slices; disjoint default covers
+    every token exactly once; stride<length overlaps; remainder control."""
+    from mpds_spark.operators.battery import chunk_tokens
+
+    toks = list(range(100, 110))
+    df = spark.createDataFrame(
+        [(1, toks), (2, [7]), (3, [])], "doc_id int, tokens array<int>"
+    )
+    rows = chunk_tokens(df, 4).orderBy("doc_id", "chunk_id").collect()
+    got = [(r["doc_id"], r["chunk_id"], r["tokens"]) for r in rows]
+    assert got == [
+        (1, 0, toks[0:4]), (1, 1, toks[4:8]), (1, 2, toks[8:10]),
+        (2, 0, [7]),
+    ]
+    # reassembling disjoint chunks reproduces the doc exactly
+    assert sum((c for _, _, c in got[:3]), []) == toks
+    # full windows only
+    full = chunk_tokens(df, 4, keep_remainder=False).collect()
+    assert all(r["n_tok_chunk"] == 4 for r in full) and len(full) == 2
+    # overlapping stride
+    ov = (
+        chunk_tokens(df, 4, stride=2, keep_remainder=False)
+        .filter("doc_id = 1").orderBy("chunk_id").collect()
+    )
+    assert [r["tokens"] for r in ov] == [toks[i:i+4] for i in (0, 2, 4, 6)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_tokens(df, 0)
