@@ -102,3 +102,120 @@ def sample_token_budget(
         c.filter(F.col("cum_tok") <= F.lit(int(budget)))
         .select(key, group, "n_tok", "cum_tok")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    length: int,
+    tokens_col: str = "tokens",
+    key: str = "doc_id",
+    strategy: str = "window",
+    nibbles: int = 1,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate every
+    doc's tokens in deterministic md5(key) content-hash order and cut the
+    stream every `length` tokens — fixed-length training rows with docs
+    crossing boundaries, plus the per-row segment map a loss mask needs.
+
+    Returns (bin_id, tokens_col, n_tok_packed, n_segments, segments) where
+    segments is array<struct<doc id, off, len>> (off 0-based within the
+    packed row, in stream order). Every bin is exactly `length` tokens
+    except the last. The packed stream is a pure function of row content:
+    identical under any partition layout (pytest-pinned).
+
+    strategy="window" computes the global running offset with ONE global
+    window (fine to ~memory scale); "bucketed" is the 100-TB path — the
+    same md5-prefix two-pass as sample_token_budget but with a single
+    global group: per-bucket token totals -> driver prefix carries (16^
+    nibbles tiny rows) -> intra-bucket window + carry, bit-equal to the
+    global window. Token movement is one shuffle keyed by bin_id — the
+    minimum any packer pays, since tokens must colocate with their output
+    row; slices stay JVM-side throughout.
+    """
+    if length <= 0:
+        raise ValueError("length must be positive")
+    h = F.md5(F.col(key).cast("string"))
+    t = df.select(
+        F.col(key),
+        F.col(tokens_col).alias("__t"),
+        F.size(tokens_col).cast("long").alias("__n"),
+        h.alias("__h"),
+    ).filter(F.col("__n") > 0)
+    if strategy == "window":
+        w = (
+            Window.orderBy("__h", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = t.withColumn("__cum", F.sum("__n").over(w))
+    elif strategy == "bucketed":
+        n_buckets = 16**nibbles
+        b = t.withColumn(
+            "__b", F.conv(F.substring("__h", 1, nibbles), 16, 10).cast("int")
+        )
+        totals = {
+            r["__b"]: r["__tot"]
+            for r in b.groupBy("__b").agg(F.sum("__n").alias("__tot")).collect()
+        }
+        run, carries = 0, []
+        for bi in range(n_buckets):
+            if bi in totals:
+                carries.append((bi, run))
+                run += totals[bi]
+        carry_df = b.sparkSession.createDataFrame(
+            carries, schema="__b int, __carry long"
+        )
+        w = (
+            Window.partitionBy("__b")
+            .orderBy("__h", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = (
+            b.join(F.broadcast(carry_df), "__b")
+            .withColumn("__cum", F.sum("__n").over(w) + F.col("__carry"))
+            .drop("__b", "__carry")
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    c = c.withColumn("__start", F.col("__cum") - F.col("__n"))
+    # every bin this doc's tokens touch, with the in-doc slice for each
+    pieces = c.select(
+        F.col(key),
+        "__t",
+        "__n",
+        "__start",
+        F.explode(
+            F.expr(
+                f"sequence(cast(floor(__start / {length}) as long), "
+                f"cast(floor((__start + __n - 1) / {length}) as long))"
+            )
+        ).alias("bin_id"),
+    ).select(
+        F.col(key),
+        "bin_id",
+        "__start",
+        F.expr(
+            f"slice(__t, cast(greatest(bin_id * {length} - __start, 0) as int) + 1, "
+            f"cast(least(__n, (bin_id + 1) * {length} - __start) "
+            f"- greatest(bin_id * {length} - __start, 0) as int))"
+        ).alias("__piece"),
+    )
+    packed = pieces.groupBy("bin_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("__start", F.col(key).alias("k"), "__piece"))
+        ).alias("__pl")
+    )
+    seg_off = (
+        f"greatest(x.__start - bin_id * {length}, 0)"
+    )
+    return packed.select(
+        "bin_id",
+        F.expr("flatten(transform(__pl, x -> x.__piece))").alias(tokens_col),
+        F.expr("cast(aggregate(__pl, 0L, (a, x) -> a + size(x.__piece)) as long)").alias(
+            "n_tok_packed"
+        ),
+        F.size("__pl").alias("n_segments"),
+        F.expr(
+            f"transform(__pl, x -> struct(x.k as {key}, "
+            f"cast({seg_off} as long) as off, size(x.__piece) as len))"
+        ).alias("segments"),
+    )

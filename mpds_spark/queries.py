@@ -2664,3 +2664,57 @@ FROM g
 QUERIES["chunk_tokens"] = q_chunk_tokens
 _RAW_ORACLES["chunk_tokens"] = SQL_CHUNK_TOKENS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing of the documents' word arrays into
+    64-token training rows (hash-order stream, docs cross boundaries):
+    per-bin segment count + content hash of the packed row."""
+    from mpds_spark.operators.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    out = pack_sequences(docs, length=64)
+    return out.select(
+        "bin_id",
+        "n_tok_packed",
+        "n_segments",
+        F.md5(F.concat_ws(" ", "tokens")).alias("packed_hash"),
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, ws, len(ws) AS n, md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents)
+  WHERE len(ws) > 0
+), c AS (
+  SELECT doc_id, ws, n,
+    CAST(sum(n) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) - n
+         AS BIGINT) AS s
+  FROM t
+), p AS (
+  SELECT doc_id, ws, n, s,
+    unnest(range(s // 64, (s + n - 1) // 64 + 1)) AS bin
+  FROM c
+), pieces AS (
+  SELECT bin, s,
+    list_slice(ws, CAST(greatest(bin * 64 - s, 0) AS BIGINT) + 1,
+               CAST(least(n, (bin + 1) * 64 - s) AS BIGINT)) AS piece
+  FROM p
+), packed AS (
+  SELECT bin, list(piece ORDER BY s) AS pl, count(*) AS n_segments
+  FROM pieces GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin_id,
+  CAST(len(flatten(pl)) AS BIGINT) AS n_tok_packed,
+  CAST(n_segments AS INT) AS n_segments,
+  md5(coalesce(array_to_string(flatten(pl), ' '), '')) AS packed_hash
+FROM packed
+"""
+
+QUERIES["pack_sequences"] = q_pack_sequences
+_RAW_ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

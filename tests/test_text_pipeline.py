@@ -174,3 +174,36 @@ def test_lm_quality_buckets_terciles(spark):
         h = grp.loc[grp.bucket == "head", "unigram_nll"].max()
         t = grp.loc[grp.bucket == "tail", "unigram_nll"].min()
         assert h < t, g
+
+
+def test_pack_sequences_reconstruction_and_parity(spark):
+    """Packed bins reconstruct the hash-ordered token stream exactly; all
+    bins but the last are full; segment maps tile each row; bucketed
+    two-pass is bit-equal to the global window; layout-independent."""
+    import hashlib
+
+    from mpds_spark.operators.sampling import pack_sequences
+
+    rows = [(i, list(range(i * 100, i * 100 + 3 + (i * 7) % 11))) for i in range(25)]
+    rows.append((99, []))
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = pack_sequences(df, 16).orderBy("bin_id").collect()
+    stream = [t for r in out for t in r["tokens"]]
+    order = sorted(
+        (r for r in rows if r[1]),
+        key=lambda x: (hashlib.md5(str(x[0]).encode()).hexdigest(), x[0]),
+    )
+    assert stream == [t for _, toks in order for t in toks]
+    assert all(r["n_tok_packed"] == 16 for r in out[:-1])
+    for r in out:
+        pos = 0
+        for s in r["segments"]:
+            assert s["off"] == pos
+            pos += s["len"]
+        assert pos == r["n_tok_packed"] == len(r["tokens"])
+    b = pack_sequences(df, 16, strategy="bucketed").orderBy("bin_id").collect()
+    assert [r.asDict() for r in b] == [r.asDict() for r in out]
+    c = pack_sequences(df.repartition(7), 16).orderBy("bin_id").collect()
+    assert [r.asDict() for r in c] == [r.asDict() for r in out]
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
