@@ -585,3 +585,85 @@ def test_streaming_token_budget_matches_batch(spark, tmp_path):
         got2.astype(want2.dtypes.to_dict()), want2
     )
     assert (got2.cum_tok <= budget).all()
+
+
+def test_streaming_pack_matches_batch_and_carries(spark, tmp_path):
+    """Single micro-batch, one source: emitted bins equal the batch
+    pack_sequences full bins (same hash order, same segment maps). Second
+    micro-batch: the carried partial bin completes first, bin ids continue,
+    every emitted bin is exactly L."""
+    import pandas as pd
+
+    from mpds_spark.operators.sampling import pack_sequences
+    from mpds_spark.streaming.packing import (
+        IN_SCHEMA,
+        _pack_core,
+        streaming_pack,
+    )
+
+    rows = [
+        (i, "s0", list(range(i * 50, i * 50 + 2 + (i * 5) % 9)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, IN_SCHEMA)
+    L = 16
+    src = str(tmp_path / "pack_src")
+    docs.filter("doc_id < 20").coalesce(1).write.mode("append").parquet(src)
+    q = (
+        streaming_pack(
+            spark.readStream.schema(IN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            length=L,
+        )
+        .writeStream.format("memory")
+        .queryName("pack_stream_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = (
+            spark.sql("select * from pack_stream_test")
+            .toPandas()
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+        want1 = (
+            pack_sequences(docs.filter("doc_id < 20"), L)
+            .filter(f"n_tok_packed = {L}")
+            .toPandas()
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+        assert list(got1["bin_id"]) == list(want1["bin_id"])
+        assert [list(t) for t in got1["tokens"]] == [
+            list(t) for t in want1["tokens"]
+        ]
+        assert [
+            [tuple(s) for s in segs] for segs in got1["segments"]
+        ] == [[tuple(s) for s in segs] for segs in want1["segments"]]
+        docs.filter("doc_id >= 20").coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got2 = (
+            spark.sql("select * from pack_stream_test")
+            .toPandas()
+            .sort_values("bin_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+
+    # sequential-greedy expectation via the shared kernel
+    pdf = docs.toPandas()
+    state, expect = None, []
+    for lo, hi in ((0, 20), (20, 40)):
+        part = pdf[(pdf.doc_id >= lo) & (pdf.doc_id < hi)]
+        out, state = _pack_core("s0", part, state, L)
+        expect.append(out)
+    want2 = pd.concat(expect, ignore_index=True).sort_values("bin_id")
+    assert list(got2["bin_id"]) == list(want2["bin_id"])
+    assert [list(t) for t in got2["tokens"]] == [list(t) for t in want2["tokens"]]
+    # every emitted bin is full; bin ids are contiguous from 0
+    assert all(len(t) == L for t in got2["tokens"])
+    assert list(got2["bin_id"]) == list(range(len(got2)))
