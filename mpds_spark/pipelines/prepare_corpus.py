@@ -21,6 +21,10 @@ that stage and downstream):
                 >= min_hits shared shingles are dropped.
   04_budget/    deterministic per-source token-budget sample of the
                 survivors (bucketed two-pass running sum).
+  05_pack/      (optional, pack_length=L) concat-and-chunk the selected
+                docs' whitespace tokens into length-L training rows with
+                segment maps — the pipeline then ends in actual training
+                rows, not just a doc list.
 
 The returned funnel (rows surviving each stage) is the audit trail:
 at 100 TB you read the funnel before you trust the corpus.
@@ -43,6 +47,7 @@ def prepare_corpus(
     key: str = "doc_id",
     budget: int = 10**6,
     group: str = "source",
+    pack_length: int | None = None,
     min_words: int = 8,
     decontam_n: int = 3,
     min_hits: int = 1,
@@ -146,4 +151,31 @@ def prepare_corpus(
         stages,
     )
     funnel["04_budget"] = selected.count()
-    return {"selected": selected, "stages": stages, "funnel": funnel}
+    if pack_length is None or stop_after == 4:
+        return {"selected": selected, "stages": stages, "funnel": funnel}
+
+    # ---- stage 5 (optional): pack the selection into training rows
+    from pyspark.sql import functions as _F
+
+    from mpds_spark.operators.sampling import pack_sequences
+
+    spec5 = f"{spec4}>pack|{pack_length}"
+    sel_docs = docs.join(selected.select(key), key, "left_semi").select(
+        F.col(key), _F.split(_F.trim(text), r"\s+").alias("tokens")
+    )
+    packed = _run_stage(
+        spark,
+        out_dir,
+        "05_pack",
+        fingerprint,
+        spec5,
+        lambda: pack_sequences(sel_docs, length=pack_length, strategy="bucketed"),
+        stages,
+    )
+    funnel["05_pack"] = packed.count()
+    return {
+        "selected": selected,
+        "packed": packed,
+        "stages": stages,
+        "funnel": funnel,
+    }

@@ -88,3 +88,19 @@ def test_prepare_corpus_budget_caps_per_source(spark, tmp_path):
     # every source hits close to its budget (docs are ~10 tokens)
     got = pdf.groupby("source")["n_tok"].sum()
     assert (got > 20).all()
+
+
+def test_prepare_corpus_pack_stage(spark, tmp_path):
+    """pack_length adds the 05_pack stage: full training rows whose token
+    total equals the selected docs' token total."""
+    docs = spark.createDataFrame(_corpus())
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    res = prepare_corpus(
+        spark, docs, ev, str(tmp_path / "p"), budget=10**6, min_words=8,
+        pack_length=16,
+    )
+    assert "05_pack" in res["funnel"] and res["packed"] is not None
+    pdf = res["packed"].toPandas()
+    sel_tok = res["selected"].toPandas()["n_tok"].sum()
+    assert pdf["n_tok_packed"].sum() == sel_tok
+    assert (pdf["n_tok_packed"].sort_values().iloc[:-1] == 16).all()
