@@ -157,6 +157,7 @@ def cmd_prepare(args) -> int:
         key=args.key_col,
         budget=args.budget,
         group=args.group_col,
+        pack_length=args.pack_length,
         min_words=args.min_words,
         decontam_n=args.decontam_n,
         dedup_threshold=args.threshold,
@@ -219,6 +220,7 @@ def main(argv=None) -> int:
     pr.add_argument("--min-words", type=int, default=8)
     pr.add_argument("--decontam-n", type=int, default=3)
     pr.add_argument("--threshold", type=float, default=0.5)
+    pr.add_argument("--pack-length", type=int, default=None)
 
     args = p.parse_args(argv)
     return {
