@@ -207,3 +207,19 @@ def test_pack_sequences_reconstruction_and_parity(spark):
     assert [r.asDict() for r in c] == [r.asDict() for r in out]
     with pytest.raises(ValueError):
         pack_sequences(df, 0)
+
+
+def test_budget_nesting_monotone(spark):
+    """Prefix rule => selections nest: kept(budget b1) is a subset of
+    kept(b2) for b1 <= b2, per group, and cum_tok values agree on the
+    intersection (the selection only ever EXTENDS as budget grows)."""
+    docs = _doc_table(spark, n=250, groups=4)
+    sels = {
+        b: sample_token_budget(docs, budget=b, group="source").toPandas()
+        for b in (100, 250, 600)
+    }
+    for lo, hi in ((100, 250), (250, 600)):
+        a, b = sels[lo], sels[hi]
+        assert set(a["doc_id"]) <= set(b["doc_id"])
+        m = b.set_index("doc_id").loc[a["doc_id"]]
+        assert (m["cum_tok"].to_numpy() == a.set_index("doc_id").loc[a["doc_id"], "cum_tok"].to_numpy()).all()
