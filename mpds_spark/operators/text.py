@@ -370,7 +370,7 @@ def lm_quality_buckets(
     (score <= q1 -> head, <= q2 -> middle, else tail).
     """
     from mpds_spark.operators.scale import exact_grouped_quantiles
-    from mpds_spark.operators.util import scratch_persist
+    from mpds_spark.operators.util import defer_release, tracked_local_checkpoint
 
     scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
     cols = [F.col(key), F.col("n_words"), F.col("unigram_nll")]
@@ -381,9 +381,14 @@ def lm_quality_buckets(
         joined = scores.join(df.select(F.col(key), F.col(group)), key)
         gcol = group
         cols.insert(1, F.col(group))
-    # the scored frame feeds both tercile passes AND the final labeling —
-    # persist once or the word-explode scoring join recomputes three times
-    joined = scratch_persist(joined)
+    # the scored frame feeds both tercile passes AND the final labeling:
+    # localCheckpoint (not persist) so each consumer's plan STARTS from the
+    # materialized frame — with a plain persist the analyzed plan still
+    # embeds the whole word-explode scoring subtree per branch and the
+    # quantile machinery multiplies it (measured 54 exchanges in the
+    # composed plan vs 10 after checkpoint; same fix as clinical_pairs)
+    joined, _ids = tracked_local_checkpoint(joined)
+    defer_release(_ids)
     q1 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=1 / 3).select(
         F.col(gcol), F.col("q_unigram_nll").alias("__q1")
     )
