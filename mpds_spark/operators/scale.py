@@ -18,7 +18,7 @@ train-only-fit discipline (no leakage from eval rows into the scaler).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -347,4 +347,94 @@ def exact_grouped_quantiles(
             F.col("__v_lo") * (F.lit(1.0) - F.col("__frac"))
             + F.col("__v_hi") * F.col("__frac")
         ).alias(f"q_{col}"),
+    )
+
+
+def grouped_matlab_moments(
+    df: DataFrame, group: str, col: str
+) -> DataFrame:
+    """Distributed MATLAB-convention moment battery per group — the
+    DataFrame twin of functions/mlstats.py's numpy kernels (prctile
+    midpoint grid mlstats.py:24, std n-1 :50, biased skew :56 / kurt :66,
+    mode smallest-tie :44), expressed as two grouped aggregations plus
+    one rank window so group count AND group size are unbounded:
+
+    - pass 1: per-group n + mean;
+    - pass 2 (centered): avg((x-mu)^k) for k=2..4 — no raw-power
+      expansion, so no catastrophic cancellation at large |x|;
+    - prctile p in {25, 50, 75}: MATLAB's midpoint-anchored grid
+      q_r=(r-0.5)/n. t=clamp(p*n+0.5, 1, n), r=floor(t), f=t-r and the
+      interpolated value x_r*(1-f) + x_{r+1}*f is read off the rank
+      window with a conditional sum — no per-group sort collection
+      (p50 on this grid IS MATLAB median for even and odd n);
+    - mode: per-(group, value) count, argmax by (count desc, value asc).
+
+    Returns one row per group: (group, n, mean, std, skew, kurt, p25,
+    median, p75, mode).
+    """
+    d = df.select(
+        F.col(group), F.col(col).cast("double").alias("x")
+    ).filter(F.col("x").isNotNull())
+    base = d.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("mu")
+    )
+    c = d.join(base, group).withColumn(
+        "rn", F.row_number().over(Window.partitionBy(group).orderBy("x"))
+    )
+
+    def pct(p: float, name: str):
+        t = F.least(
+            F.greatest(F.lit(p) * F.col("n") + F.lit(0.5), F.lit(1.0)),
+            F.col("n").cast("double"),
+        )
+        r = F.floor(t)
+        f = t - r
+        return F.sum(
+            F.when(F.col("rn") == r, F.col("x") * (F.lit(1.0) - f))
+            .when(F.col("rn") == r + 1, F.col("x") * f)
+            .otherwise(F.lit(0.0))
+        ).alias(name)
+
+    dx = F.col("x") - F.col("mu")
+    mom = c.groupBy(group).agg(
+        F.first("n").alias("n"),
+        F.first("mu").alias("mean"),
+        F.avg(dx * dx).alias("__m2"),
+        F.avg(dx * dx * dx).alias("__m3"),
+        F.avg(dx * dx * dx * dx).alias("__m4"),
+        pct(0.25, "p25"),
+        pct(0.50, "median"),
+        pct(0.75, "p75"),
+    )
+    mode = (
+        d.groupBy(group, "x")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(group).orderBy(
+                    F.col("__c").desc(), F.col("x")
+                )
+            ),
+        )
+        .filter(F.col("__r") == 1)
+        .select(F.col(group), F.col("x").alias("mode"))
+    )
+    m2, m3, m4, n = F.col("__m2"), F.col("__m3"), F.col("__m4"), F.col("n")
+    return (
+        mom.join(mode, group)
+        .select(
+            F.col(group),
+            "n",
+            "mean",
+            F.when(
+                n > 1, F.sqrt(m2 * n / (n - F.lit(1)))
+            ).otherwise(F.lit(0.0)).alias("std"),
+            F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("skew"),
+            F.when(m2 > 0, m4 / (m2 * m2)).alias("kurt"),
+            "p25",
+            "median",
+            "p75",
+            "mode",
+        )
     )

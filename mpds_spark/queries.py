@@ -2718,3 +2718,86 @@ FROM packed
 QUERIES["pack_sequences"] = q_pack_sequences
 _RAW_ORACLES["pack_sequences"] = SQL_PACK_SEQUENCES
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_matlab_moments(spark, sf_dir):
+    """MATLAB-convention moment battery per l_returnflag over
+    l_extendedprice (mlstats conventions: prctile midpoint grid, std n-1,
+    biased skew/kurt, smallest-tie mode), fully distributed."""
+    from mpds_spark.operators.scale import grouped_matlab_moments
+
+    li = load(spark, sf_dir, "lineitem")
+    out = grouped_matlab_moments(li, "l_returnflag", "l_extendedprice")
+    return out.select(
+        "l_returnflag",
+        "n",
+        _r6("mean").alias("mean"),
+        _r6("std").alias("std"),
+        _r6("skew").alias("skew"),
+        _r6("kurt").alias("kurt"),
+        _r6("p25").alias("p25"),
+        _r6("median").alias("median"),
+        _r6("p75").alias("p75"),
+        _r6("mode").alias("mode"),
+    )
+
+
+SQL_MATLAB_MOMENTS = """
+WITH d AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), base AS (
+  SELECT g, count(*) AS n, avg(x) AS mu FROM d GROUP BY g
+), c AS (
+  SELECT d.g, d.x, base.n, base.mu,
+    row_number() OVER (PARTITION BY d.g ORDER BY d.x) AS rn
+  FROM d JOIN base USING (g)
+), mom AS (
+  SELECT g, any_value(n) AS n, any_value(mu) AS mean,
+    avg((x - mu) * (x - mu)) AS m2,
+    avg((x - mu) * (x - mu) * (x - mu)) AS m3,
+    avg((x - mu) * (x - mu) * (x - mu) * (x - mu)) AS m4,
+    sum(CASE WHEN rn = floor(least(greatest(0.25 * n + 0.5, 1), n))
+          THEN x * (1 - (least(greatest(0.25 * n + 0.5, 1), n)
+                         - floor(least(greatest(0.25 * n + 0.5, 1), n))))
+        WHEN rn = floor(least(greatest(0.25 * n + 0.5, 1), n)) + 1
+          THEN x * (least(greatest(0.25 * n + 0.5, 1), n)
+                    - floor(least(greatest(0.25 * n + 0.5, 1), n)))
+        ELSE 0 END) AS p25,
+    sum(CASE WHEN rn = floor(least(greatest(0.50 * n + 0.5, 1), n))
+          THEN x * (1 - (least(greatest(0.50 * n + 0.5, 1), n)
+                         - floor(least(greatest(0.50 * n + 0.5, 1), n))))
+        WHEN rn = floor(least(greatest(0.50 * n + 0.5, 1), n)) + 1
+          THEN x * (least(greatest(0.50 * n + 0.5, 1), n)
+                    - floor(least(greatest(0.50 * n + 0.5, 1), n)))
+        ELSE 0 END) AS median,
+    sum(CASE WHEN rn = floor(least(greatest(0.75 * n + 0.5, 1), n))
+          THEN x * (1 - (least(greatest(0.75 * n + 0.5, 1), n)
+                         - floor(least(greatest(0.75 * n + 0.5, 1), n))))
+        WHEN rn = floor(least(greatest(0.75 * n + 0.5, 1), n)) + 1
+          THEN x * (least(greatest(0.75 * n + 0.5, 1), n)
+                    - floor(least(greatest(0.75 * n + 0.5, 1), n)))
+        ELSE 0 END) AS p75
+  FROM c GROUP BY g
+), md AS (
+  SELECT g, x AS mode FROM (
+    SELECT g, x, row_number() OVER (
+      PARTITION BY g ORDER BY count(*) DESC, x) AS r
+    FROM d GROUP BY g, x) WHERE r = 1
+)
+SELECT mom.g AS l_returnflag,
+  CAST(n AS BIGINT) AS n,
+  round(mean, 6) AS mean,
+  round(CASE WHEN n > 1 THEN sqrt(m2 * n / (n - 1)) ELSE 0.0 END, 6) AS std,
+  round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6) AS skew,
+  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END, 6) AS kurt,
+  round(p25, 6) AS p25,
+  round(median, 6) AS median,
+  round(p75, 6) AS p75,
+  round(md.mode, 6) AS mode
+FROM mom JOIN md USING (g)
+"""
+
+QUERIES["matlab_moments"] = q_matlab_moments
+_RAW_ORACLES["matlab_moments"] = SQL_MATLAB_MOMENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -61,3 +61,38 @@ def test_exact_grouped_quantiles_matches_percentile(spark):
             .collect()
         }
         assert got == exp, (p, got, exp)
+
+
+def test_grouped_matlab_moments_matches_numpy_kernels(spark):
+    """Distributed moment battery == the numpy MATLAB-convention kernels
+    per group (prctile midpoint grid, std n-1, biased skew/kurt,
+    smallest-tie mode), on groups of odd/even/tied compositions."""
+    import numpy as np
+
+    from mpds_spark.functions import mlstats as M
+    from mpds_spark.operators.scale import grouped_matlab_moments
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g, size in (("a", 11), ("b", 20), ("c", 1), ("d", 50)):
+        vals = np.round(rng.normal(100, 25, size=size), 2)
+        if g == "d":
+            vals[:10] = 77.77  # forced mode + ties
+        rows += [(g, float(v)) for v in vals]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {r["g"]: r for r in grouped_matlab_moments(df, "g", "x").collect()}
+    pdf = {g: np.array([v for gg, v in rows if gg == g]) for g in "abcd"}
+    for g, x in pdf.items():
+        r = got[g]
+        assert r["n"] == len(x)
+        np.testing.assert_allclose(r["mean"], x.mean(), rtol=1e-12)
+        np.testing.assert_allclose(r["std"], M.matlab_std(x), rtol=1e-12)
+        if len(x) > 1:
+            np.testing.assert_allclose(r["skew"], M.skewness(x), rtol=1e-10)
+            np.testing.assert_allclose(r["kurt"], M.kurtosis(x), rtol=1e-10)
+        for p, name in ((25, "p25"), (50, "median"), (75, "p75")):
+            np.testing.assert_allclose(
+                r[name], M.prctile(x, p)[0], rtol=1e-12, err_msg=f"{g}:{name}"
+            )
+        np.testing.assert_allclose(r["median"], M.matlab_median(x), rtol=1e-12)
+        np.testing.assert_allclose(r["mode"], M.matlab_mode(x), rtol=0)
