@@ -147,3 +147,62 @@ def per_group_max(
 ) -> DataFrame:
     """Parity: dssPerformanceEvaluation.R:49-58 (per-user max score)."""
     return df.groupBy(key).agg(F.max(value).alias(alias))
+
+
+def series_stats(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+) -> DataFrame:
+    """Per-entity sequence kernels that ARE window-expressible — the
+    table-level twin of functions/kernels.py's ZCR.m (:sum(abs(diff(
+    x>0)))/n), FeatureMeanTKEO.m (mean of interior x_i^2 - x_{i+1}
+    x_{i-1}) and FeatureAR1.m (no-intercept OLS of x_i on x_{i-1}),
+    computed over the ts-ordered value series of every entity in ONE
+    lag/lead window + one grouped aggregation (entity count and series
+    length unbounded; the non-window kernels — fastdfa, Lomb-Scargle —
+    stay in the Arrow tier).
+
+    Returns (by, n, zcr, tkeo_mean, ar1); tkeo NULL below 3 points, ar1
+    NULL below 2 or on a zero denominator, matching the kernels' NaN.
+    """
+    d = df.select(
+        F.col(by), F.col(ts).alias("__ts"), F.col(value).cast("double").alias("__x")
+    ).filter(F.col("__x").isNotNull())
+    w = Window.partitionBy(by).orderBy("__ts")
+    d = d.withColumn("__p", F.lag("__x").over(w)).withColumn(
+        "__nx", F.lead("__x").over(w)
+    )
+    pos = F.col("__x") > 0
+    ppos = F.col("__p") > 0
+    agg = d.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__p").isNotNull(),
+                        F.abs(pos.cast("int") - ppos.cast("int")),
+                    )
+                ),
+                F.lit(0),
+            )
+            / F.count(F.lit(1))
+        ).alias("zcr"),
+        F.avg(
+            F.when(
+                F.col("__p").isNotNull() & F.col("__nx").isNotNull(),
+                F.col("__x") * F.col("__x") - F.col("__nx") * F.col("__p"),
+            )
+        ).alias("tkeo_mean"),
+        F.sum(F.when(F.col("__p").isNotNull(), F.col("__p") * F.col("__x"))).alias("__num"),
+        F.sum(F.when(F.col("__p").isNotNull(), F.col("__p") * F.col("__p"))).alias("__den"),
+    )
+    return agg.select(
+        F.col(by),
+        "n",
+        "zcr",
+        "tkeo_mean",
+        F.when(F.col("__den") != 0, F.col("__num") / F.col("__den")).alias("ar1"),
+    )

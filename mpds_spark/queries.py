@@ -2801,3 +2801,51 @@ FROM mom JOIN md USING (g)
 QUERIES["matlab_moments"] = q_matlab_moments
 _RAW_ORACLES["matlab_moments"] = SQL_MATLAB_MOMENTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_series_stats(spark, sf_dir):
+    """Window-expressible sequence kernels (ZCR / mean TKEO / AR1,
+    kernels.py conventions) per user over the ts-ordered event values."""
+    from mpds_spark.operators.windows import series_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    out = series_stats(ev)
+    return out.select(
+        "entity_id",
+        "n",
+        _r6("zcr").alias("zcr"),
+        _r6("tkeo_mean").alias("tkeo_mean"),
+        _r6("ar1").alias("ar1"),
+    )
+
+
+SQL_SERIES_STATS = """
+WITH d AS (
+  SELECT user_id AS entity_id, epoch(ts) AS t, CAST(value AS DOUBLE) AS x
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT entity_id, x,
+    lag(x) OVER (PARTITION BY entity_id ORDER BY t) AS p,
+    lead(x) OVER (PARTITION BY entity_id ORDER BY t) AS nx
+  FROM d
+)
+SELECT entity_id,
+  count(*) AS n,
+  round(coalesce(sum(CASE WHEN p IS NOT NULL
+      THEN abs(CAST(x > 0 AS INT) - CAST(p > 0 AS INT)) END), 0)
+    / CAST(count(*) AS DOUBLE), 6) AS zcr,
+  round(avg(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+      THEN x * x - nx * p END), 6) AS tkeo_mean,
+  round(CASE WHEN sum(CASE WHEN p IS NOT NULL THEN p * p END) <> 0
+      THEN sum(CASE WHEN p IS NOT NULL THEN p * x END)
+           / sum(CASE WHEN p IS NOT NULL THEN p * p END) END, 6) AS ar1
+FROM c GROUP BY entity_id
+"""
+
+QUERIES["series_stats"] = q_series_stats
+_RAW_ORACLES["series_stats"] = SQL_SERIES_STATS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -198,3 +198,33 @@ def test_clinical_pairs_intra_inter(spark):
         for t in by_type.values()
         for a, b in t
     )
+
+
+def test_series_stats_matches_kernels(spark):
+    """Table-level ZCR/TKEO/AR1 == the numpy kernels per entity."""
+    import numpy as np
+
+    from mpds_spark.functions.kernels import ar1, mean_tkeo, zcr
+    from mpds_spark.operators.windows import series_stats
+
+    rng = np.random.default_rng(23)
+    rows = []
+    series = {}
+    for e, n in (("a", 40), ("b", 3), ("c", 2), ("d", 1)):
+        x = np.round(rng.normal(0, 5, size=n), 3)
+        series[e] = x
+        rows += [(e, float(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["entity_id", "ts", "value"])
+    got = {r["entity_id"]: r for r in series_stats(df).collect()}
+    for e, x in series.items():
+        r = got[e]
+        assert r["n"] == len(x)
+        np.testing.assert_allclose(r["zcr"], zcr(x), rtol=1e-12)
+        if len(x) >= 3:
+            np.testing.assert_allclose(r["tkeo_mean"], mean_tkeo(x), rtol=1e-12)
+        else:
+            assert r["tkeo_mean"] is None
+        if len(x) >= 2:
+            np.testing.assert_allclose(r["ar1"], ar1(x), rtol=1e-12)
+        else:
+            assert r["ar1"] is None
