@@ -238,6 +238,129 @@ def exact_quantiles_bracketed(
     return out
 
 
+def exact_grouped_quantiles_multi(
+    df: DataFrame,
+    key: str,
+    col: str,
+    ps: list,
+    guard: float = 0.05,
+    accuracy: int = 100,
+) -> DataFrame:
+    """K exact per-group quantiles in ONE pass of the three-stage
+    bracketed-selection plan (the single-p exact_grouped_quantiles
+    delegates here): the bracket aggregation fetches all 2K approximate
+    bounds at once, the below-bracket counts are K conditional sums in one
+    grouped agg, and the in-bracket slices of every p are unioned with a
+    p-index tag so ONE (key, p)-partitioned rank window serves every
+    quantile. Row duplication is only across overlapping brackets
+    (~2*guard*n_k per p). Returns long format: (key, p, q_<col>).
+    """
+    from pyspark.sql import Window
+
+    ps = [float(x) for x in ps]
+    K = len(ps)
+    d = df.select(F.col(key).alias("__k"), F.col(col).cast("double").alias("__x"))
+    bounds = []
+    for x in ps:
+        bounds += [max(x - guard, 0.0), min(x + guard, 1.0)]
+    small = F.col("__n") < 100
+    br = d.groupBy("__k").agg(
+        F.count("__x").alias("__n"),
+        F.expr(
+            f"approx_percentile(__x, array({', '.join(map(str, bounds))}), {accuracy})"
+        ).alias("__b"),
+        F.min("__x").alias("__mn"),
+        F.max("__x").alias("__mx"),
+    )
+    cols = ["__k", "__n"]
+    for i, x in enumerate(ps):
+        cols += [
+            F.when(small, F.col("__mn"))
+            .otherwise(F.element_at("__b", 2 * i + 1))
+            .alias(f"__lo{i}"),
+            F.when(small, F.col("__mx"))
+            .otherwise(F.element_at("__b", 2 * i + 2))
+            .alias(f"__hi{i}"),
+            F.floor((F.col("__n") - 1) * F.lit(x)).alias(f"__ipos{i}"),
+            (
+                (F.col("__n") - 1) * F.lit(x)
+                - F.floor((F.col("__n") - 1) * F.lit(x))
+            ).alias(f"__frac{i}"),
+        ]
+    br = br.select(*cols)
+    joined = d.join(F.broadcast(br), "__k")
+    below = joined.groupBy("__k").agg(
+        *[
+            F.sum(
+                F.when(F.col("__x") < F.col(f"__lo{i}"), 1).otherwise(0)
+            ).alias(f"__nb{i}")
+            for i in range(K)
+        ]
+    )
+    ranks = br.join(below, "__k", "left")
+    # union the per-p in-bracket slices with a p-index tag (posexplode of
+    # the membership array, filtered) -> one (key, p)-partitioned window
+    member = F.array(
+        *[
+            F.when(
+                F.col("__x").between(F.col(f"__lo{i}"), F.col(f"__hi{i}")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(K)
+        ]
+    )
+    tagged = (
+        joined.select("__k", "__x", F.posexplode(member).alias("__p", "__m"))
+        .filter(F.col("__m") == 1)
+        .drop("__m")
+    )
+    w = Window.partitionBy("__k", "__p").orderBy("__x")
+    sliced = tagged.withColumn("__r", F.row_number().over(w))
+    need_rows = []
+    for i, x in enumerate(ps):
+        need_rows.append(
+            ranks.select(
+                "__k",
+                F.lit(i).alias("__p"),
+                F.lit(x).alias("p"),
+                F.col(f"__frac{i}").alias("__frac"),
+                (
+                    F.col(f"__ipos{i}") + 1 - F.coalesce(F.col(f"__nb{i}"), F.lit(0))
+                ).alias("__r_lo"),
+                (
+                    F.least(F.col(f"__ipos{i}") + 2, F.col("__n"))
+                    - F.coalesce(F.col(f"__nb{i}"), F.lit(0))
+                ).alias("__r_hi"),
+            )
+        )
+    need = need_rows[0]
+    for nr in need_rows[1:]:
+        need = need.unionByName(nr)
+    got = (
+        sliced.join(F.broadcast(need), ["__k", "__p"])
+        .filter(
+            (F.col("__r") == F.col("__r_lo")) | (F.col("__r") == F.col("__r_hi"))
+        )
+        .groupBy("__k", "__p", "p", "__frac")
+        .agg(
+            F.min(F.when(F.col("__r") == F.col("__r_lo"), F.col("__x"))).alias(
+                "__v_lo"
+            ),
+            F.min(F.when(F.col("__r") == F.col("__r_hi"), F.col("__x"))).alias(
+                "__v_hi"
+            ),
+        )
+    )
+    return got.select(
+        F.col("__k").alias(key),
+        "p",
+        (
+            F.col("__v_lo") * (F.lit(1.0) - F.col("__frac"))
+            + F.col("__v_hi") * F.col("__frac")
+        ).alias(f"q_{col}"),
+    )
+
+
 def exact_grouped_quantiles(
     df: DataFrame,
     key: str,

@@ -369,7 +369,7 @@ def lm_quality_buckets(
     sort, no driver collect); boundary docs tie into the LOWER bucket
     (score <= q1 -> head, <= q2 -> middle, else tail).
     """
-    from mpds_spark.operators.scale import exact_grouped_quantiles
+    from mpds_spark.operators.scale import exact_grouped_quantiles_multi
     from mpds_spark.operators.util import defer_release, tracked_local_checkpoint
 
     scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
@@ -389,10 +389,13 @@ def lm_quality_buckets(
     # composed plan vs 10 after checkpoint; same fix as clinical_pairs)
     joined, _ids = tracked_local_checkpoint(joined)
     defer_release(_ids)
-    q1 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=1 / 3).select(
+    qq = exact_grouped_quantiles_multi(
+        joined, gcol, "unigram_nll", ps=[1 / 3, 2 / 3]
+    )
+    q1 = qq.filter(F.col("p") < 0.5).select(
         F.col(gcol), F.col("q_unigram_nll").alias("__q1")
     )
-    q2 = exact_grouped_quantiles(joined, gcol, "unigram_nll", p=2 / 3).select(
+    q2 = qq.filter(F.col("p") > 0.5).select(
         F.col(gcol), F.col("q_unigram_nll").alias("__q2")
     )
     out = joined.join(F.broadcast(q1), gcol).join(F.broadcast(q2), gcol)

@@ -96,3 +96,43 @@ def test_grouped_matlab_moments_matches_numpy_kernels(spark):
             )
         np.testing.assert_allclose(r["median"], M.matlab_median(x), rtol=1e-12)
         np.testing.assert_allclose(r["mode"], M.matlab_mode(x), rtol=0)
+
+
+def test_multi_quantile_matches_single_and_numpy(spark):
+    """One-pass K-quantile == K single-pass calls == numpy quantile_cont,
+    across small (exact-bracket) and large (t-digest-bracket) groups."""
+    import numpy as np
+
+    from mpds_spark.operators.scale import (
+        exact_grouped_quantiles,
+        exact_grouped_quantiles_multi,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g, size in (("a", 30), ("b", 500), ("c", 2)):
+        for v in np.round(rng.normal(50, 20, size=size), 3):
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, ["g", "x"])
+    ps = [1 / 3, 0.5, 2 / 3]
+    multi = {
+        (r["g"], round(r["p"], 9)): r["q_x"]
+        for r in exact_grouped_quantiles_multi(df, "g", "x", ps).collect()
+    }
+    assert len(multi) == 9
+    for p in ps:
+        single = {
+            r["g"]: r["q_x"]
+            for r in exact_grouped_quantiles(df, "g", "x", p=p).collect()
+        }
+        for g in "abc":
+            assert multi[(g, round(p, 9))] == single[g], (g, p)
+    for g, size in (("a", 30), ("b", 500), ("c", 2)):
+        x = np.array([v for gg, v in rows if gg == g])
+        for p in ps:
+            np.testing.assert_allclose(
+                multi[(g, round(p, 9))],
+                np.quantile(x, p),
+                rtol=1e-12,
+                err_msg=f"{g}:{p}",
+            )
