@@ -223,3 +223,34 @@ def test_budget_nesting_monotone(spark):
         assert set(a["doc_id"]) <= set(b["doc_id"])
         m = b.set_index("doc_id").loc[a["doc_id"]]
         assert (m["cum_tok"].to_numpy() == a.set_index("doc_id").loc[a["doc_id"], "cum_tok"].to_numpy()).all()
+
+
+def test_pack_sequences_giant_doc_spans_many_bins(spark):
+    """A doc much longer than L is split across consecutive bins with one
+    segment per bin, and the stream still reconstructs exactly."""
+    import hashlib
+
+    from mpds_spark.operators.sampling import pack_sequences
+
+    rows = [(1, list(range(1000, 1100))), (2, [1, 2, 3]), (3, [7] * 5)]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = pack_sequences(df, 16).orderBy("bin_id").collect()
+    stream = [t for r in out for t in r["tokens"]]
+    order = sorted(
+        rows, key=lambda x: (hashlib.md5(str(x[0]).encode()).hexdigest(), x[0])
+    )
+    assert stream == [t for _, toks in order for t in toks]
+    # doc 1 (100 tokens) must appear in ceil-ish consecutive bins with
+    # contiguous slices in order
+    d1 = [
+        (r["bin_id"], s["off"], s["len"])
+        for r in out
+        for s in r["segments"]
+        if s["doc_id"] == 1
+    ]
+    assert len(d1) >= 7
+    assert [b for b, _, _ in d1] == list(range(d1[0][0], d1[0][0] + len(d1)))
+    assert sum(ln for _, _, ln in d1) == 100
+    # interior bins of the giant doc are single-segment full bins
+    for b, off, ln in d1[1:-1]:
+        assert off == 0 and ln == 16
