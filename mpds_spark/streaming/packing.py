@@ -73,10 +73,12 @@ def _pack_core(source: str, batch: pd.DataFrame, state, length: int):
     bin_next, c_toks, c_docs, c_lens = (
         state if state is not None else (0, [], [], [])
     )
-    h = [
-        hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]
-    ]
-    b = batch.assign(__h=h).sort_values(["__h", "doc_id"], kind="mergesort")
+    if "__h" not in batch.columns:
+        # operator adds __h JVM-side; hashlib fallback for direct test use
+        batch = batch.assign(
+            __h=[hashlib.md5(str(d).encode()).hexdigest() for d in batch["doc_id"]]
+        )
+    b = batch.sort_values(["__h", "doc_id"], kind="mergesort")
     b = b[b["tokens"].map(len) > 0]
     toks = [np.asarray(c_toks, dtype=np.int32)] + [
         np.asarray(t, dtype=np.int32) for t in b["tokens"]
@@ -128,6 +130,8 @@ def streaming_pack(docs, length: int):
     (IN_SCHEMA in, OUT_SCHEMA out; streaming-only — the batch twin is
     operators/sampling.pack_sequences)."""
 
+    from pyspark.sql import functions as F
+
     def pack(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -138,6 +142,7 @@ def streaming_pack(docs, length: int):
         state.update(new_state)
         yield out
 
+    docs = docs.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
     return docs.groupBy("source").applyInPandasWithState(
         pack,
         outputStructType=OUT_SCHEMA,

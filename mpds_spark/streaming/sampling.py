@@ -51,12 +51,18 @@ STATE_SCHEMA = StructType([StructField("seen_tok", LongType())])
 
 
 def _admit_core(source: str, batch: pd.DataFrame, seen: int, budget: int):
-    """Vectorized admission kernel. Returns (admitted_pdf, new_seen)."""
-    h = [
-        hashlib.md5(f"{source}|{d}".encode()).hexdigest()
-        for d in batch["doc_id"]
-    ]
-    b = batch.assign(__h=h).sort_values(["__h", "doc_id"], kind="mergesort")
+    """Vectorized admission kernel. Returns (admitted_pdf, new_seen).
+    Uses a precomputed "__h" hash column when present (the operator adds
+    it JVM-side — no per-row Python hashing); falls back to hashlib for
+    direct kernel calls in tests."""
+    if "__h" not in batch.columns:
+        batch = batch.assign(
+            __h=[
+                hashlib.md5(f"{source}|{d}".encode()).hexdigest()
+                for d in batch["doc_id"]
+            ]
+        )
+    b = batch.sort_values(["__h", "doc_id"], kind="mergesort")
     cum = seen + b["n_tok"].cumsum()
     out = pd.DataFrame(
         {
@@ -76,6 +82,8 @@ def streaming_token_budget(docs, budget: int):
     Streaming-only (applyInPandasWithState); the batch twin is
     operators/sampling.sample_token_budget."""
 
+    from pyspark.sql import functions as F
+
     def admit(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -86,6 +94,9 @@ def streaming_token_budget(docs, budget: int):
         state.update((new_seen,))
         yield out
 
+    docs = docs.withColumn(
+        "__h", F.md5(F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string")))
+    )
     return docs.groupBy("source").applyInPandasWithState(
         admit,
         outputStructType=OUT_SCHEMA,
