@@ -11,16 +11,23 @@ Two bit-identical strategies:
 - "window": one running-sum window per group — the direct expression.
   A single group is one window partition, so per-group parallelism is 1;
   right up to ~memory-sized groups.
-- "bucketed": the 100-TB shape. The hash order is split into 16^nibbles
-  ordered buckets by md5 prefix; pass 1 aggregates per-(group, bucket)
-  token totals (tiny: |groups| * 16^nibbles rows, collected and turned
-  into exclusive prefix carries on the driver — the same fit->broadcast
-  idiom as scale.py), pass 2 runs the running sum WITHIN each
-  (group, bucket) partition and adds the broadcast carry. Per-group
+- "bucketed": the few-huge-groups shape. The hash order is split into
+  16^nibbles ordered buckets by md5 prefix; pass 1 aggregates
+  per-(group, bucket) token totals (|groups| * 16^nibbles rows, collected
+  and turned into exclusive prefix carries on the driver — the same
+  fit->broadcast idiom as scale.py), pass 2 runs the running sum WITHIN
+  each (group, bucket) partition and adds the broadcast carry. Per-group
   parallelism becomes 16^nibbles and no window partition exceeds
   ~group_size/16^nibbles rows. Because md5 is lowercase hex, bucket-id
   order == hash-prefix lexical order, so carry + intra-bucket cumsum
   equals the global cumsum bit-for-bit (pytest-pinned vs "window").
+
+Strategy choice at scale: "bucketed" exists for FEW, HUGE groups (a
+handful of sources each holding 10^11 tokens — the single-group window
+partition is the bottleneck it removes; its driver carry table is
+|groups| * 16^nibbles rows, so keep |groups| <= ~10^5). With MANY small
+groups the plain "window" strategy is already maximally parallel — one
+modest partition per group and no driver state at all.
 """
 
 from __future__ import annotations

@@ -257,6 +257,7 @@ def decontaminate(
     key: str = "doc_id",
     n: int = 3,
     min_hits: int = 1,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share at
     least `min_hits` distinct word n-grams with a held-out evaluation /
@@ -274,6 +275,11 @@ def decontaminate(
     shuffle, keyed by doc). No shingle-keyed self-join exists anywhere, so
     hot stopword shingles cannot skew a reducer; docs shorter than n words
     surface with n_shingles=0 rather than silently dropping.
+
+    broadcast=False drops the broadcast hint for an eval set too large to
+    ship to every executor (decontaminating against another full corpus
+    split) — the join falls back to a shuffle join with AQE skew
+    handling; the one-pass mark+aggregate shape is unchanged.
     """
     corpus = shingles(df, text, n=n).select(F.col(key), "shingle")
     ev = (
@@ -282,8 +288,9 @@ def decontaminate(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
+    ev_side = F.broadcast(ev) if broadcast else ev
     agg = (
-        corpus.join(F.broadcast(ev), "shingle", "left")
+        corpus.join(ev_side, "shingle", "left")
         .groupBy(key)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
