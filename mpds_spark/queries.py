@@ -2849,3 +2849,52 @@ FROM c GROUP BY entity_id
 QUERIES["series_stats"] = q_series_stats
 _RAW_ORACLES["series_stats"] = SQL_SERIES_STATS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_validate_docs(spark, sf_dir):
+    """Deequ-style expectation suite over documents in ONE aggregation
+    pass: per-rule violation counts + verdicts."""
+    from mpds_spark.operators.validate import (
+        in_range,
+        is_in,
+        matches,
+        not_null,
+        unique,
+        validate,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        not_null("text"),
+        unique("doc_id"),
+        in_range("n_chars", 1, 100_000),
+        matches("source", "^src[0-9]+$"),
+        is_in("lang", ["en", "de", "fr", "es"]),
+    ]
+    return validate(docs, rules)
+
+
+SQL_VALIDATE_DOCS = """
+WITH a AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS v0,
+    count(doc_id) - count(DISTINCT doc_id) AS v1,
+    sum(CASE WHEN n_chars BETWEEN 1 AND 100000 THEN 0 ELSE 1 END) AS v2,
+    sum(CASE WHEN coalesce(regexp_matches(source, '^src[0-9]+$'), FALSE)
+        THEN 0 ELSE 1 END) AS v3,
+    sum(CASE WHEN coalesce(lang IN ('en','de','fr','es'), FALSE)
+        THEN 0 ELSE 1 END) AS v4
+  FROM documents
+)
+SELECT 'not_null(text)' AS rule, n AS n_rows,
+  CAST(v0 AS BIGINT) AS n_violations, v0 = 0 AS passes FROM a
+UNION ALL SELECT 'unique(doc_id)', n, CAST(v1 AS BIGINT), v1 = 0 FROM a
+UNION ALL SELECT 'in_range(n_chars,1,100000)', n, CAST(v2 AS BIGINT),
+  v2 = 0 FROM a
+UNION ALL SELECT 'matches(source)', n, CAST(v3 AS BIGINT), v3 = 0 FROM a
+UNION ALL SELECT 'is_in(lang)', n, CAST(v4 AS BIGINT), v4 = 0 FROM a
+"""
+
+QUERIES["validate_docs"] = q_validate_docs
+_RAW_ORACLES["validate_docs"] = SQL_VALIDATE_DOCS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
