@@ -40,7 +40,7 @@ from mpds_spark.operators.dedup import words_col
 
 def sample_token_budget(
     df: DataFrame,
-    budget: int,
+    budget,
     group: str = "source",
     key: str = "doc_id",
     text: str = "text",
@@ -53,6 +53,11 @@ def sample_token_budget(
 
     A doc is kept iff the budget is not yet exhausted INCLUDING itself
     (cum_tok <= budget): the greedy prefix of the hash-shuffled stream.
+
+    budget: one int for every group, or a {group_value: budget} dict for
+    a mixture spec ("web 6e10 tokens, code 3e10, books 1e10") — groups
+    absent from the dict get budget 0 (excluded), making the dict a
+    whitelist+quota in one object (broadcast join, tiny).
     """
     h = F.md5(F.concat_ws("|", F.col(group), F.col(key).cast("string")))
     t = df.select(
@@ -105,8 +110,17 @@ def sample_token_budget(
         )
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    if isinstance(budget, dict):
+        bdf = df.sparkSession.createDataFrame(
+            [(g, int(b)) for g, b in budget.items()],
+            schema=f"{group} string, __budget long",
+        )
+        c = c.join(F.broadcast(bdf), group)
+        cap = F.col("__budget")
+    else:
+        cap = F.lit(int(budget))
     return (
-        c.filter(F.col("cum_tok") <= F.lit(int(budget)))
+        c.filter(F.col("cum_tok") <= cap)
         .select(key, group, "n_tok", "cum_tok")
     )
 

@@ -254,3 +254,21 @@ def test_pack_sequences_giant_doc_spans_many_bins(spark):
     # interior bins of the giant doc are single-segment full bins
     for b, off, ln in d1[1:-1]:
         assert off == 0 and ln == 16
+
+
+def test_budget_dict_per_group_quota(spark):
+    """A dict budget is a whitelist + per-group quota: listed groups get
+    their own cap (prefix-consistent with the scalar call), absent groups
+    are excluded entirely."""
+    docs = _doc_table(spark, n=200, groups=4)
+    mix = sample_token_budget(
+        docs, budget={"g0": 200, "g1": 500}, group="source"
+    ).toPandas()
+    assert set(mix["source"]) <= {"g0", "g1"}
+    for g, cap in (("g0", 200), ("g1", 500)):
+        grp = mix[mix.source == g]
+        assert (grp["cum_tok"] <= cap).all()
+        single = sample_token_budget(docs, budget=cap, group="source").toPandas()
+        assert set(grp["doc_id"]) == set(
+            single.loc[single.source == g, "doc_id"]
+        )
