@@ -240,3 +240,78 @@ def pack_sequences(
             f"cast({seg_off} as long) as off, size(x.__piece) as len))"
         ).alias("segments"),
     )
+
+
+def sample_tokens_temperature(
+    df: DataFrame,
+    total_budget: int,
+    group: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+    alpha: float = 0.5,
+    strategy: str = "window",
+    nibbles: int = 1,
+) -> DataFrame:
+    """Temperature-rebalanced mixture sampling (the multilingual
+    rebalancing rule of Conneau & Lample 2019 / Xue et al. 2021 mT5):
+    group g receives budget_g = floor(total_budget * t_g^alpha / sum_h
+    t_h^alpha) where t_g is the group's token total — alpha=1 keeps
+    natural proportions, alpha->0 equalizes, 0.5 is the usual compromise
+    — then fills each quota with the deterministic hash-order prefix of
+    sample_token_budget.
+
+    Budgets are computed IN-ENGINE (per-group totals agg -> powered
+    weights -> one scalar sum cross-joined back; all tiny frames), so the
+    whole mixture is one job chain with no driver round-trip. Returns
+    (key, group, n_tok, cum_tok, budget).
+    """
+    h = F.md5(F.concat_ws("|", F.col(group), F.col(key).cast("string")))
+    t = df.select(
+        F.col(key),
+        F.col(group),
+        F.size(words_col(text)).cast("long").alias("n_tok"),
+        h.alias("__h"),
+    )
+    wcol = (
+        F.sqrt(F.col("__tg").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__tg").cast("double"), F.lit(float(alpha)))
+    )
+    weights = (
+        t.groupBy(group)
+        .agg(F.sum("n_tok").alias("__tg"))
+        .withColumn("__w", wcol)
+    )
+    sw = weights.agg(F.sum("__w").alias("__sw"))
+    budgets = weights.crossJoin(F.broadcast(sw)).select(
+        F.col(group),
+        F.floor(
+            F.lit(float(total_budget)) * F.col("__w") / F.col("__sw")
+        ).cast("long").alias("budget"),
+    )
+    if strategy == "window":
+        w = (
+            Window.partitionBy(group)
+            .orderBy("__h", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = t.withColumn("cum_tok", F.sum("n_tok").over(w))
+    elif strategy == "bucketed":
+        # reuse the budget machinery: quota filter happens after the same
+        # bucketed cumsum sample_token_budget builds
+        c = sample_token_budget(
+            df,
+            budget=2**62,
+            group=group,
+            key=key,
+            text=text,
+            strategy="bucketed",
+            nibbles=nibbles,
+        )
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return (
+        c.join(F.broadcast(budgets), group)
+        .filter(F.col("cum_tok") <= F.col("budget"))
+        .select(key, group, "n_tok", "cum_tok", "budget")
+    )

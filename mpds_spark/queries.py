@@ -2898,3 +2898,41 @@ UNION ALL SELECT 'is_in(lang)', n, CAST(v4 AS BIGINT), v4 = 0 FROM a
 QUERIES["validate_docs"] = q_validate_docs
 _RAW_ORACLES["validate_docs"] = SQL_VALIDATE_DOCS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-rebalanced mixture (alpha=0.5): per-source budgets
+    proportional to sqrt(source token total), filled with the hash-order
+    prefix."""
+    from mpds_spark.operators.sampling import sample_tokens_temperature
+
+    docs = load(spark, sf_dir, "documents")
+    return sample_tokens_temperature(docs, total_budget=8000, alpha=0.5)
+
+
+SQL_TEMPERATURE_MIX = """
+WITH t AS (
+  SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+    md5(source || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), tot AS (
+  SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tg FROM t GROUP BY source
+), sw AS (SELECT sum(sqrt(tg)) AS s FROM tot),
+b AS (
+  SELECT source, CAST(floor(8000.0 * sqrt(tg) / s) AS BIGINT) AS budget
+  FROM tot, sw
+), c AS (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tok
+  FROM t
+)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_tok, b.budget
+FROM c JOIN b USING (source) WHERE c.cum_tok <= b.budget
+"""
+
+QUERIES["temperature_mix"] = q_temperature_mix
+_RAW_ORACLES["temperature_mix"] = SQL_TEMPERATURE_MIX
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -272,3 +272,43 @@ def test_budget_dict_per_group_quota(spark):
         assert set(grp["doc_id"]) == set(
             single.loc[single.source == g, "doc_id"]
         )
+
+
+def test_temperature_rebalances_toward_equal(spark):
+    """alpha=0.5 narrows the spread between a giant and a small source vs
+    natural (alpha=1) proportions; per-group fills are prefix-consistent
+    with sample_token_budget; bucketed strategy bit-equal."""
+    from mpds_spark.operators.sampling import sample_tokens_temperature
+
+    rows = []
+    for i in range(160):  # g_big ~8x g_small token mass
+        g = "g_big" if i % 9 else "g_small"
+        rows.append((i, g, " ".join(f"w{i}_{j}" for j in range(10))))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = sample_tokens_temperature(docs, total_budget=600, alpha=0.5).toPandas()
+    got = out.groupby("source")["n_tok"].sum()
+    budgets = out.groupby("source")["budget"].first()
+    # sqrt weighting: big/small budget ratio ~ sqrt(8) ~ 2.8, far below 8
+    ratio = budgets["g_big"] / budgets["g_small"]
+    assert 2 < ratio < 4, ratio
+    assert (out["cum_tok"] <= out["budget"]).all()
+    # prefix consistency per group against the plain budget op
+    for g in ("g_big", "g_small"):
+        cap = int(budgets[g])
+        single = sample_token_budget(docs, budget=cap, group="source").toPandas()
+        assert set(out.loc[out.source == g, "doc_id"]) == set(
+            single.loc[single.source == g, "doc_id"]
+        )
+    b = (
+        sample_tokens_temperature(
+            docs, total_budget=600, alpha=0.5, strategy="bucketed"
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    a = (
+        sample_tokens_temperature(docs, total_budget=600, alpha=0.5)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
