@@ -54,6 +54,10 @@ def sample_token_budget(
     A doc is kept iff the budget is not yet exhausted INCLUDING itself
     (cum_tok <= budget): the greedy prefix of the hash-shuffled stream.
 
+    strategy: "window" | "bucketed" | "auto" (one metadata aggregation
+    routes few-huge-group inputs to "bucketed", everything else to
+    "window"; both produce bit-identical selections).
+
     budget: one int for every group, or a {group_value: budget} dict for
     a mixture spec ("web 6e10 tokens, code 3e10, books 1e10") — groups
     absent from the dict get budget 0 (excluded), making the dict a
@@ -66,6 +70,20 @@ def sample_token_budget(
         F.size(words_col(text)).cast("long").alias("n_tok"),
         h.alias("__h"),
     )
+    if strategy == "auto":
+        # one tiny metadata agg decides: bucketed exists for FEW, HUGE
+        # groups (it splits the per-group window partition 16^nibbles
+        # ways at the cost of a |groups|*16^nibbles driver carry table);
+        # with many groups the plain per-group window is already the
+        # maximally parallel plan. Mirrors connected_components_auto.
+        meta = t.groupBy(group).agg(F.count(F.lit(1)).alias("__c")).agg(
+            F.count(F.lit(1)).alias("__g"), F.max("__c").alias("__mx")
+        ).collect()[0]
+        strategy = (
+            "bucketed"
+            if meta["__g"] <= 10_000 and meta["__mx"] >= 1_000_000
+            else "window"
+        )
     if strategy == "window":
         w = (
             Window.partitionBy(group)

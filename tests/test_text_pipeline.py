@@ -312,3 +312,12 @@ def test_temperature_rebalances_toward_equal(spark):
         .collect()
     )
     assert a == b
+
+
+def test_budget_auto_strategy_matches(spark):
+    """strategy='auto' picks a real strategy and returns the identical
+    selection (small fixture routes to 'window')."""
+    docs = _doc_table(spark, n=120, groups=3)
+    a = sample_token_budget(docs, budget=300, strategy="auto").orderBy("doc_id").collect()
+    b = sample_token_budget(docs, budget=300, strategy="window").orderBy("doc_id").collect()
+    assert a == b
