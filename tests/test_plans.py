@@ -130,6 +130,7 @@ def test_catalog_plan_inventory(spark):
         "ann_cosine_topk",     # broadcast query set x corpus (exact baseline)
         "histogram_lift",      # broadcast 1-row (min, max) fit
         "clinical_pairs",      # inter theta pass over hash-capped rows
+        "temperature_mix",     # broadcast 1-row weight-sum x |groups| rows
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"
