@@ -104,3 +104,21 @@ def test_prepare_corpus_pack_stage(spark, tmp_path):
     sel_tok = res["selected"].toPandas()["n_tok"].sum()
     assert pdf["n_tok_packed"].sum() == sel_tok
     assert (pdf["n_tok_packed"].sort_values().iloc[:-1] == 16).all()
+
+
+def test_prepare_corpus_full_rerun_skips_everything(spark, tmp_path):
+    """A second run over identical input+spec (incl. 05_pack) reads every
+    stage back — nothing recomputes — and returns identical packed rows."""
+    docs = spark.createDataFrame(_corpus())
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    out = str(tmp_path / "rr")
+    kw = dict(budget=10**6, min_words=8, pack_length=16)
+    r1 = prepare_corpus(spark, docs, ev, out, **kw)
+    r2 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert r2["stages"]["01_quality"] == "skipped"
+    assert r2["stages"]["03_decontam"] == "skipped"
+    assert r2["stages"]["04_budget"] == "skipped"
+    assert r2["stages"]["05_pack"] == "skipped"
+    a = r1["packed"].orderBy("bin_id").collect()
+    b = r2["packed"].orderBy("bin_id").collect()
+    assert a == b and r1["funnel"] == r2["funnel"]
