@@ -321,3 +321,26 @@ def test_budget_auto_strategy_matches(spark):
     a = sample_token_budget(docs, budget=300, strategy="auto").orderBy("doc_id").collect()
     b = sample_token_budget(docs, budget=300, strategy="window").orderBy("doc_id").collect()
     assert a == b
+
+
+def test_bucketed_equal_under_hot_group_skew(spark):
+    """One group carrying ~90% of all tokens (the case the bucketed
+    two-pass exists for): both strategies agree bit-for-bit, and with
+    nibbles=2 (256 buckets) too."""
+    rows = []
+    for i in range(400):
+        g = "hot" if i % 10 else f"cold{i % 3}"
+        rows.append((i, g, " ".join(f"w{i}_{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = sample_token_budget(docs, budget=900, strategy="window").orderBy("doc_id").collect()
+    b = sample_token_budget(docs, budget=900, strategy="bucketed").orderBy("doc_id").collect()
+    c = sample_token_budget(docs, budget=900, strategy="bucketed", nibbles=2).orderBy("doc_id").collect()
+    assert a == b == c
+    from mpds_spark.operators.sampling import pack_sequences
+
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    )
+    pa = pack_sequences(toks, 64, strategy="window").orderBy("bin_id").collect()
+    pb = pack_sequences(toks, 64, strategy="bucketed", nibbles=2).orderBy("bin_id").collect()
+    assert [r.asDict() for r in pa] == [r.asDict() for r in pb]
