@@ -63,3 +63,54 @@ def read_sequences(spark: SparkSession, target: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Driver-testdata loader (TESTDATA.md layout)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def write_training_shards(
+    df,
+    path: str,
+    order_col: str = "bin_id",
+    rows_per_shard: int = 100_000,
+    n_partitions: int | None = None,
+) -> dict:
+    """Write packed training rows as size-bounded parquet shards plus a
+    JSON manifest — the artifact a dataloader consumes.
+
+    Rows are range-partitioned and sorted by `order_col` so shard k holds
+    a contiguous, ordered slice of the training stream (sequential
+    readers stream shards in manifest order and see the exact packed
+    order), and `maxRecordsPerFile` caps rows per file so shard size is
+    bounded regardless of partition skew. The manifest records per-file
+    row counts and the total, written AFTER the data (atomic rename) so a
+    partial write is never mistaken for a finished dataset.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(int(rows_per_shard)))
+    try:
+        (
+            df.repartitionByRange(n_partitions, order_col)
+            .sortWithinPartitions(order_col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
+    files = sorted(_glob.glob(_os.path.join(path, "part-*")))
+    shards = []
+    total = 0
+    for f in files:
+        n = spark.read.parquet(f).count()
+        total += n
+        shards.append({"file": _os.path.basename(f), "rows": n})
+    manifest = {"total_rows": total, "n_shards": len(shards), "shards": shards}
+    tmp = _os.path.join(path, "_SHARDS.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    _os.replace(tmp, _os.path.join(path, "_SHARDS.json"))
+    return manifest

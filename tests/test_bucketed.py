@@ -121,3 +121,28 @@ def test_iceberg_runtime_or_skip_with_reason(spark, tmp_path):
     )
     assert write_sequences(df, "it.db.seq", spark) == "iceberg"
     assert read_sequences(spark, "it.db.seq").count() == 100
+
+
+def test_write_training_shards_bounded_and_ordered(spark, tmp_path):
+    """Shards are row-bounded, manifest totals match, and reading shards
+    in manifest order reproduces the bin_id order exactly."""
+    import json
+    import os
+
+    from mpds_spark.operators.sampling import pack_sequences
+    from mpds_spark.sources.io import write_training_shards
+
+    rows = [(i, list(range(i, i + 7))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    packed = pack_sequences(df, 32)
+    path = str(tmp_path / "shards")
+    man = write_training_shards(packed, path, rows_per_shard=10, n_partitions=4)
+    assert man["total_rows"] == packed.count()
+    assert all(s["rows"] <= 10 for s in man["shards"])
+    with open(os.path.join(path, "_SHARDS.json")) as fh:
+        assert json.load(fh) == man
+    seen = []
+    for s in man["shards"]:
+        part = spark.read.parquet(os.path.join(path, s["file"]))
+        seen += [r["bin_id"] for r in part.orderBy("bin_id").collect()]
+    assert seen == sorted(seen) == [r["bin_id"] for r in packed.orderBy("bin_id").collect()]
