@@ -25,6 +25,10 @@ that stage and downstream):
                 docs' whitespace tokens into length-L training rows with
                 segment maps — the pipeline then ends in actual training
                 rows, not just a doc list.
+  06_shards/    (optional, shard_rows=N with pack_length) export the
+                packed rows as range-ordered, row-bounded shards with the
+                _SHARDS.json manifest (sources/io.write_training_shards)
+                — the artifact a dataloader consumes.
 
 The returned funnel (rows surviving each stage) is the audit trail:
 at 100 TB you read the funnel before you trust the corpus.
@@ -48,6 +52,7 @@ def prepare_corpus(
     budget: int = 10**6,
     group: str = "source",
     pack_length: int | None = None,
+    shard_rows: int | None = None,
     min_words: int = 8,
     decontam_n: int = 3,
     min_hits: int = 1,
@@ -173,9 +178,32 @@ def prepare_corpus(
         stages,
     )
     funnel["05_pack"] = packed.count()
-    return {
+    result = {
         "selected": selected,
         "packed": packed,
         "stages": stages,
         "funnel": funnel,
     }
+    if shard_rows is None:
+        return result
+
+    # ---- stage 6 (optional): ordered shard export; the shard manifest
+    # itself is the completion marker
+    import json as _json
+
+    from mpds_spark.sources.io import write_training_shards
+
+    shard_dir = os.path.join(out_dir, "06_shards")
+    mpath = os.path.join(shard_dir, "_SHARDS.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            manifest = _json.load(fh)
+        stages["06_shards"] = "skipped"
+    else:
+        manifest = write_training_shards(
+            packed, shard_dir, rows_per_shard=shard_rows
+        )
+        stages["06_shards"] = "ran"
+    funnel["06_shards"] = manifest["total_rows"]
+    result["shards"] = manifest
+    return result

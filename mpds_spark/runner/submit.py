@@ -158,6 +158,7 @@ def cmd_prepare(args) -> int:
         budget=args.budget,
         group=args.group_col,
         pack_length=args.pack_length,
+        shard_rows=args.shard_rows,
         min_words=args.min_words,
         decontam_n=args.decontam_n,
         dedup_threshold=args.threshold,
@@ -221,6 +222,7 @@ def main(argv=None) -> int:
     pr.add_argument("--decontam-n", type=int, default=3)
     pr.add_argument("--threshold", type=float, default=0.5)
     pr.add_argument("--pack-length", type=int, default=None)
+    pr.add_argument("--shard-rows", type=int, default=None)
 
     args = p.parse_args(argv)
     return {

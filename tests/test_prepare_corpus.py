@@ -122,3 +122,19 @@ def test_prepare_corpus_full_rerun_skips_everything(spark, tmp_path):
     a = r1["packed"].orderBy("bin_id").collect()
     b = r2["packed"].orderBy("bin_id").collect()
     assert a == b and r1["funnel"] == r2["funnel"]
+
+
+def test_prepare_corpus_shard_export(spark, tmp_path):
+    """shard_rows adds the 06_shards export; rerun skips it; shard totals
+    equal the packed row count."""
+    docs = spark.createDataFrame(_corpus())
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    out = str(tmp_path / "sh")
+    kw = dict(budget=10**6, min_words=8, pack_length=16, shard_rows=5)
+    r1 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert r1["stages"]["06_shards"] == "ran"
+    assert r1["shards"]["total_rows"] == r1["funnel"]["05_pack"]
+    assert all(s["rows"] <= 5 for s in r1["shards"]["shards"])
+    r2 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert r2["stages"]["06_shards"] == "skipped"
+    assert r2["shards"] == r1["shards"]
