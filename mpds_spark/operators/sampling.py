@@ -283,12 +283,17 @@ def sample_tokens_temperature(
     whole mixture is one job chain with no driver round-trip. Returns
     (key, group, n_tok, cum_tok, budget).
     """
-    h = F.md5(F.concat_ws("|", F.col(group), F.col(key).cast("string")))
-    t = df.select(
-        F.col(key),
-        F.col(group),
-        F.size(words_col(text)).cast("long").alias("n_tok"),
-        h.alias("__h"),
+    # the full hash-order cumsum (budget high enough to keep every row),
+    # from whichever strategy the caller picked — the quota filter is the
+    # only thing this operator adds on top of sample_token_budget
+    c = sample_token_budget(
+        df,
+        budget=2**62,
+        group=group,
+        key=key,
+        text=text,
+        strategy=strategy,
+        nibbles=nibbles,
     )
     wcol = (
         F.sqrt(F.col("__tg").cast("double"))
@@ -296,7 +301,7 @@ def sample_tokens_temperature(
         else F.pow(F.col("__tg").cast("double"), F.lit(float(alpha)))
     )
     weights = (
-        t.groupBy(group)
+        c.groupBy(group)
         .agg(F.sum("n_tok").alias("__tg"))
         .withColumn("__w", wcol)
     )
@@ -307,27 +312,6 @@ def sample_tokens_temperature(
             F.lit(float(total_budget)) * F.col("__w") / F.col("__sw")
         ).cast("long").alias("budget"),
     )
-    if strategy == "window":
-        w = (
-            Window.partitionBy(group)
-            .orderBy("__h", key)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        c = t.withColumn("cum_tok", F.sum("n_tok").over(w))
-    elif strategy == "bucketed":
-        # reuse the budget machinery: quota filter happens after the same
-        # bucketed cumsum sample_token_budget builds
-        c = sample_token_budget(
-            df,
-            budget=2**62,
-            group=group,
-            key=key,
-            text=text,
-            strategy="bucketed",
-            nibbles=nibbles,
-        )
-    else:
-        raise ValueError(f"unknown strategy {strategy!r}")
     return (
         c.join(F.broadcast(budgets), group)
         .filter(F.col("cum_tok") <= F.col("budget"))
