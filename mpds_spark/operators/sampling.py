@@ -317,3 +317,44 @@ def sample_tokens_temperature(
         .filter(F.col("cum_tok") <= F.col("budget"))
         .select(key, group, "n_tok", "cum_tok", "budget")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict,
+    key: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split assignment: each row lands in a named
+    split ("train"/"val"/"test"...) according to its md5(seed|key) hash
+    position against the cumulative fraction boundaries — a pure function
+    of row content (layout/engine/run independent; changing `seed` draws
+    an independent split). Fractions must sum to ~1; rows map via the
+    first 8 hex digits scaled to [0, 1). A per-row map — no shuffle.
+    """
+    tot = sum(fractions.values())
+    if not 0.999 <= tot <= 1.001:
+        raise ValueError(f"fractions must sum to 1 (got {tot})")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

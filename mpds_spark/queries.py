@@ -2936,3 +2936,43 @@ FROM c JOIN b USING (source) WHERE c.cum_tok <= b.budget
 QUERIES["temperature_mix"] = q_temperature_mix
 _RAW_ORACLES["temperature_mix"] = SQL_TEMPERATURE_MIX
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by content hash (90/5/5):
+    per-split document and token counts."""
+    from mpds_spark.operators.sampling import hash_split
+    from mpds_spark.operators.dedup import words_col
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words_col("text")).cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH d AS (
+  SELECT doc_id, text,
+    CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+), s AS (
+  SELECT CASE WHEN u < 0.9 THEN 'train'
+              WHEN u < 0.95 THEN 'val'
+              ELSE 'test' END AS split,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM d
+)
+SELECT split, count(*) AS n_docs,
+  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM s GROUP BY split
+"""
+
+QUERIES["hash_split"] = q_hash_split
+_RAW_ORACLES["hash_split"] = SQL_HASH_SPLIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -344,3 +344,26 @@ def test_bucketed_equal_under_hot_group_skew(spark):
     pa = pack_sequences(toks, 64, strategy="window").orderBy("bin_id").collect()
     pb = pack_sequences(toks, 64, strategy="bucketed", nibbles=2).orderBy("bin_id").collect()
     assert [r.asDict() for r in pa] == [r.asDict() for r in pb]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Split assignment is layout-independent, roughly proportional, and
+    seed changes redraw it; bad fractions raise."""
+    from mpds_spark.operators.sampling import hash_split
+
+    docs = _doc_table(spark, n=1000, groups=2)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, fr).select("doc_id", "split").toPandas()
+    b = (
+        hash_split(docs.repartition(17), fr)
+        .select("doc_id", "split")
+        .toPandas()
+    )
+    assert a.sort_values("doc_id").values.tolist() == b.sort_values("doc_id").values.tolist()
+    counts = a["split"].value_counts()
+    assert 730 < counts["train"] < 870
+    assert 60 < counts["val"] < 140 and 60 < counts["test"] < 140
+    c = hash_split(docs, fr, seed="other").select("doc_id", "split").toPandas()
+    assert (a.sort_values("doc_id")["split"].values != c.sort_values("doc_id")["split"].values).any()
+    with pytest.raises(ValueError):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
