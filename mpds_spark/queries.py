@@ -2128,6 +2128,26 @@ _RAW_ORACLES["near_dup_components"] = SQL_NEAR_DUP_COMPONENTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 
+def q_near_dup_components_star(spark, sf_dir):
+    """Same dedup-groups semantics as near_dup_components, but FORCING the
+    large-/small-star component algorithm (Kiveris et al. SOCC'14) — the
+    diameter-free log-round path a 10^12-edge graph must take. The auto
+    router picks driver union-find at sf0.01 edge counts, so without this
+    query the at-scale algorithm would only ever run under pytest; here it
+    has a standing driver-gated row against the identical RECURSIVE-CTE
+    oracle (VERDICT r3 ask #7)."""
+    from mpds_spark.operators.dedup import dedup_keep_list, simhash_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, max_hamming=3)
+    return dedup_keep_list(docs, pairs, algorithm="star")
+
+
+QUERIES["near_dup_components_star"] = q_near_dup_components_star
+_RAW_ORACLES["near_dup_components_star"] = SQL_NEAR_DUP_COMPONENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher repetition-removal signals over documents: most-common
     2-/3-gram character fractions (with-multiplicity counting) and
