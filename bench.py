@@ -62,13 +62,21 @@ def materialize_engine_input(n_docs: int, cpus: int, seed: int = 42) -> tuple[st
     to input generation. Materializing once and scanning gives every
     leg/rep byte-identical input through the real storage path."""
     import glob
+    import hashlib
+    import inspect
     import tempfile
 
     from mpds_spark.session import get_spark
+    from mpds_spark.sources import synth
     from mpds_spark.sources.synth import synth_sequences
 
+    # cache key includes a fingerprint of the GENERATOR SOURCE: if
+    # synth_sequences ever changes, a stale materialization must not be
+    # silently reused or seq/s stops being comparable across revisions
+    # (ADVICE r3). Module-level hash: helper changes invalidate too.
+    gen_fp = hashlib.md5(inspect.getsource(synth).encode()).hexdigest()[:10]
     path = os.path.join(
-        tempfile.gettempdir(), f"mpds_bench_input_{n_docs}_{seed}"
+        tempfile.gettempdir(), f"mpds_bench_input_{n_docs}_{seed}_{gen_fp}"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         spark = get_spark(
@@ -193,6 +201,27 @@ def main():
         hi_runs, lo_runs = [], []
         input_dir, max_file_bytes = materialize_engine_input(n_docs, cpus)
 
+        # ONE discarded warmup pair, symmetric across legs: the py4j JVM
+        # persists across SparkSession stop/start within this process, so
+        # the very first rep of the whole phase pays JIT compilation +
+        # page-cache faults that later reps don't. Interleaving spreads
+        # transient LOAD equally but the cold-start penalty still lands
+        # entirely on whichever leg runs first, depressing its first rep
+        # and dragging the median-pairing estimator (driver r3: 0.794 vs
+        # 0.806 best-of). Warming BOTH legs once, excluded from the
+        # measured reps on BOTH sides identically, removes that asymmetry
+        # without touching the precision-stop protocol (VERDICT r3 ask #2).
+        warm = {
+            "hi": engine_throughput(
+                n_docs, hi_cpus, input_dir=input_dir,
+                max_file_bytes=max_file_bytes,
+            )["seq_per_sec"],
+            "lo": engine_throughput(
+                n_docs, lo_cpus, input_dir=input_dir,
+                max_file_bytes=max_file_bytes,
+            )["seq_per_sec"],
+        }
+
         def _spread(runs):
             xs = sorted((r["seq_per_sec"] for r in runs), reverse=True)
             return (xs[0] - xs[1]) / xs[0] if len(xs) >= 2 else 1.0
@@ -241,24 +270,38 @@ def main():
             "scaling_efficiency": round(eff, 3),
             "scaling_efficiency_median_pairing": round(median_pairing, 3),
             "stop_rule": f"precision<={precision} (spread of best two per leg)",
+            "warmup_discarded": warm,
             "reps": {
                 f"local[{lo_cpus}]": [r["seq_per_sec"] for r in lo_runs],
                 f"local[{hi_cpus}]": [r["seq_per_sec"] for r in hi_runs],
             },
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "engine": engine,
-            }
-        )
+    record = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "engine": engine,
+        }
     )
+    # tail-proof the gate artifact (VERDICT r3 ask #1b): a durable sidecar
+    # copy FIRST, then the JSON as the very last stdout line, flushed —
+    # console progress is already off (session.py showConsoleProgress).
+    try:
+        os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH", "driver_last.json"),
+            "w",
+        ) as fh:
+            fh.write(record + "\n")
+    except OSError:
+        pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(record, flush=True)
 
 
 if __name__ == "__main__":

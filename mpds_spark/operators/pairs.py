@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 
 from mpds_spark.functions.timeutil import epoch_seconds
 
+# clinical_pairs: distinguishes "caller never thought about the inter-pass
+# bound" (default -> warn) from an explicit uncapped opt-in (None)
+_UNSET = object()
+
 
 def smoothness_pairs(
     df: DataFrame,
@@ -301,7 +305,7 @@ def clinical_pairs(
     considered: DataFrame | None = None,
     intra_cap: int | None = None,
     inter_cap: int | None = None,
-    inter_rows_per_stage: int | None = None,
+    inter_rows_per_stage: int | None = _UNSET,
 ) -> DataFrame:
     """Intra + inter entity clinical-comparison pairs.
 
@@ -325,8 +329,13 @@ def clinical_pairs(
     Scale: the inter pass is a global self-join — quadratic in the used-row
     count. inter_rows_per_stage bounds it the way the reference's sampling
     does: cap the used rows per stage (hash-rank) BEFORE the join, so the
-    join input — not just the output — is bounded.
+    join input — not just the output — is bounded. Leaving it at the
+    default plans an UNCAPPED BroadcastNestedLoopJoin (only inequality
+    predicates) and emits a RuntimeWarning; pass inter_rows_per_stage=None
+    explicitly to acknowledge the unbounded plan (tiny/clinical-sized
+    inputs), or an int cap for anything corpus-sized.
     """
+    import warnings
     from mpds_spark.operators.util import (
         defer_release,
         tracked_local_checkpoint,
@@ -370,6 +379,16 @@ def clinical_pairs(
         .distinct()
     )
     used_rows = d.join(used, key, "left_semi")
+    if inter_rows_per_stage is _UNSET:
+        warnings.warn(
+            "clinical_pairs: inter_rows_per_stage not set — the inter pass "
+            "plans an uncapped nested-loop theta self-join over every row "
+            "used by the intra pass (quadratic). Pass an int cap, or "
+            "inter_rows_per_stage=None to run uncapped deliberately.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        inter_rows_per_stage = None
     if inter_rows_per_stage is not None:
         used_rows = _hash_rank_cap(
             used_rows, [stage], [F.col(key).cast("string")], inter_rows_per_stage

@@ -111,8 +111,13 @@ def sample_token_budget(
                 if bi in buckets:
                     carries.append((g, bi, run))
                     run += buckets[bi]
+        # carry schema mirrors the SOURCE group column's type (ADVICE r3:
+        # a hardcoded string type broke / mis-joined int group keys in the
+        # bucketed path while "window" worked — the strategies are
+        # documented bit-identical)
+        gtype = t.schema[group].dataType.simpleString()
         carry_df = b.sparkSession.createDataFrame(
-            carries, schema=f"{group} string, __b int, __carry long"
+            carries, schema=f"{group} {gtype}, __b int, __carry long"
         )
         w = (
             Window.partitionBy(group, "__b")
@@ -131,7 +136,10 @@ def sample_token_budget(
     if isinstance(budget, dict):
         bdf = df.sparkSession.createDataFrame(
             [(g, int(b)) for g, b in budget.items()],
-            schema=f"{group} string, __budget long",
+            schema=(
+                f"{group} {t.schema[group].dataType.simpleString()}, "
+                "__budget long"
+            ),
         )
         c = c.join(F.broadcast(bdf), group)
         cap = F.col("__budget")

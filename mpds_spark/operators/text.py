@@ -320,6 +320,7 @@ def unigram_logprob_score(
     text: str = "text",
     key: str = "doc_id",
     alpha: float = 1.0,
+    carry: list | None = None,
 ) -> DataFrame:
     """Corpus-trained unigram LM quality score (the LM-perplexity filter of
     CCNet, Wenzek et al. 2020 §4.3, with the KenLM model replaced by the
@@ -338,8 +339,17 @@ def unigram_logprob_score(
     a single tiny collect, then one join of the exploded corpus back to
     the count table and a doc-keyed mean — occurrence-linear, no
     self-join, skew-free (the hottest word's occurrences spread across
-    partitions until the final doc-keyed agg)."""
-    w = df.select(F.col(key), F.explode(words_col(text)).alias("word"))
+    partitions until the final doc-keyed agg).
+
+    carry: extra per-doc columns (constant within a doc, e.g. the source/
+    language group) to ride through the explode and the final agg — saves
+    the caller a scores→docs re-join (one exchange + one broadcast)."""
+    carry = list(carry or [])
+    w = df.select(
+        F.col(key),
+        *[F.col(c) for c in carry],
+        F.explode(words_col(text)).alias("word"),
+    )
     counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
@@ -349,7 +359,7 @@ def unigram_logprob_score(
     neglogp = -F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
     scored = w.join(counts.withColumn("__nlp", neglogp), "word")
     return (
-        scored.groupBy(key)
+        scored.groupBy(key, *carry)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.avg("__nlp").alias("unigram_nll"),
@@ -362,6 +372,8 @@ def lm_quality_buckets(
     key: str = "doc_id",
     group: str | None = "source",
     alpha: float = 1.0,
+    boundaries: str = "auto",
+    grouped_agg_max_group: int = 5_000_000,
 ) -> DataFrame:
     """CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): rank docs by
     the unigram-LM NLL and cut each group (language/source) at its own
@@ -370,22 +382,39 @@ def lm_quality_buckets(
 
     Buckets are per-GROUP quantiles, not global: a niche source's docs are
     judged against their own distribution, the property that makes the
-    split usable for mixture curation. Tercile boundaries come from
-    scale.exact_grouped_quantiles (distributed bracketed selection —
-    quantile_cont semantics with unbounded group count/size; no per-group
-    sort, no driver collect); boundary docs tie into the LOWER bucket
-    (score <= q1 -> head, <= q2 -> middle, else tail).
+    split usable for mixture curation. Boundary docs tie into the LOWER
+    bucket (score <= q1 -> head, <= q2 -> middle, else tail).
+
+    boundaries — how the exact per-group terciles are computed (both paths
+    are quantile_cont-exact and differential-tested equal):
+    - "grouped_agg": ONE grouped `percentile` aggregation (tiny output,
+      broadcast back). Narrowest plan — the whole query is 4 exchanges —
+      but Spark's exact Percentile materializes a per-group value->count
+      map on one reducer, so it requires bounded group sizes (same
+      contract as column_medians' exact path).
+    - "bracketed": scale.exact_grouped_quantiles_multi — distributed
+      bracketed selection, unbounded group count AND size (no per-group
+      value map, no driver collect); ~4 more exchanges (VERDICT r3 ask #3
+      cut it from the 10-exchange per-boundary join stack to one pass +
+      one pivot + one broadcast join).
+    - "auto" (default): one metadata agg on the scored frame routes by
+      max group size vs grouped_agg_max_group — the same measure-then-
+      choose idiom as near_dup_components / sample_token_budget.
     """
     from mpds_spark.operators.scale import exact_grouped_quantiles_multi
     from mpds_spark.operators.util import defer_release, tracked_local_checkpoint
 
-    scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
     cols = [F.col(key), F.col("n_words"), F.col("unigram_nll")]
     if group is None:
+        scores = unigram_logprob_score(df, text=text, key=key, alpha=alpha)
         joined = scores.withColumn("__g", F.lit("all"))
         gcol = "__g"
     else:
-        joined = scores.join(df.select(F.col(key), F.col(group)), key)
+        # group rides through the explode+agg (carry) — no scores→docs
+        # re-join (saves one exchange + one broadcast join)
+        joined = unigram_logprob_score(
+            df, text=text, key=key, alpha=alpha, carry=[group]
+        )
         gcol = group
         cols.insert(1, F.col(group))
     # the scored frame feeds both tercile passes AND the final labeling:
@@ -396,16 +425,56 @@ def lm_quality_buckets(
     # composed plan vs 10 after checkpoint; same fix as clinical_pairs)
     joined, _ids = tracked_local_checkpoint(joined)
     defer_release(_ids)
-    qq = exact_grouped_quantiles_multi(
-        joined, gcol, "unigram_nll", ps=[1 / 3, 2 / 3]
-    )
-    q1 = qq.filter(F.col("p") < 0.5).select(
-        F.col(gcol), F.col("q_unigram_nll").alias("__q1")
-    )
-    q2 = qq.filter(F.col("p") > 0.5).select(
-        F.col(gcol), F.col("q_unigram_nll").alias("__q2")
-    )
-    out = joined.join(F.broadcast(q1), gcol).join(F.broadcast(q2), gcol)
+    if boundaries == "auto":
+        meta = (
+            joined.groupBy(gcol)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("__mx"))
+            .collect()[0]
+        )
+        boundaries = (
+            "grouped_agg"
+            if (meta["__mx"] or 0) <= grouped_agg_max_group
+            else "bracketed"
+        )
+    if boundaries == "grouped_agg":
+        # exact Percentile uses the same lower*(1-f)+higher*f interpolation
+        # as DuckDB quantile_cont (see scale.py bracket notes); 1.0/3 in
+        # SQL is bit-identical to Python 1/3
+        both_q = (
+            joined.groupBy(gcol)
+            .agg(
+                F.expr(
+                    "percentile(unigram_nll, "
+                    "array(double(1)/3, double(2)/3))"
+                ).alias("__qq")
+            )
+            .select(
+                F.col(gcol),
+                F.element_at("__qq", 1).alias("__q1"),
+                F.element_at("__qq", 2).alias("__q2"),
+            )
+        )
+    elif boundaries == "bracketed":
+        qq = exact_grouped_quantiles_multi(
+            joined, gcol, "unigram_nll", ps=[1 / 3, 2 / 3]
+        )
+        # pivot the long (group, p, q) frame to ONE wide row per group and
+        # join it ONCE: filtering qq twice and joining each half re-plans
+        # (and re-executes) the whole bracketed-quantile subtree per
+        # boundary — plan_audit measured 10 exchanges / 10 broadcast joins
+        # that way (VERDICT r3 ask #3)
+        both_q = qq.groupBy(gcol).agg(
+            F.min(F.when(F.col("p") < 0.5, F.col("q_unigram_nll"))).alias(
+                "__q1"
+            ),
+            F.min(F.when(F.col("p") > 0.5, F.col("q_unigram_nll"))).alias(
+                "__q2"
+            ),
+        )
+    else:
+        raise ValueError(f"unknown boundaries strategy {boundaries!r}")
+    out = joined.join(F.broadcast(both_q), gcol)
     bucket = (
         F.when(F.col("unigram_nll") <= F.col("__q1"), F.lit("head"))
         .when(F.col("unigram_nll") <= F.col("__q2"), F.lit("middle"))

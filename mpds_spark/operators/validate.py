@@ -15,31 +15,48 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def not_null(col: str) -> tuple[str, Column]:
-    return f"not_null({col})", F.col(col).isNotNull()
+class Rule:
+    """Structural rule tag: (display name, kind, column expression).
+
+    kind="predicate" rules are row-local booleans counted as conditional
+    sums; kind="unique" rules carry the COLUMN itself and are evaluated as
+    count - count_distinct. Dispatching on `kind` (not on the display-name
+    prefix — ADVICE r3) means a caller-supplied predicate rule whose name
+    happens to start with 'unique(' is still counted as a predicate.
+    """
+
+    __slots__ = ("name", "kind", "expr")
+
+    def __init__(self, name: str, kind: str, expr: Column):
+        self.name, self.kind, self.expr = name, kind, expr
 
 
-def unique(col: str) -> tuple[str, Column]:
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "predicate", F.col(col).isNotNull())
+
+
+def unique(col: str) -> Rule:
     """Uniqueness is not row-local — handled specially in validate()."""
-    return f"unique({col})", F.col(col)
+    return Rule(f"unique({col})", "unique", F.col(col))
 
 
-def in_range(col: str, lo, hi) -> tuple[str, Column]:
-    return f"in_range({col},{lo},{hi})", F.col(col).between(lo, hi)
+def in_range(col: str, lo, hi) -> Rule:
+    return Rule(f"in_range({col},{lo},{hi})", "predicate", F.col(col).between(lo, hi))
 
 
-def matches(col: str, regex: str) -> tuple[str, Column]:
-    return f"matches({col})", F.col(col).rlike(regex)
+def matches(col: str, regex: str) -> Rule:
+    return Rule(f"matches({col})", "predicate", F.col(col).rlike(regex))
 
 
-def is_in(col: str, values: list) -> tuple[str, Column]:
-    return f"is_in({col})", F.col(col).isin(values)
+def is_in(col: str, values: list) -> Rule:
+    return Rule(f"is_in({col})", "predicate", F.col(col).isin(values))
 
 
 def validate(df: DataFrame, rules: list) -> DataFrame:
-    """Evaluate `rules` (list of (name, predicate Column) pairs, e.g. from
-    the not_null/in_range/matches/is_in/unique helpers) in one aggregation
-    pass. Returns one row per rule: (rule, n_rows, n_violations, passes).
+    """Evaluate `rules` (Rule objects from the not_null/in_range/matches/
+    is_in/unique helpers, or bare (name, predicate Column) pairs — always
+    counted as predicates) in one aggregation pass. Returns one row per
+    rule: (rule, n_rows, n_violations, passes).
 
     `unique(col)` rules need a distinct count, which cannot ride the
     row-local conditional sums — they are computed in the SAME jobs via
@@ -49,16 +66,21 @@ def validate(df: DataFrame, rules: list) -> DataFrame:
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     names = []
-    for i, (name, pred) in enumerate(rules):
-        names.append(name)
-        if name.startswith("unique("):
+    for i, rule in enumerate(rules):
+        if not isinstance(rule, Rule):
+            name, pred = rule
+            rule = Rule(name, "predicate", pred)
+        names.append(rule.name)
+        if rule.kind == "unique":
             aggs.append(
-                (F.count(pred) - F.count_distinct(pred)).alias(f"__v{i}")
+                (F.count(rule.expr) - F.count_distinct(rule.expr)).alias(
+                    f"__v{i}"
+                )
             )
         else:
             aggs.append(
                 F.sum(
-                    F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)
+                    F.when(F.coalesce(rule.expr, F.lit(False)), 0).otherwise(1)
                 ).alias(f"__v{i}")
             )
     row = df.agg(*aggs)

@@ -20,15 +20,24 @@ that stage and downstream):
   03_decontam/  n-gram overlap vs the eval/benchmark set; docs with
                 >= min_hits shared shingles are dropped.
   04_budget/    deterministic per-source token-budget sample of the
-                survivors (bucketed two-pass running sum).
-  05_pack/      (optional, pack_length=L) concat-and-chunk the selected
+                survivors (bucketed two-pass running sum) — or, with
+                temperature_alpha=a, the temperature-rebalanced mixture
+                (budget_g ∝ tokens_g^a, Conneau & Lample 2019) filling
+                `budget` TOTAL tokens across groups.
+  05_split/     (optional, split_fractions={"train":.98,...}) deterministic
+                train/val/test assignment by content hash (hash_split) —
+                materialized so the per-split funnel is auditable.
+  05_pack/ or 06_pack/<split>/
+                (optional, pack_length=L) concat-and-chunk the selected
                 docs' whitespace tokens into length-L training rows with
-                segment maps — the pipeline then ends in actual training
-                rows, not just a doc list.
-  06_shards/    (optional, shard_rows=N with pack_length) export the
+                segment maps — per SPLIT when splits are requested, so a
+                val doc's tokens can never share a packed row with train
+                tokens (the leakage-relevant property).
+  06_shards/ or 07_shards/<split>/
+                (optional, shard_rows=N with pack_length) export the
                 packed rows as range-ordered, row-bounded shards with the
                 _SHARDS.json manifest (sources/io.write_training_shards)
-                — the artifact a dataloader consumes.
+                — the artifact a dataloader consumes, one dir per split.
 
 The returned funnel (rows surviving each stage) is the audit trail:
 at 100 TB you read the funnel before you trust the corpus.
@@ -57,18 +66,30 @@ def prepare_corpus(
     decontam_n: int = 3,
     min_hits: int = 1,
     dedup_threshold: float = 0.5,
+    temperature_alpha: float | None = None,
+    split_fractions: dict | None = None,
+    split_seed: str = "split",
     stop_after: int | None = None,
 ) -> dict:
-    """Run (or resume) the 4-stage corpus preparation under out_dir.
+    """Run (or resume) the corpus preparation under out_dir.
 
-    stop_after: finish stage k then return (kill/resume test hook).
+    temperature_alpha: rebalance the mixture by group-size^alpha with
+    `budget` as the TOTAL token budget (None = flat per-group budget).
+    split_fractions: {"train": 0.98, "val": 0.01, "test": 0.01} —
+    deterministic hash split of the selection; packing and shards then run
+    per split. stop_after: finish stage k then return (kill/resume test
+    hook; 5 = after the split stage).
     Returns {"selected": DataFrame | None, "stages": {...},
     "funnel": {stage: surviving rows}} — selected carries
-    (key, group, n_tok, cum_tok) for the final mixture.
+    (key, group, n_tok, cum_tok) for the final mixture; with splits also
+    "splits" (key, split), and "packed"/"shards" become per-split dicts.
     """
     import os
 
-    from mpds_spark.operators.sampling import sample_token_budget
+    from mpds_spark.operators.sampling import (
+        sample_token_budget,
+        sample_tokens_temperature,
+    )
     from mpds_spark.operators.text import decontaminate, gopher_quality_filter
 
     stages: dict = {}
@@ -137,73 +158,143 @@ def prepare_corpus(
     if stop_after == 3:
         return {"selected": None, "stages": stages, "funnel": funnel}
 
-    # ---- stage 4: per-source token budget over the survivors
-    spec4 = f"{spec3}>budget|{budget}|{group}"
-    selected = _run_stage(
-        spark,
-        out_dir,
-        "04_budget",
-        fingerprint,
-        spec4,
-        lambda: sample_token_budget(
+    # ---- stage 4: per-source token budget over the survivors (flat, or
+    # temperature-rebalanced when alpha is given)
+    if temperature_alpha is None:
+        spec4 = f"{spec3}>budget|{budget}|{group}"
+        build4 = lambda: sample_token_budget(  # noqa: E731
             clean,
             budget=budget,
             group=group,
             key=key,
             text=text,
             strategy="bucketed",
-        ),
-        stages,
+        )
+    else:
+        spec4 = f"{spec3}>tbudget|{budget}|a={temperature_alpha}|{group}"
+        build4 = lambda: sample_tokens_temperature(  # noqa: E731
+            clean,
+            total_budget=budget,
+            group=group,
+            key=key,
+            text=text,
+            alpha=temperature_alpha,
+            strategy="bucketed",
+        )
+    selected = _run_stage(
+        spark, out_dir, "04_budget", fingerprint, spec4, build4, stages
     )
     funnel["04_budget"] = selected.count()
-    if pack_length is None or stop_after == 4:
+    if stop_after == 4:
         return {"selected": selected, "stages": stages, "funnel": funnel}
 
-    # ---- stage 5 (optional): pack the selection into training rows
+    result = {"selected": selected, "stages": stages, "funnel": funnel}
+
+    # ---- stage 5 (optional): deterministic hash split of the selection
+    splits = None
+    if split_fractions is not None:
+        from mpds_spark.operators.sampling import hash_split
+
+        frac_spec = ",".join(
+            f"{k}={split_fractions[k]}" for k in split_fractions
+        )
+        spec5s = f"{spec4}>split|{frac_spec}|seed={split_seed}"
+        splits = _run_stage(
+            spark,
+            out_dir,
+            "05_split",
+            fingerprint,
+            spec5s,
+            lambda: hash_split(
+                selected.select(key), split_fractions, key=key, seed=split_seed
+            ),
+            stages,
+        )
+        for sname in split_fractions:
+            funnel[f"05_split/{sname}"] = splits.filter(
+                F.col("split") == sname
+            ).count()
+        result["splits"] = splits
+        if stop_after == 5:
+            return result
+    if pack_length is None:
+        return result
+
+    # ---- pack stage: concat-and-chunk into training rows — per split
+    # when splits exist (tokens never cross a split boundary), else one
+    # global stream
     from pyspark.sql import functions as _F
 
     from mpds_spark.operators.sampling import pack_sequences
 
-    spec5 = f"{spec4}>pack|{pack_length}"
-    sel_docs = docs.join(selected.select(key), key, "left_semi").select(
-        F.col(key), _F.split(_F.trim(text), r"\s+").alias("tokens")
-    )
-    packed = _run_stage(
-        spark,
-        out_dir,
-        "05_pack",
-        fingerprint,
-        spec5,
-        lambda: pack_sequences(sel_docs, length=pack_length, strategy="bucketed"),
-        stages,
-    )
-    funnel["05_pack"] = packed.count()
-    result = {
-        "selected": selected,
-        "packed": packed,
-        "stages": stages,
-        "funnel": funnel,
-    }
-    if shard_rows is None:
-        return result
+    def _pack_one(keys_df, stage_name, spec):
+        sel_docs = docs.join(keys_df, key, "left_semi").select(
+            F.col(key), _F.split(_F.trim(text), r"\s+").alias("tokens")
+        )
+        return _run_stage(
+            spark,
+            out_dir,
+            stage_name,
+            fingerprint,
+            spec,
+            lambda: pack_sequences(
+                sel_docs, length=pack_length, strategy="bucketed"
+            ),
+            stages,
+        )
 
-    # ---- stage 6 (optional): ordered shard export; the shard manifest
-    # itself is the completion marker
     import json as _json
 
     from mpds_spark.sources.io import write_training_shards
 
-    shard_dir = os.path.join(out_dir, "06_shards")
-    mpath = os.path.join(shard_dir, "_SHARDS.json")
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            manifest = _json.load(fh)
-        stages["06_shards"] = "skipped"
-    else:
-        manifest = write_training_shards(
-            packed, shard_dir, rows_per_shard=shard_rows
+    def _shards_one(packed_df, shard_dir, stage_name):
+        mpath = os.path.join(shard_dir, "_SHARDS.json")
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                manifest = _json.load(fh)
+            stages[stage_name] = "skipped"
+        else:
+            manifest = write_training_shards(
+                packed_df, shard_dir, rows_per_shard=shard_rows
+            )
+            stages[stage_name] = "ran"
+        return manifest
+
+    if splits is None:
+        packed = _pack_one(
+            selected.select(key), "05_pack", f"{spec4}>pack|{pack_length}"
         )
-        stages["06_shards"] = "ran"
-    funnel["06_shards"] = manifest["total_rows"]
-    result["shards"] = manifest
+        funnel["05_pack"] = packed.count()
+        result["packed"] = packed
+        if shard_rows is None:
+            return result
+        manifest = _shards_one(
+            packed, os.path.join(out_dir, "06_shards"), "06_shards"
+        )
+        funnel["06_shards"] = manifest["total_rows"]
+        result["shards"] = manifest
+        return result
+
+    packed_by_split: dict = {}
+    shards_by_split: dict = {}
+    for sname in split_fractions:
+        keys_s = splits.filter(F.col("split") == sname).select(key)
+        packed_s = _pack_one(
+            keys_s,
+            f"06_pack/{sname}",
+            f"{spec5s}>pack|{pack_length}|{sname}",
+        )
+        funnel[f"06_pack/{sname}"] = packed_s.count()
+        packed_by_split[sname] = packed_s
+        if shard_rows is not None:
+            manifest = _shards_one(
+                packed_s,
+                os.path.join(out_dir, "07_shards", sname),
+                f"07_shards/{sname}",
+            )
+            funnel[f"07_shards/{sname}"] = manifest["total_rows"]
+            shards_by_split[sname] = manifest
+    result["packed"] = packed_by_split
+    if shard_rows is not None:
+        result["shards"] = shards_by_split
     return result

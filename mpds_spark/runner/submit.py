@@ -135,6 +135,17 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def _parse_splits(spec: str | None) -> dict | None:
+    """'train=0.98,val=0.01,test=0.01' -> {"train": 0.98, ...}."""
+    if not spec:
+        return None
+    out = {}
+    for part in spec.split(","):
+        name, frac = part.split("=")
+        out[name.strip()] = float(frac)
+    return out
+
+
 def cmd_prepare(args) -> int:
     """Full corpus preparation (quality -> dedup -> decontaminate ->
     token budget) — the cluster entry for pipelines/prepare_corpus."""
@@ -161,7 +172,10 @@ def cmd_prepare(args) -> int:
         shard_rows=args.shard_rows,
         min_words=args.min_words,
         decontam_n=args.decontam_n,
+        min_hits=args.min_hits,
         dedup_threshold=args.threshold,
+        temperature_alpha=args.temperature_alpha,
+        split_fractions=_parse_splits(args.splits),
     )
     print(
         json.dumps(
@@ -220,9 +234,26 @@ def main(argv=None) -> int:
     pr.add_argument("--budget", type=int, default=10**9)
     pr.add_argument("--min-words", type=int, default=8)
     pr.add_argument("--decontam-n", type=int, default=3)
+    pr.add_argument(
+        "--min-hits",
+        type=int,
+        default=1,
+        help="shared-shingle count at which a doc counts as contaminated",
+    )
     pr.add_argument("--threshold", type=float, default=0.5)
     pr.add_argument("--pack-length", type=int, default=None)
     pr.add_argument("--shard-rows", type=int, default=None)
+    pr.add_argument(
+        "--temperature-alpha",
+        type=float,
+        default=None,
+        help="rebalance mixture by group-size^alpha (budget = total tokens)",
+    )
+    pr.add_argument(
+        "--splits",
+        default=None,
+        help="e.g. train=0.98,val=0.01,test=0.01 — deterministic hash split",
+    )
 
     args = p.parse_args(argv)
     return {

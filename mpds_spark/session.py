@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("MPDS_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # no \r progress spam on stdout/stderr: bench's one-line JSON
+        # record must be machine-parseable from a captured tail
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

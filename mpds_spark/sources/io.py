@@ -104,8 +104,14 @@ def write_training_shards(
     files = sorted(_glob.glob(_os.path.join(path, "part-*")))
     shards = []
     total = 0
+    # per-file row counts come from the parquet FOOTER metadata (pyarrow,
+    # driver-side, no Spark jobs) — the previous per-file
+    # spark.read.parquet(f).count() launched O(n_shards) jobs on an
+    # artifact sized for 100-TB runs (ADVICE r3)
+    import pyarrow.parquet as _pq
+
     for f in files:
-        n = spark.read.parquet(f).count()
+        n = _pq.ParquetFile(f).metadata.num_rows
         total += n
         shards.append({"file": _os.path.basename(f), "rows": n})
     manifest = {"total_rows": total, "n_shards": len(shards), "shards": shards}

@@ -212,3 +212,23 @@ def test_nearest_centroids_tie_break(spark):
         ).alias("p")
     ).collect()[0]["p"]
     assert list(got) == [0, 1]
+
+
+def test_kmeans_driver_sample_cap(spark, emb_df):
+    """VERDICT r3 ask #6: the centroid fit collects its sample to the
+    driver, so sample_size above max_sample must RAISE (no silent clamp);
+    raising max_sample explicitly is the escape hatch."""
+    import pytest as _pytest
+
+    from mpds_spark.operators.similarity import kmeans_centroids
+
+    with _pytest.raises(ValueError, match="max_sample"):
+        kmeans_centroids(emb_df, n_centroids=4, sample_size=2_000_000)
+    C = kmeans_centroids(
+        emb_df,
+        n_centroids=4,
+        sample_size=2_000_000,
+        max_sample=2_000_000,
+        seed=7,
+    )
+    assert C.shape[0] == 4

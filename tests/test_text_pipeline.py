@@ -367,3 +367,56 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert (a.sort_values("doc_id")["split"].values != c.sort_values("doc_id")["split"].values).any()
     with pytest.raises(ValueError):
         hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_bucketed_int_group_column(spark):
+    """ADVICE r3: the bucketed carry table mirrors the source group
+    column's TYPE — an int group key used to break / mis-join against the
+    hardcoded `string` carry schema while the window strategy worked
+    (the strategies are documented bit-identical)."""
+    docs = _doc_table(spark, n=200, groups=3).select(
+        "doc_id",
+        "text",
+        F.substring("source", 2, 5).cast("int").alias("src_id"),
+    )
+    a = (
+        sample_token_budget(docs, budget=300, group="src_id", strategy="window")
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        sample_token_budget(
+            docs, budget=300, group="src_id", strategy="bucketed"
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b and len(a) > 0
+    # dict budgets keyed by int group values join on the same typed column
+    caps = {0: 100, 1: 50, 2: 10**6}
+    d = sample_token_budget(docs, budget=caps, group="src_id").toPandas()
+    assert len(d) > 0
+    assert all(r.cum_tok <= caps[r.src_id] for r in d.itertuples())
+
+
+def test_lm_quality_buckets_boundary_strategies_identical(spark):
+    """The narrow-plan grouped_agg (exact Percentile) and the at-scale
+    bracketed (exact_grouped_quantiles_multi) boundary paths are
+    bit-identical per row; auto (which routes small groups to grouped_agg)
+    matches both; unknown strategy raises."""
+    import pytest as _pytest
+
+    from mpds_spark.operators.text import lm_quality_buckets
+
+    rows = []
+    for i in range(25):
+        rows.append(
+            (i, f"s{i % 2}", " ".join(["w"] * (i + 1) + [f"u{i}_{j}" for j in range(25 - i)]))
+        )
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    a = lm_quality_buckets(docs, boundaries="grouped_agg").orderBy("doc_id").collect()
+    b = lm_quality_buckets(docs, boundaries="bracketed").orderBy("doc_id").collect()
+    c = lm_quality_buckets(docs, boundaries="auto").orderBy("doc_id").collect()
+    assert a == b == c and len(a) == 25
+    with _pytest.raises(ValueError):
+        lm_quality_buckets(docs, boundaries="nope")

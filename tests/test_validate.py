@@ -44,3 +44,22 @@ def test_validate_counts_and_verdicts(spark):
         df.filter("doc_id = 1"), [not_null("text"), unique("doc_id")]
     ).collect()
     assert all(r["passes"] for r in clean)
+
+
+def test_unique_prefix_named_predicate_stays_predicate(spark):
+    """ADVICE r3: rule dispatch is structural (Rule.kind), not display-name
+    prefix — a caller-supplied predicate whose name starts with 'unique('
+    must be counted as a predicate, not fed to count_distinct."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a"), (1, "b")], ["k", "v"])
+    rows = {
+        r["rule"]: r
+        for r in validate(
+            df, [("unique(k) lookalike", F.col("k") == 1), unique("k")]
+        ).collect()
+    }
+    look = rows["unique(k) lookalike"]
+    assert look["n_violations"] == 0 and look["passes"]  # both rows satisfy k==1
+    real = rows["unique(k)"]
+    assert real["n_violations"] == 1 and not real["passes"]  # k=1 twice

@@ -177,7 +177,7 @@ def test_clinical_pairs_intra_inter(spark):
     rows.append((k, "e4", 99000.0, -1))  # negative stage: excluded
     df = spark.createDataFrame(rows, ["key", "entity_id", "ts", "stage"])
 
-    out = clinical_pairs(df, key="key").collect()
+    out = clinical_pairs(df, key="key", inter_rows_per_stage=None).collect()
     by_type = {"intra": set(), "inter": set()}
     stages = {r[0]: r[3] for r in rows}
     ents = {r[0]: r[1] for r in rows}
@@ -228,3 +228,38 @@ def test_series_stats_matches_kernels(spark):
             np.testing.assert_allclose(r["ar1"], ar1(x), rtol=1e-12)
         else:
             assert r["ar1"] is None
+
+
+def test_clinical_pairs_uncapped_inter_warns(spark):
+    """VERDICT r3 ask #4: the inter pass plans an uncapped nested-loop
+    theta self-join when inter_rows_per_stage is left at its default —
+    that now WARNS; an explicit None (deliberate uncapped) or an int cap
+    is silent, and all three produce the same pairs on small input."""
+    import warnings
+
+    from mpds_spark.operators.pairs import clinical_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "e1", 0.0, 0),
+            (1, "e1", 1000.0, 1),
+            (2, "e2", 0.0, 0),
+            (3, "e2", 2000.0, 1),
+        ],
+        ["key", "entity_id", "ts", "stage"],
+    )
+    with pytest.warns(RuntimeWarning, match="inter_rows_per_stage"):
+        warned = clinical_pairs(df, key="key").collect()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        explicit = clinical_pairs(
+            df, key="key", inter_rows_per_stage=None
+        ).collect()
+        capped = clinical_pairs(
+            df, key="key", inter_rows_per_stage=100
+        ).collect()
+        assert not [
+            w for w in caught if issubclass(w.category, RuntimeWarning)
+        ]
+    key = lambda rows: sorted((r.on_key, r.off_key, r.pair_type) for r in rows)  # noqa: E731
+    assert key(warned) == key(explicit) == key(capped)
