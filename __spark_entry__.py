@@ -86,6 +86,10 @@ _PRIORITY = [
     "validate_docs",
     "ann_ivf_topk",
     "ann_lsh_multiprobe",
+    # new in round 4
+    "redact_pii",
+    "dsir_weights",
+    "stratified_sample",
 ]
 
 

@@ -366,3 +366,54 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions,
+    group: str = "source",
+    key: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sample: keep a row iff
+    u = md5(seed|group|key)[:8] / 2^32 < fraction(group). A pure function
+    of row content — identical under any partition layout, engine, or run
+    (DataFrame.sample is NOT: its per-partition seeded sampler selects
+    different rows when the layout changes; same rationale as
+    random_ordered_pairs). fractions: one float for every group, or a
+    {group_value: fraction} dict — groups absent from the dict get 0
+    (whitelist+rate in one object, broadcast join). Shuffle-free with a
+    scalar fraction; one tiny broadcast join with a dict."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.col(group).cast("string"),
+                        F.col(key).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    if isinstance(fractions, dict):
+        fdf = df.sparkSession.createDataFrame(
+            [(g, float(x)) for g, x in fractions.items()],
+            schema=(
+                f"{group} {df.schema[group].dataType.simpleString()}, "
+                "__frac double"
+            ),
+        )
+        return (
+            df.join(F.broadcast(fdf), group)
+            .filter(u < F.col("__frac"))
+            .drop("__frac")
+        )
+    return df.filter(u < F.lit(float(fractions)))

@@ -481,3 +481,105 @@ def lm_quality_buckets(
         .otherwise(F.lit("tail"))
     )
     return out.select(*cols, bucket.alias("bucket"))
+
+
+# ------------------------------------------------------------------ PII
+
+# Default PII patterns. Deliberately restricted to a regex subset with
+# identical match semantics under Java regex (Spark) and RE2 (DuckDB/
+# production scanners): character classes, bounded repetition, \b — no
+# backreferences, no lookaround (RE2 has neither), no alternation whose
+# leftmost-first (Java) vs leftmost-longest (RE2) choice could diverge.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    patterns: dict | None = None,
+) -> DataFrame:
+    """Regex PII scrub — the pre-training redaction pass (emails / phone
+    numbers / IPv4 by default; pass `patterns` {kind: regex} to extend).
+    Returns (key, n_<kind> per pattern, <text>_redacted) where each match
+    is replaced by the literal token `<KIND>`.
+
+    Counts are per-pattern on the ORIGINAL text (each count is
+    independently well-defined; overlapping kinds each count their own
+    matches). Redaction applies patterns sequentially in dict order, so an
+    earlier kind's token is not re-matched by a later pattern. Pure
+    per-row column map — no shuffle, no Python; pipelines onto the scan
+    at any corpus size."""
+    pats = patterns or PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text), F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in pats.items()
+    ]
+    red = F.col(text)
+    for kind, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    return df.select(F.col(key), *counts, red.alias(f"{text}_redacted"))
+
+
+# ----------------------------------------------------------------- DSIR
+
+def dsir_logratio(
+    df: DataFrame,
+    target_df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weight for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS) with the hashed-ngram feature space simplified to unigrams:
+
+        log w(doc) = sum over words of [ln p_target(w) - ln p_source(w)]
+
+    with add-alpha smoothing over the UNION vocabulary V:
+        p_t(w) = (c_t(w) + alpha) / (N_t + alpha*|V|)   (source analogous)
+
+    High log-weight docs look like the target domain; selection keeps the
+    top mass (or Gumbel-resamples by weight). Returns (key, n_words,
+    dsir_logweight, dsir_logweight_mean).
+
+    Shape at scale: two word-keyed count aggs (corpus + target), one
+    full-outer join on word (both sides word-unique — no skew), the tiny
+    (N, V) totals via one collect, then the exploded corpus joins the
+    per-word log-ratio table and aggregates per doc — occurrence-linear,
+    the same skew-free plan as unigram_logprob_score."""
+    w = df.select(F.col(key), F.explode(words_col(text)).alias("word"))
+    cs = w.groupBy("word").agg(F.count(F.lit(1)).alias("cs"))
+    ct = (
+        target_df.select(F.explode(words_col(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    vocab = (
+        cs.join(ct, "word", "full_outer")
+        .select(
+            "word",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    tot = vocab.agg(
+        F.sum("cs").alias("ns"),
+        F.sum("ct").alias("nt"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    ds = float(tot["ns"]) + alpha * float(tot["v"])
+    dt = float(tot["nt"]) + alpha * float(tot["v"])
+    lr = F.log((F.col("ct") + F.lit(alpha)) / F.lit(dt)) - F.log(
+        (F.col("cs") + F.lit(alpha)) / F.lit(ds)
+    )
+    scored = w.join(vocab.withColumn("__lr", lr).select("word", "__lr"), "word")
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__lr").alias("dsir_logweight"),
+        F.avg("__lr").alias("dsir_logweight_mean"),
+    )

@@ -2996,3 +2996,162 @@ FROM s GROUP BY split
 QUERIES["hash_split"] = q_hash_split
 _RAW_ORACLES["hash_split"] = SQL_HASH_SPLIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (emails / phones / IPv4) over a deterministic
+    planted-PII text built from the customer table (the synthetic
+    documents corpus contains no PII, so the fixture is constructed
+    identically in both engines): per-row match counts + the md5 of the
+    redacted text prove match-and-replace parity byte-for-byte."""
+    from mpds_spark.operators.text import redact_pii
+
+    c = load(spark, sf_dir, "customer")
+    planted = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.concat(
+            F.lit("contact "),
+            F.col("c_name"),
+            F.lit(" at user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com or 415-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("c_custkey") % 256).cast("string"),
+            F.lit("."),
+            F.col("c_nationkey").cast("string"),
+            F.lit(" end"),
+        ).alias("text"),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5("text_redacted").alias("redacted_hash"),
+    )
+
+
+SQL_REDACT_PII = r"""
+WITH planted AS (
+  SELECT c_custkey AS doc_id,
+    'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+      || '@example.com or 415-555-'
+      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.'
+      || CAST(c_nationkey AS VARCHAR) || ' end' AS text
+  FROM customer
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT)
+    AS n_phone,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')
+  ) AS redacted_hash
+FROM planted
+"""
+
+QUERIES["redact_pii"] = q_redact_pii
+_RAW_ORACLES["redact_pii"] = SQL_REDACT_PII
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (Xie et al. 2023, unigram features):
+    target domain = the 'src0' slice of the corpus, source = the full
+    corpus; per-doc sum/mean of ln p_t(w) - ln p_s(w), add-1 smoothed
+    over the union vocabulary."""
+    from mpds_spark.operators.text import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    out = dsir_logratio(docs, target, alpha=1.0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        _r6("dsir_logweight").alias("dsir_logweight"),
+        _r6("dsir_logweight_mean").alias("dsir_logweight_mean"),
+    )
+
+
+SQL_DSIR_WEIGHTS = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), tw AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE source = 'src0'
+), cs AS (SELECT word, count(*) AS cs FROM w GROUP BY word),
+ct AS (SELECT word, count(*) AS ct FROM tw GROUP BY word),
+vocab AS (
+  SELECT coalesce(cs.word, ct.word) AS word,
+    coalesce(cs.cs, 0) AS cs, coalesce(ct.ct, 0) AS ct
+  FROM cs FULL OUTER JOIN ct ON cs.word = ct.word
+), t AS (
+  SELECT sum(cs) AS ns, sum(ct) AS nt, count(*) AS v FROM vocab
+), lr AS (
+  SELECT word,
+    ln((ct + 1.0) / (t.nt + 1.0 * t.v)) - ln((cs + 1.0) / (t.ns + 1.0 * t.v))
+      AS lr
+  FROM vocab CROSS JOIN t
+)
+SELECT w.doc_id, count(*) AS n_words,
+  round(sum(lr.lr), 6) AS dsir_logweight,
+  round(avg(lr.lr), 6) AS dsir_logweight_mean
+FROM w JOIN lr USING (word)
+GROUP BY w.doc_id
+"""
+
+QUERIES["dsir_weights"] = q_dsir_weights
+_RAW_ORACLES["dsir_weights"] = SQL_DSIR_WEIGHTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-group Bernoulli sample of documents (content-hash
+    threshold, layout/engine-independent) with a per-source rate dict that
+    also acts as a whitelist; per-group kept counts prove the selection."""
+    from mpds_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"src0": 0.5, "src1": 0.25, "src2": 1.0}, group="source"
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH f(source, frac) AS (
+  VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 1.0)
+), d AS (
+  SELECT d.source, d.n_chars,
+    CAST(('0x' || substr(md5('strat|' || d.source || '|'
+        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u,
+    f.frac
+  FROM documents d JOIN f USING (source)
+)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM d WHERE u < frac GROUP BY source
+"""
+
+QUERIES["stratified_sample"] = q_stratified_sample
+_RAW_ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -420,3 +420,80 @@ def test_lm_quality_buckets_boundary_strategies_identical(spark):
     assert a == b == c and len(a) == 25
     with _pytest.raises(ValueError):
         lm_quality_buckets(docs, boundaries="nope")
+
+
+def test_redact_pii_counts_and_replacement(spark):
+    """Planted PII row: per-kind counts on the original text, sequential
+    redaction (emails first, so their dots don't feed the IP pattern),
+    non-PII text untouched."""
+    from mpds_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-ample.co.uk and d@e.io call 415-555-1234 "
+            "or 415.555.9999 ip 10.0.0.1 done"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ipv4"]) == (2, 2, 1)
+    assert r1["text_redacted"] == (
+        "mail <EMAIL> and <EMAIL> call <PHONE> or <PHONE> ip <IPV4> done"
+    )
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_phone"], r2["n_ipv4"]) == (0, 0, 0)
+    assert r2["text_redacted"] == "no pii here at all"
+
+
+def test_dsir_logratio_hand_computed(spark):
+    """Tiny corpus vs target: per-doc log-weight equals the add-1-smoothed
+    unigram log-ratio computed by hand."""
+    import math
+
+    from mpds_spark.operators.text import dsir_logratio
+
+    corpus = [(1, "a a b"), (2, "b c")]
+    target = [(10, "a a a b")]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    tg = spark.createDataFrame(target, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dsir_logratio(df, tg).collect()}
+    # source counts: a=2 b=2 c=1 (ns=5); target: a=3 b=1 (nt=4); V={a,b,c}=3
+    ns, nt, v = 5, 4, 3
+    lr = {
+        w: math.log((ct + 1) / (nt + v)) - math.log((cs + 1) / (ns + v))
+        for w, cs, ct in [("a", 2, 3), ("b", 2, 1), ("c", 1, 0)]
+    }
+    exp1 = lr["a"] * 2 + lr["b"]
+    exp2 = lr["b"] + lr["c"]
+    assert abs(out[1]["dsir_logweight"] - exp1) < 1e-12
+    assert abs(out[2]["dsir_logweight"] - exp2) < 1e-12
+    assert abs(out[2]["dsir_logweight_mean"] - exp2 / 2) < 1e-12
+    assert out[1]["n_words"] == 3
+    # target-like doc 1 (a-heavy) outweighs doc 2
+    assert out[1]["dsir_logweight_mean"] > out[2]["dsir_logweight_mean"]
+
+
+def test_stratified_sample_deterministic_and_whitelist(spark):
+    """Same kept set under any layout; dict fractions whitelist groups;
+    scalar fraction applies to every group; rates land near the target."""
+    from mpds_spark.operators.sampling import stratified_sample
+
+    docs = _doc_table(spark, n=600, groups=3)
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs, 0.5, group="source").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(17, "doc_id"), 0.5, group="source"
+        ).collect()
+    )
+    assert a == b and 200 < len(a) < 400
+    kept = stratified_sample(
+        docs, {"g0": 1.0, "g1": 0.3}, group="source"
+    ).toPandas()
+    assert set(kept["source"]) == {"g0", "g1"}  # g2 absent -> dropped
+    assert (kept["source"] == "g0").sum() == 200  # frac 1.0 keeps all
+    n1 = (kept["source"] == "g1").sum()
+    assert 30 <= n1 <= 90  # ~0.3 * 200
