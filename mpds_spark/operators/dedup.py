@@ -620,20 +620,46 @@ def connected_components_star(
     e, prev = tracked_local_checkpoint(
         raw.filter(F.col("u") != F.col("v")).distinct()
     )
+
+    # fixpoint detection: per-round exceptAll probes are TWO full hash
+    # shuffles of the edge frame per round — at 10^12 edges that doubles
+    # the loop's shuffle volume. Instead compare a map-side checksum
+    # (count + sum of xxhash64(u,v); both frames are distinct sets) and
+    # run the exact exceptAll confirmation ONLY at a suspected fixpoint —
+    # a hash collision can only cause one extra exact check, never a
+    # wrong answer.
+    def _sig(frame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of xxhash64 values
+            # overflows under ANSI arithmetic
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
     converged = False
     for _ in range(max_iter):
         e2, ids = tracked_local_checkpoint(
             star(star(e, large=True), large=False)
         )
-        # fixpoint: the edge SET is unchanged (both directions of anti-join)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
+        sig2 = _sig(e2)
+        changed = 1
+        if sig2 == sig:
+            # exact confirmation (edge SETS equal in both directions)
+            changed = (
+                e2.exceptAll(e).limit(1).count()
+                + e.exceptAll(e2).limit(1).count()
+            )
         # the fixpoint check was the last reference to the previous round —
         # free its checkpoint blocks (see connected_components)
         release_rdds(prev)
         prev = ids
         e = e2
+        sig = sig2
         if changed == 0:
             converged = True
             break
