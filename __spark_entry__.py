@@ -90,6 +90,8 @@ _PRIORITY = [
     "redact_pii",
     "dsir_weights",
     "stratified_sample",
+    "centroid_outliers",
+    "source_stats",
 ]
 
 

@@ -449,3 +449,54 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------- centroid outliers
+
+def centroid_outlier_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    group: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier scoring against per-group centroids — the
+    curation signal behind SemDeDup-style semantic pruning (Abbas et al.
+    2023) and cluster-based quality filtering: cosine of every vector to
+    the MEAN vector of its group (label / source / cluster); low cosine =
+    far from its group's mass = candidate outlier or mislabel.
+
+    Two-pass, explosion-free scoring: pass 1 fits centroids distributed
+    (posexplode -> (group, pos) mean — the only place the dim-fold
+    expansion exists, and it collapses map-side into |groups|*dim partial
+    sums); pass 2 reassembles each centroid as an array row (tiny frame),
+    broadcast-joins it on `group`, and computes the cosine JVM-side with
+    zip_with/aggregate — the corpus itself is never exploded for scoring
+    and never shuffles. Returns (id, group, centroid_cos)."""
+    e = df.select(
+        F.col(group), F.posexplode(_as_double(vec_col)).alias("pos", "x")
+    )
+    cent = (
+        e.groupBy(group, "pos")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy(group)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "cx"))
+            ).alias("__pc")
+        )
+        .select(
+            F.col(group),
+            F.expr("transform(__pc, s -> s.cx)").alias("__c"),
+        )
+    )
+    v = df.select(
+        F.col(id_col), F.col(group), _as_double(vec_col).alias("__v")
+    ).join(F.broadcast(cent), group)
+    dot = _dot(F.col("__v"), F.col("__c"))
+    nv = F.sqrt(_dot(F.col("__v"), F.col("__v")))
+    nc = F.sqrt(_dot(F.col("__c"), F.col("__c")))
+    return v.select(
+        F.col(id_col),
+        F.col(group),
+        (dot / (nv * nc)).alias("centroid_cos"),
+    )

@@ -3155,3 +3155,111 @@ FROM d WHERE u < frac GROUP BY source
 QUERIES["stratified_sample"] = q_stratified_sample
 _RAW_ORACLES["stratified_sample"] = SQL_STRATIFIED_SAMPLE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_centroid_outliers(spark, sf_dir):
+    """Embedding outlier scoring vs per-label centroids (SemDeDup-style
+    semantic-pruning signal): cosine of each vector to its label's mean
+    vector; fit is the only exploded pass, scoring is an explosion-free
+    broadcast join + JVM zip_with."""
+    from mpds_spark.operators.similarity import centroid_outlier_scores
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = centroid_outlier_scores(emb, group="label")
+    return out.select(
+        "vec_id", "label", _r6("centroid_cos").alias("centroid_cos")
+    )
+
+
+SQL_CENTROID_OUTLIERS = """
+WITH e AS (
+  SELECT vec_id, label,
+    generate_subscripts(embedding, 1) AS pos,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), c AS (
+  SELECT label, pos, avg(x) AS cx FROM e GROUP BY label, pos
+), d AS (
+  SELECT e.vec_id, e.label,
+    sum(e.x * c.cx) AS dot,
+    sum(e.x * e.x) AS nx,
+    sum(c.cx * c.cx) AS nc
+  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label,
+  round(dot / (sqrt(nx) * sqrt(nc)), 6) AS centroid_cos
+FROM d
+"""
+
+QUERIES["centroid_outliers"] = q_centroid_outliers
+_RAW_ORACLES["centroid_outliers"] = SQL_CENTROID_OUTLIERS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_source_stats(spark, sf_dir):
+    """Mixture audit: per-source document/token totals, mean and EXACT
+    median doc length (distributed bracketed grouped quantile), and
+    per-source vocabulary size — the report a curator reads before
+    setting mixture budgets."""
+    from mpds_spark.operators.dedup import words_col
+    from mpds_spark.operators.scale import exact_grouped_quantiles
+
+    docs = load(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        "doc_id",
+        F.size(words_col("text")).cast("long").alias("n_tok"),
+    )
+    agg = lens.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        _r6(F.avg("n_tok")).alias("mean_tok"),
+    )
+    med = exact_grouped_quantiles(lens, "source", "n_tok", p=0.5)
+    vocab = (
+        docs.select("source", F.explode(words_col("text")).alias("word"))
+        .groupBy("source")
+        .agg(F.count_distinct("word").alias("vocab_size"))
+    )
+    return (
+        agg.join(med, "source")
+        .join(vocab, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "mean_tok",
+            F.col("q_n_tok").alias("median_tok"),
+            "vocab_size",
+        )
+    )
+
+
+SQL_SOURCE_STATS = """
+WITH l AS (
+  SELECT source, doc_id,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents
+), a AS (
+  SELECT source, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+    round(avg(n_tok), 6) AS mean_tok,
+    quantile_cont(n_tok, 0.5) AS median_tok
+  FROM l GROUP BY source
+), v AS (
+  SELECT source, count(DISTINCT word) AS vocab_size
+  FROM (
+    SELECT source,
+      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents
+  ) GROUP BY source
+)
+SELECT a.source, a.n_docs, a.n_tokens, a.mean_tok, a.median_tok,
+  v.vocab_size
+FROM a JOIN v ON a.source = v.source
+"""
+
+QUERIES["source_stats"] = q_source_stats
+_RAW_ORACLES["source_stats"] = SQL_SOURCE_STATS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

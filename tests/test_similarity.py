@@ -232,3 +232,30 @@ def test_kmeans_driver_sample_cap(spark, emb_df):
         seed=7,
     )
     assert C.shape[0] == 4
+
+
+def test_centroid_outlier_scores(spark):
+    """Vectors sampled around their label centroid score near 1; a planted
+    far-off vector scores lowest in its label; per-label centroids are
+    independent (a vector matching label 0's centroid but tagged label 1
+    is an outlier FOR label 1)."""
+    import numpy as np
+
+    from mpds_spark.operators.similarity import centroid_outlier_scores
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vid = 0
+    base = {0: np.array([10.0, 0.0, 0.0, 0.0]), 1: np.array([0.0, 10.0, 0.0, 0.0])}
+    for lbl, b in base.items():
+        for _ in range(20):
+            v = b + rng.normal(0, 0.3, 4)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    rows.append((900, [float(x) for x in (-base[1] + base[0])], 1))  # outlier in 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["vec_id"]: r for r in centroid_outlier_scores(df).collect()}
+    ins = [r["centroid_cos"] for k, r in out.items() if k < 900]
+    assert min(ins) > 0.95
+    assert out[900]["centroid_cos"] == min(r["centroid_cos"] for r in out.values())
+    assert out[900]["centroid_cos"] < 0.5
