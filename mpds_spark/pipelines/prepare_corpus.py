@@ -14,6 +14,9 @@ between stages leaves a resumable prefix; every spec string embeds its
 own params plus the upstream spec, so changing a knob invalidates exactly
 that stage and downstream):
 
+  00_redact/    (optional, redact_patterns={kind: regex}) PII scrub of
+                the text column (text.redact_pii) — every later stage,
+                including packing, sees only redacted text.
   01_quality/   Gopher-rule verdicts; only `passes` docs continue.
   02_dedup/     the 4-stage dedup_corpus pipeline (its own per-stage —
                 and, for exact dedup, per-BUCKET — manifests nest here).
@@ -69,6 +72,7 @@ def prepare_corpus(
     temperature_alpha: float | None = None,
     split_fractions: dict | None = None,
     split_seed: str = "split",
+    redact_patterns: dict | None = None,
     stop_after: int | None = None,
 ) -> dict:
     """Run (or resume) the corpus preparation under out_dir.
@@ -101,6 +105,28 @@ def prepare_corpus(
     ).collect()[0]
     eagg = eval_df.agg(F.sum(F.crc32(F.md5(text))).alias("h")).collect()[0]
     fingerprint = f"{funnel['00_input']}_{agg['h']}_{eagg['h']}"
+
+    # ---- stage 0 (optional): PII redaction — every later stage, incl.
+    # packing, sees only redacted text
+    if redact_patterns is not None:
+        from mpds_spark.operators.text import redact_pii
+
+        spec0 = f"redact|{','.join(sorted(redact_patterns))}"
+        other = [c for c in docs.columns if c != text]
+        docs = _run_stage(
+            spark,
+            out_dir,
+            "00_redact",
+            fingerprint,
+            spec0,
+            lambda: docs.select(*other).join(
+                redact_pii(docs, text=text, key=key, patterns=redact_patterns)
+                .select(F.col(key), F.col(f"{text}_redacted").alias(text)),
+                key,
+            ),
+            stages,
+        )
+        funnel["00_redact"] = docs.count()
 
     # ---- stage 1: quality verdicts (pure map stage; materialized so the
     # funnel is auditable and downstream lineage starts at a scan)

@@ -135,6 +135,12 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def _default_pii() -> dict:
+    from mpds_spark.operators.text import PII_PATTERNS
+
+    return dict(PII_PATTERNS)
+
+
 def _parse_splits(spec: str | None) -> dict | None:
     """'train=0.98,val=0.01,test=0.01' -> {"train": 0.98, ...}."""
     if not spec:
@@ -176,6 +182,7 @@ def cmd_prepare(args) -> int:
         dedup_threshold=args.threshold,
         temperature_alpha=args.temperature_alpha,
         split_fractions=_parse_splits(args.splits),
+        redact_patterns=(_default_pii() if args.redact else None),
     )
     print(
         json.dumps(
@@ -253,6 +260,11 @@ def main(argv=None) -> int:
         "--splits",
         default=None,
         help="e.g. train=0.98,val=0.01,test=0.01 — deterministic hash split",
+    )
+    pr.add_argument(
+        "--redact",
+        action="store_true",
+        help="PII-scrub the text column (email/phone/IPv4) before curation",
     )
 
     args = p.parse_args(argv)

@@ -188,3 +188,31 @@ def test_prepare_corpus_temperature_split_resume(spark, tmp_path):
         b = r2["packed"][sname].orderBy("bin_id").collect()
         assert a == b, sname
     assert r2["funnel"] == r1["funnel"]
+
+
+def test_prepare_corpus_redact_stage(spark, tmp_path):
+    """redact_patterns adds stage 00_redact: planted emails are scrubbed
+    before every downstream stage (quality/dedup/budget see redacted
+    text), and a rerun skips the stage."""
+    from mpds_spark.operators.text import PII_PATTERNS
+
+    pdf = _corpus()
+    pdf.loc[pdf.index[:5], "text"] = (
+        pdf["text"].iloc[:5] + " mail bob@example.com"
+    )
+    docs = spark.createDataFrame(pdf)
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    out = str(tmp_path / "red")
+    kw = dict(budget=10**6, min_words=8, redact_patterns=dict(PII_PATTERNS))
+    r1 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert r1["stages"]["00_redact"] == "ran"
+    assert r1["funnel"]["00_redact"] == r1["funnel"]["00_input"]
+    # the materialized redacted stage holds no raw emails
+    red = spark.read.parquet(f"{out}/00_redact/data").toPandas()
+    assert not red["text"].str.contains("@").any()
+    assert red["text"].str.contains("<EMAIL>").sum() == 5
+    r2 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert r2["stages"]["00_redact"] == "skipped"
+    assert sorted(r.doc_id for r in r2["selected"].collect()) == sorted(
+        r.doc_id for r in r1["selected"].collect()
+    )
