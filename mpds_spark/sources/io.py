@@ -71,6 +71,7 @@ def write_training_shards(
     order_col: str = "bin_id",
     rows_per_shard: int = 100_000,
     n_partitions: int | None = None,
+    shuffle_seed: str | None = None,
 ) -> dict:
     """Write packed training rows as size-bounded parquet shards plus a
     JSON manifest — the artifact a dataloader consumes.
@@ -82,23 +83,42 @@ def write_training_shards(
     bounded regardless of partition skew. The manifest records per-file
     row counts and the total, written AFTER the data (atomic rename) so a
     partial write is never mistaken for a finished dataset.
+
+    shuffle_seed: when set, rows are instead ordered by
+    md5(seed|order_col) — a DETERMINISTIC global shuffle of the training
+    order (packing preserves doc-stream adjacency, which a dataloader
+    reading shards sequentially would replay; training wants decorrelated
+    batches). Same range-partition + sort machinery, same reproducibility
+    guarantee: the order is a pure function of row content and the seed.
     """
     import glob as _glob
     import json as _json
     import os as _os
 
+    if shuffle_seed is not None:
+        df = df.withColumn(
+            "__ord",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(shuffle_seed), F.col(order_col).cast("string")
+                )
+            ),
+        )
+        order_col = "__ord"
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     spark.conf.set("spark.sql.files.maxRecordsPerFile", str(int(rows_per_shard)))
     try:
-        (
-            df.repartitionByRange(n_partitions, order_col)
-            .sortWithinPartitions(order_col)
-            .write.mode("overwrite")
-            .parquet(path)
+        out = df.repartitionByRange(n_partitions, order_col).sortWithinPartitions(
+            order_col
         )
+        if order_col == "__ord":
+            # projection after the sort keeps row order; the shuffle key
+            # itself stays out of the shard schema
+            out = out.drop("__ord")
+        out.write.mode("overwrite").parquet(path)
     finally:
         spark.conf.set("spark.sql.files.maxRecordsPerFile", old)
     files = sorted(_glob.glob(_os.path.join(path, "part-*")))
