@@ -11,7 +11,7 @@ Two operators:
 - asof_join: two-table point-in-time join (Spark has no native ASOF JOIN).
   Two physical strategies:
 
-  * "window" (default for backward/forward): tag-union both sides, ONE
+  * "window" (default, all directions): tag-union both sides, ONE
     shuffle + sort on (entity, on, side), then the match is a pure
     last(struct, ignoreNulls) expanding window — i.e. the sort-merge as-of
     scan expressed as LOCF over the merged stream. 100% JVM (WindowExec,
@@ -19,11 +19,12 @@ Two operators:
     spill-safe, and AQE/skew machinery applies normally. This is the
     scale path: a single giant entity is still a single WindowExec
     partition, but sort + running-last spill instead of materializing a
-    pandas group.
-  * "cogroup" (required for direction="nearest", available for the rest):
-    cogrouped Arrow groups merged with vectorized numpy searchsorted —
-    no per-row Python, but pays JVM->Arrow->pandas transfer and holds one
-    entity per pandas group.
+    pandas group. direction="nearest" rides the same single sort with a
+    dual-visibility payload (see _asof_window_nearest).
+  * "cogroup": cogrouped Arrow groups merged with vectorized numpy
+    searchsorted — no per-row Python, but pays JVM->Arrow->pandas
+    transfer and holds one entity per pandas group. Kept as the
+    differential twin of the window strategy.
 
   Backward direction is the default and the only one allowed for feature
   columns; forward/nearest require leakage_ok=True (zero-temporal-leakage
@@ -137,8 +138,7 @@ def asof_join(
     `by` may be a single column or a list (composite key — e.g. the salted
     (entity, chunk) pair). tolerance is in the on-column's unit (seconds
     for numeric/timestamp). strategy: "window" (default; JVM-only, see
-    module docstring) or "cogroup" (Arrow searchsorted; the only one
-    supporting "nearest").
+    module docstring) or "cogroup" (Arrow searchsorted differential twin).
     """
     if direction != "backward" and not leakage_ok:
         raise LeakageError(
@@ -147,7 +147,7 @@ def asof_join(
         )
     by_list = [by] if isinstance(by, str) else list(by)
     if strategy is None:
-        strategy = "cogroup" if direction == "nearest" else "window"
+        strategy = "window"
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in [on, *by_list]]
     # disambiguate collisions with left columns
@@ -158,7 +158,10 @@ def asof_join(
 
     if strategy == "window":
         if direction == "nearest":
-            raise ValueError("strategy='window' supports backward/forward only")
+            return _asof_window_nearest(
+                left, right, on, by_list, tolerance, allow_exact_matches,
+                right_cols, out_names, right_on_out,
+            )
         return _asof_window(
             left, right, on, by_list, direction, tolerance, allow_exact_matches,
             right_cols, out_names, right_on_out,
@@ -305,3 +308,98 @@ def _asof_window(
             out_names[c], F.when(valid, F.col(f"__match.{out_names[c]}"))
         )
     return out.drop("__side", "__r", "__match")
+
+
+def _asof_window_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    tolerance: float | None,
+    allow_exact_matches: bool,
+    right_cols: list[str],
+    out_names: dict[str, str],
+    right_on_out: str,
+) -> DataFrame:
+    """direction='nearest' as a single-sort window plan (previously
+    cogroup-only): the tag-union carries every right row TWICE — once in a
+    backward-visible payload column (__rb) and once forward-visible
+    (__rf) — so ONE (entity, on, rank) sort serves both scans:
+
+      backward match = last(__rb, ignoreNulls)  over [-inf, current]
+      forward  match = first(__rf, ignoreNulls) over [current, +inf]
+
+    The rank places each copy on the correct side of equal-`on` left rows
+    for the exact-match rule (backward copy before left iff exact allowed;
+    forward copy after left iff exact allowed — two independent tie rules
+    one ordering could not express with a single payload). The winner is
+    the closer match, ties to backward, tolerance applied AFTER the choice
+    — exactly pandas.merge_asof(direction='nearest') / the cogroup twin
+    (differentially tested). One exchange, zero Python; the right side
+    rides the shuffle twice (it is the smaller side in the canonical
+    enrich pattern)."""
+    payload = F.struct(
+        F.col(on).alias("__m_on"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+    )
+    ptype = right.select(payload).schema[0].dataType
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__rb", F.lit(None).cast(ptype))
+        .withColumn("__rf", F.lit(None).cast(ptype))
+    )
+
+    def _r_tag(col_name, side_val):
+        t = right.select(
+            *[F.col(b) for b in by], F.col(on), payload.alias(col_name)
+        ).withColumn("__side", F.lit(side_val))
+        other = "__rf" if col_name == "__rb" else "__rb"
+        t = t.withColumn(other, F.lit(None).cast(ptype))
+        for f in left.schema.fields:
+            if f.name not in [*by, on]:
+                t = t.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return t.select(*l_tag.columns)
+
+    u = l_tag.unionByName(_r_tag("__rb", 0)).unionByName(_r_tag("__rf", 2))
+
+    # tie rank at equal on: left rows = 1; backward copies sort before
+    # left iff exact matches allowed; forward copies after left iff exact
+    # allowed (and vice versa when disallowed)
+    rank = (
+        F.when(F.col("__side") == 1, F.lit(1))
+        .when(F.col("__side") == 0, F.lit(0 if allow_exact_matches else 2))
+        .otherwise(F.lit(2 if allow_exact_matches else 0))
+    )
+    base = Window.partitionBy(*by).orderBy(F.col(on).asc(), rank.asc())
+    w_b = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_f = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = (
+        u.withColumn("__mb", F.last("__rb", ignorenulls=True).over(w_b))
+        .withColumn("__mf", F.first("__rf", ignorenulls=True).over(w_f))
+        .filter(F.col("__side") == 1)
+    )
+
+    is_ts = u.schema[on].dataType.typeName().startswith("timestamp")
+
+    def _sec(c):
+        return c.cast("timestamp").cast("double") if is_ts else c.cast("double")
+
+    t_l = _sec(F.col(on))
+    db = F.abs(t_l - _sec(F.col("__mb.__m_on")))
+    df_ = F.abs(_sec(F.col("__mf.__m_on")) - t_l)
+    pick_b = F.col("__mb").isNotNull() & (
+        F.col("__mf").isNull() | (db <= df_)
+    )
+    match = F.when(pick_b, F.col("__mb")).otherwise(F.col("__mf"))
+    u = u.withColumn("__match", match)
+
+    m_on = F.col("__match.__m_on")
+    valid = m_on.isNotNull()
+    if tolerance is not None:
+        valid = valid & (F.abs(t_l - _sec(m_on)) <= F.lit(float(tolerance)))
+    out = u.withColumn(right_on_out, F.when(valid, m_on))
+    for c in right_cols:
+        out = out.withColumn(
+            out_names[c], F.when(valid, F.col(f"__match.{out_names[c]}"))
+        )
+    return out.drop("__side", "__rb", "__rf", "__mb", "__mf", "__match")

@@ -51,13 +51,13 @@ def _pandas_asof(left, right, direction, tolerance=None, allow_exact=True):
         ("forward", None, True),
         ("forward", 30.0, False),
         ("nearest", None, True),
+        ("nearest", 40.0, True),
+        ("nearest", None, False),
     ],
 )
 def test_asof_join_matches_pandas(
     spark, direction, tolerance, allow_exact, strategy
 ):
-    if direction == "nearest" and strategy == "window":
-        pytest.skip("nearest requires cogroup")
     left, right = _random_two_tables()
     got = (
         asof_join(
