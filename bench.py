@@ -24,6 +24,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def calibrate_host() -> float:
+    """Fixed single-core numpy workload (~0.26 s on this host when idle —
+    see BENCH/BASELINE.md): its wall time scales with host contention, so
+    the recorded value is a load factor for normalizing per-query times
+    across rounds (the shared sandbox swings 1-3x between windows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2_000_000)
+    # untimed priming pass: first-touch allocation + sort code paths
+    np.sort(x)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        x = np.sort(x)
+        x = x[::-1].copy()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     from mpds_spark.queries import QUERIES
     from mpds_spark.session import get_spark
@@ -162,8 +180,10 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
+    calib = {"start": calibrate_host()}
     timings = run_driver_queries(sf_dir, cpus)
     total = round(sum(timings.values()), 3)
+    calib["after_queries"] = calibrate_host()
 
     engine = {}
     if os.environ.get("MPDS_BENCH_ENGINE", "1") == "1":
@@ -277,6 +297,7 @@ def main():
             },
         }
 
+    calib["end"] = calibrate_host()
     record = json.dumps(
         {
             "metric": "headline_queries_total",
@@ -285,6 +306,7 @@ def main():
             "queries": timings,
             "sf": sf,
             "engine": engine,
+            "calib_sec": calib,
         }
     )
     # tail-proof the gate artifact (VERDICT r3 ask #1b): a durable sidecar

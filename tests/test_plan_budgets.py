@@ -1,0 +1,74 @@
+"""Physical-plan budget regression harness: the flagship operators'
+plans must keep the shapes the 100-TB story depends on — one exchange
+per entity-keyed temporal leg, no Python stages outside the declared
+battery tier, no unbounded nested-loop joins. A refactor that silently
+adds a shuffle or drops to row-Python fails HERE, not in a benchmark
+three rounds later.
+
+Counts executedPlan() node names with the same whole-word patterns as
+tools/plan_audit.py (bare "Exchange hash/range" only — Broadcast/Reused
+exchanges are counted separately and not budgeted: broadcasting a tiny
+frame is the desired plan).
+"""
+
+import re
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+PAT = {
+    "shuffle": r"\bExchange (?:hash|range|Single)",
+    "python": r"\b(?:BatchEvalPython|ArrowEvalPython)\b",
+    "grouped_pandas": r"\bFlatMapGroupsInPandas\b|\bFlatMapCoGroupsInPandas\b",
+    "bnlj": r"\bBroadcastNestedLoopJoin\b",
+    "cartesian": r"\bCartesianProduct\b",
+}
+
+# query name -> {node: max allowed}. Budgets are the CURRENT shapes with
+# zero slack on the load-bearing numbers (asof/locf/windows = exactly one
+# exchange; lm_quality_buckets = the r4 collapsed plan).
+BUDGETS = {
+    "asof_orders": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "locf": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "derived_features": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "sessionize": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "lag_lead": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "pack_sequences": {"shuffle": 2, "python": 0},
+    "sample_token_budget": {"shuffle": 2, "python": 0},
+    "lm_quality_buckets": {"shuffle": 2, "python": 0},
+    "hash_split": {"shuffle": 1, "python": 0},
+    "redact_pii": {"shuffle": 0, "python": 0},
+    "chunk_tokens": {"shuffle": 0, "python": 0},
+    "stratified_sample": {"shuffle": 1, "python": 0},
+    "centroid_outliers": {"shuffle": 2, "python": 0},
+    "dedup_exact": {"shuffle": 1, "python": 0},
+    "decontaminate": {"shuffle": 2, "python": 0},
+    # bounded BNLJ is allowed ONLY where documented (clinical inter pass,
+    # brute-force ANN baseline); everywhere above it is banned
+    "clinical_pairs": {"python": 0, "grouped_pandas": 0, "cartesian": 0},
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    from mpds_spark.queries import QUERIES
+    from mpds_spark.operators.util import release_scratch
+
+    out = {}
+    for name in BUDGETS:
+        df = QUERIES[name](spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        release_scratch()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(plans, name):
+    plan = plans[name]
+    for node, cap in BUDGETS[name].items():
+        got = len(re.findall(PAT[node], plan))
+        assert got <= cap, (
+            f"{name}: {got} {node} nodes (budget {cap}) — the plan shape "
+            f"regressed; see tools/plan_audit.py.\n{plan[:2000]}"
+        )
