@@ -43,6 +43,7 @@ BUDGETS = {
     "stratified_sample": {"shuffle": 1, "python": 0},
     "centroid_outliers": {"shuffle": 2, "python": 0},
     "dedup_exact": {"shuffle": 1, "python": 0},
+    "validate_docs": {"shuffle": 2, "python": 0},
     "decontaminate": {"shuffle": 2, "python": 0},
     # bounded BNLJ is allowed ONLY where documented (clinical inter pass,
     # brute-force ANN baseline); everywhere above it is banned
