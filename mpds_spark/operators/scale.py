@@ -316,26 +316,36 @@ def exact_grouped_quantiles_multi(
     )
     w = Window.partitionBy("__k", "__p").orderBy("__x")
     sliced = tagged.withColumn("__r", F.row_number().over(w))
-    need_rows = []
-    for i, x in enumerate(ps):
-        need_rows.append(
-            ranks.select(
-                "__k",
+    # ONE explode over an array of per-p structs — a per-p union of
+    # selects would re-plan (and re-execute) the ranks subtree (the br
+    # and below aggregations) K times; the same melt fix as validate()
+    need_structs = F.array(
+        *[
+            F.struct(
                 F.lit(i).alias("__p"),
                 F.lit(x).alias("p"),
                 F.col(f"__frac{i}").alias("__frac"),
                 (
-                    F.col(f"__ipos{i}") + 1 - F.coalesce(F.col(f"__nb{i}"), F.lit(0))
+                    F.col(f"__ipos{i}")
+                    + 1
+                    - F.coalesce(F.col(f"__nb{i}"), F.lit(0))
                 ).alias("__r_lo"),
                 (
                     F.least(F.col(f"__ipos{i}") + 2, F.col("__n"))
                     - F.coalesce(F.col(f"__nb{i}"), F.lit(0))
                 ).alias("__r_hi"),
             )
-        )
-    need = need_rows[0]
-    for nr in need_rows[1:]:
-        need = need.unionByName(nr)
+            for i, x in enumerate(ps)
+        ]
+    )
+    need = ranks.select("__k", F.explode(need_structs).alias("__s")).select(
+        "__k",
+        F.col("__s.__p").alias("__p"),
+        F.col("__s.p").alias("p"),
+        F.col("__s.__frac").alias("__frac"),
+        F.col("__s.__r_lo").alias("__r_lo"),
+        F.col("__s.__r_hi").alias("__r_hi"),
+    )
     got = (
         sliced.join(F.broadcast(need), ["__k", "__p"])
         .filter(

@@ -414,9 +414,25 @@ def test_lm_quality_buckets_boundary_strategies_identical(spark):
             (i, f"s{i % 2}", " ".join(["w"] * (i + 1) + [f"u{i}_{j}" for j in range(25 - i)]))
         )
     docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
-    a = lm_quality_buckets(docs, boundaries="grouped_agg").orderBy("doc_id").collect()
-    b = lm_quality_buckets(docs, boundaries="bracketed").orderBy("doc_id").collect()
-    c = lm_quality_buckets(docs, boundaries="auto").orderBy("doc_id").collect()
+
+    def run(strategy):
+        got = (
+            lm_quality_buckets(docs, boundaries=strategy)
+            .orderBy("doc_id")
+            .collect()
+        )
+        # unigram_nll is an F.avg over doubles: partial-aggregation ORDER
+        # is scheduling-dependent, so independent executions jitter at the
+        # 1e-16 level (the catalog query rounds to 6 decimals for the
+        # oracle hash for exactly this reason) — compare discrete fields
+        # exactly and the score to 9 decimals
+        return [
+            (r["doc_id"], r["source"], r["n_words"], r["bucket"],
+             round(r["unigram_nll"], 9))
+            for r in got
+        ]
+
+    a, b, c = run("grouped_agg"), run("bracketed"), run("auto")
     assert a == b == c and len(a) == 25
     with _pytest.raises(ValueError):
         lm_quality_buckets(docs, boundaries="nope")
