@@ -92,6 +92,8 @@ _PRIORITY = [
     "stratified_sample",
     "centroid_outliers",
     "source_stats",
+    "streaming_sessions",
+    "streaming_dedup",
 ]
 
 

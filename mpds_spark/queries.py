@@ -3263,3 +3263,124 @@ FROM a JOIN v ON a.source = v.source
 QUERIES["source_stats"] = q_source_stats
 _RAW_ORACLES["source_stats"] = SQL_SOURCE_STATS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def _stream_dir(sf_dir, name):
+    """File-source streaming needs a DIRECTORY; the testdata tables are
+    single parquet files — symlink one into a per-(sf,table) temp dir."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"mpds_stream_{os.path.basename(sf_dir.rstrip('/'))}_{name}",
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{name}.parquet", link)
+    return d
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Structured Streaming gap sessionization run THROUGH the streaming
+    engine (file source -> session_window agg -> memory sink, complete
+    mode, availableNow): one row per (user, session) with bounds and
+    aggregates. Deterministic over a finite input, so the batch gap-rule
+    SQL is an exact oracle — the driver row that pins the streaming tier,
+    not just its pytest batch-equivalence twin."""
+    from mpds_spark.streaming.sessions import session_agg
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "events")
+    )
+    agg = session_agg(
+        stream, gap="30 minutes", entity="user_id", ts="ts", value="value"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mpds_q_streaming_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mpds_q_streaming_sessions")
+    # epoch-second doubles, not raw timestamps: pandas materializes Spark
+    # NTZ as datetime64[ns] but DuckDB as [us], so the gate's int64 canon
+    # would compare mismatched units (same convention as every ts query)
+    return out.select(
+        "user_id",
+        F.col("session_start")
+        .cast("timestamp")
+        .cast("double")
+        .alias("session_start"),
+        F.col("session_end")
+        .cast("timestamp")
+        .cast("double")
+        .alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        _r6("sum_value").alias("sum_value"),
+    )
+
+
+SQL_STREAMING_SESSIONS = """
+WITH m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+  epoch(min(ts)) AS session_start,
+  epoch(max(ts) + INTERVAL 30 MINUTE) AS session_end,
+  count(*) AS n_events,
+  round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+QUERIES["streaming_sessions"] = q_streaming_sessions
+_RAW_ORACLES["streaming_sessions"] = SQL_STREAMING_SESSIONS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup run THROUGH the streaming engine (stateful
+    dropDuplicates on md5(text), availableNow): which row arrives first
+    per hash is scheduling-dependent, but the SET of surviving hashes is
+    not — project to (text_hash, n_chars-of-survivor? no: hash only) plus
+    a count row-invariant: one output row per distinct content."""
+    from mpds_spark.streaming.dedup import stream_exact_dedup
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    ded = stream_exact_dedup(stream)
+    q = (
+        ded.select("text_hash")
+        .writeStream.format("memory")
+        .queryName("mpds_q_streaming_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mpds_q_streaming_dedup").select("text_hash")
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT md5(text) AS text_hash FROM documents
+"""
+
+QUERIES["streaming_dedup"] = q_streaming_dedup
+_RAW_ORACLES["streaming_dedup"] = SQL_STREAMING_DEDUP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
