@@ -94,6 +94,7 @@ _PRIORITY = [
     "source_stats",
     "streaming_sessions",
     "streaming_dedup",
+    "streaming_asof_enrich",
 ]
 
 

@@ -3384,3 +3384,55 @@ SELECT DISTINCT md5(text) AS text_hash FROM documents
 QUERIES["streaming_dedup"] = q_streaming_dedup
 _RAW_ORACLES["streaming_dedup"] = SQL_STREAMING_DEDUP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_streaming_asof_enrich(spark, sf_dir):
+    """The engine's streaming crown piece run THROUGH the streaming engine
+    and value-gated: stateful point-in-time enrichment
+    (applyInPandasWithState, one (ts, value) state row per entity) of
+    observation events against the latest purchase reference at-or-before
+    each observation. Over a finite file source the result equals the
+    batch as-of join, so DuckDB's native ASOF JOIN is an exact oracle."""
+    from mpds_spark.streaming.stateful import streaming_asof_enrich
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
+    ev = raw.select(
+        F.col("user_id").cast("string").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.when(F.col("event_type") == "purchase", F.lit("ref"))
+        .otherwise(F.lit("obs"))
+        .alias("kind"),
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        streaming_asof_enrich(ev)
+        .writeStream.format("memory")
+        .queryName("mpds_q_streaming_asof")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mpds_q_streaming_asof").select(
+        "entity_id", "ts", "value", "ref_val", "ref_ts"
+    )
+
+
+SQL_STREAMING_ASOF_ENRICH = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity_id, epoch(ts) AS ts,
+    CASE WHEN event_type = 'purchase' THEN 'ref' ELSE 'obs' END AS kind,
+    value
+  FROM events
+), obs AS (SELECT entity_id, ts, value FROM e WHERE kind = 'obs'),
+ref AS (SELECT entity_id, ts AS ref_ts, value AS ref_val FROM e
+        WHERE kind = 'ref')
+SELECT o.entity_id, o.ts, o.value, r.ref_val, r.ref_ts
+FROM obs o ASOF LEFT JOIN ref r
+  ON o.entity_id = r.entity_id AND o.ts >= r.ref_ts
+"""
+
+QUERIES["streaming_asof_enrich"] = q_streaming_asof_enrich
+_RAW_ORACLES["streaming_asof_enrich"] = SQL_STREAMING_ASOF_ENRICH
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
