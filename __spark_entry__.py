@@ -95,6 +95,8 @@ _PRIORITY = [
     "streaming_sessions",
     "streaming_dedup",
     "streaming_asof_enrich",
+    "streaming_token_budget",
+    "streaming_pack",
 ]
 
 

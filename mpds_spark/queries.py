@@ -3436,3 +3436,121 @@ FROM obs o ASOF LEFT JOIN ref r
 QUERIES["streaming_asof_enrich"] = q_streaming_asof_enrich
 _RAW_ORACLES["streaming_asof_enrich"] = SQL_STREAMING_ASOF_ENRICH
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_streaming_token_budget(spark, sf_dir):
+    """Streaming per-source token-budget admission run THROUGH the
+    streaming engine (applyInPandasWithState, one running-total state row
+    per source): over a finite single-batch source the admitted set is
+    exactly the batch sample_token_budget greedy hash-order prefix, so
+    the same window SQL is an exact oracle (budget 700, matching the
+    batch catalog query)."""
+    from mpds_spark.operators.dedup import words_col
+    from mpds_spark.streaming.sampling import streaming_token_budget
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.size(words_col("text")).cast("long").alias("n_tok"),
+    )
+    q = (
+        streaming_token_budget(docs, budget=700)
+        .writeStream.format("memory")
+        .queryName("mpds_q_streaming_budget")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("mpds_q_streaming_budget").select(
+        "doc_id", "source", "n_tok", "cum_tok"
+    )
+
+
+QUERIES["streaming_token_budget"] = q_streaming_token_budget
+_RAW_ORACLES["streaming_token_budget"] = SQL_SAMPLE_TOKEN_BUDGET
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_streaming_pack(spark, sf_dir):
+    """Streaming per-source sequence packing run THROUGH the streaming
+    engine (applyInPandasWithState; state = the partial trailing bin per
+    source). Over a finite single-batch source the emitted rows are
+    exactly the batch concat-and-chunk's FULL bins per source, so the
+    windowed SQL packer restricted to full bins is an exact oracle.
+    Tokens = per-word lengths (engine-portable int tokenization)."""
+    from mpds_spark.streaming.packing import streaming_pack
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "documents")
+    )
+    docs = raw.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(split(trim(text), '\\\\s+'), x -> int(length(x)))"
+        ).alias("tokens"),
+    )
+    q = (
+        streaming_pack(docs, length=64)
+        .writeStream.format("memory")
+        .queryName("mpds_q_streaming_pack")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mpds_q_streaming_pack")
+    return out.select(
+        "source",
+        "bin_id",
+        F.expr("cast(size(tokens) as long)").alias("n_tok_packed"),
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("packed_hash"),
+    )
+
+
+SQL_STREAMING_PACK = """
+WITH t AS (
+  SELECT doc_id, source,
+    list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                   x -> CAST(length(x) AS INT)) AS ws,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0
+), c AS (
+  SELECT doc_id, source, ws, n,
+    CAST(sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS s
+  FROM t
+), p AS (
+  SELECT source, ws, n, s,
+    unnest(range(s // 64, (s + n - 1) // 64 + 1)) AS bin
+  FROM c
+), pieces AS (
+  SELECT source, bin, s,
+    list_slice(ws, CAST(greatest(bin * 64 - s, 0) AS BIGINT) + 1,
+               CAST(least(n, (bin + 1) * 64 - s) AS BIGINT)) AS piece
+  FROM p
+), packed AS (
+  SELECT source, bin, list(piece ORDER BY s) AS pl, count(*) AS n_segments
+  FROM pieces GROUP BY source, bin
+)
+SELECT source,
+  CAST(bin AS BIGINT) AS bin_id,
+  CAST(len(flatten(pl)) AS BIGINT) AS n_tok_packed,
+  CAST(n_segments AS INT) AS n_segments,
+  md5(coalesce(array_to_string(flatten(pl), ' '), '')) AS packed_hash
+FROM packed
+WHERE len(flatten(pl)) = 64
+"""
+
+QUERIES["streaming_pack"] = q_streaming_pack
+_RAW_ORACLES["streaming_pack"] = SQL_STREAMING_PACK
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
