@@ -97,6 +97,7 @@ _PRIORITY = [
     "streaming_asof_enrich",
     "streaming_token_budget",
     "streaming_pack",
+    "asof_nearest",
 ]
 
 

@@ -54,7 +54,14 @@ def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     from mpds_spark.operators.util import release_scratch
 
     timings = {}
-    for name, fn in QUERIES.items():
+    calib_samples = []
+    for i, (name, fn) in enumerate(QUERIES.items()):
+        if i % 20 == 0:
+            # in-loop load samples: the shared host's contention is BURSTY
+            # (a start/end calibration can read idle while the middle of
+            # the run was loaded) — sample every 20 queries so reviewers
+            # can see which stretch of timings to trust
+            calib_samples.append(calibrate_host())
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -64,7 +71,7 @@ def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         # query session doesn't accrue executor storage across queries
         release_scratch()
     spark.stop()
-    return timings
+    return timings, calib_samples
 
 
 def materialize_engine_input(n_docs: int, cpus: int, seed: int = 42) -> tuple[str, int]:
@@ -181,8 +188,9 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
 
     calib = {"start": calibrate_host()}
-    timings = run_driver_queries(sf_dir, cpus)
+    timings, calib_samples = run_driver_queries(sf_dir, cpus)
     total = round(sum(timings.values()), 3)
+    calib["during_queries"] = calib_samples
     calib["after_queries"] = calibrate_host()
 
     engine = {}

@@ -3554,3 +3554,55 @@ WHERE len(flatten(pl)) = 64
 QUERIES["streaming_pack"] = q_streaming_pack
 _RAW_ORACLES["streaming_pack"] = SQL_STREAMING_PACK
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join on the JVM-only window strategy (r4:
+    dual-visibility payload, one sort — previously cogroup-only): every
+    event matched to the CLOSEST purchase of its user in either time
+    direction, ties to the backward match, exact matches allowed.
+    leakage_ok: nearest looks forward — label/eval use only."""
+    from mpds_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    purchases = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        F.col("value").alias("pval"),
+    )
+    out = asof_join(
+        ev,
+        purchases,
+        on="ts",
+        by="entity_id",
+        direction="nearest",
+        leakage_ok=True,
+        strategy="window",
+    )
+    return out.select("event_id", "entity_id", "ts", "pval", "ts_r")
+
+
+SQL_ASOF_NEAREST = """
+WITH e AS (
+  SELECT event_id, user_id AS entity_id, epoch(ts) AS ts FROM events
+), p AS (
+  SELECT user_id AS entity_id, epoch(ts) AS ts, value AS pval FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.entity_id, e.ts, r.pval, r.ts AS ts_r
+FROM e LEFT JOIN LATERAL (
+  SELECT p.pval, p.ts FROM p
+  WHERE p.entity_id = e.entity_id
+  ORDER BY abs(e.ts - p.ts), p.ts LIMIT 1
+) r ON TRUE
+"""
+
+QUERIES["asof_nearest"] = q_asof_nearest
+_RAW_ORACLES["asof_nearest"] = SQL_ASOF_NEAREST
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
