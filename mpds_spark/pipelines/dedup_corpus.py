@@ -127,9 +127,17 @@ def dedup_corpus(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    pair_method: str = "minhash",
+    max_hamming: int = 3,
     stop_after: int | None = None,
 ) -> dict:
     """Run (or resume) the 4-stage corpus dedup under out_dir.
+
+    pair_method: "minhash" (MinHash+LSH bands -> exact-Jaccard verify,
+    threshold/k/band_size/shingle_n apply) or "simhash" (64-bit SimHash,
+    pigeonhole Hamming bands -> popcount verify, max_hamming applies) —
+    the two near-dup backends the engine ships; the spec string embeds
+    the choice so switching invalidates exactly stages 2-4.
 
     stop_after: finish stage k then return (test hook for kill/resume —
     the same partial state a real failure leaves behind).
@@ -140,6 +148,7 @@ def dedup_corpus(
     from mpds_spark.operators.dedup import (
         connected_components_star,
         near_dup_pairs,
+        simhash_near_dups,
     )
 
     stages: dict = {}
@@ -177,18 +186,17 @@ def dedup_corpus(
     if stop_after == 1:
         return {"keep": None, "stages": stages}
 
-    # ---- stage 2: near-dup pairs over representatives (two-tier LSH+verify)
-    spec2 = f"{spec1}>pairs|k={minhash_k}|b={band_size}|n={shingle_n}|t={threshold}|df={max_df}"
+    # ---- stage 2: near-dup pairs over representatives (two-tier
+    # candidates -> verify; backend per pair_method)
     rep_docs = docs.join(
         exact.select(F.col("keep_doc_id").alias(key)), key, "left_semi"
     )
-    pairs = _run_stage(
-        spark,
-        out_dir,
-        "02_pairs",
-        fingerprint,
-        spec2,
-        lambda: near_dup_pairs(
+    if pair_method == "minhash":
+        spec2 = (
+            f"{spec1}>pairs|k={minhash_k}|b={band_size}"
+            f"|n={shingle_n}|t={threshold}|df={max_df}"
+        )
+        build_pairs = lambda: near_dup_pairs(  # noqa: E731
             rep_docs,
             text=text,
             key=key,
@@ -197,8 +205,16 @@ def dedup_corpus(
             n=shingle_n,
             threshold=threshold,
             max_df=max_df,
-        ),
-        stages,
+        )
+    elif pair_method == "simhash":
+        spec2 = f"{spec1}>pairs|simhash|h={max_hamming}"
+        build_pairs = lambda: simhash_near_dups(  # noqa: E731
+            rep_docs, text=text, key=key, max_hamming=max_hamming
+        ).select("doc_a", "doc_b")
+    else:
+        raise ValueError(f"unknown pair_method {pair_method!r}")
+    pairs = _run_stage(
+        spark, out_dir, "02_pairs", fingerprint, spec2, build_pairs, stages
     )
     if stop_after == 2:
         return {"keep": None, "stages": stages}

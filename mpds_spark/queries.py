@@ -3278,7 +3278,10 @@ def _stream_dir(sf_dir, name):
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/{name}.parquet", link)
+        try:
+            os.symlink(f"{sf_dir}/{name}.parquet", link)
+        except FileExistsError:
+            pass  # concurrent process won the race — same target
     return d
 
 

@@ -77,3 +77,37 @@ def test_dedup_corpus_spec_change_invalidates_downstream_only(spark, tmp_path):
     assert res["stages"]["01_exact"] == "skipped"
     assert res["stages"]["02_pairs"] == "ran"
     assert res["stages"]["04_keep"] == "ran"
+
+
+def test_dedup_corpus_simhash_backend(spark, tmp_path):
+    """pair_method='simhash' swaps stage 2 for the SimHash Hamming-band
+    backend: exact dups still collapse, the pipeline resumes (spec embeds
+    the method so a backend switch invalidates stages 2-4), and an
+    unknown method raises."""
+    import pytest
+
+    docs = spark.createDataFrame(_corpus())
+    out = str(tmp_path / "sh")
+    r1 = dedup_corpus(spark, docs, out, pair_method="simhash", max_hamming=3)
+    k = r1["keep"].toPandas()
+    n_docs = len(k)
+    n_kept = int(k["keep"].sum())
+    assert n_kept < n_docs  # planted exact dups collapsed at minimum
+    # exact dups: same text_hash -> exactly one keeper per hash group
+    assert (
+        k.groupby("text_hash")
+        .apply(lambda g: (g["doc_id"] == g["exact_rep"]).sum(), include_groups=False)
+        .eq(1)
+        .all()
+    )
+    # rerun skips; identical verdicts
+    r2 = dedup_corpus(spark, docs, out, pair_method="simhash", max_hamming=3)
+    assert r2["stages"]["02_pairs"] == "skipped"
+    assert sorted(map(tuple, r2["keep"].collect())) == sorted(
+        map(tuple, r1["keep"].collect())
+    )
+    # switching backend in the SAME dir invalidates stage 2 downstream
+    r3 = dedup_corpus(spark, docs, out, pair_method="minhash")
+    assert r3["stages"]["02_pairs"] == "ran"
+    with pytest.raises(ValueError):
+        dedup_corpus(spark, docs, str(tmp_path / "bad"), pair_method="nope")
