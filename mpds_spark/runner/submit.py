@@ -116,6 +116,8 @@ def cmd_dedup(args) -> int:
         n_buckets=args.entity_buckets,
         threshold=args.threshold,
         max_df=args.max_df,
+        pair_method=args.pair_method,
+        max_hamming=args.max_hamming,
     )
     keep = res["keep"]
     n_docs = keep.count()
@@ -229,6 +231,13 @@ def main(argv=None) -> int:
     d.add_argument("--entity-buckets", type=int, default=8)
     d.add_argument("--threshold", type=float, default=0.5)
     d.add_argument("--max-df", type=int, default=None)
+    d.add_argument(
+        "--pair-method",
+        choices=["minhash", "simhash"],
+        default="minhash",
+        help="near-dup candidate backend for stage 2",
+    )
+    d.add_argument("--max-hamming", type=int, default=3)
 
     pr = sub.add_parser("prepare")
     pr.add_argument("--input", required=True, help="parquet path or table name")
