@@ -69,6 +69,7 @@ def prepare_corpus(
     decontam_n: int = 3,
     min_hits: int = 1,
     dedup_threshold: float = 0.5,
+    dedup_pair_method: str = "minhash",
     temperature_alpha: float | None = None,
     split_fractions: dict | None = None,
     split_seed: str = "split",
@@ -79,6 +80,9 @@ def prepare_corpus(
 
     temperature_alpha: rebalance the mixture by group-size^alpha with
     `budget` as the TOTAL token budget (None = flat per-group budget).
+    dedup_pair_method: near-dup backend for the nested dedup pipeline
+    ("minhash" | "simhash"); embedded in the downstream spec so switching
+    invalidates decontamination onward.
     split_fractions: {"train": 0.98, "val": 0.01, "test": 0.01} —
     deterministic hash split of the selection; packing and shards then run
     per split. stop_after: finish stage k then return (kill/resume test
@@ -155,6 +159,7 @@ def prepare_corpus(
         text=text,
         key=key,
         threshold=dedup_threshold,
+        pair_method=dedup_pair_method,
     )
     stages["02_dedup"] = res2["stages"]
     kept = passing.join(
@@ -165,7 +170,10 @@ def prepare_corpus(
         return {"selected": None, "stages": stages, "funnel": funnel}
 
     # ---- stage 3: decontamination vs the eval set
-    spec3 = f"{spec1}>dedup|t={dedup_threshold}>decontam|n={decontam_n}|h={min_hits}"
+    spec3 = (
+        f"{spec1}>dedup|t={dedup_threshold}|m={dedup_pair_method}"
+        f">decontam|n={decontam_n}|h={min_hits}"
+    )
     verdicts = _run_stage(
         spark,
         out_dir,
