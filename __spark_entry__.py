@@ -98,6 +98,7 @@ _PRIORITY = [
     "streaming_token_budget",
     "streaming_pack",
     "asof_nearest",
+    "dsir_resample",
 ]
 
 

@@ -417,3 +417,53 @@ def stratified_sample(
             .drop("__frac")
         )
     return df.filter(u < F.lit(float(fractions)))
+
+
+def importance_resample(
+    df: DataFrame,
+    logweight: str,
+    n: int,
+    key: str = "doc_id",
+    seed: str = "resample",
+) -> DataFrame:
+    """Gumbel top-k importance resampling — the selection step of DSIR
+    (Xie et al. 2023): sampling n items WITHOUT replacement with
+    probability proportional to exp(logweight) is exactly taking the top
+    n by perturbed key
+
+        score = logweight + Gumbel(0,1),  Gumbel = -ln(-ln(u))
+
+    (Efraimidis & Spirakis 2006 / the Gumbel-top-k trick). The uniform u
+    comes from the content hash md5(seed|key) mapped to (0,1) — never
+    exactly 0 or 1 — so the draw is a pure function of row content and
+    seed: layout/engine/run-independent, re-drawable by changing seed.
+    Returns the selected rows with (key, logweight, gumbel_score).
+
+    Scale: one global top-n — Catalyst plans order-by-limit as per-
+    partition TopK + a single n-row merge (no global sort); n is the
+    selection size, driver-safe by definition of the operator."""
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(seed), F.col(key).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(0.5)
+        )
+        / F.lit(float(1 << 32))
+    )
+    score = F.col(logweight) + (-F.log(-F.log(u)))
+    return (
+        df.select(F.col(key), F.col(logweight), score.alias("gumbel_score"))
+        .orderBy(F.col("gumbel_score").desc(), F.col(key))
+        .limit(int(n))
+    )

@@ -3609,3 +3609,62 @@ FROM e LEFT JOIN LATERAL (
 QUERIES["asof_nearest"] = q_asof_nearest
 _RAW_ORACLES["asof_nearest"] = SQL_ASOF_NEAREST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR end-to-end: importance log-weights vs the src0 target domain,
+    then Gumbel top-k importance resampling (the paper's selection step,
+    = sampling w/o replacement proportional to the importance weight) —
+    the 100 selected docs with their perturbed scores."""
+    from mpds_spark.operators.sampling import importance_resample
+    from mpds_spark.operators.text import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    w = dsir_logratio(docs, target, alpha=1.0).select(
+        "doc_id", F.col("dsir_logweight_mean").alias("lw")
+    )
+    out = importance_resample(w, "lw", n=100)
+    return out.select(
+        "doc_id", _r6("lw").alias("lw"), _r6("gumbel_score").alias("gumbel_score")
+    )
+
+
+SQL_DSIR_RESAMPLE = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), tw AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents WHERE source = 'src0'
+), cs AS (SELECT word, count(*) AS cs FROM w GROUP BY word),
+ct AS (SELECT word, count(*) AS ct FROM tw GROUP BY word),
+vocab AS (
+  SELECT coalesce(cs.word, ct.word) AS word,
+    coalesce(cs.cs, 0) AS cs, coalesce(ct.ct, 0) AS ct
+  FROM cs FULL OUTER JOIN ct ON cs.word = ct.word
+), t AS (
+  SELECT sum(cs) AS ns, sum(ct) AS nt, count(*) AS v FROM vocab
+), lr AS (
+  SELECT word,
+    ln((ct + 1.0) / (t.nt + 1.0 * t.v)) - ln((cs + 1.0) / (t.ns + 1.0 * t.v))
+      AS lr
+  FROM vocab CROSS JOIN t
+), lw AS (
+  SELECT w.doc_id, avg(lr.lr) AS lw
+  FROM w JOIN lr USING (word) GROUP BY w.doc_id
+), g AS (
+  SELECT doc_id, lw,
+    lw + (-ln(-ln(
+      (CAST(('0x' || substr(md5('resample|' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) + 0.5) / 4294967296.0
+    ))) AS gumbel_score
+  FROM lw
+)
+SELECT doc_id, round(lw, 6) AS lw, round(gumbel_score, 6) AS gumbel_score
+FROM g ORDER BY gumbel_score DESC, doc_id LIMIT 100
+"""
+
+QUERIES["dsir_resample"] = q_dsir_resample
+_RAW_ORACLES["dsir_resample"] = SQL_DSIR_RESAMPLE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

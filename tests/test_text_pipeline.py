@@ -513,3 +513,22 @@ def test_stratified_sample_deterministic_and_whitelist(spark):
     assert (kept["source"] == "g0").sum() == 200  # frac 1.0 keeps all
     n1 = (kept["source"] == "g1").sum()
     assert 30 <= n1 <= 90  # ~0.3 * 200
+
+
+def test_importance_resample_gumbel_properties(spark):
+    """Gumbel top-k resampling: deterministic per seed, different across
+    seeds, and selection frequency tracks the weights (high-weight items
+    dominate the sample across independent seeds)."""
+    from mpds_spark.operators.sampling import importance_resample
+
+    rows = [(i, 3.0 if i < 20 else -3.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lw"])
+    a = [r["doc_id"] for r in importance_resample(df, "lw", 30, seed="s1").collect()]
+    b = [r["doc_id"] for r in importance_resample(df, "lw", 30, seed="s1").collect()]
+    c = [r["doc_id"] for r in importance_resample(df, "lw", 30, seed="s2").collect()]
+    assert a == b and set(a) != set(c)
+    # e^3 vs e^-3 odds (~400:1): the 20 heavy items should essentially
+    # always be selected, across both seeds
+    heavy = set(range(20))
+    assert len(heavy & set(a)) == 20
+    assert len(heavy & set(c)) == 20
