@@ -44,6 +44,10 @@ BUDGETS = {
     "centroid_outliers": {"shuffle": 2, "python": 0},
     "dedup_exact": {"shuffle": 1, "python": 0},
     "validate_docs": {"shuffle": 2, "python": 0},
+    # resampling must stay TakeOrderedAndProject on top of the weights —
+    # zero extra exchanges, no global sort
+    "dsir_weights": {"shuffle": 3, "python": 0},
+    "dsir_resample": {"shuffle": 3, "python": 0},
     "decontaminate": {"shuffle": 2, "python": 0},
     # bounded BNLJ is allowed ONLY where documented (clinical inter pass,
     # brute-force ANN baseline); everywhere above it is banned
