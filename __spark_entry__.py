@@ -99,6 +99,7 @@ _PRIORITY = [
     "streaming_pack",
     "asof_nearest",
     "dsir_resample",
+    "winnow_fingerprints",
 ]
 
 

@@ -583,3 +583,73 @@ def dsir_logratio(
         F.sum("__lr").alias("dsir_logweight"),
         F.avg("__lr").alias("dsir_logweight_mean"),
     )
+
+
+# ------------------------------------------------------------ winnowing
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word n-gram, slide a
+    window of `w` consecutive hashes, select the MINIMUM hash per window
+    with ties to the RIGHTMOST position, and dedupe the selections. The
+    guarantee: any shared substring of length >= w+n-1 words contributes
+    at least one identical (hash) fingerprint to both documents, at
+    density ~2/(w+1) of the n-gram count.
+
+    Tie-break portability: the per-window argmin is computed as a plain
+    min over `hash || zero-padded(max_pos - pos)` — lexicographic min of
+    the encoding IS (min hash, max pos), identical in any engine; no
+    struct-ordering or min_by semantics needed.
+
+    Plan: posexplode -> ONE (doc)-partitioned window (frame CURRENT..+w-1)
+    -> distinct. Doc-keyed end to end, no joins, no skew surface beyond
+    document length. Returns (key, pos, fingerprint)."""
+    from pyspark.sql import Window
+
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(__words) - {n} + 1, 0)), "
+        f"i -> concat_ws(' ', slice(__words, i, {n})))"
+    )
+    d = (
+        df.select(F.col(key), words_col(text).alias("__words"))
+        .filter(F.size("__words") >= n)
+        .select(F.col(key), F.posexplode(sh).alias("pos", "gram"))
+        .select(F.col(key), "pos", F.md5("gram").alias("__h"))
+    )
+    # encode (hash asc, pos desc) as one string; 6 digits bound pos < 1e6
+    enc = F.concat(
+        F.col("__h"), F.lpad((F.lit(999_999) - F.col("pos")).cast("string"), 6, "0")
+    )
+    win = (
+        Window.partitionBy(key)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    cnt = Window.partitionBy(key)
+    sel = (
+        d.withColumn("__enc", F.min(enc).over(win))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        # full windows only (start pos <= n_shingles - w); a doc shorter
+        # than w shingles keeps its single all-covering window at pos 0
+        .filter(
+            (F.col("pos") <= F.col("__n") - w) | (F.col("pos") == 0)
+        )
+        .select(
+            F.col(key),
+            (
+                F.lit(999_999)
+                - F.substring("__enc", 33, 6).cast("int")
+            ).alias("pos"),
+            F.substring("__enc", 1, 32).alias("fingerprint"),
+        )
+        .distinct()
+    )
+    return sel

@@ -3668,3 +3668,45 @@ FROM g ORDER BY gumbel_score DESC, doc_id LIMIT 100
 QUERIES["dsir_resample"] = q_dsir_resample
 _RAW_ORACLES["dsir_resample"] = SQL_DSIR_RESAMPLE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03, the MOSS
+    algorithm) over documents: min 5-gram hash per 4-window, rightmost
+    tie-break, full windows, deduped — every selected (position,
+    fingerprint) pair value-checked."""
+    from mpds_spark.operators.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, n=5, w=4)
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH wds AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws,
+    unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS i
+  FROM wds WHERE len(ws) >= 5
+), h AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(ws, i, i + 4), ' ')) AS hh
+  FROM g
+), e AS (
+  SELECT doc_id, pos,
+    min(hh || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+)
+SELECT DISTINCT doc_id,
+  999999 - CAST(substr(enc, 33, 6) AS INT) AS pos,
+  substr(enc, 1, 32) AS fingerprint
+FROM e WHERE pos <= n - 4 OR pos = 0
+"""
+
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
+_RAW_ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

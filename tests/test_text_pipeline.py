@@ -532,3 +532,53 @@ def test_importance_resample_gumbel_properties(spark):
     heavy = set(range(20))
     assert len(heavy & set(a)) == 20
     assert len(heavy & set(c)) == 20
+
+
+def test_winnow_fingerprints_matches_reference_impl(spark):
+    """Winnowing (Schleimer et al. 2003): Spark output equals a literal
+    pure-Python winnow (min hash per window, rightmost tie-break, full
+    windows, deduped), and two docs sharing a >= w+n-1-word substring
+    share at least one fingerprint."""
+    import hashlib
+
+    from mpds_spark.operators.text import winnow_fingerprints
+
+    def py_winnow(words, n=3, w=4):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            return set()
+        out = set()
+        starts = range(max(len(hs) - w, 0) + 1)
+        for p in starts:
+            win = hs[p : p + w]
+            m = min(win)
+            # rightmost occurrence of the min in this window
+            ri = max(i for i, h in enumerate(win) if h == m)
+            out.add((p + ri, m))
+        return out
+
+    shared = "the quick brown fox jumps over the lazy dog".split()
+    docs = {
+        1: ("alpha beta gamma " + " ".join(shared) + " end token").split(),
+        2: ("start words here " + " ".join(shared) + " tail piece").split(),
+        3: "completely different content with no overlap at all okay".split(),
+        4: "tiny doc".split(),  # shorter than n -> no grams, no rows
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], ["doc_id", "text"]
+    )
+    got = winnow_fingerprints(df, n=3, w=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    for k, words in docs.items():
+        exp = py_winnow(words, 3, 4)
+        assert by_doc.get(k, set()) == exp, k
+    # guarantee: docs 1 and 2 share the 9-word run (>= w+n-1 = 6) -> at
+    # least one common fingerprint HASH; doc 3 shares none with either
+    f1 = {h for _, h in by_doc[1]}
+    f2 = {h for _, h in by_doc[2]}
+    f3 = {h for _, h in by_doc[3]}
+    assert f1 & f2
+    assert not (f1 & f3) and not (f2 & f3)
