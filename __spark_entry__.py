@@ -100,6 +100,7 @@ _PRIORITY = [
     "asof_nearest",
     "dsir_resample",
     "winnow_fingerprints",
+    "winnow_near_dups",
 ]
 
 

@@ -3710,3 +3710,52 @@ FROM e WHERE pos <= n - 4 OR pos = 0
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 _RAW_ORACLES["winnow_fingerprints"] = SQL_WINNOW_FINGERPRINTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_winnow_near_dups(spark, sf_dir):
+    """MOSS-style near-dup pairs: docs sharing >= 2 winnowing
+    fingerprints (guaranteed for any shared >= w+n-1-word passage),
+    frequent-fingerprint guard before the pair join."""
+    from mpds_spark.operators.text import winnow_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_near_dups(docs, n=5, w=4, min_shared=2)
+
+
+SQL_WINNOW_NEAR_DUPS = """
+WITH wds AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws,
+    unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS i
+  FROM wds WHERE len(ws) >= 5
+), h AS (
+  SELECT doc_id, i - 1 AS pos,
+    md5(array_to_string(list_slice(ws, i, i + 4), ' ')) AS hh
+  FROM g
+), e AS (
+  SELECT doc_id, pos,
+    min(hh || lpad(CAST(999999 - pos AS VARCHAR), 6, '0'))
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc,
+    count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id, substr(enc, 1, 32) AS fingerprint
+  FROM e WHERE pos <= n - 4 OR pos = 0
+), ok AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 1000
+), fpo AS (
+  SELECT fp.doc_id, fp.fingerprint FROM fp JOIN ok USING (fingerprint)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM fpo a JOIN fpo b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+QUERIES["winnow_near_dups"] = q_winnow_near_dups
+_RAW_ORACLES["winnow_near_dups"] = SQL_WINNOW_NEAR_DUPS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
