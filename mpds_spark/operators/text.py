@@ -679,9 +679,17 @@ def winnow_near_dups(
     fingerprint shared by 10^6 docs is boilerplate, not plagiarism, and
     would otherwise explode quadratically). Returns
     (doc_a, doc_b, n_shared)."""
+    from mpds_spark.operators.util import defer_release, tracked_local_checkpoint
+
     fp = winnow_fingerprints(df, text=text, key=key, n=n, w=w).select(
         F.col(key), "fingerprint"
     ).distinct()
+    # three consumers (df-count guard + both join legs): materialize the
+    # fingerprint frame once or each reference re-plans (and re-executes)
+    # the whole windowed selection subtree (plan_audit: 6 shuffles /
+    # 8 windows unchecked vs 3/2 after)
+    fp, _ids = tracked_local_checkpoint(fp)
+    defer_release(_ids)
     if max_df is not None:
         ok = (
             fp.groupBy("fingerprint")
