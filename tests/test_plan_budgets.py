@@ -48,6 +48,10 @@ BUDGETS = {
     # zero extra exchanges, no global sort
     "dsir_weights": {"shuffle": 3, "python": 0},
     "dsir_resample": {"shuffle": 3, "python": 0},
+    "winnow_fingerprints": {"shuffle": 1, "python": 0},
+    # fingerprint frame checkpointed once; remaining = guard agg + pair
+    # join + pair agg
+    "winnow_near_dups": {"shuffle": 3, "python": 0},
     "decontaminate": {"shuffle": 2, "python": 0},
     # bounded BNLJ is allowed ONLY where documented (clinical inter pass,
     # brute-force ANN baseline); everywhere above it is banned
