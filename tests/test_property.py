@@ -150,3 +150,48 @@ def test_sessionize_family_property(spark, sig, th, seed):
         pdf["signal"].to_numpy(), th,
     )
     np.testing.assert_array_equal(got_ua, exp_ua)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.integers(0, 6), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(1, 6),
+)
+def test_winnow_equals_reference_loop(spark, docs_ints, w):
+    """Winnowing (Schleimer et al. 2003) fuzz: Spark output equals the
+    literal per-window min / rightmost-tie-break / full-window loop on
+    random small-alphabet docs (small alphabet forces heavy hash TIES —
+    the branch the deterministic test barely exercises)."""
+    import hashlib
+
+    n = 2
+
+    def py_winnow(words):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        if not hs:
+            return set()
+        out = set()
+        for p in range(max(len(hs) - w, 0) + 1):
+            win = hs[p : p + w]
+            m = min(win)
+            ri = max(i for i, h in enumerate(win) if h == m)
+            out.add((p + ri, m))
+        return out
+
+    from mpds_spark.operators.text import winnow_fingerprints
+
+    rows = [
+        (i, " ".join(f"t{v}" for v in doc)) for i, doc in enumerate(docs_ints)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, n=n, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    for i, doc in enumerate(docs_ints):
+        words = [f"t{v}" for v in doc]
+        assert got.get(i, set()) == py_winnow(words), (i, w)
