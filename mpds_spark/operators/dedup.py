@@ -609,7 +609,12 @@ def connected_components_star(
             )
         return out.filter(F.col("u") != F.col("v")).distinct()
 
-    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the INPUT edge frame once: verts and e both consume it,
+    # and checkpointing each separately re-executed the whole upstream
+    # pair-generation pipeline (shingle/simhash/verify DAG) per consumer
+    raw, raw_ids = tracked_local_checkpoint(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    )
     # vertex universe BEFORE dropping self-loops: a vertex appearing only in
     # a self-loop edge is a singleton component, same as connected_components
     verts, verts_ids = tracked_local_checkpoint(
@@ -620,6 +625,8 @@ def connected_components_star(
     e, prev = tracked_local_checkpoint(
         raw.filter(F.col("u") != F.col("v")).distinct()
     )
+    # both consumers are materialized — the input blocks can go now
+    release_rdds(raw_ids)
 
     # fixpoint detection: per-round exceptAll probes are TWO full hash
     # shuffles of the edge frame per round — at 10^12 edges that doubles
