@@ -199,7 +199,7 @@ def cmd_prepare(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mpds_spark")
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -276,7 +276,11 @@ def main(argv=None) -> int:
         help="PII-scrub the text column (email/phone/IPv4) before curation",
     )
 
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     return {
         "synth": cmd_synth,
         "extract": cmd_extract,
