@@ -112,10 +112,23 @@ def prepare_corpus(
 
     # ---- stage 0 (optional): PII redaction — every later stage, incl.
     # packing, sees only redacted text
+    spec0 = "noredact"
     if redact_patterns is not None:
+        import hashlib
+
         from mpds_spark.operators.text import redact_pii
 
-        spec0 = f"redact|{','.join(sorted(redact_patterns))}"
+        # spec embeds a digest of the FULL pattern dict (kinds AND regex
+        # values) and chains into every downstream spec via spec1, so
+        # enabling/disabling redaction or editing a regex under the same
+        # kind invalidates 01_quality onward (r4 ADVICE: the old spec
+        # keyed on pattern names only and did not chain, silently reusing
+        # unredacted downstream outputs on resume).
+        pat_digest = hashlib.sha256(
+            "|".join(f"{k}={redact_patterns[k]}" for k in sorted(redact_patterns))
+            .encode()
+        ).hexdigest()[:16]
+        spec0 = f"redact|{pat_digest}"
         other = [c for c in docs.columns if c != text]
         docs = _run_stage(
             spark,
@@ -134,7 +147,7 @@ def prepare_corpus(
 
     # ---- stage 1: quality verdicts (pure map stage; materialized so the
     # funnel is auditable and downstream lineage starts at a scan)
-    spec1 = f"quality|min_words={min_words}"
+    spec1 = f"{spec0}>quality|min_words={min_words}"
     quality = _run_stage(
         spark,
         out_dir,

@@ -1207,12 +1207,19 @@ FROM (SELECT *, n_pre >= 1 AND n_post >= 1 AS ok FROM d) WHERE ev = 1
 
 
 def q_topk_users(spark, sf_dir):
+    """Per-user max + global top-10 (dssPerformanceEvaluation.R:49-58,
+    NB cell 20 head(30) parity).
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition heap + driver merge of 10-row heads) instead of a single-
+    partition global window over every user; the rank window then runs on
+    the surviving <=10 rows only. Plan pinned in test_plan_budgets."""
     ev = _events(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(F.max("value").alias("max_value"))
+    top = agg.orderBy(F.col("max_value").desc(), F.col("user_id")).limit(10)
     w = Window.orderBy(F.col("max_value").desc(), F.col("user_id"))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "user_id", "max_value")
     )
 
@@ -3203,36 +3210,58 @@ def q_source_stats(spark, sf_dir):
     per-source vocabulary size — the report a curator reads before
     setting mixture budgets."""
     from mpds_spark.operators.dedup import words_col
-    from mpds_spark.operators.scale import exact_grouped_quantiles
 
     docs = load(spark, sf_dir, "documents")
     lens = docs.select(
-        "source",
-        "doc_id",
-        F.size(words_col("text")).cast("long").alias("n_tok"),
+        "source", F.size(words_col("text")).cast("long").alias("n_tok")
     )
-    agg = lens.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tok").alias("n_tokens"),
-        _r6(F.avg("n_tok")).alias("mean_tok"),
+    # n_tok is a low-cardinality integer per source, so the EXACT median
+    # comes from a (source, n_tok) count frame + one cumulative window —
+    # not the bracketed-quantile machinery (r4 plan was 8 exchanges +
+    # 6 broadcast joins; this shape is 4 exchanges total). n_docs/
+    # n_tokens/mean fold into the same frame, so the stats leg is
+    # exchange(source,n_tok) -> exchange(source) [window, and the final
+    # groupBy reuses that partitioning], and the vocab leg is 2 more.
+    cnts = lens.groupBy("source", "n_tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    med = exact_grouped_quantiles(lens, "source", "n_tok", p=0.5)
+    c = cnts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+    # quantile_cont(0.5): zero-based rank h = (n-1)/2; linear interpolation
+    # between the values at floor(h) and ceil(h).
+    i0 = F.floor((F.col("n") - 1) / 2)
+    stats = c.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("n_tok") * F.col("cnt")).alias("n_tokens"),
+        _r6(F.sum(F.col("n_tok") * F.col("cnt")) / F.sum("cnt")).alias(
+            "mean_tok"
+        ),
+        F.min(F.when(F.col("cum") >= i0 + 1, F.col("n_tok"))).alias("__v0"),
+        F.min(F.when(F.col("cum") >= i0 + 2, F.col("n_tok"))).alias("__v1"),
+    )
+    h = (F.col("n_docs") - 1) / F.lit(2.0)
+    frac = h - F.floor(h)
+    median = F.col("__v0").cast("double") + frac * (
+        F.coalesce("__v1", "__v0") - F.col("__v0")
+    )
     vocab = (
         docs.select("source", F.explode(words_col("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.lit(1))
         .groupBy("source")
-        .agg(F.count_distinct("word").alias("vocab_size"))
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
     )
-    return (
-        agg.join(med, "source")
-        .join(vocab, "source")
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            "mean_tok",
-            F.col("q_n_tok").alias("median_tok"),
-            "vocab_size",
-        )
+    return stats.join(vocab, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_tok",
+        median.alias("median_tok"),
+        "vocab_size",
     )
 
 
@@ -3267,19 +3296,29 @@ ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 def _stream_dir(sf_dir, name):
     """File-source streaming needs a DIRECTORY; the testdata tables are
-    single parquet files — symlink one into a per-(sf,table) temp dir."""
+    single parquet files — symlink one into a per-(sf,table) temp dir.
+
+    The dir name hashes the FULL absolute sf_dir so two datasets whose
+    paths share a basename (/a/sf0.01 vs /b/sf0.01) never reuse each
+    other's symlink, and an existing link is verified to point at the
+    requested target before reuse (r4 ADVICE)."""
+    import hashlib
     import os
     import tempfile
 
+    target = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    tag = hashlib.sha256(target.encode()).hexdigest()[:12]
     d = os.path.join(
         tempfile.gettempdir(),
-        f"mpds_stream_{os.path.basename(sf_dir.rstrip('/'))}_{name}",
+        f"mpds_stream_{os.path.basename(sf_dir.rstrip('/'))}_{name}_{tag}",
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, f"{name}.parquet")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.unlink(link)
     if not os.path.exists(link):
         try:
-            os.symlink(f"{sf_dir}/{name}.parquet", link)
+            os.symlink(target, link)
         except FileExistsError:
             pass  # concurrent process won the race — same target
     return d

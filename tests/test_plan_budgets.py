@@ -56,6 +56,12 @@ BUDGETS = {
     # bounded BNLJ is allowed ONLY where documented (clinical inter pass,
     # brute-force ANN baseline); everywhere above it is banned
     "clinical_pairs": {"python": 0, "grouped_pandas": 0, "cartesian": 0},
+    # r5: top-k via TakeOrderedAndProject (see test_topk_takeordered) —
+    # the one exchange is the per-user max agg
+    "topk_users": {"shuffle": 1, "python": 0},
+    # r5: median folded into the (source, n_tok) count frame; stats leg
+    # 2 exchanges + vocab leg 2 (was 8 + 6 broadcast joins)
+    "source_stats": {"shuffle": 4, "python": 0, "bnlj": 0},
 }
 
 
@@ -81,3 +87,11 @@ def test_plan_budget(plans, name):
             f"{name}: {got} {node} nodes (budget {cap}) — the plan shape "
             f"regressed; see tools/plan_audit.py.\n{plan[:2000]}"
         )
+
+
+def test_topk_takeordered(plans):
+    """topk_users must keep the per-partition-heap shape: the global
+    top-10 comes from TakeOrderedAndProject, never from a single-
+    partition window over every user's aggregate row (r4 VERDICT #1).
+    The residual WindowExec ranks the <=10 surviving rows only."""
+    assert "TakeOrderedAndProject" in plans["topk_users"]
