@@ -298,3 +298,46 @@ def sample_frames(
             )
 
     return df.mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------- encoders
+# Sink-side twins of the stdlib decoders above: build real container bytes
+# so tests and catalog queries can drive the full encode -> decode ->
+# extract path with payloads whose ground truth is a closed-form formula.
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Real RIFF/WAVE container around mono 16-bit PCM samples (stdlib
+    wave module). Roundtrip contract: wav_audio_decoder(encode_wav_pcm16(s))
+    == s/32768 exactly."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def encode_bmp24(px: np.ndarray) -> bytes:
+    """Real uncompressed 24-bit BMP around a (h, w, 3) uint8 array
+    (logical top-down row order; stored bottom-up with 4-byte row padding,
+    exactly what bmp_image_decoder undoes). Roundtrip contract:
+    bmp_image_decoder(encode_bmp24(px)) == px.mean(axis=2)/255 exactly."""
+    import struct
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, row_bytes), dtype=np.uint8)
+    raster[:, : w * 3] = px.reshape(h, w * 3)[::-1]  # bottom-up storage
+    data = raster.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data

@@ -422,3 +422,45 @@ def clinical_pairs(
         )
         .drop("__prio")
     )
+
+
+def suffix_prefix_overlap(
+    df: DataFrame,
+    tokens: str = "tokens",
+    part: str = "source",
+    order_cols: list[str] | None = None,
+    max_k: int = 8,
+) -> DataFrame:
+    """For consecutive documents in a per-`part` deterministic stream
+    order, the largest k <= max_k with suffix_k(doc_i) == prefix_k(doc_i+1)
+    — the packing-boundary overlap a sequence packer wants before
+    concatenation (duplicated joins across a bin boundary inflate loss;
+    reference analogue: consecutive-row smoothness pairs,
+    dssFunctionLibrary.R:887-893, lifted to token arrays).
+
+    Scale shape: one per-`part` window (no global single-partition sort);
+    the suffix/prefix compare is a JVM higher-order aggregate over
+    k=1..max_k — zero Python, token arrays never shuffled beyond the one
+    lead() exchange.
+    """
+    order_cols = order_cols or ["ord"]
+    w = Window.partitionBy(part).orderBy(*order_cols)
+    nxt = F.lead(tokens).over(w)
+    out = df.withColumn("__next_tokens", nxt).filter(
+        F.col("__next_tokens").isNotNull()
+    )
+    t1, t2 = F.col(tokens), F.col("__next_tokens")
+    n1, n2 = F.size(t1), F.size(t2)
+    overlap = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_k))),
+        F.lit(0),
+        lambda acc, k: F.when(
+            (n1 >= k)
+            & (n2 >= k)
+            & (F.slice(t1, -k, k) == F.slice(t2, F.lit(1), k)),
+            k,
+        ).otherwise(acc),
+    )
+    return out.withColumn("overlap", overlap).withColumn(
+        "n_tok_next", n2
+    )

@@ -707,3 +707,51 @@ def winnow_near_dups(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document novel-n-gram rate vs all earlier documents: an n-gram
+    is "novel" for exactly the document with the smallest id containing
+    it; novelty = novel distinct n-grams / distinct n-grams. The curation
+    signal behind dedup-aware mixing — a document whose n-grams all
+    appeared earlier contributes nothing new to the corpus.
+
+    Scale shape: occurrence-linear, NO doc-pair join and NO window over
+    the n-gram key (a hot n-gram — "of the" — would single-task a window;
+    hash-partitioned min() aggregates with map-side partial combine
+    absorb it). Three exchanges: distinct per doc, min-owner per n-gram,
+    per-doc novel count; the final join is doc-keyed on two frames
+    already partitioned by doc.
+    """
+    from mpds_spark.operators.dedup import words_col
+
+    ws = words_col(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    bg = (
+        df.filter(F.size(ws) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("__g"))
+    )
+    n_grams = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    first_owner = bg.groupBy("__g").agg(F.min(id_col).alias(id_col))
+    n_novel = first_owner.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        n_grams.join(n_novel, id_col, "left")
+        .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
+        .withColumn(
+            "novelty", F.col("n_novel") / F.col("n_ngrams").cast("double")
+        )
+    )

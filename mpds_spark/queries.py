@@ -3798,3 +3798,284 @@ HAVING count(*) >= 2
 QUERIES["winnow_near_dups"] = q_winnow_near_dups
 _RAW_ORACLES["winnow_near_dups"] = SQL_WINNOW_NEAR_DUPS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_multimodal_stats(spark, sf_dir):
+    """Driver-gated multimodal decode (VERDICT r4 ask #6): 8 PCM-WAV + 8
+    24-bit-BMP payloads built from integer (LCG / affine-mod) formulas via
+    the real encoders (multimodal.py encode_wav_pcm16/encode_bmp24),
+    decoded FOR REAL by the magic-sniffing default_decoder
+    (multimodal.py:142), stats extracted through the Arrow mapInPandas map
+    stage (decode_features:191). The oracle recomputes the identical stats
+    from the generating formulas directly — a true encode -> decode ->
+    extract differential. Integer-arithmetic signals keep the audio leg
+    bit-exact (samples are dyadic rationals); the image gray divisions
+    (/3.0, /255.0) are mirrored op-for-op in the SQL.
+
+    Scale shape: payload decode is a pure map stage pipelined onto the
+    scan — payloads never ride a shuffle; only (media_id, kind, stats)
+    continue downstream."""
+    import numpy as np
+
+    from mpds_spark.operators.multimodal import (
+        decode_features,
+        encode_bmp24,
+        encode_wav_pcm16,
+    )
+
+    rows = []
+    for mid in range(8):
+        n = 2000 + 50 * mid
+        t = np.arange(n, dtype=np.int64)
+        s = (1103515245 * t + 12345 + mid * 997) % 65536 - 32768
+        rows.append(
+            (mid, "audio", encode_wav_pcm16(s, 8000), (None, None, 8000, None, None))
+        )
+    for k in range(8):
+        mid, h, w = 8 + k, 16 + k, 24 + k
+        r = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(w, dtype=np.int64)[None, :, None]
+        ch = np.arange(3, dtype=np.int64)[None, None, :]
+        px = ((r * 31 + c * 7 + ch * 5 + mid * 13) % 256).astype(np.uint8)
+        rows.append(
+            (mid, "image", encode_bmp24(px), (w, h, None, None, None))
+        )
+    from mpds_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def _extract(arr):
+        v = np.asarray(arr, dtype=np.float64).ravel()
+        m = v.mean()
+        var = v @ v / v.size - m * m
+        return np.array([v.size, m, np.sqrt(max(var, 0.0)), v.min(), v.max()])
+
+    out = decode_features(media, _extract)
+    f = lambda i: F.element_at("features", i)  # noqa: E731
+    return out.select(
+        "media_id",
+        "kind",
+        f(1).cast("long").alias("n"),
+        _r6(f(2)).alias("mean_v"),
+        _r6(f(3)).alias("std_v"),
+        _r6(f(4)).alias("min_v"),
+        _r6(f(5)).alias("max_v"),
+    )
+
+
+SQL_MULTIMODAL_STATS = """
+WITH am AS (SELECT unnest(range(8)) AS mid),
+audio AS (
+  SELECT mid AS media_id,
+         ((1103515245*t + 12345 + mid*997) % 65536 - 32768)/32768.0 AS v
+  FROM (SELECT mid, unnest(range(2000 + 50*mid)) AS t FROM am)
+),
+im AS (SELECT unnest(range(8)) AS k),
+imrc AS (
+  SELECT k, rr // (24 + k) AS r, rr % (24 + k) AS c
+  FROM (SELECT k, unnest(range((16 + k) * (24 + k))) AS rr FROM im)
+),
+img AS (
+  SELECT 8 + k AS media_id,
+         (((r*31 + c*7 + 0*5 + (8+k)*13) % 256)
+        + ((r*31 + c*7 + 1*5 + (8+k)*13) % 256)
+        + ((r*31 + c*7 + 2*5 + (8+k)*13) % 256))/3.0/255.0 AS v
+  FROM imrc
+),
+allv AS (
+  SELECT media_id, 'audio' AS kind, v FROM audio
+  UNION ALL SELECT media_id, 'image' AS kind, v FROM img
+)
+SELECT media_id, kind, count(*) AS n,
+       round(avg(v), 6) AS mean_v,
+       round(sqrt(avg(v*v) - avg(v)*avg(v)), 6) AS std_v,
+       round(min(v), 6) AS min_v,
+       round(max(v), 6) AS max_v
+FROM allv GROUP BY media_id, kind
+"""
+
+QUERIES["multimodal_stats"] = q_multimodal_stats
+_RAW_ORACLES["multimodal_stats"] = SQL_MULTIMODAL_STATS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_tokenized_asof_features(spark, sf_dir):
+    """The north-rule composition as ONE driver-gated row: a tokenized-
+    sequence table (doc_id, tokens, n_tok, source — the BASELINE.json
+    input_hint shape, derived deterministically from documents), per-
+    sequence token-mass features computed JVM-side (F.aggregate — no
+    Python), expanding per-entity derived features (windows.py:64, one
+    entity exchange), then a backward point-in-time as-of join
+    (asof.py:121, window strategy) against the entity event stream.
+    Token arrays pass through byte-identical (md5 proof column).
+
+    Oracle: the same pipeline in ANSI SQL — windows in identical ts order
+    (bit-equal float accumulation) + DuckDB native ASOF JOIN."""
+    docs = load(spark, sf_dir, "documents")
+    seq = (
+        docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+        )
+        .withColumn("n_tok", F.size("tokens"))
+        .withColumn("entity_id", F.col("doc_id") % 16)
+        .withColumn("ts", F.col("doc_id").cast("double"))
+        .withColumn(
+            "tok_mass",
+            F.aggregate(
+                "tokens", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ),
+        )
+    )
+    der = derived_features(
+        seq.withColumn("dss", F.col("n_tok").cast("double")), value="dss"
+    )
+    events = seq.filter(F.col("doc_id") % 10 == 0).select(
+        "entity_id", "ts", F.col("tok_mass").alias("event_mass")
+    )
+    out = asof_join(der, events, on="ts", by="entity_id")
+    return out.select(
+        "doc_id",
+        "entity_id",
+        "n_tok",
+        "tok_mass",
+        _r6("dss_avg").alias("avg_n_tok"),
+        F.col("dss_max").alias("max_n_tok"),
+        _r6("dss_rate_avg").alias("rate_avg"),
+        "event_mass",
+        F.col("ts_r").alias("event_ts"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_hash"),
+    )
+
+
+SQL_TOKENIZED_ASOF_FEATURES = """
+WITH s AS (
+  SELECT doc_id, doc_id % 16 AS entity_id, CAST(doc_id AS DOUBLE) AS ts,
+         ws, len(ws) AS n_tok,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+           AS tok_mass
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents)
+), f AS (
+  SELECT *, CAST(n_tok AS DOUBLE) AS dss,
+    CAST(row_number() OVER w AS DOUBLE) AS rn,
+    sum(CAST(n_tok AS DOUBLE)) OVER we AS cs,
+    max(CAST(n_tok AS DOUBLE)) OVER we AS dss_max,
+    coalesce(CAST(n_tok AS DOUBLE) - lag(CAST(n_tok AS DOUBLE)) OVER w, 0.0)
+      AS sd,
+    coalesce(abs(ts - lag(ts) OVER w), 1.0) AS dt
+  FROM s
+  WINDOW w AS (PARTITION BY entity_id ORDER BY ts),
+         we AS (PARTITION BY entity_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+), g AS (
+  SELECT *, sum(sd/dt)
+    OVER (PARTITION BY entity_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+    AS cs_rate
+  FROM f
+)
+SELECT g.doc_id, g.entity_id, g.n_tok, g.tok_mass,
+  round(cs/rn, 6) AS avg_n_tok,
+  dss_max AS max_n_tok,
+  round(cs_rate/rn, 6) AS rate_avg,
+  e.event_mass, e.ts AS event_ts,
+  md5(coalesce(array_to_string(g.ws, ' '), '')) AS tok_hash
+FROM g ASOF LEFT JOIN
+  (SELECT entity_id, ts, tok_mass AS event_mass FROM s
+   WHERE doc_id % 10 = 0) e
+  ON g.entity_id = e.entity_id AND g.ts >= e.ts
+"""
+
+QUERIES["tokenized_asof_features"] = q_tokenized_asof_features
+_RAW_ORACLES["tokenized_asof_features"] = SQL_TOKENIZED_ASOF_FEATURES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_token_ngram_novelty(spark, sf_dir):
+    """Novel-bigram rate per document vs all earlier documents
+    (operators/text.py ngram_novelty): occurrence-linear min-owner
+    aggregation — no doc-pair join, no window over the (skew-prone)
+    n-gram key."""
+    from mpds_spark.operators.text import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, text="text", id_col="doc_id", n=2)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_novel",
+        _r6("novelty").alias("novelty"),
+    )
+
+
+SQL_TOKEN_NGRAM_NOVELTY = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), b AS (
+  SELECT DISTINCT doc_id, bg FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]))
+        AS bg
+    FROM t WHERE len(ws) >= 2)
+), nb AS (SELECT doc_id, count(*) AS n_ngrams FROM b GROUP BY doc_id),
+fo AS (SELECT bg, min(doc_id) AS doc_id FROM b GROUP BY bg),
+nn AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY doc_id)
+SELECT nb.doc_id, nb.n_ngrams,
+  coalesce(nn.n_novel, 0) AS n_novel,
+  round(coalesce(nn.n_novel, 0)/CAST(nb.n_ngrams AS DOUBLE), 6) AS novelty
+FROM nb LEFT JOIN nn USING (doc_id)
+"""
+
+QUERIES["token_ngram_novelty"] = q_token_ngram_novelty
+_RAW_ORACLES["token_ngram_novelty"] = SQL_TOKEN_NGRAM_NOVELTY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_suffix_prefix_overlap(spark, sf_dir):
+    """Packing-boundary suffix/prefix overlap between consecutive docs in
+    the per-source packing stream order (operators/pairs.py
+    suffix_prefix_overlap): per-source window + JVM higher-order compare,
+    k <= 8."""
+    from mpds_spark.operators.pairs import suffix_prefix_overlap
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(F.trim("text"), r"\s+").alias("tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    out = suffix_prefix_overlap(
+        docs, tokens="tokens", part="source", order_cols=["h", "doc_id"]
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.size("tokens").cast("int").alias("n_tok"),
+        F.col("n_tok_next").cast("int").alias("n_tok_next"),
+        F.col("overlap").cast("int").alias("overlap"),
+    )
+
+
+SQL_SUFFIX_PREFIX_OVERLAP = """
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), p AS (
+  SELECT source, doc_id, ws, len(ws) AS n1,
+    lead(doc_id) OVER w AS next_doc_id,
+    lead(ws) OVER w AS ws2
+  FROM t WINDOW w AS (PARTITION BY source ORDER BY h, doc_id)
+)
+SELECT source, doc_id,
+  CAST(n1 AS INT) AS n_tok,
+  CAST(len(ws2) AS INT) AS n_tok_next,
+  CAST(list_max(list_transform(range(1, 9), k ->
+    CASE WHEN n1 >= k AND len(ws2) >= k
+          AND ws[n1 - k + 1 : n1] = ws2[1 : k]
+    THEN k ELSE 0 END)) AS INT) AS overlap
+FROM p WHERE next_doc_id IS NOT NULL
+"""
+
+QUERIES["suffix_prefix_overlap"] = q_suffix_prefix_overlap
+_RAW_ORACLES["suffix_prefix_overlap"] = SQL_SUFFIX_PREFIX_OVERLAP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -230,3 +230,28 @@ def test_rawvideo_magic_collision_routes_by_meta():
     out = default_decoder(payload, meta)
     assert out.shape == (1, 8)
     assert out[0, 0] == 66 / 255.0 and out[0, 1] == 77 / 255.0
+
+
+def test_encoder_decoder_roundtrips_exact():
+    """Sink-side encoders are exact inverses of the stdlib decoders:
+    encode_wav_pcm16 -> wav_audio_decoder recovers s/32768 bit-for-bit,
+    encode_bmp24 -> bmp_image_decoder recovers mean(channels)/255
+    (bottom-up storage + row padding round-trip)."""
+    import numpy as np
+
+    from mpds_spark.operators.multimodal import (
+        bmp_image_decoder,
+        encode_bmp24,
+        encode_wav_pcm16,
+        wav_audio_decoder,
+    )
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, 777).astype("<i2")
+    x = wav_audio_decoder(encode_wav_pcm16(s, 16000), None)
+    assert np.array_equal(x, s.astype(np.float64) / 32768.0)
+
+    # width 22 -> 66 raster bytes/row -> 2 pad bytes: exercises padding
+    px = rng.integers(0, 256, (15, 22, 3)).astype(np.uint8)
+    img = bmp_image_decoder(encode_bmp24(px), None)
+    assert np.array_equal(img, px.astype(np.float64).mean(axis=2) / 255.0)

@@ -62,6 +62,16 @@ BUDGETS = {
     # r5: median folded into the (source, n_tok) count frame; stats leg
     # 2 exchanges + vocab leg 2 (was 8 + 6 broadcast joins)
     "source_stats": {"shuffle": 4, "python": 0, "bnlj": 0},
+    # r5 additions: the north-rule composition (tokenize -> expanding
+    # windows -> as-of) must stay at 2 exchanges (entity leg + event leg),
+    # zero Python; novelty is min-owner aggregation (3 exchanges, never a
+    # window over the skew-prone n-gram key); boundary overlap is one
+    # per-source window; multimodal decode is a pure map stage (the one
+    # sanctioned MapInPandas, zero shuffles).
+    "tokenized_asof_features": {"shuffle": 2, "python": 0, "grouped_pandas": 0},
+    "token_ngram_novelty": {"shuffle": 3, "python": 0, "cartesian": 0},
+    "suffix_prefix_overlap": {"shuffle": 1, "python": 0},
+    "multimodal_stats": {"shuffle": 0, "python": 0, "cartesian": 0},
 }
 
 

@@ -123,3 +123,24 @@ def test_interval_join_counts(spark):
     assert len(got) == 1
     assert got["n_obs"].iloc[0] == 2  # ts 2.0 and 3.0
     assert got["avg_value"].iloc[0] == pytest.approx(3.5)
+
+
+def test_suffix_prefix_overlap_small(spark):
+    """Overlap is the LARGEST k with suffix==prefix, capped at max_k,
+    0 when nothing matches, and windows never cross the part key."""
+    from mpds_spark.operators.pairs import suffix_prefix_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 0, ["a", "b", "c"]),
+            ("s1", 1, ["b", "c", "d"]),   # suffix(0) [b,c] == prefix(1) -> 2
+            ("s1", 2, ["z", "z"]),        # no overlap with doc 1 -> 0
+            ("s2", 3, ["c", "d"]),        # other part: single row, no pair
+        ],
+        "source string, doc_id long, tokens array<string>",
+    )
+    out = suffix_prefix_overlap(
+        df, tokens="tokens", part="source", order_cols=["doc_id"], max_k=8
+    )
+    rows = {r["doc_id"]: r["overlap"] for r in out.collect()}
+    assert rows == {0: 2, 1: 0}

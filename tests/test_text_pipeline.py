@@ -582,3 +582,29 @@ def test_winnow_fingerprints_matches_reference_impl(spark):
     f3 = {h for _, h in by_doc[3]}
     assert f1 & f2
     assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_ngram_novelty_small(spark):
+    """First doc's n-grams are all novel; an exact duplicate later has
+    novelty 0; a doc sharing one of two bigrams has novelty 0.5."""
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),      # bigrams {a b, b c} both novel
+            (1, "a b c"),      # exact dup -> 0 novel
+            (2, "b c d e"),    # {b c, c d, d e}: b c seen -> 2/3
+            (3, "x"),          # too short: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(df, n=2).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_novel"] == 2 and out[0]["novelty"] == 1.0
+    assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
+    assert out[2]["n_ngrams"] == 3 and out[2]["n_novel"] == 2
