@@ -146,6 +146,15 @@ def engine_throughput(
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
+
+    def _pipeline(frame):
+        feat = extract_token_battery(frame, keep_tokens=False)
+        feat = feat.withColumn("dss", F.element_at("features", 1))
+        events = feat.filter(F.crc32(F.col("doc_id")) % 10 == 0).select(
+            "entity_id", "ts", F.col("dss").alias("event_val")
+        )
+        der = derived_features(feat, value="dss")
+        return asof_join(der, events, on="ts", by="entity_id")
     # FIXED scan split count, identical for every parallelism leg: the
     # batched battery's per-sequence cost depends on Arrow chunk size,
     # which follows partition size — tying partitions to `cpus` would let
@@ -168,13 +177,15 @@ def engine_throughput(
     # and must never ride through a shuffle, nor pay the Python->JVM
     # transfer out of the battery stage (the passthrough contract itself
     # is pinned by the token-equality tests).
-    feat = extract_token_battery(df, keep_tokens=False)
-    feat = feat.withColumn("dss", F.element_at("features", 1))
-    events = feat.filter(F.crc32(F.col("doc_id")) % 10 == 0).select(
-        "entity_id", "ts", F.col("dss").alias("event_val")
-    )
-    der = derived_features(feat, value="dss")
-    joined = asof_join(der, events, on="ts", by="entity_id")
+    joined = _pipeline(df)
+    # untimed per-rep priming pass on a tiny slice of the SAME plan,
+    # repartitioned across every core: forks all Python workers (each
+    # pays its pandas/pyarrow import), compiles the Arrow battery stage,
+    # and touches the window/asof codegen — the ~4 s fixed per-rep cost
+    # that otherwise lands 4x harder on the short hi leg and depresses
+    # measured scaling efficiency (VERDICT r4 ask #1). Steady-state
+    # throughput is what the N-vs-4N criterion compares.
+    _pipeline(df.limit(2000).repartition(cpus)).count()
     t0 = time.perf_counter()
     n = joined.count()
     dt = time.perf_counter() - t0
@@ -270,7 +281,18 @@ def main():
         pair_precision = float(
             os.environ.get("MPDS_BENCH_PAIR_PRECISION", "0.15")
         )
+        # load-aware stop (VERDICT r4 ask #1): a calibration probe before
+        # each pair records the host-load factor that pair ran under.
+        # While the probes' spread exceeds the bound, the host is bursty —
+        # keep adding pairs (some pair will land in a quiet window and
+        # best-of/median converge on it) instead of stopping on a sample
+        # whose legs saw different load.
+        calib_spread_bound = float(
+            os.environ.get("MPDS_BENCH_CALIB_SPREAD", "0.25")
+        )
+        pair_calib = []
         for i in range(max_reps):
+            pair_calib.append(calibrate_host())
             hi_runs.append(
                 engine_throughput(
                     n_docs,
@@ -287,11 +309,18 @@ def main():
                     max_file_bytes=max_file_bytes,
                 )
             )
+            # quiet = the LATEST pair ran within the bound of the quietest
+            # load seen (an all-pairs spread would pin on one early burst
+            # forever; a sustained load rise is bounded by max_reps)
+            calib_quiet = pair_calib[-1] <= min(pair_calib) * (
+                1.0 + calib_spread_bound
+            )
             if (
                 i + 1 >= reps
                 and _spread(hi_runs) <= precision
                 and _spread(lo_runs) <= precision
                 and _pair_spread(hi_runs, lo_runs) <= pair_precision
+                and calib_quiet
             ):
                 break
         hi = max(hi_runs, key=lambda r: r["seq_per_sec"])
@@ -316,8 +345,10 @@ def main():
             "scaling_efficiency_median_pairing": round(median_pairing, 3),
             "stop_rule": (
                 f"precision<={precision} (best-two spread per leg) and "
-                f"pair_spread<={pair_precision}"
+                f"pair_spread<={pair_precision} and last-pair calib within "
+                f"{calib_spread_bound} of session min"
             ),
+            "pair_calib": pair_calib,
             "warmup_discarded": warm,
             "reps": {
                 f"local[{lo_cpus}]": [r["seq_per_sec"] for r in lo_runs],
@@ -337,9 +368,8 @@ def main():
             "calib_sec": calib,
         }
     )
-    # tail-proof the gate artifact (VERDICT r3 ask #1b): a durable sidecar
-    # copy FIRST, then the JSON as the very last stdout line, flushed —
-    # console progress is already off (session.py showConsoleProgress).
+    # tail-proof the gate artifact (VERDICT r3 ask #1b): the FULL record
+    # goes to a durable sidecar file first...
     try:
         os.makedirs(os.path.join(os.path.dirname(__file__), "BENCH"), exist_ok=True)
         with open(
@@ -349,9 +379,60 @@ def main():
             fh.write(record + "\n")
     except OSError:
         pass
+    # ...and the stdout line is a COMPACT summary kept under the driver's
+    # ~2000-char tail-capture buffer (VERDICT r4 ask #2: an 84-query map
+    # overflowed it and the head of the line — with the opening brace —
+    # was cut, leaving BENCH_r{N}.json unparsed). The line carries totals,
+    # the full engine gate block minus per-rep noise detail, and the
+    # slowest queries; the complete per-query map lives in the sidecar.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    )
+    engine_line = {
+        k: v
+        for k, v in engine.items()
+        if k not in ("stop_rule", "warmup_discarded")
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "queries_slowest8": {k: round(v, 2) for k, v in slowest.items()},
+            "queries_file": "BENCH/driver_last.json",
+            "engine": engine_line,
+            "calib_sec": {
+                "start": calib["start"],
+                "end": calib["end"],
+                "during_min": min(calib["during_queries"], default=None),
+                "during_max": max(calib["during_queries"], default=None),
+            },
+        }
+    )
+    if len(line) > 1900:
+        # hard cap: drop the per-query detail entirely before the gate
+        # artifact risks truncation again
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "BENCH/driver_last.json",
+                "engine": {
+                    "scaling_efficiency": engine.get("scaling_efficiency"),
+                    "scaling_efficiency_median_pairing": engine.get(
+                        "scaling_efficiency_median_pairing"
+                    ),
+                },
+            }
+        )
     sys.stdout.flush()
     sys.stderr.flush()
-    print(record, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

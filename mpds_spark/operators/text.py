@@ -624,9 +624,23 @@ def winnow_fingerprints(
         .select(F.col(key), F.posexplode(sh).alias("pos", "gram"))
         .select(F.col(key), "pos", F.md5("gram").alias("__h"))
     )
-    # encode (hash asc, pos desc) as one string; 6 digits bound pos < 1e6
+    # encode (hash asc, pos desc) as one string; 9 digits bound pos < 1e9
+    # shingles per document (a multi-GB single row — beyond any real doc).
+    # Past the bound the complement would go negative and silently corrupt
+    # the lexicographic tie-break (r4 ADVICE), so fail loudly instead.
+    _POS_BOUND = 999_999_999
+    pos_ok = F.when(
+        F.col("pos") > _POS_BOUND,
+        F.raise_error(
+            F.lit(
+                "winnow_fingerprints: document exceeds 1e9 shingles; "
+                "tie-break encoding bound exceeded"
+            )
+        ).cast("int"),
+    ).otherwise(F.col("pos"))
     enc = F.concat(
-        F.col("__h"), F.lpad((F.lit(999_999) - F.col("pos")).cast("string"), 6, "0")
+        F.col("__h"),
+        F.lpad((F.lit(_POS_BOUND) - pos_ok).cast("string"), 9, "0"),
     )
     win = (
         Window.partitionBy(key)
@@ -645,8 +659,8 @@ def winnow_fingerprints(
         .select(
             F.col(key),
             (
-                F.lit(999_999)
-                - F.substring("__enc", 33, 6).cast("int")
+                F.lit(999_999_999)
+                - F.substring("__enc", 33, 9).cast("int")
             ).alias("pos"),
             F.substring("__enc", 1, 32).alias("fingerprint"),
         )

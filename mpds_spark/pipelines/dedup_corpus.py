@@ -129,15 +129,19 @@ def dedup_corpus(
     max_df: int | None = None,
     pair_method: str = "minhash",
     max_hamming: int = 3,
+    winnow_w: int = 4,
+    min_shared: int = 2,
     stop_after: int | None = None,
 ) -> dict:
     """Run (or resume) the 4-stage corpus dedup under out_dir.
 
     pair_method: "minhash" (MinHash+LSH bands -> exact-Jaccard verify,
-    threshold/k/band_size/shingle_n apply) or "simhash" (64-bit SimHash,
-    pigeonhole Hamming bands -> popcount verify, max_hamming applies) —
-    the two near-dup backends the engine ships; the spec string embeds
-    the choice so switching invalidates exactly stages 2-4.
+    threshold/k/band_size/shingle_n apply), "simhash" (64-bit SimHash,
+    pigeonhole Hamming bands -> popcount verify, max_hamming applies), or
+    "winnow" (passage-level shared winnowing fingerprints — Schleimer et
+    al. 2003; shingle_n/winnow_w/min_shared/max_df apply) — the three
+    near-dup backends the engine ships; the spec string embeds the choice
+    so switching invalidates exactly stages 2-4.
 
     stop_after: finish stage k then return (test hook for kill/resume —
     the same partial state a real failure leaves behind).
@@ -210,6 +214,27 @@ def dedup_corpus(
         spec2 = f"{spec1}>pairs|simhash|h={max_hamming}"
         build_pairs = lambda: simhash_near_dups(  # noqa: E731
             rep_docs, text=text, key=key, max_hamming=max_hamming
+        ).select("doc_a", "doc_b")
+    elif pair_method == "winnow":
+        # passage-level backend (VERDICT r4 ask #7): winnowing
+        # fingerprints catch a copied >=winnow_w+shingle_n-1-word block
+        # inside otherwise distinct documents — the case whole-doc
+        # MinHash dilutes away. max_df guards boilerplate fingerprints
+        # exactly like the shingle guard.
+        from mpds_spark.operators.text import winnow_near_dups
+
+        spec2 = (
+            f"{spec1}>pairs|winnow|n={shingle_n}|w={winnow_w}"
+            f"|s={min_shared}|df={max_df}"
+        )
+        build_pairs = lambda: winnow_near_dups(  # noqa: E731
+            rep_docs,
+            text=text,
+            key=key,
+            n=shingle_n,
+            w=winnow_w,
+            min_shared=min_shared,
+            max_df=max_df,
         ).select("doc_a", "doc_b")
     else:
         raise ValueError(f"unknown pair_method {pair_method!r}")

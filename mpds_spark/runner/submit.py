@@ -118,6 +118,8 @@ def cmd_dedup(args) -> int:
         max_df=args.max_df,
         pair_method=args.pair_method,
         max_hamming=args.max_hamming,
+        winnow_w=args.winnow_w,
+        min_shared=args.min_shared,
     )
     keep = res["keep"]
     n_docs = keep.count()
@@ -233,11 +235,23 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-df", type=int, default=None)
     d.add_argument(
         "--pair-method",
-        choices=["minhash", "simhash"],
+        choices=["minhash", "simhash", "winnow"],
         default="minhash",
         help="near-dup candidate backend for stage 2",
     )
     d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument(
+        "--winnow-w",
+        type=int,
+        default=4,
+        help="winnowing window (pair-method=winnow)",
+    )
+    d.add_argument(
+        "--min-shared",
+        type=int,
+        default=2,
+        help="shared-fingerprint count for a winnow pair",
+    )
 
     pr = sub.add_parser("prepare")
     pr.add_argument("--input", required=True, help="parquet path or table name")

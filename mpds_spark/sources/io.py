@@ -68,7 +68,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def write_training_shards(
     df,
     path: str,
-    order_col: str = "bin_id",
+    order_col: str | list[str] = "bin_id",
     rows_per_shard: int = 100_000,
     n_partitions: int | None = None,
     shuffle_seed: str | None = None,
@@ -85,36 +85,44 @@ def write_training_shards(
     partial write is never mistaken for a finished dataset.
 
     shuffle_seed: when set, rows are instead ordered by
-    md5(seed|order_col) — a DETERMINISTIC global shuffle of the training
-    order (packing preserves doc-stream adjacency, which a dataloader
-    reading shards sequentially would replay; training wants decorrelated
-    batches). Same range-partition + sort machinery, same reproducibility
-    guarantee: the order is a pure function of row content and the seed.
+    md5(seed|order_cols...) — a DETERMINISTIC global shuffle of the
+    training order (packing preserves doc-stream adjacency, which a
+    dataloader reading shards sequentially would replay; training wants
+    decorrelated batches). Same range-partition + sort machinery, same
+    reproducibility guarantee: the order is a pure function of row
+    content and the seed. order_col must be a GLOBALLY unique key (or a
+    list of columns that is unique together — e.g. ["source", "bin_id"]
+    when bin_id is only unique per source): rows colliding on the hashed
+    key would stay adjacent with partition-dependent relative order
+    (r4 ADVICE).
     """
     import glob as _glob
     import json as _json
     import os as _os
 
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if shuffle_seed is not None:
         df = df.withColumn(
             "__ord",
             F.md5(
                 F.concat_ws(
-                    "|", F.lit(shuffle_seed), F.col(order_col).cast("string")
+                    "|",
+                    F.lit(shuffle_seed),
+                    *[F.col(c).cast("string") for c in order_cols],
                 )
             ),
         )
-        order_col = "__ord"
+        order_cols = ["__ord"]
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     old = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
     spark.conf.set("spark.sql.files.maxRecordsPerFile", str(int(rows_per_shard)))
     try:
-        out = df.repartitionByRange(n_partitions, order_col).sortWithinPartitions(
-            order_col
-        )
-        if order_col == "__ord":
+        out = df.repartitionByRange(
+            n_partitions, *order_cols
+        ).sortWithinPartitions(*order_cols)
+        if order_cols == ["__ord"]:
             # projection after the sort keeps row order; the shuffle key
             # itself stays out of the shard schema
             out = out.drop("__ord")

@@ -191,3 +191,39 @@ def test_write_training_shards_deterministic_shuffle(spark, tmp_path):
         key=lambda x: hashlib.md5(f"s1|{x}".encode()).hexdigest(),
     )
     assert a1 == exp
+
+
+def test_write_training_shards_shuffle_composite_key(spark, tmp_path):
+    """When bin_id is only unique per source (packed-per-split output),
+    order_col=["source","bin_id"] hashes a globally unique key: same-bin
+    rows from different sources decorrelate instead of staying adjacent
+    with partition-dependent order (r4 ADVICE). Single-col hashing left
+    EVERY same-bin pair adjacent; the composite key must not."""
+    import os
+
+    from mpds_spark.sources.io import write_training_shards
+
+    rows = [(s, b, b * 10) for s in ("web", "code") for b in range(120)]
+    df = spark.createDataFrame(rows, "source string, bin_id int, x int")
+
+    def stream(sub, order_col):
+        path = str(tmp_path / sub)
+        man = write_training_shards(
+            df, path, order_col=order_col, rows_per_shard=25,
+            n_partitions=4, shuffle_seed="s1",
+        )
+        out = []
+        for s in man["shards"]:
+            part = spark.read.parquet(os.path.join(path, s["file"]))
+            out += [(r["source"], r["bin_id"]) for r in part.collect()]
+        return out
+
+    a1 = stream("a1", ["source", "bin_id"])
+    a2 = stream("a2", ["source", "bin_id"])
+    assert a1 == a2  # deterministic
+    assert sorted(a1) == sorted((s, b) for s, b, _ in rows)  # same rows
+    adjacent_same_bin = sum(
+        1 for i in range(len(a1) - 1) if a1[i][1] == a1[i + 1][1]
+    )
+    # single-col hashing would make all 120 same-bin pairs adjacent
+    assert adjacent_same_bin < 24

@@ -111,3 +111,47 @@ def test_dedup_corpus_simhash_backend(spark, tmp_path):
     assert r3["stages"]["02_pairs"] == "ran"
     with pytest.raises(ValueError):
         dedup_corpus(spark, docs, str(tmp_path / "bad"), pair_method="nope")
+
+
+def test_dedup_corpus_winnow_backend(spark, tmp_path):
+    """pair_method='winnow' (VERDICT r4 ask #7): passage-level shared
+    winnowing fingerprints catch a copied >=w+n-1-word block inside
+    otherwise-distinct documents — the case whole-doc MinHash dilutes —
+    and the backend honors the same kill/resume contract (spec embeds the
+    method + knobs, so a backend switch invalidates stages 2-4)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"v{i}" for i in range(400)]
+    passage = [f"p{i}" for i in range(10)]  # the copied block
+    rows = []
+    for i in range(12):
+        words = [str(w) for w in rng.choice(vocab, size=30, replace=True)]
+        if i in (2, 7):  # plant the same 10-word passage in two docs
+            words[10:10] = passage
+        rows.append((f"d{i:03d}", " ".join(words)))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+    out = str(tmp_path / "wn")
+    # kill after stage 2, resume: byte-identical keep list, nothing re-run
+    part = dedup_corpus(
+        spark, docs, out, pair_method="winnow", min_shared=2, stop_after=2
+    )
+    assert part["keep"] is None and part["stages"]["02_pairs"] == "ran"
+    r1 = dedup_corpus(spark, docs, out, pair_method="winnow", min_shared=2)
+    assert r1["stages"]["01_exact"] == "skipped"
+    assert r1["stages"]["02_pairs"] == "skipped"
+    k = r1["keep"].toPandas().set_index("doc_id")
+    # the two passage-sharing docs share a component; exactly one kept
+    assert k.loc["d002", "component"] == k.loc["d007", "component"]
+    assert int(k.loc[["d002", "d007"], "keep"].sum()) == 1
+    # MinHash whole-doc backend does NOT pair them at the same corpus
+    # (Jaccard ~10/50 over 3-shingles, below the 0.5 threshold)
+    r_mh = dedup_corpus(
+        spark, docs, str(tmp_path / "mh"), pair_method="minhash"
+    )
+    km = r_mh["keep"].toPandas().set_index("doc_id")
+    assert km.loc["d002", "component"] != km.loc["d007", "component"]
+    # switching backend in the SAME dir invalidates stage 2 downstream
+    r2 = dedup_corpus(spark, docs, out, pair_method="simhash")
+    assert r2["stages"]["02_pairs"] == "ran"
