@@ -73,6 +73,7 @@ _PRIORITY = [
     "tokenized_asof_features",
     "token_ngram_novelty",
     "suffix_prefix_overlap",
+    "vocab_coverage",
     # veterans: absent from CORRECTNESS_r04 (driver-green r03 + r4 mirror)
     "rescale_scores",
     "dedup_exact",

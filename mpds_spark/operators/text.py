@@ -744,17 +744,18 @@ def ngram_novelty(
     """
     from mpds_spark.operators.dedup import words_col
 
-    ws = words_col(text)
+    # materialize the split ONCE: referencing the words_col EXPRESSION
+    # inside the transform lambda would re-split the text per n-gram
+    # (O(len^2) character work — measured 7 s vs 0.5 s at sf0.1)
+    d = df.withColumn("__ws", words_col(text))
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j + 1) for j in range(n)]
-            ),
+            F.sequence(F.lit(0), F.size("__ws") - n),
+            lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)),
         )
     )
     bg = (
-        df.filter(F.size(ws) >= n)
+        d.filter(F.size("__ws") >= n)
         .select(F.col(id_col), F.explode(grams).alias("__g"))
     )
     n_grams = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
@@ -767,5 +768,51 @@ def ngram_novelty(
         .withColumn("n_novel", F.coalesce("n_novel", F.lit(0)))
         .withColumn(
             "novelty", F.col("n_novel") / F.col("n_ngrams").cast("double")
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text: str = "text",
+    group: str = "source",
+    vocab_size: int = 200,
+) -> DataFrame:
+    """Tokenizer-coverage audit: build the top-`vocab_size` word vocabulary
+    by global frequency (deterministic tie-break: count desc, word asc)
+    and report per-`group` token counts, out-of-vocabulary token counts,
+    and the OOV rate — the number a curator checks before freezing a
+    tokenizer on a new mixture (a source whose OOV rate spikes is about to
+    waste embedding capacity on byte-fallback).
+
+    Scale shape: one word-count aggregation (map-side partial combine),
+    top-k via TakeOrderedAndProject (never a global sort), vocabulary
+    BROADCAST back to the token stream, one per-group aggregation. The
+    token stream is never joined against anything non-broadcast; hot words
+    land on the aggregations, not a window.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mpds_spark.operators.dedup import words_col
+
+    toks = df.select(F.col(group), F.explode(words_col(text)).alias("__w"))
+    vocab = (
+        toks.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__w"))
+        .limit(int(vocab_size))
+        .select("__w", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__w", "left")
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_rate", F.col("oov_tokens") / F.col("n_tokens").cast("double")
         )
     )

@@ -4128,3 +4128,42 @@ FROM p WHERE next_doc_id IS NOT NULL
 QUERIES["suffix_prefix_overlap"] = q_suffix_prefix_overlap
 _RAW_ORACLES["suffix_prefix_overlap"] = SQL_SUFFIX_PREFIX_OVERLAP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rate against the global top-200 word vocabulary
+    (operators/text.py vocab_coverage): TakeOrdered top-k + broadcast
+    membership — never a global sort, never a shuffled join on the token
+    stream."""
+    from mpds_spark.operators.text import vocab_coverage
+
+    docs = load(spark, sf_dir, "documents")
+    out = vocab_coverage(docs, text="text", group="source", vocab_size=200)
+    return out.select(
+        "source",
+        "n_tokens",
+        "oov_tokens",
+        _r6("oov_rate").alias("oov_rate"),
+    )
+
+
+SQL_VOCAB_COVERAGE = """
+WITH w AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), v AS (
+  SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY word)
+  ORDER BY c DESC, word LIMIT 200
+)
+SELECT w.source,
+  count(*) AS n_tokens,
+  sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+  round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM w LEFT JOIN v USING (word) GROUP BY w.source
+"""
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+_RAW_ORACLES["vocab_coverage"] = SQL_VOCAB_COVERAGE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -72,6 +72,9 @@ BUDGETS = {
     "token_ngram_novelty": {"shuffle": 3, "python": 0, "cartesian": 0},
     "suffix_prefix_overlap": {"shuffle": 1, "python": 0},
     "multimodal_stats": {"shuffle": 0, "python": 0, "cartesian": 0},
+    # vocab via TakeOrdered + broadcast membership; the token stream is
+    # never joined non-broadcast
+    "vocab_coverage": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 
