@@ -608,3 +608,64 @@ def test_ngram_novelty_small(spark):
     assert out[0]["n_novel"] == 2 and out[0]["novelty"] == 1.0
     assert out[1]["n_novel"] == 0 and out[1]["novelty"] == 0.0
     assert out[2]["n_ngrams"] == 3 and out[2]["n_novel"] == 2
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    """Differential: novelty from the distributed min-owner aggregation
+    equals a brute-force python recomputation over a random corpus."""
+    import numpy as np
+
+    from mpds_spark.operators.text import ngram_novelty
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 25)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"])
+        for r in ngram_novelty(df, n=2).collect()
+    }
+    seen: set = set()
+    for i, t in enumerate(texts):
+        ws = t.split()
+        grams = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        novel = grams - seen
+        seen |= grams
+        assert got[i] == (len(grams), len(novel)), i
+
+
+def test_suffix_prefix_overlap_matches_bruteforce(spark):
+    """Differential: the JVM higher-order overlap equals a brute-force
+    python suffix/prefix scan for every consecutive pair."""
+    import numpy as np
+
+    from mpds_spark.operators.pairs import suffix_prefix_overlap
+
+    rng = np.random.default_rng(4)
+    vocab = ["a", "b", "c"]  # tiny vocab -> frequent nontrivial overlaps
+    rows = [
+        ("s", i, [str(w) for w in rng.choice(vocab, size=rng.integers(1, 12))])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens array<string>")
+    out = {
+        r["doc_id"]: r["overlap"]
+        for r in suffix_prefix_overlap(
+            df, tokens="tokens", part="source", order_cols=["doc_id"], max_k=5
+        ).collect()
+    }
+
+    def brute(a, b, mk=5):
+        best = 0
+        for k in range(1, min(mk, len(a), len(b)) + 1):
+            if a[-k:] == b[:k]:
+                best = k
+        return best
+
+    for i in range(59):
+        assert out[i] == brute(rows[i][2], rows[i + 1][2]), i
