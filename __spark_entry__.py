@@ -68,6 +68,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # most one round old; the rotated-out tail stays green via
 # tools/check_correctness.py (the driver-gate mirror).
 _PRIORITY = [
+    # new in round 5 (second batch)
+    "bigram_nll",
+    "tfidf_top_terms",
+    "domain_cap",
+    "cross_source_overlap",
     # new in round 5
     "multimodal_stats",
     "tokenized_asof_features",

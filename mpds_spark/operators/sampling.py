@@ -467,3 +467,81 @@ def importance_resample(
         .orderBy(F.col("gumbel_score").desc(), F.col(key))
         .limit(int(n))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group: str = "source",
+    key: str = "doc_id",
+    n: int = 100,
+    seed: str = "cap",
+    guard: float = 4.0,
+) -> DataFrame:
+    """Deterministic per-group frequency cap (the C4/RefinedWeb-style
+    per-domain cap): keep, for every group, the `n` rows with the
+    smallest u = md5(seed|group|key) — a uniform deterministic priority,
+    so the kept set is a pure function of row content, identical under
+    any partition layout or engine.
+
+    Exact AND skew-safe. A naive row_number() over (partition by group
+    order by u) sorts every row of the hottest domain in one task — at
+    100 TB one domain can be 30% of the corpus. Instead:
+
+      1. one count per group (map-side combine);
+      2. PREFILTER to u < guard*n/count_g — a hash threshold that passes
+         ~guard*n rows per group, shuffle-free after the tiny broadcast
+         of per-group counts;
+      3. exact row_number over the SURVIVORS (per-group partitions now
+         ~guard*n rows, bounded regardless of corpus size);
+      4. groups where the prefilter underselected (< min(n, count_g)
+         survivors — binomially improbable at guard>=4 but possible)
+         fall back to the full-rank path, exactly; the union keeps the
+         result identical to the naive definition.
+
+    Tie-break on (u, key) so equal hashes (never, for md5 over distinct
+    keys) cannot make the kept set ambiguous."""
+    from pyspark.sql import Window
+
+    u = F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(seed),
+            F.col(group).cast("string"),
+            F.col(key).cast("string"),
+        )
+    )
+    frac = (
+        F.conv(F.substring(F.col("__u"), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    d = df.withColumn("__u", u).withColumn("__frac", frac)
+    counts = d.groupBy(group).agg(F.count(F.lit(1)).alias("__cnt"))
+    d = d.join(F.broadcast(counts), group)
+    cutoff = F.least(
+        F.lit(1.0), F.lit(float(guard) * float(n)) / F.col("__cnt")
+    )
+    surv = d.filter(F.col("__frac") < cutoff)
+    w = Window.partitionBy(group).orderBy(
+        F.col("__u").asc(), F.col(key).asc()
+    )
+    ranked = surv.withColumn("__rk", F.row_number().over(w))
+    # groups whose prefilter kept fewer than min(n, count) rows must be
+    # re-ranked over ALL their rows; the filter makes this exact, the
+    # guard makes it rare (expected: none). Detect from `counts`, not the
+    # survivor frame — a group the prefilter emptied ENTIRELY (possible
+    # for tiny n on a huge group) never appears among survivors at all.
+    nsurv = surv.groupBy(group).agg(F.count(F.lit(1)).alias("__nsurv"))
+    short = (
+        counts.join(nsurv, group, "left")
+        .filter(
+            F.coalesce("__nsurv", F.lit(0))
+            < F.least(F.lit(int(n)), F.col("__cnt"))
+        )
+        .select(group)
+    )
+    good = ranked.join(F.broadcast(short), group, "left_anti")
+    bad_full = d.join(F.broadcast(short), group, "left_semi").withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    kept = good.unionByName(bad_full).filter(F.col("__rk") <= int(n))
+    return kept.drop("__u", "__frac", "__cnt", "__rk")

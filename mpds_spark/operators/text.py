@@ -816,3 +816,194 @@ def vocab_coverage(
             "oov_rate", F.col("oov_tokens") / F.col("n_tokens").cast("double")
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Corpus-trained add-alpha BIGRAM LM score — the next step up from
+    unigram_logprob_score's CCNet-style filter (Wenzek et al. 2020 §4.3):
+
+        p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha * V)
+        bigram_nll(doc) = mean over the doc's bigram occurrences of -ln p
+
+    where c(w1 ·) counts w1 as a CONTEXT (positions 0..n-2) and V is the
+    corpus vocabulary. Catches locally-incoherent text (shuffled words,
+    keyword stuffing) that a unigram model scores as perfectly normal.
+
+    Shape at scale: one bigram-keyed count aggregation and one
+    context-keyed aggregation DERIVED from it (no second pass over the
+    corpus), (V) via a tiny collect, then the bigram occurrence stream
+    joined back to the count table and a doc-keyed mean — occurrence-
+    linear, no self-join. Hot bigrams ("of the") land on hash-partitioned
+    joins/aggs with map-side partial combine, never a window.
+    """
+    d = df.withColumn("__ws", words_col(text))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("__ws") - 2),
+        lambda i: F.struct(
+            F.element_at("__ws", i + 1).alias("w1"),
+            F.element_at("__ws", i + 2).alias("w2"),
+        ),
+    )
+    occ = (
+        d.filter(F.size("__ws") >= 2)
+        .select(F.col(key), F.explode(bigrams).alias("__b"))
+        .select(key, F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = int(
+        df.select(F.explode(words_col(text)).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )
+    probs = c12.join(c1, "w1").withColumn(
+        "__nlp",
+        -F.log(
+            (F.col("c12") + F.lit(alpha))
+            / (F.col("c1") + F.lit(alpha * float(vocab)))
+        ),
+    )
+    return (
+        occ.join(probs.select("w1", "w2", "__nlp"), ["w1", "w2"])
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("__nlp").alias("bigram_nll"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text: str = "text",
+    group: str = "source",
+    id_col: str = "doc_id",
+    k: int = 10,
+    rank_round: int | None = None,
+) -> DataFrame:
+    """Per-`group` top-`k` salient terms by tf-idf — the mixture-audit
+    companion to vocab_coverage: WHAT distinguishes each source, not just
+    how well the tokenizer covers it.
+
+        tf(g, w)  = occurrences of w in group g
+        idf(w)    = ln((1 + n_docs) / (1 + df(w))) + 1   (smoothed)
+        score     = tf * idf, ties broken by word asc
+
+    Shape at scale: one (group, word) count aggregation, one distinct
+    (doc, word) pass folded to document frequency, n_docs via a tiny
+    collect, a word-keyed join of two count tables (both vocabulary-sized,
+    << corpus), and a per-group rank window whose partitions are
+    per-group vocabularies — bounded by vocabulary, not corpus size. The
+    token stream itself is aggregated once and never joined or windowed.
+
+    rank_round: rank by the score ROUNDED to this many digits (floor
+    convention, functions/timeutil.duck_round) instead of the raw double —
+    near-tied scores then break on the word, which is stable across
+    engines whose ln() differs in the last ulp (the oracle-twin setting).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group), F.col(id_col), F.explode(words_col(text)).alias("__w")
+    )
+    tf = toks.groupBy(group, "__w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.select(id_col, "__w")
+        .distinct()
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = int(df.select(F.countDistinct(id_col)).collect()[0][0])
+    idf = F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    scored = tf.join(dfreq, "__w").withColumn("tfidf", F.col("tf") * idf)
+    if rank_round is not None:
+        from mpds_spark.functions.timeutil import duck_round
+
+        rank_key = duck_round(F.col("tfidf"), int(rank_round))
+    else:
+        rank_key = F.col("tfidf")
+    w = Window.partitionBy(group).orderBy(
+        rank_key.desc(), F.col("__w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            group,
+            F.col("rank"),
+            F.col("__w").alias("term"),
+            "tf",
+            "df",
+            "tfidf",
+        )
+    )
+
+
+def cross_group_ngram_overlap(
+    df: DataFrame,
+    text: str = "text",
+    group: str = "source",
+    n: int = 8,
+) -> DataFrame:
+    """Pairwise n-gram contamination matrix between groups (sources /
+    dumps / train-vs-eval splits): for every unordered group pair, the
+    number of distinct word n-grams they share, plus Jaccard and
+    containment (share / smaller set). The audit a curator runs before
+    mixing two crawls — high containment means one source is largely a
+    subset of the other and its mixture weight double-counts.
+
+    Shape at scale: distinct (n-gram, group) FIRST — after that, an
+    n-gram occurs in at most |groups| rows, so the n-gram-keyed self-join
+    explodes to at most |groups| choose 2 pairs per n-gram and CANNOT skew
+    no matter how hot the n-gram is in the raw corpus. One distinct
+    aggregation, one bounded self-join, one (g1, g2) count, per-group set
+    sizes broadcast back. Output is |groups|^2-bounded (tiny).
+    """
+    d = df.withColumn("__ws", words_col(text))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__ws") - n),
+            lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)),
+        )
+    )
+    gs = (
+        d.filter(F.size("__ws") >= n)
+        .select(F.col(group).alias("g"), F.explode(grams).alias("__g"))
+        .distinct()
+    )
+    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gs.select(F.col("g").alias("g1"), "__g")
+    b = gs.select(F.col("g").alias("g2"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.select(F.col("g").alias("g1"), F.col("n_grams").alias("n1"))
+    s2 = sizes.select(F.col("g").alias("g2"), F.col("n_grams").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "g1")
+        .join(F.broadcast(s2), "g2")
+        .select(
+            "g1",
+            "g2",
+            "shared",
+            "n1",
+            "n2",
+            (
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("shared") / F.least("n1", "n2").cast("double")
+            ).alias("containment"),
+        )
+    )

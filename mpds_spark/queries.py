@@ -2153,7 +2153,7 @@ def q_near_dup_components_star(spark, sf_dir):
     verts = spark.range(350).select(F.col("id").alias("doc_id"))
     chain = (
         spark.range(200)
-        .filter((F.col("id") + 1) % 12 != 0)
+        .filter((F.col("id") + 1) % 40 != 0)
         .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
     )
     star = spark.range(210, 300).select(
@@ -4166,4 +4166,177 @@ FROM w LEFT JOIN v USING (word) GROUP BY w.source
 
 QUERIES["vocab_coverage"] = q_vocab_coverage
 _RAW_ORACLES["vocab_coverage"] = SQL_VOCAB_COVERAGE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_bigram_nll(spark, sf_dir):
+    """Per-doc add-1 bigram LM negative log-likelihood, trained on the
+    corpus itself (operators/text.py bigram_logprob_score): the
+    local-coherence upgrade of unigram_nll. Occurrence-linear; context
+    counts derived FROM the bigram counts (one corpus pass)."""
+    from mpds_spark.operators.text import bigram_logprob_score
+
+    docs = load(spark, sf_dir, "documents")
+    out = bigram_logprob_score(docs, text="text", key="doc_id", alpha=1.0)
+    return out.select(
+        "doc_id", "n_bigrams", _r6("bigram_nll").alias("bigram_nll")
+    )
+
+
+SQL_BIGRAM_NLL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i ->
+      struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+  FROM t WHERE len(ws) >= 2
+), o2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM occ),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM o2 GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+v AS (
+  SELECT count(DISTINCT w) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  round(avg(-ln((c12 + 1.0) / (c1 + 1.0 * v))), 6) AS bigram_nll
+FROM o2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+QUERIES["bigram_nll"] = q_bigram_nll
+_RAW_ORACLES["bigram_nll"] = SQL_BIGRAM_NLL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-source top-5 salient terms by tf-idf (operators/text.py
+    tfidf_top_terms): the mixture-audit complement of vocab_coverage.
+    Ranked on the ROUNDED score (duck_round, 6 digits) so near-ties break
+    on the term, stably across engines."""
+    from mpds_spark.operators.text import tfidf_top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(
+        docs, text="text", group="source", id_col="doc_id", k=5,
+        rank_round=6,
+    )
+    return out.select(
+        "source",
+        F.col("rank").cast("int").alias("rank"),
+        "term",
+        "tf",
+        "df",
+        _r6("tfidf").alias("tfidf"),
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT source, doc_id,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), tf AS (SELECT source, w, count(*) AS tf FROM toks GROUP BY source, w),
+dfq AS (
+  SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks)
+  GROUP BY w
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT source, w, tf, df,
+    tf * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS tfidf
+  FROM tf JOIN dfq USING (w) CROSS JOIN nd
+), r AS (
+  SELECT source, w, tf, df, tfidf,
+    row_number() OVER (
+      PARTITION BY source ORDER BY round(tfidf, 6) DESC, w ASC) AS rank
+  FROM s
+)
+SELECT source, CAST(rank AS INT) AS rank, w AS term, tf, df,
+  round(tfidf, 6) AS tfidf
+FROM r WHERE rank <= 5
+"""
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+_RAW_ORACLES["tfidf_top_terms"] = SQL_TFIDF_TOP_TERMS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-source frequency cap at 10 docs (operators/sampling.py
+    cap_per_group): C4/RefinedWeb-style per-domain cap with a
+    deterministic md5 priority; the naive global window is replaced by a
+    verified hash prefilter so the hottest domain's sort is bounded by
+    ~guard*n rows, not the domain size."""
+    from mpds_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("source", "doc_id")
+    return cap_per_group(
+        docs, group="source", key="doc_id", n=10, seed="cap"
+    ).select("source", "doc_id")
+
+
+SQL_DOMAIN_CAP = """
+WITH d AS (
+  SELECT source, doc_id,
+    md5(concat('cap', '|', source, '|', CAST(doc_id AS VARCHAR))) AS u
+  FROM documents
+), r AS (
+  SELECT source, doc_id,
+    row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rk
+  FROM d
+)
+SELECT source, doc_id FROM r WHERE rk <= 10
+"""
+
+QUERIES["domain_cap"] = q_domain_cap
+_RAW_ORACLES["domain_cap"] = SQL_DOMAIN_CAP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_cross_source_overlap(spark, sf_dir):
+    """Pairwise 8-gram contamination matrix between sources
+    (operators/text.py cross_group_ngram_overlap): distinct-first, so the
+    n-gram self-join is bounded at |sources| rows per key and cannot
+    skew. Output is |sources|^2-bounded."""
+    from mpds_spark.operators.text import cross_group_ngram_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    out = cross_group_ngram_overlap(docs, text="text", group="source", n=8)
+    return out.select(
+        "g1",
+        "g2",
+        "shared",
+        "n1",
+        "n2",
+        _r6("jaccard").alias("jaccard"),
+        _r6("containment").alias("containment"),
+    )
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT source AS g,
+    unnest(list_transform(range(1, len(ws) - 6), i ->
+      array_to_string(ws[i:i+7], ' '))) AS gm
+  FROM t WHERE len(ws) >= 8
+), sizes AS (SELECT g, count(*) AS n FROM g GROUP BY g),
+inter AS (
+  SELECT a.g AS g1, b.g AS g2, count(*) AS shared
+  FROM g a JOIN g b USING (gm) WHERE a.g < b.g GROUP BY a.g, b.g
+)
+SELECT g1, g2, shared, s1.n AS n1, s2.n AS n2,
+  round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 6) AS jaccard,
+  round(shared / CAST(least(s1.n, s2.n) AS DOUBLE), 6) AS containment
+FROM inter
+JOIN sizes s1 ON s1.g = inter.g1
+JOIN sizes s2 ON s2.g = inter.g2
+"""
+
+QUERIES["cross_source_overlap"] = q_cross_source_overlap
+_RAW_ORACLES["cross_source_overlap"] = SQL_CROSS_SOURCE_OVERLAP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -136,3 +136,49 @@ def test_multi_quantile_matches_single_and_numpy(spark):
                 rtol=1e-12,
                 err_msg=f"{g}:{p}",
             )
+
+
+def _naive_cap(rows, n):
+    """Reference: n smallest md5(seed|group|key) per group, tie-break key."""
+    import hashlib
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for g, k in rows:
+        u = hashlib.md5(f"cap|{g}|{k}".encode()).hexdigest()
+        per[g].append((u, k))
+    keep = set()
+    for g, lst in per.items():
+        for _, k in sorted(lst)[:n]:
+            keep.add((g, k))
+    return keep
+
+
+def test_cap_per_group_matches_naive(spark):
+    """cap_per_group == naive top-n-by-hash, including on a hot group
+    1000x larger than the others."""
+    from mpds_spark.operators.sampling import cap_per_group
+
+    rows = [("hot", i) for i in range(3000)] + [
+        (f"g{j}", 10_000 + j * 100 + i) for j in range(5) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(df, n=7, seed="cap").collect()
+    }
+    assert got == _naive_cap(rows, 7)
+
+
+def test_cap_per_group_fallback_path_exact(spark):
+    """guard small enough that the prefilter underselects (or empties)
+    groups — the verified fallback must still return the exact naive set."""
+    from mpds_spark.operators.sampling import cap_per_group
+
+    rows = [("hot", i) for i in range(2000)] + [("tiny", 9000 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    got = {
+        (r["source"], r["doc_id"])
+        for r in cap_per_group(df, n=5, seed="cap", guard=0.002).collect()
+    }
+    assert got == _naive_cap(rows, 5)

@@ -669,3 +669,131 @@ def test_suffix_prefix_overlap_matches_bruteforce(spark):
 
     for i in range(59):
         assert out[i] == brute(rows[i][2], rows[i + 1][2]), i
+
+
+def test_bigram_nll_matches_bruteforce(spark):
+    """Differential: distributed add-1 bigram NLL equals a brute-force
+    python recomputation (counts, context counts, vocab, mean -ln p)."""
+    import math
+
+    import numpy as np
+
+    from mpds_spark.operators.text import bigram_logprob_score
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 20)))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bigram_nll"])
+        for r in bigram_logprob_score(df).collect()
+    }
+    c12: dict = {}
+    allw: set = set()
+    for t in texts:
+        ws = t.split()
+        allw |= set(ws)
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    for (a, _), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+    V = len(allw)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        bgs = list(zip(ws, ws[1:]))
+        if not bgs:
+            assert i not in got
+            continue
+        nll = -sum(
+            math.log((c12[p] + 1.0) / (c1[p[0]] + 1.0 * V)) for p in bgs
+        ) / len(bgs)
+        n, g = got[i]
+        assert n == len(bgs)
+        assert abs(g - nll) < 1e-9, i
+
+
+def test_tfidf_top_terms_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from mpds_spark.operators.text import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [
+        (f"s{i % 3}", i, " ".join(rng.choice(vocab, size=rng.integers(3, 15))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["source"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(df, k=4).collect()
+    }
+    tf: Counter = Counter()
+    docw = set()
+    for s, i, t in rows:
+        for w in t.split():
+            tf[(s, w)] += 1
+            docw.add((i, w))
+    dfc: Counter = Counter(w for _, w in docw)
+    n_docs = len(rows)
+    for s in ("s0", "s1", "s2"):
+        scored = sorted(
+            (
+                (
+                    -tf[(s, w)] * (math.log((1 + n_docs) / (1 + dfc[w])) + 1),
+                    w,
+                )
+                for (ss, w) in tf
+                if ss == s
+            ),
+        )[:4]
+        for rk, (negsc, w) in enumerate(scored, start=1):
+            term, tfx, dfx, sc = got[(s, rk)]
+            assert term == w, (s, rk)
+            assert tfx == tf[(s, w)] and dfx == dfc[w]
+            assert abs(sc - (-negsc)) < 1e-9
+
+
+def test_cross_group_ngram_overlap_matches_bruteforce(spark):
+    import numpy as np
+
+    from mpds_spark.operators.text import cross_group_ngram_overlap
+
+    rng = np.random.default_rng(13)
+    vocab = ["a", "b", "c", "d"]
+    rows = [
+        (f"g{i % 3}", i, " ".join(rng.choice(vocab, size=rng.integers(2, 18))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {
+        (r["g1"], r["g2"]): (r["shared"], r["n1"], r["n2"])
+        for r in cross_group_ngram_overlap(df, group="source", n=3).collect()
+    }
+    sets: dict = {}
+    for s, _, t in rows:
+        ws = t.split()
+        sets.setdefault(s, set()).update(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    gs = sorted(sets)
+    for i in range(len(gs)):
+        for j in range(i + 1, len(gs)):
+            inter = len(sets[gs[i]] & sets[gs[j]])
+            if inter == 0:
+                assert (gs[i], gs[j]) not in got
+                continue
+            assert got[(gs[i], gs[j])] == (
+                inter,
+                len(sets[gs[i]]),
+                len(sets[gs[j]]),
+            )
