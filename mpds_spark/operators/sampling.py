@@ -491,15 +491,20 @@ def cap_per_group(
       2. PREFILTER to u < guard*n/count_g — a hash threshold that passes
          ~guard*n rows per group, shuffle-free after the tiny broadcast
          of per-group counts;
-      3. exact row_number over the SURVIVORS (per-group partitions now
-         ~guard*n rows, bounded regardless of corpus size);
-      4. groups where the prefilter underselected (< min(n, count_g)
-         survivors — binomially improbable at guard>=4 but possible)
-         fall back to the full-rank path, exactly; the union keeps the
-         result identical to the naive definition.
+      3. detect groups the prefilter UNDERSELECTED (< min(n, count_g)
+         survivors — binomially improbable at guard>=4, but possible,
+         including a huge group emptied entirely when n is tiny) from the
+         count table, and widen the filter to ALL their rows;
+      4. ONE exact row_number over the widened survivor set — per-group
+         partitions are ~guard*n rows (or the whole group only for the
+         improbable short ones), bounded regardless of corpus size.
 
-    Tie-break on (u, key) so equal hashes (never, for md5 over distinct
-    keys) cannot make the kept set ambiguous."""
+    A single window over one frame (no good/bad union): the rank input
+    per group is either the survivors (whose top-n equal the group's true
+    top-n — every excluded row hashes above every included one) or, for
+    short groups, the full group. Tie-break on (u, key) so equal hashes
+    (never, for md5 over distinct keys) cannot make the kept set
+    ambiguous."""
     from pyspark.sql import Window
 
     u = F.md5(
@@ -516,32 +521,35 @@ def cap_per_group(
     )
     d = df.withColumn("__u", u).withColumn("__frac", frac)
     counts = d.groupBy(group).agg(F.count(F.lit(1)).alias("__cnt"))
-    d = d.join(F.broadcast(counts), group)
     cutoff = F.least(
         F.lit(1.0), F.lit(float(guard) * float(n)) / F.col("__cnt")
     )
-    surv = d.filter(F.col("__frac") < cutoff)
+    nsurv = (
+        d.join(F.broadcast(counts), group)
+        .filter(F.col("__frac") < cutoff)
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias("__nsurv"))
+    )
+    # per-group rank-input policy, broadcast back to the row stream:
+    # __full=true -> rank the whole group (prefilter underselected);
+    # otherwise rank only rows with __frac < __cutoff
+    policy = counts.join(nsurv, group, "left").select(
+        group,
+        F.least(F.lit(1.0), F.lit(float(guard) * float(n)) / F.col("__cnt"))
+        .alias("__cutoff"),
+        (
+            F.coalesce("__nsurv", F.lit(0))
+            < F.least(F.lit(int(n)), F.col("__cnt"))
+        ).alias("__full"),
+    )
+    rank_input = d.join(F.broadcast(policy), group).filter(
+        F.col("__full") | (F.col("__frac") < F.col("__cutoff"))
+    )
     w = Window.partitionBy(group).orderBy(
         F.col("__u").asc(), F.col(key).asc()
     )
-    ranked = surv.withColumn("__rk", F.row_number().over(w))
-    # groups whose prefilter kept fewer than min(n, count) rows must be
-    # re-ranked over ALL their rows; the filter makes this exact, the
-    # guard makes it rare (expected: none). Detect from `counts`, not the
-    # survivor frame — a group the prefilter emptied ENTIRELY (possible
-    # for tiny n on a huge group) never appears among survivors at all.
-    nsurv = surv.groupBy(group).agg(F.count(F.lit(1)).alias("__nsurv"))
-    short = (
-        counts.join(nsurv, group, "left")
-        .filter(
-            F.coalesce("__nsurv", F.lit(0))
-            < F.least(F.lit(int(n)), F.col("__cnt"))
-        )
-        .select(group)
+    kept = (
+        rank_input.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(n))
     )
-    good = ranked.join(F.broadcast(short), group, "left_anti")
-    bad_full = d.join(F.broadcast(short), group, "left_semi").withColumn(
-        "__rk", F.row_number().over(w)
-    )
-    kept = good.unionByName(bad_full).filter(F.col("__rk") <= int(n))
-    return kept.drop("__u", "__frac", "__cnt", "__rk")
+    return kept.drop("__u", "__frac", "__cutoff", "__full", "__rk")

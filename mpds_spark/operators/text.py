@@ -973,7 +973,11 @@ def cross_group_ngram_overlap(
             lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)),
         )
     )
-    gs = (
+    from mpds_spark.operators.util import scratch_persist
+
+    # persisted: consumed three times (sizes + both self-join sides) —
+    # without it Catalyst re-splits and re-explodes the corpus per branch
+    gs = scratch_persist(
         d.filter(F.size("__ws") >= n)
         .select(F.col(group).alias("g"), F.explode(grams).alias("__g"))
         .distinct()

@@ -75,6 +75,15 @@ BUDGETS = {
     # vocab via TakeOrdered + broadcast membership; the token stream is
     # never joined non-broadcast
     "vocab_coverage": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # r5 second batch: bigram counts + context counts derived from them
+    # + occurrence join + doc agg; tfidf ranks the vocab-sized score
+    # frame only; domain_cap is ONE window over the prefiltered stream
+    # (counts + nsurv aggs + the rank shuffle + pre-agg reshuffle);
+    # cross-source overlap reads a persisted distinct-gram frame
+    "bigram_nll": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
+    "tfidf_top_terms": {"shuffle": 4, "python": 0, "cartesian": 0},
+    "domain_cap": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
+    "cross_source_overlap": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 
