@@ -919,3 +919,122 @@ def remove_duplicate_spans(
         F.size("__t").cast("long").alias("n_tok"),
         F.size("tokens_clean").cast("long").alias("n_tok_clean"),
     )
+
+
+def incremental_keep(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    k: int = 8,
+    band_size: int = 2,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Admission decision for a NEW batch against an EXISTING corpus — the
+    incremental-ingest shape (a daily crawl dump arriving after 100 TB is
+    already curated; re-running whole-corpus dedup per dump is
+    corpus-quadratic over time, admission is batch-linear). A batch doc is
+    flagged:
+
+      batch_dup — exact text-hash tie broken by min(key) WITHIN the batch;
+      exact_dup — its text hash already exists in the corpus;
+      near_dup  — it shares a MinHash band bucket with a corpus doc AND
+                  exact shingle Jaccard vs that doc >= threshold
+                  (candidates-then-verify, same two-tier plan as
+                  near_dup_pairs);
+      keep      — none of the above.
+
+    Join shape: every join is batch-vs-corpus (band buckets, then
+    doc-keyed verify), never corpus-vs-corpus; with |batch| << |corpus|
+    the band join is broadcast-able on the batch side and the verify
+    intermediate is linear in CANDIDATES. At scale the corpus legs
+    (text hashes, signatures, shingle sizes) are the precomputed artifacts
+    the dedup pipeline already persists — recomputed here from corpus_df
+    for self-containment.
+
+    max_bucket: corpus-side band-bucket guard, same rationale as
+    lsh_candidate_pairs (boilerplate bucket -> pair explosion).
+    """
+    bh = batch_df.select(F.col(key), F.md5(F.col(text)).alias("__th"))
+    # within-batch exact tie: min(key) per hash wins
+    first = bh.groupBy("__th").agg(F.min(key).alias("__first"))
+    bflag = bh.join(first, "__th").select(
+        F.col(key), "__th", (F.col(key) != F.col("__first")).alias("batch_dup")
+    )
+    seen = (
+        corpus_df.select(F.md5(F.col(text)).alias("__th"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    eflag = bflag.join(seen, "__th", "left").select(
+        key, "batch_dup", F.coalesce("__seen", F.lit(False)).alias("exact_dup")
+    )
+
+    def _bands(frame, out_key):
+        sig = minhash_signature(frame, text, key, k, n)
+        cols = []
+        for b in range(k // band_size):
+            parts = [f"h{b * band_size + j}" for j in range(band_size)]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("|", *parts).alias("bh"),
+                )
+            )
+        return sig.select(
+            F.col(key).alias(out_key), F.explode(F.array(*cols)).alias("bb")
+        ).select(out_key, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    nb = _bands(batch_df, "__nb")
+    ob = _bands(corpus_df, "__ob")
+    if max_bucket is not None:
+        ok = (
+            ob.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bh")
+        )
+        ob = ob.join(ok, ["band", "bh"], "left_semi")
+    cand = nb.join(ob, ["band", "bh"]).select("__nb", "__ob").distinct()
+
+    sh_b = scratch_persist(
+        shingles(batch_df, text, n=n).select(F.col(key).alias("__nb"), "shingle")
+    )
+    sh_c = scratch_persist(
+        shingles(corpus_df, text, n=n).select(F.col(key).alias("__ob"), "shingle")
+    )
+    sz_b = sh_b.groupBy("__nb").agg(F.count(F.lit(1)).alias("__na"))
+    sz_c = sh_c.groupBy("__ob").agg(F.count(F.lit(1)).alias("__nb_sh"))
+    common = (
+        cand.join(sh_b, "__nb")
+        .join(sh_c, ["__ob", "shingle"])
+        .groupBy("__nb", "__ob")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    near = (
+        common.join(sz_b, "__nb")
+        .join(sz_c, "__ob")
+        .filter(
+            F.col("__nc")
+            / (F.col("__na") + F.col("__nb_sh") - F.col("__nc")).cast("double")
+            >= threshold
+        )
+        .select(F.col("__nb").alias(key))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        eflag.join(near, key, "left")
+        .select(
+            key,
+            "batch_dup",
+            "exact_dup",
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+        .withColumn(
+            "keep",
+            ~F.col("batch_dup") & ~F.col("exact_dup") & ~F.col("near_dup"),
+        )
+    )

@@ -4340,3 +4340,77 @@ JOIN sizes s2 ON s2.g = inter.g2
 QUERIES["cross_source_overlap"] = q_cross_source_overlap
 _RAW_ORACLES["cross_source_overlap"] = SQL_CROSS_SOURCE_OVERLAP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental batch admission vs an existing corpus
+    (operators/dedup.py incremental_keep): documents split at
+    max(doc_id)//2 into corpus (old half) and batch (new half); every
+    batch doc flagged batch_dup / exact_dup / near_dup (LSH candidates ->
+    exact-Jaccard verify, batch-vs-corpus joins only) / keep."""
+    from mpds_spark.operators.dedup import incremental_keep
+
+    docs = load(spark, sf_dir, "documents")
+    half = docs.agg((F.max("doc_id") / 2).cast("long")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") <= half)
+    batch = docs.filter(F.col("doc_id") > half)
+    return incremental_keep(
+        batch, corpus, text="text", key="doc_id", k=8, band_size=2, n=3,
+        threshold=0.5,
+    ).select("doc_id", "batch_dup", "exact_dup", "near_dup", "keep")
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH half AS (SELECT max(doc_id) // 2 AS h FROM documents),
+sh AS ({{shingle}}),
+newd AS (
+  SELECT doc_id, md5(text) AS th FROM documents, half WHERE doc_id > h
+),
+oldh AS (
+  SELECT DISTINCT md5(text) AS th FROM documents, half WHERE doc_id <= h
+),
+first AS (SELECT th, min(doc_id) AS f FROM newd GROUP BY th),
+sig AS (
+  SELECT doc_id,
+    {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {bi} AS band, h{2*bi} || '|' || h{2*bi+1} AS bh FROM sig"
+      for bi in range(4))}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS nb, o.doc_id AS ob
+  FROM bands n JOIN bands o ON n.band = o.band AND n.bh = o.bh, half
+  WHERE n.doc_id > h AND o.doc_id <= h
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.nb, c.ob, count(*) AS nc
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.nb
+  JOIN sh b ON b.doc_id = c.ob AND b.shingle = a.shingle
+  GROUP BY c.nb, c.ob
+),
+near AS (
+  SELECT DISTINCT c.nb AS doc_id
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.nb
+  JOIN sizes sb ON sb.doc_id = c.ob
+  WHERE c.nc / CAST(sa.ns + sb.ns - c.nc AS DOUBLE) >= 0.5
+)
+SELECT d.doc_id,
+  (d.doc_id <> f.f) AS batch_dup,
+  (o.th IS NOT NULL) AS exact_dup,
+  (nr.doc_id IS NOT NULL) AS near_dup,
+  (d.doc_id = f.f AND o.th IS NULL AND nr.doc_id IS NULL) AS keep
+FROM newd d
+JOIN first f USING (th)
+LEFT JOIN oldh o ON o.th = d.th
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+""".format(shingle=_SHINGLE_SQL)
+
+QUERIES["incremental_dedup"] = q_incremental_dedup
+_RAW_ORACLES["incremental_dedup"] = SQL_INCREMENTAL_DEDUP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

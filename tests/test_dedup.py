@@ -369,3 +369,36 @@ def test_span_measure_apply_consistency(spark):
             meas[d]["covered_tok"]
             == appl[d]["n_tok"] - appl[d]["n_tok_clean"]
         ), d
+
+
+def test_incremental_keep_flags(spark):
+    """Planted batch: exact corpus dup, within-batch dup pair, a heavy
+    near-dup of a corpus doc, and clean docs — each flag fires exactly
+    where the brute-force definition says."""
+    from mpds_spark.operators.dedup import incremental_keep
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        (0, base),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "completely different corpus content words here indeed"),
+    ]
+    batch_rows = [
+        (10, base),  # exact dup of corpus doc 0
+        (11, base + " lambda"),  # near dup of corpus doc 0 (9/11 shingles)
+        (12, "fresh unseen material nothing like the corpus at all"),
+        (13, "twin text appearing twice in the same batch yes"),
+        (14, "twin text appearing twice in the same batch yes"),  # batch dup
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["batch_dup"], r["exact_dup"], r["near_dup"], r["keep"])
+        for r in incremental_keep(batch, corpus, threshold=0.5).collect()
+    }
+    assert out[10] == (False, True, True, False)  # exact implies near too
+    assert out[11][1] is False and out[11][2] is True and out[11][3] is False
+    assert out[12] == (False, False, False, True)
+    assert out[13] == (False, False, False, True)  # min-key twin wins
+    assert out[14] == (True, False, False, False)
+    assert len(out) == 5
