@@ -1011,3 +1011,82 @@ def cross_group_ngram_overlap(
             ).alias("containment"),
         )
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    group: str = "source",
+    seg_words: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequent segment removal (the line-dedup stage of CCNet
+    [Wenzek et al. 2020] and RefinedWeb [Penedo et al. 2023]): a doc is
+    split into consecutive `seg_words`-word segments; any segment whose
+    exact text occurs in >= `min_docs` DISTINCT docs of the same `group`
+    (source / dump) is boilerplate — a nav bar, cookie banner, footer —
+    and is removed from EVERY doc, including the first. Web corpora use
+    newline-delimited lines; the synthetic table is single-line word
+    streams, so fixed-width word windows stand in for lines (the plan is
+    identical — only the segmenter expression differs).
+
+    Per doc: n_seg, n_removed, n_words_clean, text_clean (kept segments
+    re-joined in position order).
+
+    Shape at scale: segment frame is a map-side posexplode; the frequent
+    set is ONE (group, segment)-keyed distinct-doc count — bounded output
+    (boilerplate is by definition high-frequency, so the surviving set is
+    small) and broadcast back; the per-doc re-aggregation is one
+    doc-keyed shuffle. Hot segments can't skew the agg (partial
+    map-side dedup on (group, seg, doc)); production corpora would key
+    the frequent set on md5(segment) to cut shuffle bytes — equality of
+    flags is unchanged.
+    """
+    from mpds_spark.operators.util import scratch_persist
+
+    d = df.withColumn("__ws", words_col(text))
+    nseg = F.ceil(F.size("__ws") / F.lit(seg_words)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.concat_ws(" ", F.slice("__ws", i * seg_words + 1, seg_words)),
+    )
+    # persisted: consumed twice (frequent-set agg + per-doc rebuild)
+    seg = scratch_persist(
+        d.select(
+            F.col(key), F.col(group).alias("__g"), F.posexplode(segs).alias("pos", "seg")
+        )
+    )
+    bp = (
+        seg.select("__g", "seg", key)
+        .distinct()
+        .groupBy("__g", "seg")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g", "seg", F.lit(True).alias("__bp"))
+    )
+    flagged = seg.join(F.broadcast(bp), ["__g", "seg"], "left").select(
+        key,
+        "pos",
+        "seg",
+        F.coalesce("__bp", F.lit(False)).alias("__bp"),
+    )
+    per_doc = flagged.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+        F.sum(F.col("__bp").cast("long")).alias("n_removed"),
+        # per-segment word count, not a re-split of the joined string:
+        # a fully-removed doc must report 0, not size(split('')) == 1
+        F.sum(
+            F.when(
+                ~F.col("__bp"), F.size(F.split(F.col("seg"), r"\s+"))
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("n_words_clean"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "seg", "__bp"))
+        ).alias("__ss"),
+    )
+    kept = F.filter("__ss", lambda s: ~s["__bp"])
+    clean = F.array_join(F.transform(kept, lambda s: s["seg"]), " ")
+    return per_doc.select(
+        key, "n_seg", "n_removed", "n_words_clean", clean.alias("text_clean")
+    )

@@ -4414,3 +4414,47 @@ LEFT JOIN near nr ON nr.doc_id = d.doc_id
 QUERIES["incremental_dedup"] = q_incremental_dedup
 _RAW_ORACLES["incremental_dedup"] = SQL_INCREMENTAL_DEDUP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_boilerplate_segments(spark, sf_dir):
+    """Corpus-frequent segment removal, the line-dedup stage of CCNet /
+    RefinedWeb (operators/text.py remove_boilerplate_segments): docs split
+    into 5-word segments; a segment occurring in >= 2 distinct docs of the
+    same source is boilerplate and removed from every doc."""
+    from mpds_spark.operators.text import remove_boilerplate_segments
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs, seg_words=5, min_docs=2)
+
+
+SQL_BOILERPLATE_SEGMENTS = """
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(words[(i*5+1):(i*5+5)], ' ') AS seg
+  FROM w, LATERAL (SELECT unnest(range((len(words)+4)//5)) AS i) t
+),
+bp AS (
+  SELECT source, seg FROM seg GROUP BY source, seg
+  HAVING count(DISTINCT doc_id) >= 2
+),
+fl AS (
+  SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS bp
+  FROM seg s LEFT JOIN bp b ON b.source = s.source AND b.seg = s.seg
+)
+SELECT doc_id,
+  count(*) AS n_seg,
+  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN NOT bp THEN len(regexp_split_to_array(seg, '\\s+'))
+           ELSE 0 END) AS BIGINT) AS n_words_clean,
+  coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE NOT bp), '')
+    AS text_clean
+FROM fl GROUP BY doc_id
+"""
+
+QUERIES["boilerplate_segments"] = q_boilerplate_segments
+_RAW_ORACLES["boilerplate_segments"] = SQL_BOILERPLATE_SEGMENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

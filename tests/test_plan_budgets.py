@@ -84,6 +84,14 @@ BUDGETS = {
     "tfidf_top_terms": {"shuffle": 4, "python": 0, "cartesian": 0},
     "domain_cap": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
     "cross_source_overlap": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # r5 third batch: boilerplate removal is distinct + frequent-set agg
+    # + doc re-agg, frequent set broadcast back; incremental admission is
+    # batch-vs-corpus only (band join + shingle verify), never a corpus
+    # self-join
+    "boilerplate_segments": {"shuffle": 3, "python": 0, "cartesian": 0},
+    "incremental_dedup": {
+        "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
 }
 
 

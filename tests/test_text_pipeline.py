@@ -797,3 +797,38 @@ def test_cross_group_ngram_overlap_matches_bruteforce(spark):
                 len(sets[gs[i]]),
                 len(sets[gs[j]]),
             )
+
+
+def test_remove_boilerplate_segments_planted(spark):
+    """Planted nav-bar: the same 5-word segment opens three docs of one
+    source — it must vanish from all three (including the first); the
+    same text in a DIFFERENT source stays; a fully-boilerplate doc
+    reports n_words_clean=0 and empty text_clean."""
+    from mpds_spark.operators.text import remove_boilerplate_segments
+
+    nav = "home about contact privacy terms"
+    rows = [
+        (0, "s1", nav + " alpha beta gamma delta eps"),
+        (1, "s1", nav + " zeta eta theta iota kappa"),
+        (2, "s1", nav),  # nothing but the nav bar
+        (3, "s1", "unique words only in this doc"),
+        (4, "s2", nav + " other source one occurrence"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_boilerplate_segments(df, seg_words=5, min_docs=2).collect()
+    }
+    assert out[0]["n_seg"] == 2 and out[0]["n_removed"] == 1
+    assert out[0]["text_clean"] == "alpha beta gamma delta eps"
+    assert out[1]["text_clean"] == "zeta eta theta iota kappa"
+    assert out[2] == {
+        "doc_id": 2, "n_seg": 1, "n_removed": 1,
+        "n_words_clean": 0, "text_clean": "",
+    }
+    assert out[3]["n_removed"] == 0 and out[3]["n_words_clean"] == 6
+    # one occurrence within s2 -> below min_docs there, kept
+    assert out[4]["n_removed"] == 0
+    assert out[4]["text_clean"].startswith(nav)
+    assert all(out[d]["n_words_clean"] == len(out[d]["text_clean"].split())
+               for d in out if out[d]["text_clean"])
