@@ -1090,3 +1090,59 @@ def remove_boilerplate_segments(
     return per_doc.select(
         key, "n_seg", "n_removed", "n_words_clean", clean.alias("text_clean")
     )
+
+
+def classifier_quality_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier with frozen
+    weights (the classifier-filter stage of GPT-3/LLaMA-style curation —
+    Brown et al. 2020 §A, Touvron et al. 2023): each word hashes into
+    one of `n_buckets` feature buckets, the bucket's weight is summed,
+    and the mean weight is squashed to a keep-probability. Weights here
+    are a deterministic function of the bucket id ((b % 1001) - 500, an
+    integer in [-500, 500]) so the operator is self-contained and
+    oracle-checkable; a trained model swaps in a broadcast weight map or
+    a literal array — the plan is identical.
+
+    Cross-engine determinism: the per-doc sum is INTEGER (exact in any
+    order), the score is one double division, and the squash is the
+    rational fast-sigmoid 0.5 + 0.5*s/(1+|s|) — pure arithmetic, no
+    libm exp whose last ulp differs between engines.
+
+    Shape at scale: zero shuffles — hashing, weight lookup, sum, and
+    squash are all per-row JVM array expressions that pipeline onto the
+    scan (the 100-TB classifier pass is embarrassingly parallel)."""
+    d = df.withColumn("__ws", words_col(text))
+    w_int = F.aggregate(
+        F.transform(
+            "__ws",
+            lambda x: (
+                F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+                % n_buckets
+                % 1001
+            )
+            - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d = d.select(
+        F.col(key),
+        F.size("__ws").cast("long").alias("n_words"),
+        w_int.alias("sum_w"),
+    )
+    score = F.col("sum_w") / (500.0 * F.col("n_words"))
+    return d.select(
+        key,
+        "n_words",
+        "sum_w",
+        score.alias("score"),
+        (F.lit(0.5) + F.lit(0.5) * score / (F.lit(1.0) + F.abs(score))).alias(
+            "prob"
+        ),
+        (F.col("sum_w") >= 0).alias("label"),
+    )

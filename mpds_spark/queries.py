@@ -4458,3 +4458,43 @@ FROM fl GROUP BY doc_id
 QUERIES["boilerplate_segments"] = q_boilerplate_segments
 _RAW_ORACLES["boilerplate_segments"] = SQL_BOILERPLATE_SEGMENTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier with frozen deterministic weights
+    (operators/text.py classifier_quality_score): per-word bucket hash ->
+    integer weight sum -> mean-weight score -> rational fast-sigmoid
+    keep-probability. Zero-shuffle map plan."""
+    from mpds_spark.operators.text import classifier_quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    out = classifier_quality_score(docs, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_words", "sum_w",
+        _r6("score").alias("score"), _r6("prob").alias("prob"), "label",
+    )
+
+
+SQL_QUALITY_CLASSIFIER = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(words, x ->
+      CAST((('0x' || substring(md5(x), 1, 8))::UBIGINT % 4096) % 1001
+           AS BIGINT) - 500)) AS BIGINT) AS sum_w
+  FROM w
+),
+sc AS (SELECT *, sum_w / (500.0 * n_words) AS s0 FROM s)
+SELECT doc_id, n_words, sum_w,
+  round(s0, 6) AS score,
+  round(0.5 + 0.5 * s0 / (1.0 + abs(s0)), 6) AS prob,
+  (sum_w >= 0) AS label
+FROM sc
+"""
+
+QUERIES["quality_classifier"] = q_quality_classifier
+_RAW_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

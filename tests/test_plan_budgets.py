@@ -89,6 +89,8 @@ BUDGETS = {
     # batch-vs-corpus only (band join + shingle verify), never a corpus
     # self-join
     "boilerplate_segments": {"shuffle": 3, "python": 0, "cartesian": 0},
+    # classifier pass must stay a pure map stage
+    "quality_classifier": {"shuffle": 0, "python": 0},
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },

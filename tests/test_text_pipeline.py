@@ -832,3 +832,34 @@ def test_remove_boilerplate_segments_planted(spark):
     assert out[4]["text_clean"].startswith(nav)
     assert all(out[d]["n_words_clean"] == len(out[d]["text_clean"].split())
                for d in out if out[d]["text_clean"])
+
+
+def test_classifier_quality_score_differential(spark):
+    """Pure-Python md5 re-derivation of the frozen hashed weights must
+    match the JVM expression exactly (hash path, integer sum, score and
+    fast-sigmoid squash)."""
+    import hashlib
+
+    from mpds_spark.operators.text import classifier_quality_score
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spark shuffles are expensive broadcast when small"),
+        (2, "one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in classifier_quality_score(df, n_buckets=4096).collect()}
+    for doc_id, text in rows:
+        words = text.split()
+        sw = sum(
+            (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4096) % 1001
+            - 500
+            for w in words
+        )
+        s0 = sw / (500.0 * len(words))
+        g = got[doc_id]
+        assert g["n_words"] == len(words) and g["sum_w"] == sw
+        assert abs(g["score"] - s0) < 1e-12
+        assert abs(g["prob"] - (0.5 + 0.5 * s0 / (1.0 + abs(s0)))) < 1e-12
+        assert g["label"] == (sw >= 0)
