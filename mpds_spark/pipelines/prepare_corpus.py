@@ -17,6 +17,14 @@ that stage and downstream):
   00_redact/    (optional, redact_patterns={kind: regex}) PII scrub of
                 the text column (text.redact_pii) — every later stage,
                 including packing, sees only redacted text.
+  00b_boilerplate/
+                (optional, boilerplate_seg_words=W) CCNet/RefinedWeb-style
+                corpus-frequent segment removal (text.
+                remove_boilerplate_segments): segments repeated across
+                >= boilerplate_min_docs docs of a source are stripped
+                BEFORE quality/dedup/budget see the text — so nav bars
+                can't carry a junk page past the quality rules or anchor
+                spurious near-dup candidates.
   01_quality/   Gopher-rule verdicts; only `passes` docs continue.
   02_dedup/     the 4-stage dedup_corpus pipeline (its own per-stage —
                 and, for exact dedup, per-BUCKET — manifests nest here).
@@ -74,6 +82,8 @@ def prepare_corpus(
     split_fractions: dict | None = None,
     split_seed: str = "split",
     redact_patterns: dict | None = None,
+    boilerplate_seg_words: int | None = None,
+    boilerplate_min_docs: int = 2,
     stop_after: int | None = None,
 ) -> dict:
     """Run (or resume) the corpus preparation under out_dir.
@@ -145,9 +155,42 @@ def prepare_corpus(
         )
         funnel["00_redact"] = docs.count()
 
+    # ---- stage 0b (optional): corpus-frequent segment removal — quality,
+    # dedup, decontamination and the budget all see boilerplate-free text
+    specB = spec0
+    if boilerplate_seg_words is not None:
+        from mpds_spark.operators.text import remove_boilerplate_segments
+
+        specB = (
+            f"{spec0}>boilerplate|w={boilerplate_seg_words}"
+            f"|d={boilerplate_min_docs}"
+        )
+        otherB = [c for c in docs.columns if c != text]
+        _docsB = docs
+        docs = _run_stage(
+            spark,
+            out_dir,
+            "00b_boilerplate",
+            fingerprint,
+            specB,
+            lambda: _docsB.select(*otherB).join(
+                remove_boilerplate_segments(
+                    _docsB,
+                    text=text,
+                    key=key,
+                    group=group,
+                    seg_words=boilerplate_seg_words,
+                    min_docs=boilerplate_min_docs,
+                ).select(F.col(key), F.col("text_clean").alias(text)),
+                key,
+            ),
+            stages,
+        )
+        funnel["00b_boilerplate"] = docs.count()
+
     # ---- stage 1: quality verdicts (pure map stage; materialized so the
     # funnel is auditable and downstream lineage starts at a scan)
-    spec1 = f"{spec0}>quality|min_words={min_words}"
+    spec1 = f"{specB}>quality|min_words={min_words}"
     quality = _run_stage(
         spark,
         out_dir,

@@ -187,6 +187,8 @@ def cmd_prepare(args) -> int:
         temperature_alpha=args.temperature_alpha,
         split_fractions=_parse_splits(args.splits),
         redact_patterns=(_default_pii() if args.redact else None),
+        boilerplate_seg_words=args.boilerplate_seg_words,
+        boilerplate_min_docs=args.boilerplate_min_docs,
     )
     print(
         json.dumps(
@@ -283,6 +285,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--splits",
         default=None,
         help="e.g. train=0.98,val=0.01,test=0.01 — deterministic hash split",
+    )
+    pr.add_argument(
+        "--boilerplate-seg-words",
+        type=int,
+        default=None,
+        help="strip segments of this word width repeated across docs of a "
+        "source (CCNet/RefinedWeb line dedup) before quality/dedup",
+    )
+    pr.add_argument(
+        "--boilerplate-min-docs",
+        type=int,
+        default=2,
+        help="distinct-doc count at which a segment counts as boilerplate",
     )
     pr.add_argument(
         "--redact",

@@ -216,3 +216,49 @@ def test_prepare_corpus_redact_stage(spark, tmp_path):
     assert sorted(r.doc_id for r in r2["selected"].collect()) == sorted(
         r.doc_id for r in r1["selected"].collect()
     )
+
+
+def test_prepare_corpus_boilerplate_stage(spark, tmp_path):
+    """boilerplate_seg_words adds stage 00b: a nav-bar prefix shared by
+    two distinct docs of one source is stripped before quality/dedup see
+    the text (re-exposing a planted exact duplicate the nav prefix had
+    masked); resume skips the stage; toggling the knob in the same
+    out_dir invalidates 01_quality onward."""
+    pdf = _corpus()
+    nav = "home about contact privacy terms nav bar links"  # 8 words
+    # rows 0 and 3 are DISTINCT base docs; row 1 is row 0's planted exact
+    # duplicate — move it to another source so segment grouping stays
+    # within s0 for the nav pair only
+    pdf.loc[0, "text"] = nav + " " + pdf.loc[0, "text"]
+    pdf.loc[3, "text"] = nav + " " + pdf.loc[3, "text"]
+    pdf.loc[0, "source"] = pdf.loc[3, "source"] = "s0"
+    pdf.loc[1, "source"] = "s2"
+    docs = spark.createDataFrame(pdf)
+    ev = spark.createDataFrame(EVAL, ["doc_id", "text"])
+    out = str(tmp_path / "bp")
+    kw = dict(budget=10**6, min_words=8, boilerplate_seg_words=8)
+
+    res = prepare_corpus(spark, docs, ev, out, **kw)
+    f = res["funnel"]
+    assert f["00b_boilerplate"] == f["00_input"]  # rows pass through
+    cleaned = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out + "/00b_boilerplate/data").collect()
+    }
+    # nav stripped from both carriers, untouched elsewhere
+    assert not cleaned[0].startswith("home about")
+    assert not cleaned[3].startswith("home about")
+    assert cleaned[0] == pdf.loc[1, "text"]  # dup re-exposed
+    assert f["02_dedup"] < f["01_quality"]
+
+    # resume: stage read back, selection byte-identical
+    res2 = prepare_corpus(spark, docs, ev, out, **kw)
+    assert res2["stages"]["00b_boilerplate"] == "skipped"
+    assert res2["stages"]["01_quality"] == "skipped"
+    sel1 = sorted(r["doc_id"] for r in res["selected"].collect())
+    sel2 = sorted(r["doc_id"] for r in res2["selected"].collect())
+    assert sel1 == sel2
+
+    # knob off in the same dir -> quality spec changes -> re-runs
+    res3 = prepare_corpus(spark, docs, ev, out, budget=10**6, min_words=8)
+    assert res3["stages"]["01_quality"] == "ran"
