@@ -500,3 +500,85 @@ def centroid_outlier_scores(
         F.col(group),
         (dot / (nv * nc)).alias("centroid_cos"),
     )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    threshold: float = 0.35,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup keep-list (Abbas et al. 2023): assign every vector to its
+    nearest centroid by cosine, then within each cluster drop every vector
+    that has a near-duplicate with a SMALLER id at cosine >= threshold
+    (keep-min-id — the dedup-family convention). Complements
+    centroid_outlier_scores (which only SCORES); this emits the pruning
+    decision itself. centroids=None uses the n_clusters lowest-id vectors
+    as deterministic stand-in centroids (oracle-expressible fixture);
+    production passes kmeans_centroids(...) output — the plan is
+    identical.
+
+    Returns (id, cluster, max_cos_prev, keep): max_cos_prev is the max
+    cosine against any smaller-id cluster-mate (NULL for each cluster's
+    lowest id), keep = max_cos_prev < threshold (null-safe true).
+
+    Shape at scale: assignment is a pure map over broadcast centroid
+    literals (nearest_centroids_col — no join); pairing is confined
+    WITHIN clusters via one cluster-keyed self-join, and in the SemDeDup
+    recipe cluster COUNT grows with the corpus so per-cluster size stays
+    bounded — the pair stage is sum(|cluster|^2), not |corpus|^2. The
+    per-vector reduction is a (id)-keyed max, no window."""
+    from mpds_spark.operators.util import scratch_persist
+
+    if centroids is None:
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_clusters)
+            .collect()
+        )
+        centroids = [[float(x) for x in r[vec_col]] for r in rows]
+    v = scratch_persist(
+        df.select(F.col(id_col), _as_double(vec_col).alias("__v"))
+        .withColumn(
+            "cluster",
+            F.element_at(
+                nearest_centroids_col("__v", centroids, 1), 1
+            ).cast("long"),
+        )
+        .withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    )
+    a = v.select(
+        "cluster",
+        F.col(id_col).alias("__ia"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = v.select(
+        "cluster",
+        F.col(id_col).alias("__ib"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cos = _dot(F.col("__va"), F.col("__vb")) / F.col("__na") / F.col("__nb")
+    prev = (
+        a.join(b, "cluster")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(F.col("__ib"), cos.alias("__c"))
+        .groupBy("__ib")
+        .agg(F.max("__c").alias("max_cos_prev"))
+    )
+    return (
+        v.select(id_col, "cluster")
+        .join(prev, F.col(id_col) == F.col("__ib"), "left")
+        .select(
+            id_col,
+            "cluster",
+            "max_cos_prev",
+            F.coalesce(
+                F.col("max_cos_prev") < threshold, F.lit(True)
+            ).alias("keep"),
+        )
+    )

@@ -4498,3 +4498,50 @@ FROM sc
 QUERIES["quality_classifier"] = q_quality_classifier
 _RAW_ORACLES["quality_classifier"] = SQL_QUALITY_CLASSIFIER
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup semantic-pruning keep-list (operators/similarity.py
+    semdedup_keep): nearest-centroid assignment over the 8 lowest-id
+    vectors as deterministic stand-in centroids, then within-cluster
+    keep-min-id pruning at cosine >= 0.35."""
+    from mpds_spark.operators.similarity import semdedup_keep
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semdedup_keep(emb, n_clusters=8, threshold=0.35)
+    return out.select(
+        "vec_id", "cluster", _r6("max_cos_prev").alias("max_cos_prev"), "keep"
+    )
+
+
+SQL_SEMDEDUP_KEEP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+         FROM e ORDER BY vec_id LIMIT 8),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv))
+        DESC, c.cid) AS rk
+    FROM e CROSS JOIN cent c) WHERE rk = 1
+),
+prev AS (
+  SELECT b.vec_id AS ib,
+    max(list_dot_product(ea.v, eb.v)
+        / sqrt(list_dot_product(ea.v, ea.v))
+        / sqrt(list_dot_product(eb.v, eb.v))) AS m
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT g.vec_id, g.cid AS cluster,
+  round(p.m, 6) AS max_cos_prev,
+  coalesce(p.m < 0.35, TRUE) AS keep
+FROM asg g LEFT JOIN prev p ON p.ib = g.vec_id
+"""
+
+QUERIES["semdedup_keep"] = q_semdedup_keep
+_RAW_ORACLES["semdedup_keep"] = SQL_SEMDEDUP_KEEP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

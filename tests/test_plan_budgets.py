@@ -91,6 +91,9 @@ BUDGETS = {
     "boilerplate_segments": {"shuffle": 3, "python": 0, "cartesian": 0},
     # classifier pass must stay a pure map stage
     "quality_classifier": {"shuffle": 0, "python": 0},
+    # assignment is a broadcast-literal map; pairs confined within
+    # clusters (cluster-keyed self-join + per-id max, no window)
+    "semdedup_keep": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },

@@ -259,3 +259,45 @@ def test_centroid_outlier_scores(spark):
     assert min(ins) > 0.95
     assert out[900]["centroid_cos"] == min(r["centroid_cos"] for r in out.values())
     assert out[900]["centroid_cos"] < 0.5
+
+
+def test_semdedup_keep_brute_force(spark):
+    """numpy re-derivation on a planted fixture: cluster assignment
+    (argmax cosine vs the K lowest-id vectors, centroid-norm scaled),
+    within-cluster keep-min-id pruning, and max_cos_prev values."""
+    import numpy as np
+
+    from mpds_spark.operators.similarity import semdedup_keep
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16))
+    vecs = []
+    for i in range(40):
+        v = base[i % 4] + 0.15 * rng.normal(size=16)
+        if i % 9 == 0 and i > 0:  # planted near-dup of an earlier vector
+            v = np.array(vecs[i - 9][1]) + 0.01 * rng.normal(size=16)
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict()
+           for r in semdedup_keep(df, n_clusters=4, threshold=0.9).collect()}
+
+    V = np.array([np.array(v, dtype=np.float32).astype(float) for _, v in vecs])
+    C = V[:4]
+    cn = np.sqrt((C * C).sum(1))
+    asg = np.argmax(V @ C.T / cn, axis=1)
+    norms = np.sqrt((V * V).sum(1))
+    for i in range(40):
+        assert got[i]["cluster"] == asg[i], i
+        prevs = [
+            float(V[j] @ V[i] / norms[j] / norms[i])
+            for j in range(i)
+            if asg[j] == asg[i]
+        ]
+        if prevs:
+            assert got[i]["max_cos_prev"] == pytest.approx(max(prevs), abs=1e-9)
+            assert got[i]["keep"] == (max(prevs) < 0.9), i
+        else:
+            assert got[i]["max_cos_prev"] is None and got[i]["keep"], i
+    # the planted near-dups were dropped, most others kept
+    dropped = [i for i in range(40) if not got[i]["keep"]]
+    assert set(range(9, 40, 9)) <= set(dropped)
