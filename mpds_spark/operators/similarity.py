@@ -582,3 +582,50 @@ def semdedup_keep(
             ).alias("keep"),
         )
     )
+
+
+def ann_recall_audit(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN path against the exact brute-force
+    top-k, per query — the measure-don't-guess audit a curator runs before
+    trusting an approximate index at scale (recall is data-dependent; a
+    code table that worked on one corpus can silently degrade on the
+    next). Returns (query_id, n_exact, n_lsh, n_hit, recall) where
+    recall = n_hit / k.
+
+    Shape at scale: both legs reuse the shipped operators (broadcast
+    query side); the audit join is (query, neighbor)-keyed over Q*k rows —
+    negligible next to the searches themselves. Run it on a sampled query
+    set, not the full corpus."""
+    ex = cosine_topk(vectors, queries, k=k, vec_col=vec_col, id_col=id_col)
+    ap = lsh_cosine_topk(
+        vectors, queries, k=k, bits=bits, vec_col=vec_col, id_col=id_col
+    )
+    hits = ex.select("query_id", "neighbor_id").join(
+        ap.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("long").alias("n_hit"),
+    )
+    n_lsh = ap.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    return (
+        per_q.join(n_lsh, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
+            "n_hit",
+            (F.col("n_hit") / float(k)).alias("recall"),
+        )
+    )

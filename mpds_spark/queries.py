@@ -4545,3 +4545,64 @@ FROM asg g LEFT JOIN prev p ON p.ib = g.vec_id
 QUERIES["semdedup_keep"] = q_semdedup_keep
 _RAW_ORACLES["semdedup_keep"] = SQL_SEMDEDUP_KEEP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """Per-query recall@3 of the LSH ANN path vs exact brute-force top-3
+    (operators/similarity.py ann_recall_audit) over the 5 lowest-id
+    query vectors — the self-audit that gates trusting the approximate
+    index on a new corpus."""
+    from mpds_spark.operators.similarity import ann_recall_audit
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ann_recall_audit(emb, emb.filter(F.col("vec_id") < 5), k=3, bits=4)
+    return out.select(
+        "query_id", "n_exact", "n_lsh", "n_hit", _r6("recall").alias("recall")
+    )
+
+
+SQL_ANN_RECALL_AUDIT = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+     + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+     + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+     + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS code
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, code FROM base WHERE vec_id < 5
+), ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        list_dot_product(qv, b.v) / sqrt(list_dot_product(qv, qv))
+          / sqrt(list_dot_product(b.v, b.v)) DESC, b.vec_id) AS rank
+    FROM q, base b WHERE query_id <> b.vec_id
+  ) WHERE rank <= 3
+), ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, b.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY
+        list_dot_product(qv, b.v) / sqrt(list_dot_product(qv, qv))
+          / sqrt(list_dot_product(b.v, b.v)) DESC, b.vec_id) AS rank
+    FROM q JOIN base b USING (code) WHERE query_id <> b.vec_id
+  ) WHERE rank <= 3
+), perq AS (
+  SELECT e.query_id,
+    CAST(count(*) AS BIGINT) AS n_exact,
+    CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_hit
+  FROM ex e LEFT JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+), nl AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_lsh FROM ap GROUP BY query_id
+)
+SELECT p.query_id, p.n_exact, coalesce(nl.n_lsh, 0) AS n_lsh, p.n_hit,
+  round(p.n_hit / 3.0, 6) AS recall
+FROM perq p LEFT JOIN nl USING (query_id)
+"""
+
+QUERIES["ann_recall_audit"] = q_ann_recall_audit
+_RAW_ORACLES["ann_recall_audit"] = SQL_ANN_RECALL_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

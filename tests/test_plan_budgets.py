@@ -94,6 +94,9 @@ BUDGETS = {
     # assignment is a broadcast-literal map; pairs confined within
     # clusters (cluster-keyed self-join + per-id max, no window)
     "semdedup_keep": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # both ANN legs broadcast the 5-query side; the exact leg is the one
+    # documented bounded BNLJ (brute-force baseline); audit join is Q*k
+    "ann_recall_audit": {"shuffle": 6, "python": 0, "cartesian": 0},
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },
