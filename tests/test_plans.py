@@ -128,6 +128,7 @@ def test_catalog_plan_inventory(spark):
 
     BNLJ_BY_DESIGN = {
         "ann_cosine_topk",     # broadcast query set x corpus (exact baseline)
+        "ann_recall_audit",    # same exact baseline as its reference leg
         "histogram_lift",      # broadcast 1-row (min, max) fit
         "clinical_pairs",      # inter theta pass over hash-capped rows
         "temperature_mix",     # broadcast 1-row weight-sum x |groups| rows
