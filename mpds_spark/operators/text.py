@@ -1146,3 +1146,64 @@ def classifier_quality_score(
         ),
         (F.col("sum_w") >= 0).alias("label"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    group: str = "source",
+    top_v: int = 64,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group: least-squares slope/intercept of
+    ln(count) vs ln(rank) over the top_v most frequent words (rank ties
+    broken by word asc). Natural text follows slope ~ -1 (Zipf 1949);
+    machine-generated, templated, or spam-padded sources bend the curve —
+    a drift signal a curator tracks per dump before mixing.
+
+    Cross-engine determinism: the four regression sums are computed by a
+    SEQUENTIAL fold over the rank-sorted (rank, count) array on both
+    engines (array_sort + aggregate here, ORDER BY r lists + list_sum in
+    the DuckDB twin) — no shuffle-order float summation.
+
+    Shape at scale: one (group, word) count agg; the rank window runs on
+    the VOCAB frame (|groups| x vocab rows, not the corpus); the fold is
+    over <= top_v elements per group. Output is |groups| rows."""
+    from pyspark.sql import Window
+
+    d = df.withColumn("__ws", words_col(text))
+    counts = (
+        d.select(F.col(group).alias("g"), F.explode("__ws").alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("w"))
+    top = counts.withColumn("r", F.row_number().over(win)).filter(
+        F.col("r") <= top_v
+    )
+    per_g = top.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.array_sort(F.collect_list(F.struct("r", "c"))).alias("__rc"),
+    )
+
+    def fold(term):
+        return F.aggregate(
+            "__rc", F.lit(0.0), lambda acc, s: acc + term(s)
+        )
+
+    lx = lambda s: F.log(s["r"].cast("double"))  # noqa: E731
+    ly = lambda s: F.log(s["c"].cast("double"))  # noqa: E731
+    sx = fold(lx)
+    sy = fold(ly)
+    sxx = fold(lambda s: lx(s) * lx(s))
+    sxy = fold(lambda s: lx(s) * ly(s))
+    n = F.col("n_vocab").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0.0, (n * sxy - sx * sy) / denom)
+    intercept = F.when(denom != 0.0, (sy - ((n * sxy - sx * sy) / denom) * sx) / n)
+    return per_g.select(
+        F.col("g").alias(group),
+        "n_vocab",
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
+    )

@@ -4606,3 +4606,54 @@ FROM perq p LEFT JOIN nl USING (query_id)
 QUERIES["ann_recall_audit"] = q_ann_recall_audit
 _RAW_ORACLES["ann_recall_audit"] = SQL_ANN_RECALL_AUDIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Per-source Zipf rank-frequency fit (operators/text.py zipf_fit):
+    ln-ln least squares over each source's top-64 words; slope drift from
+    ~-1 flags templated/machine text before mixing a dump."""
+    from mpds_spark.operators.text import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    out = zipf_fit(docs, top_v=64)
+    return out.select(
+        "source",
+        "n_vocab",
+        _r6("zipf_slope").alias("zipf_slope"),
+        _r6("zipf_intercept").alias("zipf_intercept"),
+    )
+
+
+SQL_ZIPF_FIT = """
+WITH w AS (
+  SELECT source AS g, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+c AS (SELECT g, word, count(*) AS c FROM w GROUP BY g, word),
+t AS (
+  SELECT g, word, c,
+    row_number() OVER (PARTITION BY g ORDER BY c DESC, word) AS r
+  FROM c
+),
+top AS (SELECT * FROM t WHERE r <= 64),
+a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_vocab,
+    list_sum(list(ln(r::DOUBLE) ORDER BY r)) AS sx,
+    list_sum(list(ln(c::DOUBLE) ORDER BY r)) AS sy,
+    list_sum(list(ln(r::DOUBLE) * ln(r::DOUBLE) ORDER BY r)) AS sxx,
+    list_sum(list(ln(r::DOUBLE) * ln(c::DOUBLE) ORDER BY r)) AS sxy
+  FROM top GROUP BY g
+)
+SELECT g AS source, n_vocab,
+  round(CASE WHEN n_vocab * sxx - sx * sx <> 0 THEN
+    (n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx) END, 6)
+    AS zipf_slope,
+  round(CASE WHEN n_vocab * sxx - sx * sx <> 0 THEN
+    (sy - ((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx)) * sx)
+      / n_vocab END, 6) AS zipf_intercept
+FROM a
+"""
+
+QUERIES["zipf_fit"] = q_zipf_fit
+_RAW_ORACLES["zipf_fit"] = SQL_ZIPF_FIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

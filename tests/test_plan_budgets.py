@@ -97,6 +97,9 @@ BUDGETS = {
     # both ANN legs broadcast the 5-query side; the exact leg is the one
     # documented bounded BNLJ (brute-force baseline); audit join is Q*k
     "ann_recall_audit": {"shuffle": 6, "python": 0, "cartesian": 0},
+    # vocab count agg + per-group rank (WindowGroupLimit pushes the
+    # top-64 filter into a per-partition heap); fold is array-side
+    "zipf_fit": {"shuffle": 2, "python": 0, "cartesian": 0},
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },

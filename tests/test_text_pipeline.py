@@ -863,3 +863,38 @@ def test_classifier_quality_score_differential(spark):
         assert abs(g["score"] - s0) < 1e-12
         assert abs(g["prob"] - (0.5 + 0.5 * s0 / (1.0 + abs(s0)))) < 1e-12
         assert g["label"] == (sw >= 0)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    """Slope/intercept agree with numpy least squares on a planted
+    Zipf-ish corpus; a flat (uniform-frequency) source yields slope ~0."""
+    import numpy as np
+
+    from mpds_spark.operators.text import zipf_fit
+
+    rows = []
+    # source z: word_i appears ~ 200/i times -> slope near -1
+    toks = []
+    for i in range(1, 21):
+        toks += [f"w{i:02d}"] * max(200 // i, 1)
+    rows.append((0, "z", " ".join(toks)))
+    # source u: every word exactly 7 times -> ln(c) constant, slope 0
+    toks = []
+    for i in range(20):
+        toks += [f"u{i:02d}"] * 7
+    rows.append((1, "u", " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r.asDict() for r in zipf_fit(df, top_v=64).collect()}
+
+    # numpy re-derivation for source z
+    counts = sorted(
+        [max(200 // i, 1) for i in range(1, 21)], reverse=True
+    )
+    x = np.log(np.arange(1, 21, dtype=float))
+    y = np.log(np.array(counts, dtype=float))
+    A = np.vstack([x, np.ones_like(x)]).T
+    slope, intercept = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert got["z"]["n_vocab"] == 20
+    assert got["z"]["zipf_slope"] == pytest.approx(slope, abs=1e-9)
+    assert got["z"]["zipf_intercept"] == pytest.approx(intercept, abs=1e-9)
+    assert got["u"]["zipf_slope"] == pytest.approx(0.0, abs=1e-12)
