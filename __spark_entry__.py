@@ -69,6 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_correctness.py (the driver-gate mirror).
 _PRIORITY = [
     # new in round 5 (second batch)
+    "length_ks_drift",
     "zipf_fit",
     "ann_recall_audit",
     "semdedup_keep",

@@ -4657,3 +4657,51 @@ FROM a
 QUERIES["zipf_fit"] = q_zipf_fit
 _RAW_ORACLES["zipf_fit"] = SQL_ZIPF_FIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_length_ks_drift(spark, sf_dir):
+    """Per-source two-sample KS drift of the word-length distribution vs
+    the rest of the corpus (operators/validate.py length_ks_drift) — the
+    mixture-shift alarm run per ingested dump."""
+    from mpds_spark.operators.validate import length_ks_drift
+
+    docs = load(spark, sf_dir, "documents")
+    out = length_ks_drift(docs)
+    return out.select("source", "n_docs", _r6("ks_stat").alias("ks_stat"))
+
+
+SQL_LENGTH_KS_DRIFT = """
+WITH d AS (
+  SELECT source AS g,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS l
+  FROM documents
+),
+cg AS (SELECT g, l, count(*) AS c FROM d GROUP BY g, l),
+lens AS (SELECT DISTINCT l FROM cg),
+grp AS (SELECT g, sum(c) AS n_g FROM cg GROUP BY g),
+tot AS (SELECT count(*) AS n_all FROM d),
+grid AS (SELECT grp.g, grp.n_g, lens.l FROM grp CROSS JOIN lens),
+filled AS (
+  SELECT grid.g, grid.l, grid.n_g, coalesce(cg.c, 0) AS c
+  FROM grid LEFT JOIN cg ON cg.g = grid.g AND cg.l = grid.l
+),
+ca AS (
+  SELECT l, sum(sum(c)) OVER (ORDER BY l) AS cum_all
+  FROM cg GROUP BY l
+),
+cum AS (
+  SELECT f.g, f.n_g, f.l,
+    sum(f.c) OVER (PARTITION BY f.g ORDER BY f.l) AS cum_g,
+    ca.cum_all
+  FROM filled f JOIN ca USING (l)
+)
+SELECT g AS source, CAST(n_g AS BIGINT) AS n_docs,
+  round(max(abs(cum_g / CAST(n_g AS DOUBLE)
+    - (cum_all - cum_g) / CAST(n_all - n_g AS DOUBLE))), 6) AS ks_stat
+FROM cum CROSS JOIN tot
+GROUP BY g, n_g
+"""
+
+QUERIES["length_ks_drift"] = q_length_ks_drift
+_RAW_ORACLES["length_ks_drift"] = SQL_LENGTH_KS_DRIFT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -100,6 +100,9 @@ BUDGETS = {
     # vocab count agg + per-group rank (WindowGroupLimit pushes the
     # top-64 filter into a per-partition heap); fold is array-side
     "zipf_fit": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # only the (group, len) count touches the corpus; the grid/CDF
+    # stages run on aggregate frames of <= |groups| x |lengths| rows
+    "length_ks_drift": {"shuffle": 7, "python": 0, "cartesian": 0},
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },

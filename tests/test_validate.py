@@ -1,6 +1,8 @@
 """validate(): one-pass expectation suite — violation counts, NULL
 predicates counting as violations, uniqueness via distinct counting."""
 
+import pytest
+
 from mpds_spark.operators.validate import (
     in_range,
     is_in,
@@ -63,3 +65,40 @@ def test_unique_prefix_named_predicate_stays_predicate(spark):
     assert look["n_violations"] == 0 and look["passes"]  # both rows satisfy k==1
     real = rows["unique(k)"]
     assert real["n_violations"] == 1 and not real["passes"]  # k=1 twice
+
+
+def test_length_ks_drift_brute_force(spark):
+    """numpy re-derivation of the exact two-sample KS statistic (each
+    source vs rest) on a planted drift fixture: one source's lengths are
+    shifted, its KS must dominate."""
+    import numpy as np
+
+    from mpds_spark.operators.validate import length_ks_drift
+
+    rows = []
+    did = 0
+    for i in range(30):  # two baseline sources, same length law
+        for src in ("a", "b"):
+            rows.append((did, src, " ".join(["w"] * (5 + i % 7)))); did += 1
+    for i in range(30):  # shifted source
+        rows.append((did, "c", " ".join(["w"] * (20 + i % 5)))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r.asDict() for r in length_ks_drift(df).collect()}
+
+    lens = {}
+    for _, src, text in rows:
+        lens.setdefault(src, []).append(len(text.split()))
+    all_lens = sorted({x for v in lens.values() for x in v})
+    for src, ls in lens.items():
+        rest = [x for s2, v in lens.items() if s2 != src for x in v]
+        ks = max(
+            abs(
+                sum(1 for x in ls if x <= t) / len(ls)
+                - sum(1 for x in rest if x <= t) / len(rest)
+            )
+            for t in all_lens
+        )
+        assert got[src]["n_docs"] == len(ls)
+        assert got[src]["ks_stat"] == pytest.approx(ks, abs=1e-12), src
+    assert got["c"]["ks_stat"] > got["a"]["ks_stat"]
+    assert got["c"]["ks_stat"] == 1.0  # fully disjoint supports
