@@ -68,6 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # most one round old; the rotated-out tail stays green via
 # tools/check_correctness.py (the driver-gate mirror).
 _PRIORITY = [
+    # new in round 5 (third batch)
+    "heaps_fit",
+    "term_burstiness",
     # new in round 5 (second batch)
     "length_ks_drift",
     "zipf_fit",

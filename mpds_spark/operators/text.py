@@ -1207,3 +1207,144 @@ def zipf_fit(
         slope.alias("zipf_slope"),
         intercept.alias("zipf_intercept"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    group: str = "source",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per group: least-squares slope
+    (beta) and intercept (ln K) of ln(distinct vocab) vs ln(cumulative
+    tokens), sampled where the doc rank is a power of two plus the final
+    doc. Natural text grows V ~ K * N^beta with beta ~ 0.4-0.6 (Heaps
+    1978); templated or looped sources flatten the curve (vocabulary
+    saturates), OCR noise and spam inflate it toward 1 — the per-dump
+    vocabulary-health check a curator runs beside zipf_fit.
+
+    Cross-engine determinism: every cumulative quantity is an INTEGER
+    (token counts, first-occurrence vocab counts) accumulated by window
+    sum in rank order, so both engines see identical doubles at the ln()
+    boundary; the four regression sums fold SEQUENTIALLY over the
+    rank-sorted point array (<= log2(n_docs)+1 elements, bounded at any
+    corpus size).
+
+    Shape at scale: one (group, word) min-agg for first occurrences, one
+    (group, doc) count, one per-group rank window over DOC-level rows
+    (docs-per-group partitions; a 10^9-doc group wants the salted two-pass
+    in operators/salting.py, same as every per-entity window here), then
+    a <= 64-point fold per group. Output is |groups| rows."""
+    d = df.withColumn("__ws", words_col(text))
+    tok = d.select(
+        F.col(group).alias("g"),
+        F.col(key).alias("k"),
+        F.size("__ws").cast("long").alias("n_tok"),
+    )
+    firsts = (
+        d.select(F.col(group).alias("g"), F.col(key).alias("k"), F.explode("__ws").alias("w"))
+        .groupBy("g", "w")
+        .agg(F.min("k").alias("k"))
+        .groupBy("g", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_v"))
+    )
+    from pyspark.sql import Window
+
+    per_doc = tok.join(firsts, ["g", "k"], "left").fillna({"new_v": 0})
+    ordw = Window.partitionBy("g").orderBy("k")
+    cum = (
+        per_doc.withColumn("r", F.row_number().over(ordw))
+        .withColumn("cum_n", F.sum("n_tok").over(ordw))
+        .withColumn("cum_v", F.sum("new_v").over(ordw))
+    )
+    n_docs = Window.partitionBy("g")
+    pts = cum.withColumn("n_docs", F.max("r").over(n_docs)).filter(
+        ((F.col("r").bitwiseAND(F.col("r") - 1)) == 0)
+        | (F.col("r") == F.col("n_docs"))
+    )
+    per_g = pts.filter((F.col("cum_n") > 0) & (F.col("cum_v") > 0)).groupBy(
+        "g", "n_docs"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.array_sort(F.collect_list(F.struct("r", "cum_n", "cum_v"))).alias("__pts"),
+    )
+
+    def fold(term):
+        return F.aggregate("__pts", F.lit(0.0), lambda acc, s: acc + term(s))
+
+    lx = lambda s: F.log(s["cum_n"].cast("double"))  # noqa: E731
+    ly = lambda s: F.log(s["cum_v"].cast("double"))  # noqa: E731
+    sx, sy = fold(lx), fold(ly)
+    sxx = fold(lambda s: lx(s) * lx(s))
+    sxy = fold(lambda s: lx(s) * ly(s))
+    n = F.col("n_points").cast("double")
+    denom = n * sxx - sx * sx
+    beta = F.when(denom != 0.0, (n * sxy - sx * sy) / denom)
+    lnk = F.when(denom != 0.0, (sy - ((n * sxy - sx * sy) / denom) * sx) / n)
+    return per_g.select(
+        F.col("g").alias(group),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_points",
+        beta.alias("heaps_beta"),
+        lnk.alias("heaps_ln_k"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    top_v: int = 64,
+) -> DataFrame:
+    """Church-Gale term dispersion for the corpus top-V terms: collection
+    frequency cf, document frequency df, burstiness = cf/df (mean
+    occurrences per CONTAINING doc), and the variance-to-mean ratio of
+    within-containing-doc counts (VMR; Poisson -> 1, bursty content words
+    >> 1, function words ~ 1). Church & Gale 1995: burstiness separates
+    content terms from function terms better than raw frequency — the
+    signal behind adaptive-LM cache features and stopword-list induction
+    on a new corpus.
+
+    Cross-engine determinism: cf, df and sum(c^2) are exact LONG
+    aggregates (shuffle-order-free); the two ratios are single double
+    divisions of exact integers. VMR uses the df-1 sample denominator and
+    is null when df < 2.
+
+    Shape at scale: (word, doc) count -> word agg (both partial-agg
+    shuffles, no skew beyond the natural stopword head which the LONG
+    aggregates absorb), then a global top-V via orderBy+limit
+    (TakeOrderedAndProject — no single-partition window)."""
+    wd = (
+        df.select(F.col(key).alias("k"), F.explode(words_col(text)).alias("w"))
+        .groupBy("w", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = wd.groupBy("w").agg(
+        F.sum("c").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__c2"),
+    )
+    cf, dfreq, c2 = (
+        F.col("cf").cast("double"),
+        F.col("df").cast("double"),
+        F.col("__c2").cast("double"),
+    )
+    burst = cf / dfreq
+    vmr = F.when(
+        F.col("df") >= 2, ((c2 - cf * cf / dfreq) / (dfreq - 1.0)) / burst
+    )
+    # derive BEFORE the top-k so limit sits directly on the sort and plans
+    # as TakeOrderedAndProject (a rounding projection stacked on top by a
+    # caller would otherwise block the pattern and leave a global
+    # range-sort of the whole vocab frame)
+    return (
+        agg.select(
+            F.col("w").alias("word"),
+            "cf",
+            "df",
+            burst.alias("burstiness"),
+            vmr.alias("vmr"),
+        )
+        .orderBy(F.desc("cf"), F.asc("word"))
+        .limit(top_v)
+    )

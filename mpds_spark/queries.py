@@ -4705,3 +4705,121 @@ GROUP BY g, n_g
 QUERIES["length_ks_drift"] = q_length_ks_drift
 _RAW_ORACLES["length_ks_drift"] = SQL_LENGTH_KS_DRIFT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_heaps_fit(spark, sf_dir):
+    """Per-source Heaps'-law vocabulary-growth fit (operators/text.py
+    heaps_fit): ln V vs ln N least squares at power-of-two doc ranks;
+    saturated (templated) or inflated (OCR/spam) vocabulary growth flags
+    a dump before mixing — the companion check to zipf_fit."""
+    from mpds_spark.operators.text import heaps_fit
+
+    docs = load(spark, sf_dir, "documents")
+    out = heaps_fit(docs)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_points",
+        _r6("heaps_beta").alias("heaps_beta"),
+        _r6("heaps_ln_k").alias("heaps_ln_k"),
+    )
+
+
+SQL_HEAPS_FIT = """
+WITH d AS (
+  SELECT source AS g, doc_id AS k,
+    regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+),
+tok AS (SELECT g, k, CAST(len(ws) AS BIGINT) AS n_tok FROM d),
+firsts AS (
+  SELECT g, k, CAST(count(*) AS BIGINT) AS new_v FROM (
+    SELECT g, word, min(k) AS k FROM (
+      SELECT g, k, unnest(ws) AS word FROM d
+    ) GROUP BY g, word
+  ) GROUP BY g, k
+),
+per_doc AS (
+  SELECT tok.g, tok.k, tok.n_tok, coalesce(firsts.new_v, 0) AS new_v
+  FROM tok LEFT JOIN firsts ON firsts.g = tok.g AND firsts.k = tok.k
+),
+cum AS (
+  SELECT g, k, row_number() OVER (PARTITION BY g ORDER BY k) AS r,
+    sum(n_tok) OVER (PARTITION BY g ORDER BY k) AS cum_n,
+    sum(new_v) OVER (PARTITION BY g ORDER BY k) AS cum_v
+  FROM per_doc
+),
+ranked AS (
+  SELECT g, r, cum_n, cum_v, max(r) OVER (PARTITION BY g) AS n_docs
+  FROM cum
+),
+pts AS (
+  SELECT * FROM ranked
+  WHERE ((r & (r - 1)) = 0 OR r = n_docs) AND cum_n > 0 AND cum_v > 0
+),
+a AS (
+  SELECT g, n_docs, CAST(count(*) AS BIGINT) AS n_points,
+    list_sum(list(ln(cum_n::DOUBLE) ORDER BY r)) AS sx,
+    list_sum(list(ln(cum_v::DOUBLE) ORDER BY r)) AS sy,
+    list_sum(list(ln(cum_n::DOUBLE) * ln(cum_n::DOUBLE) ORDER BY r)) AS sxx,
+    list_sum(list(ln(cum_n::DOUBLE) * ln(cum_v::DOUBLE) ORDER BY r)) AS sxy
+  FROM pts GROUP BY g, n_docs
+)
+SELECT g AS source, CAST(n_docs AS BIGINT) AS n_docs, n_points,
+  round(CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+    (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) END, 6)
+    AS heaps_beta,
+  round(CASE WHEN n_points * sxx - sx * sx <> 0 THEN
+    (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx)
+      / n_points END, 6) AS heaps_ln_k
+FROM a
+"""
+
+QUERIES["heaps_fit"] = q_heaps_fit
+_RAW_ORACLES["heaps_fit"] = SQL_HEAPS_FIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church-Gale dispersion of the corpus top-64 terms
+    (operators/text.py term_burstiness): burstiness = cf/df and the
+    within-containing-doc variance-to-mean ratio — content-vs-function
+    term separation for stopword induction on a new corpus."""
+    from mpds_spark.operators.text import term_burstiness
+
+    docs = load(spark, sf_dir, "documents")
+    out = term_burstiness(docs, top_v=64)
+    return out.select(
+        "word",
+        "cf",
+        "df",
+        _r6("burstiness").alias("burstiness"),
+        _r6("vmr").alias("vmr"),
+    )
+
+
+SQL_TERM_BURSTINESS = """
+WITH wd AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents
+  ) GROUP BY word, doc_id
+),
+agg AS (
+  SELECT word, CAST(sum(c) AS BIGINT) AS cf,
+    CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(c * c) AS BIGINT) AS c2
+  FROM wd GROUP BY word
+),
+top AS (SELECT * FROM agg ORDER BY cf DESC, word LIMIT 64)
+SELECT word, cf, df,
+  round(cf::DOUBLE / df::DOUBLE, 6) AS burstiness,
+  round(CASE WHEN df >= 2 THEN
+    ((c2::DOUBLE - cf::DOUBLE * cf::DOUBLE / df::DOUBLE)
+      / (df::DOUBLE - 1.0)) / (cf::DOUBLE / df::DOUBLE) END, 6) AS vmr
+FROM top
+"""
+
+QUERIES["term_burstiness"] = q_term_burstiness
+_RAW_ORACLES["term_burstiness"] = SQL_TERM_BURSTINESS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

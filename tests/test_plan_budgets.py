@@ -106,6 +106,12 @@ BUDGETS = {
     "incremental_dedup": {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },
+    # first-occurrence agg + per-doc count join + one per-group rank
+    # window; the regression fold runs on <= log2(n_docs)+1 points/group
+    "heaps_fit": {"shuffle": 3, "python": 0, "cartesian": 0},
+    # (word,doc) agg -> word agg -> TakeOrderedAndProject top-k (asserted
+    # below: no global sort / single-partition exchange on the vocab frame)
+    "term_burstiness": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 
@@ -139,3 +145,11 @@ def test_topk_takeordered(plans):
     partition window over every user's aggregate row (r4 VERDICT #1).
     The residual WindowExec ranks the <=10 surviving rows only."""
     assert "TakeOrderedAndProject" in plans["topk_users"]
+
+
+def test_burstiness_takeordered(plans):
+    """term_burstiness's top-64 must be a per-partition heap over the
+    vocab aggregate (TakeOrderedAndProject), never a global range-sort of
+    the whole vocab frame — at web scale the vocab is billions of rows."""
+    assert "TakeOrderedAndProject" in plans["term_burstiness"]
+    assert "Exchange rangepartitioning" not in plans["term_burstiness"]

@@ -898,3 +898,90 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert got["z"]["zipf_slope"] == pytest.approx(slope, abs=1e-9)
     assert got["z"]["zipf_intercept"] == pytest.approx(intercept, abs=1e-9)
     assert got["u"]["zipf_slope"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_heaps_fit_matches_numpy_lstsq(spark):
+    """Beta / ln K agree with a brute-force Python rederivation (cumsum +
+    power-of-two sampling + numpy lstsq) on a deterministic multi-source
+    corpus; a vocabulary-saturating source fits a smaller beta than one
+    that keeps introducing new words."""
+    import numpy as np
+
+    from mpds_spark.operators.text import heaps_fit
+
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for src, n_docs, mode in (("grow", 37, "new"), ("sat", 29, "loop")):
+        docs = []
+        for i in range(n_docs):
+            if mode == "new":
+                # fresh words keep arriving: V grows ~ N^beta, beta high
+                words = [f"{src}_w{rng.integers(0, 40 + 25 * i)}" for _ in range(30)]
+            else:
+                # closed 30-word vocab: V saturates
+                words = [f"{src}_w{rng.integers(0, 30)}" for _ in range(30)]
+            docs.append(words)
+            rows.append((len(rows), src, " ".join(words)))
+        # brute force: cum tokens / cum distinct at ranks 1,2,4,...,n
+        seen, pts, cum_n = set(), [], 0
+        for r, words in enumerate(docs, start=1):
+            cum_n += len(words)
+            seen |= set(words)
+            if (r & (r - 1)) == 0 or r == n_docs:
+                pts.append((cum_n, len(seen)))
+        x = np.log(np.array([p[0] for p in pts], dtype=float))
+        y = np.log(np.array([p[1] for p in pts], dtype=float))
+        A = np.vstack([x, np.ones_like(x)]).T
+        beta, lnk = np.linalg.lstsq(A, y, rcond=None)[0]
+        expect[src] = (n_docs, len(pts), beta, lnk)
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r.asDict() for r in heaps_fit(df).collect()}
+    for src, (n_docs, n_pts, beta, lnk) in expect.items():
+        g = got[src]
+        assert g["n_docs"] == n_docs and g["n_points"] == n_pts
+        assert g["heaps_beta"] == pytest.approx(beta, abs=1e-9)
+        assert g["heaps_ln_k"] == pytest.approx(lnk, abs=1e-9)
+    assert got["grow"]["heaps_beta"] > got["sat"]["heaps_beta"]
+
+
+def test_term_burstiness_brute_force(spark):
+    """cf/df/burstiness/VMR agree with a collections.Counter rederivation;
+    a once-per-doc function word scores burstiness 1 / VMR 0 while a
+    clumped content word scores both high."""
+    from collections import Counter
+
+    import numpy as np
+
+    from mpds_spark.operators.text import term_burstiness
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(40):
+        words = ["the"]  # function word: once per doc
+        words += [f"w{rng.integers(0, 25)}" for _ in range(int(rng.integers(3, 12)))]
+        if i % 13 == 0:
+            # clumped content word with VARYING per-doc counts (3,6,9,12)
+            # so the within-containing-doc variance exceeds the mean
+            words += ["burst"] * (3 + 3 * (i // 13))
+        docs.append(words)
+    rows = [(i, "s", " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["word"]: r.asDict() for r in term_burstiness(df, top_v=1000).collect()}
+
+    per_word = {}
+    for ws in docs:
+        for w, c in Counter(ws).items():
+            per_word.setdefault(w, []).append(c)
+    for w, cs in per_word.items():
+        cf, d = sum(cs), len(cs)
+        g = got[w]
+        assert (g["cf"], g["df"]) == (cf, d)
+        assert g["burstiness"] == pytest.approx(cf / d, abs=1e-12)
+        if d >= 2:
+            var = np.var(np.array(cs, dtype=float), ddof=1)
+            assert g["vmr"] == pytest.approx(var / (cf / d), abs=1e-9)
+        else:
+            assert g["vmr"] is None
+    assert got["the"]["burstiness"] == 1.0 and got["the"]["vmr"] == 0.0
+    assert got["burst"]["burstiness"] == 7.5 and got["burst"]["vmr"] > 1.0
