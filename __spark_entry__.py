@@ -71,6 +71,7 @@ _PRIORITY = [
     # new in round 5 (third batch)
     "heaps_fit",
     "term_burstiness",
+    "event_burstiness",
     # new in round 5 (second batch)
     "length_ks_drift",
     "zipf_fit",

@@ -206,3 +206,88 @@ def series_stats(
         "tkeo_mean",
         F.when(F.col("__den") != 0, F.col("__num") / F.col("__den")).alias("ar1"),
     )
+
+
+def event_burstiness(
+    df: DataFrame,
+    ts: str = "ts",
+    by: str = "entity_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity inter-arrival burstiness B = (sigma - mu)/(sigma + mu)
+    and memory coefficient M = corr(gap_i, gap_{i+1}) (Goh & Barabasi,
+    EPL 81:48002, 2008) over the ts-ordered event stream — the standard
+    temporal-pattern pair for separating Poisson-like activity (B ~ 0)
+    from bursty human/bot behaviour (B -> 1) and periodic heartbeats
+    (B -> -1), per user, per device, per sensor.
+
+    Cross-engine determinism: gaps are exact MICROSECOND longs
+    (unix_micros / epoch_us on a UTC-pinned session); every moment
+    (sum g, sum g^2, sum g_i*g_{i+1}, ...) accumulates in DECIMAL(38,0)
+    (hugeint in the DuckDB twin) — exact integers, shuffle-order-free —
+    and converts to double once, so both engines hit sqrt()/division
+    with identical inputs. Population sigma (the paper's convention).
+
+    Shape at scale: one lag window on the entity key + one grouped agg
+    that reuses the same partitioning — 1 shuffle total, unbounded
+    entity count; a hot entity wants the salted two-pass in
+    operators/salting.py like every per-entity window here.
+
+    Returns (by, n_events, mean_gap_s, burstiness_b, memory_m):
+    entities with < 2 events drop (no gap); M is NULL below 3 gaps or
+    on a constant leg (zero variance)."""
+    order = [F.col("__us")] + ([F.col(tiebreak)] if tiebreak else [])
+    d = df.select(
+        F.col(by),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__us"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    dec = "decimal(38,0)"
+    g = (F.col("__us") - F.lag("__us").over(w)).cast(dec)
+    d = d.withColumn("__g", g).withColumn("__gn", F.lead("__g").over(w))
+    has_pair = F.col("__g").isNotNull() & F.col("__gn").isNotNull()
+
+    def dsum(c):
+        return F.coalesce(F.sum(c.cast(dec)), F.lit(0).cast(dec))
+
+    agg = d.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("__g").cast("long").alias("__m"),
+        dsum(F.col("__g")).alias("__s1"),
+        dsum(F.col("__g") * F.col("__g")).alias("__s2"),
+        F.coalesce(
+            F.sum(F.when(has_pair, F.lit(1))), F.lit(0)
+        ).cast("long").alias("__np"),
+        dsum(F.when(has_pair, F.col("__g"))).alias("__sx"),
+        dsum(F.when(has_pair, F.col("__gn"))).alias("__sy"),
+        dsum(F.when(has_pair, F.col("__g") * F.col("__gn"))).alias("__sxy"),
+        dsum(F.when(has_pair, F.col("__g") * F.col("__g"))).alias("__sxx"),
+        dsum(F.when(has_pair, F.col("__gn") * F.col("__gn"))).alias("__syy"),
+    ).filter(F.col("__m") >= 1)
+    m = F.col("__m").cast("double")
+    mu = F.col("__s1").cast("double") / m
+    var = F.col("__s2").cast("double") / m - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when(sigma + mu != 0.0, (sigma - mu) / (sigma + mu))
+    np_ = F.col("__np").cast("double")
+    covn = np_ * F.col("__sxy").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    vxn = np_ * F.col("__sxx").cast("double") - F.col("__sx").cast(
+        "double"
+    ) * F.col("__sx").cast("double")
+    vyn = np_ * F.col("__syy").cast("double") - F.col("__sy").cast(
+        "double"
+    ) * F.col("__sy").cast("double")
+    mem = F.when(
+        (F.col("__np") >= 3) & (vxn > 0.0) & (vyn > 0.0),
+        covn / (F.sqrt(vxn) * F.sqrt(vyn)),
+    )
+    return agg.select(
+        F.col(by),
+        "n_events",
+        (mu / F.lit(1_000_000.0)).alias("mean_gap_s"),
+        b.alias("burstiness_b"),
+        mem.alias("memory_m"),
+    )

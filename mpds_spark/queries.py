@@ -4823,3 +4823,77 @@ FROM top
 QUERIES["term_burstiness"] = q_term_burstiness
 _RAW_ORACLES["term_burstiness"] = SQL_TERM_BURSTINESS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_event_burstiness(spark, sf_dir):
+    """Per-user inter-arrival burstiness B and memory coefficient M
+    (Goh & Barabasi 2008; operators/windows.py event_burstiness) over the
+    events stream — the temporal-pattern features separating Poisson
+    activity from bursty or periodic behaviour."""
+    from mpds_spark.operators.windows import event_burstiness
+
+    ev = _events(spark, sf_dir)
+    out = event_burstiness(ev, ts="ts", by="user_id", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "n_events",
+        _r6("mean_gap_s").alias("mean_gap_s"),
+        _r6("burstiness_b").alias("burstiness_b"),
+        _r6("memory_m").alias("memory_m"),
+    )
+
+
+SQL_EVENT_BURSTINESS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT user_id, us, event_id,
+    CAST(us - lag(us) OVER w AS HUGEINT) AS g
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+gg AS (
+  SELECT user_id, g, lead(g) OVER w AS gn
+  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+a AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(g) AS BIGINT) AS m,
+    coalesce(sum(g), 0) AS s1,
+    coalesce(sum(g * g), 0) AS s2,
+    CAST(count(CASE WHEN g IS NOT NULL AND gn IS NOT NULL THEN 1 END)
+      AS BIGINT) AS np,
+    coalesce(sum(CASE WHEN g IS NOT NULL AND gn IS NOT NULL THEN g END), 0)
+      AS sx,
+    coalesce(sum(CASE WHEN g IS NOT NULL AND gn IS NOT NULL THEN gn END), 0)
+      AS sy,
+    coalesce(sum(g * gn), 0) AS sxy,
+    coalesce(sum(CASE WHEN g IS NOT NULL AND gn IS NOT NULL THEN g * g END),
+      0) AS sxx,
+    coalesce(sum(CASE WHEN g IS NOT NULL AND gn IS NOT NULL THEN gn * gn END),
+      0) AS syy
+  FROM gg GROUP BY user_id HAVING count(g) >= 1
+),
+d AS (
+  SELECT user_id, n_events, np,
+    s1::DOUBLE / m::DOUBLE AS mu,
+    sqrt(greatest(s2::DOUBLE / m::DOUBLE
+      - (s1::DOUBLE / m::DOUBLE) * (s1::DOUBLE / m::DOUBLE), 0.0)) AS sigma,
+    np::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn,
+    np::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vxn,
+    np::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vyn
+  FROM a
+)
+SELECT user_id, n_events,
+  round(mu / 1000000.0, 6) AS mean_gap_s,
+  round(CASE WHEN sigma + mu <> 0.0 THEN (sigma - mu) / (sigma + mu) END, 6)
+    AS burstiness_b,
+  round(CASE WHEN np >= 3 AND vxn > 0.0 AND vyn > 0.0 THEN
+    covn / (sqrt(vxn) * sqrt(vyn)) END, 6) AS memory_m
+FROM d
+"""
+
+QUERIES["event_burstiness"] = q_event_burstiness
+_RAW_ORACLES["event_burstiness"] = SQL_EVENT_BURSTINESS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -112,6 +112,9 @@ BUDGETS = {
     # (word,doc) agg -> word agg -> TakeOrderedAndProject top-k (asserted
     # below: no global sort / single-partition exchange on the vocab frame)
     "term_burstiness": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # the canonical temporal-leg shape: one entity-keyed exchange feeds
+    # the lag/lead windows AND the grouped moment agg (decimal-exact)
+    "event_burstiness": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 

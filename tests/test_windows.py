@@ -263,3 +263,61 @@ def test_clinical_pairs_uncapped_inter_warns(spark):
         ]
     key = lambda rows: sorted((r.on_key, r.off_key, r.pair_type) for r in rows)  # noqa: E731
     assert key(warned) == key(explicit) == key(capped)
+
+
+def test_event_burstiness_matches_numpy(spark):
+    """B/M agree with a numpy rederivation (population sigma, Pearson on
+    consecutive gap pairs) and hit the signature regimes: constant gaps
+    -> B = -1 / M null; exponential-ish gaps -> B near 0; alternating
+    tiny/huge gaps -> B > 0 with strongly negative M (Goh-Barabasi)."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import event_burstiness
+
+    rng = np.random.default_rng(5)
+    gaps = {
+        1: [5_000_000] * 30,  # periodic: 5 s heartbeat
+        2: list((rng.exponential(3.0, 60) * 1e6 + 1).astype("int64")),
+        3: [100_000, 60_000_000] * 20,  # alternation: M -> -1
+        4: [7_000_000],  # single gap: sigma 0 over one sample -> B=-1
+        # heavy tail (rare huge gaps dominate sigma): B well above 0
+        5: [10_000] * 25 + [600_000_000] + [10_000] * 25 + [600_000_000],
+    }
+    rows, base = [], dt.datetime(2024, 1, 1)
+    eid = 0
+    for uid, gs in gaps.items():
+        t = 0
+        rows.append((eid, uid, base)); eid += 1
+        for g in gs:
+            t += int(g)
+            rows.append((eid, uid, base + dt.timedelta(microseconds=t)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in event_burstiness(
+            df, ts="ts", by="user_id", tiebreak="event_id"
+        ).collect()
+    }
+    for uid, gs in gaps.items():
+        g = np.array(gs, dtype=float)
+        mu, sigma = g.mean(), g.std()  # population
+        b = (sigma - mu) / (sigma + mu)
+        r = got[uid]
+        assert r["n_events"] == len(gs) + 1
+        assert r["mean_gap_s"] == pytest.approx(mu / 1e6, rel=1e-9)
+        assert r["burstiness_b"] == pytest.approx(b, abs=1e-9)
+        if len(gs) >= 3:
+            x, y = g[:-1], g[1:]
+            mexp = np.corrcoef(x, y)[0, 1]
+            if np.std(x) > 0 and np.std(y) > 0:
+                assert r["memory_m"] == pytest.approx(mexp, abs=1e-9)
+        else:
+            assert r["memory_m"] is None
+    assert got[1]["burstiness_b"] == -1.0 and got[1]["memory_m"] is None
+    assert abs(got[2]["burstiness_b"]) < 0.25
+    assert got[3]["memory_m"] < -0.9  # alternation anti-correlates gaps
+    assert got[4]["burstiness_b"] == -1.0
+    assert got[5]["burstiness_b"] > 0.3  # heavy tail: sigma >> mu
