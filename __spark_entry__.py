@@ -72,6 +72,7 @@ _PRIORITY = [
     "heaps_fit",
     "term_burstiness",
     "event_burstiness",
+    "transition_entropy",
     # new in round 5 (second batch)
     "length_ks_drift",
     "zipf_fit",

@@ -291,3 +291,89 @@ def event_burstiness(
         b.alias("burstiness_b"),
         mem.alias("memory_m"),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    state: str = "event_type",
+    ts: str = "ts",
+    by: str = "entity_id",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity first-order Markov transition entropy of the ts-ordered
+    categorical stream: H(next | cur) = sum_ij (c_ij/N) ln(N_i/c_ij) in
+    nats, plus the stationary unigram entropy H(cur) and their ratio
+    (predictability: H(next|cur)/H(cur) -> 0 for deterministic flows,
+    -> 1 when the next state ignores the current one). The sequence-
+    predictability feature behind session-model priors and bot detection.
+
+    Cross-engine determinism: transition counts are exact longs; the two
+    entropy sums fold SEQUENTIALLY over the (cur,next)-sorted cell array
+    (bounded by |state alphabet|^2 per entity), so no shuffle-order float
+    summation on either engine.
+
+    Shape at scale: one entity-keyed shuffle feeds the lag window and the
+    (entity,cur,next) count; the fold runs on per-entity cell arrays.
+    Entities with < 2 events drop (no transition)."""
+    order = [F.col("__ts")] + ([F.col(tiebreak)] if tiebreak else [])
+    d = df.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        F.col(state).alias("__s"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    d = d.withColumn("__p", F.lag("__s").over(w)).filter(
+        F.col("__p").isNotNull()
+    )
+    cells = d.groupBy(by, "__p", "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_e = cells.groupBy(by).agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.array_sort(F.collect_list(F.struct("__p", "__s", "c"))).alias("__cells"),
+    )
+    # row totals per cur-state from the same sorted array (exact longs)
+    row_tot = lambda cur: F.aggregate(  # noqa: E731
+        "__cells",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(s["__p"] == cur, s["c"]).otherwise(F.lit(0)),
+    )
+    n = F.col("n_transitions").cast("double")
+    h_cond = F.aggregate(
+        "__cells",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["c"].cast("double") / n)
+        * F.log(row_tot(s["__p"]).cast("double") / s["c"].cast("double")),
+    )
+    # unigram entropy of the CURRENT-state marginal: the sorted array
+    # groups cells by cur state, so a first-of-run check inside the fold
+    # visits each cur exactly once (row_tot rescans the array per cell —
+    # O(cells^2) per entity, bounded by |alphabet|^4, alphabet ~ O(10))
+    h_cur = F.aggregate(
+        "__cells",
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0.0).alias("h"),
+        ),
+        lambda acc, s: F.struct(
+            s["__p"].alias("prev"),
+            (
+                acc["h"]
+                + F.when(
+                    acc["prev"].isNull() | (acc["prev"] != s["__p"]),
+                    (row_tot(s["__p"]).cast("double") / n)
+                    * F.log(n / row_tot(s["__p"]).cast("double")),
+                ).otherwise(F.lit(0.0))
+            ).alias("h"),
+        ),
+        lambda acc: acc["h"],
+    )
+    return per_e.select(
+        F.col(by),
+        "n_transitions",
+        h_cond.alias("h_cond"),
+        h_cur.alias("h_cur"),
+        F.when(h_cur != 0.0, h_cond / h_cur).alias("predictability_ratio"),
+    )

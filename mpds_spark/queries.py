@@ -4897,3 +4897,71 @@ FROM d
 QUERIES["event_burstiness"] = q_event_burstiness
 _RAW_ORACLES["event_burstiness"] = SQL_EVENT_BURSTINESS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Per-user Markov transition entropy of the event_type stream
+    (operators/windows.py transition_entropy): H(next|cur), the
+    current-state marginal entropy, and their predictability ratio —
+    the session-predictability feature for bot/anomaly scoring."""
+    from mpds_spark.operators.windows import transition_entropy
+
+    ev = _events(spark, sf_dir)
+    out = transition_entropy(
+        ev, state="event_type", ts="ts", by="user_id", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "n_transitions",
+        _r6("h_cond").alias("h_cond"),
+        _r6("h_cur").alias("h_cur"),
+        _r6("predictability_ratio").alias("predictability_ratio"),
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH o AS (
+  SELECT user_id, event_type AS s,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+  FROM events
+),
+cells AS (
+  SELECT user_id, p, s, CAST(count(*) AS BIGINT) AS c
+  FROM o WHERE p IS NOT NULL GROUP BY user_id, p, s
+),
+rt AS (
+  SELECT user_id, p, CAST(sum(c) AS BIGINT) AS n_i
+  FROM cells GROUP BY user_id, p
+),
+tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY user_id
+),
+hc AS (
+  SELECT cells.user_id,
+    list_sum(list((c::DOUBLE / n::DOUBLE) * ln(n_i::DOUBLE / c::DOUBLE)
+      ORDER BY cells.p, cells.s)) AS h_cond
+  FROM cells
+  JOIN rt ON rt.user_id = cells.user_id AND rt.p = cells.p
+  JOIN tot ON tot.user_id = cells.user_id
+  GROUP BY cells.user_id
+),
+hu AS (
+  SELECT rt.user_id,
+    list_sum(list((n_i::DOUBLE / n::DOUBLE) * ln(n::DOUBLE / n_i::DOUBLE)
+      ORDER BY rt.p)) AS h_cur
+  FROM rt JOIN tot ON tot.user_id = rt.user_id
+  GROUP BY rt.user_id
+)
+SELECT tot.user_id, n AS n_transitions,
+  round(h_cond, 6) AS h_cond,
+  round(h_cur, 6) AS h_cur,
+  round(CASE WHEN h_cur <> 0.0 THEN h_cond / h_cur END, 6)
+    AS predictability_ratio
+FROM tot
+JOIN hc ON hc.user_id = tot.user_id
+JOIN hu ON hu.user_id = tot.user_id
+"""
+
+QUERIES["transition_entropy"] = q_transition_entropy
+_RAW_ORACLES["transition_entropy"] = SQL_TRANSITION_ENTROPY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

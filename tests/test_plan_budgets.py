@@ -115,6 +115,9 @@ BUDGETS = {
     # the canonical temporal-leg shape: one entity-keyed exchange feeds
     # the lag/lead windows AND the grouped moment agg (decimal-exact)
     "event_burstiness": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # lag window + (entity,cur,next) count reuse one entity-keyed
+    # exchange; entropy folds run on per-entity cell arrays (<= |A|^2)
+    "transition_entropy": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 

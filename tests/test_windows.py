@@ -321,3 +321,60 @@ def test_event_burstiness_matches_numpy(spark):
     assert got[3]["memory_m"] < -0.9  # alternation anti-correlates gaps
     assert got[4]["burstiness_b"] == -1.0
     assert got[5]["burstiness_b"] > 0.3  # heavy tail: sigma >> mu
+
+
+def test_transition_entropy_matches_numpy(spark):
+    """H(next|cur), H(cur) and the ratio agree with a numpy rederivation
+    from brute-force transition counts; a deterministic cycle scores
+    H(next|cur) = 0 while an i.i.d. stream scores ratio ~ 1."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import transition_entropy
+
+    rng = np.random.default_rng(9)
+    streams = {
+        1: ["a", "b", "c"] * 20,  # deterministic cycle
+        2: list(rng.choice(["x", "y", "z", "w"], size=200)),  # i.i.d.
+        3: ["a", "a", "b"] * 15 + ["b"],  # mixed
+        4: ["solo"],  # no transition -> drops
+    }
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid, ss in streams.items():
+        for i, s in enumerate(ss):
+            rows.append((eid, uid, base + dt.timedelta(seconds=i), s))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in transition_entropy(
+            df, state="event_type", ts="ts", by="user_id", tiebreak="event_id"
+        ).collect()
+    }
+    assert 4 not in got
+    for uid, ss in streams.items():
+        if len(ss) < 2:
+            continue
+        cells = {}
+        for p, s in zip(ss[:-1], ss[1:]):
+            cells[(p, s)] = cells.get((p, s), 0) + 1
+        n = sum(cells.values())
+        row_tot = {}
+        for (p, _), c in cells.items():
+            row_tot[p] = row_tot.get(p, 0) + c
+        h_cond = sum(
+            (c / n) * np.log(row_tot[p] / c) for (p, _), c in cells.items()
+        )
+        h_cur = sum((ni / n) * np.log(n / ni) for ni in row_tot.values())
+        g = got[uid]
+        assert g["n_transitions"] == n
+        assert g["h_cond"] == pytest.approx(h_cond, abs=1e-9)
+        assert g["h_cur"] == pytest.approx(h_cur, abs=1e-9)
+        if h_cur != 0.0:
+            assert g["predictability_ratio"] == pytest.approx(
+                h_cond / h_cur, abs=1e-9
+            )
+    assert got[1]["h_cond"] == pytest.approx(0.0, abs=1e-12)
+    assert got[2]["predictability_ratio"] > 0.9
