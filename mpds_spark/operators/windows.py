@@ -316,10 +316,12 @@ def transition_entropy(
     (entity,cur,next) count; the fold runs on per-entity cell arrays.
     Entities with < 2 events drop (no transition)."""
     order = [F.col("__ts")] + ([F.col(tiebreak)] if tiebreak else [])
+    # states fold through a string-typed accumulator (and the oracle twin
+    # sorts cells as varchar), so normalize the alphabet to string up front
     d = df.select(
         F.col(by),
         F.col(ts).alias("__ts"),
-        F.col(state).alias("__s"),
+        F.col(state).cast("string").alias("__s"),
         *([F.col(tiebreak)] if tiebreak else []),
     )
     w = Window.partitionBy(by).orderBy(*order)
