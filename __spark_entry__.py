@@ -68,6 +68,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # most one round old; the rotated-out tail stays green via
 # tools/check_correctness.py (the driver-gate mirror).
 _PRIORITY = [
+    # new in round 5 (fourth batch)
+    "streaming_windowed_counts",
+    "ewma_features",
+    "cusum_changepoint",
+    "retention_cohorts",
+    "conversion_funnel",
+    "hourly_seasonality",
     # new in round 5 (third batch)
     "heaps_fit",
     "term_burstiness",

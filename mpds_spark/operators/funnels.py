@@ -1,0 +1,172 @@
+"""Cohort retention and ordered conversion funnels over the event stream.
+
+Product-analytics staples re-expressed as the engine's temporal
+primitives: retention is a first-event as-of anchor + week bucketing
+(the same point-in-time discipline as operators/asof.py — a user's
+cohort is decided only by events at or before each activity week, zero
+leakage); the funnel is a forward-chained sequence of conditional
+first-occurrence scans, i.e. the per-entity ordered state machine the
+reference builds for reaction chains (dssl/dssFunctionLibrary.R:119-171
+pair generation; functions/battery.py reaction-lag state machine),
+collapsed to stage counts.
+
+Every statistic is integer-exact (counts, microsecond sums) until one
+final division, so both engines agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts: str = "ts",
+    by: str = "entity_id",
+) -> DataFrame:
+    """Weekly cohort retention matrix: entities are cohorted by the ISO
+    week (Monday-truncated) of their FIRST event; each (cohort_week,
+    week_offset) cell counts entities active in that later week, with
+    the retention rate vs the cohort's size (its offset-0 cell — every
+    entity is active in its own first week by construction).
+
+    Cross-engine determinism: pure integer counts and day arithmetic;
+    the one double is the final rate division.
+
+    Shape at scale: ONE entity-keyed agg collapses the raw stream to
+    (entity, min week, distinct-week set) — the per-entity set is
+    bounded by weeks-of-history (~52/year) — then one (cohort, offset)
+    count over the exploded entity-weeks, then one window over the
+    cohort-sized aggregate frame (|cohorts| x |offsets| rows) pulls the
+    offset-0 cell as the cohort size. Three exchanges, a single source
+    scan, nothing re-reads or self-joins the corpus.
+
+    Returns (cohort_week: date, week_offset, n_active, cohort_size,
+    retention)."""
+    week = F.to_date(F.date_trunc("week", F.col(ts).cast("timestamp")))
+    per_user = (
+        df.select(F.col(by), week.alias("__w"))
+        .groupBy(by)
+        .agg(
+            F.min("__w").alias("__w0"),
+            F.collect_set("__w").alias("__ws"),
+        )
+    )
+    cells = (
+        per_user.select(
+            F.col("__w0").alias("cohort_week"),
+            F.explode("__ws").alias("__w"),
+        )
+        .select(
+            "cohort_week",
+            ((F.datediff(F.col("__w"), F.col("cohort_week")) / 7)
+             .cast("long")).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return cells.withColumn("cohort_size", size).select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double"))
+        .alias("retention"),
+    )
+
+
+def conversion_funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    event_type: str = "event_type",
+    ts: str = "ts",
+    by: str = "entity_id",
+    within: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel: per entity, the first `steps[0]` event,
+    then the first `steps[1]` STRICTLY AFTER it, then the first
+    `steps[2]` strictly after that, ... (each within `within` seconds of
+    the previous step when set). The entity's stage is the length of the
+    completed chain; the output is one row per stage with the entity
+    count and the mean seconds from the chain's first to its last step.
+
+    Cross-engine determinism: timestamps become exact microsecond longs;
+    stage membership and the lag sums are integer-exact, divided once.
+
+    Shape at scale: ONE entity-keyed shuffle feeds the whole chain —
+    each step is a conditional full-partition min that references the
+    previous step's column, so Catalyst stacks k WindowExecs on the same
+    exchange; the stage rollup aggregates k+1 rows. No self-joins, no
+    per-entity arrays.
+
+    Returns (stage, step, n_entities, mean_s_to_stage): `step` names the
+    last completed step (NULL at stage 0); mean_s_to_stage is 0 at stage
+    1 and NULL at stage 0."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.select(
+        F.col(by), F.col(event_type).alias("__et"), us.alias("__us")
+    )
+    full = Window.partitionBy(by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lim = None if within is None else int(round(within * 1_000_000))
+    prev = None
+    for i, s in enumerate(steps):
+        cond = F.col("__et") == s
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (
+                F.col("__us") > F.col(prev)
+            )
+            if lim is not None:
+                cond = cond & (F.col("__us") <= F.col(prev) + F.lit(lim))
+        col = f"__t{i}"
+        d = d.withColumn(col, F.min(F.when(cond, F.col("__us"))).over(full))
+        prev = col
+    one = d.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy(by).orderBy("__us", "__et")),
+    ).filter(F.col("__rn") == 1)
+    # ascending wrap order => the OUTERMOST when checks the deepest step
+    # (t_i non-null implies t_{i-1} non-null, so deepest must win)
+    stage = F.lit(0).cast("int")
+    for i in range(len(steps)):
+        stage = F.when(
+            F.col(f"__t{i}").isNotNull(), F.lit(i + 1).cast("int")
+        ).otherwise(stage)
+    lag_us = F.lit(None).cast("long")
+    for i in range(1, len(steps)):
+        lag_us = F.when(
+            F.col(f"__t{i}").isNotNull(), F.col(f"__t{i}") - F.col("__t0")
+        ).otherwise(lag_us)
+    lag_us = F.when(
+        F.col("__t0").isNotNull(), F.coalesce(lag_us, F.lit(0).cast("long"))
+    )
+    per_entity = one.select(
+        F.col(by), stage.alias("stage"), lag_us.alias("__lag")
+    )
+    step_name = F.element_at(
+        F.array(*[F.lit(s) for s in steps]), F.col("stage")
+    )
+    return (
+        per_entity.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("__lag").cast("long").alias("__lag_sum"),
+        )
+        .select(
+            "stage",
+            F.when(F.col("stage") > 0, step_name).alias("step"),
+            "n_entities",
+            F.when(
+                F.col("stage") > 0,
+                F.col("__lag_sum").cast("double")
+                / (F.col("n_entities").cast("double") * 1e6),
+            ).alias("mean_s_to_stage"),
+        )
+    )

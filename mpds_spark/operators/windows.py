@@ -379,3 +379,235 @@ def transition_entropy(
         h_cur.alias("h_cur"),
         F.when(h_cur != 0.0, h_cond / h_cur).alias("predictability_ratio"),
     )
+
+
+def ewma_features(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    alpha: float = 0.25,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-entity exponentially-weighted moving average of the ts-ordered
+    value stream — the point-in-time momentum feature (s_1 = v_1,
+    s_n = (1-alpha) * s_{n-1} + alpha * v_n) plus the last raw value and
+    their gap. The classic smoothing the reference's expanding averages
+    (dssFunctionLibrary.R:876-917) approximate with cumsum/rank; EWMA
+    weights recent behaviour without a window-size knob.
+
+    Cross-engine determinism: the recursion folds SEQUENTIALLY over the
+    (ts, tiebreak)-sorted per-entity value array with a single
+    `acc*(1-alpha) + v*alpha` double expression — identical IEEE op
+    sequence in Spark's `aggregate` and DuckDB's `list_reduce`. Pick
+    alpha with an exact binary representation (default 1/4).
+
+    Shape at scale: one entity-keyed shuffle; the fold is O(n) per
+    entity DRIVERLESS (array fold inside codegen). The recursion is
+    inherently serial per entity, but it composes affinely: a chunk of
+    length L maps s_in -> s_in * (1-alpha)^L + B_chunk, so a monstrous
+    entity splits into ordered chunks whose (decay, partial) summaries
+    combine associatively — the same two-pass salting contract as
+    operators/salting.py. At catalog scale the single fold is the right
+    plan.
+
+    Returns (by, n_events, last_value, ewma, ewma_gap)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keep = 1.0 - alpha
+    order_cols = [ts] + ([tiebreak] if tiebreak else []) + [value]
+    arr = F.array_sort(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols]))
+    )
+    g = df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.transform(arr, lambda s: s[value].cast("double")).alias("__v"),
+    )
+    n = F.size("__v")
+    ewma = F.aggregate(
+        F.slice(F.col("__v"), 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at("__v", 1),
+        lambda acc, v: acc * F.lit(keep) + v * F.lit(alpha),
+    )
+    last = F.element_at("__v", -1)
+    return g.select(
+        F.col(by),
+        "n_events",
+        last.alias("last_value"),
+        ewma.alias("ewma"),
+        (last - ewma).alias("ewma_gap"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    tiebreak: str | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-entity CUSUM changepoint scan (Page 1954 / Brownian-bridge
+    form): S_k = sum_{i<=k}(x_i - xbar); report the location and size of
+    max_k |S_k| plus the variance-normalized statistic
+    max|S_k| / (sigma * sqrt(n)) whose null distribution is
+    sup|Brownian bridge| — the standard level-shift detector for sensor
+    drift / behaviour change, per entity.
+
+    Cross-engine determinism: values are scaled to exact integers at
+    `decimals` (the same floor(|x|*10^d + 0.5)*sign idiom as
+    derived_features), so n*cum_k - k*total is an exact DECIMAL(38,0)
+    (hugeint in DuckDB); the argmax is an integer comparison with an
+    earliest-k tie-break, and sigma comes from exact integer moments.
+    Doubles appear only in the final divisions/sqrts, identically on
+    both engines.
+
+    Shape at scale: one entity-keyed shuffle feeds the running-sum
+    window, the full-partition total, and the grouped argmax — the
+    1-exchange temporal-leg contract. Entities with < 2 events drop.
+
+    Returns (by, n_events, cp_index, cp_ts, cusum_max, cusum_stat):
+    cp_index is the 1-based k maximizing |S_k| (earliest on ties),
+    cusum_max is |S_k| in value units, cusum_stat is NULL when
+    sigma = 0 (constant series)."""
+    scale = int(10**decimals)
+    order = [F.col("__ts")] + ([F.col(tiebreak)] if tiebreak else [])
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    d = df.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        cents.alias("__c"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    full = Window.partitionBy(by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dec = "decimal(38,0)"
+    d = d.select(
+        F.col(by),
+        F.col("__ts"),
+        F.row_number().over(w).cast("long").alias("__k"),
+        F.sum(F.col("__c").cast(dec)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__cum"),
+        F.count(F.lit(1)).over(full).cast("long").alias("__n"),
+        F.sum(F.col("__c").cast(dec)).over(full).alias("__s1"),
+        F.sum((F.col("__c") * F.col("__c")).cast(dec)).over(full).alias("__s2"),
+    ).filter(F.col("__n") >= 2)
+    stat = (
+        F.col("__n").cast(dec) * F.col("__cum")
+        - F.col("__k").cast(dec) * F.col("__s1")
+    )
+    d = d.withColumn("__stat", stat)
+    best = d.groupBy(by).agg(
+        F.max("__n").alias("n_events"),
+        F.max("__s1").alias("__s1"),
+        F.max("__s2").alias("__s2"),
+        F.max(
+            F.struct(
+                F.abs(F.col("__stat")).alias("a"),
+                (-F.col("__k")).alias("nk"),
+                F.col("__ts").alias("ts"),
+            )
+        ).alias("__b"),
+    )
+    n = F.col("n_events").cast("double")
+    a = F.col("__b.a").cast("double")
+    # sd_n = sqrt(n*s2 - s1^2): population sigma * scale * n
+    sd_n = F.sqrt(
+        (
+            F.col("n_events").cast(dec) * F.col("__s2")
+            - F.col("__s1") * F.col("__s1")
+        ).cast("double")
+    )
+    return best.select(
+        F.col(by),
+        "n_events",
+        (-F.col("__b.nk")).alias("cp_index"),
+        F.col("__b.ts").alias("cp_ts"),
+        (a / (F.lit(float(scale)) * n)).alias("cusum_max"),
+        F.when(sd_n > 0.0, a / (sd_n * F.sqrt(n))).alias("cusum_stat"),
+    )
+
+
+def circular_weights(period: int = 24) -> tuple[list[float], list[float]]:
+    """cos/sin weights for the `period` phase bins, computed once on the
+    driver and embedded as literals on BOTH engines (Spark lit / SQL list
+    literal) — libm cos/sin may differ by 1 ulp between the JVM and
+    DuckDB, so neither engine is allowed to evaluate them."""
+    import math
+
+    ang = [2.0 * math.pi * h / period for h in range(period)]
+    return [math.cos(a) for a in ang], [math.sin(a) for a in ang]
+
+
+def hourly_seasonality(
+    df: DataFrame,
+    ts: str = "ts",
+    by: str = "entity_id",
+) -> DataFrame:
+    """Per-entity hour-of-day activity profile as circular statistics:
+    resultant length R (0 = uniform over the day, 1 = all activity in one
+    hour), circular mean hour, the peak hour, and the night fraction
+    (00-06 UTC) — the diurnal-rhythm features separating humans from
+    24/7 bots and timezone-consistent from hijacked accounts.
+
+    Cross-engine determinism: per-(entity,hour) counts are exact longs;
+    the resultant sums fold SEQUENTIALLY over the hour-sorted cell array
+    with count * <driver-computed cos/sin literal> products (see
+    circular_weights); sqrt is IEEE-exact. atan2 (circ_mean_h) is the
+    one libm call that may differ by 1 ulp across engines — the catalog
+    query rounds it to 6 decimals, verified EXACT on the gate.
+
+    Shape at scale: one (entity,hour)-keyed count agg + one entity agg
+    over <= 24 cells/entity — skew-immune (the hot-entity row count
+    collapses at the first partial agg).
+
+    Returns (by, n_events, peak_hour, peak_frac, resultant_r,
+    circ_mean_h, night_frac)."""
+    cosw, sinw = circular_weights(24)
+    cos_arr = F.array(*[F.lit(x) for x in cosw])
+    sin_arr = F.array(*[F.lit(x) for x in sinw])
+    cells = (
+        df.select(
+            F.col(by), F.hour(F.col(ts).cast("timestamp")).alias("__h")
+        )
+        .groupBy(by, "__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    per_e = cells.groupBy(by).agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("__h", "__c"))).alias("__cells"),
+        F.max(F.struct(F.col("__c").alias("c"), (-F.col("__h")).alias("nh")))
+        .alias("__peak"),
+        F.coalesce(
+            F.sum(F.when(F.col("__h") < 6, F.col("__c"))), F.lit(0)
+        ).cast("long").alias("__night"),
+    )
+
+    def _fold(weights):
+        return F.aggregate(
+            "__cells",
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s["__c"].cast("double")
+            * F.element_at(weights, s["__h"] + 1),
+        )
+
+    n = F.col("n_events").cast("double")
+    sc, ss = _fold(cos_arr), _fold(sin_arr)
+    two_pi = 6.283185307179586
+    circ = F.atan2(ss, sc) * F.lit(24.0 / two_pi)
+    return per_e.select(
+        F.col(by),
+        "n_events",
+        (-F.col("__peak.nh")).alias("peak_hour"),
+        (F.col("__peak.c").cast("double") / n).alias("peak_frac"),
+        (F.sqrt(sc * sc + ss * ss) / n).alias("resultant_r"),
+        ((circ + 24.0) % 24.0).alias("circ_mean_h"),
+        (F.col("__night").cast("double") / n).alias("night_frac"),
+    )

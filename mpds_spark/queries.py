@@ -4965,3 +4965,351 @@ JOIN hu ON hu.user_id = tot.user_id
 QUERIES["transition_entropy"] = q_transition_entropy
 _RAW_ORACLES["transition_entropy"] = SQL_TRANSITION_ENTROPY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ewma_features(spark, sf_dir):
+    """Per-user EWMA of the value stream (operators/windows.py
+    ewma_features): the point-in-time momentum feature — the
+    window-size-free analogue of the reference's expanding averages
+    (dssFunctionLibrary.R:876-917). alpha = 1/4 (exact binary), fold
+    over the (ts, event_id)-sorted array on both engines."""
+    from mpds_spark.operators.windows import ewma_features
+
+    ev = _events(spark, sf_dir)
+    out = ewma_features(
+        ev, value="value", ts="ts", by="user_id", alpha=0.25,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "last_value",
+        _r6("ewma").alias("ewma"),
+        _r6("ewma_gap").alias("ewma_gap"),
+    )
+
+
+SQL_EWMA_FEATURES = """
+WITH a AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    list(value ORDER BY ts, event_id) AS l
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT user_id, n_events, l[len(l)] AS last_value,
+    list_reduce(l, (acc, x) -> acc * 0.75::DOUBLE + x * 0.25::DOUBLE)
+      AS ewma
+  FROM a
+)
+SELECT user_id, n_events, last_value,
+  round(ewma, 6) AS ewma,
+  round(last_value - ewma, 6) AS ewma_gap
+FROM f
+"""
+
+QUERIES["ewma_features"] = q_ewma_features
+_RAW_ORACLES["ewma_features"] = SQL_EWMA_FEATURES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """Per-user CUSUM level-shift scan (operators/windows.py
+    cusum_changepoint): location/size of max_k |sum_{i<=k}(x_i - xbar)|
+    plus the Brownian-bridge-normalized statistic — the behaviour-change
+    detector over each entity's value stream, integer-exact argmax."""
+    from mpds_spark.functions.timeutil import epoch_seconds
+    from mpds_spark.operators.windows import cusum_changepoint
+
+    ev = _events(spark, sf_dir)
+    out = cusum_changepoint(
+        ev, value="value", ts="ts", by="user_id", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "cp_index",
+        epoch_seconds(out, "cp_ts").alias("cp_ts"),
+        _r6("cusum_max").alias("cusum_max"),
+        _r6("cusum_stat").alias("cusum_stat"),
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS HUGEINT) AS c
+  FROM events
+),
+r AS (
+  SELECT user_id, ts,
+    CAST(row_number() OVER w AS HUGEINT) AS k,
+    sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum,
+    CAST(count(*) OVER p AS HUGEINT) AS n,
+    sum(c) OVER p AS s1,
+    sum(c * c) OVER p AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         p AS (PARTITION BY user_id)
+),
+s AS (
+  SELECT user_id, ts, k, n, s1, s2,
+    abs(n * cum - k * s1) AS a
+  FROM r WHERE n >= 2
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY abs(n * cum - k * s1) DESC, k ASC
+  ) = 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, CAST(k AS BIGINT) AS cp_index,
+  epoch(ts) AS cp_ts,
+  round(a::DOUBLE / (100.0::DOUBLE * n::DOUBLE), 6) AS cusum_max,
+  round(CASE WHEN n * s2 - s1 * s1 > 0 THEN
+    a::DOUBLE / (sqrt((n * s2 - s1 * s1)::DOUBLE) * sqrt(n::DOUBLE)) END, 6)
+    AS cusum_stat
+FROM s
+"""
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+_RAW_ORACLES["cusum_changepoint"] = SQL_CUSUM_CHANGEPOINT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/funnels.py
+    retention_cohorts): users cohorted by the Monday of their first
+    event; (cohort, week_offset) active-user counts + retention rate —
+    the point-in-time cohort anchor is a first-event as-of."""
+    from mpds_spark.operators.funnels import retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    out = retention_cohorts(ev, ts="ts", by="user_id")
+    return out.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        _r6("retention").alias("retention"),
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+),
+c AS (
+  SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS w0 FROM uw
+),
+cells AS (
+  SELECT w0 AS cohort_week, (w - w0) // 7 AS week_offset,
+    CAST(count(*) AS BIGINT) AS n_active
+  FROM c GROUP BY w0, (w - w0) // 7
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size FROM cells
+  WHERE week_offset = 0
+)
+SELECT CAST(cells.cohort_week AS VARCHAR) AS cohort_week,
+  CAST(week_offset AS BIGINT) AS week_offset, n_active, cohort_size,
+  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+FROM cells JOIN sizes ON sizes.cohort_week = cells.cohort_week
+"""
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+_RAW_ORACLES["retention_cohorts"] = SQL_RETENTION_COHORTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_conversion_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel (operators/funnels.py
+    conversion_funnel): per-user forward-chained first-occurrence scan
+    (each step strictly after the previous, within 24 h of it),
+    collapsed to stage counts and mean seconds from first step — the
+    per-entity ordered state machine the reference builds for reaction
+    chains (functions/battery.py reaction-lag), as a funnel."""
+    from mpds_spark.operators.funnels import conversion_funnel
+
+    ev = _events(spark, sf_dir)
+    out = conversion_funnel(
+        ev,
+        steps=("view", "click", "purchase"),
+        event_type="event_type",
+        ts="ts",
+        by="user_id",
+        within=86400.0,
+    )
+    return out.select(
+        "stage",
+        "step",
+        "n_entities",
+        _r6("mean_s_to_stage").alias("mean_s_to_stage"),
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s0 AS (
+  SELECT user_id, event_type, us,
+    min(CASE WHEN event_type = 'view' THEN us END)
+      OVER (PARTITION BY user_id) AS t0
+  FROM e
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t0 IS NOT NULL
+      AND us > t0 AND us <= t0 + 86400000000 THEN us END)
+    OVER (PARTITION BY user_id) AS t1
+  FROM s0
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t1 IS NOT NULL
+      AND us > t1 AND us <= t1 + 86400000000 THEN us END)
+    OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM s2),
+st AS (
+  SELECT user_id,
+    CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2
+         WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS stage,
+    CASE WHEN t2 IS NOT NULL THEN t2 - t0 WHEN t1 IS NOT NULL THEN t1 - t0
+         WHEN t0 IS NOT NULL THEN 0 END AS lag_us
+  FROM u
+)
+SELECT CAST(stage AS INTEGER) AS stage,
+  CASE stage WHEN 1 THEN 'view' WHEN 2 THEN 'click' WHEN 3 THEN 'purchase'
+    END AS step,
+  CAST(count(*) AS BIGINT) AS n_entities,
+  round(CASE WHEN stage > 0 THEN
+    sum(lag_us)::DOUBLE / (count(*)::DOUBLE * 1000000.0::DOUBLE) END, 6)
+    AS mean_s_to_stage
+FROM st GROUP BY stage
+"""
+
+QUERIES["conversion_funnel"] = q_conversion_funnel
+_RAW_ORACLES["conversion_funnel"] = SQL_CONVERSION_FUNNEL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hourly_seasonality(spark, sf_dir):
+    """Per-user hour-of-day circular activity profile
+    (operators/windows.py hourly_seasonality): resultant length R,
+    circular mean hour, peak hour and night fraction — diurnal-rhythm
+    features; cos/sin weights are driver-computed literals shared by
+    both engines (libm parity)."""
+    from mpds_spark.operators.windows import hourly_seasonality
+
+    ev = _events(spark, sf_dir)
+    out = hourly_seasonality(ev, ts="ts", by="user_id")
+    return out.select(
+        "user_id",
+        "n_events",
+        "peak_hour",
+        _r6("peak_frac").alias("peak_frac"),
+        _r6("resultant_r").alias("resultant_r"),
+        _r6("circ_mean_h").alias("circ_mean_h"),
+        _r6("night_frac").alias("night_frac"),
+    )
+
+
+def _sql_hourly_seasonality() -> str:
+    from mpds_spark.operators.windows import circular_weights
+
+    cosw, sinw = circular_weights(24)
+    cl = "[" + ", ".join(f"{x!r}::DOUBLE" for x in cosw) + "]"
+    sl = "[" + ", ".join(f"{x!r}::DOUBLE" for x in sinw) + "]"
+    return f"""
+WITH cells AS (
+  SELECT user_id, hour(ts) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, hour(ts)
+),
+agg AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+    list_sum(list(c::DOUBLE * ({cl})[h + 1] ORDER BY h)) AS sc,
+    list_sum(list(c::DOUBLE * ({sl})[h + 1] ORDER BY h)) AS ss,
+    coalesce(sum(c) FILTER (h < 6), 0) AS night
+  FROM cells GROUP BY user_id
+),
+peak AS (
+  SELECT user_id, h AS peak_hour, c AS peak_c FROM cells
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY c DESC, h ASC
+  ) = 1
+)
+SELECT agg.user_id, n_events, CAST(peak_hour AS INTEGER) AS peak_hour,
+  round(peak_c::DOUBLE / n_events::DOUBLE, 6) AS peak_frac,
+  round(sqrt(sc * sc + ss * ss) / n_events::DOUBLE, 6) AS resultant_r,
+  round(fmod(atan2(ss, sc) * {24.0 / 6.283185307179586!r}::DOUBLE
+    + 24.0::DOUBLE, 24.0::DOUBLE), 6) AS circ_mean_h,
+  round(night::DOUBLE / n_events::DOUBLE, 6) AS night_frac
+FROM agg JOIN peak ON peak.user_id = agg.user_id
+"""
+
+
+QUERIES["hourly_seasonality"] = q_hourly_seasonality
+_RAW_ORACLES["hourly_seasonality"] = _sql_hourly_seasonality()
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window rollup run THROUGH the streaming
+    engine (streaming/sessions.py tumbling_counts: file source ->
+    withWatermark -> F.window agg -> memory sink, complete mode,
+    availableNow): per (hour, user) event count + exact-cents value sum.
+    Complete mode re-emits every window, so the batch GROUP BY is an
+    exact oracle; the append-mode drop-late semantics are pinned by
+    tests/test_streaming.py::test_session_watermark_drops_late_event and
+    the tumbling twin below it."""
+    from mpds_spark.streaming.sessions import tumbling_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_dir(sf_dir, "events")
+    )
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    # withWatermark requires TIMESTAMP (not NTZ); session tz is UTC-pinned
+    agg = tumbling_counts(
+        stream.withColumn("value", cents)
+        .withColumn("ts", F.col("ts").cast("timestamp")),
+        window="1 hour",
+        entity="user_id",
+        ts="ts",
+        value="value",
+        watermark="30 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mpds_q_streaming_windowed_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("mpds_q_streaming_windowed_counts")
+    return out.select(
+        "user_id",
+        F.col("window_start").cast("timestamp").cast("double")
+        .alias("window_start"),
+        F.col("window_end").cast("timestamp").cast("double")
+        .alias("window_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("sum_value").cast("double") / 100.0).alias("sum_value"),
+    )
+
+
+SQL_STREAMING_WINDOWED_COUNTS = """
+SELECT user_id,
+  floor(epoch(ts) / 3600) * 3600 AS window_start,
+  floor(epoch(ts) / 3600) * 3600 + 3600 AS window_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT))::DOUBLE
+    / 100.0 AS sum_value
+FROM events
+GROUP BY user_id, floor(epoch(ts) / 3600)
+"""
+
+QUERIES["streaming_windowed_counts"] = q_streaming_windowed_counts
+_RAW_ORACLES["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED_COUNTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -62,3 +62,39 @@ def stream_sessions_from_files(
     return session_agg(
         stream, gap=gap, entity=entity, ts=ts, value=value, watermark=watermark
     )
+
+
+def tumbling_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    entity: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window event-time aggregation — the standard
+    streaming rollup (count + sum per (window, entity)).
+
+    On a streaming df pass `watermark` so Spark bounds state and drops
+    too-late rows (append mode emits a window once the watermark passes
+    its end; complete mode re-emits everything — deterministic over a
+    finite source, which is how the catalog query gates it). Works on a
+    batch df with watermark=None for the equivalence oracle.
+
+    Returns (entity, window_start, window_end, n_events, sum_value)."""
+    if watermark is not None:
+        df = df.withWatermark(ts, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts), window).alias("w"), F.col(entity))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("sum_value"),
+        )
+        .select(
+            entity,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -118,6 +118,18 @@ BUDGETS = {
     # lag window + (entity,cur,next) count reuse one entity-keyed
     # exchange; entropy folds run on per-entity cell arrays (<= |A|^2)
     "transition_entropy": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # r5 fourth batch: EWMA is one entity agg with an array-side fold;
+    # CUSUM's running-sum window + full-partition moments + grouped
+    # argmax share one entity-keyed exchange; the funnel stacks its k
+    # conditional-min windows on one exchange then rolls up k+1 stages;
+    # retention = entity-week distinct + cohort agg (cohort-size frame
+    # broadcast back); seasonality collapses to (entity,hour) cells at
+    # the first partial agg (skew-immune)
+    "ewma_features": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "cusum_changepoint": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "conversion_funnel": {"shuffle": 2, "python": 0, "cartesian": 0},
+    "retention_cohorts": {"shuffle": 3, "python": 0, "bnlj": 0},
+    "hourly_seasonality": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

@@ -667,3 +667,69 @@ def test_streaming_pack_matches_batch_and_carries(spark, tmp_path):
     # every emitted bin is full; bin ids are contiguous from 0
     assert all(len(t) == L for t in got2["tokens"])
     assert list(got2["bin_id"]) == list(range(len(got2)))
+
+
+def test_tumbling_watermark_drops_late_event(spark, tmp_path):
+    """Watermarked tumbling-window agg (append mode): a window is emitted
+    once the watermark passes its end, and a row arriving behind the
+    watermark is dropped — it must not reopen the finalized window. The
+    tumbling twin of the session-window late-data contract."""
+    import pandas as pd
+
+    from mpds_spark.streaming.sessions import tumbling_counts
+
+    schema = "user_id string, ts timestamp, value double"
+    src = str(tmp_path / "wm_tumble_src")
+
+    def feed(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # hour 10 gets two events; the 12:00 event pushes the watermark to
+    # 11:30 > 11:00, so window [10:00,11:00) is emitted and finalized
+    feed(
+        [
+            ("u1", "2024-01-01 10:10:00", 2.0),
+            ("u1", "2024-01-01 10:40:00", 3.0),
+            ("u1", "2024-01-01 12:00:00", 5.0),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        tumbling_counts(
+            stream, window="1 hour", entity="user_id", watermark="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("wm_tumbling")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # 10:50 is behind the 11:30 watermark -> dropped, NOT re-emitted
+        # into the closed hour-10 window; 14:00 advances the watermark so
+        # the hour-12 window flushes
+        feed(
+            [
+                ("u1", "2024-01-01 10:50:00", 99.0),
+                ("u1", "2024-01-01 14:00:00", 7.0),
+            ]
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from wm_tumbling order by window_start"
+        ).collect()
+    finally:
+        q.stop()
+    got = [
+        (r["window_start"].strftime("%H:%M"), r["n_events"], r["sum_value"])
+        for r in rows
+    ]
+    # hour 10: both on-time events, never the late 99.0; hour 12: the
+    # 12:00 event; the 14:00 flusher is still in state
+    assert got == [("10:00", 2, 5.0), ("12:00", 1, 5.0)]

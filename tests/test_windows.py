@@ -378,3 +378,164 @@ def test_transition_entropy_matches_numpy(spark):
             )
     assert got[1]["h_cond"] == pytest.approx(0.0, abs=1e-12)
     assert got[2]["predictability_ratio"] > 0.9
+
+
+def test_ewma_features_matches_numpy(spark):
+    """Final EWMA matches the numpy recursion exactly (same IEEE op
+    order); constant series -> ewma == value; a level step decays toward
+    the new level with gap shrinking as (1-alpha)^k."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import ewma_features
+
+    rng = np.random.default_rng(11)
+    series = {
+        1: [5.0] * 40,
+        2: list(np.round(rng.normal(10, 3, 75), 2)),
+        3: [1.0] * 30 + [9.0] * 10,  # level shift
+        4: [42.5],  # single event: ewma == value
+    }
+    rows, base = [], dt.datetime(2024, 1, 1)
+    eid = 0
+    for uid, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                (eid, uid, base + dt.timedelta(seconds=17 * i), float(v))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in ewma_features(
+            df, value="value", ts="ts", by="user_id", alpha=0.25,
+            tiebreak="event_id",
+        ).collect()
+    }
+    for uid, vs in series.items():
+        acc = vs[0]
+        for v in vs[1:]:
+            acc = acc * 0.75 + v * 0.25
+        r = got[uid]
+        assert r["n_events"] == len(vs)
+        assert r["last_value"] == vs[-1]
+        assert r["ewma"] == acc  # bit-identical fold
+        assert r["ewma_gap"] == vs[-1] - acc
+    assert got[1]["ewma"] == 5.0 and got[1]["ewma_gap"] == 0.0
+    assert got[4]["ewma"] == 42.5
+    # step decay: gap after k=10 steps at the new level is (9-1)*0.75^10
+    assert got[3]["ewma_gap"] == pytest.approx(8.0 * 0.75**10, rel=1e-12)
+
+
+def test_cusum_changepoint_matches_numpy(spark):
+    """argmax_k |sum_{i<=k}(x - xbar)| location, size and the
+    sigma*sqrt(n)-normalized statistic match numpy; a clean level shift
+    puts cp_index at the shift and scores far above an iid stream;
+    constant series -> stat NULL; ties break to the earliest k."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import cusum_changepoint
+
+    rng = np.random.default_rng(23)
+    series = {
+        1: [2.0] * 25 + [8.0] * 25,  # shift at k=25
+        2: list(np.round(rng.normal(50, 5, 80), 2)),
+        3: [3.14] * 12,  # constant: sigma 0 -> stat NULL
+        4: [1.0, 3.0, 1.0, 3.0] * 10,  # alternating: tie-break earliest
+    }
+    rows, base = [], dt.datetime(2024, 2, 1)
+    eid = 0
+    for uid, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                (eid, uid, base + dt.timedelta(seconds=60 * i), float(v))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in cusum_changepoint(
+            df, value="value", ts="ts", by="user_id", tiebreak="event_id"
+        ).collect()
+    }
+    for uid, vs in series.items():
+        x = np.array(vs)
+        s = np.cumsum(x - x.mean())
+        k = int(np.argmax(np.abs(np.round(s, 10)))) + 1  # earliest max
+        r = got[uid]
+        assert r["n_events"] == len(vs)
+        assert r["cusum_max"] == pytest.approx(np.abs(s).max(), abs=1e-9)
+        sd = x.std()
+        if sd > 0:
+            assert r["cusum_stat"] == pytest.approx(
+                np.abs(s).max() / (sd * np.sqrt(len(vs))), rel=1e-9
+            )
+        else:
+            assert r["cusum_stat"] is None
+        if uid != 4:
+            assert r["cp_index"] == k
+    assert got[1]["cp_index"] == 25
+    assert got[1]["cusum_stat"] > 3 * got[2]["cusum_stat"]
+    # alternating series: |S_k| = 1 at every odd k -> earliest wins
+    assert got[4]["cp_index"] == 1
+
+
+def test_hourly_seasonality_matches_numpy(spark):
+    """R / circular mean / peak / night fraction match a numpy
+    rederivation; all-in-one-hour -> R = 1 with the mean at that hour;
+    a uniform 24-hour profile -> R = 0."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import hourly_seasonality
+
+    profiles = {
+        1: {14: 30},  # all in hour 14
+        2: {h: 3 for h in range(24)},  # uniform -> R ~ 0
+        3: {22: 10, 23: 10, 0: 10, 1: 10, 5: 2},  # night wrap-around
+        4: {9: 20, 10: 5, 17: 20},  # bimodal, tie peak -> hour 9
+    }
+    rows, eid = [], 0
+    for uid, prof in profiles.items():
+        for h, c in prof.items():
+            for i in range(c):
+                rows.append(
+                    (
+                        eid,
+                        uid,
+                        dt.datetime(2024, 3, 1 + (i % 20), h, i % 60, 7),
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in hourly_seasonality(df, ts="ts", by="user_id").collect()
+    }
+    for uid, prof in profiles.items():
+        n = sum(prof.values())
+        hs = np.array(sorted(prof))
+        cs = np.array([prof[h] for h in sorted(prof)], dtype=float)
+        ang = 2 * np.pi * hs / 24
+        sc, ss = (cs * np.cos(ang)).sum(), (cs * np.sin(ang)).sum()
+        r = got[uid]
+        assert r["n_events"] == n
+        assert r["resultant_r"] == pytest.approx(
+            np.hypot(sc, ss) / n, abs=1e-9
+        )
+        if r["resultant_r"] > 1e-9:
+            mean_h = (np.arctan2(ss, sc) * 24 / (2 * np.pi) + 24) % 24
+            assert r["circ_mean_h"] == pytest.approx(mean_h, abs=1e-9)
+        night = sum(c for h, c in prof.items() if h < 6)
+        assert r["night_frac"] == pytest.approx(night / n, abs=1e-12)
+    assert got[1]["resultant_r"] == pytest.approx(1.0, abs=1e-12)
+    assert got[1]["peak_hour"] == 14 and got[1]["peak_frac"] == 1.0
+    assert got[2]["resultant_r"] == pytest.approx(0.0, abs=1e-9)
+    # wrap-around: circular mean sits near midnight, NOT at the 11.5
+    # arithmetic mean of the hour labels
+    assert got[3]["circ_mean_h"] > 22 or got[3]["circ_mean_h"] < 2
+    assert got[4]["peak_hour"] == 9  # tie with 17 -> earliest
