@@ -269,3 +269,51 @@ def interval_join(
         joined.groupBy(F.col("__e").alias(entity), F.col("__ets").alias("event_ts"))
         .agg(*aggs)
     )
+
+
+def session_stats(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    gap: float = 1800.0,
+) -> DataFrame:
+    """Per-entity session summary over the gap-rule sessionization
+    (sessionize above, reference parity dssFunctionLibrary.R session
+    windows): session count, events, mean events/session, mean and max
+    session duration — the engagement-shape features fed alongside the
+    per-event windows.
+
+    Cross-engine determinism: session membership is the exact gap rule;
+    durations are exact microsecond (max - min) per session summed as
+    longs, divided once.
+
+    Shape at scale: ONE entity-keyed exchange — the sessionize window,
+    the (entity, session) rollup and the entity rollup all cluster on
+    the entity key, so Catalyst reuses the partitioning for every stage
+    (plan-budget-pinned).
+
+    Returns (entity, n_sessions, n_events, mean_events, mean_duration_s,
+    max_duration_s)."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    s = sessionize(df, entity=entity, ts=ts, gap=gap, out_col="__sid")
+    per_session = s.select(
+        F.col(entity), F.col("__sid"), us.alias("__us")
+    ).groupBy(entity, "__sid").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (F.max("__us") - F.min("__us")).alias("__dur_us"),
+    )
+    k = F.col("n_sessions").cast("double")
+    return per_session.groupBy(entity).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("__n").cast("long").alias("n_events"),
+        F.sum("__dur_us").cast("long").alias("__dur_sum"),
+        F.max("__dur_us").cast("long").alias("__dur_max"),
+    ).select(
+        F.col(entity),
+        "n_sessions",
+        "n_events",
+        (F.col("n_events").cast("double") / k).alias("mean_events"),
+        (F.col("__dur_sum").cast("double") / (k * 1e6))
+        .alias("mean_duration_s"),
+        (F.col("__dur_max").cast("double") / 1e6).alias("max_duration_s"),
+    )

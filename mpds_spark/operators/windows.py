@@ -611,3 +611,101 @@ def hourly_seasonality(
         ((circ + 24.0) % 24.0).alias("circ_mean_h"),
         (F.col("__night").cast("double") / n).alias("night_frac"),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    threshold: float = 3.0,
+    min_prior: int = 5,
+    tiebreak: str | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-entity expanding z-score anomaly scan, strictly backward-
+    looking: each event is scored against the mean/sd of the events
+    BEFORE it (never itself — the same zero-leakage discipline as every
+    window here), counting |z| > threshold outliers and locating the
+    extreme one. The online anomaly flag for sensor glitches / value
+    spikes.
+
+    Cross-engine determinism: with x scaled to exact integers at
+    `decimals` and m prior points with sums c1, c2, the z-score
+    rewrites as (m*x - c1) / sqrt(m*c2 - c1^2) — integer numerator and
+    an integer under one sqrt, so the scale factor cancels and both
+    engines form identical doubles before any comparison; the argmax
+    tie-breaks to the earliest row.
+
+    Shape at scale: one entity-keyed shuffle feeds the prior-frame
+    running sums and the grouped rollup. Rows with fewer than
+    `min_prior` prior points or zero prior variance are unscored.
+
+    Returns (by, n_events, n_scored, n_outliers, max_abs_z, z_at_max,
+    ts_at_max); entities with no scored rows keep NULL max/ts."""
+    scale = int(10**decimals)
+    order = [F.col("__ts")] + ([F.col(tiebreak)] if tiebreak else [])
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    d = df.select(
+        F.col(by),
+        F.col(ts).alias("__ts"),
+        cents.alias("__c"),
+        *([F.col(tiebreak)] if tiebreak else []),
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    dec = "decimal(38,0)"
+    d = d.select(
+        F.col(by),
+        "__ts",
+        "__c",
+        F.row_number().over(w).cast("long").alias("__k"),
+        F.coalesce(F.count("__c").over(prior), F.lit(0))
+        .cast("long").alias("__m"),
+        F.coalesce(F.sum(F.col("__c").cast(dec)).over(prior), F.lit(0).cast(dec))
+        .alias("__c1"),
+        F.coalesce(
+            F.sum((F.col("__c") * F.col("__c")).cast(dec)).over(prior),
+            F.lit(0).cast(dec),
+        ).alias("__c2"),
+    )
+    m = F.col("__m").cast(dec)
+    var_n = (m * F.col("__c2") - F.col("__c1") * F.col("__c1")).cast("double")
+    num = (m * F.col("__c").cast(dec) - F.col("__c1")).cast("double")
+    z = F.when(
+        (F.col("__m") >= min_prior) & (var_n > 0.0), num / F.sqrt(var_n)
+    )
+    d = d.withColumn("__z", z)
+    scored = F.col("__z").isNotNull()
+    return d.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.coalesce(F.sum(F.when(scored, F.lit(1))), F.lit(0))
+        .cast("long").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.when(F.abs(F.col("__z")) > threshold, F.lit(1))),
+            F.lit(0),
+        ).cast("long").alias("n_outliers"),
+        F.max(F.when(scored, F.abs(F.col("__z")))).alias("max_abs_z"),
+        F.max(
+            F.when(
+                scored,
+                F.struct(
+                    F.abs(F.col("__z")).alias("a"),
+                    (-F.col("__k")).alias("nk"),
+                    F.col("__z").alias("z"),
+                    F.col("__ts").alias("ts"),
+                ),
+            )
+        ).alias("__b"),
+    ).select(
+        F.col(by),
+        "n_events",
+        "n_scored",
+        "n_outliers",
+        "max_abs_z",
+        F.col("__b.z").alias("z_at_max"),
+        F.col("__b.ts").alias("ts_at_max"),
+    )

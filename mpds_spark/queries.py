@@ -5313,3 +5313,132 @@ GROUP BY user_id, floor(epoch(ts) / 3600)
 QUERIES["streaming_windowed_counts"] = q_streaming_windowed_counts
 _RAW_ORACLES["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED_COUNTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """Per-user expanding z-score anomaly scan (operators/windows.py
+    zscore_outliers): each event scored against STRICTLY PRIOR events
+    only (zero leakage); outlier counts + the extreme event's signed z
+    and timestamp, integer-exact inside the sqrt on both engines."""
+    from mpds_spark.functions.timeutil import epoch_seconds
+    from mpds_spark.operators.windows import zscore_outliers
+
+    ev = _events(spark, sf_dir)
+    out = zscore_outliers(
+        ev, value="value", ts="ts", by="user_id", threshold=3.0,
+        min_prior=5, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_scored",
+        "n_outliers",
+        _r6("max_abs_z").alias("max_abs_z"),
+        _r6("z_at_max").alias("z_at_max"),
+        epoch_seconds(out, "ts_at_max").alias("ts_at_max"),
+    )
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS HUGEINT) AS c
+  FROM events
+),
+r AS (
+  SELECT user_id, ts, c,
+    CAST(row_number() OVER w AS HUGEINT) AS k,
+    CAST(coalesce(count(c) OVER pw, 0) AS HUGEINT) AS m,
+    coalesce(sum(c) OVER pw, 0::HUGEINT) AS c1,
+    coalesce(sum(c * c) OVER pw, 0::HUGEINT) AS c2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+    pw AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, ts, k,
+    CASE WHEN m >= 5 AND m * c2 - c1 * c1 > 0 THEN
+      (m * c - c1)::DOUBLE / sqrt((m * c2 - c1 * c1)::DOUBLE) END AS z
+  FROM r
+),
+agg AS (
+  SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(count(z) AS BIGINT) AS n_scored,
+    CAST(coalesce(sum(CASE WHEN abs(z) > 3.0 THEN 1 END), 0) AS BIGINT)
+      AS n_outliers,
+    max(abs(z)) AS max_abs_z
+  FROM z GROUP BY user_id
+),
+best AS (
+  SELECT user_id, z AS z_at_max, ts AS ts_at_max FROM z
+  WHERE z IS NOT NULL
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY abs(z) DESC, k ASC
+  ) = 1
+)
+SELECT agg.user_id, n_events, n_scored, n_outliers,
+  round(max_abs_z, 6) AS max_abs_z,
+  round(z_at_max, 6) AS z_at_max,
+  epoch(ts_at_max) AS ts_at_max
+FROM agg LEFT JOIN best ON best.user_id = agg.user_id
+"""
+
+QUERIES["zscore_outliers"] = q_zscore_outliers
+_RAW_ORACLES["zscore_outliers"] = SQL_ZSCORE_OUTLIERS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-user session-shape summary (operators/sessionize.py
+    session_stats): 30-minute gap-rule sessions rolled up to count,
+    events, mean events/session, mean/max duration — the engagement
+    features beside the per-event temporal windows, one entity-keyed
+    exchange end to end."""
+    from mpds_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(ev, entity="user_id", ts="ts", gap=1800.0)
+    return out.select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        _r6("mean_events").alias("mean_events"),
+        _r6("mean_duration_s").alias("mean_duration_s"),
+        _r6("max_duration_s").alias("max_duration_s"),
+    )
+
+
+SQL_SESSION_STATS = """
+WITH m AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+per_session AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+    CAST(max(us) - min(us) AS BIGINT) AS dur_us
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(sum(n) AS BIGINT) AS n_events,
+  round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) AS mean_events,
+  round(sum(dur_us)::DOUBLE / (count(*)::DOUBLE * 1000000.0), 6)
+    AS mean_duration_s,
+  round(max(dur_us)::DOUBLE / 1000000.0, 6) AS max_duration_s
+FROM per_session GROUP BY user_id
+"""
+
+QUERIES["session_stats"] = q_session_stats
+_RAW_ORACLES["session_stats"] = SQL_SESSION_STATS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -130,6 +130,12 @@ BUDGETS = {
     "conversion_funnel": {"shuffle": 2, "python": 0, "cartesian": 0},
     "retention_cohorts": {"shuffle": 3, "python": 0, "bnlj": 0},
     "hourly_seasonality": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # strictly-prior running sums + grouped argmax on one entity key;
+    # session_stats chains sessionize window -> (entity,sid) rollup ->
+    # entity rollup, all clustered on the entity key (subset rule) — a
+    # second exchange would mean the partitioning reuse regressed
+    "zscore_outliers": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "session_stats": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 

@@ -144,3 +144,58 @@ def test_suffix_prefix_overlap_small(spark):
     )
     rows = {r["doc_id"]: r["overlap"] for r in out.collect()}
     assert rows == {0: 2, 1: 0}
+
+
+def test_session_stats_matches_bruteforce(spark):
+    """Counts/durations agree with a brute-force gap-rule rederivation,
+    including single-event sessions (duration 0) and the boundary where
+    a gap of exactly `gap` seconds does NOT break the session."""
+    import datetime as dt
+
+    from mpds_spark.operators.sessionize import session_stats
+
+    offsets = {
+        # sessions: [0, 100, 1900(=100+1800 exact, same session)],
+        # then 1901 s later -> new single-event session
+        1: [0, 100, 1900, 3801],
+        2: [0],  # one single-event session
+        3: [0, 5000, 10000],  # three singletons
+    }
+    rows, eid = [], 0
+    base = dt.datetime(2024, 7, 1)
+    for uid, offs in offsets.items():
+        for o in offs:
+            rows.append((eid, uid, base + dt.timedelta(seconds=o)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in session_stats(
+            df, entity="user_id", ts="ts", gap=1800.0
+        ).collect()
+    }
+    import itertools
+
+    for uid, offs in offsets.items():
+        sessions = [[offs[0]]]
+        for a, b in itertools.pairwise(offs):
+            if b - a > 1800.0:
+                sessions.append([b])
+            else:
+                sessions[-1].append(b)
+        durs = [s[-1] - s[0] for s in sessions]
+        r = got[uid]
+        assert r["n_sessions"] == len(sessions)
+        assert r["n_events"] == len(offs)
+        assert r["mean_events"] == pytest.approx(
+            len(offs) / len(sessions), abs=1e-12
+        )
+        assert r["mean_duration_s"] == pytest.approx(
+            sum(durs) / len(sessions), abs=1e-9
+        )
+        assert r["max_duration_s"] == pytest.approx(max(durs), abs=1e-9)
+    assert got[1]["n_sessions"] == 2  # the exactly-1800 gap held
+    assert got[2]["max_duration_s"] == 0.0
+    assert got[3]["n_sessions"] == 3

@@ -539,3 +539,65 @@ def test_hourly_seasonality_matches_numpy(spark):
     # arithmetic mean of the hour labels
     assert got[3]["circ_mean_h"] > 22 or got[3]["circ_mean_h"] < 2
     assert got[4]["peak_hour"] == 9  # tie with 17 -> earliest
+
+
+def test_zscore_outliers_matches_numpy(spark):
+    """Strictly-prior expanding z-scores match a numpy loop; a planted
+    spike is counted and located; the spike does NOT inflate its own
+    baseline (leakage check: a huge final value still scores against the
+    clean prior mean/sd); constant prior -> unscored."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import zscore_outliers
+
+    rng = np.random.default_rng(31)
+    base_vals = list(np.round(rng.normal(20, 2, 40), 2))
+    series = {
+        1: base_vals + [90.0] + base_vals[:10],  # planted spike at k=41
+        2: list(np.round(rng.normal(5, 1, 30), 2)),  # clean
+        3: [7.0] * 10 + [7.5],  # zero prior variance -> unscored
+        4: [1.0, 2.0, 3.0],  # < min_prior everywhere
+    }
+    rows, eid = [], 0
+    for uid, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                (
+                    eid,
+                    uid,
+                    dt.datetime(2024, 6, 1) + dt.timedelta(seconds=30 * i),
+                    float(v),
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in zscore_outliers(
+            df, value="value", ts="ts", by="user_id", threshold=3.0,
+            min_prior=5, tiebreak="event_id",
+        ).collect()
+    }
+    for uid, vs in series.items():
+        c = np.round(np.array(vs) * 100).astype(np.int64)
+        zs = []
+        for k in range(len(c)):
+            m, c1, c2 = k, c[:k].sum(), (c[:k] ** 2).sum()
+            varn = m * c2 - c1 * c1
+            if m >= 5 and varn > 0:
+                zs.append((k, (m * c[k] - c1) / np.sqrt(varn)))
+        r = got[uid]
+        assert r["n_events"] == len(vs)
+        assert r["n_scored"] == len(zs)
+        assert r["n_outliers"] == sum(1 for _, z in zs if abs(z) > 3.0)
+        if zs:
+            kmax, zmax = max(zs, key=lambda t: (abs(t[1]), -t[0]))
+            assert r["max_abs_z"] == pytest.approx(abs(zmax), rel=1e-12)
+            assert r["z_at_max"] == pytest.approx(zmax, rel=1e-12)
+        else:
+            assert r["max_abs_z"] is None and r["z_at_max"] is None
+    assert got[1]["n_outliers"] >= 1 and got[1]["z_at_max"] > 10
+    assert got[3]["n_scored"] == 0  # constant prior: never scored
+    assert got[4]["n_scored"] == 0  # below min_prior
