@@ -23,7 +23,7 @@ O(docs x bands) bucket joins — the scale path for 10^9+ docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpds_spark.operators.util import (
@@ -1037,4 +1037,64 @@ def incremental_keep(
             "keep",
             ~F.col("batch_dup") & ~F.col("exact_dup") & ~F.col("near_dup"),
         )
+    )
+
+
+def dedup_impact_report(
+    docs: DataFrame,
+    keep_list: DataFrame,
+    key: str = "doc_id",
+    group: str = "source",
+    words: Column | None = None,
+) -> DataFrame:
+    """Per-source dedup impact audit over a keep-list (dedup_keep_list
+    output): how many documents sit in multi-doc near-dup clusters, how
+    many are removed by the keep-min rule, and what fraction of the
+    source's words that removal costs — the go/no-go report a curation
+    run reads before committing a dedup pass (the measure-don't-guess
+    companion to near_dup_verified).
+
+    A cluster spanning two sources counts toward each source's
+    n_clusters (the per-source view of shared content is the point —
+    cross-source duplication is how contamination happens).
+
+    Cross-engine determinism: every statistic is an exact long count or
+    sum, divided once for the percentage.
+
+    Shape at scale: one window over the component key on the keep-list
+    frame (|docs| rows, cluster-size bounded by the pair generator's
+    guards), one key join back to the (key, group, words) projection,
+    one group rollup — nothing touches raw text except the word-count
+    projection.
+
+    Returns (group, n_docs, n_dup_docs, n_removed, n_clusters,
+    max_cluster_size, words_total, words_removed, pct_words_removed)."""
+    if words is None:
+        words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sized = keep_list.withColumn(
+        "__csize",
+        F.count(F.lit(1)).over(Window.partitionBy("component")),
+    )
+    meta = docs.select(
+        F.col(key), F.col(group), words.cast("long").alias("__nw")
+    )
+    j = sized.join(meta, key)
+    dup = F.col("__csize") > 1
+    removed = ~F.col("keep")
+    return j.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.when(dup, F.lit(1))), F.lit(0))
+        .cast("long").alias("n_dup_docs"),
+        F.coalesce(F.sum(F.when(removed, F.lit(1))), F.lit(0))
+        .cast("long").alias("n_removed"),
+        F.count_distinct(F.when(dup, F.col("component")))
+        .cast("long").alias("n_clusters"),
+        F.max("__csize").cast("long").alias("max_cluster_size"),
+        F.sum("__nw").cast("long").alias("words_total"),
+        F.coalesce(F.sum(F.when(removed, F.col("__nw"))), F.lit(0))
+        .cast("long").alias("words_removed"),
+    ).withColumn(
+        "pct_words_removed",
+        F.col("words_removed").cast("double")
+        / F.col("words_total").cast("double"),
     )

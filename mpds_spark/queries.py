@@ -5442,3 +5442,98 @@ FROM per_session GROUP BY user_id
 QUERIES["session_stats"] = q_session_stats
 _RAW_ORACLES["session_stats"] = SQL_SESSION_STATS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_dedup_impact_report(spark, sf_dir):
+    """Per-source dedup impact audit (operators/dedup.py
+    dedup_impact_report): docs in multi-doc near-dup clusters, docs the
+    keep-min rule removes, cluster counts and the word-mass cost —
+    the report a curation run reads before committing a dedup pass.
+    Same simhash edge source + auto components as near_dup_components
+    (whose oracle this extends), aggregated per source."""
+    from mpds_spark.operators.dedup import (
+        dedup_impact_report,
+        dedup_keep_list,
+        simhash_near_dups,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = simhash_near_dups(docs, max_hamming=3)
+    kl = dedup_keep_list(docs, pairs, algorithm="auto")
+    out = dedup_impact_report(docs, kl, key="doc_id", group="source")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "n_removed",
+        "n_clusters",
+        "max_cluster_size",
+        "words_total",
+        "words_removed",
+        _r6("pct_words_removed").alias("pct_words_removed"),
+    )
+
+
+SQL_DEDUP_IMPACT_REPORT_TMPL = """
+WITH RECURSIVE {SIG},
+bands AS (
+  SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_lo & 65535 AS bv FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
+  UNION ALL
+  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
+),
+verified AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c USING (band, bv)
+  WHERE a.doc_id < c.doc_id
+    AND bit_count(xor(a.sim_hi, c.sim_hi))
+      + bit_count(xor(a.sim_lo, c.sim_lo)) <= 3
+),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+verts AS (SELECT DISTINCT a AS v FROM und),
+reach(v, label) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
+),
+comp AS (SELECT v AS doc_id, min(label) AS component FROM reach GROUP BY v),
+alldocs AS (
+  SELECT d.doc_id, d.source,
+    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nw,
+    coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY component) AS csize,
+    (component = doc_id) AS keep
+  FROM alldocs
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(CASE WHEN csize > 1 THEN 1 END), 0) AS BIGINT)
+    AS n_dup_docs,
+  CAST(coalesce(sum(CASE WHEN NOT keep THEN 1 END), 0) AS BIGINT)
+    AS n_removed,
+  CAST(count(DISTINCT CASE WHEN csize > 1 THEN component END) AS BIGINT)
+    AS n_clusters,
+  CAST(max(csize) AS BIGINT) AS max_cluster_size,
+  CAST(sum(nw) AS BIGINT) AS words_total,
+  CAST(coalesce(sum(CASE WHEN NOT keep THEN nw END), 0) AS BIGINT)
+    AS words_removed,
+  round(coalesce(sum(CASE WHEN NOT keep THEN nw END), 0)::DOUBLE
+    / sum(nw)::DOUBLE, 6) AS pct_words_removed
+FROM sized GROUP BY source
+"""
+
+QUERIES["dedup_impact_report"] = q_dedup_impact_report
+_RAW_ORACLES["dedup_impact_report"] = SQL_DEDUP_IMPACT_REPORT_TMPL.format(
+    SIG=_S64_SIG_SQL.strip().rstrip()
+)
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -402,3 +402,48 @@ def test_incremental_keep_flags(spark):
     assert out[13] == (False, False, False, True)  # min-key twin wins
     assert out[14] == (True, False, False, False)
     assert len(out) == 5
+
+
+def test_dedup_impact_report_planted_clusters(spark):
+    """Per-source impact stats match a hand-computed report over planted
+    clusters: a 3-doc cluster inside source A, a 2-doc cluster spanning
+    A and B (counted toward BOTH sources' n_clusters — the cross-source
+    contamination view), and untouched singletons."""
+    from mpds_spark.operators.dedup import dedup_impact_report
+
+    # (doc_id, source, n_words via 'w ' * n)
+    docs = spark.createDataFrame(
+        [
+            (0, "A", "w " * 10),  # cluster X rep (kept)
+            (1, "A", "w " * 20),  # cluster X removed
+            (2, "A", "w " * 30),  # cluster X removed
+            (3, "A", "w " * 5),   # cluster Y rep (kept)
+            (4, "B", "w " * 7),   # cluster Y removed (cross-source)
+            (5, "B", "w " * 11),  # singleton
+            (6, "C", "w " * 13),  # singleton
+        ],
+        ["doc_id", "source", "text"],
+    )
+    keep_list = spark.createDataFrame(
+        [
+            (0, 0, True), (1, 0, False), (2, 0, False),
+            (3, 3, True), (4, 3, False),
+            (5, 5, True), (6, 6, True),
+        ],
+        ["doc_id", "component", "keep"],
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in dedup_impact_report(docs, keep_list).collect()
+    }
+    a, b, c = got["A"], got["B"], got["C"]
+    assert (a["n_docs"], a["n_dup_docs"], a["n_removed"]) == (4, 4, 2)
+    assert a["n_clusters"] == 2 and a["max_cluster_size"] == 3
+    assert (a["words_total"], a["words_removed"]) == (65, 50)
+    assert a["pct_words_removed"] == pytest.approx(50 / 65, abs=1e-12)
+    assert (b["n_docs"], b["n_dup_docs"], b["n_removed"]) == (2, 1, 1)
+    assert b["n_clusters"] == 1  # the spanning cluster counts here too
+    assert (b["words_total"], b["words_removed"]) == (18, 7)
+    assert (c["n_dup_docs"], c["n_removed"], c["n_clusters"]) == (0, 0, 0)
+    assert c["max_cluster_size"] == 1
+    assert c["pct_words_removed"] == 0.0
