@@ -5537,3 +5537,70 @@ _RAW_ORACLES["dedup_impact_report"] = SQL_DEDUP_IMPACT_REPORT_TMPL.format(
     SIG=_S64_SIG_SQL.strip().rstrip()
 )
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_value_acf(spark, sf_dir):
+    """Per-user value autocorrelation at lags 1-3 (operators/windows.py
+    value_acf): persistence/periodicity features, exact integer moments
+    multiplied through by n^2 so both engines divide identical doubles."""
+    from mpds_spark.operators.windows import value_acf
+
+    ev = _events(spark, sf_dir)
+    out = value_acf(
+        ev, value="value", ts="ts", by="user_id", lags=(1, 2, 3),
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        _r6("acf_1").alias("acf_1"),
+        _r6("acf_2").alias("acf_2"),
+        _r6("acf_3").alias("acf_3"),
+    )
+
+
+SQL_VALUE_ACF = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS HUGEINT) AS c
+  FROM events
+),
+l AS (
+  SELECT user_id, c,
+    lag(c, 1) OVER w AS p1, lag(c, 2) OVER w AS p2, lag(c, 3) OVER w AS p3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+a AS (
+  SELECT user_id,
+    CAST(count(*) AS HUGEINT) AS n,
+    sum(c) AS s1, sum(c * c) AS s2,
+    CAST(count(p1) AS HUGEINT) AS m1,
+    coalesce(sum(c * p1), 0::HUGEINT) AS cc1,
+    coalesce(sum(CASE WHEN p1 IS NOT NULL THEN c END), 0::HUGEINT) AS t1,
+    coalesce(sum(p1), 0::HUGEINT) AS h1,
+    CAST(count(p2) AS HUGEINT) AS m2,
+    coalesce(sum(c * p2), 0::HUGEINT) AS cc2,
+    coalesce(sum(CASE WHEN p2 IS NOT NULL THEN c END), 0::HUGEINT) AS t2,
+    coalesce(sum(p2), 0::HUGEINT) AS h2,
+    CAST(count(p3) AS HUGEINT) AS m3,
+    coalesce(sum(c * p3), 0::HUGEINT) AS cc3,
+    coalesce(sum(CASE WHEN p3 IS NOT NULL THEN c END), 0::HUGEINT) AS t3,
+    coalesce(sum(p3), 0::HUGEINT) AS h3
+  FROM l GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+  round(CASE WHEN m1 >= 1 AND n*n*s2 - n*s1*s1 > 0 THEN
+    (n*n*cc1 - n*s1*(h1 + t1) + m1*s1*s1)::DOUBLE
+      / (n*n*s2 - n*s1*s1)::DOUBLE END, 6) AS acf_1,
+  round(CASE WHEN m2 >= 1 AND n*n*s2 - n*s1*s1 > 0 THEN
+    (n*n*cc2 - n*s1*(h2 + t2) + m2*s1*s1)::DOUBLE
+      / (n*n*s2 - n*s1*s1)::DOUBLE END, 6) AS acf_2,
+  round(CASE WHEN m3 >= 1 AND n*n*s2 - n*s1*s1 > 0 THEN
+    (n*n*cc3 - n*s1*(h3 + t3) + m3*s1*s1)::DOUBLE
+      / (n*n*s2 - n*s1*s1)::DOUBLE END, 6) AS acf_3
+FROM a
+"""
+
+QUERIES["value_acf"] = q_value_acf
+_RAW_ORACLES["value_acf"] = SQL_VALUE_ACF
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -136,6 +136,8 @@ BUDGETS = {
     # second exchange would mean the partitioning reuse regressed
     "zscore_outliers": {"shuffle": 1, "python": 0, "cartesian": 0},
     "session_stats": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # |lags| lag windows + the grouped moment agg on one entity key
+    "value_acf": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 

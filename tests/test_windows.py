@@ -601,3 +601,65 @@ def test_zscore_outliers_matches_numpy(spark):
     assert got[1]["n_outliers"] >= 1 and got[1]["z_at_max"] > 10
     assert got[3]["n_scored"] == 0  # constant prior: never scored
     assert got[4]["n_scored"] == 0  # below min_prior
+
+
+def test_value_acf_matches_numpy(spark):
+    """ACF at lags 1-3 matches the numpy rederivation (overall-mean
+    convention); an alternating series has acf_1 ~ -1 / acf_2 ~ +1; an
+    i.i.d. stream sits near 0; a constant series is NULL (zero
+    variance); short series NULL beyond n-1 lags."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import value_acf
+
+    rng = np.random.default_rng(41)
+    series = {
+        1: [1.0, 5.0] * 30,  # alternating
+        2: list(np.round(rng.normal(10, 2, 80), 2)),  # iid
+        3: [2.5] * 20,  # constant -> NULL
+        4: [1.0, 2.0],  # n=2: acf_1 defined, acf_2/3 NULL
+        # slow trend: strongly positive at all lags
+        5: list(np.round(np.linspace(0, 50, 60), 2)),
+    }
+    rows, eid = [], 0
+    for uid, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append(
+                (eid, uid,
+                 dt.datetime(2024, 8, 1) + dt.timedelta(seconds=10 * i),
+                 float(v))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r.asDict()
+        for r in value_acf(
+            df, value="value", ts="ts", by="user_id", lags=(1, 2, 3),
+            tiebreak="event_id",
+        ).collect()
+    }
+
+    def acf(x, lag):
+        x = np.asarray(x, dtype=float)
+        d = x - x.mean()
+        den = (d * d).sum()
+        if den == 0 or len(x) <= lag:
+            return None
+        return float((d[:-lag] * d[lag:]).sum() / den)
+
+    for uid, vs in series.items():
+        r = got[uid]
+        assert r["n_events"] == len(vs)
+        for lag in (1, 2, 3):
+            want = acf(vs, lag)
+            if want is None:
+                assert r[f"acf_{lag}"] is None
+            else:
+                assert r[f"acf_{lag}"] == pytest.approx(want, abs=1e-9)
+    assert got[1]["acf_1"] < -0.9 and got[1]["acf_2"] > 0.9
+    assert abs(got[2]["acf_1"]) < 0.3
+    assert got[3]["acf_1"] is None
+    assert got[4]["acf_2"] is None and got[4]["acf_3"] is None
+    assert got[5]["acf_1"] > 0.9
