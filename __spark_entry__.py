@@ -69,6 +69,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_correctness.py (the driver-gate mirror).
 _PRIORITY = [
     # new in round 5 (fourth batch)
+    "behavior_divergence",
     "value_acf",
     "dedup_impact_report",
     "zscore_outliers",

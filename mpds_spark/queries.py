@@ -5604,3 +5604,72 @@ FROM a
 QUERIES["value_acf"] = q_value_acf
 _RAW_ORACLES["value_acf"] = SQL_VALUE_ACF
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_behavior_divergence(spark, sf_dir):
+    """Per-user behavioral-profile divergence vs the corpus event-type
+    mix (operators/profiles.py behavior_divergence): KL in nats +
+    exact-arithmetic total variation + modal type — the fingerprint
+    feature that flags bots/broken integrations before any single-event
+    rule fires."""
+    from mpds_spark.operators.profiles import behavior_divergence
+
+    ev = _events(spark, sf_dir)
+    out = behavior_divergence(ev, state="event_type", by="user_id")
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "top_type",
+        _r6("kl_global").alias("kl_global"),
+        _r6("tv_global").alias("tv_global"),
+    )
+
+
+SQL_BEHAVIOR_DIVERGENCE = """
+WITH cells AS (
+  SELECT user_id, event_type AS s, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+gl AS (
+  SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY s
+),
+tot AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gl),
+j AS (
+  SELECT cells.user_id, cells.s, cells.c, gl.g, tot.nn,
+    CAST(sum(c) OVER (PARTITION BY cells.user_id) AS BIGINT) AS n_u
+  FROM cells JOIN gl USING (s) CROSS JOIN tot
+),
+a AS (
+  SELECT user_id,
+    max(n_u) AS n_events,
+    CAST(count(*) AS BIGINT) AS n_types,
+    max(nn) AS nn,
+    CAST(sum(g) AS BIGINT) AS g_present,
+    list_sum(list(
+      (c::DOUBLE / n_u::DOUBLE)
+      * ln((c::HUGEINT * nn::HUGEINT)::DOUBLE
+           / (n_u::HUGEINT * g::HUGEINT)::DOUBLE)
+      ORDER BY s)) AS kl,
+    list_sum(list(
+      abs(c::HUGEINT * nn::HUGEINT - n_u::HUGEINT * g::HUGEINT)
+      ORDER BY s)) AS tv_present
+  FROM j GROUP BY user_id
+),
+top AS (
+  SELECT user_id, s AS top_type FROM cells
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id ORDER BY c DESC, s DESC
+  ) = 1
+)
+SELECT a.user_id, n_events, n_types, top_type,
+  round(kl, 6) AS kl_global,
+  round((tv_present::DOUBLE
+      + (n_events::HUGEINT * (nn::HUGEINT - g_present::HUGEINT))::DOUBLE)
+    / (2.0 * n_events::DOUBLE * nn::DOUBLE), 6) AS tv_global
+FROM a JOIN top ON top.user_id = a.user_id
+"""
+
+QUERIES["behavior_divergence"] = q_behavior_divergence
+_RAW_ORACLES["behavior_divergence"] = SQL_BEHAVIOR_DIVERGENCE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

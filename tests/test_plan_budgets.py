@@ -138,6 +138,11 @@ BUDGETS = {
     "session_stats": {"shuffle": 1, "python": 0, "cartesian": 0},
     # |lags| lag windows + the grouped moment agg on one entity key
     "value_acf": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # (entity,category) cells persisted once; category marginal + 1-row
+    # total derive from the cache (textual plan repeats the cached branch,
+    # so no shuffle budget — same convention as cross_source_overlap); the
+    # one BNLJ is the documented 1-row total cross join
+    "behavior_divergence": {"python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 
