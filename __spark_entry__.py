@@ -61,12 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS snapshot caps at 50 rows, taken in dict order.
-# Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST, then
-# the names whose last driver row is oldest (the 34 absent from
-# CORRECTNESS_r04 — they were green in r03 and mirror-EXACT in the r4
-# judge session), then everything else. Every name gets a driver row at
-# most one round old; the rotated-out tail stays green via
-# tools/check_correctness.py (the driver-gate mirror).
+# Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST (the
+# 31 r5 additions), then the veterans whose last driver row is oldest
+# (absent from CORRECTNESS_r04; driver-green in r03). 31 + 19 of those
+# veterans fill the 50-row window; the remaining names ride on their
+# r03/r04 driver rows plus the full-catalog mirror
+# (tools/check_correctness.py — the same value gate) which is re-run
+# against current code every session; see BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (fourth batch)
     "behavior_divergence",

@@ -5446,20 +5446,23 @@ ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 def q_dedup_impact_report(spark, sf_dir):
     """Per-source dedup impact audit (operators/dedup.py
-    dedup_impact_report): docs in multi-doc near-dup clusters, docs the
+    dedup_impact_report): docs in multi-doc duplicate clusters, docs the
     keep-min rule removes, cluster counts and the word-mass cost —
     the report a curation run reads before committing a dedup pass.
-    Same simhash edge source + auto components as near_dup_components
-    (whose oracle this extends), aggregated per source."""
-    from mpds_spark.operators.dedup import (
-        dedup_impact_report,
-        dedup_keep_list,
-        simhash_near_dups,
-    )
+    Gated here over EXACT-duplicate clusters (md5 groups — the cheapest
+    first-pass report, one window) so the driver row prices the AUDIT,
+    not a second run of the simhash pipeline near_dup_components
+    already prices; the near-dup variant is the identical operator call
+    on dedup_keep_list output (pytest-pinned in test_dedup.py)."""
+    from mpds_spark.operators.dedup import dedup_impact_report
 
     docs = load(spark, sf_dir, "documents")
-    pairs = simhash_near_dups(docs, max_hamming=3)
-    kl = dedup_keep_list(docs, pairs, algorithm="auto")
+    comp = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    kl = docs.select(
+        "doc_id",
+        comp.alias("component"),
+        (comp == F.col("doc_id")).alias("keep"),
+    )
     out = dedup_impact_report(docs, kl, key="doc_id", group="source")
     return out.select(
         "source",
@@ -5474,46 +5477,17 @@ def q_dedup_impact_report(spark, sf_dir):
     )
 
 
-SQL_DEDUP_IMPACT_REPORT_TMPL = """
-WITH RECURSIVE {SIG},
-bands AS (
-  SELECT doc_id, sim_hi, sim_lo, 0 AS band, sim_lo & 65535 AS bv FROM sig
-  UNION ALL
-  SELECT doc_id, sim_hi, sim_lo, 1, (sim_lo >> 16) & 65535 FROM sig
-  UNION ALL
-  SELECT doc_id, sim_hi, sim_lo, 2, sim_hi & 65535 FROM sig
-  UNION ALL
-  SELECT doc_id, sim_hi, sim_lo, 3, (sim_hi >> 16) & 65535 FROM sig
-),
-verified AS (
-  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM bands a JOIN bands c USING (band, bv)
-  WHERE a.doc_id < c.doc_id
-    AND bit_count(xor(a.sim_hi, c.sim_hi))
-      + bit_count(xor(a.sim_lo, c.sim_lo)) <= 3
-),
-und AS (
-  SELECT doc_a AS a, doc_b AS b FROM verified
-  UNION ALL
-  SELECT doc_b, doc_a FROM verified
-),
-verts AS (SELECT DISTINCT a AS v FROM und),
-reach(v, label) AS (
-  SELECT v, v FROM verts
-  UNION
-  SELECT u.b, r.label FROM reach r JOIN und u ON u.a = r.v
-),
-comp AS (SELECT v AS doc_id, min(label) AS component FROM reach GROUP BY v),
-alldocs AS (
-  SELECT d.doc_id, d.source,
-    CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS nw,
-    coalesce(c.component, d.doc_id) AS component
-  FROM documents d LEFT JOIN comp c USING (doc_id)
+SQL_DEDUP_IMPACT_REPORT = """
+WITH kl AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw,
+    min(doc_id) OVER (PARTITION BY md5(text)) AS component
+  FROM documents
 ),
 sized AS (
   SELECT *, count(*) OVER (PARTITION BY component) AS csize,
     (component = doc_id) AS keep
-  FROM alldocs
+  FROM kl
 )
 SELECT source,
   CAST(count(*) AS BIGINT) AS n_docs,
@@ -5533,9 +5507,7 @@ FROM sized GROUP BY source
 """
 
 QUERIES["dedup_impact_report"] = q_dedup_impact_report
-_RAW_ORACLES["dedup_impact_report"] = SQL_DEDUP_IMPACT_REPORT_TMPL.format(
-    SIG=_S64_SIG_SQL.strip().rstrip()
-)
+_RAW_ORACLES["dedup_impact_report"] = SQL_DEDUP_IMPACT_REPORT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
 
 

@@ -138,6 +138,9 @@ BUDGETS = {
     "session_stats": {"shuffle": 1, "python": 0, "cartesian": 0},
     # |lags| lag windows + the grouped moment agg on one entity key
     "value_acf": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # md5-cluster window + component-size window + key join + source
+    # rollup — the audit itself, never a pair pipeline re-run
+    "dedup_impact_report": {"shuffle": 4, "python": 0, "bnlj": 0},
     # (entity,category) cells persisted once; category marginal + 1-row
     # total derive from the cache (textual plan repeats the cached branch,
     # so no shuffle budget — same convention as cross_source_overlap); the
