@@ -70,6 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # against current code every session; see BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (fourth batch)
+    "gap_quantiles",
+    "star_join_revenue",
     "behavior_divergence",
     "value_acf",
     "dedup_impact_report",

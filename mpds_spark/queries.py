@@ -5645,3 +5645,134 @@ FROM a JOIN top ON top.user_id = a.user_id
 QUERIES["behavior_divergence"] = q_behavior_divergence
 _RAW_ORACLES["behavior_divergence"] = SQL_BEHAVIOR_DIVERGENCE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_gap_quantiles(spark, sf_dir):
+    """Per-user inter-arrival gap quantiles (p50/p90, exact interpolated)
+    via the bracketed-selection grouped-quantile plan
+    (operators/scale.py exact_grouped_quantiles_multi) — the survival-
+    curve features beside burstiness; gaps are exact-microsecond
+    differences divided once, so both engines interpolate identical
+    doubles."""
+    from mpds_spark.operators.scale import exact_grouped_quantiles_multi
+
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        ev.select("user_id", us.alias("__us"), "event_id")
+        .withColumn("__gap", (F.col("__us") - F.lag("__us").over(
+            Window.partitionBy("user_id").orderBy("__us", "event_id")
+        )).cast("double") / 1e6)
+        .filter(F.col("__gap").isNotNull())
+    )
+    out = exact_grouped_quantiles_multi(
+        gaps, "user_id", "__gap", ps=[0.5, 0.9]
+    )
+    return out.select(
+        "user_id",
+        _r6("p").alias("p"),
+        _r6("q___gap").alias("gap_q_s"),
+    )
+
+
+SQL_GAP_QUANTILES = """
+WITH g AS (
+  SELECT user_id,
+    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ))::DOUBLE / 1000000.0 AS gap
+  FROM events
+),
+f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL)
+SELECT user_id, 0.5 AS p,
+  round(quantile_cont(gap, 0.5), 6) AS gap_q_s
+FROM f GROUP BY user_id
+UNION ALL
+SELECT user_id, 0.9 AS p,
+  round(quantile_cont(gap, 0.9), 6) AS gap_q_s
+FROM f GROUP BY user_id
+"""
+
+QUERIES["gap_quantiles"] = q_gap_quantiles
+_RAW_ORACLES["gap_quantiles"] = SQL_GAP_QUANTILES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_star_join_revenue(spark, sf_dir):
+    """TPC-H-style star join (Q5 flavor): lineitem x orders co-keyed
+    shuffle join, then the customer -> nation -> region dimension chain
+    as BROADCAST hash joins (plan-asserted), rolled up to revenue per
+    (region, nation, order year). Revenue sums exact integer
+    cents*(100 - discount_pct) products, divided once — the float
+    product order hazard never exists."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    ep_c = (
+        F.signum("l_extendedprice")
+        * F.floor(F.abs(F.col("l_extendedprice")) * 100 + F.lit(0.5))
+    ).cast("long")
+    d_c = (
+        F.signum("l_discount")
+        * F.floor(F.abs(F.col("l_discount")) * 100 + F.lit(0.5))
+    ).cast("long")
+    item = li.select(
+        "l_orderkey", (ep_c * (F.lit(100) - d_c)).alias("__rev_c"),
+    )
+    j = (
+        item.join(
+            orders.select(
+                "o_orderkey", "o_custkey",
+                F.year(F.col("o_orderdate").cast("timestamp"))
+                .alias("o_year"),
+            ),
+            item.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("r_name", "n_name", "o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.count_distinct("l_orderkey").cast("long").alias("n_orders"),
+            F.sum(F.col("__rev_c").cast("decimal(38,0)")).alias("__rev"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "o_year",
+            "n_items",
+            "n_orders",
+            _r6(F.col("__rev").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+SQL_STAR_JOIN_REVENUE = """
+SELECT r_name, n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+  round(sum(CAST(floor(abs(l_extendedprice)*100 + 0.5)
+              * sign(l_extendedprice) AS HUGEINT)
+          * (100 - CAST(floor(abs(l_discount)*100 + 0.5)
+              * sign(l_discount) AS HUGEINT)))::DOUBLE / 10000.0, 6)
+    AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY r_name, n_name, year(o_orderdate)
+"""
+
+QUERIES["star_join_revenue"] = q_star_join_revenue
+_RAW_ORACLES["star_join_revenue"] = SQL_STAR_JOIN_REVENUE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

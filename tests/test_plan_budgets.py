@@ -138,6 +138,14 @@ BUDGETS = {
     "session_stats": {"shuffle": 1, "python": 0, "cartesian": 0},
     # |lags| lag windows + the grouped moment agg on one entity key
     "value_acf": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # gap lag window + the three bracketed-selection stages (bracket agg,
+    # below-count agg, in-bracket rank window) — the K=2 quantiles share
+    # one (key,p) window; Python-free throughout
+    "gap_quantiles": {"shuffle": 5, "python": 0, "cartesian": 0},
+    # fact-fact join + rollup; the dimension chain must stay broadcast
+    # (asserted below) — at toy SF Catalyst broadcasts orders too, at
+    # scale AQE flips that one join to SMJ inside the same budget
+    "star_join_revenue": {"shuffle": 4, "python": 0, "bnlj": 0},
     # md5-cluster window + component-size window + key join + source
     # rollup — the audit itself, never a pair pipeline re-run
     "dedup_impact_report": {"shuffle": 4, "python": 0, "bnlj": 0},
@@ -179,6 +187,17 @@ def test_topk_takeordered(plans):
     partition window over every user's aggregate row (r4 VERDICT #1).
     The residual WindowExec ranks the <=10 surviving rows only."""
     assert "TakeOrderedAndProject" in plans["topk_users"]
+
+
+def test_star_join_broadcast_chain(plans):
+    """The customer -> nation -> region dimension chain must plan as
+    BroadcastHashJoins — a dimension that falls back to a shuffle join
+    multiplies the fact table's exchange count at 10^12 rows."""
+    import re as _re
+
+    assert len(
+        _re.findall(r"\bBroadcastHashJoin\b", plans["star_join_revenue"])
+    ) >= 3
 
 
 def test_burstiness_takeordered(plans):
