@@ -97,7 +97,10 @@ def run_driver_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
     flagged = [n for n in timings if timings[n] > 3.0 and _excess(n) > 2.5]
     reruns = {}
-    for name in sorted(flagged, key=lambda n: -_excess(n))[:6]:
+    # cap the retakes to bound added wall; a 117-query catalog in a very
+    # bursty window (r5e: six first-samples 5-16x reference) wants more
+    # than the original 6
+    for name in sorted(flagged, key=lambda n: -_excess(n))[:10]:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         t1 = round(time.perf_counter() - t0, 3)

@@ -132,6 +132,7 @@ def test_catalog_plan_inventory(spark):
         "histogram_lift",      # broadcast 1-row (min, max) fit
         "clinical_pairs",      # inter theta pass over hash-capped rows
         "temperature_mix",     # broadcast 1-row weight-sum x |groups| rows
+        "behavior_divergence",  # broadcast 1-row corpus total x |alphabet|
         "length_ks_drift",     # |groups| x |distinct lengths| grid cross
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
