@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver's CORRECTNESS snapshot caps at 50 rows, taken in dict order.
 # Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST (the
 # 33 r5 additions), then the veterans whose last driver row is oldest
-# (absent from CORRECTNESS_r04; driver-green in r03). 33 + 17 of those
+# (absent from CORRECTNESS_r04; driver-green in r03). 34 + 16 of those
 # veterans fill the 50-row window; the remaining names ride on their
 # r03/r04 driver rows plus the full-catalog mirror
 # (tools/check_correctness.py — the same value gate, all 117 EXACT on
@@ -71,6 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (fourth batch)
+    "asof_tolerance",
     "gap_quantiles",
     "star_join_revenue",
     "behavior_divergence",

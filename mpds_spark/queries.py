@@ -5776,3 +5776,50 @@ GROUP BY r_name, n_name, year(o_orderdate)
 QUERIES["star_join_revenue"] = q_star_join_revenue
 _RAW_ORACLES["star_join_revenue"] = SQL_STAR_JOIN_REVENUE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_asof_tolerance(spark, sf_dir):
+    """Staleness-bounded as-of join (operators/asof.py asof_join
+    tolerance=, merge_asof semantics): the last order within 7 days
+    only — matches older than the bound are NULLed, the point-in-time
+    freshness contract a feature store enforces. Oracle: native ASOF
+    JOIN + the same staleness predicate."""
+    from mpds_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("ts"),
+        "o_totalprice",
+    )
+    out = asof_join(
+        ev, orders, on="ts", by="entity_id", tolerance=7 * 86400.0
+    )
+    return out.select(
+        "event_id",
+        F.col("o_totalprice").alias("recent_order_price"),
+        _r6(F.col("ts") - F.col("ts_r")).alias("order_age_s"),
+    )
+
+
+SQL_ASOF_TOLERANCE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+), o AS (
+  SELECT o_custkey, epoch(o_orderdate) AS t, o_totalprice FROM orders
+)
+SELECT e.event_id,
+  CASE WHEN e.t - o.t <= 604800.0 THEN o.o_totalprice END
+    AS recent_order_price,
+  round(CASE WHEN e.t - o.t <= 604800.0 THEN e.t - o.t END, 6)
+    AS order_age_s
+FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.t >= o.t
+"""
+
+QUERIES["asof_tolerance"] = q_asof_tolerance
+_RAW_ORACLES["asof_tolerance"] = SQL_ASOF_TOLERANCE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -30,6 +30,7 @@ PAT = {
 # exchange; lm_quality_buckets = the r4 collapsed plan).
 BUDGETS = {
     "asof_orders": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "asof_tolerance": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "locf": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "derived_features": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "sessionize": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
