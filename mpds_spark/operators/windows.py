@@ -792,3 +792,65 @@ def value_acf(
             .alias(f"acf_{lag}")
         )
     return g.select(*cols)
+
+
+def trailing_window_features(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    horizons: dict[str, float] | None = None,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Multi-horizon BOUNDED trailing time-window count/sum at each event
+    — the feature-store "rolling features at event time" beside the
+    expanding `derived_features` (reference analogue: the fixed-width
+    trend windows feeding extractDSSFeaturesForEachPatient,
+    dssl/dssFunctionLibrary.R:876-917, generalized to arbitrary named
+    horizons).
+
+    `horizons` maps a suffix to a window width in SECONDS; each horizon
+    contributes `n_<name>` (row count) and `sum_<name>` (sum of `value`)
+    over RANGE BETWEEN width PRECEDING AND CURRENT ROW. Strictly
+    backward-looking — zero temporal leakage by construction.
+
+    Determinism & exactness: the frame orders on exact integer epoch
+    MICROSECONDS (never float seconds), widths convert to integer micros,
+    and RANGE peers (equal timestamps) are included on both engines per
+    the SQL standard — no tie-break column is needed. Callers supply an
+    integer `value` (e.g. cents) for bit-exact sums.
+
+    Shape at scale: every horizon shares ONE entity-keyed
+    exchange+sort (identical PARTITION BY / ORDER BY => Catalyst reuses
+    the window exchange); widening the horizon list adds zero shuffles.
+    Range frames are O(1) amortized per row in Spark's sliding window
+    frame (two moving pointers), so a 7-day horizon over a hot entity
+    costs the same pass as a 1-hour one.
+
+    Returns (by, <extra...>, ts_s epoch-seconds double,
+    n_<h>/sum_<h> per horizon)."""
+    if horizons is None:
+        horizons = {"1h": 3600.0, "24h": 86400.0}
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.select(
+        F.col(by), *[F.col(c) for c in extra],
+        us.alias("__us"), F.col(value).alias("__v"),
+    )
+    cols = [
+        F.col(by), *[F.col(c) for c in extra],
+        (F.col("__us").cast("double") / F.lit(1e6)).alias("ts_s"),
+    ]
+    for name, secs in horizons.items():
+        bound = int(round(secs * 1_000_000))
+        if bound <= 0:
+            raise ValueError(f"horizon {name!r} must be positive")
+        frame = (
+            f"(PARTITION BY {by} ORDER BY __us "
+            f"RANGE BETWEEN {bound} PRECEDING AND CURRENT ROW)"
+        )
+        cols.append(
+            F.expr(f"count(*) OVER {frame}").cast("long")
+            .alias(f"n_{name}")
+        )
+        cols.append(F.expr(f"sum(__v) OVER {frame}").alias(f"sum_{name}"))
+    return d.select(*cols)

@@ -5823,3 +5823,180 @@ FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.t >= o.t
 QUERIES["asof_tolerance"] = q_asof_tolerance
 _RAW_ORACLES["asof_tolerance"] = SQL_ASOF_TOLERANCE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_trailing_features(spark, sf_dir):
+    """Multi-horizon bounded trailing-window features at each event
+    (operators/windows.py trailing_window_features): 1-hour and 24-hour
+    trailing count + sum per user, both RANGE frames ordered on exact
+    integer epoch micros and sharing ONE entity-keyed exchange — the
+    feature-store rolling-features-at-event-time shape beside the
+    expanding derived_features."""
+    from mpds_spark.operators.windows import trailing_window_features
+
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    out = trailing_window_features(
+        ev.withColumn("__c", cents),
+        value="__c",
+        ts="ts",
+        by="user_id",
+        horizons={"1h": 3600.0, "24h": 86400.0},
+        extra=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_s").alias("ts"),
+        "n_1h",
+        (F.col("sum_1h").cast("double") / 100.0).alias("sum_1h"),
+        "n_24h",
+        (F.col("sum_24h").cast("double") / 100.0).alias("sum_24h"),
+    )
+
+
+SQL_TRAILING_FEATURES = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id, user_id, us::DOUBLE / 1000000.0 AS ts,
+  CAST(count(*) OVER h1 AS BIGINT) AS n_1h,
+  (sum(c) OVER h1)::DOUBLE / 100.0 AS sum_1h,
+  CAST(count(*) OVER h24 AS BIGINT) AS n_24h,
+  (sum(c) OVER h24)::DOUBLE / 100.0 AS sum_24h
+FROM e
+WINDOW
+  h1 AS (PARTITION BY user_id ORDER BY us
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  h24 AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["trailing_features"] = q_trailing_features
+_RAW_ORACLES["trailing_features"] = SQL_TRAILING_FEATURES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rfm_snapshot(spark, sf_dir):
+    """Point-in-time RFM snapshot per customer as of 1998-06-30
+    (operators/snapshots.py rfm_snapshot): recency/tenure in whole days,
+    lifetime frequency + exact-cents monetary, and the 90-day recent
+    window as conditional aggregates — one grouped pass, cutoff filter
+    pushed into the parquet scan, zero leakage past the cutoff."""
+    from mpds_spark.operators.snapshots import rfm_snapshot
+
+    orders = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+    ).cast("long")
+    out = rfm_snapshot(
+        orders.withColumn("__amt_c", cents),
+        entity="o_custkey",
+        ts="o_orderdate",
+        amount="__amt_c",
+        cutoff="1998-06-30 00:00:00",
+        recent_window_s=90 * 86400.0,
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        "frequency",
+        "recency_days",
+        "tenure_days",
+        (F.col("monetary_c").cast("double") / 100.0).alias("monetary"),
+        "n_recent",
+        (F.col("monetary_recent_c").cast("double") / 100.0)
+        .alias("monetary_recent"),
+        F.col("last_ts_s").alias("last_order_ts"),
+    )
+
+
+SQL_RFM_SNAPSHOT = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS us,
+    CAST(floor(abs(o_totalprice)*100 + 0.5)*sign(o_totalprice) AS HUGEINT)
+      AS c
+  FROM orders
+  WHERE o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
+), p AS (
+  SELECT epoch_us(TIMESTAMP '1998-06-30 00:00:00') AS cut
+)
+SELECT o_custkey AS custkey,
+  CAST(count(*) AS BIGINT) AS frequency,
+  CAST(floor((cut - max(us)) / 86400000000.0) AS BIGINT) AS recency_days,
+  CAST(floor((cut - min(us)) / 86400000000.0) AS BIGINT) AS tenure_days,
+  sum(c)::DOUBLE / 100.0 AS monetary,
+  CAST(coalesce(sum(CASE WHEN us >= cut - 7776000000000 THEN 1 END), 0)
+    AS BIGINT) AS n_recent,
+  coalesce(sum(CASE WHEN us >= cut - 7776000000000 THEN c END),
+           0::HUGEINT)::DOUBLE / 100.0 AS monetary_recent,
+  max(us)::DOUBLE / 1000000.0 AS last_order_ts
+FROM o, p
+GROUP BY o_custkey, cut
+"""
+
+QUERIES["rfm_snapshot"] = q_rfm_snapshot
+_RAW_ORACLES["rfm_snapshot"] = SQL_RFM_SNAPSHOT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """Per-user daily OHLC bars (operators/snapshots.py ohlc_bars):
+    open/close = first/last event value in the bar (row_number()=1
+    conditional aggregates, event_id tie-break), high/low = exact-cents
+    max/min — the bucketed-bar rollup where both windows and the group
+    rollup reuse ONE (entity, bar) exchange, never a self-join back for
+    the open row."""
+    from mpds_spark.operators.snapshots import ohlc_bars
+
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    out = ohlc_bars(
+        ev.withColumn("__c", cents),
+        entity="user_id",
+        ts="ts",
+        value="__c",
+        tiebreak="event_id",
+        bucket_s=86400,
+    )
+    return out.select(
+        "user_id",
+        "bar_start_s",
+        "n_events",
+        (F.col("open_c").cast("double") / 100.0).alias("open"),
+        (F.col("high_c").cast("double") / 100.0).alias("high"),
+        (F.col("low_c").cast("double") / 100.0).alias("low"),
+        (F.col("close_c").cast("double") / 100.0).alias("close"),
+    )
+
+
+SQL_OHLC_BARS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT user_id, us // 86400000000 AS bar, c,
+    row_number() OVER (PARTITION BY user_id, us // 86400000000
+                       ORDER BY us, event_id) AS ra,
+    row_number() OVER (PARTITION BY user_id, us // 86400000000
+                       ORDER BY us DESC, event_id DESC) AS rd
+  FROM e
+)
+SELECT user_id, bar * 86400.0 AS bar_start_s,
+  CAST(count(*) AS BIGINT) AS n_events,
+  max(CASE WHEN ra = 1 THEN c END)::DOUBLE / 100.0 AS open,
+  max(c)::DOUBLE / 100.0 AS high,
+  min(c)::DOUBLE / 100.0 AS low,
+  max(CASE WHEN rd = 1 THEN c END)::DOUBLE / 100.0 AS close
+FROM r GROUP BY user_id, bar
+"""
+
+QUERIES["ohlc_bars"] = q_ohlc_bars
+_RAW_ORACLES["ohlc_bars"] = SQL_OHLC_BARS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -155,6 +155,13 @@ BUDGETS = {
     # so no shuffle budget — same convention as cross_source_overlap); the
     # one BNLJ is the documented 1-row total cross join
     "behavior_divergence": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # r5 fifth batch: both trailing RANGE frames share one entity-keyed
+    # exchange; RFM is one grouped pass (cutoff filter pushed to the
+    # scan — asserted below); OHLC's two tie-break windows + the bar
+    # rollup reuse one (entity, bar) exchange
+    "trailing_features": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "rfm_snapshot": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "ohlc_bars": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 
@@ -199,6 +206,15 @@ def test_star_join_broadcast_chain(plans):
     assert len(
         _re.findall(r"\bBroadcastHashJoin\b", plans["star_join_revenue"])
     ) >= 3
+
+
+def test_rfm_cutoff_pushed_to_scan(plans):
+    """rfm_snapshot's point-in-time cutoff must reach the parquet scan
+    as a data filter on the raw timestamp column — a post-scan filter on
+    the derived epoch expression reads every row group at 10^12 rows."""
+    assert re.search(
+        r"DataFilters: \[[^\]]*o_orderdate#\d+ <=", plans["rfm_snapshot"]
+    ), plans["rfm_snapshot"][:2000]
 
 
 def test_burstiness_takeordered(plans):
