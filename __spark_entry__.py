@@ -74,6 +74,8 @@ _PRIORITY = [
     "trailing_features",
     "rfm_snapshot",
     "ohlc_bars",
+    "quantile_transform",
+    "event_pivot",
     # new in round 5 (fourth batch)
     "asof_tolerance",
     "gap_quantiles",

@@ -854,3 +854,35 @@ def trailing_window_features(
         )
         cols.append(F.expr(f"sum(__v) OVER {frame}").alias(f"sum_{name}"))
     return d.select(*cols)
+
+
+def rank_normalize(
+    df: DataFrame,
+    value: str = "value",
+    by: str = "entity_id",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Rank-based normalization (quantile transform) of `value` within
+    each entity: percent_rank = (rank-1)/(n-1) and cume_dist = peers/n —
+    the distribution-free feature scaling that survives arbitrary value
+    skew where z-scores don't (reference analogue: the 0-100 rescale +
+    percentile machinery, dssl/dssFunctionLibrary.R rescale/prctile
+    usage, re-expressed as SQL-standard rank windows).
+
+    Determinism: both functions are TIE-STABLE — equal values get equal
+    ranks — so no tie-break column is needed, and each output is one
+    exact-integer ratio converted to double by a single division
+    (identical IEEE op in any engine). `value` should be an exact
+    integer (e.g. cents) so cross-engine value ORDER is bit-exact.
+
+    Shape at scale: one entity-keyed exchange; both rank windows share
+    the identical PARTITION BY/ORDER BY sort. Per-entity history is the
+    partition bound — hot entities belong to the salted two-pass.
+
+    Returns (by, <extra...>, value, pct_rank, cume_dist)."""
+    w = Window.partitionBy(by).orderBy(F.col(value))
+    return df.select(
+        F.col(by), *[F.col(c) for c in extra], F.col(value),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )

@@ -6000,3 +6000,105 @@ FROM r GROUP BY user_id, bar
 QUERIES["ohlc_bars"] = q_ohlc_bars
 _RAW_ORACLES["ohlc_bars"] = SQL_OHLC_BARS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_quantile_transform(spark, sf_dir):
+    """Rank-based normalization of each event's value within its user's
+    history (operators/windows.py rank_normalize): percent_rank +
+    cume_dist — tie-stable SQL rank windows over exact-cents order, one
+    entity-keyed exchange; the distribution-free feature scaling beside
+    the z-score/robust scalers."""
+    from mpds_spark.operators.windows import rank_normalize
+
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    out = rank_normalize(
+        ev.select("event_id", "user_id", cents.alias("__c")),
+        value="__c",
+        by="user_id",
+        extra=("event_id",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.col("__c").cast("double") / 100.0).alias("value"),
+        F.col("pct_rank"),
+        F.col("cume_dist"),
+    )
+
+
+SQL_QUANTILE_TRANSFORM = """
+WITH e AS (
+  SELECT event_id, user_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id, user_id, c::DOUBLE / 100.0 AS value,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume_dist
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY c)
+"""
+
+QUERIES["quantile_transform"] = q_quantile_transform
+_RAW_ORACLES["quantile_transform"] = SQL_QUANTILE_TRANSFORM
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_event_pivot(spark, sf_dir):
+    """Wide per-entity feature materialization: event-type counts
+    pivoted to columns via groupBy().pivot() with an EXPLICIT value
+    list (no schema-inference distinct job — the pivot plans as
+    conditional aggregates in ONE grouped pass), plus exact-cents
+    purchase monetary — the one-row-per-entity feature table a trainer
+    joins against."""
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select("user_id", "event_type", cents.alias("__c"))
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").alias("s"),
+        )
+    )
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long")
+            .alias(f"n_{t}")
+        )
+    cols.append(
+        (F.coalesce(F.col("purchase_s"), F.lit(0)).cast("double") / 100.0)
+        .alias("purchase_value")
+    )
+    return wide.select(*cols)
+
+
+SQL_EVENT_PIVOT = """
+SELECT user_id,
+  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+    AS BIGINT) AS n_click,
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+    AS BIGINT) AS n_error,
+  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+    AS BIGINT) AS n_purchase,
+  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+    AS BIGINT) AS n_signup,
+  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)
+    AS BIGINT) AS n_view,
+  coalesce(sum(CASE WHEN event_type = 'purchase' THEN
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) END),
+    0)::DOUBLE / 100.0 AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
+QUERIES["event_pivot"] = q_event_pivot
+_RAW_ORACLES["event_pivot"] = SQL_EVENT_PIVOT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -162,6 +162,13 @@ BUDGETS = {
     "trailing_features": {"shuffle": 1, "python": 0, "cartesian": 0},
     "rfm_snapshot": {"shuffle": 1, "python": 0, "cartesian": 0},
     "ohlc_bars": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # rank windows share one entity-keyed sort; pivot with an EXPLICIT
+    # value list runs Spark's two-level rewrite — partial agg to
+    # (entity, type) cells (skew collapses here) then the entity-keyed
+    # pivot agg: exactly 2 exchanges and NO distinct-values job (an
+    # inferred pivot would add a third)
+    "quantile_transform": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "event_pivot": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

@@ -715,3 +715,42 @@ def test_ewma_affine_chunk_composition(spark):
     direct = chunk_summary(chunk, s_in)
     b = chunk_summary(chunk, 0.0)
     assert direct == pytest.approx(s_in * keep**L + b, rel=1e-12)
+
+
+def test_rank_normalize_matches_numpy(spark):
+    """percent_rank/cume_dist agree with the textbook definitions under
+    heavy ties and single-row entities: pr = (rank-1)/(n-1) with
+    min-rank ties (0 when n == 1), cd = #(values <= v)/n."""
+    from mpds_spark.operators.windows import rank_normalize
+
+    rng = np.random.default_rng(3)
+    rows, eid = [], 0
+    data = {
+        1: list(rng.integers(-5, 5, 40)),   # heavy ties
+        2: [7],                             # single row -> pr 0, cd 1
+        3: [4, 4, 4],                       # all-equal entity
+        4: list(rng.integers(-1000, 1000, 25)),
+    }
+    for uid, vs in data.items():
+        for v in vs:
+            rows.append((eid, uid, int(v)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, c long")
+    got = {
+        r["event_id"]: r
+        for r in rank_normalize(
+            df, value="c", by="user_id", extra=("event_id",)
+        ).collect()
+    }
+    eid = 0
+    for uid, vs in data.items():
+        a = np.array(vs, dtype="int64")
+        n = len(a)
+        for v in vs:
+            r = got[eid]
+            less = int((a < v).sum())
+            leq = int((a <= v).sum())
+            pr = 0.0 if n == 1 else less / (n - 1)
+            assert r["pct_rank"] == pytest.approx(pr, abs=0), (uid, eid)
+            assert r["cume_dist"] == pytest.approx(leq / n, abs=0), (uid, eid)
+            eid += 1
