@@ -76,6 +76,8 @@ _PRIORITY = [
     "ohlc_bars",
     "quantile_transform",
     "event_pivot",
+    "gini_concentration",
+    "hot_key_audit",
     # new in round 5 (fourth batch)
     "asof_tolerance",
     "gap_quantiles",

@@ -128,6 +128,35 @@ def hot_entity_stats(df: DataFrame, entity: str = "entity_id", top: int = 5):
     return [(r[entity], r["count"], r["count"] / total) for r in rows]
 
 
+def hot_key_audit(
+    df: DataFrame,
+    entity: str = "entity_id",
+) -> DataFrame:
+    """Distributed skew audit: per-entity row counts rolled into
+    floor(log2(count)) buckets — the distribution you read BEFORE
+    choosing chunk_span / enabling salting at 10^12 rows (the
+    fully-distributed complement to the driver-side hot_entity_stats
+    sample above; a 2^30 bucket with one member IS the monster entity).
+
+    Bucket index is computed as length(bin(count)) - 1 — pure integer
+    string ops, exact in any engine (never floor(log2()) on a double).
+    Two aggregations: the entity-keyed count (the only exchange that
+    sees data volume; skew collapses here) and the tiny bucket rollup.
+
+    Returns (log2_bucket, n_entities, n_events, min_count, max_count)."""
+    c = df.groupBy(entity).agg(F.count(F.lit(1)).alias("__c"))
+    bucket = (F.length(F.bin(F.col("__c"))) - 1).cast("long")
+    return (
+        c.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("__c").cast("long").alias("n_events"),
+            F.min("__c").cast("long").alias("min_count"),
+            F.max("__c").cast("long").alias("max_count"),
+        )
+    )
+
+
 def salted_locf(
     df: DataFrame,
     value: str = "value",
@@ -391,3 +420,88 @@ def salted_expanding_sum(
         out_col, F.col("__local") + F.coalesce(F.col("__carry"), F.lit(0.0))
     )
     return out.drop("__chunk", "__local", "__carry")
+
+
+def salted_trailing_windows(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    entity: str = "entity_id",
+    horizons: dict[str, float] | None = None,
+    chunk_span: float = 7 * 86400.0,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """windows.trailing_window_features decomposed for hot entities:
+    rows are time-chunked into (entity, floor(us/chunk_span)) partitions
+    and every row within max(horizon) of a chunk's END is REPLAYED into
+    the next chunk as a context-only copy ("boundary-overlap replay",
+    same mechanism as salted_asof_join). Because chunk_span >= every
+    horizon, a row's trailing window [t-W, t] can only reach into the
+    immediately previous chunk — and exactly those rows were replayed —
+    so each chunk is self-contained and the giant per-entity WindowExec
+    partition becomes bounded per-chunk partitions.
+
+    Counts and INTEGER sums are bit-identical to the unsalted operator
+    (context copies live in a different partition than their originals,
+    so nothing is double-counted; differential-tested on a 100x hot
+    entity incl. exact boundary timestamps). Float sums agree to ~ulp
+    (different add tree) — pass integer cents for exactness, as the
+    catalog query does.
+
+    Cost: the replay duplicates only rows within max(horizon) of a
+    boundary — a W/chunk_span fraction (default 7-day chunks over 24 h
+    horizons: <= 1/7th), one (entity, chunk)-keyed exchange total.
+
+    Returns the same schema as trailing_window_features:
+    (entity, <extra...>, ts_s, n_<h>/sum_<h> per horizon)."""
+    if horizons is None:
+        horizons = {"1h": 3600.0, "24h": 86400.0}
+    w_max = max(horizons.values())
+    if min(horizons.values()) <= 0:
+        raise ValueError("horizons must be positive")
+    if chunk_span < w_max:
+        raise ValueError(
+            f"chunk_span ({chunk_span}) must be >= the largest horizon "
+            f"({w_max}) so a trailing window spans at most one boundary"
+        )
+    span_us = int(round(chunk_span * 1_000_000))
+    wmax_us = int(round(w_max * 1_000_000))
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.select(
+        F.col(entity), *[F.col(c) for c in extra],
+        us.alias("__us"), F.col(value).alias("__v"),
+    ).withColumn(
+        "__chunk", F.floor(F.col("__us") / F.lit(span_us)).cast("long")
+    )
+    ctx = (
+        d.filter(
+            F.col("__us")
+            >= (F.col("__chunk") + 1) * F.lit(span_us) - F.lit(wmax_us)
+        )
+        .withColumn("__chunk", F.col("__chunk") + 1)
+        .withColumn("__ctx", F.lit(1))
+    )
+    full = d.withColumn("__ctx", F.lit(0)).unionByName(ctx)
+    cols = [
+        F.col(entity), *[F.col(c) for c in extra],
+        (F.col("__us").cast("double") / F.lit(1e6)).alias("ts_s"),
+    ]
+    for name, secs in horizons.items():
+        bound = int(round(secs * 1_000_000))
+        frame = (
+            f"(PARTITION BY {entity}, __chunk ORDER BY __us "
+            f"RANGE BETWEEN {bound} PRECEDING AND CURRENT ROW)"
+        )
+        cols.append(
+            F.expr(f"count(*) OVER {frame}").cast("long")
+            .alias(f"n_{name}")
+        )
+        cols.append(F.expr(f"sum(__v) OVER {frame}").alias(f"sum_{name}"))
+    # windows must run over real + context rows: select (computes the
+    # frames) BEFORE dropping the context copies — filtering first would
+    # silently exclude the replayed previous-chunk rows from every frame
+    return (
+        full.select(*cols, F.col("__ctx"))
+        .filter(F.col("__ctx") == 0)
+        .drop("__ctx")
+    )

@@ -6102,3 +6102,66 @@ GROUP BY user_id
 QUERIES["event_pivot"] = q_event_pivot
 _RAW_ORACLES["event_pivot"] = SQL_EVENT_PIVOT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_gini_concentration(spark, sf_dir):
+    """Per-source Gini coefficient of document character mass
+    (operators/validate.py gini_concentration): the mixture-inequality
+    audit beside source_stats/domain_cap — exact decimal(38,0) rank-sum
+    arithmetic with a tie-invariant sum, ONE group-keyed exchange."""
+    from mpds_spark.operators.validate import gini_concentration
+
+    docs = load(spark, sf_dir, "documents")
+    out = gini_concentration(docs, value="n_chars", by="source")
+    return out.select(
+        "source", "n_docs", "total_mass", _r6("gini").alias("gini")
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH r AS (
+  SELECT source, n_chars::HUGEINT AS x,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      AS HUGEINT) AS i
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(x) AS BIGINT) AS total_mass,
+  round(CASE WHEN sum(x) > 0 THEN
+    (2*sum(i*x) - (count(*)::HUGEINT + 1) * sum(x))::DOUBLE
+      / ((count(*)::HUGEINT * sum(x))::DOUBLE) END, 6) AS gini
+FROM r GROUP BY source
+"""
+
+QUERIES["gini_concentration"] = q_gini_concentration
+_RAW_ORACLES["gini_concentration"] = SQL_GINI_CONCENTRATION
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hot_key_audit(spark, sf_dir):
+    """Distributed hot-key skew audit (operators/salting.py
+    hot_key_audit): per-entity event counts rolled into exact
+    floor(log2) buckets via length(bin(count))-1 — integer string ops,
+    never floor(log2()) on a double — the distribution read before
+    choosing chunk_span / enabling salting; skew collapses at the
+    entity-keyed partial agg."""
+    from mpds_spark.operators.salting import hot_key_audit
+
+    ev = _events(spark, sf_dir)
+    return hot_key_audit(ev, entity="user_id")
+
+
+SQL_HOT_KEY_AUDIT = """
+WITH c AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+)
+SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS log2_bucket,
+  CAST(count(*) AS BIGINT) AS n_entities,
+  CAST(sum(c) AS BIGINT) AS n_events,
+  CAST(min(c) AS BIGINT) AS min_count,
+  CAST(max(c) AS BIGINT) AS max_count
+FROM c GROUP BY 1
+"""
+
+QUERIES["hot_key_audit"] = q_hot_key_audit
+_RAW_ORACLES["hot_key_audit"] = SQL_HOT_KEY_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

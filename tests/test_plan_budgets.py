@@ -169,6 +169,11 @@ BUDGETS = {
     # inferred pivot would add a third)
     "quantile_transform": {"shuffle": 1, "python": 0, "cartesian": 0},
     "event_pivot": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # gini's rank window + rollup share one group-keyed exchange; the
+    # hot-key audit is entity-count partial agg (skew collapses there)
+    # + the tiny bucket rollup
+    "gini_concentration": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "hot_key_audit": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

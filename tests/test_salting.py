@@ -254,3 +254,109 @@ def test_salted_key_no_collision_numeric_suffix_entities(spark):
     by_e = {r.entity_id: set(salted[salted.entity_id == r.entity_id]["rv"])
             for r in right.collect()}
     assert by_e["u1"] == {100.0} and by_e["u11"] == {200.0}
+
+
+def test_salted_trailing_windows_bit_equal_to_plain(spark):
+    """Time-chunk + boundary-replay trailing windows must be BIT-identical
+    to the single-window trailing_window_features on a 100x hot entity
+    with integer cents — including rows landing EXACTLY on a chunk
+    boundary and exactly at (chunk_end - horizon), the two replay
+    edges."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mpds_spark.operators.salting import salted_trailing_windows
+    from mpds_spark.operators.windows import trailing_window_features
+
+    rng = np.random.default_rng(17)
+    span = 6 * 3600.0  # 6 h chunks over 1 h / 3 h horizons
+    base = dt.datetime(2024, 5, 1)
+    rows, eid = [], 0
+
+    def add(uid, t_us, v):
+        nonlocal eid
+        rows.append(
+            (eid, uid, base + dt.timedelta(microseconds=int(t_us)), int(v))
+        )
+        eid += 1
+
+    # hot entity: 100x the cold ones, spanning ~5 chunks
+    t = 0
+    for _ in range(500):
+        t += int(rng.integers(1, 400) * 1e6)
+        add(1, t, rng.integers(-999, 999))
+    # planted boundary edges for the hot entity: exactly on a chunk
+    # boundary, exactly horizon-distance before one, and 1 us inside
+    for k in (1, 2, 3):
+        add(1, k * span * 1e6, 111)
+        add(1, k * span * 1e6 - 3 * 3600 * 1e6, 222)   # == chunk_end - wmax
+        add(1, k * span * 1e6 - 1, 333)
+    for uid in (2, 3, 4):
+        t = int(rng.integers(0, 3600) * 1e6)
+        for _ in range(5):
+            t += int(rng.integers(1, 7200) * 1e6)
+            add(uid, t, rng.integers(-999, 999))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, c long"
+    )
+    horizons = {"1h": 3600.0, "3h": 3 * 3600.0}
+    kw = dict(value="c", ts="ts", horizons=horizons, extra=("event_id",))
+    plain = {
+        r["event_id"]: r
+        for r in trailing_window_features(df, by="user_id", **kw).collect()
+    }
+    salted = {
+        r["event_id"]: r
+        for r in salted_trailing_windows(
+            df, entity="user_id", chunk_span=span, **kw
+        ).collect()
+    }
+    assert set(plain) == set(salted) and len(plain) == len(rows)
+    for k, p in plain.items():
+        assert salted[k].asDict() == p.asDict(), k
+
+
+def test_salted_trailing_windows_rejects_short_chunk(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from mpds_spark.operators.salting import salted_trailing_windows
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1)], "e long, ts timestamp, c long"
+    )
+    with _pytest.raises(ValueError, match="chunk_span"):
+        salted_trailing_windows(
+            df, value="c", ts="ts", entity="e",
+            horizons={"1d": 86400.0}, chunk_span=3600.0,
+        )
+
+
+def test_hot_key_audit_matches_counter(spark):
+    """log2 bucket histogram matches a Counter rederivation, with exact
+    power-of-two counts landing in the right bucket (the floor(log2())
+    -on-a-double hazard the bin()-length encoding avoids)."""
+    from collections import Counter
+
+    from mpds_spark.operators.salting import hot_key_audit
+
+    sizes = {1: 1, 2: 2, 3: 3, 4: 4, 5: 8, 6: 9, 7: 15, 8: 16, 9: 100}
+    rows = [
+        (uid, i) for uid, n in sizes.items() for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    got = {r["log2_bucket"]: r.asDict() for r in hot_key_audit(
+        df, entity="user_id").collect()}
+    buckets = {}
+    for n in sizes.values():
+        b = n.bit_length() - 1
+        buckets.setdefault(b, []).append(n)
+    assert set(got) == set(buckets)
+    for b, ns in buckets.items():
+        r = got[b]
+        assert r["n_entities"] == len(ns)
+        assert r["n_events"] == sum(ns)
+        assert r["min_count"] == min(ns)
+        assert r["max_count"] == max(ns)

@@ -102,3 +102,49 @@ def test_length_ks_drift_brute_force(spark):
         assert got[src]["ks_stat"] == pytest.approx(ks, abs=1e-12), src
     assert got["c"]["ks_stat"] > got["a"]["ks_stat"]
     assert got["c"]["ks_stat"] == 1.0  # fully disjoint supports
+
+
+def test_gini_concentration_matches_numpy(spark):
+    """Gini matches the sorted-rank formula on numpy, including the
+    signature regimes: all-equal mass -> 0, one-doc-owns-everything ->
+    (n-1)/n, ties in the middle (rank assignment must not matter),
+    single-doc group -> 0, zero-mass group -> NULL."""
+    import numpy as np
+
+    from mpds_spark.operators.validate import gini_concentration
+
+    rng = np.random.default_rng(23)
+    data = {
+        "equal": [100] * 8,                      # G = 0
+        "monopoly": [0] * 9 + [500],             # G = (n-1)/n = 0.9
+        "tied": [10, 10, 10, 40, 40, 900],       # tie-invariance
+        "single": [77],                          # G = 0
+        "zero": [0, 0, 0],                       # NULL
+        "random": list(rng.integers(0, 1000, 50)),
+    }
+    rows, did = [], 0
+    for src, xs in data.items():
+        for x in xs:
+            rows.append((did, src, int(x)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        r["source"]: r.asDict()
+        for r in gini_concentration(df, value="n_chars", by="source").collect()
+    }
+    for src, xs in data.items():
+        a = np.sort(np.array(xs, dtype="float64"))
+        n, t = len(a), a.sum()
+        r = got[src]
+        assert r["n_docs"] == n
+        assert r["total_mass"] == int(t)
+        if t == 0:
+            assert r["gini"] is None
+        else:
+            expect = (2 * np.sum(np.arange(1, n + 1) * a) - (n + 1) * t) / (
+                n * t
+            )
+            assert r["gini"] == pytest.approx(expect, abs=1e-12), src
+    assert got["equal"]["gini"] == 0.0
+    assert got["monopoly"]["gini"] == pytest.approx(0.9, abs=0)
+    assert got["single"]["gini"] == 0.0
