@@ -78,6 +78,7 @@ _PRIORITY = [
     "event_pivot",
     "gini_concentration",
     "hot_key_audit",
+    "rollup_activity",
     # new in round 5 (fourth batch)
     "asof_tolerance",
     "gap_quantiles",

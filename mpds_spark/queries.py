@@ -6165,3 +6165,38 @@ FROM c GROUP BY 1
 QUERIES["hot_key_audit"] = q_hot_key_audit
 _RAW_ORACLES["hot_key_audit"] = SQL_HOT_KEY_AUDIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_rollup_activity(spark, sf_dir):
+    """Multi-level OLAP rollup: event counts + exact-cents value totals
+    at (event_type, hour), (event_type), and grand-total grains in ONE
+    pass via df.rollup() — Spark's Expand + single aggregate (each input
+    row fans out to its grouping sets before the one exchange; no
+    per-grain re-scan). NULL group markers are unambiguous because both
+    grouping columns are non-null."""
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    hour = F.hour(F.col("ts").cast("timestamp")).cast("long")
+    return (
+        ev.select("event_type", hour.alias("hour"), cents.alias("__c"))
+        .rollup("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.sum("__c").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+SQL_ROLLUP_ACTIVITY = """
+SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+  CAST(count(*) AS BIGINT) AS n_events,
+  sum(CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT))::DOUBLE
+    / 100.0 AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, hour(ts))
+"""
+
+QUERIES["rollup_activity"] = q_rollup_activity
+_RAW_ORACLES["rollup_activity"] = SQL_ROLLUP_ACTIVITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -174,6 +174,9 @@ BUDGETS = {
     # + the tiny bucket rollup
     "gini_concentration": {"shuffle": 1, "python": 0, "cartesian": 0},
     "hot_key_audit": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # rollup = Expand + ONE aggregate: every grain comes out of a single
+    # exchange (never one scan per grouping set)
+    "rollup_activity": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 
