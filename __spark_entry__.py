@@ -79,6 +79,7 @@ _PRIORITY = [
     "gini_concentration",
     "hot_key_audit",
     "rollup_activity",
+    "bucketed_join",
     # new in round 5 (fourth batch)
     "asof_tolerance",
     "gap_quantiles",

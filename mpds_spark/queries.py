@@ -6200,3 +6200,75 @@ GROUP BY ROLLUP(event_type, hour(ts))
 QUERIES["rollup_activity"] = q_rollup_activity
 _RAW_ORACLES["rollup_activity"] = SQL_ROLLUP_ACTIVITY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed CO-LOCATED entity join (sources/bucketed.py): events and
+    orders written once as bucketBy(user-key)+sortBy tables (≙ Iceberg
+    bucket(N, entity) transform), then a MERGE-hinted equi-join and the
+    per-user rollup run with ZERO shuffle exchanges — the
+    write-once/join-many layout that is the single biggest win at 10^12
+    rows. Tables are cached per (sf_dir, row count) and rebuilt only
+    when the source changes; the oracle joins the raw parquet, so the
+    row prices layout equivalence, not just the plan."""
+    import hashlib
+    import os
+
+    from mpds_spark.sources.bucketed import write_bucketed
+
+    ev = _events(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    t_ev, t_or = f"mpds_bkt_events_{h}", f"mpds_bkt_orders_{h}"
+
+    def ensure(table, src, entity, ts):
+        if spark.catalog.tableExists(table):
+            if spark.table(table).count() == src.count():
+                return
+        else:
+            # a prior session's in-memory catalog may have left the
+            # managed location on disk without a catalog entry — a
+            # fresh write would fail LOCATION_ALREADY_EXISTS
+            import shutil
+
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            loc = os.path.join(wh, table)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
+        write_bucketed(src, table, entity=entity, ts=ts, n_buckets=8)
+
+    ensure(t_ev, ev, "user_id", "ts")
+    ensure(t_or, orders, "o_custkey", "o_orderdate")
+    e = spark.table(t_ev).select("user_id", "event_id")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+    ).cast("long")
+    o = spark.table(t_or).select(
+        F.col("o_custkey"), "o_orderkey", cents.alias("__c")
+    )
+    j = e.join(o.hint("merge"), e.user_id == o.o_custkey)
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count_distinct("o_orderkey").cast("long").alias("n_orders"),
+            (F.sum(F.col("__c").cast("decimal(38,0)")).cast("double")
+             / 100.0).alias("pair_value"),
+        )
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+  sum(CAST(floor(abs(o_totalprice)*100 + 0.5)*sign(o_totalprice)
+    AS HUGEINT))::DOUBLE / 100.0 AS pair_value
+FROM events JOIN orders ON user_id = o_custkey
+GROUP BY user_id
+"""
+
+QUERIES["bucketed_join"] = q_bucketed_join
+_RAW_ORACLES["bucketed_join"] = SQL_BUCKETED_JOIN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -177,6 +177,9 @@ BUDGETS = {
     # rollup = Expand + ONE aggregate: every grain comes out of a single
     # exchange (never one scan per grouping set)
     "rollup_activity": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # the co-located layout's whole point: join + per-user rollup with
+    # ZERO exchanges (bucketed+sorted tables, MERGE-hinted SMJ)
+    "bucketed_join": {"shuffle": 0, "python": 0, "cartesian": 0},
 }
 
 
@@ -221,6 +224,14 @@ def test_star_join_broadcast_chain(plans):
     assert len(
         _re.findall(r"\bBroadcastHashJoin\b", plans["star_join_revenue"])
     ) >= 3
+
+
+def test_bucketed_join_colocated_smj(plans):
+    """bucketed_join must actually exercise the co-located layout: a
+    SortMergeJoin over the bucketed tables (not a broadcast that would
+    trivially have no exchange) with zero shuffles end to end."""
+    assert "SortMergeJoin" in plans["bucketed_join"]
+    assert "BroadcastHashJoin" not in plans["bucketed_join"]
 
 
 def test_rfm_cutoff_pushed_to_scan(plans):
