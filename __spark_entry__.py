@@ -80,6 +80,8 @@ _PRIORITY = [
     "hot_key_audit",
     "rollup_activity",
     "bucketed_join",
+    "dense_daily_counts",
+    "temporal_split",
     # new in round 5 (fourth batch)
     "asof_tolerance",
     "gap_quantiles",

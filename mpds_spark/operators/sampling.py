@@ -553,3 +553,42 @@ def cap_per_group(
         .filter(F.col("__rk") <= int(n))
     )
     return kept.drop("__u", "__frac", "__cutoff", "__full", "__rk")
+
+
+def temporal_split(
+    df: DataFrame,
+    ts: str = "ts",
+    entity: str = "entity_id",
+    train_frac_pct: int = 80,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Leakage-correct per-entity TEMPORAL train/test split: each
+    entity's time-ordered history is cut at train_frac_pct — every
+    training row strictly precedes every test row of the same entity.
+    This is the split a temporal feature model must use; hash_split
+    (above) is the right tool only for exchangeable rows, and using it
+    on event history leaks future rows into training.
+
+    Integer-exact cut: row i (1-based, (ts, tiebreak) order) is train
+    iff i * 100 <= train_frac_pct * n — no float ratio, identical in
+    any engine; entities with one row are test-free (1*100 <= 80*1 is
+    false => single rows land in test; document accordingly) — i.e.
+    train gets floor(pct*n/100) rows.
+
+    One entity-keyed exchange: the row_number and the count windows
+    share the sort. Returns df columns + (split_rank, split_n, split)."""
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity).orderBy(*order)
+    wall = Window.partitionBy(entity)
+    d = (
+        df.withColumn("split_rank", F.row_number().over(w).cast("long"))
+        .withColumn("split_n", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    return d.withColumn(
+        "split",
+        F.when(
+            F.col("split_rank") * 100
+            <= F.lit(int(train_frac_pct)) * F.col("split_n"),
+            F.lit("train"),
+        ).otherwise(F.lit("test")),
+    )

@@ -6272,3 +6272,90 @@ GROUP BY user_id
 QUERIES["bucketed_join"] = q_bucketed_join
 _RAW_ORACLES["bucketed_join"] = SQL_BUCKETED_JOIN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_dense_daily_counts(spark, sf_dir):
+    """Dense per-user daily grid with zero-fill (operators/backfill.py
+    densify_daily): sequence()-exploded generated dimension between each
+    user's first and last day, left-joined back to the per-day partial
+    agg — silent days appear with n_events=0/sum 0.00, the grid a
+    fixed-stride windowed model convolves over."""
+    from mpds_spark.operators.backfill import densify_daily
+
+    ev = _events(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    out = densify_daily(
+        ev.withColumn("__c", cents),
+        ts="ts",
+        entity="user_id",
+        value="__c",
+        bucket_s=86400,
+    )
+    return out.select(
+        "user_id",
+        "bucket_start_s",
+        "n_events",
+        (F.col("sum_value").cast("double") / 100.0).alias("sum_value"),
+    )
+
+
+SQL_DENSE_DAILY_COUNTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS HUGEINT) AS c
+  FROM events
+), pd AS (
+  SELECT user_id, b, CAST(count(*) AS BIGINT) AS n, sum(c) AS s
+  FROM e GROUP BY user_id, b
+), sp AS (
+  SELECT user_id, min(b) AS b0, max(b) AS b1 FROM pd GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM sp
+)
+SELECT g.user_id, g.b * 86400.0 AS bucket_start_s,
+  coalesce(pd.n, 0)::BIGINT AS n_events,
+  coalesce(pd.s, 0::HUGEINT)::DOUBLE / 100.0 AS sum_value
+FROM g LEFT JOIN pd ON g.user_id = pd.user_id AND g.b = pd.b
+"""
+
+QUERIES["dense_daily_counts"] = q_dense_daily_counts
+_RAW_ORACLES["dense_daily_counts"] = SQL_DENSE_DAILY_COUNTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-correct per-user temporal train/test split
+    (operators/sampling.py temporal_split): each user's time-ordered
+    history cut at 80% with an integer-exact rank*100 <= pct*n rule —
+    every training row strictly precedes every test row; the split a
+    temporal model must use where hash_split would leak the future."""
+    from mpds_spark.operators.sampling import temporal_split
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = temporal_split(
+        ev, ts="ts", entity="user_id", train_frac_pct=80,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "split_rank", "split_n", "split"
+    )
+
+
+SQL_TEMPORAL_SPLIT = """
+WITH r AS (
+  SELECT event_id, user_id,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS BIGINT) AS split_rank,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS split_n
+  FROM events
+)
+SELECT event_id, user_id, split_rank, split_n,
+  CASE WHEN split_rank * 100 <= 80 * split_n THEN 'train' ELSE 'test' END
+    AS split
+FROM r
+"""
+
+QUERIES["temporal_split"] = q_temporal_split
+_RAW_ORACLES["temporal_split"] = SQL_TEMPORAL_SPLIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

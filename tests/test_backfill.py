@@ -106,3 +106,42 @@ def test_interpolate_requires_leakage_opt_in(spark):
     df = spark.createDataFrame(make_entity_series())
     with pytest.raises(LeakageError):
         interpolate(df, value="value")
+
+
+def test_densify_daily_zero_fills_gaps(spark):
+    """The dense grid covers every bucket between an entity's first and
+    last event inclusive, with exact zero-fill on silent buckets, and
+    never extends past the entity's own span (no global min/max)."""
+    import datetime as dt
+
+    from mpds_spark.operators.backfill import densify_daily
+
+    day = 86400
+    base = dt.datetime(2024, 6, 1)  # midnight -> bucket-aligned
+    rows = [
+        # entity 1: days 0, 0, 3 -> grid 0..3 with days 1,2 silent
+        (1, base + dt.timedelta(hours=1), 100),
+        (1, base + dt.timedelta(hours=2), -50),
+        (1, base + dt.timedelta(days=3, hours=5), 700),
+        # entity 2: single event -> 1-row grid
+        (2, base + dt.timedelta(days=10), 9),
+        # entity 3: events exactly at midnight boundaries (days 5 and 6)
+        (3, base + dt.timedelta(days=5), 11),
+        (3, base + dt.timedelta(days=6), 13),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, c long")
+    out = densify_daily(
+        df, ts="ts", entity="user_id", value="c", bucket_s=day
+    ).collect()
+    got = {(r["user_id"], r["bucket_start_s"]): r for r in out}
+    b0 = int((base - dt.datetime(1970, 1, 1)).total_seconds())
+    assert len(got) == 4 + 1 + 2
+    assert got[(1, float(b0))]["n_events"] == 2
+    assert int(got[(1, float(b0))]["sum_value"]) == 50
+    for d in (1, 2):
+        r = got[(1, float(b0 + d * day))]
+        assert r["n_events"] == 0 and int(r["sum_value"]) == 0
+    assert got[(1, float(b0 + 3 * day))]["n_events"] == 1
+    assert got[(2, float(b0 + 10 * day))]["n_events"] == 1
+    assert got[(3, float(b0 + 5 * day))]["n_events"] == 1
+    assert got[(3, float(b0 + 6 * day))]["n_events"] == 1

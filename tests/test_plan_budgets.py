@@ -180,6 +180,11 @@ BUDGETS = {
     # the co-located layout's whole point: join + per-user rollup with
     # ZERO exchanges (bucketed+sorted tables, MERGE-hinted SMJ)
     "bucketed_join": {"shuffle": 0, "python": 0, "cartesian": 0},
+    # densify: (entity,bucket) partial agg + tiny span agg + grid join
+    # (broadcast at toy SF; AQE may flip it to SMJ at scale inside the
+    # budget); temporal split = row_number + count on ONE entity sort
+    "dense_daily_counts": {"shuffle": 3, "python": 0, "cartesian": 0},
+    "temporal_split": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 

@@ -195,3 +195,42 @@ def test_winnow_equals_reference_loop(spark, docs_ints, w):
     for i, doc in enumerate(docs_ints):
         words = [f"t{v}" for v in doc]
         assert got.get(i, set()) == py_winnow(words), (i, w)
+
+
+def test_temporal_split_ordering_invariant(spark):
+    """Every train row strictly precedes every test row per entity; the
+    integer cut gives floor(pct*n/100) train rows (single-row entities
+    land in test); and the labeling is deterministic under timestamp
+    ties via the tiebreak column."""
+    import datetime as dt
+
+    from mpds_spark.operators.sampling import temporal_split
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    sizes = {1: 1, 2: 4, 3: 5, 4: 10, 5: 23}
+    for uid, n in sizes.items():
+        for i in range(n):
+            # tie pairs: every second row shares its predecessor's ts
+            t = base + dt.timedelta(seconds=(i // 2) * 60)
+            rows.append((eid, uid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = temporal_split(
+        df, ts="ts", entity="user_id", train_frac_pct=80,
+        tiebreak="event_id",
+    ).collect()
+    by_uid = {}
+    for r in out:
+        by_uid.setdefault(r["user_id"], []).append(r)
+    for uid, n in sizes.items():
+        rs = sorted(by_uid[uid], key=lambda r: r["split_rank"])
+        n_train = sum(1 for r in rs if r["split"] == "train")
+        assert n_train == (80 * n) // 100, uid
+        # ranks follow (ts, event_id): event_id ascending here
+        assert [r["event_id"] for r in rs] == sorted(
+            r["event_id"] for r in rs
+        )
+        # train block is a strict prefix
+        labels = [r["split"] for r in rs]
+        assert labels == ["train"] * n_train + ["test"] * (n - n_train)
