@@ -70,6 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # final-session code at sf0.01, the r5-late 13 at sf0.1 as well); see
 # BENCH/BASELINE.md.
 _PRIORITY = [
+    # new in round 5 (sixth batch)
+    "forward_label",
     # new in round 5 (fifth batch)
     "trailing_features",
     "rfm_snapshot",

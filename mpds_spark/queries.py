@@ -6359,3 +6359,60 @@ FROM r
 QUERIES["temporal_split"] = q_temporal_split
 _RAW_ORACLES["temporal_split"] = SQL_TEMPORAL_SPLIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_forward_label(spark, sf_dir):
+    """Forward-looking LABEL construction (operators/asof.py asof_join
+    direction='forward', allow_exact_matches=False, tolerance=24h,
+    leakage_ok=True): for each event, whether the user's next purchase
+    occurs STRICTLY after it within 24 hours, plus the exact
+    time-to-purchase — the label half of training-set assembly. The
+    forward direction raises LeakageError without the explicit
+    leakage_ok opt-in (labels/eval only, never features); this row
+    drives the gated path end to end."""
+    from mpds_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    out = asof_join(
+        left,
+        purchases,
+        on="ts",
+        by="entity_id",
+        direction="forward",
+        tolerance=86400.0,
+        allow_exact_matches=False,
+        leakage_ok=True,
+    )
+    return out.select(
+        "event_id",
+        F.when(F.col("ts_r").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("label"),
+        (F.col("ts_r") - F.col("ts")).alias("time_to_purchase_s"),
+    )
+
+
+SQL_FORWARD_LABEL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+), p AS (
+  SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id,
+  CAST(CASE WHEN p.t - e.t <= 86400.0 THEN 1 ELSE 0 END AS BIGINT)
+    AS label,
+  CASE WHEN p.t - e.t <= 86400.0 THEN p.t - e.t END
+    AS time_to_purchase_s
+FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t < p.t
+"""
+
+QUERIES["forward_label"] = q_forward_label
+_RAW_ORACLES["forward_label"] = SQL_FORWARD_LABEL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -31,6 +31,7 @@ PAT = {
 BUDGETS = {
     "asof_orders": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "asof_tolerance": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    "forward_label": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "locf": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "derived_features": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "sessionize": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
