@@ -72,6 +72,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # new in round 5 (sixth batch)
     "forward_label",
+    "target_encode",
+    "json_features",
     # new in round 5 (fifth batch)
     "trailing_features",
     "rfm_snapshot",

@@ -6416,3 +6416,108 @@ FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.t < p.t
 QUERIES["forward_label"] = q_forward_label
 _RAW_ORACLES["forward_label"] = SQL_FORWARD_LABEL
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+def q_target_encode(spark, sf_dir):
+    """Out-of-fold smoothed target encoding (operators/encoding.py
+    target_encode_oof): encode event_type by the propensity of a
+    high-value event (value > 50), folds hashed from event_id, m=10
+    empirical-Bayes shrinkage toward the leave-fold-out global rate.
+    The leak-free categorical encoder in its scale shape: one fact-table
+    exchange for the (category, fold) sufficient statistics, windows
+    only on the 25-row tiny frame, broadcast join back. Reference
+    analogue: held-out scoring discipline of
+    dssPerformanceEvaluation.R:49-58 (a row never sees its own label)."""
+    from mpds_spark.operators.encoding import target_encode_oof
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("value") > 50, F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    out = target_encode_oof(
+        ev, category="event_type", target="y", key="event_id",
+        n_folds=5, m=10.0,
+    )
+    return out.select(
+        "event_id", "event_type", "fold", "y",
+        F.col("te_event_type").alias("te"),
+    )
+
+
+SQL_TARGET_ENCODE = """
+WITH e AS (
+  SELECT event_id, event_type,
+    CAST(CASE WHEN value > 50 THEN 1 ELSE 0 END AS BIGINT) AS y,
+    CAST(CAST(('0x' || substr(md5('fold|' || CAST(event_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 5 AS INT) AS fold
+  FROM events
+), cf AS (
+  SELECT event_type, fold,
+    CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS c
+  FROM e GROUP BY event_type, fold
+), lo AS (
+  SELECT event_type, fold,
+    SUM(s) OVER (PARTITION BY event_type) - s AS loo_s,
+    SUM(c) OVER (PARTITION BY event_type) - c AS loo_c,
+    SUM(s) OVER () - SUM(s) OVER (PARTITION BY fold) AS g_s,
+    SUM(c) OVER () - SUM(c) OVER (PARTITION BY fold) AS g_c
+  FROM cf
+)
+SELECT e.event_id, e.event_type, e.fold, e.y,
+  (CAST(loo_s AS DOUBLE) +
+   10.0 * (CAST(g_s AS DOUBLE) / CAST(g_c AS DOUBLE)))
+  / (CAST(loo_c AS DOUBLE) + 10.0) AS te
+FROM e
+JOIN lo ON e.event_type = lo.event_type AND e.fold = lo.fold
+"""
+
+QUERIES["target_encode"] = q_target_encode
+_RAW_ORACLES["target_encode"] = SQL_TARGET_ENCODE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_json_features(spark, sf_dir):
+    """Semi-structured feature extraction: parse the events.props JSON
+    column JVM-side (get_json_object — no Python, no shuffle for the
+    extraction itself) and aggregate the extracted integer k per user:
+    count / sum / min / max / distinct-k / exact mean. The schema-on-read
+    munging stage every telemetry pipeline runs before feature windows;
+    at 100 TB the parse is a codegen'd map over the scan and the only
+    exchange is the user-keyed aggregate."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("user_id", k.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.count("k").alias("k_cnt"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+            (F.sum("k").cast("double") / F.count("k")).alias("k_mean"),
+        )
+    )
+
+
+SQL_JSON_FEATURES = """
+WITH e AS (
+  SELECT user_id,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT user_id,
+  count(k) AS k_cnt,
+  CAST(sum(k) AS BIGINT) AS k_sum,
+  min(k) AS k_min,
+  max(k) AS k_max,
+  count(DISTINCT k) AS k_distinct,
+  CAST(sum(k) AS DOUBLE) / count(k) AS k_mean
+FROM e GROUP BY user_id
+"""
+
+QUERIES["json_features"] = q_json_features
+_RAW_ORACLES["json_features"] = SQL_JSON_FEATURES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
