@@ -71,6 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (sixth batch)
+    "scd2_join",
+    "rolling_median",
     "forward_label",
     "target_encode",
     "json_features",

@@ -6521,3 +6521,167 @@ FROM e GROUP BY user_id
 QUERIES["json_features"] = q_json_features
 _RAW_ORACLES["json_features"] = SQL_JSON_FEATURES
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_scd2_join(spark, sf_dir):
+    """SCD Type-2 point-in-time dimension join — the feature-store
+    staple: build a versioned (valid_from, valid_to) dimension from a
+    change log, then enrich facts with the version valid AT each fact's
+    timestamp. The customer-tier dimension is derived from orders (each
+    order opens a new tier version; same-day restatements collapse to
+    the highest orderkey, classic last-write-wins), versions are closed
+    by lead(valid_from) and numbered, and events are joined point-in-
+    time. Implementation is the as-of join (one fact exchange, no
+    interval blow-up): because versions are contiguous, the latest
+    version with valid_from <= t IS the interval match — and the DuckDB
+    oracle verifies exactly that equivalence with an explicit
+    valid_from <= t < valid_to interval-predicate join. At 100 TB the
+    dimension windows touch only the (small) change log and the fact
+    table pays one entity-keyed exchange, never a range join.
+    Reference analogue: per-patient medication-state epochs gating
+    before/after comparisons (dssFunctionLibrary.R:119-171 interleave
+    epochs; dssPerformanceEvaluation.R:49-58 held-out discipline)."""
+    dim0 = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("ts"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    # same-(entity, day) restatements: last write (max orderkey) wins
+    w_dup = Window.partitionBy("entity_id", "ts").orderBy(
+        F.desc("o_orderkey")
+    )
+    dim1 = (
+        dim0.withColumn("__rn", F.row_number().over(w_dup))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "entity_id",
+            "ts",
+            F.when(F.col("o_totalprice") >= 300000, F.lit("gold"))
+            .when(F.col("o_totalprice") >= 150000, F.lit("silver"))
+            .otherwise(F.lit("bronze"))
+            .alias("tier"),
+        )
+    )
+    w_v = Window.partitionBy("entity_id").orderBy("ts")
+    dim = dim1.select(
+        "entity_id",
+        "ts",
+        "tier",
+        F.row_number().over(w_v).cast("long").alias("tier_version"),
+        F.lead("ts").over(w_v).alias("__vt"),
+    )
+    fact = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+    )
+    out = asof_join(fact, dim, on="ts", by="entity_id")
+    matched = F.col("ts_r").isNotNull()
+    return out.select(
+        "event_id",
+        "tier",
+        "tier_version",
+        _r6("ts_r").alias("tier_since"),
+        F.when(matched, F.col("__vt").isNull().cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("is_current"),
+    )
+
+
+SQL_SCD2_JOIN = """
+WITH d0 AS (
+  SELECT o_custkey AS user_id, epoch(o_orderdate) AS vf, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                       ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+), d1 AS (
+  SELECT user_id, vf,
+    CASE WHEN o_totalprice >= 300000 THEN 'gold'
+         WHEN o_totalprice >= 150000 THEN 'silver'
+         ELSE 'bronze' END AS tier
+  FROM d0 WHERE rn = 1
+), d AS (
+  SELECT user_id, vf, tier,
+    lead(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt,
+    CAST(row_number() OVER (PARTITION BY user_id ORDER BY vf) AS BIGINT)
+      AS tier_version
+  FROM d1
+), e AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+)
+SELECT e.event_id, d.tier, d.tier_version,
+  round(d.vf, 6) AS tier_since,
+  CAST(CASE WHEN d.user_id IS NULL THEN NULL
+            WHEN d.vt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM e
+LEFT JOIN d ON e.user_id = d.user_id
+           AND e.t >= d.vf AND (d.vt IS NULL OR e.t < d.vt)
+"""
+
+QUERIES["scd2_join"] = q_scd2_join
+_RAW_ORACLES["scd2_join"] = SQL_SCD2_JOIN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rolling_median(spark, sf_dir):
+    """Per-entity rolling median (and min/max) of `value` over the
+    trailing 5 events — the robust-smoothing twin of the expanding
+    means in derived_features: a median filter is the standard outlier-
+    immune denoise before rolling features (reference analogue: the
+    window median in the accel stat battery, extractAccelTestV2.m:80,
+    re-expressed on the point-in-time trailing frame). Exact semantics:
+    the frame is ROWS 4 PRECEDING..CURRENT ordered by (ts, event_id);
+    median = (arr[(n+1) div 2] + arr[n div 2 + 1]) / 2 over the sorted
+    frame — the two indices coincide for odd n, so one expression covers
+    both parities and matches the interpolating median exactly. Scale
+    shape: bounded O(k) frame state, one entity-keyed exchange shared by
+    all three windows, everything JVM-side (collect_list + array_sort
+    on a 5-element array — no Python)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("entity_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    hi = F.element_at(arr, (n / F.lit(2)).cast("int") + F.lit(1))
+    return ev.select(
+        "event_id",
+        n.cast("long").alias("win_n"),
+        _r6((lo + hi) / F.lit(2.0)).alias("roll_med"),
+        F.min("value").over(w).alias("roll_min"),
+        F.max("value").over(w).alias("roll_max"),
+    )
+
+
+SQL_ROLLING_MEDIAN = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, value FROM events
+), w AS (
+  SELECT event_id,
+    list_sort(list(value) OVER frame) AS arr,
+    min(value) OVER frame AS roll_min,
+    max(value) OVER frame AS roll_max
+  FROM e
+  WINDOW frame AS (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+  CAST(len(arr) AS BIGINT) AS win_n,
+  round((arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0, 6)
+    AS roll_med,
+  roll_min, roll_max
+FROM w
+"""
+
+QUERIES["rolling_median"] = q_rolling_median
+_RAW_ORACLES["rolling_median"] = SQL_ROLLING_MEDIAN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -32,6 +32,9 @@ BUDGETS = {
     "asof_orders": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "asof_tolerance": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     "forward_label": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
+    # 1 fact exchange + 2 dimension-side windows over the small change log
+    "scd2_join": {"shuffle": 3, "python": 0, "grouped_pandas": 0},
+    "rolling_median": {"shuffle": 1, "python": 0, "grouped_pandas": 0},
     # 1 fact-table agg exchange + 1 single-partition pass on the 25-row
     # tiny frame; the broadcast join back is unbudgeted by design
     "target_encode": {"shuffle": 2, "python": 0, "cartesian": 0},

@@ -754,3 +754,42 @@ def test_rank_normalize_matches_numpy(spark):
             assert r["pct_rank"] == pytest.approx(pr, abs=0), (uid, eid)
             assert r["cume_dist"] == pytest.approx(leq / n, abs=0), (uid, eid)
             eid += 1
+
+
+def test_rolling_median_query_matches_numpy(spark):
+    """The rolling_median catalog query's two-index interpolating-median
+    formula must equal np.median over every trailing 5-row frame — a
+    numpy differential, because the DuckDB oracle shares the same index
+    expression and would agree even if the formula were wrong."""
+    from mpds_spark.queries import q_rolling_median
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: r.asDict()
+        for r in q_rolling_median(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "user_id",
+            "cast(cast(ts as timestamp) as double) AS t",
+            "value",
+        )
+        .toPandas()
+        .sort_values(["user_id", "t", "event_id"])
+    )
+    checked = 0
+    for _, g in ev.groupby("user_id"):
+        vals = g["value"].to_numpy()
+        for i, eid in enumerate(g["event_id"].to_numpy()):
+            frame = vals[max(0, i - 4) : i + 1]
+            r = got[int(eid)]
+            assert r["win_n"] == len(frame)
+            assert r["roll_med"] == pytest.approx(
+                float(np.median(frame)), abs=1e-6
+            )
+            assert r["roll_min"] == pytest.approx(float(frame.min()))
+            assert r["roll_max"] == pytest.approx(float(frame.max()))
+            checked += 1
+    assert checked == len(got) > 0
