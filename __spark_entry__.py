@@ -71,6 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (sixth batch)
+    "feature_matrix",
+    "psi_drift",
     "scd2_join",
     "rolling_median",
     "forward_label",

@@ -438,7 +438,7 @@ def main():
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
-            "queries_slowest8": {k: round(v, 2) for k, v in slowest.items()},
+            "queries": {k: round(v, 2) for k, v in slowest.items()},
             "queries_file": "BENCH/driver_last.json",
             "engine": engine_line,
             "calib_sec": {

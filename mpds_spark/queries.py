@@ -6685,3 +6685,256 @@ FROM w
 QUERIES["rolling_median"] = q_rolling_median
 _RAW_ORACLES["rolling_median"] = SQL_ROLLING_MEDIAN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_feature_matrix(spark, sf_dir):
+    """Point-in-time training-matrix assembly — the feature-store
+    flagship shape: for every purchase event (the label row: was it a
+    high-value purchase?) assemble strictly-backward-looking features
+    from the full event stream (trailing-7-day count/value-sum/click
+    count, lifetime event count, seconds since the previous event) plus
+    a broadcast customer dimension. Implementation is the union-timeline
+    cumulative-difference pattern — NOT a per-label range join: label
+    markers and 7-day boundary markers are unioned into the event
+    stream, ONE entity-keyed window computes running aggregates over
+    (ts, kind) — markers sort before same-instant events, so every
+    feature is strict-past (zero leakage, exactly `e.ts < label.ts`) —
+    and each label's trailing window is the difference of its two
+    markers' running values. Cost at 10^12 rows: one entity exchange +
+    one label-keyed agg + a broadcast hash join; a naive interval join
+    would pay |labels|x|window| and a range-join blow-up. The DuckDB
+    oracle IS that naive interval join, proving the equivalence.
+    Reference analogue: per-patient point-in-time MPDS scoring windows
+    joining sensor-feature history strictly before each clinical visit
+    (dssFeatureExtraction.R:23-60; dssPerformanceEvaluation.R:49-58
+    held-out discipline)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "event_type",
+        "value",
+    )
+    events = ev.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("label_id"),
+        F.lit(None).cast("string").alias("marker"),
+        F.lit(1).alias("is_ev"),
+        "value",
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+
+    def marker(ts_col, name):
+        return purchases.select(
+            "user_id",
+            ts_col.alias("ts"),
+            F.lit(0).alias("kind"),
+            F.col("event_id").alias("label_id"),
+            F.lit(name).alias("marker"),
+            F.lit(0).alias("is_ev"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("int").alias("is_click"),
+        )
+
+    frame = events.unionAll(marker(F.col("ts") - 604800.0, "lo")).unionAll(
+        marker(F.col("ts"), "hi")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = frame.select(
+        "label_id",
+        "marker",
+        "user_id",
+        "ts",
+        F.sum("is_ev").over(w).alias("c_cnt"),
+        F.sum(F.when(F.col("is_ev") == 1, F.col("value"))).over(w).alias("c_val"),
+        F.sum("is_click").over(w).alias("c_clk"),
+        F.max(F.when(F.col("is_ev") == 1, F.col("ts"))).over(w).alias("c_last"),
+    ).filter(F.col("label_id").isNotNull())
+    hi = F.when(F.col("marker") == "hi", F.col("c_cnt"))
+    lo = F.when(F.col("marker") == "lo", F.col("c_cnt"))
+    feats = run.groupBy("label_id").agg(
+        F.first("user_id").alias("user_id"),
+        F.max(F.when(F.col("marker") == "hi", F.col("ts"))).alias("__t"),
+        (F.coalesce(F.max(hi), F.lit(0)) - F.coalesce(F.max(lo), F.lit(0)))
+        .cast("long")
+        .alias("t7_cnt"),
+        (
+            F.coalesce(F.max(F.when(F.col("marker") == "hi", F.col("c_val"))), F.lit(0.0))
+            - F.coalesce(F.max(F.when(F.col("marker") == "lo", F.col("c_val"))), F.lit(0.0))
+        ).alias("__t7_sum"),
+        (
+            F.coalesce(F.max(F.when(F.col("marker") == "hi", F.col("c_clk"))), F.lit(0))
+            - F.coalesce(F.max(F.when(F.col("marker") == "lo", F.col("c_clk"))), F.lit(0))
+        )
+        .cast("long")
+        .alias("t7_clicks"),
+        F.coalesce(F.max(hi), F.lit(0)).cast("long").alias("life_cnt"),
+        F.max(F.when(F.col("marker") == "hi", F.col("c_last"))).alias("__prev"),
+    )
+    lab = purchases.select(
+        F.col("event_id").alias("label_id"),
+        (F.col("value") >= 100.0).cast("int").alias("label_high_value"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return (
+        feats.join(F.broadcast(lab), "label_id")
+        .join(F.broadcast(cust), "user_id", "left")
+        .select(
+            "label_id",
+            "label_high_value",
+            "t7_cnt",
+            _r6(F.col("__t7_sum")).alias("t7_sum"),
+            "t7_clicks",
+            "life_cnt",
+            _r6(F.col("__t") - F.col("__prev")).alias("secs_since_prev"),
+            "acctbal",
+            "mktsegment",
+        )
+    )
+
+
+SQL_FEATURE_MATRIX = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, event_type, value FROM events
+), l AS (
+  SELECT event_id AS label_id, user_id, t,
+    CAST(value >= 100.0 AS INT) AS label_high_value
+  FROM e WHERE event_type = 'purchase'
+), f AS (
+  SELECT l.label_id,
+    CAST(count(e.t) FILTER (WHERE e.t >= l.t - 604800.0) AS BIGINT)
+      AS t7_cnt,
+    round(coalesce(sum(e.value) FILTER (WHERE e.t >= l.t - 604800.0), 0),
+          6) AS t7_sum,
+    CAST(coalesce(count(e.t) FILTER (
+        WHERE e.t >= l.t - 604800.0 AND e.event_type = 'click'), 0)
+      AS BIGINT) AS t7_clicks,
+    CAST(count(e.t) AS BIGINT) AS life_cnt,
+    round(l.t - max(e.t), 6) AS secs_since_prev
+  FROM l LEFT JOIN e ON e.user_id = l.user_id AND e.t < l.t
+  GROUP BY l.label_id, l.t
+)
+SELECT l.label_id, l.label_high_value, f.t7_cnt, f.t7_sum, f.t7_clicks,
+  f.life_cnt, f.secs_since_prev,
+  c.c_acctbal AS acctbal, c.c_mktsegment AS mktsegment
+FROM l JOIN f USING (label_id)
+LEFT JOIN customer c ON c.c_custkey = l.user_id
+"""
+
+QUERIES["feature_matrix"] = q_feature_matrix
+_RAW_ORACLES["feature_matrix"] = SQL_FEATURE_MATRIX
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index — the standard MLOps feature-drift
+    monitor: split the event stream at its temporal midpoint, learn
+    decile bin edges on the REFERENCE half (exact interpolating
+    percentiles), bin both halves, and report per-bin counts +
+    Laplace-smoothed PSI terms (p-q)*ln(p/q) plus the total. Every
+    scalar (midpoint, bin edges, totals) stays lazy/distributed via
+    1-row broadcast cross joins — no driver collect; the per-value work
+    is one binning map over a broadcast 9-edge array; the only real
+    exchange is the bin aggregation. The single-partition window at the
+    end runs over exactly 10 bin rows. Drift gates are how a production
+    feature store decides to retrain/alert (reference analogue: the
+    train-vs-holdout score-distribution comparison in
+    dssPerformanceEvaluation.R:49-58)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").cast("double").alias("t"), "value"
+    )
+    mid = ev.agg(
+        ((F.min("t") + F.max("t")) / F.lit(2.0)).alias("__mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(mid)).select(
+        "value", (F.col("t") < F.col("__mid")).cast("int").alias("is_ref")
+    )
+    edges = (
+        tagged.filter(F.col("is_ref") == 1)
+        .agg(
+            F.expr(
+                "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("__bp")
+        )
+    )
+    binned = tagged.crossJoin(F.broadcast(edges)).select(
+        "is_ref",
+        (
+            F.size(F.expr("filter(__bp, b -> value > b)")) + F.lit(1)
+        ).cast("long").alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("long").alias("ref_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).cast("long").alias("cur_cnt"),
+    )
+    w_all = Window.partitionBy()
+    n_ref = F.sum("ref_cnt").over(w_all)
+    n_cur = F.sum("cur_cnt").over(w_all)
+    p = (F.col("ref_cnt") + F.lit(0.5)) / (n_ref + F.lit(5.0))
+    q = (F.col("cur_cnt") + F.lit(0.5)) / (n_cur + F.lit(5.0))
+    term = (p - q) * F.log(
+        ((F.col("ref_cnt") + F.lit(0.5)) * (n_cur + F.lit(5.0)))
+        / ((F.col("cur_cnt") + F.lit(0.5)) * (n_ref + F.lit(5.0)))
+    )
+    out = cnt.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        term.alias("__term"),
+    )
+    return out.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        _r6(F.col("__term")).alias("psi_term"),
+        _r6(F.sum("__term").over(w_all)).alias("psi_total"),
+    )
+
+
+SQL_PSI_DRIFT = """
+WITH e AS (
+  SELECT epoch(ts) AS t, value FROM events
+), m AS (
+  SELECT (min(t) + max(t)) / 2.0 AS mid FROM e
+), tagged AS (
+  SELECT value, CAST(t < m.mid AS INT) AS is_ref FROM e CROSS JOIN m
+), edges AS (
+  SELECT quantile_cont(value,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bp
+  FROM tagged WHERE is_ref = 1
+), binned AS (
+  SELECT is_ref,
+    CAST(len(list_filter(e.bp, b -> value > b)) + 1 AS BIGINT) AS bin
+  FROM tagged CROSS JOIN edges e
+), cnt AS (
+  SELECT bin,
+    CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+    CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+  FROM binned GROUP BY bin
+), terms AS (
+  SELECT bin, ref_cnt, cur_cnt,
+    ((ref_cnt + 0.5) / (sum(ref_cnt) OVER () + 5.0)
+     - (cur_cnt + 0.5) / (sum(cur_cnt) OVER () + 5.0))
+    * ln(((ref_cnt + 0.5) * (sum(cur_cnt) OVER () + 5.0))
+         / ((cur_cnt + 0.5) * (sum(ref_cnt) OVER () + 5.0))) AS term
+  FROM cnt
+)
+SELECT bin, ref_cnt, cur_cnt, round(term, 6) AS psi_term,
+  round(sum(term) OVER (), 6) AS psi_total
+FROM terms
+"""
+
+QUERIES["psi_drift"] = q_psi_drift
+_RAW_ORACLES["psi_drift"] = SQL_PSI_DRIFT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

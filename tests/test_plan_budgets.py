@@ -193,6 +193,14 @@ BUDGETS = {
     # budget); temporal split = row_number + count on ONE entity sort
     "dense_daily_counts": {"shuffle": 3, "python": 0, "cartesian": 0},
     "temporal_split": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # union-timeline point-in-time assembly: ONE entity-keyed window
+    # exchange + ONE label-keyed agg; dims/labels broadcast back — never
+    # a per-label range join
+    "feature_matrix": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # the 3 BNLJs are the documented 1-row scalar broadcasts (midpoint,
+    # bin edges); real exchanges = 3 one-row aggs + bin agg + 10-row
+    # window
+    "psi_drift": {"shuffle": 5, "python": 0, "cartesian": 0, "bnlj": 3},
 }
 
 

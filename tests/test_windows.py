@@ -793,3 +793,65 @@ def test_rolling_median_query_matches_numpy(spark):
             assert r["roll_max"] == pytest.approx(float(frame.max()))
             checked += 1
     assert checked == len(got) > 0
+
+
+def test_feature_matrix_strict_past(spark, tmp_path):
+    """feature_matrix's zero-leakage discipline on a planted fixture:
+    an event at EXACTLY the label timestamp must be excluded from every
+    feature (strict e.ts < label.ts), the 7-day window boundary is
+    inclusive at ts-7d, and a first-ever purchase gets all-zero counts
+    with NULL secs_since_prev. The sf0.01 oracle run can't prove the
+    tie case (no exact-tie timestamps in the synthetic data), so this
+    fixture plants one."""
+    import datetime as dt
+
+    from mpds_spark.queries import q_feature_matrix
+
+    base = dt.datetime(2024, 3, 10, 12, 0, 0)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    D7 = 604800.0
+    rows = [
+        # user 1: purchase at t=0 with an exact-tie click at t=0 (must
+        # be excluded), one click exactly at the 7d boundary (included),
+        # one click just inside, one click before the boundary
+        # (lifetime only)
+        (10, ts(-D7 - 50), 1, "click", 3.0),
+        (11, ts(-D7), 1, "click", 5.0),
+        (12, ts(-100), 1, "click", 7.0),
+        (13, ts(0), 1, "click", 11.0),
+        (14, ts(0), 1, "purchase", 200.0),
+        # user 2: first-ever event is the purchase
+        (20, ts(0), 2, "purchase", 50.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    cust = spark.createDataFrame(
+        [(1, "n1", 0, 100.0, "BUILDING"), (2, "n2", 0, 200.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    sf = str(tmp_path)
+    ev.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    cust.coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    got = {
+        r["label_id"]: r.asDict()
+        for r in q_feature_matrix(spark, sf).collect()
+    }
+    r1 = got[14]
+    assert r1["label_high_value"] == 1
+    # t=0 click excluded (tie); boundary click at -7d included
+    assert r1["t7_cnt"] == 2 and r1["t7_clicks"] == 2
+    assert r1["t7_sum"] == pytest.approx(12.0)
+    assert r1["life_cnt"] == 3
+    assert r1["secs_since_prev"] == pytest.approx(100.0)
+    assert r1["acctbal"] == 100.0 and r1["mktsegment"] == "BUILDING"
+    r2 = got[20]
+    assert r2["label_high_value"] == 0
+    assert r2["t7_cnt"] == 0 and r2["life_cnt"] == 0
+    assert r2["secs_since_prev"] is None
