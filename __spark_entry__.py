@@ -71,6 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (sixth batch)
+    "anomaly_mad",
+    "rolling_distinct",
     "feature_matrix",
     "psi_drift",
     "scd2_join",

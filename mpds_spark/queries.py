@@ -6938,3 +6938,119 @@ FROM terms
 QUERIES["psi_drift"] = q_psi_drift
 _RAW_ORACLES["psi_drift"] = SQL_PSI_DRIFT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_anomaly_mad(spark, sf_dir):
+    """Robust per-entity anomaly scores via Median Absolute Deviation —
+    the outlier-immune twin of zscore_outliers (a handful of spikes
+    inflate a stddev but barely move the MAD): modified z-score
+    0.6745*(x-med)/MAD with the standard |z|>3.5 flag (Iglewicz &
+    Hoaglin 1993). Both exact medians (value, then absolute deviation)
+    run as WINDOW aggregates over the same entity partitioning — the
+    chained windows satisfy the subset rule, so the whole query costs
+    ONE entity-keyed exchange, never a median-agg + join-back round
+    trip. Reference analogue: the robust location/scale idiom of the
+    accel battery's median/prctile stack (extractAccelTestV2.m:80-90,
+    dssFunctionLibrary.R robust rescale)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        "value",
+    )
+    w = Window.partitionBy("entity_id")
+    med = F.expr("percentile(value, 0.5)").over(w)
+    step = ev.withColumn("med", med).withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = F.expr("percentile(absdev, 0.5)").over(w)
+    out = step.withColumn("mad", mad)
+    rz = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"),
+    )
+    return out.select(
+        "event_id",
+        _r6(F.col("med")).alias("med"),
+        _r6(F.col("mad")).alias("mad"),
+        _r6(rz).alias("robust_z"),
+        F.when(rz.isNotNull(), (F.abs(rz) > 3.5).cast("int")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+SQL_ANOMALY_MAD = """
+WITH e AS (
+  SELECT event_id, user_id, value FROM events
+), m AS (
+  SELECT event_id, user_id, value,
+    quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+  FROM e
+), d AS (
+  SELECT event_id, value, med,
+    quantile_cont(abs(value - med), 0.5) OVER (PARTITION BY user_id)
+      AS mad
+  FROM m
+)
+SELECT event_id, round(med, 6) AS med, round(mad, 6) AS mad,
+  round(CASE WHEN mad > 0
+             THEN 0.6745 * (value - med) / mad END, 6) AS robust_z,
+  CASE WHEN mad > 0
+       THEN CAST(abs(0.6745 * (value - med) / mad) > 3.5 AS INT)
+       END AS is_outlier
+FROM d
+"""
+
+QUERIES["anomaly_mad"] = q_anomaly_mad
+_RAW_ORACLES["anomaly_mad"] = SQL_ANOMALY_MAD
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rolling_distinct(spark, sf_dir):
+    """Trailing-24h DISTINCT event-type count + row count per event —
+    the cardinality-flavored trailing feature (how *varied* was this
+    entity's recent behavior, not just how much): a time-RANGE frame
+    [t-86400, t] on one entity-keyed exchange, distinct via
+    array_distinct over the frame's collected types (bounded: |types|
+    <= 5 here; at an unbounded type domain the HLL-sketch variant in
+    hot_key_audit's family takes over). RANGE (not ROWS) so exact-tie
+    timestamps agree deterministically with the oracle's interval
+    self-join regardless of tie order. The float-seconds frame goes
+    through SQL RANGE BETWEEN (the py4j rangeBetween binding is
+    long-only)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "event_type",
+    )
+    ev = ev.withColumn(
+        "types",
+        F.expr(
+            "collect_list(event_type) OVER ("
+            "PARTITION BY entity_id ORDER BY ts "
+            "RANGE BETWEEN 86400.0 PRECEDING AND CURRENT ROW)"
+        ),
+    )
+    return ev.select(
+        "event_id",
+        F.size(F.array_distinct("types")).cast("long").alias("d1_types"),
+        F.size("types").cast("long").alias("d1_cnt"),
+    )
+
+
+SQL_ROLLING_DISTINCT = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts) AS t, event_type FROM events
+)
+SELECT a.event_id,
+  CAST(count(DISTINCT b.event_type) AS BIGINT) AS d1_types,
+  CAST(count(*) AS BIGINT) AS d1_cnt
+FROM e a JOIN e b
+  ON b.user_id = a.user_id AND b.t >= a.t - 86400.0 AND b.t <= a.t
+GROUP BY a.event_id
+"""
+
+QUERIES["rolling_distinct"] = q_rolling_distinct
+_RAW_ORACLES["rolling_distinct"] = SQL_ROLLING_DISTINCT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

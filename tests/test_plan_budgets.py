@@ -201,6 +201,10 @@ BUDGETS = {
     # bin edges); real exchanges = 3 one-row aggs + bin agg + 10-row
     # window
     "psi_drift": {"shuffle": 5, "python": 0, "cartesian": 0, "bnlj": 3},
+    # chained median windows (value, then absdev) share one entity
+    # exchange via the subset rule — never an agg + join-back
+    "anomaly_mad": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "rolling_distinct": {"shuffle": 1, "python": 0, "cartesian": 0},
 }
 
 
