@@ -7054,3 +7054,290 @@ GROUP BY a.event_id
 QUERIES["rolling_distinct"] = q_rolling_distinct
 _RAW_ORACLES["rolling_distinct"] = SQL_ROLLING_DISTINCT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_top_paths(spark, sf_dir):
+    """Session path mining — the top-20 opening event-type sequences
+    (first 3 events of each 30-min gap-rule session, joined 'a>b>c')
+    with session and distinct-user counts: the classic product-analytics
+    path report and the discrete cousin of conversion_funnel. The gap
+    window, session-id running sum and within-session ranking all ride
+    ONE entity-keyed exchange (subset rule); paths then pay one
+    two-level count-distinct agg, and the top-20 is a per-partition heap
+    (TakeOrderedAndProject — no global sort of the path universe, which
+    at 10^12 events is |type|^3-bounded but long-tailed). Deterministic
+    ties: (count DESC, path ASC) on both sides."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.col("ts") - F.lag("ts").over(w)) > 1800.0),
+        1,
+    ).otherwise(0)
+    sed = ev.withColumn(
+        "sid",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_s = Window.partitionBy("entity_id", "sid").orderBy("ts", "event_id")
+    first3 = sed.withColumn("rn", F.row_number().over(w_s)).filter(
+        F.col("rn") <= 3
+    )
+    paths = first3.groupBy("entity_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("entity_id").alias("n_users"),
+    )
+    return agg.orderBy(F.desc("n_sessions"), "path").limit(20)
+
+
+SQL_TOP_PATHS = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t, event_id, event_type FROM events
+), m AS (
+  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800.0
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+), f AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY t, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM f WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+QUERIES["top_paths"] = q_top_paths
+_RAW_ORACLES["top_paths"] = SQL_TOP_PATHS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_lagged_corr(spark, sf_dir):
+    """Cross-series LAGGED correlation per entity: Pearson corr between
+    this hour's click count and the NEXT hour's purchase count over the
+    entity's dense hourly grid — the lead/lag predictive-signal screen
+    (does activity anticipate conversion?). Missing hours are real
+    zeros, so the grid is densified first (global hour span via a 1-row
+    broadcast, per-entity sequence explode — never a driver loop); the
+    correlation folds to six exact integer sums (n, Sx, Sy, Sxy, Sxx,
+    Syy — counts, so decimal-exact at any scale) with one double
+    division at the end. Lead + final agg share the entity-keyed
+    exchange."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+        .cast("long")
+        .alias("hr"),
+        "event_type",
+    )
+    cnt = ev.groupBy("entity_id", "hr").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+    )
+    span = ev.agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = (
+        cnt.select("entity_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "entity_id", F.explode(F.sequence("h0", "h1")).alias("hr")
+        )
+    )
+    dense = grid.join(cnt, ["entity_id", "hr"], "left").select(
+        "entity_id",
+        "hr",
+        F.coalesce("c", F.lit(0)).alias("x"),
+        F.coalesce("p", F.lit(0)).alias("y"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("hr")
+    led = dense.withColumn("y1", F.lead("y").over(w)).filter(
+        F.col("y1").isNotNull()
+    )
+    agg = led.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").alias("sx"),
+        F.sum("y1").alias("sy"),
+        F.sum(F.col("x") * F.col("y1")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y1") * F.col("y1")).alias("syy"),
+    )
+    num = agg["n_hours"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (agg["n_hours"] * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        agg["n_hours"] * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return agg.select(
+        "entity_id",
+        "n_hours",
+        F.col("sx").alias("clicks_total"),
+        _r6(
+            F.when(den2 > 0, num / F.sqrt(den2.cast("double")))
+        ).alias("corr_click_next_purchase"),
+    )
+
+
+SQL_LAGGED_CORR = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+    event_type
+  FROM events
+), cnt AS (
+  SELECT user_id, hr,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS p
+  FROM e GROUP BY user_id, hr
+), span AS (
+  SELECT min(hr) AS h0, max(hr) AS h1 FROM e
+), grid AS (
+  SELECT u.user_id, g.hr
+  FROM (SELECT DISTINCT user_id FROM cnt) u
+  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hr FROM span) g
+), dense AS (
+  SELECT grid.user_id, grid.hr,
+    coalesce(cnt.c, 0) AS x, coalesce(cnt.p, 0) AS y
+  FROM grid LEFT JOIN cnt
+    ON cnt.user_id = grid.user_id AND cnt.hr = grid.hr
+), led AS (
+  SELECT user_id, x,
+    lead(y) OVER (PARTITION BY user_id ORDER BY hr) AS y1
+  FROM dense
+), agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+    sum(x) AS sx, sum(y1) AS sy, sum(x * y1) AS sxy,
+    sum(x * x) AS sxx, sum(y1 * y1) AS syy
+  FROM led WHERE y1 IS NOT NULL GROUP BY user_id
+)
+SELECT user_id AS entity_id, n_hours,
+  CAST(sx AS BIGINT) AS clicks_total,
+  round(CASE WHEN (n_hours * sxx - sx * sx) * (n_hours * syy - sy * sy)
+                  > 0
+             THEN (n_hours * sxy - sx * sy)
+                  / sqrt(CAST((n_hours * sxx - sx * sx)
+                              * (n_hours * syy - sy * sy) AS DOUBLE))
+             END, 6) AS corr_click_next_purchase
+FROM agg
+"""
+
+QUERIES["lagged_corr"] = q_lagged_corr
+_RAW_ORACLES["lagged_corr"] = SQL_LAGGED_CORR
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_centroid_similarity(spark, sf_dir):
+    """Inter-cluster separation audit: pairwise cosine between every
+    pair of label centroids, with cluster sizes — the companion to
+    centroid_outliers (which scores members vs their OWN centroid):
+    near-1 pairs flag label families SemDeDup-style pruning would
+    conflate. One exploded (label,pos) mean pass over the corpus — the
+    centroid frame is persisted so the stats/pairs branches never
+    re-explode the source; the pairwise join then runs on the
+    |labels| x dim centroid frame only (corpus never self-joined), so
+    at 10^12 vectors the cost stays the single explode+agg scan."""
+    from mpds_spark.operators.util import scratch_persist
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("vec_id", "label", "pos", F.col("x").cast("double").alias("x"))
+    c = scratch_persist(
+        e.groupBy("label", "pos").agg(
+            F.avg("x").alias("cx"), F.countDistinct("vec_id").alias("nv")
+        )
+    )
+    stats = c.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("norm"),
+        F.max("nv").alias("n_vecs"),
+    )
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("cx").alias("ax")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("cx").alias("bx")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ax") * F.col("bx")).alias("dot"))
+    )
+    sa = stats.select(
+        F.col("label").alias("label_a"),
+        F.col("norm").alias("na"),
+        F.col("n_vecs").alias("n_a"),
+    )
+    sb = stats.select(
+        F.col("label").alias("label_b"),
+        F.col("norm").alias("nb"),
+        F.col("n_vecs").alias("n_b"),
+    )
+    return (
+        dots.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            _r6(F.col("dot") / (F.col("na") * F.col("nb"))).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+SQL_CENTROID_SIMILARITY = """
+WITH e AS (
+  SELECT vec_id, label,
+    generate_subscripts(embedding, 1) AS pos,
+    CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), c AS (
+  SELECT label, pos, avg(x) AS cx,
+    CAST(count(DISTINCT vec_id) AS BIGINT) AS nv
+  FROM e GROUP BY label, pos
+), s AS (
+  SELECT label, sqrt(sum(cx * cx)) AS norm, max(nv) AS n_vecs
+  FROM c GROUP BY label
+), d AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+    sum(a.cx * b.cx) AS dot
+  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a, d.label_b, sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+  round(d.dot / (sa.norm * sb.norm), 6) AS centroid_cos
+FROM d
+JOIN s sa ON sa.label = d.label_a
+JOIN s sb ON sb.label = d.label_b
+"""
+
+QUERIES["centroid_similarity"] = q_centroid_similarity
+_RAW_ORACLES["centroid_similarity"] = SQL_CENTROID_SIMILARITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

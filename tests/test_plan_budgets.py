@@ -205,6 +205,15 @@ BUDGETS = {
     # exchange via the subset rule — never an agg + join-back
     "anomaly_mad": {"shuffle": 1, "python": 0, "cartesian": 0},
     "rolling_distinct": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # gap window + sid sum + per-session rank on ONE entity exchange;
+    # path count-distinct agg is the second; top-20 is a heap (asserted)
+    "top_paths": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # (entity,hr) agg + grid join + entity lead/agg; the BNLJ is the
+    # 1-row hour-span broadcast
+    "lagged_corr": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 1},
+    # centroid frame persisted once; textual plan repeats the cached
+    # branch, so no shuffle budget (behavior_divergence convention)
+    "centroid_similarity": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 
@@ -274,3 +283,10 @@ def test_burstiness_takeordered(plans):
     the whole vocab frame — at web scale the vocab is billions of rows."""
     assert "TakeOrderedAndProject" in plans["term_burstiness"]
     assert "Exchange rangepartitioning" not in plans["term_burstiness"]
+
+
+def test_top_paths_takeordered(plans):
+    """top_paths' top-20 must be a per-partition heap over the path
+    counts (TakeOrderedAndProject), never a global sort of the path
+    universe."""
+    assert "TakeOrderedAndProject" in plans["top_paths"]
