@@ -71,6 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # BENCH/BASELINE.md.
 _PRIORITY = [
     # new in round 5 (sixth batch)
+    "sliding_windows",
+    "local_peaks",
+    "profile_events",
     "top_paths",
     "lagged_corr",
     "centroid_similarity",

@@ -7341,3 +7341,240 @@ JOIN s sb ON sb.label = d.label_b
 QUERIES["centroid_similarity"] = q_centroid_similarity
 _RAW_ORACLES["centroid_similarity"] = SQL_CENTROID_SIMILARITY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Native event-time SLIDING windows (1-hour windows every 15 min,
+    epoch-aligned): per-window event + distinct-user counts via
+    F.window(slide) — Catalyst's Expand assigns each event its 4
+    overlapping windows in the map stage, so the cost is one widened
+    aggregation, never a per-window scan or a grid self-join. The batch
+    twin of streaming_windowed_counts' tumbling path; the DuckDB oracle
+    derives each event's window starts s in (t-3600, t] from first
+    principles with generate_series, proving the assignment arithmetic.
+    Output keyed by window start (epoch seconds)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    agg = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return agg.select(
+        F.col("w.start").cast("double").alias("window_start"),
+        "n_events",
+        "n_users",
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t FROM events
+), assigned AS (
+  SELECT user_id, 900.0 * k AS window_start
+  FROM e, LATERAL unnest(generate_series(
+    CAST(floor((t - 3600.0) / 900.0) AS BIGINT) + 1,
+    CAST(floor(t / 900.0) AS BIGINT))) AS u(k)
+)
+SELECT window_start,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM assigned GROUP BY window_start
+"""
+
+QUERIES["sliding_windows"] = q_sliding_windows
+_RAW_ORACLES["sliding_windows"] = SQL_SLIDING_WINDOWS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_local_peaks(spark, sf_dir):
+    """Per-entity local-maximum detection — the distributed findpeaks:
+    a peak is a strict neighbor-compare maximum (value > prev AND
+    value > next, (ts,event_id)-ordered), rolled up to peak count, mean
+    inter-peak gap and max peak height per entity. The neighbor lags,
+    the inter-peak lag over the filtered peak rows, and the final
+    rollup all cluster on the SAME entity key, so the whole query is
+    one exchange (subset rule). Reference analogue: the alternation /
+    peak segmentation in the tap battery (extractTapTestV2.m tap
+    alternation; kernels.py:222 transcription oracle) re-expressed as a
+    set-based window op."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("entity_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "entity_id",
+        "ts",
+        "value",
+        (
+            (F.col("value") > F.lag("value").over(w))
+            & (F.col("value") > F.lead("value").over(w))
+        ).alias("is_peak"),
+    ).filter(F.col("is_peak"))
+    w_p = Window.partitionBy("entity_id").orderBy("ts")
+    gapped = flagged.select(
+        "entity_id",
+        "value",
+        (F.col("ts") - F.lag("ts").over(w_p)).alias("gap"),
+    )
+    return gapped.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_peaks"),
+        _r6(F.avg("gap")).alias("mean_peak_gap_s"),
+        _r6(F.max("value")).alias("max_peak_value"),
+    )
+
+
+SQL_LOCAL_PEAKS = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t, event_id, value FROM events
+), n AS (
+  SELECT user_id, t, value,
+    lag(value) OVER w AS pv, lead(value) OVER w AS nv
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), p AS (
+  SELECT user_id, t, value,
+    t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM n WHERE value > pv AND value > nv
+)
+SELECT user_id AS entity_id,
+  CAST(count(*) AS BIGINT) AS n_peaks,
+  round(avg(gap), 6) AS mean_peak_gap_s,
+  round(max(value), 6) AS max_peak_value
+FROM p GROUP BY user_id
+"""
+
+QUERIES["local_peaks"] = q_local_peaks
+_RAW_ORACLES["local_peaks"] = SQL_LOCAL_PEAKS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_profile_events(spark, sf_dir):
+    """One-pass column profile of the events table (the Deequ-style
+    profiling companion to validate_docs' rule suite): per column —
+    null count, exact distinct count, numeric min/max (epoch seconds
+    for ts), lexicographic min/max for strings. ALL columns' statistics
+    come out of a single wide aggregation (Catalyst plans the six exact
+    count-distincts through one Expand), then one explode pivots the
+    1-row result to long format — the profile never rescans the table
+    per column, which is the difference between 6x and 1x the 100-TB
+    scan bill."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    total = F.count(F.lit(1))
+    agg = ev.agg(
+        total.alias("n_rows"),
+        *[
+            a
+            for c in ("event_id", "ts", "user_id", "value")
+            for a in (
+                (total - F.count(c)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__ndv"),
+                F.min(c).cast("double").alias(f"{c}__min"),
+                F.max(c).cast("double").alias(f"{c}__max"),
+            )
+        ],
+        *[
+            a
+            for c in ("event_type", "props")
+            for a in (
+                (total - F.count(c)).alias(f"{c}__nulls"),
+                F.countDistinct(c).alias(f"{c}__ndv"),
+                F.min(c).alias(f"{c}__smin"),
+                F.max(c).alias(f"{c}__smax"),
+            )
+        ],
+    )
+    rows = []
+    for c in ("event_id", "ts", "user_id", "value"):
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                _r6(F.col(f"{c}__min")).alias("min_d"),
+                _r6(F.col(f"{c}__max")).alias("max_d"),
+                F.lit(None).cast("string").alias("min_s"),
+                F.lit(None).cast("string").alias("max_s"),
+            )
+        )
+    for c in ("event_type", "props"):
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_d"),
+                F.lit(None).cast("double").alias("max_d"),
+                F.col(f"{c}__smin").alias("min_s"),
+                F.col(f"{c}__smax").alias("max_s"),
+            )
+        )
+    return agg.select(
+        "n_rows", F.explode(F.array(*rows)).alias("p")
+    ).select("p.column", "n_rows", "p.n_nulls", "p.n_distinct",
+             "p.min_d", "p.max_d", "p.min_s", "p.max_s")
+
+
+SQL_PROFILE_EVENTS = """
+WITH e AS (
+  SELECT event_id, epoch(ts) AS ts, user_id, event_type, value, props
+  FROM events
+), t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM e)
+SELECT 'event_id' AS "column", t.n_rows,
+  (SELECT CAST(t.n_rows - count(event_id) AS BIGINT) FROM e) AS n_nulls,
+  (SELECT CAST(count(DISTINCT event_id) AS BIGINT) FROM e) AS n_distinct,
+  (SELECT round(CAST(min(event_id) AS DOUBLE), 6) FROM e) AS min_d,
+  (SELECT round(CAST(max(event_id) AS DOUBLE), 6) FROM e) AS max_d,
+  NULL AS min_s, NULL AS max_s
+FROM t
+UNION ALL
+SELECT 'ts', t.n_rows,
+  (SELECT CAST(t.n_rows - count(ts) AS BIGINT) FROM e),
+  (SELECT CAST(count(DISTINCT ts) AS BIGINT) FROM e),
+  (SELECT round(min(ts), 6) FROM e),
+  (SELECT round(max(ts), 6) FROM e), NULL, NULL
+FROM t
+UNION ALL
+SELECT 'user_id', t.n_rows,
+  (SELECT CAST(t.n_rows - count(user_id) AS BIGINT) FROM e),
+  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e),
+  (SELECT round(CAST(min(user_id) AS DOUBLE), 6) FROM e),
+  (SELECT round(CAST(max(user_id) AS DOUBLE), 6) FROM e), NULL, NULL
+FROM t
+UNION ALL
+SELECT 'value', t.n_rows,
+  (SELECT CAST(t.n_rows - count(value) AS BIGINT) FROM e),
+  (SELECT CAST(count(DISTINCT value) AS BIGINT) FROM e),
+  (SELECT round(min(value), 6) FROM e),
+  (SELECT round(max(value), 6) FROM e), NULL, NULL
+FROM t
+UNION ALL
+SELECT 'event_type', t.n_rows,
+  (SELECT CAST(t.n_rows - count(event_type) AS BIGINT) FROM e),
+  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM e),
+  NULL, NULL,
+  (SELECT min(event_type) FROM e), (SELECT max(event_type) FROM e)
+FROM t
+UNION ALL
+SELECT 'props', t.n_rows,
+  (SELECT CAST(t.n_rows - count(props) AS BIGINT) FROM e),
+  (SELECT CAST(count(DISTINCT props) AS BIGINT) FROM e),
+  NULL, NULL,
+  (SELECT min(props) FROM e), (SELECT max(props) FROM e)
+FROM t
+"""
+
+QUERIES["profile_events"] = q_profile_events
+_RAW_ORACLES["profile_events"] = SQL_PROFILE_EVENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

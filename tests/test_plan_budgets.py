@@ -214,6 +214,14 @@ BUDGETS = {
     # centroid frame persisted once; textual plan repeats the cached
     # branch, so no shuffle budget (behavior_divergence convention)
     "centroid_similarity": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # Expand assigns each event its 4 windows map-side; count-distinct
+    # adds the second agg exchange — never a per-window scan
+    "sliding_windows": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # neighbor lags + inter-peak lag + rollup all on one entity key
+    "local_peaks": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # all six columns' stats from ONE wide agg (single Expand), then an
+    # explode pivot — never a per-column rescan
+    "profile_events": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 
