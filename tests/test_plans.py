@@ -134,6 +134,8 @@ def test_catalog_plan_inventory(spark):
         "temperature_mix",     # broadcast 1-row weight-sum x |groups| rows
         "behavior_divergence",  # broadcast 1-row corpus total x |alphabet|
         "length_ks_drift",     # |groups| x |distinct lengths| grid cross
+        "psi_drift",           # broadcast 1-row midpoint / bin-edge fits
+        "lagged_corr",         # broadcast 1-row hour-span fit x |entities|
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"
