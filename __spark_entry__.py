@@ -61,15 +61,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS snapshot caps at 50 rows, taken in dict order.
-# Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST (the
-# 33 r5 additions), then the veterans whose last driver row is oldest
-# (absent from CORRECTNESS_r04; driver-green in r03). 34 + 16 of those
-# veterans fill the 50-row window; the remaining names ride on their
-# r03/r04 driver rows plus the full-catalog mirror
-# (tools/check_correctness.py — the same value gate, all 117 EXACT on
-# final-session code at sf0.01, the r5-late 13 at sf0.1 as well); see
-# BENCH/BASELINE.md.
+# Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST —
+# round 5 added 60, so 50 can't hold them all; the window keeps the ones
+# whose ONLY value gate would otherwise be the mirror, led by
+# multimodal_stats (VERDICT r4 ask #6: driver-gate multimodal) and
+# tokenized_asof_features (the north-rule composition). The r5 names left
+# outside (ewma_features, cusum_changepoint, bigram_nll, tfidf_top_terms,
+# domain_cap, cross_source_overlap, incremental_dedup, token_ngram_novelty,
+# suffix_prefix_overlap, vocab_coverage and the r3/r4 veterans) each carry
+# a brute-force/numpy differential pytest AND are mirror-EXACT at sf0.01
+# on final code (tools/check_correctness.py — the same value gate; see
+# BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # driver-gating priority overrides (r4 asks)
+    "multimodal_stats",
+    "tokenized_asof_features",
     # new in round 5 (sixth batch)
     "sliding_windows",
     "local_peaks",
@@ -108,8 +114,6 @@ _PRIORITY = [
     "zscore_outliers",
     "session_stats",
     "streaming_windowed_counts",
-    "ewma_features",
-    "cusum_changepoint",
     "retention_cohorts",
     "conversion_funnel",
     "hourly_seasonality",
@@ -130,9 +134,9 @@ _PRIORITY = [
     "tfidf_top_terms",
     "domain_cap",
     "cross_source_overlap",
-    # new in round 5
-    "multimodal_stats",
-    "tokenized_asof_features",
+    # new in round 5 (first batch; rest of second batch below)
+    "ewma_features",
+    "cusum_changepoint",
     "token_ngram_novelty",
     "suffix_prefix_overlap",
     "vocab_coverage",
