@@ -6704,10 +6704,10 @@ def q_feature_matrix(spark, sf_dir):
     one label-keyed agg + a broadcast hash join; a naive interval join
     would pay |labels|x|window| and a range-join blow-up. The DuckDB
     oracle IS that naive interval join, proving the equivalence.
-    Reference analogue: per-patient point-in-time MPDS scoring windows
-    joining sensor-feature history strictly before each clinical visit
-    (dssFeatureExtraction.R:23-60; dssPerformanceEvaluation.R:49-58
-    held-out discipline)."""
+    Reference analogue: per-patient clinical comparisons assembled from
+    sensor-feature history relative to visit timestamps
+    (dssFunctionLibrary.R:119-171) with the held-out per-user scoring
+    discipline of dssPerformanceEvaluation.R:49-58."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
