@@ -73,6 +73,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (seventh batch — continuation session)
+    "token_entropy",
+    "bm25_scores",
+    "allen_sessions",
+    "basket_lift",
     # driver-gating priority overrides (r4 asks)
     "multimodal_stats",
     "tokenized_asof_features",

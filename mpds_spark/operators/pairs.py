@@ -464,3 +464,102 @@ def suffix_prefix_overlap(
     return out.withColumn("overlap", overlap).withColumn(
         "n_tok_next", n2
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket: str = "basket_id",
+    item: str = "item_id",
+    min_support: int = 3,
+    k: int = 20,
+    lift_round: int = 6,
+) -> DataFrame:
+    """Market-basket association mining (Agrawal et al. 1993): the top-k
+    item pairs by lift among pairs co-occurring in >= min_support
+    baskets,
+
+        lift(a, b) = N * supp(a, b) / (c(a) * c(b))
+
+    with N = basket count, c(x) = baskets containing x. The co-occurrence
+    feature family behind related-item features and token-collocation
+    scoring — the same shape mines word collocations when basket=doc.
+
+    Cross-engine determinism: supp/c/N are exact LONG counts; lift is
+    exact-integer numerator and denominator with ONE double division;
+    ranking uses the ROUNDED lift (duck_round convention) with full
+    (supp desc, a, b) tie-breaks.
+
+    Shape at scale: one basket-keyed collect_set aggregation (never a
+    basket self-join — the pair explosion is a JVM flatten over each
+    basket's sorted distinct-item array, quadratic only in per-basket
+    cardinality, which is bounded in real baskets), one pair-keyed
+    count, one item-keyed marginal count folded from the same basket
+    frame, a BROADCAST join of the (vocabulary-sized) marginals onto the
+    pair counts, and a global top-k via orderBy+limit
+    (TakeOrderedAndProject — the pair universe is never globally
+    sorted). The basket frame is persisted once and reused for pairs +
+    marginals + N.
+    """
+    from mpds_spark.functions.timeutil import duck_round
+
+    baskets = (
+        df.select(F.col(basket).alias("__b"), F.col(item).alias("__i"))
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
+        .persist()
+    )
+    n_baskets = baskets.count()
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "__items",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                "__items",
+                                i + F.lit(2),
+                                F.size("__items"),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("supp"))
+        .filter(F.col("supp") >= int(min_support))
+    )
+    # vocabulary-sized; persisted so the two key-aliased broadcast builds
+    # share ONE aggregation over the cached basket frame
+    marginals = (
+        baskets.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    ca = F.broadcast(
+        marginals.select(F.col("__i").alias("a"), F.col("c").alias("ca"))
+    )
+    cb = F.broadcast(
+        marginals.select(F.col("__i").alias("b"), F.col("c").alias("cb"))
+    )
+    lift = (F.col("supp") * F.lit(int(n_baskets))).cast("double") / (
+        F.col("ca") * F.col("cb")
+    ).cast("double")
+    scored = (
+        pairs.join(ca, "a").join(cb, "b").withColumn("lift", lift)
+    )
+    return (
+        scored.select("a", "b", "supp", "ca", "cb", "lift")
+        .orderBy(
+            duck_round(F.col("lift"), int(lift_round)).desc(),
+            F.desc("supp"),
+            F.asc("a"),
+            F.asc("b"),
+        )
+        .limit(int(k))
+    )

@@ -317,3 +317,91 @@ def session_stats(
         .alias("mean_duration_s"),
         (F.col("__dur_max").cast("double") / 1e6).alias("max_duration_s"),
     )
+
+
+def nested_sessions(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    fine_gap: float = 300.0,
+    coarse_gap: float = 1800.0,
+) -> DataFrame:
+    """Two-granularity gap sessionization with Allen interval-relation
+    classification (Allen 1983): every fine session (gap > fine_gap
+    starts a new one) is positioned against its enclosing coarse session
+    (gap > coarse_gap). Because coarse_gap >= fine_gap, a coarse boundary
+    is always also a fine boundary, so each fine session nests in exactly
+    ONE coarse session and the only possible Allen relations are
+
+        equals   — the fine session IS the whole coarse session
+        starts   — shares the coarse start, ends earlier
+        finishes — starts later, shares the coarse end
+        during   — strictly interior
+
+    This is the burst-inside-visit hierarchy (activity bursts inside app
+    sessions inside days) that multi-scale engagement features are built
+    from — reference analogue: the gap-rule session windows of
+    dssFunctionLibrary.R applied at two scales.
+
+    Shape at scale: ONE entity-keyed exchange. The two cumulative
+    boundary sums share one window sort; the (entity, coarse, fine)
+    rollup and the (entity, coarse) min/max window both cluster on
+    subsets of the entity hash partitioning, so Catalyst reuses the
+    exchange for every stage (plan-budget-pinned at 1 shuffle, 0
+    Python).
+
+    Returns (entity, coarse_id, fine_id, n_events, fine_start, fine_end,
+    coarse_start, coarse_end, relation) — timestamps as exact epoch-
+    second doubles, ids 0-based per entity.
+    """
+    if float(coarse_gap) < float(fine_gap):
+        raise ValueError(
+            f"coarse_gap ({coarse_gap}) must be >= fine_gap ({fine_gap}) "
+            "for nesting to hold"
+        )
+    w = Window.partitionBy(entity).orderBy(ts)
+    we = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = epoch_seconds(df, ts)
+    gap = t - F.lag(t, 1).over(w)
+    fine_new = F.coalesce(
+        (gap > F.lit(float(fine_gap))).cast("long"), F.lit(0)
+    )
+    coarse_new = F.coalesce(
+        (gap > F.lit(float(coarse_gap))).cast("long"), F.lit(0)
+    )
+    tagged = df.select(
+        F.col(entity),
+        t.alias("__t"),
+        F.sum(fine_new).over(we).alias("fine_id"),
+        F.sum(coarse_new).over(we).alias("coarse_id"),
+    )
+    fine = tagged.groupBy(entity, "coarse_id", "fine_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("__t").alias("fine_start"),
+        F.max("__t").alias("fine_end"),
+    )
+    wc = Window.partitionBy(entity, "coarse_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = fine.withColumn(
+        "coarse_start", F.min("fine_start").over(wc)
+    ).withColumn("coarse_end", F.max("fine_end").over(wc))
+    s_eq = F.col("fine_start") == F.col("coarse_start")
+    e_eq = F.col("fine_end") == F.col("coarse_end")
+    relation = (
+        F.when(s_eq & e_eq, F.lit("equals"))
+        .when(s_eq, F.lit("starts"))
+        .when(e_eq, F.lit("finishes"))
+        .otherwise(F.lit("during"))
+    )
+    return out.select(
+        entity,
+        "coarse_id",
+        "fine_id",
+        "n_events",
+        "fine_start",
+        "fine_end",
+        "coarse_start",
+        "coarse_end",
+        relation.alias("relation"),
+    )

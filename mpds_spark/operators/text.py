@@ -1348,3 +1348,162 @@ def term_burstiness(
         .orderBy(F.desc("cf"), F.asc("word"))
         .limit(top_v)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n_terms: int = 8,
+    skip_top: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a query-term set
+    (Robertson & Zaragoza 2009, the probabilistic-retrieval workhorse):
+
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        part(t)  = tf_t * (k1 + 1) / (tf_t + k1 * (1 - b + b * dl/avgdl))
+        bm25(d)  = sum_t idf(t) * part(t)
+
+    terms=None derives the query set FROM the corpus: the n_terms words
+    ranked [skip_top+1 .. skip_top+n_terms] by document frequency
+    (ties word-asc) — past the stopword head, still frequent enough that
+    most docs match. Retrieval-flavored quality scoring for curriculum /
+    topicality filters over a training corpus.
+
+    Shape at scale: one (doc, word) count aggregation folded to document
+    frequency (vocabulary-sized), a bounded orderBy+limit collect of
+    skip_top + n_terms rows (driver-side fit idiom, like the scaler
+    fits), then a SINGLE shuffle-free scoring scan: per-term tf comes
+    from size(filter(ws, x -> x = t)) unrolled over the <= n_terms
+    literal terms — the corpus is never exploded, joined, or windowed in
+    the scoring pass, so the hot path is one map stage regardless of
+    corpus size. Contributions are summed in ascending-term literal
+    order (deterministic fold order for the float sum).
+    """
+    import math
+
+    ws = words_col(text)
+    stats = df.select(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.size(ws)).cast("long").alias("len_sum"),
+    ).collect()[0]
+    n_docs, len_sum = int(stats["n"]), int(stats["len_sum"])
+    avgdl = float(len_sum) / float(n_docs)
+    if terms is None:
+        dfreq = (
+            df.select(F.explode(F.array_distinct(ws)).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+        head = (
+            dfreq.orderBy(F.desc("df"), F.asc("w"))
+            .limit(int(skip_top) + int(n_terms))
+            .collect()
+        )
+        picked = head[int(skip_top):]
+        term_df = {r["w"]: int(r["df"]) for r in picked}
+    else:
+        tset = sorted(set(terms))
+        rows = (
+            df.select(F.explode(F.array_distinct(ws)).alias("w"))
+            .filter(F.col("w").isin(tset))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .collect()
+        )
+        term_df = {r["w"]: int(r["df"]) for r in rows}
+        for t in tset:
+            term_df.setdefault(t, 0)
+    # ascending-term order fixes the float-summation order on both engines
+    ordered = sorted(term_df)
+    out = df.withColumn("__ws", ws).withColumn(
+        "__dl", F.size("__ws").cast("double")
+    )
+    norm = F.lit(1.0 - b) + F.lit(float(b)) * F.col("__dl") / F.lit(avgdl)
+
+    def _tf(term):
+        # factory, not a default-arg lambda: a 2-parameter callable would
+        # make F.filter pass the element INDEX as the second argument
+        return F.size(
+            F.filter("__ws", lambda x: x == F.lit(term))
+        ).cast("double")
+
+    score = F.lit(0.0)
+    n_match = F.lit(0)
+    for t in ordered:
+        idf_t = math.log(
+            1.0 + (n_docs - term_df[t] + 0.5) / (term_df[t] + 0.5)
+        )
+        tf_t = _tf(t)
+        score = score + F.lit(idf_t) * (
+            tf_t * F.lit(k1 + 1.0) / (tf_t + F.lit(float(k1)) * norm)
+        )
+        n_match = n_match + (tf_t > 0).cast("int")
+    return (
+        out.select(
+            F.col(key),
+            F.size("__ws").cast("int").alias("n_tok"),
+            n_match.alias("n_match"),
+            score.alias("bm25"),
+        )
+        .filter(F.col("n_match") > 0)
+    )
+
+
+def token_entropy(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the within-doc token distribution
+    (plus type count and type-token ratio): the classic lexical-diversity
+    / repetitiveness signal — H collapses toward 0 for template and spam
+    text, approaches ln(n_types) for diverse prose. Complements the
+    corpus-level repetition_signals with a single-pass per-row statistic.
+
+        H = ln(n) - (1/n) * sum_w c_w * ln(c_w)
+
+    computed entirely JVM-side with ZERO shuffles: the token array is
+    sorted per row (ascending — this fixes the float fold order) and the
+    run-length fold accumulates sum(c*ln c) + the distinct-type count in
+    one aggregate() over the sorted array. The corpus is never exploded
+    or aggregated — pure map stage, scan-bounded at any corpus size.
+    """
+    ws = words_col(text)
+    fold = F.expr(
+        """
+        aggregate(
+          array_sort(split(trim({t}), '\\\\s+')),
+          named_struct('prev', CAST(NULL AS STRING), 'c', 0L,
+                       'acc', 0.0D, 'nt', 0L),
+          (s, x) -> IF(x <=> s.prev,
+            named_struct('prev', x, 'c', s.c + 1L, 'acc', s.acc,
+                         'nt', s.nt),
+            named_struct('prev', x, 'c', 1L,
+              'acc', s.acc + IF(s.c > 1L,
+                CAST(s.c AS DOUBLE) * ln(CAST(s.c AS DOUBLE)), 0.0D),
+              'nt', s.nt + 1L)),
+          s -> named_struct(
+            'acc', s.acc + IF(s.c > 1L,
+              CAST(s.c AS DOUBLE) * ln(CAST(s.c AS DOUBLE)), 0.0D),
+            'nt', s.nt))
+        """.replace("{t}", text)
+    )
+    n = F.size(ws).cast("double")
+    out = df.withColumn("__f", fold).withColumn("__n", n)
+    ent = F.when(
+        F.col("__n") > 0,
+        F.log(F.col("__n")) - F.col("__f.acc") / F.col("__n"),
+    ).otherwise(F.lit(0.0))
+    nt = F.col("__f.nt").cast("double")
+    return out.select(
+        F.col(key),
+        F.col("__n").cast("int").alias("n_tok"),
+        F.col("__f.nt").cast("int").alias("n_types"),
+        ent.alias("entropy"),
+        F.when(nt > 1, ent / F.log(nt)).otherwise(F.lit(0.0)).alias(
+            "norm_entropy"
+        ),
+        (nt / F.col("__n")).alias("ttr"),
+    )

@@ -7578,3 +7578,233 @@ FROM t
 QUERIES["profile_events"] = q_profile_events
 _RAW_ORACLES["profile_events"] = SQL_PROFILE_EVENTS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution + type count,
+    normalized entropy and type-token ratio (operators/text.py
+    token_entropy): the lexical-diversity signal, computed with ZERO
+    shuffles — a per-row sorted-array run-length fold (the sort fixes
+    the float summation order so the DuckDB twin folds identically)."""
+    from mpds_spark.operators.text import token_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    out = token_entropy(docs, text="text", key="doc_id")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_types",
+        _r6("entropy").alias("entropy"),
+        _r6("norm_entropy").alias("norm_entropy"),
+        _r6("ttr").alias("ttr"),
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), c AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w
+), a AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS nt,
+    coalesce(list_sum(list(
+      CASE WHEN c > 1 THEN c * ln(CAST(c AS DOUBLE)) ELSE 0.0 END
+      ORDER BY w)), 0.0) AS acc
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n AS INT) AS n_tok,
+  CAST(nt AS INT) AS n_types,
+  round(ln(CAST(n AS DOUBLE)) - acc / n, 6) AS entropy,
+  round(CASE WHEN nt > 1
+        THEN (ln(CAST(n AS DOUBLE)) - acc / n) / ln(CAST(nt AS DOUBLE))
+        ELSE 0.0 END, 6) AS norm_entropy,
+  round(CAST(nt AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ttr
+FROM a
+"""
+
+QUERIES["token_entropy"] = q_token_entropy
+_RAW_ORACLES["token_entropy"] = SQL_TOKEN_ENTROPY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_bm25_scores(spark, sf_dir):
+    """Okapi BM25 relevance against the corpus-derived query-term set —
+    terms ranked 11..18 by document frequency (operators/text.py
+    bm25_scores; Robertson & Zaragoza 2009; the synthetic corpus
+    vocabulary is ~31 words, so the skip clears the stopword head while
+    leaving a non-empty query set). Scoring pass is one
+    shuffle-free map stage: per-term tf is size(filter(ws, x = t))
+    unrolled over the 8 literal terms; only the df/term-selection aggs
+    shuffle. Contributions summed in ascending-term order on both
+    engines."""
+    from mpds_spark.operators.text import bm25_scores
+
+    docs = load(spark, sf_dir, "documents")
+    out = bm25_scores(
+        docs, text="text", key="doc_id", n_terms=8, skip_top=10,
+        k1=1.2, b=0.75,
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.col("n_match").cast("int").alias("n_match"),
+        _r6("bm25").alias("bm25"),
+    )
+
+
+SQL_BM25_SCORES = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(ws)) AS BIGINT) AS len_sum
+  FROM t
+), dfreq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, unnest(ws) AS w FROM t) GROUP BY w
+), terms AS (
+  SELECT w AS term, df FROM dfreq
+  ORDER BY df DESC, w ASC LIMIT 8 OFFSET 10
+), scored AS (
+  SELECT t.doc_id, len(t.ws) AS dl, terms.term,
+    len(list_filter(t.ws, x -> x = terms.term)) AS tf,
+    ln(1.0 + (stats.n - terms.df + 0.5) / (terms.df + 0.5)) AS idf,
+    CAST(stats.len_sum AS DOUBLE) / CAST(stats.n AS DOUBLE) AS avgdl
+  FROM t CROSS JOIN terms CROSS JOIN stats
+), per AS (
+  SELECT doc_id, dl,
+    idf * (tf * 2.2 / (tf + 1.2 *
+      (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))) AS contrib,
+    CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+    term
+  FROM scored
+)
+SELECT doc_id,
+  CAST(any_value(dl) AS INT) AS n_tok,
+  CAST(sum(hit) AS INT) AS n_match,
+  round(list_sum(list(contrib ORDER BY term)), 6) AS bm25
+FROM per GROUP BY doc_id HAVING sum(hit) > 0
+"""
+
+QUERIES["bm25_scores"] = q_bm25_scores
+_RAW_ORACLES["bm25_scores"] = SQL_BM25_SCORES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_allen_sessions(spark, sf_dir):
+    """Two-granularity nested sessionization with Allen interval-relation
+    classification (operators/sessionize.py nested_sessions; Allen 1983):
+    every 5-minute burst positioned (equals / starts / finishes / during)
+    inside its enclosing 30-minute session — the multi-scale engagement
+    hierarchy, on ONE entity-keyed exchange (both cumulative boundary
+    sums, the (entity,coarse,fine) rollup and the coarse-bounds window
+    all reuse the entity hash partitioning via the subset rule)."""
+    from mpds_spark.operators.sessionize import nested_sessions
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    out = nested_sessions(
+        ev, entity="entity_id", ts="ts", fine_gap=300.0, coarse_gap=1800.0
+    )
+    return out.select(
+        "entity_id",
+        "coarse_id",
+        "fine_id",
+        "n_events",
+        "fine_start",
+        "fine_end",
+        "coarse_start",
+        "coarse_end",
+        "relation",
+    )
+
+
+SQL_ALLEN_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch(ts) AS t FROM events
+), g AS (
+  SELECT user_id, t,
+    CASE WHEN t - lag(t) OVER w > 300.0 THEN 1 ELSE 0 END AS fn,
+    CASE WHEN t - lag(t) OVER w > 1800.0 THEN 1 ELSE 0 END AS cn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), ids AS (
+  SELECT user_id, t,
+    CAST(sum(fn) OVER we AS BIGINT) AS fine_id,
+    CAST(sum(cn) OVER we AS BIGINT) AS coarse_id
+  FROM g WINDOW we AS (PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), f AS (
+  SELECT user_id, coarse_id, fine_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    min(t) AS fine_start, max(t) AS fine_end
+  FROM ids GROUP BY user_id, coarse_id, fine_id
+), c AS (
+  SELECT *,
+    min(fine_start) OVER wc AS coarse_start,
+    max(fine_end) OVER wc AS coarse_end
+  FROM f WINDOW wc AS (PARTITION BY user_id, coarse_id)
+)
+SELECT user_id AS entity_id, coarse_id, fine_id, n_events,
+  fine_start, fine_end, coarse_start, coarse_end,
+  CASE WHEN fine_start = coarse_start AND fine_end = coarse_end
+         THEN 'equals'
+       WHEN fine_start = coarse_start THEN 'starts'
+       WHEN fine_end = coarse_end THEN 'finishes'
+       ELSE 'during' END AS relation
+FROM c
+"""
+
+QUERIES["allen_sessions"] = q_allen_sessions
+_RAW_ORACLES["allen_sessions"] = SQL_ALLEN_SESSIONS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_basket_lift(spark, sf_dir):
+    """Top-20 part pairs by market-basket lift over lineitem orders
+    (operators/pairs.py cooccurrence_lift; Agrawal et al. 1993): the
+    co-occurrence/collocation feature family. Pair explosion is a JVM
+    flatten over each order's sorted distinct-part array (never a basket
+    self-join); marginals broadcast; top-k via TakeOrderedAndProject on
+    the ROUNDED lift with (supp desc, a, b) tie-breaks."""
+    from mpds_spark.operators.pairs import cooccurrence_lift
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = cooccurrence_lift(
+        li, basket="l_orderkey", item="l_partkey", min_support=2, k=20
+    )
+    return out.select(
+        "a", "b", "supp", "ca", "cb", _r6("lift").alias("lift")
+    )
+
+
+SQL_BASKET_LIFT = """
+WITH di AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+), nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM di),
+m AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM di GROUP BY it),
+p AS (
+  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS supp
+  FROM di x JOIN di y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY x.it, y.it HAVING count(*) >= 2
+), s AS (
+  SELECT p.a, p.b, p.supp, ma.c AS ca, mb.c AS cb,
+    CAST(p.supp * nb.n AS DOUBLE) / CAST(ma.c * mb.c AS DOUBLE) AS lift
+  FROM p CROSS JOIN nb
+  JOIN m ma ON ma.it = p.a JOIN m mb ON mb.it = p.b
+)
+SELECT a, b, supp, ca, cb, round(lift, 6) AS lift
+FROM s
+ORDER BY round(lift, 6) DESC, supp DESC, a ASC, b ASC
+LIMIT 20
+"""
+
+QUERIES["basket_lift"] = q_basket_lift
+_RAW_ORACLES["basket_lift"] = SQL_BASKET_LIFT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -222,6 +222,18 @@ BUDGETS = {
     # all six columns' stats from ONE wide agg (single Expand), then an
     # explode pivot — never a per-column rescan
     "profile_events": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # r5 continuation: per-doc entropy is a pure map (sorted-array fold);
+    # BM25 scoring is likewise shuffle-free (the df/term-selection aggs
+    # are eager driver-side fits, column_medians convention); the nested
+    # Allen hierarchy reuses ONE entity exchange for both cumulative
+    # boundary sums, the 3-key rollup and the coarse-bounds window
+    "token_entropy": {"shuffle": 0, "python": 0, "cartesian": 0},
+    "bm25_scores": {"shuffle": 0, "python": 0, "cartesian": 0},
+    "allen_sessions": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # basket frame + marginals persisted once (textual plan repeats the
+    # cached branches — behavior_divergence convention, so no shuffle
+    # budget); marginal joins must stay broadcast, top-k a heap
+    "basket_lift": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 
@@ -298,3 +310,16 @@ def test_top_paths_takeordered(plans):
     counts (TakeOrderedAndProject), never a global sort of the path
     universe."""
     assert "TakeOrderedAndProject" in plans["top_paths"]
+
+
+def test_basket_lift_shape(plans):
+    """basket_lift's top-20 must be a per-partition heap over the pair
+    counts (TakeOrderedAndProject), its marginal joins broadcast, and
+    its pair generation the JVM flatten — never a basket self-join
+    (SortMergeJoin/ShuffledHashJoin on the basket key would re-shuffle
+    the distinct-pair stream twice at corpus scale)."""
+    plan = plans["basket_lift"]
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\bBroadcastHashJoin\b", plan)) >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

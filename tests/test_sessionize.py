@@ -199,3 +199,81 @@ def test_session_stats_matches_bruteforce(spark):
     assert got[1]["n_sessions"] == 2  # the exactly-1800 gap held
     assert got[2]["max_duration_s"] == 0.0
     assert got[3]["n_sessions"] == 3
+
+
+def test_nested_sessions_planted_relations(spark):
+    """Planted two-scale timeline exercising every reachable Allen
+    relation: coarse session A = one fine burst (equals); coarse B =
+    three bursts (starts / during / finishes); singleton coarse C."""
+    from mpds_spark.operators.sessionize import nested_sessions
+
+    rows = []
+    # coarse A: t in [0, 100], gaps <= 300 -> one fine session == coarse
+    for t in [0.0, 50.0, 100.0]:
+        rows.append(("u1", t))
+    # coarse B starts at 3000 (gap 2900 > 1800): bursts
+    #   [3000..3010], [3500..3510], [4000..4010] (gaps 490 in (300, 1800])
+    for base in [3000.0, 3500.0, 4000.0]:
+        rows.append(("u1", base))
+        rows.append(("u1", base + 10.0))
+    # coarse C: singleton far away
+    rows.append(("u1", 10000.0))
+    sdf = spark.createDataFrame(rows, ["entity_id", "ts"])
+    out = nested_sessions(
+        sdf, entity="entity_id", ts="ts", fine_gap=300.0, coarse_gap=1800.0
+    ).collect()
+    rel = {
+        (r["coarse_id"], r["fine_id"]): r["relation"] for r in out
+    }
+    assert rel == {
+        (0, 0): "equals",
+        (1, 1): "starts",
+        (1, 2): "during",
+        (1, 3): "finishes",
+        (2, 4): "equals",
+    }
+    for r in out:
+        assert r["coarse_start"] <= r["fine_start"] <= r["fine_end"]
+        assert r["fine_end"] <= r["coarse_end"]
+
+
+def test_nested_sessions_nesting_invariant(spark):
+    """On a random timeline every fine session nests in exactly one
+    coarse session and fine/coarse ids are both non-decreasing; fine
+    partitions of a coarse session tile it (first starts, last
+    finishes)."""
+    import numpy as np
+
+    from mpds_spark.operators.sessionize import nested_sessions
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for e in range(4):
+        t = np.cumsum(rng.exponential(400.0, size=120))
+        rows += [(f"e{e}", float(x)) for x in t]
+    sdf = spark.createDataFrame(rows, ["entity_id", "ts"])
+    out = nested_sessions(sdf, entity="entity_id", ts="ts").collect()
+    by_coarse = {}
+    for r in out:
+        by_coarse.setdefault((r["entity_id"], r["coarse_id"]), []).append(r)
+    for (_, _), fines in by_coarse.items():
+        fines.sort(key=lambda r: r["fine_start"])
+        assert fines[0]["fine_start"] == fines[0]["coarse_start"]
+        assert fines[-1]["fine_end"] == fines[-1]["coarse_end"]
+        for a, b in zip(fines, fines[1:]):
+            assert a["fine_end"] < b["fine_start"]  # disjoint, ordered
+        labels = {r["relation"] for r in fines}
+        if len(fines) == 1:
+            assert labels == {"equals"}
+        else:
+            assert "equals" not in labels
+
+
+def test_nested_sessions_rejects_inverted_gaps(spark):
+    import pytest as _pytest
+
+    from mpds_spark.operators.sessionize import nested_sessions
+
+    sdf = spark.createDataFrame([("a", 1.0)], ["entity_id", "ts"])
+    with _pytest.raises(ValueError):
+        nested_sessions(sdf, fine_gap=600.0, coarse_gap=300.0)

@@ -985,3 +985,87 @@ def test_term_burstiness_brute_force(spark):
             assert g["vmr"] is None
     assert got["the"]["burstiness"] == 1.0 and got["the"]["vmr"] == 0.0
     assert got["burst"]["burstiness"] == 7.5 and got["burst"]["vmr"] > 1.0
+
+
+def test_token_entropy_matches_counter(spark):
+    """Per-doc Shannon entropy vs a collections.Counter brute force,
+    including the degenerate single-type and repeated-token cases."""
+    import math
+    from collections import Counter
+
+    from mpds_spark.operators.text import token_entropy
+
+    docs = [
+        (1, "a b c d"),               # uniform: H = ln(4)
+        (2, "a a a a"),               # single type: H = 0
+        (3, "a a b"),                 # mixed
+        (4, "x"),                     # one token
+        (5, "the the the cat cat sat on on on on"),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in token_entropy(sdf, text="text", key="doc_id").collect()
+    }
+    for doc_id, text in docs:
+        ws = text.split()
+        c = Counter(ws)
+        n = len(ws)
+        h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+        r = got[doc_id]
+        assert r["n_tok"] == n
+        assert r["n_types"] == len(c)
+        assert abs(r["entropy"] - h) < 1e-12, (doc_id, r["entropy"], h)
+        want_norm = h / math.log(len(c)) if len(c) > 1 else 0.0
+        assert abs(r["norm_entropy"] - want_norm) < 1e-12
+        assert abs(r["ttr"] - len(c) / n) < 1e-12
+
+
+def test_bm25_scores_matches_bruteforce(spark):
+    """BM25 with an explicit term set vs a pure-Python reference over
+    Counter term frequencies (Robertson idf, k1/b normalization)."""
+    import math
+    from collections import Counter
+
+    from mpds_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "cat dog cat fish"),
+        (2, "dog dog dog"),
+        (3, "fish bird"),
+        (4, "tree stone river"),
+        (5, "cat cat cat cat dog fish bird bird"),
+    ]
+    k1, b = 1.2, 0.75
+    terms = ["cat", "dog", "bird"]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in bm25_scores(
+            sdf, text="text", key="doc_id", terms=terms, k1=k1, b=b
+        ).collect()
+    }
+    n_docs = len(docs)
+    lens = {d: len(t.split()) for d, t in docs}
+    avgdl = sum(lens.values()) / n_docs
+    dfreq = {
+        t: sum(1 for _, txt in docs if t in txt.split()) for t in terms
+    }
+    expected_rows = 0
+    for doc_id, text in docs:
+        c = Counter(text.split())
+        score, hits = 0.0, 0
+        for t in sorted(terms):
+            tf = c.get(t, 0)
+            idf = math.log(1 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            norm = 1 - b + b * lens[doc_id] / avgdl
+            score += idf * (tf * (k1 + 1) / (tf + k1 * norm))
+            hits += tf > 0
+        if hits == 0:
+            assert doc_id not in got  # doc 4 matches nothing
+            continue
+        expected_rows += 1
+        r = got[doc_id]
+        assert r["n_match"] == hits
+        assert abs(r["bm25"] - score) < 1e-12, (doc_id, r["bm25"], score)
+    assert len(got) == expected_rows

@@ -855,3 +855,47 @@ def test_feature_matrix_strict_past(spark, tmp_path):
     assert r2["label_high_value"] == 0
     assert r2["t7_cnt"] == 0 and r2["life_cnt"] == 0
     assert r2["secs_since_prev"] is None
+
+
+def test_cooccurrence_lift_matches_bruteforce(spark):
+    """Market-basket lift vs an itertools brute force over planted
+    baskets, including the ranking's rounded-lift + support + pair
+    tie-break order."""
+    import itertools
+    from collections import Counter
+
+    from mpds_spark.operators.pairs import cooccurrence_lift
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [30, 40],
+        5: [10, 30, 40, 40],  # duplicate item must dedup
+        6: [20, 30],
+        7: [50],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    sdf = spark.createDataFrame(rows, ["basket_id", "item_id"])
+    got = cooccurrence_lift(
+        sdf, basket="basket_id", item="item_id", min_support=2, k=10
+    ).collect()
+
+    n = len(baskets)
+    sets = {b: set(v) for b, v in baskets.items()}
+    marg = Counter(i for s in sets.values() for i in s)
+    supp = Counter(
+        p for s in sets.values()
+        for p in itertools.combinations(sorted(s), 2)
+    )
+    want = []
+    for (a, b), sp in supp.items():
+        if sp < 2:
+            continue
+        lift = sp * n / (marg[a] * marg[b])
+        want.append((a, b, sp, marg[a], marg[b], lift))
+    want.sort(key=lambda r: (-round(r[5], 6), -r[2], r[0], r[1]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["a"], g["b"], g["supp"], g["ca"], g["cb"]) == w[:5]
+        assert abs(g["lift"] - w[5]) < 1e-12
