@@ -886,3 +886,72 @@ def rank_normalize(
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
     )
+
+
+def rolling_slope(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    k: int = 8,
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-event trailing-k OLS slope of value vs time (the local-trend
+    feature beside the expanding rate averages: is this entity's signal
+    rising or falling RIGHT NOW, estimated over its last k points only —
+    strictly backward, zero leakage).
+
+        beta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    over the trailing ROWS frame, reported in value-units per day.
+
+    Cross-engine determinism: x = exact microseconds since the entity's
+    FIRST event (a per-entity constant offset leaves the slope invariant
+    but keeps the integer products small), y = exact integers at
+    `decimals`; every frame sum and both the numerator and denominator
+    are exact DECIMAL(38,0)/hugeint, converted to double for ONE
+    division, then one multiply by the exact literal 8.64e8
+    (micros/day / cents-scale). Exactness bound: n*Sxx <= 10^38 holds to
+    ~10^12-microsecond (≈12-day) frame spans at k <= 10^4 — frames are
+    k-row-bounded, so the bound scales with event density, not history
+    length.
+
+    Shape at scale: ONE entity-keyed exchange — the first-event offset
+    window, the k-row trailing frame sums and nothing else; no joins, no
+    second shuffle. NULL for frames with n < 2 (degenerate fit).
+
+    Returns df columns + (x_first offsets dropped) n_frame, slope_per_day.
+    """
+    scale = int(10**decimals)
+    per_day = 86400e6 / scale  # micros/day over the integer value scale
+    w = Window.partitionBy(by).orderBy("__us")
+    we = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(-(int(k) - 1), Window.currentRow)
+    dec = "decimal(38,0)"
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    d = (
+        df.withColumn("__us", F.unix_micros(F.col(ts).cast("timestamp")))
+        .withColumn("__y", cents)
+        .withColumn("__x", F.col("__us") - F.first("__us").over(we))
+    )
+    xd, yd = F.col("__x").cast(dec), F.col("__y").cast(dec)
+    d = (
+        d.withColumn("__n", F.count(F.lit(1)).over(wf).cast("long"))
+        .withColumn("__sx", F.sum(xd).over(wf))
+        .withColumn("__sy", F.sum(yd).over(wf))
+        .withColumn("__sxy", F.sum(xd * yd).over(wf))
+        .withColumn("__sxx", F.sum(xd * xd).over(wf))
+    )
+    n = F.col("__n").cast(dec)
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(
+        (F.col("__n") >= 2) & (den > 0.0),
+        (num / den) * F.lit(per_day),
+    )
+    return d.withColumn("slope_per_day", slope).withColumn(
+        "n_frame", F.col("__n").cast("int")
+    ).drop("__us", "__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")

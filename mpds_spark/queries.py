@@ -7808,3 +7808,190 @@ LIMIT 20
 QUERIES["basket_lift"] = q_basket_lift
 _RAW_ORACLES["basket_lift"] = SQL_BASKET_LIFT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rolling_slope(spark, sf_dir):
+    """Trailing-8 OLS slope of value vs time at every event, in value
+    units/day (operators/windows.py rolling_slope): the local-trend
+    feature. Exact DECIMAL(38,0) frame sums (x = micros since the
+    entity's first event, y = cents), one double division + one exact
+    literal multiply; ONE entity-keyed exchange."""
+    from mpds_spark.operators.windows import rolling_slope
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        "value",
+    )
+    out = rolling_slope(
+        ev, value="value", ts="ts", by="entity_id", k=8, decimals=2
+    )
+    return out.select(
+        "event_id", "n_frame", _r6("slope_per_day").alias("slope_per_day")
+    )
+
+
+SQL_ROLLING_SLOPE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS HUGEINT) AS y
+  FROM events
+), x AS (
+  SELECT event_id, user_id, y,
+    CAST(us - first_value(us) OVER (PARTITION BY user_id ORDER BY us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS x
+  FROM e
+), s AS (
+  SELECT event_id,
+    CAST(count(*) OVER wf AS HUGEINT) AS n,
+    sum(x) OVER wf AS sx, sum(y) OVER wf AS sy,
+    sum(x*y) OVER wf AS sxy, sum(x*x) OVER wf AS sxx
+  FROM x WINDOW wf AS (PARTITION BY user_id ORDER BY x
+    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, CAST(n AS INT) AS n_frame,
+  round(CASE WHEN n >= 2 AND (n*sxx - sx*sx)::DOUBLE > 0
+    THEN ((n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE)
+         * 864000000.0
+  END, 6) AS slope_per_day
+FROM s
+"""
+
+QUERIES["rolling_slope"] = q_rolling_slope
+_RAW_ORACLES["rolling_slope"] = SQL_ROLLING_SLOPE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Per-entity temporal co-activity of view-windows vs click-windows
+    (operators/sessionize.py interval_overlap): merged measure of each
+    1h-window set, their intersection, and the temporal Jaccard — one
+    union-timeline sweep on ONE entity exchange. The oracle derives the
+    same numbers the naive way (gaps-and-islands merge + interval-
+    intersection join), proving the sweep's equivalence."""
+    from mpds_spark.operators.sessionize import interval_overlap
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_type"
+    )
+    out = interval_overlap(
+        ev, entity="entity_id", ts="ts", kind="event_type",
+        a_kind="view", b_kind="click", duration=3600.0,
+    )
+    return out.select(
+        "entity_id",
+        "n_a",
+        "n_b",
+        _r6("a_seconds").alias("a_seconds"),
+        _r6("b_seconds").alias("b_seconds"),
+        _r6("overlap_seconds").alias("overlap_seconds"),
+        _r6("time_jaccard").alias("time_jaccard"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH ev AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'view' THEN 'a' ELSE 'b' END AS side,
+    epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e
+  FROM events WHERE event_type IN ('view', 'click')
+), m AS (
+  SELECT user_id, side, s, e,
+    CASE WHEN s >= coalesce(max(e) OVER (PARTITION BY user_id, side
+      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -1) THEN 1 ELSE 0 END AS brk
+  FROM ev
+), g AS (
+  SELECT user_id, side, s, e,
+    sum(brk) OVER (PARTITION BY user_id, side ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM m
+), iv AS (
+  SELECT user_id, side, grp, min(s) AS s, max(e) AS e
+  FROM g GROUP BY user_id, side, grp
+), ln AS (
+  SELECT user_id, side, CAST(sum(e - s) AS BIGINT) AS us
+  FROM iv GROUP BY user_id, side
+), cnt AS (
+  SELECT user_id, side, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY user_id, side
+), ov AS (
+  SELECT a.user_id,
+    CAST(sum(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS us
+  FROM iv a JOIN iv b ON a.user_id = b.user_id
+    AND a.side = 'a' AND b.side = 'b' AND a.s < b.e AND b.s < a.e
+  GROUP BY a.user_id
+), base AS (SELECT DISTINCT user_id FROM ev)
+SELECT base.user_id AS entity_id,
+  coalesce(ca.n, 0) AS n_a,
+  coalesce(cb.n, 0) AS n_b,
+  round(coalesce(la.us, 0) / 1000000.0, 6) AS a_seconds,
+  round(coalesce(lb.us, 0) / 1000000.0, 6) AS b_seconds,
+  round(coalesce(ov.us, 0) / 1000000.0, 6) AS overlap_seconds,
+  round(CASE WHEN coalesce(la.us,0) + coalesce(lb.us,0)
+                  - coalesce(ov.us,0) > 0
+    THEN CAST(coalesce(ov.us,0) AS DOUBLE)
+         / CAST(coalesce(la.us,0) + coalesce(lb.us,0)
+                - coalesce(ov.us,0) AS DOUBLE)
+    ELSE 0.0 END, 6) AS time_jaccard
+FROM base
+LEFT JOIN (SELECT user_id, n FROM cnt WHERE side = 'a') ca
+  ON ca.user_id = base.user_id
+LEFT JOIN (SELECT user_id, n FROM cnt WHERE side = 'b') cb
+  ON cb.user_id = base.user_id
+LEFT JOIN (SELECT user_id, us FROM ln WHERE side = 'a') la
+  ON la.user_id = base.user_id
+LEFT JOIN (SELECT user_id, us FROM ln WHERE side = 'b') lb
+  ON lb.user_id = base.user_id
+LEFT JOIN ov ON ov.user_id = base.user_id
+"""
+
+QUERIES["interval_overlap"] = q_interval_overlap
+_RAW_ORACLES["interval_overlap"] = SQL_INTERVAL_OVERLAP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton/Z-order interleaved layout key over (entity-bucket,
+    epoch-day) for every event (sources/layout.py zorder_key; the
+    Delta/Iceberg OPTIMIZE ZORDER technique, Morton 1966): the sort key
+    whose ranges map to small (entity x time) boxes so parquet footer
+    min/max stats prune scans on EITHER predicate. Pure exact-integer
+    bit arithmetic, ZERO shuffles — the layout write's range exchange is
+    exercised in the pytest."""
+    from mpds_spark.sources.layout import zorder_key
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+    )
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("zx"),
+        (F.expr("__us div 86400000000") % 256).alias("zy"),
+    )
+    return d.select(
+        "event_id", "zx", "zy", zorder_key("zx", "zy", bits=8).alias("zkey")
+    )
+
+
+_ZTERMS = " + ".join(
+    f"(((zx >> {i}) & 1) << {2 * i}) + (((zy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+SQL_ZORDER_KEY = f"""
+WITH e AS (
+  SELECT event_id, user_id % 256 AS zx,
+    (epoch_us(ts) // 86400000000) % 256 AS zy
+  FROM events
+)
+SELECT event_id, CAST(zx AS BIGINT) AS zx, CAST(zy AS BIGINT) AS zy,
+  CAST({_ZTERMS} AS BIGINT) AS zkey
+FROM e
+"""
+
+QUERIES["zorder_key"] = q_zorder_key
+_RAW_ORACLES["zorder_key"] = SQL_ZORDER_KEY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

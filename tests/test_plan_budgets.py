@@ -234,6 +234,15 @@ BUDGETS = {
     # cached branches — behavior_divergence convention, so no shuffle
     # budget); marginal joins must stay broadcast, top-k a heap
     "basket_lift": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # trailing-k OLS slope: first-event offset + the four decimal frame
+    # sums on ONE entity-keyed exchange, no joins; the interval-overlap
+    # union-timeline sweep likewise clusters boundary counts, segment
+    # lengths and the rollup on one entity key; the Z-order key is pure
+    # map-side bit arithmetic (the layout WRITE's range exchange is
+    # exercised in tests/test_layout.py, not here)
+    "rolling_slope": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "interval_overlap": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "zorder_key": {"shuffle": 0, "python": 0, "cartesian": 0},
 }
 
 

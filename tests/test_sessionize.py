@@ -277,3 +277,86 @@ def test_nested_sessions_rejects_inverted_gaps(spark):
     sdf = spark.createDataFrame([("a", 1.0)], ["entity_id", "ts"])
     with _pytest.raises(ValueError):
         nested_sessions(sdf, fine_gap=600.0, coarse_gap=300.0)
+
+
+def test_interval_overlap_brute_force(spark):
+    """interval_overlap's one-pass union-timeline sweep must reproduce
+    the direct computation: per entity/side merge the [ts, ts+dur)
+    windows, measure each union, intersect the merged interval lists
+    pairwise, Jaccard — all in exact integer microseconds."""
+    from mpds_spark.operators.sessionize import interval_overlap
+
+    rng = np.random.default_rng(23)
+    dur = 120.0
+    rows = []
+    for e in range(8):
+        for _ in range(int(rng.integers(1, 25))):
+            rows.append(
+                (
+                    f"e{e}",
+                    # exact integer microseconds: both engines convert
+                    # losslessly, so the oracle's int arithmetic is exact
+                    int(rng.integers(0, 4000)) * 1_000_000
+                    + int(rng.integers(0, 1_000_000)),
+                    rng.choice(["view", "click", "other"]),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["entity_id", "us", "event_type"])
+    pdf["ts"] = pdf["us"] / 1e6
+    sdf = spark.createDataFrame(
+        pdf[["entity_id", "us", "event_type"]]
+    ).selectExpr("entity_id", "timestamp_micros(us) AS ts", "event_type")
+    got = (
+        interval_overlap(sdf, duration=dur)
+        .orderBy("entity_id")
+        .toPandas()
+        .set_index("entity_id")
+    )
+
+    def merged(ts_list):
+        ivs = sorted(
+            (int(round(t * 1e6)), int(round(t * 1e6)) + int(dur * 1e6))
+            for t in ts_list
+        )
+        out = []
+        for s, e in ivs:
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return out
+
+    def inter(a, b):
+        tot, i, j = 0, 0, 0
+        while i < len(a) and j < len(b):
+            lo = max(a[i][0], b[j][0])
+            hi = min(a[i][1], b[j][1])
+            if lo < hi:
+                tot += hi - lo
+            if a[i][1] < b[j][1]:
+                i += 1
+            else:
+                j += 1
+        return tot
+
+    seen = 0
+    for e, g in pdf.groupby("entity_id"):
+        av = g[g.event_type == "view"]["ts"].tolist()
+        bv = g[g.event_type == "click"]["ts"].tolist()
+        if not av and not bv:
+            assert e not in got.index
+            continue
+        seen += 1
+        ma, mb = merged(av), merged(bv)
+        aus = sum(t[1] - t[0] for t in ma)
+        bus = sum(t[1] - t[0] for t in mb)
+        ous = inter(ma, mb)
+        r = got.loc[e]
+        assert (r["n_a"], r["n_b"]) == (len(av), len(bv))
+        assert abs(r["a_seconds"] - aus / 1e6) < 1e-9
+        assert abs(r["b_seconds"] - bus / 1e6) < 1e-9
+        assert abs(r["overlap_seconds"] - ous / 1e6) < 1e-9
+        un = aus + bus - ous
+        want_j = ous / un if un > 0 else 0.0
+        assert abs(r["time_jaccard"] - want_j) < 1e-12
+    assert len(got) == seen

@@ -899,3 +899,64 @@ def test_cooccurrence_lift_matches_bruteforce(spark):
     for g, w in zip(got, want):
         assert (g["a"], g["b"], g["supp"], g["ca"], g["cb"]) == w[:5]
         assert abs(g["lift"] - w[5]) < 1e-12
+
+
+def test_rolling_slope_matches_numpy(spark):
+    """rolling_slope's decimal-exact frame sums must reproduce the
+    direct per-row trailing-k OLS fit (exact integer arithmetic in
+    Python, one float division — the same algebra the operator runs
+    JVM-side). Degenerate frames (n < 2) must be NULL."""
+    from mpds_spark.operators.windows import rolling_slope
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for e in range(4):
+        t = np.cumsum(rng.integers(1, 7200, size=30)).astype("float64")
+        v = np.round(rng.normal(50.0, 20.0, size=30), 4)
+        for ts, val in zip(t, v):
+            rows.append((f"e{e}", float(ts), float(val)))
+    # a one-event entity: its only frame has n=1 -> NULL slope
+    rows.append(("solo", 10.0, 1.25))
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "value"
+    )
+    k = 8
+    got = (
+        rolling_slope(sdf, value="value", ts="ts", by="entity_id", k=k)
+        .orderBy("entity_id", "ts")
+        .toPandas()
+    )
+
+    exp = {}
+    for e, g in pdf.groupby("entity_id"):
+        g = g.sort_values("ts")
+        us = (g["ts"].to_numpy() * 1e6).round().astype("int64")
+        x = [int(u - us[0]) for u in us]
+        y = [
+            int(np.sign(v) * np.floor(abs(v) * 100 + 0.5))
+            for v in g["value"]
+        ]
+        for i in range(len(x)):
+            lo = max(0, i - k + 1)
+            xs, ys = x[lo : i + 1], y[lo : i + 1]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            num, den = n * sxy - sx * sy, n * sxx - sx * sx
+            s = (
+                float(num) / float(den) * 864000000.0
+                if n >= 2 and den > 0
+                else None
+            )
+            exp[(e, float(g["ts"].iloc[i]))] = (n, s)
+
+    for _, r in got.iterrows():
+        key = (r["entity_id"], r["ts"].timestamp())
+        n, s = exp[key]
+        assert r["n_frame"] == n
+        if s is None:
+            assert pd.isna(r["slope_per_day"])
+        else:
+            assert abs(r["slope_per_day"] - s) < 1e-9 * max(1.0, abs(s))
