@@ -73,6 +73,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (ninth batch — continuation session)
+    "survival_km",
+    "benford_audit",
+    "graph_triangles",
+    # new in round 5 (eighth batch — continuation session)
+    "rolling_slope",
+    "interval_overlap",
+    "zorder_key",
     # new in round 5 (seventh batch — continuation session)
     "token_entropy",
     "bm25_scores",

@@ -1,0 +1,154 @@
+"""Distributed graph features over co-occurrence graphs.
+
+The reference mines pairwise structure from shared-context rows
+(clinical comparisons over shared visits, dssFunctionLibrary.R:119-171);
+the graph generalization — build the co-occurrence graph once, then
+extract per-node structural features (degree, triangle membership,
+local clustering) — is the standard "which items travel together"
+feature family for recommendation/anomaly channels, and at token scale
+the same shape scores co-occurring n-grams.
+
+Scale design (the part that matters at 10^12 edges):
+
+- Edge construction NEVER self-joins the fact table on the basket key:
+  each basket folds to ONE sorted distinct-item array and pairs are a
+  JVM flatten over it (quadratic only in per-basket cardinality, which
+  is bounded in real baskets) — the `cooccurrence_lift` idiom
+  (operators/pairs.py).
+- Triangle counting uses DEGREE-ORDERED orientation (Cohen 2009 /
+  Suri & Vassilvitskii 2011 MapReduce triangle counting): every edge is
+  directed from its lower-(degree, id) endpoint, so each triangle is
+  generated exactly once at its minimum-order apex and per-node wedge
+  fan-out is bounded by ~sqrt(m) regardless of hub degree — the hot-key
+  guard that makes the wedge join survive power-law graphs.
+- All counts are exact longs; the clustering coefficient is the single
+  double division 2T / (d*(d-1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ordered_pairs(col):
+    """All index pairs (i < j) of an array column as structs (x, y) —
+    JVM flatten, no self-join."""
+    return F.flatten(
+        F.transform(
+            col,
+            lambda x, i: F.transform(
+                F.slice(col, i + F.lit(2), F.size(col)),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+
+
+def co_occurrence_edges(
+    df: DataFrame, basket: str = "basket_id", item: str = "item_id"
+) -> DataFrame:
+    """Canonical undirected edge set (a < b, distinct) of the item
+    co-occurrence graph: one basket-keyed aggregation to a sorted
+    distinct-item array, a JVM pair flatten, one distinct. Never a
+    basket self-join."""
+    baskets = (
+        df.select(F.col(basket).alias("__b"), F.col(item).alias("__i"))
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__items"))
+    )
+    return (
+        baskets.select(F.explode(_ordered_pairs("__items")).alias("p"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over a
+    canonical (a < b, distinct) undirected edge set, via degree-ordered
+    orientation (see module docstring).
+
+    Steps: (1) exact degrees from one endpoint-explode aggregation;
+    (2) orient each edge from its lower-(degree, id) endpoint; (3) fold
+    each source's out-neighbors to ONE (degree, id)-sorted array and
+    JVM-flatten the ordered wedge pairs (v, w) — v precedes w in
+    orientation order, so the closing edge, if present, is oriented
+    v -> w; (4) equi-join wedges against oriented edges (never a theta
+    join); (5) explode each triangle's three members and count.
+
+    Counts are orientation-invariant: the DuckDB oracle enumerates
+    x < y < z triangles naively, so value equality proves the oriented
+    algorithm correct.
+
+    Returns (node, degree, triangles, clustering) for every node;
+    clustering = 2T / (d*(d-1)) for d >= 2 else 0.0 (one double
+    division; everything else exact longs).
+
+    The edge, degree and oriented frames each feed 2+ downstream
+    branches, so they are scratch-persisted (caller frees via
+    release_scratch) — without the pin every branch re-runs the basket
+    aggregation (measured: 21 exchanges -> 8).
+    """
+    from mpds_spark.operators.util import scratch_persist
+
+    e = scratch_persist(
+        edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    )
+    deg = scratch_persist(
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("__da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("__db")),
+        "b",
+    )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = scratch_persist(
+        ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(a_first, F.col("__db"))
+            .otherwise(F.col("__da"))
+            .alias("__dv"),
+        )
+    )
+    nbrs = oriented.groupBy("u").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__dv").alias("d"), F.col("v")))
+        ).alias("__ns")
+    )
+    wedges = nbrs.select(
+        "u", F.explode(_ordered_pairs("__ns")).alias("p")
+    ).select(
+        "u", F.col("p.x.v").alias("v"), F.col("p.y.v").alias("w")
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"])
+    tri_counts = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    t = F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+    clustering = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2.0) * t.cast("double"))
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri_counts, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        clustering.alias("clustering"),
+    )

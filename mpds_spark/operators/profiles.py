@@ -97,3 +97,67 @@ def behavior_divergence(
         kl.alias("kl_global"),
         tv.alias("tv_global"),
     )
+
+
+def benford_audit(
+    df: DataFrame,
+    group: str = "group_id",
+    value: str = "value",
+    decimals: int = 2,
+) -> DataFrame:
+    """Benford first-significant-digit audit per group (Benford 1938;
+    the classic fabricated-numbers / broken-feed detector for financial
+    and measurement columns): observed first-digit counts of the
+    positive values vs the Benford law p(d) = log10(1 + 1/d), with the
+    chi-square statistic and the mean absolute deviation.
+
+    Cross-engine determinism: values are snapped to exact integers at
+    `decimals` (the engine's cents convention) and the first digit is
+    taken from the integer's decimal STRING — never via log10, whose
+    boundary behavior at exact powers of ten is libm-dependent. Digit
+    counts are exact longs; the expected probabilities are embedded as
+    repr'd double literals (identical parse on both engines); chi2 and
+    MAD are folded digit-ascending as explicit left-associated 9-term
+    chains, so the float summation order is pinned.
+
+    Shape at scale: one map stage + ONE group-keyed aggregation (nine
+    conditional counts in the same agg); chi2/MAD are per-row
+    expressions over the aggregated frame. Zero joins, zero windows.
+
+    Returns (group, n, d1..d9, chi2, mad).
+    """
+    import math
+
+    scale = int(10**decimals)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    d = (
+        df.select(F.col(group).alias("__g"), cents.alias("__c"))
+        .filter(F.col("__c") > 0)
+        .withColumn(
+            "__d", F.substring(F.col("__c").cast("string"), 1, 1).cast("int")
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")] + [
+        F.sum(F.when(F.col("__d") == dgt, 1).otherwise(0))
+        .cast("long")
+        .alias(f"d{dgt}")
+        for dgt in range(1, 10)
+    ]
+    out = d.groupBy(F.col("__g").alias(group)).agg(*aggs)
+    nd = F.col("n").cast("double")
+    chi2 = None
+    mad = None
+    for dgt in range(1, 10):
+        p = F.lit(math.log10(1.0 + 1.0 / dgt))
+        obs = F.col(f"d{dgt}").cast("double")
+        exp_n = nd * p
+        t = (obs - exp_n) * (obs - exp_n) / exp_n
+        a = F.abs(obs / nd - p)
+        chi2 = t if chi2 is None else chi2 + t
+        mad = a if mad is None else mad + a
+    return out.withColumn("chi2", chi2).withColumn(
+        "mad", mad / F.lit(9.0)
+    )

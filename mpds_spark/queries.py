@@ -7995,3 +7995,196 @@ FROM e
 QUERIES["zorder_key"] = q_zorder_key
 _RAW_ORACLES["zorder_key"] = SQL_ZORDER_KEY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_survival_km(spark, sf_dir):
+    """Kaplan–Meier retention curve over user event-stream lifetimes
+    (operators/survival.py kaplan_meier): day-binned durations, 7-day
+    right-censoring at the corpus boundary (a broadcast 1-row max fit),
+    survival folded as exp(sum of integer-ratio ln terms) in ascending-
+    duration order on both engines. Heavy passes are entity- and
+    day-keyed; only the tiny aggregated curve crosses the global
+    window."""
+    from mpds_spark.operators.survival import kaplan_meier
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    out = kaplan_meier(
+        ev, entity="entity_id", ts="ts", churn_gap_days=7.0,
+        bin_seconds=3600,
+    )
+    return out.select(
+        "duration_bin",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _r6("km_survival").alias("km_survival"),
+    )
+
+
+SQL_SURVIVAL_KM = """
+WITH d AS (SELECT user_id AS e, epoch_us(ts) AS us FROM events),
+mx AS (SELECT max(us) AS mx FROM d),
+sp AS (SELECT e, min(us) AS s, max(us) AS t FROM d GROUP BY e),
+sv AS (
+  SELECT CAST((t - s) // 3600000000 AS BIGINT) AS day,
+    CASE WHEN t <= (SELECT mx FROM mx) - 604800000000
+         THEN 1 ELSE 0 END AS obs
+  FROM sp
+), curve AS (
+  SELECT day, CAST(sum(obs) AS BIGINT) AS n_events,
+    CAST(sum(1 - obs) AS BIGINT) AS n_censored
+  FROM sv GROUP BY day
+), risk AS (
+  SELECT day, n_events, n_censored,
+    CAST((SELECT sum(n_events + n_censored) FROM curve)
+      - coalesce(sum(n_events + n_censored) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM curve
+), km AS (
+  SELECT r1.day,
+    list_sum(list(CASE WHEN r2.n_events < r2.n_risk
+      THEN ln((r2.n_risk - r2.n_events)::DOUBLE / r2.n_risk::DOUBLE)
+      ELSE 0.0 END ORDER BY r2.day)) AS lnsum,
+    max(CASE WHEN r2.n_events = r2.n_risk THEN 1 ELSE 0 END) AS zero
+  FROM risk r1 JOIN risk r2 ON r2.day <= r1.day GROUP BY r1.day
+)
+SELECT r.day AS duration_bin, r.n_risk, r.n_events, r.n_censored,
+  round(CASE WHEN k.zero = 1 THEN 0.0 ELSE exp(k.lnsum) END, 6)
+    AS km_survival
+FROM risk r JOIN km k ON k.day = r.day
+"""
+
+QUERIES["survival_km"] = q_survival_km
+_RAW_ORACLES["survival_km"] = SQL_SURVIVAL_KM
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals per priority class
+    (operators/profiles.py benford_audit): exact digit counts off the
+    integer-cents STRING (never log10), chi-square and MAD vs embedded
+    Benford literals folded digit-ascending. One group-keyed agg."""
+    from mpds_spark.operators.profiles import benford_audit
+
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("value"),
+    )
+    out = benford_audit(od, group="priority", value="value", decimals=2)
+    cols = ["priority", "n"] + [f"d{i}" for i in range(1, 10)]
+    return out.select(
+        *cols, _r6("chi2").alias("chi2"), _r6("mad").alias("mad")
+    )
+
+
+def _benford_sql() -> str:
+    import math
+
+    ps = {d: repr(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+    digit_counts = ",\n    ".join(
+        f"CAST(sum(CASE WHEN dg = {d} THEN 1 ELSE 0 END) AS BIGINT) AS d{d}"
+        for d in range(1, 10)
+    )
+    chi2 = " + ".join(
+        f"(d{d}::DOUBLE - n::DOUBLE*{ps[d]})"
+        f" * (d{d}::DOUBLE - n::DOUBLE*{ps[d]}) / (n::DOUBLE*{ps[d]})"
+        for d in range(1, 10)
+    )
+    mad = " + ".join(
+        f"abs(d{d}::DOUBLE / n::DOUBLE - {ps[d]})" for d in range(1, 10)
+    )
+    return f"""
+WITH c AS (
+  SELECT o_orderpriority AS priority,
+    CAST(sign(o_totalprice) * floor(abs(o_totalprice)*100 + 0.5)
+         AS BIGINT) AS cents
+  FROM orders
+), dgt AS (
+  SELECT priority,
+    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS dg
+  FROM c WHERE cents > 0
+), agg AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+    {digit_counts}
+  FROM dgt GROUP BY priority
+)
+SELECT priority, n, d1, d2, d3, d4, d5, d6, d7, d8, d9,
+  round({chi2}, 6) AS chi2,
+  round(({mad}) / 9.0, 6) AS mad
+FROM agg
+"""
+
+
+SQL_BENFORD_AUDIT = _benford_sql()
+
+QUERIES["benford_audit"] = q_benford_audit
+_RAW_ORACLES["benford_audit"] = SQL_BENFORD_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-part triangle counts + local clustering coefficient over the
+    co-order part graph (operators/graph.py: JVM pair-flatten edges,
+    degree-ordered-orientation triangle counting — Cohen 2009 MR
+    triangle scheme). Gated on the l_partkey % 4 == 0 subgraph to bound
+    the toy-scale wedge volume (the star-CC fixture lesson); the DuckDB
+    oracle enumerates x<y<z triangles naively, proving the oriented
+    algorithm's counts."""
+    from mpds_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_stats,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    edges = co_occurrence_edges(
+        li, basket="l_orderkey", item="l_partkey"
+    )
+    out = triangle_stats(edges)
+    return out.select(
+        F.col("node").alias("part_id"),
+        "degree",
+        "triangles",
+        _r6("clustering").alias("clustering"),
+    )
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_partkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+)
+SELECT d.node AS part_id, d.degree,
+  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles,
+  round(CASE WHEN d.degree >= 2
+    THEN 2.0 * CAST(coalesce(tn.triangles, 0) AS DOUBLE)
+         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+    ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN tn ON tn.node = d.node
+"""
+
+QUERIES["graph_triangles"] = q_graph_triangles
+_RAW_ORACLES["graph_triangles"] = SQL_GRAPH_TRIANGLES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -1,0 +1,97 @@
+"""Differential tests for operators/graph.py: the degree-ordered-
+orientation triangle counter must reproduce brute-force enumeration
+over random and planted graphs."""
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+
+from mpds_spark.operators.graph import co_occurrence_edges, triangle_stats
+from mpds_spark.operators.util import release_scratch
+
+
+def _brute(edges):
+    """node -> (degree, triangles) by enumerating all vertex triples."""
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in es:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {n: 0 for n in nodes}
+    for x, y, z in combinations(nodes, 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    return {n: (len(adj[n]), tri[n]) for n in nodes}
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    edges = {
+        tuple(sorted(p))
+        for p in zip(rng.integers(0, 30, 250), rng.integers(0, 30, 250))
+        if p[0] != p[1]
+    }
+    pdf = pd.DataFrame(sorted(edges), columns=["a", "b"])
+    got = (
+        triangle_stats(spark.createDataFrame(pdf))
+        .orderBy("node")
+        .toPandas()
+        .set_index("node")
+    )
+    release_scratch()
+    want = _brute(edges)
+    assert len(got) == len(want)
+    for n, (deg, tri) in want.items():
+        r = got.loc[n]
+        assert (r["degree"], r["triangles"]) == (deg, tri), n
+        cc = 2.0 * tri / (deg * (deg - 1)) if deg >= 2 else 0.0
+        assert abs(r["clustering"] - cc) < 1e-12
+
+
+def test_triangle_stats_planted(spark):
+    """K4 (every node in 3 triangles, clustering 1.0) + a pendant node
+    (degree 1, zero triangles) + a triangle-free path."""
+    edges = (
+        list(combinations([0, 1, 2, 3], 2))  # K4
+        + [(3, 4)]  # pendant off the clique
+        + [(10, 11), (11, 12)]  # path: no triangles
+    )
+    pdf = pd.DataFrame(edges, columns=["a", "b"])
+    got = (
+        triangle_stats(spark.createDataFrame(pdf))
+        .orderBy("node")
+        .toPandas()
+        .set_index("node")
+    )
+    release_scratch()
+    for n in [0, 1, 2]:
+        assert got.loc[n, "triangles"] == 3
+        assert got.loc[n, "clustering"] == 1.0
+    assert got.loc[3, "degree"] == 4
+    assert got.loc[3, "triangles"] == 3
+    assert abs(got.loc[3, "clustering"] - 0.5) < 1e-12
+    assert got.loc[4, "degree"] == 1
+    assert got.loc[4, "triangles"] == 0
+    assert got.loc[4, "clustering"] == 0.0
+    assert got.loc[11, "triangles"] == 0
+
+
+def test_co_occurrence_edges_canonical(spark):
+    """Edges are distinct, a < b, quadratic only per basket — duplicate
+    rows and repeated items inside a basket collapse."""
+    rows = [
+        (1, 10), (1, 20), (1, 20), (1, 30),
+        (2, 20), (2, 10),  # duplicate pair in another basket
+        (3, 99),           # singleton basket: no edges
+    ]
+    pdf = pd.DataFrame(rows, columns=["basket_id", "item_id"])
+    got = {
+        (r["a"], r["b"])
+        for r in co_occurrence_edges(spark.createDataFrame(pdf))
+        .collect()
+    }
+    assert got == {(10, 20), (10, 30), (20, 30)}

@@ -243,6 +243,19 @@ BUDGETS = {
     "rolling_slope": {"shuffle": 1, "python": 0, "cartesian": 0},
     "interval_overlap": {"shuffle": 1, "python": 0, "cartesian": 0},
     "zorder_key": {"shuffle": 0, "python": 0, "cartesian": 0},
+    # KM: entity-span agg + 1-row corpus-max agg + curve agg + the tiny
+    # single-partition curve window; the BNLJ is the documented 1-row
+    # boundary broadcast (registered in test_plans BNLJ_BY_DESIGN)
+    "survival_km": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 1},
+    # nine digit counts in ONE group agg; chi2/MAD are row expressions
+    "benford_audit": {
+        "shuffle": 1, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
+    # edges/degrees/oriented frames are cached branches whose build
+    # plans reprint under every consumer (basket_lift convention: no
+    # shuffle budget); the joins must stay hash/broadcast, never a
+    # nested-loop product
+    "graph_triangles": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -136,6 +136,7 @@ def test_catalog_plan_inventory(spark):
         "length_ks_drift",     # |groups| x |distinct lengths| grid cross
         "psi_drift",           # broadcast 1-row midpoint / bin-edge fits
         "lagged_corr",         # broadcast 1-row hour-span fit x |entities|
+        "survival_km",         # broadcast 1-row corpus-max censor boundary
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

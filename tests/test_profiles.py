@@ -11,6 +11,7 @@ import datetime as dt
 from collections import Counter
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from mpds_spark.operators.profiles import behavior_divergence
@@ -64,3 +65,50 @@ def test_behavior_divergence_matches_numpy(spark):
     assert got[3]["n_types"] == 2  # 'a' absent: TV carries its mass
     assert got[4]["top_type"] == "b"  # 5-5 tie -> greatest name
     assert got[1]["kl_global"] < got[2]["kl_global"]
+
+
+def test_benford_audit_matches_counter(spark):
+    """benford_audit's digit counts / chi2 / MAD must reproduce the
+    direct Counter computation with the same literal probabilities and
+    digit-ascending fold order."""
+    import math
+
+    from mpds_spark.operators.profiles import benford_audit
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for g in ["x", "y"]:
+        # log-uniform magnitudes: spans several decades so every first
+        # digit appears; a few non-positive values must be dropped
+        vals = 10 ** rng.uniform(-1, 4, size=400)
+        rows += [(g, round(float(v), 2)) for v in vals]
+    rows += [("x", 0.0), ("y", -12.5), ("x", 0.004)]  # 0 cents after snap
+    pdf = pd.DataFrame(rows, columns=["group_id", "value"])
+    got = (
+        benford_audit(spark.createDataFrame(pdf))
+        .orderBy("group_id")
+        .toPandas()
+        .set_index("group_id")
+    )
+    for g, sub in pdf.groupby("group_id"):
+        cents = [
+            int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+            for v in sub["value"]
+        ]
+        digits = [int(str(c)[0]) for c in cents if c > 0]
+        n = len(digits)
+        obs = {d: digits.count(d) for d in range(1, 10)}
+        chi2 = 0.0
+        mad = 0.0
+        for d in range(1, 10):
+            p = math.log10(1.0 + 1.0 / d)
+            e = n * p
+            chi2 += (obs[d] - e) * (obs[d] - e) / e
+            mad += abs(obs[d] / n - p)
+        mad /= 9.0
+        r = got.loc[g]
+        assert r["n"] == n
+        for d in range(1, 10):
+            assert r[f"d{d}"] == obs[d], (g, d)
+        assert abs(r["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
+        assert abs(r["mad"] - mad) < 1e-12
