@@ -73,6 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (tenth batch — continuation session)
+    "hll_cardinality",
+    "countmin_topk",
     # new in round 5 (ninth batch — continuation session)
     "survival_km",
     "benford_audit",

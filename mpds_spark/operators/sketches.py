@@ -1,0 +1,196 @@
+"""Distributed mergeable sketches: HyperLogLog cardinality and
+Count-Min frequency, with exact-side audits.
+
+These are the two primitives a 100-TB profiling pass actually runs:
+approximate COUNT(DISTINCT) and approximate heavy-hitter frequencies in
+ONE streaming-mergeable aggregation each. Both sketches here are exact
+cross-engine reproducible — registers/counters are deterministic
+functions of md5 (the engine-portable hash the dedup stack already
+uses, operators/dedup.py:157), so the DuckDB oracle rebuilds the
+identical sketch and the value gate is EXACT, not approximate.
+
+Mergeability is by construction, which is the scale story: HLL
+registers are a (group, bucket)-keyed MAX and Count-Min cells a
+(row, bucket)-keyed SUM — Spark's partial aggregation merges partition
+sketches map-side exactly the way multi-day sketch rollups merge
+(max/sum of registers), no custom AggregateFunction needed.
+
+HyperLogLog (Flajolet et al. 2007): h = top 60 bits of md5 (15 hex
+chars — stays positive in BIGINT on both engines); bucket = top p bits,
+rho = leading-zero rank of the remaining (60-p) bits computed via the
+length of bin(r) — both engines print minimal binary strings, never
+libm log2. Estimate = alpha_m * m^2 / sum(2^-M_j) with the standard
+small-range linear-counting correction m*ln(m/V); the 2^-M terms are
+exact powers of two folded in bucket-ascending order on both engines.
+The large-range correction is omitted: with a 60-bit hash it engages at
+~2^55 distinct keys, far past any audit this runs on (documented, not
+silent).
+
+Count-Min (Cormode & Muthukrishnan 2005): d salted md5 rows x w
+buckets, exact long cell counts, point estimate = min over rows —
+always an overcount, never under.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _h60(col, salt: str = "") -> "F.Column":
+    """Top 60 bits of md5 as a non-negative long — identical on both
+    engines (('0x' || substring(md5(x),1,15))::UBIGINT in DuckDB)."""
+    s = F.concat(F.lit(salt), col) if salt else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key: str,
+    group: str | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of `key` (per `group` if
+    given), audited against the exact distinct count.
+
+    Two group-keyed aggregations (register build + exact distinct) and
+    one tiny join; the register table is at most m=2^p rows per group
+    regardless of input size — the mergeable 100-TB shape.
+
+    Returns (group?, n_exact, hll_buckets_hit, hll_estimate, rel_err).
+    """
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    m = 1 << int(p)
+    rbits = 60 - int(p)
+    alpha = hll_alpha(m)
+    gcols = [group] if group else []
+    k = F.col(key).cast("string")
+    # bucket via integer shift, never double division — a 60-bit hash is
+    # not representable in a double, so h/2^52 would mis-bucket
+    d = df.select(
+        *gcols,
+        F.shiftright(_h60(k), rbits).alias("__bucket"),
+        (_h60(k) % F.lit(1 << rbits)).alias("__r"),
+    ).withColumn(
+        "__rho",
+        F.when(F.col("__r") == 0, F.lit(rbits + 1)).otherwise(
+            F.lit(rbits + 1) - F.length(F.bin(F.col("__r")))
+        ),
+    )
+    regs = d.groupBy(*gcols, "__bucket").agg(
+        F.max("__rho").alias("__m")
+    )
+    # SQL shiftleft: the python binding only takes a literal bit count
+    term = F.lit(1.0) / F.expr("shiftleft(1L, __m)").cast("double")
+    folded = regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("hll_buckets_hit"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__bucket").alias("b"), term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("__z_hit"),
+    )
+    z = F.col("__z_hit") + (
+        F.lit(m) - F.col("hll_buckets_hit")
+    ).cast("double")
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("hll_buckets_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = df.groupBy(*gcols).agg(
+        F.count_distinct(F.col(key)).cast("long").alias("n_exact")
+    )
+    joined = (
+        exact.join(folded, gcols) if gcols else exact.crossJoin(folded)
+    )
+    rel = (est - F.col("n_exact").cast("double")) / F.col(
+        "n_exact"
+    ).cast("double")
+    return joined.select(
+        *gcols,
+        "n_exact",
+        "hll_buckets_hit",
+        est.alias("hll_estimate"),
+        rel.alias("rel_err"),
+    )
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key: str,
+    d: int = 4,
+    w: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min point estimates for the exact top-k keys: build the
+    d x w exact-count cell table in ONE exploded aggregation, take the
+    exact top-k (TakeOrdered — never a global sort), and read each
+    key's estimate as the min over its d cells via a broadcast-sized
+    join on the (row, bucket) cell key.
+
+    Returns (key, n_exact, cm_estimate, overcount) — overcount >= 0 by
+    the sketch's one-sided guarantee (asserted in tests).
+    """
+    kc = F.col(key).cast("string")
+    cells = [
+        F.struct(
+            F.lit(i).alias("r"),
+            (_h60(kc, f"{i}|") % F.lit(int(w))).alias("b"),
+        )
+        for i in range(int(d))
+    ]
+    cm = (
+        df.select(F.explode(F.array(*cells)).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = (
+        df.groupBy(F.col(key).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("__k"))
+        .limit(int(k))
+    )
+    kt = F.col("__k").cast("string")
+    probes = top.select(
+        "__k",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        (_h60(kt, f"{i}|") % F.lit(int(w))).alias("b"),
+                    )
+                    for i in range(int(d))
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        "__k", "n_exact", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(cm), ["r", "b"])
+        .groupBy("__k", "n_exact")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("__k").alias(key),
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+    )

@@ -8188,3 +8188,119 @@ FROM deg d LEFT JOIN tn ON tn.node = d.node
 QUERIES["graph_triangles"] = q_graph_triangles
 _RAW_ORACLES["graph_triangles"] = SQL_GRAPH_TRIANGLES
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hll_cardinality(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type, audited
+    against the exact distinct count (operators/sketches.py
+    hll_cardinality, Flajolet et al. 2007): md5-derived 60-bit hashes,
+    p=8 registers built in ONE mergeable (group, bucket)-keyed MAX,
+    2^-M terms folded bucket-ascending as exact powers of two. The
+    DuckDB oracle rebuilds the identical registers, so the gate is
+    EXACT even though the sketch itself is approximate."""
+    from mpds_spark.operators.sketches import hll_cardinality
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    out = hll_cardinality(ev, key="user_id", group="event_type", p=8)
+    return out.select(
+        "event_type",
+        "n_exact",
+        "hll_buckets_hit",
+        _r6("hll_estimate").alias("hll_estimate"),
+        _r6("rel_err").alias("rel_err"),
+    )
+
+
+def _hll_sql() -> str:
+    from mpds_spark.operators.sketches import hll_alpha
+
+    amm = repr(hll_alpha(256) * 256 * 256)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+         AS BIGINT) AS hv
+  FROM events
+), br AS (
+  SELECT event_type, hv >> 52 AS bucket, hv % 4503599627370496 AS r
+  FROM h
+), regs AS (
+  SELECT event_type, bucket,
+    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+  FROM br GROUP BY event_type, bucket
+), folded AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS hll_buckets_hit,
+    list_sum(list(1.0 / CAST(1::BIGINT << m AS DOUBLE) ORDER BY bucket))
+      AS z_hit
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, hll_buckets_hit,
+    CASE WHEN ({amm} / (z_hit + CAST(256 - hll_buckets_hit AS DOUBLE)))
+              <= 640.0
+          AND (256 - hll_buckets_hit) > 0
+      THEN 256.0 * ln(256.0 / CAST(256 - hll_buckets_hit AS DOUBLE))
+      ELSE {amm} / (z_hit + CAST(256 - hll_buckets_hit AS DOUBLE))
+    END AS e
+  FROM folded
+), exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT x.event_type, x.n_exact, s.hll_buckets_hit,
+  round(s.e, 6) AS hll_estimate,
+  round((s.e - x.n_exact::DOUBLE) / x.n_exact::DOUBLE, 6) AS rel_err
+FROM exact x JOIN est s ON s.event_type = x.event_type
+"""
+
+
+SQL_HLL_CARDINALITY = _hll_sql()
+
+QUERIES["hll_cardinality"] = q_hll_cardinality
+_RAW_ORACLES["hll_cardinality"] = SQL_HLL_CARDINALITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_countmin_topk(spark, sf_dir):
+    """Count-Min point estimates for the exact top-20 users by event
+    count (operators/sketches.py countmin_estimates, Cormode &
+    Muthukrishnan 2005): 4 salted md5 rows x 256 buckets of exact long
+    cells in ONE exploded aggregation; estimate = min over rows
+    (one-sided overcount). Top-k via TakeOrdered; the 1024-cell table
+    joins broadcast."""
+    from mpds_spark.operators.sketches import countmin_estimates
+
+    ev = _events(spark, sf_dir).select("user_id")
+    out = countmin_estimates(ev, key="user_id", d=4, w=256, k=20)
+    return out.select("user_id", "n_exact", "cm_estimate", "overcount")
+
+
+SQL_COUNTMIN_TOPK = """
+WITH gen AS (SELECT unnest([0, 1, 2, 3]) AS r),
+cm AS (
+  SELECT g.r AS r,
+    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || '|'
+          || CAST(e.user_id AS VARCHAR)), 1, 15))::UBIGINT % 256
+         AS BIGINT) AS b,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events e CROSS JOIN gen g GROUP BY 1, 2
+), top AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact FROM events
+  GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 20
+), probes AS (
+  SELECT t.user_id, t.n_exact, g.r AS r,
+    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || '|'
+          || CAST(t.user_id AS VARCHAR)), 1, 15))::UBIGINT % 256
+         AS BIGINT) AS b
+  FROM top t CROSS JOIN gen g
+)
+SELECT p.user_id, p.n_exact,
+  CAST(min(c.c) AS BIGINT) AS cm_estimate,
+  CAST(min(c.c) - p.n_exact AS BIGINT) AS overcount
+FROM probes p JOIN cm c ON c.r = p.r AND c.b = p.b
+GROUP BY p.user_id, p.n_exact
+"""
+
+QUERIES["countmin_topk"] = q_countmin_topk
+_RAW_ORACLES["countmin_topk"] = SQL_COUNTMIN_TOPK
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -256,6 +256,16 @@ BUDGETS = {
     # shuffle budget); the joins must stay hash/broadcast, never a
     # nested-loop product
     "graph_triangles": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # HLL: register agg + fold agg + 2-phase exact distinct; the
+    # m<=256-rows-per-group register table joins broadcast. Count-Min:
+    # one exploded cell agg + the exact-top-k agg (TakeOrdered heap,
+    # asserted below); the 1024-cell table joins broadcast
+    "hll_cardinality": {
+        "shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
+    "countmin_topk": {
+        "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
 }
 
 
@@ -345,3 +355,10 @@ def test_basket_lift_shape(plans):
     assert len(re.findall(r"\bBroadcastHashJoin\b", plan)) >= 2
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_countmin_topk_heap(plans):
+    """The exact top-k side of the Count-Min audit must come from a
+    TakeOrderedAndProject heap, never a global sort of the key
+    universe."""
+    assert "TakeOrderedAndProject" in plans["countmin_topk"]

@@ -1,0 +1,106 @@
+"""Differential tests for operators/sketches.py: registers/cells must
+match a pure-Python rebuild of the same md5-derived sketch, and the
+estimators must respect their published guarantees."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+from mpds_spark.operators.sketches import (
+    countmin_estimates,
+    hll_alpha,
+    hll_cardinality,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_hll(keys, p=8):
+    m = 1 << p
+    rbits = 60 - p
+    regs = {}
+    for k in keys:
+        h = _h60(str(k))
+        b, r = h >> rbits, h % (1 << rbits)
+        rho = rbits + 1 if r == 0 else rbits + 1 - r.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    z = sum(1.0 / (1 << regs[b]) for b in sorted(regs)) + (m - len(regs))
+    raw = hll_alpha(m) * m * m / z
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return len(regs), m * math.log(m / v)
+    return len(regs), raw
+
+
+def test_hll_matches_python_rebuild(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"g{i % 3}", int(k))
+        for i, k in enumerate(rng.integers(0, 2000, size=6000))
+    ]
+    pdf = pd.DataFrame(rows, columns=["grp", "key"])
+    got = (
+        hll_cardinality(
+            spark.createDataFrame(pdf), key="key", group="grp", p=8
+        )
+        .orderBy("grp")
+        .toPandas()
+        .set_index("grp")
+    )
+    for g, sub in pdf.groupby("grp"):
+        keys = set(sub["key"])
+        hit, est = _py_hll(keys)
+        r = got.loc[g]
+        assert r["n_exact"] == len(keys)
+        assert r["hll_buckets_hit"] == hit
+        assert abs(r["hll_estimate"] - est) < 1e-9 * max(1.0, est)
+        # published std error ~1.04/sqrt(256) = 6.5%; allow 4 sigma
+        assert abs(r["rel_err"]) < 0.26
+
+
+def test_hll_small_range_correction(spark):
+    """A handful of keys must route through linear counting and come
+    out nearly exact."""
+    pdf = pd.DataFrame({"key": list(range(12)) * 3})
+    got = hll_cardinality(
+        spark.createDataFrame(pdf), key="key", p=8
+    ).collect()[0]
+    assert got["n_exact"] == 12
+    # linear counting with 12 occupied of 256 buckets is near-exact
+    assert abs(got["hll_estimate"] - 12) < 1.0
+
+
+def test_hll_rejects_bad_p(spark):
+    import pytest
+
+    pdf = pd.DataFrame({"key": [1]})
+    with pytest.raises(ValueError):
+        hll_cardinality(spark.createDataFrame(pdf), key="key", p=2)
+
+
+def test_countmin_one_sided_and_skew(spark):
+    """Every estimate must be >= the exact count (one-sided guarantee)
+    and the planted heavy hitter must surface with a tight estimate —
+    its relative overcount is bounded by the cell-collision mass."""
+    rng = np.random.default_rng(13)
+    keys = list(rng.integers(0, 500, size=4000)) + [999999] * 2000
+    pdf = pd.DataFrame({"key": [int(k) for k in keys]})
+    got = countmin_estimates(
+        spark.createDataFrame(pdf), key="key", d=4, w=256, k=10
+    ).toPandas()
+    assert len(got) == 10
+    assert (got["overcount"] >= 0).all()
+    assert (got["cm_estimate"] >= got["n_exact"]).all()
+    hh = got.set_index("key").loc[999999]
+    assert hh["n_exact"] == 2000
+    # E[collision mass per cell] = 4000/256 ~ 16; min over 4 rows is
+    # far below 10x that — generous determinism-safe bound
+    assert hh["overcount"] < 200
+    # exact counts must agree with pandas
+    vc = pdf["key"].value_counts()
+    for _, r in got.iterrows():
+        assert r["n_exact"] == vc[r["key"]]
