@@ -73,6 +73,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (eleventh batch — continuation session)
+    "temporal_motifs",
+    "woe_encoding",
+    "haar_energy",
+    "fuzzy_name_pairs",
     # new in round 5 (tenth batch — continuation session)
     "hll_cardinality",
     "countmin_topk",

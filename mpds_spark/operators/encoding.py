@@ -111,3 +111,60 @@ def target_encode_oof(
         .withColumn(out_col, te)
         .drop("__loo_s", "__loo_c", "__g_s", "__g_c")
     )
+
+
+def woe_encoding(
+    df: DataFrame,
+    category: str = "category",
+    label: str = "label",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding + per-category information-value
+    terms (the credit-scoring categorical encoder; Siddiqi 2006):
+
+        woe_i = ln( (pos_i + s) * neg_total / ((neg_i + s) * pos_total) )
+        iv_i  = (pos_i/pos_total - neg_i/neg_total) * woe_i
+
+    with additive smoothing s guarding empty cells. `label` must be a
+    boolean column.
+
+    Cross-engine determinism: cell counts are exact longs; the ln
+    argument is a product/ratio of (count + s) doubles — identical
+    arithmetic both engines (the integer-ratio-ln convention, smoothing
+    aside); totals come from the same single aggregation via a window
+    over the |categories|-sized frame, so there is no second scan.
+
+    Shape at scale: ONE category-keyed aggregation; the totals window
+    runs on the tiny aggregated frame (single-partition pass over
+    |categories| rows). Returns (category, n_pos, n_neg, woe, iv_term).
+    """
+    s = float(smoothing)
+    cells = df.groupBy(F.col(category).alias("category")).agg(
+        F.sum(F.when(F.col(label), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col(label), 0).otherwise(1))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cells = cells.withColumn(
+        "__pt", F.sum("n_pos").over(w).cast("long")
+    ).withColumn("__nt", F.sum("n_neg").over(w).cast("long"))
+    woe = F.log(
+        ((F.col("n_pos").cast("double") + F.lit(s)) * F.col("__nt").cast("double"))
+        / ((F.col("n_neg").cast("double") + F.lit(s)) * F.col("__pt").cast("double"))
+    )
+    iv = (
+        F.col("n_pos").cast("double") / F.col("__pt").cast("double")
+        - F.col("n_neg").cast("double") / F.col("__nt").cast("double")
+    )
+    return cells.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        (iv * woe).alias("iv_term"),
+    )

@@ -170,3 +170,53 @@ def conversion_funnel(
             ).alias("mean_s_to_stage"),
         )
     )
+
+
+def temporal_motifs(
+    df: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    kind: str = "event_type",
+    max_span: float = 600.0,
+    k: int = 20,
+    tiebreak: tuple = (),
+) -> DataFrame:
+    """Temporal motif counts (Paranjape et al. 2017's consecutive-event
+    specialization): the top-k (type1 -> type2 -> type3) triples of
+    CONSECUTIVE events on one entity whose total span t3 - t1 fits in
+    `max_span` seconds — the short-sequence behavioral signature behind
+    bot detection and intent features (view->click->purchase vs
+    error->error->error).
+
+    Shape at scale: two lead() columns and the span predicate share ONE
+    entity-keyed exchange; the motif rollup groups on the tiny
+    (|types|^3-bounded) key; top-k via TakeOrderedAndProject. Counts
+    exact longs; ties break (count desc, t1, t2, t3). `tiebreak` extends
+    the per-entity event order past equal timestamps (pass a unique id
+    column for cross-engine determinism).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    span_us = int(round(float(max_span) * 1e6))
+    w = Window.partitionBy(entity).orderBy("__us", *tiebreak)
+    d = (
+        df.select(
+            F.col(entity), us.alias("__us"), F.col(kind), *tiebreak
+        )
+        .withColumn("__k2", F.lead(kind, 1).over(w))
+        .withColumn("__k3", F.lead(kind, 2).over(w))
+        .withColumn("__us3", F.lead("__us", 2).over(w))
+    )
+    return (
+        d.filter(
+            F.col("__k3").isNotNull()
+            & (F.col("__us3") - F.col("__us") <= span_us)
+        )
+        .groupBy(
+            F.col(kind).alias("t1"),
+            F.col("__k2").alias("t2"),
+            F.col("__k3").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(int(k))
+    )

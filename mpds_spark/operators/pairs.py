@@ -563,3 +563,62 @@ def cooccurrence_lift(
         )
         .limit(int(k))
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key: str = "id",
+    name: str = "name",
+    block_exprs=None,
+    max_dist: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Blocked fuzzy-match candidate pairs: Levenshtein distance
+    <= max_dist between names sharing a blocking key — the standard
+    entity-resolution shape (Christen 2012): NEVER an all-pairs
+    distance matrix; the quadratic term is confined to each block, and
+    the edit distance runs JVM-side (both engines ship native
+    levenshtein, so the oracle is exact).
+
+    `block_exprs`: list of Columns forming the blocking key (default:
+    last whitespace token + first character — catches same-noun typo'd
+    modifiers). Top-k pairs by (dist asc, key_a, key_b) via
+    TakeOrderedAndProject; pairs are canonical key_a < key_b.
+
+    Shape at scale: one block-keyed self-equi-join (sort-merge/hash on
+    the block key, never a cartesian), distance as a post-filter, heap
+    top-k. Skewed blocks are the operator's declared risk knob — pick
+    block_exprs so block sizes stay bounded, exactly like LSH band
+    width in dedup.
+    """
+    if block_exprs is None:
+        block_exprs = [
+            F.element_at(F.split(F.col(name), " "), -1),
+            F.substring(F.col(name), 1, 1),
+        ]
+    base = df.select(
+        F.col(key).alias("__k"),
+        F.col(name).alias("__n"),
+        F.concat_ws("\x1f", *block_exprs).alias("__blk"),
+    )
+    a = base.select(
+        F.col("__k").alias("key_a"),
+        F.col("__n").alias("name_a"),
+        F.col("__blk").alias("__blk"),
+    )
+    b = base.select(
+        F.col("__k").alias("key_b"),
+        F.col("__n").alias("name_b"),
+        F.col("__blk").alias("__blk"),
+    )
+    pairs = (
+        a.join(b, "__blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= int(max_dist))
+    )
+    return (
+        pairs.select("key_a", "key_b", "name_a", "name_b", "dist")
+        .orderBy("dist", "key_a", "key_b")
+        .limit(int(k))
+    )

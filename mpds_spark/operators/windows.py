@@ -955,3 +955,89 @@ def rolling_slope(
     return d.withColumn("slope_per_day", slope).withColumn(
         "n_frame", F.col("__n").cast("int")
     ).drop("__us", "__x", "__y", "__n", "__sx", "__sy", "__sxy", "__sxx")
+
+
+def haar_energy(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    n: int = 8,
+    decimals: int = 2,
+) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition of each entity's
+    first `n` (= 2^L) values: detail coefficients are pairwise
+    DIFFERENCES, approximations pairwise SUMS (the 1/sqrt(2) factors are
+    dropped so every coefficient — and therefore every energy — is an
+    EXACT integer over the cents grid; the normalized energies are a
+    fixed per-level power-of-two rescale the consumer can apply). The
+    multi-resolution energy split (fast vs slow variation mass) is the
+    wavelet sibling of the ZCR/TKEO/Lomb kernels in functions/kernels.py
+    (reference battery parity: extractAccelTestV2.m window statistics).
+
+    Shape at scale: ONE entity-keyed exchange — a row_number window to
+    take each entity's first n events (ties broken by the order column
+    list) and a groupBy fold to a sorted n-array (subset rule: same
+    key); all level arithmetic is JVM array expressions on the bounded
+    array. Entities with fewer than n events are dropped (declared).
+
+    Returns (by, level energies e1..eL detail, approx_sq) — exact longs.
+    """
+    L = int(n).bit_length() - 1
+    if 1 << L != int(n) or L < 1:
+        raise ValueError(f"n={n} is not a power of two >= 2")
+    scale = int(10**decimals)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(by).orderBy("__us", "__y")
+    d = (
+        df.select(F.col(by), us.alias("__us"), cents.alias("__y"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(n))
+    )
+    arr = (
+        d.groupBy(by)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__rn", "__y"))
+            ).alias("__a"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .filter(F.col("__cnt") == int(n))
+        .select(by, F.transform("__a", lambda s: s["__y"]).alias("__x"))
+    )
+    out = arr
+    cur = F.col("__x")
+    sel = [F.col(by)]
+    for lev in range(1, L + 1):
+        half = (1 << L) >> lev
+        idx = F.sequence(F.lit(0), F.lit(half - 1))
+        detail = F.transform(
+            idx,
+            lambda i: F.element_at(cur, 2 * i + 1)
+            - F.element_at(cur, 2 * i + 2),
+        )
+        approx = F.transform(
+            idx,
+            lambda i: F.element_at(cur, 2 * i + 1)
+            + F.element_at(cur, 2 * i + 2),
+        )
+        energy = F.aggregate(
+            detail,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        )
+        out = out.withColumn(f"e{lev}", energy).withColumn(
+            f"__a{lev}", approx
+        )
+        cur = F.col(f"__a{lev}")
+        sel.append(F.col(f"e{lev}"))
+    sel.append(
+        (
+            F.element_at(cur, 1) * F.element_at(cur, 1)
+        ).alias("approx_sq")
+    )
+    return out.select(*sel)

@@ -8304,3 +8304,181 @@ GROUP BY p.user_id, p.n_exact
 QUERIES["countmin_topk"] = q_countmin_topk
 _RAW_ORACLES["countmin_topk"] = SQL_COUNTMIN_TOPK
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_temporal_motifs(spark, sf_dir):
+    """Top-20 temporal motifs: consecutive event-type triples on one
+    user within a 24-hour span (operators/funnels.py temporal_motifs,
+    Paranjape et al. 2017 specialization): two lead() columns + span
+    predicate on ONE entity exchange, motif rollup on the tiny
+    |types|^3 key, TakeOrdered heap."""
+    from mpds_spark.operators.funnels import temporal_motifs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_type",
+        "event_id",
+    )
+    return temporal_motifs(
+        ev, entity="entity_id", ts="ts", kind="event_type",
+        max_span=86400.0, k=20, tiebreak=("event_id",),
+    )
+
+
+SQL_TEMPORAL_MOTIFS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events
+), l AS (
+  SELECT event_type AS t1,
+    lead(event_type, 1) OVER w AS t2,
+    lead(event_type, 2) OVER w AS t3,
+    lead(us, 2) OVER w AS us3, us
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE t3 IS NOT NULL AND us3 - us <= 86400000000
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""
+
+QUERIES["temporal_motifs"] = q_temporal_motifs
+_RAW_ORACLES["temporal_motifs"] = SQL_TEMPORAL_MOTIFS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_woe_encoding(spark, sf_dir):
+    """Weight-of-evidence + information-value terms of order priority
+    vs final status (operators/encoding.py woe_encoding, Siddiqi 2006):
+    exact cell counts in ONE category agg, totals from a window over
+    the 5-row aggregated frame, smoothed integer-ratio-style ln."""
+    from mpds_spark.operators.encoding import woe_encoding
+
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    out = woe_encoding(od, category="category", label="label")
+    return out.select(
+        "category",
+        "n_pos",
+        "n_neg",
+        _r6("woe").alias("woe"),
+        _r6("iv_term").alias("iv_term"),
+    )
+
+
+SQL_WOE_ENCODING = """
+WITH cells AS (
+  SELECT o_orderpriority AS category,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pos,
+    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_neg
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT category, n_pos, n_neg,
+    CAST((SELECT sum(n_pos) FROM cells) AS BIGINT) AS pt,
+    CAST((SELECT sum(n_neg) FROM cells) AS BIGINT) AS nt
+  FROM cells
+)
+SELECT category, n_pos, n_neg,
+  round(ln((n_pos::DOUBLE + 0.5) * nt::DOUBLE
+           / ((n_neg::DOUBLE + 0.5) * pt::DOUBLE)), 6) AS woe,
+  round((n_pos::DOUBLE / pt::DOUBLE - n_neg::DOUBLE / nt::DOUBLE)
+        * ln((n_pos::DOUBLE + 0.5) * nt::DOUBLE
+             / ((n_neg::DOUBLE + 0.5) * pt::DOUBLE)), 6) AS iv_term
+FROM tot
+"""
+
+QUERIES["woe_encoding"] = q_woe_encoding
+_RAW_ORACLES["woe_encoding"] = SQL_WOE_ENCODING
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_haar_energy(spark, sf_dir):
+    """Unnormalized Haar wavelet level energies of each user's first 8
+    values (operators/windows.py haar_energy): differences/sums over
+    exact cents so every energy is an exact long; ONE entity exchange
+    (row_number + sorted-array fold via the subset rule)."""
+    from mpds_spark.operators.windows import haar_energy
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "value", "event_id"
+    )
+    out = haar_energy(
+        ev, value="value", ts="ts", by="entity_id", n=8, decimals=2
+    )
+    return out.select("entity_id", "e1", "e2", "e3", "approx_sq")
+
+
+def _haar_sql() -> str:
+    x = [f"x[{i}]" for i in range(9)]  # 1-based
+    sq = lambda e: f"({e}) * ({e})"  # noqa: E731
+    a1 = [f"({x[1]} + {x[2]})", f"({x[3]} + {x[4]})",
+          f"({x[5]} + {x[6]})", f"({x[7]} + {x[8]})"]
+    a2 = [f"({a1[0]} + {a1[1]})", f"({a1[2]} + {a1[3]})"]
+    e1 = " + ".join(sq(f"{x[i]} - {x[i + 1]}") for i in (1, 3, 5, 7))
+    e2 = " + ".join(
+        [sq(f"{a1[0]} - {a1[1]}"), sq(f"{a1[2]} - {a1[3]}")]
+    )
+    e3 = sq(f"{a2[0]} - {a2[1]}")
+    asq = sq(f"{a2[0]} + {a2[1]}")
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(sign(value) * floor(abs(value)*100 + 0.5) AS BIGINT) AS y
+  FROM events
+), r AS (
+  SELECT user_id, y,
+    row_number() OVER (PARTITION BY user_id ORDER BY us, y) AS rn
+  FROM e
+), arr AS (
+  SELECT user_id, list(y ORDER BY rn) AS x
+  FROM r WHERE rn <= 8 GROUP BY user_id HAVING count(*) = 8
+)
+SELECT user_id AS entity_id,
+  CAST({e1} AS BIGINT) AS e1,
+  CAST({e2} AS BIGINT) AS e2,
+  CAST({e3} AS BIGINT) AS e3,
+  CAST({asq} AS BIGINT) AS approx_sq
+FROM arr
+"""
+
+
+SQL_HAAR_ENERGY = _haar_sql()
+
+QUERIES["haar_energy"] = q_haar_energy
+_RAW_ORACLES["haar_energy"] = SQL_HAAR_ENERGY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Blocked fuzzy-match candidates over part names (operators/
+    pairs.py blocked_fuzzy_pairs, Christen 2012): Levenshtein <= 3
+    within (last-token, first-char) blocks — a block-keyed equi-join,
+    never an all-pairs matrix; heap top-50 by (dist, key_a, key_b)."""
+    from mpds_spark.operators.pairs import blocked_fuzzy_pairs
+
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return blocked_fuzzy_pairs(
+        pt, key="p_partkey", name="p_name", max_dist=3, k=50
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = """
+WITH base AS (
+  SELECT p_partkey AS k, p_name AS n,
+    string_split(p_name, ' ')[-1] AS tok,
+    substr(p_name, 1, 1) AS c1
+  FROM part
+)
+SELECT a.k AS key_a, b.k AS key_b, a.n AS name_a, b.n AS name_b,
+  CAST(levenshtein(a.n, b.n) AS INT) AS dist
+FROM base a JOIN base b
+  ON a.tok = b.tok AND a.c1 = b.c1 AND a.k < b.k
+WHERE levenshtein(a.n, b.n) <= 3
+ORDER BY dist, key_a, key_b LIMIT 50
+"""
+
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+_RAW_ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -84,3 +84,33 @@ def test_fold_deterministic_under_repartition(frame):
     pb = {r["key"]: r["fold"] for r in b.collect()}
     assert pa == pb
     assert set(pa.values()) <= set(range(7))
+
+
+def test_woe_encoding_matches_direct(spark):
+    import math
+
+    from mpds_spark.operators.encoding import woe_encoding
+
+    rows = (
+        [("a", True)] * 30 + [("a", False)] * 10
+        + [("b", True)] * 5 + [("b", False)] * 45
+        + [("c", True)] * 7  # empty negative cell: smoothing guard
+    )
+    pdf = pd.DataFrame(rows, columns=["category", "label"])
+    got = (
+        woe_encoding(spark.createDataFrame(pdf))
+        .orderBy("category")
+        .toPandas()
+        .set_index("category")
+    )
+    pt = sum(1 for _, l in rows if l)
+    nt = len(rows) - pt
+    for c in ["a", "b", "c"]:
+        p = sum(1 for g, l in rows if g == c and l)
+        n = sum(1 for g, l in rows if g == c and not l)
+        woe = math.log((p + 0.5) * nt / ((n + 0.5) * pt))
+        iv = (p / pt - n / nt) * woe
+        r = got.loc[c]
+        assert (r["n_pos"], r["n_neg"]) == (p, n)
+        assert abs(r["woe"] - woe) < 1e-12
+        assert abs(r["iv_term"] - iv) < 1e-12

@@ -162,3 +162,43 @@ def test_conversion_funnel_requires_two_steps(spark):
                                "user_id long, ts timestamp, event_type string")
     with pytest.raises(ValueError, match="at least 2"):
         conversion_funnel(df, steps=("a",))
+
+
+def test_temporal_motifs_bruteforce(spark):
+    """Motif counts must match direct per-entity triple enumeration
+    with the same (ts, tiebreak) order and span rule."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from mpds_spark.operators.funnels import temporal_motifs
+
+    rng = np.random.default_rng(5)
+    kinds = ["a", "b", "c"]
+    rows = []
+    rid = 0
+    for e in range(10):
+        t = 0
+        for _ in range(int(rng.integers(5, 40))):
+            t += int(rng.integers(1, 900))
+            rows.append((f"e{e}", float(t), kinds[rng.integers(0, 3)], rid))
+            rid += 1
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "event_type", "event_id"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "event_type", "event_id"
+    )
+    got = temporal_motifs(
+        sdf, max_span=1200.0, k=10, tiebreak=("event_id",)
+    ).collect()
+
+    cnt = Counter()
+    for _, g in pdf.groupby("entity_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ks = g["event_type"].tolist()
+        tss = g["ts"].tolist()
+        for i in range(len(ks) - 2):
+            if tss[i + 2] - tss[i] <= 1200.0:
+                cnt[(ks[i], ks[i + 1], ks[i + 2])] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [((r["t1"], r["t2"], r["t3"]), r["n"]) for r in got] == want

@@ -266,6 +266,18 @@ BUDGETS = {
     "countmin_topk": {
         "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0,
     },
+    # motifs: entity lead-window + tiny |types|^3 rollup, heap top-k;
+    # WOE: category agg + single-partition totals pass on the 5-row
+    # frame; Haar: row_number + sorted-array fold share ONE entity
+    # exchange (subset rule); fuzzy pairs: block-keyed equi-join
+    # (broadcast at toy scale, <=2 exchanges if it falls back to SMJ),
+    # never a cartesian distance matrix
+    "temporal_motifs": {"shuffle": 2, "python": 0, "cartesian": 0},
+    "woe_encoding": {"shuffle": 2, "python": 0, "cartesian": 0},
+    "haar_energy": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "fuzzy_name_pairs": {
+        "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
 }
 
 

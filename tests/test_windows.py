@@ -960,3 +960,105 @@ def test_rolling_slope_matches_numpy(spark):
             assert pd.isna(r["slope_per_day"])
         else:
             assert abs(r["slope_per_day"] - s) < 1e-9 * max(1.0, abs(s))
+
+
+def test_haar_energy_matches_numpy(spark):
+    """Level energies must match the direct unnormalized Haar pyramid
+    over each entity's first-8 cents; short entities are dropped; n not
+    a power of two raises."""
+    import pytest as _pytest
+
+    from mpds_spark.operators.windows import haar_energy
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for e in range(6):
+        m = int(rng.integers(4, 20))  # some entities < 8 events
+        t = np.cumsum(rng.integers(1, 500, size=m))
+        v = np.round(rng.normal(0.0, 30.0, size=m), 2)
+        rows += [
+            (f"e{e}", float(ts), float(val)) for ts, val in zip(t, v)
+        ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "value"
+    )
+    got = (
+        haar_energy(sdf, n=8)
+        .orderBy("entity_id")
+        .toPandas()
+        .set_index("entity_id")
+    )
+
+    def cents(v):
+        return int(np.sign(v) * np.floor(abs(v) * 100 + 0.5))
+
+    seen = 0
+    for e, g in pdf.groupby("entity_id"):
+        g = g.sort_values("ts")
+        if len(g) < 8:
+            assert e not in got.index
+            continue
+        seen += 1
+        x = [cents(v) for v in g["value"].iloc[:8]]
+        d1 = [x[0] - x[1], x[2] - x[3], x[4] - x[5], x[6] - x[7]]
+        a1 = [x[0] + x[1], x[2] + x[3], x[4] + x[5], x[6] + x[7]]
+        d2 = [a1[0] - a1[1], a1[2] - a1[3]]
+        a2 = [a1[0] + a1[1], a1[2] + a1[3]]
+        r = got.loc[e]
+        assert r["e1"] == sum(t * t for t in d1)
+        assert r["e2"] == sum(t * t for t in d2)
+        assert r["e3"] == (a2[0] - a2[1]) ** 2
+        assert r["approx_sq"] == (a2[0] + a2[1]) ** 2
+    assert len(got) == seen
+
+    with _pytest.raises(ValueError):
+        haar_energy(sdf, n=6)
+
+
+def test_blocked_fuzzy_pairs_bruteforce(spark):
+    """Blocked fuzzy pairs must equal the direct blocked Levenshtein
+    enumeration (and a planted one-char typo must surface at dist 1)."""
+    from mpds_spark.operators.pairs import blocked_fuzzy_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    names = [
+        (1, "small ring"), (2, "smoll ring"), (3, "small sing"),
+        (4, "red widget"), (5, "rad widget"), (6, "blue bolt"),
+        (7, "red widget"), (8, "green gear"), (9, "grean gear"),
+        (10, "blue jolt"),
+    ]
+    pdf = pd.DataFrame(names, columns=["id", "name"])
+    got = [
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in blocked_fuzzy_pairs(
+            spark.createDataFrame(pdf), key="id", name="name",
+            max_dist=3, k=50,
+        ).collect()
+    ]
+
+    blocks = {}
+    for i, n in names:
+        blocks.setdefault((n.split(" ")[-1], n[0]), []).append((i, n))
+    want = []
+    for members in blocks.values():
+        for (ia, na), (ib, nb) in (
+            (x, y) for x in members for y in members if x[0] < y[0]
+        ):
+            d = lev(na, nb)
+            if d <= 3:
+                want.append((ia, ib, d))
+    want.sort(key=lambda t: (t[2], t[0], t[1]))
+    assert got == want
+    assert (1, 2, 1) in got     # planted typo pair surfaces at dist 1
+    assert (4, 7, 0) in got     # exact duplicate name at dist 0
+    assert all(a < b for a, b, _ in got)  # canonical orientation
