@@ -161,3 +161,84 @@ def benford_audit(
     return out.withColumn("chi2", chi2).withColumn(
         "mad", mad / F.lit(9.0)
     )
+
+
+def welch_pairs(
+    df: DataFrame,
+    group: str = "group_id",
+    value: str = "value",
+    decimals: int = 2,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic for every pair of groups
+    (Welch 1947) — the A/B-metric significance audit run across all
+    treatment arms at once.
+
+    Cross-engine determinism: per-group moments are exact DECIMAL(38,0)
+    sums over integer cents; mean and variance each incur ONE double
+    division (variance via the computational identity
+    (n*Sxx - Sx^2) / (n*(n-1)), numerator and denominator exact);
+    t and the Welch–Satterthwaite dof are then fixed-order double
+    expressions. sqrt is IEEE-correctly-rounded on both engines.
+
+    Shape at scale: ONE group-keyed aggregation over the fact table;
+    the pair expansion is a self-join of the |groups|-sized aggregate
+    frame only. Returns (g1, g2, n1, n2, mean_diff, t_stat, dof) for
+    g1 < g2, groups with n >= 2.
+    """
+    scale = int(10**decimals)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        df.select(F.col(group).alias("__g"), cents.alias("__y"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__y").cast(dec)).alias("sx"),
+            F.sum(
+                F.col("__y").cast(dec) * F.col("__y").cast(dec)
+            ).alias("sxx"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast(dec)
+    mean = F.col("sx").cast("double") / F.col("n").cast("double") / F.lit(
+        float(scale)
+    )
+    var = (
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / (nd * (nd - F.lit(1).cast(dec))).cast("double")
+        / F.lit(float(scale * scale))
+    )
+    g = g.select("__g", "n", mean.alias("m"), var.alias("v"))
+    a = g.select(
+        F.col("__g").alias("g1"),
+        F.col("n").alias("n1"),
+        F.col("m").alias("m1"),
+        F.col("v").alias("v1"),
+    )
+    b = g.select(
+        F.col("__g").alias("g2"),
+        F.col("n").alias("n2"),
+        F.col("m").alias("m2"),
+        F.col("v").alias("v2"),
+    )
+    p = a.join(b, F.col("g1") < F.col("g2"))
+    se1 = F.col("v1") / F.col("n1").cast("double")
+    se2 = F.col("v2") / F.col("n2").cast("double")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+    dof = ((se1 + se2) * (se1 + se2)) / (
+        se1 * se1 / (F.col("n1") - 1).cast("double")
+        + se2 * se2 / (F.col("n2") - 1).cast("double")
+    )
+    return p.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        (F.col("m1") - F.col("m2")).alias("mean_diff"),
+        t.alias("t_stat"),
+        dof.alias("dof"),
+    )

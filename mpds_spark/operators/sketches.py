@@ -194,3 +194,83 @@ def countmin_estimates(
         "cm_estimate",
         (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
     )
+
+
+def bloom_membership(
+    ref: DataFrame,
+    probe: DataFrame,
+    key: str,
+    m: int = 512,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter membership audit (Bloom 1970): build an m-bit
+    filter over the reference key set with k salted md5 hash positions,
+    probe every distinct probe key, and report the bloom verdict beside
+    exact membership — false_positive marks the keys the filter would
+    wrongly pass. This is the runtime-filter shape Spark itself uses to
+    pre-prune the big side of a selective join: the position set is at
+    most m rows and broadcasts regardless of reference size, and the
+    per-key verdict is a broadcast join + count, never a shuffle of the
+    probe stream.
+
+    The filter is deterministic (md5 positions), so the DuckDB oracle
+    rebuilds the identical bit set and the audit gates EXACT; the
+    one-sided guarantee (no false NEGATIVES) is asserted in tests.
+
+    Returns (key, bloom_positive, actual_member, false_positive) per
+    distinct probe key.
+    """
+    if not (0 < int(k) <= 8 and 0 < int(m)):
+        raise ValueError(f"bad bloom params m={m} k={k}")
+    rk = ref.select(F.col(key).cast("string").alias("__k")).distinct()
+    bits = (
+        rk.select(
+            F.explode(
+                F.array(
+                    *[
+                        (_h60(F.col("__k"), f"{i}|") % F.lit(int(m))).alias(
+                            f"p{i}"
+                        )
+                        for i in range(int(k))
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    pk = probe.select(F.col(key).cast("string").alias("__k")).distinct()
+    probes = pk.select(
+        "__k",
+        F.explode(
+            F.array(
+                *[
+                    (_h60(F.col("__k"), f"{i}|") % F.lit(int(m))).alias(
+                        f"p{i}"
+                    )
+                    for i in range(int(k))
+                ]
+            )
+        ).alias("pos"),
+    )
+    verdict = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("__k")
+        .agg(
+            (
+                F.sum(F.coalesce("__hit", F.lit(0))) == F.lit(int(k))
+            ).alias("bloom_positive")
+        )
+    )
+    actual = rk.withColumn("__act", F.lit(1))
+    return (
+        verdict.join(F.broadcast(actual), "__k", "left")
+        .select(
+            F.col("__k").alias(key),
+            "bloom_positive",
+            F.col("__act").isNotNull().alias("actual_member"),
+            (
+                F.col("bloom_positive") & F.col("__act").isNull()
+            ).alias("false_positive"),
+        )
+    )

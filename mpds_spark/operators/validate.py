@@ -221,3 +221,63 @@ def gini_concentration(
             F.col("__t") > 0, num.cast("double") / den.cast("double")
         ).alias("gini"),
     )
+
+
+def referential_audit(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit of a fact->dimension key relation:
+    exact counts of orphan fact keys/rows (fact keys missing from the
+    dimension) and unreferenced dimension keys (never hit by a fact
+    row) — the first data-quality pass any 100-TB star schema runs
+    before joins are trusted.
+
+    Shape at scale: ONE fact-key aggregation (distinct keys + row
+    counts in the same pass), a key-equi left join against the distinct
+    dimension keys (broadcast when the dimension is small, SMJ
+    otherwise — never a nested loop), and two tiny rollups. Returns one
+    row: (relation, n_fact_rows, n_fact_keys, n_orphan_keys,
+    n_orphan_rows, n_dim_keys, n_unreferenced_dim).
+    """
+    fk = fact.select(F.col(fact_key).alias("__k")).groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("__rows")
+    )
+    dk = dim.select(F.col(dim_key).alias("__k")).distinct().withColumn(
+        "__dim", F.lit(1)
+    )
+    joined = fk.join(dk, "__k", "full_outer")
+    return joined.agg(
+        F.lit(relation).alias("relation"),
+        F.sum(F.coalesce("__rows", F.lit(0))).cast("long").alias(
+            "n_fact_rows"
+        ),
+        F.sum(F.when(F.col("__rows").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_fact_keys"),
+        F.sum(
+            F.when(
+                F.col("__rows").isNotNull() & F.col("__dim").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orphan_keys"),
+        F.sum(
+            F.when(F.col("__dim").isNull(), F.col("__rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orphan_rows"),
+        F.sum(F.when(F.col("__dim").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dim_keys"),
+        F.sum(
+            F.when(
+                F.col("__dim").isNotNull() & F.col("__rows").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_unreferenced_dim"),
+    )

@@ -8482,3 +8482,182 @@ ORDER BY dist, key_a, key_b LIMIT 50
 QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 _RAW_ORACLES["fuzzy_name_pairs"] = SQL_FUZZY_NAME_PAIRS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit of three star-schema relations
+    (operators/validate.py referential_audit): exact orphan /
+    unreferenced counts from one fact-key agg + one full-outer key join
+    per relation — the trust-the-joins pass every warehouse load
+    runs."""
+    from mpds_spark.operators.validate import referential_audit
+
+    ev = _events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    audits = [
+        referential_audit(
+            ev, cust, "user_id", "c_custkey", "events->customer"
+        ),
+        referential_audit(
+            orders, cust, "o_custkey", "c_custkey", "orders->customer"
+        ),
+        referential_audit(
+            li, part, "l_partkey", "p_partkey", "lineitem->part"
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _fk_block(fact_sql: str, dim_sql: str, relation: str) -> str:
+    return f"""
+SELECT '{relation}' AS relation,
+  CAST(sum(coalesce(rows, 0)) AS BIGINT) AS n_fact_rows,
+  CAST(sum(CASE WHEN rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_fact_keys,
+  CAST(sum(CASE WHEN rows IS NOT NULL AND dk IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_orphan_keys,
+  CAST(sum(CASE WHEN dk IS NULL THEN coalesce(rows, 0) ELSE 0 END)
+    AS BIGINT) AS n_orphan_rows,
+  CAST(sum(CASE WHEN dk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dim_keys,
+  CAST(sum(CASE WHEN dk IS NOT NULL AND rows IS NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_unreferenced_dim
+FROM (
+  SELECT fk.rows, fk.k AS fkk, dk.k AS dk
+  FROM ({fact_sql}) fk FULL OUTER JOIN ({dim_sql}) dk ON fk.k = dk.k
+)"""
+
+
+SQL_FK_INTEGRITY = " UNION ALL ".join(
+    [
+        _fk_block(
+            "SELECT user_id AS k, count(*) AS rows FROM events GROUP BY 1",
+            "SELECT DISTINCT c_custkey AS k FROM customer",
+            "events->customer",
+        ),
+        _fk_block(
+            "SELECT o_custkey AS k, count(*) AS rows FROM orders GROUP BY 1",
+            "SELECT DISTINCT c_custkey AS k FROM customer",
+            "orders->customer",
+        ),
+        _fk_block(
+            "SELECT l_partkey AS k, count(*) AS rows FROM lineitem GROUP BY 1",
+            "SELECT DISTINCT p_partkey AS k FROM part",
+            "lineitem->part",
+        ),
+    ]
+)
+
+QUERIES["fk_integrity"] = q_fk_integrity
+_RAW_ORACLES["fk_integrity"] = SQL_FK_INTEGRITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_welch_pairs(spark, sf_dir):
+    """Welch's t statistic for every event-type pair on value
+    (operators/profiles.py welch_pairs, Welch 1947): exact decimal
+    moments in ONE group agg; the pair expansion is a theta self-join
+    of the 5-row aggregate frame only (registered BNLJ-by-design)."""
+    from mpds_spark.operators.profiles import welch_pairs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("grp"), "value"
+    ).filter(F.col("value").isNotNull())
+    out = welch_pairs(ev, group="grp", value="value", decimals=2)
+    return out.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        _r6("mean_diff").alias("mean_diff"),
+        _r6("t_stat").alias("t_stat"),
+        _r6("dof").alias("dof"),
+    )
+
+
+SQL_WELCH_PAIRS = """
+WITH g AS (
+  SELECT event_type AS grp, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(sign(value)*floor(abs(value)*100 + 0.5) AS HUGEINT)) AS sx,
+    sum(CAST(sign(value)*floor(abs(value)*100 + 0.5) AS HUGEINT)
+        * CAST(sign(value)*floor(abs(value)*100 + 0.5) AS HUGEINT)) AS sxx
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), s AS (
+  SELECT grp, n,
+    sx::DOUBLE / n::DOUBLE / 100.0 AS m,
+    CAST(n::HUGEINT * sxx - sx * sx AS DOUBLE)
+      / CAST(n::HUGEINT * (n::HUGEINT - 1) AS DOUBLE) / 10000.0 AS v
+  FROM g WHERE n >= 2
+)
+SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2,
+  round(a.m - b.m, 6) AS mean_diff,
+  round((a.m - b.m) / sqrt(a.v / a.n::DOUBLE + b.v / b.n::DOUBLE), 6)
+    AS t_stat,
+  round(((a.v / a.n::DOUBLE + b.v / b.n::DOUBLE)
+         * (a.v / a.n::DOUBLE + b.v / b.n::DOUBLE))
+        / ((a.v / a.n::DOUBLE) * (a.v / a.n::DOUBLE)
+             / CAST(a.n - 1 AS DOUBLE)
+           + (b.v / b.n::DOUBLE) * (b.v / b.n::DOUBLE)
+             / CAST(b.n - 1 AS DOUBLE)), 6) AS dof
+FROM s a JOIN s b ON a.grp < b.grp
+"""
+
+QUERIES["welch_pairs"] = q_welch_pairs
+_RAW_ORACLES["welch_pairs"] = SQL_WELCH_PAIRS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_bloom_members(spark, sf_dir):
+    """Bloom-filter membership audit: a 512-bit / 3-hash filter over
+    purchase users probed by every user (operators/sketches.py
+    bloom_membership, Bloom 1970) — the runtime-filter pre-prune shape;
+    the md5-deterministic bit set lets the oracle rebuild the identical
+    filter, so even the false positives gate EXACT."""
+    from mpds_spark.operators.sketches import bloom_membership
+
+    ev = _events(spark, sf_dir)
+    ref = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    out = bloom_membership(ref, ev.select("user_id"), key="user_id",
+                           m=512, k=3)
+    return out.select(
+        "user_id", "bloom_positive", "actual_member", "false_positive"
+    )
+
+
+SQL_BLOOM_MEMBERS = """
+WITH ref AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE event_type = 'purchase'
+), gen AS (SELECT unnest([0, 1, 2]) AS i),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || '|' || r.k), 1, 15))
+      ::UBIGINT % 512 AS pos
+  FROM ref r CROSS JOIN gen g
+), probe AS (
+  SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+), pp AS (
+  SELECT p.k,
+    ('0x' || substring(md5(CAST(g.i AS VARCHAR) || '|' || p.k), 1, 15))
+      ::UBIGINT % 512 AS pos
+  FROM probe p CROSS JOIN gen g
+), v AS (
+  SELECT pp.k,
+    sum(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) = 3 AS bloom_positive
+  FROM pp LEFT JOIN bits b ON b.pos = pp.pos GROUP BY pp.k
+)
+SELECT v.k AS user_id, v.bloom_positive,
+  r.k IS NOT NULL AS actual_member,
+  v.bloom_positive AND r.k IS NULL AS false_positive
+FROM v LEFT JOIN ref r ON r.k = v.k
+"""
+
+QUERIES["bloom_members"] = q_bloom_members
+_RAW_ORACLES["bloom_members"] = SQL_BLOOM_MEMBERS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

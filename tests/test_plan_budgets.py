@@ -278,6 +278,14 @@ BUDGETS = {
     "fuzzy_name_pairs": {
         "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0,
     },
+    # FK audit: 3 relations x (fact-key agg + dim distinct + full-outer
+    # SMJ exchange) — a full outer join cannot broadcast; Welch: one
+    # 2-phase group agg, the pair theta join runs on the 5-row aggregate
+    # frame (registered BNLJ-by-design); Bloom: ref/probe distincts +
+    # bit-set distinct + verdict agg, both joins broadcast
+    "fk_integrity": {"shuffle": 9, "python": 0, "cartesian": 0, "bnlj": 0},
+    "welch_pairs": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1},
+    "bloom_members": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -137,6 +137,7 @@ def test_catalog_plan_inventory(spark):
         "psi_drift",           # broadcast 1-row midpoint / bin-edge fits
         "lagged_corr",         # broadcast 1-row hour-span fit x |entities|
         "survival_km",         # broadcast 1-row corpus-max censor boundary
+        "welch_pairs",         # pair theta join over the 5-row moment frame
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

@@ -112,3 +112,47 @@ def test_benford_audit_matches_counter(spark):
             assert r[f"d{d}"] == obs[d], (g, d)
         assert abs(r["chi2"] - chi2) < 1e-9 * max(1.0, chi2)
         assert abs(r["mad"] - mad) < 1e-12
+
+
+def test_welch_pairs_matches_scipy_formula(spark):
+    """Welch t/dof must match the textbook computation over exact
+    cents (no scipy in the sandbox — the closed form IS the test)."""
+    import math
+
+    from mpds_spark.operators.profiles import welch_pairs
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, mu, sd, n in [("a", 10, 3, 50), ("b", 12, 5, 80),
+                         ("c", 10, 1, 2)]:
+        for v in rng.normal(mu, sd, size=n):
+            rows.append((g, round(float(v), 2)))
+    pdf = pd.DataFrame(rows, columns=["grp", "value"])
+    got = {
+        (r["g1"], r["g2"]): r
+        for r in welch_pairs(
+            spark.createDataFrame(pdf), group="grp", value="value"
+        ).collect()
+    }
+    stats = {}
+    for g, sub in pdf.groupby("grp"):
+        y = [int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+             for v in sub["value"]]
+        n = len(y)
+        sx, sxx = sum(y), sum(a * a for a in y)
+        m = sx / n / 100.0
+        v = (n * sxx - sx * sx) / (n * (n - 1)) / 10000.0
+        stats[g] = (n, m, v)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (g1, g2), r in got.items():
+        n1, m1, v1 = stats[g1]
+        n2, m2, v2 = stats[g2]
+        se1, se2 = v1 / n1, v2 / n2
+        t = (m1 - m2) / math.sqrt(se1 + se2)
+        dof = (se1 + se2) ** 2 / (
+            se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)
+        )
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert abs(r["mean_diff"] - (m1 - m2)) < 1e-12
+        assert abs(r["t_stat"] - t) < 1e-9 * max(1.0, abs(t))
+        assert abs(r["dof"] - dof) < 1e-9 * dof

@@ -104,3 +104,38 @@ def test_countmin_one_sided_and_skew(spark):
     vc = pdf["key"].value_counts()
     for _, r in got.iterrows():
         assert r["n_exact"] == vc[r["key"]]
+
+
+def test_bloom_membership_one_sided(spark):
+    """No false negatives ever; false positives exactly match the
+    pure-Python rebuild of the same md5 bit set."""
+    from mpds_spark.operators.sketches import bloom_membership
+
+    ref_keys = [str(i) for i in range(0, 40)]
+    probe_keys = [str(i) for i in range(0, 200)]
+    m, k = 128, 3
+    ref = spark.createDataFrame(
+        pd.DataFrame({"key": ref_keys})
+    )
+    probe = spark.createDataFrame(pd.DataFrame({"key": probe_keys}))
+    got = bloom_membership(ref, probe, key="key", m=m, k=k).toPandas()
+    bits = {
+        _h60(f"{i}|{kk}") % m for kk in ref_keys for i in range(k)
+    }
+    want_pos = {
+        kk
+        for kk in probe_keys
+        if all(_h60(f"{i}|{kk}") % m in bits for i in range(k))
+    }
+    assert len(got) == len(probe_keys)
+    for _, r in got.iterrows():
+        kk = r["key"]
+        assert r["bloom_positive"] == (kk in want_pos)
+        assert r["actual_member"] == (kk in set(ref_keys))
+        if r["actual_member"]:
+            assert r["bloom_positive"]  # one-sided: no false negatives
+        assert r["false_positive"] == (
+            r["bloom_positive"] and not r["actual_member"]
+        )
+    # with 40 keys in 128 bits, collisions guarantee a few FPs
+    assert got["false_positive"].sum() > 0

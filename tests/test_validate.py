@@ -148,3 +148,22 @@ def test_gini_concentration_matches_numpy(spark):
     assert got["equal"]["gini"] == 0.0
     assert got["monopoly"]["gini"] == pytest.approx(0.9, abs=0)
     assert got["single"]["gini"] == 0.0
+
+
+def test_referential_audit_counts(spark):
+    import pandas as pd
+
+    from mpds_spark.operators.validate import referential_audit
+
+    fact = spark.createDataFrame(
+        pd.DataFrame({"fk": [1, 1, 2, 5, 5, 5, 7]})
+    )
+    dim = spark.createDataFrame(pd.DataFrame({"dk": [1, 2, 3, 4]}))
+    r = referential_audit(fact, dim, "fk", "dk", "t").collect()[0]
+    assert r["relation"] == "t"
+    assert r["n_fact_rows"] == 7
+    assert r["n_fact_keys"] == 4          # {1, 2, 5, 7}
+    assert r["n_orphan_keys"] == 2        # {5, 7}
+    assert r["n_orphan_rows"] == 4        # three 5s + one 7
+    assert r["n_dim_keys"] == 4
+    assert r["n_unreferenced_dim"] == 2   # {3, 4}
