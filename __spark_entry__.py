@@ -73,6 +73,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (thirteenth batch — continuation session)
+    "phrase_search",
+    "decayed_counts",
+    "ratio_to_parent",
     # new in round 5 (twelfth batch — continuation session)
     "fk_integrity",
     "welch_pairs",

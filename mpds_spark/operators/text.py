@@ -1507,3 +1507,48 @@ def token_entropy(
         ),
         (nt / F.col("__n")).alias("ttr"),
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    w1: str,
+    w2: str,
+    doc_id: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Positional inverted-index phrase search: find documents
+    containing the exact two-word phrase "w1 w2" by joining the two
+    terms' posting lists on (doc, pos+1) — the way a distributed search
+    engine answers phrase queries, and the shape that scales: the
+    literal-term filters run BEFORE the join, so only the two terms'
+    postings (not the corpus) are shuffled, keyed by doc.
+
+    The DuckDB oracle counts adjacent pairs by direct list scanning of
+    every document, proving the index join finds exactly the same
+    occurrences.
+
+    Returns (doc_id, n_occurrences, first_pos) for matching docs;
+    positions are 1-based word offsets.
+    """
+    words = df.select(
+        F.col(doc_id).alias("__d"),
+        F.posexplode(F.split(F.col(text), " ")).alias("__p", "__w"),
+    )
+    p1 = words.filter(F.col("__w") == w1).select(
+        "__d", (F.col("__p") + 1).alias("__pos")
+    )
+    # fresh names on the right side: both postings share scan lineage, and
+    # a p1["__d"] == p2["__d"] condition degenerates to trivially-true on
+    # the ambiguous self-join (the cogroup-pruning gotcha's sibling)
+    p2 = words.filter(F.col("__w") == w2).select(
+        F.col("__d").alias("__d2"), (F.col("__p") + 1).alias("__pos2")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("__d") == F.col("__d2"))
+        & (F.col("__pos2") == F.col("__pos") + 1),
+    ).select("__d", "__pos")
+    return hits.groupBy(F.col("__d").alias(doc_id)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("__pos").cast("long").alias("first_pos"),
+    )

@@ -17,6 +17,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
@@ -1041,3 +1043,48 @@ def haar_energy(
         ).alias("approx_sq")
     )
     return out.select(*sel)
+
+
+def decayed_counts(
+    df: DataFrame,
+    by: str = "entity_id",
+    ts: str = "ts",
+    half_life_days: float = 7.0,
+    tiebreak: tuple = (),
+) -> DataFrame:
+    """Exponentially-decayed event counter per entity at the corpus
+    boundary (the recency-weighted activity feature fraud/engagement
+    models consume: an event half_life_days old contributes 1/2, twice
+    that 1/4, ...):
+
+        decayed = sum_i exp((t_i - t_now) * ln(2) / half_life)
+
+    Cross-engine determinism: t_now is a broadcast 1-row corpus-max fit
+    (registered BNLJ-by-design); the decay constant is ONE embedded
+    double literal (computed once driver-side, identical parse in the
+    oracle); each term is exp of an exact-integer-microseconds
+    difference scaled by that literal; and the per-entity sum folds a
+    (ts, tiebreak)-sorted array left to right on BOTH engines, pinning
+    float summation order (the token_entropy convention).
+
+    Shape at scale: ONE entity-keyed aggregation; the fold is array-
+    side. Returns (by, n_events, decayed_count).
+    """
+    c = math.log(2.0) / (float(half_life_days) * 86400e6)
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.select(F.col(by), us.alias("__us"), *tiebreak)
+    mx = d.agg(F.max("__us").alias("__mx"))
+    d = d.crossJoin(F.broadcast(mx))
+    term_src = F.struct(F.col("__us"), *[F.col(t) for t in tiebreak])
+    arr = d.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_sort(F.collect_list(term_src)).alias("__a"),
+        F.max("__mx").alias("__m"),
+    )
+    decayed = F.aggregate(
+        F.col("__a"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.exp((s["__us"] - F.col("__m")).cast("double") * F.lit(c)),
+    )
+    return arr.select(by, "n_events", decayed.alias("decayed_count"))

@@ -8661,3 +8661,130 @@ FROM v LEFT JOIN ref r ON r.k = v.k
 QUERIES["bloom_members"] = q_bloom_members
 _RAW_ORACLES["bloom_members"] = SQL_BLOOM_MEMBERS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_phrase_search(spark, sf_dir):
+    """Positional inverted-index phrase search for "fast table"
+    (operators/text.py phrase_search): literal-term posting lists
+    joined on (doc, pos+1) — only the two terms' postings shuffle,
+    never the corpus; the oracle scans every document's word list
+    directly, proving the index join exact."""
+    from mpds_spark.operators.text import phrase_search
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, w1="fast", w2="table")
+
+
+SQL_PHRASE_SEARCH = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), hits AS (
+  SELECT doc_id,
+    list_filter(range(1, len(w)),
+                i -> w[i] = 'fast' AND w[i + 1] = 'table') AS pos
+  FROM ws
+)
+SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_occurrences,
+  CAST(list_min(pos) AS BIGINT) AS first_pos
+FROM hits WHERE len(pos) > 0
+"""
+
+QUERIES["phrase_search"] = q_phrase_search
+_RAW_ORACLES["phrase_search"] = SQL_PHRASE_SEARCH
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Half-life-decayed event counter per user at the corpus boundary
+    (operators/windows.py decayed_counts): one entity agg; terms folded
+    over a (ts, event_id)-sorted array with a single embedded decay
+    literal, so the float sum is order-pinned on both engines."""
+    from mpds_spark.operators.windows import decayed_counts
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_id"
+    )
+    out = decayed_counts(
+        ev, by="entity_id", ts="ts", half_life_days=7.0,
+        tiebreak=("event_id",),
+    )
+    return out.select(
+        "entity_id", "n_events", _r6("decayed_count").alias("decayed_count")
+    )
+
+
+def _decayed_sql() -> str:
+    import math
+
+    c = repr(math.log(2.0) / (7.0 * 86400e6))
+    return f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+), mx AS (SELECT max(us) AS mx FROM d)
+SELECT user_id AS entity_id, CAST(count(*) AS BIGINT) AS n_events,
+  round(list_sum(list(exp((us - (SELECT mx FROM mx))::DOUBLE * {c})
+                      ORDER BY us, event_id)), 6) AS decayed_count
+FROM d GROUP BY user_id
+"""
+
+
+SQL_DECAYED_COUNTS = _decayed_sql()
+
+QUERIES["decayed_counts"] = q_decayed_counts
+_RAW_ORACLES["decayed_counts"] = SQL_DECAYED_COUNTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ratio_to_parent(spark, sf_dir):
+    """Share-of-total reporting rollup: each priority's share of its
+    month's revenue — exact integer cents at both grains (ONE fact agg;
+    the ratio window runs on the |months|x|priorities| aggregate frame
+    only), one double division for the share."""
+    od = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.signum("o_totalprice")
+            * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    g = od.groupBy("month", "priority").agg(
+        F.sum("__c").cast("long").alias("revenue_cents")
+    )
+    w = Window.partitionBy("month")
+    g = g.withColumn(
+        "month_cents", F.sum("revenue_cents").over(w).cast("long")
+    )
+    share = (
+        F.col("revenue_cents").cast("double")
+        / F.col("month_cents").cast("double")
+    )
+    return g.select(
+        "month",
+        "priority",
+        "revenue_cents",
+        "month_cents",
+        _r6(share).alias("share"),
+    )
+
+
+SQL_RATIO_TO_PARENT = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    o_orderpriority AS priority,
+    CAST(sum(CAST(sign(o_totalprice) * floor(abs(o_totalprice)*100 + 0.5)
+             AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, priority, revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY month) AS BIGINT)
+    AS month_cents,
+  round(revenue_cents::DOUBLE
+        / CAST(sum(revenue_cents) OVER (PARTITION BY month) AS DOUBLE),
+        6) AS share
+FROM g
+"""
+
+QUERIES["ratio_to_parent"] = q_ratio_to_parent
+_RAW_ORACLES["ratio_to_parent"] = SQL_RATIO_TO_PARENT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -286,6 +286,16 @@ BUDGETS = {
     "fk_integrity": {"shuffle": 9, "python": 0, "cartesian": 0, "bnlj": 0},
     "welch_pairs": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1},
     "bloom_members": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
+    # phrase search: only the two literal terms' postings shuffle (one
+    # doc-keyed join exchange pair collapses under AQE at toy scale);
+    # decayed counter: one entity agg + 1-row boundary broadcast
+    # (registered BNLJ); ratio-to-parent: one fact agg, ratio window on
+    # the |months|x|priorities| frame
+    "phrase_search": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    "decayed_counts": {
+        "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1,
+    },
+    "ratio_to_parent": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

@@ -138,6 +138,7 @@ def test_catalog_plan_inventory(spark):
         "lagged_corr",         # broadcast 1-row hour-span fit x |entities|
         "survival_km",         # broadcast 1-row corpus-max censor boundary
         "welch_pairs",         # pair theta join over the 5-row moment frame
+        "decayed_counts",      # broadcast 1-row corpus-max decay boundary
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

@@ -1069,3 +1069,39 @@ def test_bm25_scores_matches_bruteforce(spark):
         assert r["n_match"] == hits
         assert abs(r["bm25"] - score) < 1e-12, (doc_id, r["bm25"], score)
     assert len(got) == expected_rows
+
+
+def test_phrase_search_bruteforce(spark):
+    """Index-join phrase hits must equal direct adjacent-pair scans,
+    including overlapping repeats; docs without the phrase are absent."""
+    import pandas as pd
+
+    from mpds_spark.operators.text import phrase_search
+
+    docs = [
+        (0, "fast table fast table slow"),       # 2 occurrences
+        (1, "a fast table"),                     # 1, at pos 2
+        (2, "fast slow table fast"),             # 0
+        (3, "table fast"),                       # 0 (reversed)
+        (4, "fast fast table"),                  # 1, at pos 2
+        (5, "nothing here"),                     # 0
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+        for r in phrase_search(
+            spark.createDataFrame(pdf), w1="fast", w2="table"
+        ).collect()
+    }
+    want = {}
+    for d, t in docs:
+        ws = t.split(" ")
+        pos = [
+            i + 1
+            for i in range(len(ws) - 1)
+            if ws[i] == "fast" and ws[i + 1] == "table"
+        ]
+        if pos:
+            want[d] = (len(pos), pos[0])
+    assert got == want
+    assert got[0] == (2, 1) and got[4] == (1, 2)

@@ -1062,3 +1062,49 @@ def test_blocked_fuzzy_pairs_bruteforce(spark):
     assert (1, 2, 1) in got     # planted typo pair surfaces at dist 1
     assert (4, 7, 0) in got     # exact duplicate name at dist 0
     assert all(a < b for a, b, _ in got)  # canonical orientation
+
+
+def test_decayed_counts_matches_numpy(spark):
+    import math
+
+    from mpds_spark.operators.windows import decayed_counts
+
+    rng = np.random.default_rng(29)
+    rows = []
+    rid = 0
+    for e in range(7):
+        for _ in range(int(rng.integers(1, 30))):
+            rows.append((f"e{e}", float(rng.integers(0, 40 * 86400)), rid))
+            rid += 1
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "event_id"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "event_id"
+    )
+    hl = 3.5
+    got = (
+        decayed_counts(
+            sdf, half_life_days=hl, tiebreak=("event_id",)
+        )
+        .toPandas()
+        .set_index("entity_id")
+    )
+    c = math.log(2.0) / (hl * 86400e6)
+    mx = pdf["ts"].max() * 1e6
+    for e, g in pdf.groupby("entity_id"):
+        g = g.sort_values(["ts", "event_id"])
+        s = 0.0
+        for t in g["ts"]:
+            s += math.exp((t * 1e6 - mx) * c)
+        r = got.loc[e]
+        assert r["n_events"] == len(g)
+        assert abs(r["decayed_count"] - s) < 1e-12 * max(1.0, s)
+    # an event exactly one half-life old contributes ~0.5
+    one = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["x", "x"],
+             "ts": [0.0, hl * 86400.0],
+             "event_id": [0, 1]}
+        )
+    ).selectExpr("entity_id", "to_timestamp(ts) AS ts", "event_id")
+    v = decayed_counts(one, half_life_days=hl).collect()[0]
+    assert abs(v["decayed_count"] - 1.5) < 1e-12
