@@ -73,6 +73,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (fourteenth batch — continuation session)
+    "chi2_independence",
+    "max_drawdown",
+    "activity_streaks",
     # new in round 5 (thirteenth batch — continuation session)
     "phrase_search",
     "decayed_counts",

@@ -242,3 +242,81 @@ def welch_pairs(
         t.alias("t_stat"),
         dof.alias("dof"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row: str = "row_key",
+    col: str = "col_key",
+) -> DataFrame:
+    """Chi-square test of independence over the (row x col) contingency
+    table, with Cramér's V — the are-these-two-categoricals-related
+    audit (hour-of-day vs event mix, source vs language).
+
+    Cross-engine determinism: cell/marginal/total counts are exact
+    longs from ONE aggregation (marginals via windows over the
+    |cells|-sized frame — no second scan); expected = rt*ct/N and each
+    cell's contribution (o-e)^2/e are fixed double expressions; the
+    chi2 total folds the contributions in (row, col)-sorted order on
+    both engines (sorted-array fold over the tiny cell frame).
+
+    Returns one row per cell: (row, col, obs, expected, contrib,
+    chi2_total, dof, cramers_v).
+    """
+    cells = df.groupBy(
+        F.col(row).alias("__r"), F.col(col).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    w_all = Window.partitionBy()
+    w_r = Window.partitionBy("__r")
+    w_c = Window.partitionBy("__c")
+    cells = (
+        cells.withColumn("__rt", F.sum("obs").over(w_r).cast("long"))
+        .withColumn("__ct", F.sum("obs").over(w_c).cast("long"))
+        .withColumn("__n", F.sum("obs").over(w_all).cast("long"))
+        .withColumn(
+            "__nr",
+            F.size(F.collect_set("__r").over(w_all)).cast("long"),
+        )
+        .withColumn(
+            "__nc",
+            F.size(F.collect_set("__c").over(w_all)).cast("long"),
+        )
+    )
+    expected = (
+        (F.col("__rt") * F.col("__ct")).cast("double")
+        / F.col("__n").cast("double")
+    )
+    contrib = (
+        (F.col("obs").cast("double") - expected)
+        * (F.col("obs").cast("double") - expected)
+        / expected
+    )
+    cells = cells.withColumn("expected", expected).withColumn(
+        "contrib", contrib
+    )
+    total = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__r"), F.col("__c"), F.col("contrib"))
+            ).over(w_all)
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["contrib"],
+    )
+    dof = (F.col("__nr") - 1) * (F.col("__nc") - 1)
+    cells = cells.withColumn("chi2_total", total)
+    vmin = F.least(F.col("__nr") - 1, F.col("__nc") - 1)
+    cramers = F.sqrt(
+        F.col("chi2_total")
+        / (F.col("__n") * vmin).cast("double")
+    )
+    return cells.select(
+        F.col("__r").alias(row),
+        F.col("__c").alias(col),
+        "obs",
+        "expected",
+        "contrib",
+        "chi2_total",
+        dof.cast("long").alias("dof"),
+        cramers.alias("cramers_v"),
+    )

@@ -1088,3 +1088,86 @@ def decayed_counts(
         + F.exp((s["__us"] - F.col("__m")).cast("double") * F.lit(c)),
     )
     return arr.select(by, "n_events", decayed.alias("decayed_count"))
+
+
+def max_drawdown(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    decimals: int = 2,
+    tiebreak: tuple = (),
+) -> DataFrame:
+    """Maximum drawdown of each entity's cumulative value stream (the
+    risk/health feature: worst peak-to-trough fall of the running
+    total). Everything is exact integer cents — running sum, running
+    max, and their difference — so the gate is exact with no float
+    folds at all.
+
+    Shape at scale: ONE entity-keyed exchange shared by the two running
+    windows (cumsum + cummax) and the final per-entity rollup (subset
+    rule). Returns (by, n_events, final_cents, peak_cents,
+    max_drawdown_cents).
+    """
+    scale = int(10**decimals)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = df.select(
+        F.col(by), us.alias("__us"), cents.alias("__y"), *tiebreak
+    )
+    w = Window.partitionBy(by).orderBy("__us", *tiebreak)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        d.withColumn("__cum", F.sum("__y").over(wc).cast("long"))
+        .withColumn("__peak", F.max("__cum").over(wc).cast("long"))
+        .withColumn("__dd", F.col("__peak") - F.col("__cum"))
+    )
+    return d.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__y").cast("long").alias("final_cents"),
+        F.max("__peak").cast("long").alias("peak_cents"),
+        F.max("__dd").cast("long").alias("max_drawdown_cents"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    by: str = "entity_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Longest consecutive-day activity streak per entity (the
+    engagement feature), via gaps-and-islands over distinct active
+    days: day - row_number(day) is constant exactly within a
+    consecutive run, so one distinct + one window + two rollups give
+    every streak without a self-join.
+
+    All values exact longs. Shape at scale: one (entity, day)-keyed
+    distinct exchange + one entity-keyed exchange shared by the
+    row_number window and both rollups (subset rule) — two exchanges
+    total, no self-join.
+
+    Returns (by, n_active_days, n_streaks, longest_streak,
+    current_streak_end_day).
+    """
+    days = df.select(
+        F.col(by), F.expr(
+            f"unix_micros(cast({ts} as timestamp)) div 86400000000"
+        ).alias("__day")
+    ).distinct()
+    w = Window.partitionBy(by).orderBy("__day")
+    runs = days.withColumn(
+        "__anchor", F.col("__day") - F.row_number().over(w)
+    )
+    streaks = runs.groupBy(by, "__anchor").agg(
+        F.count(F.lit(1)).cast("long").alias("__len"),
+        F.max("__day").alias("__end"),
+    )
+    return streaks.groupBy(by).agg(
+        F.sum("__len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("__len").cast("long").alias("longest_streak"),
+        F.max("__end").cast("long").alias("current_streak_end_day"),
+    )

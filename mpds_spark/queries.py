@@ -8788,3 +8788,157 @@ FROM g
 QUERIES["ratio_to_parent"] = q_ratio_to_parent
 _RAW_ORACLES["ratio_to_parent"] = SQL_RATIO_TO_PARENT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence of six-hour daypart vs event type
+    (operators/profiles.py chi2_independence): exact contingency cells
+    from ONE agg, marginals via windows over the 20-cell frame,
+    contributions folded in (row,col)-sorted order, Cramér's V."""
+    from mpds_spark.operators.profiles import chi2_independence
+
+    ev = _events(spark, sf_dir).select(
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp)) "
+            "div 21600000000) % 4 as bigint)"
+        ).alias("daypart"),
+        "event_type",
+    )
+    out = chi2_independence(ev, row="daypart", col="event_type")
+    return out.select(
+        "daypart",
+        "event_type",
+        "obs",
+        _r6("expected").alias("expected"),
+        _r6("contrib").alias("contrib"),
+        _r6("chi2_total").alias("chi2_total"),
+        "dof",
+        _r6("cramers_v").alias("cramers_v"),
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH e AS (
+  SELECT CAST((epoch_us(ts) // 21600000000) % 4 AS BIGINT) AS daypart,
+    event_type
+  FROM events
+), cells AS (
+  SELECT daypart, event_type, CAST(count(*) AS BIGINT) AS obs
+  FROM e GROUP BY daypart, event_type
+), m AS (
+  SELECT daypart, event_type, obs,
+    CAST(sum(obs) OVER (PARTITION BY daypart) AS BIGINT) AS rt,
+    CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+    CAST(sum(obs) OVER () AS BIGINT) AS n
+  FROM cells
+), x AS (
+  SELECT *,
+    CAST(rt * ct AS DOUBLE) / n::DOUBLE AS expected,
+    (obs::DOUBLE - CAST(rt * ct AS DOUBLE) / n::DOUBLE)
+      * (obs::DOUBLE - CAST(rt * ct AS DOUBLE) / n::DOUBLE)
+      / (CAST(rt * ct AS DOUBLE) / n::DOUBLE) AS contrib
+  FROM m
+), tot AS (
+  SELECT list_sum(list(contrib ORDER BY daypart, event_type)) AS chi2,
+    CAST(count(DISTINCT daypart) AS BIGINT) AS nr,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS nc,
+    CAST(max(n) AS BIGINT) AS n
+  FROM x
+)
+SELECT x.daypart, x.event_type, x.obs,
+  round(x.expected, 6) AS expected,
+  round(x.contrib, 6) AS contrib,
+  round(t.chi2, 6) AS chi2_total,
+  CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+  round(sqrt(t.chi2 / CAST(t.n * least(t.nr - 1, t.nc - 1) AS DOUBLE)),
+        6) AS cramers_v
+FROM x CROSS JOIN tot t
+"""
+
+QUERIES["chi2_independence"] = q_chi2_independence
+_RAW_ORACLES["chi2_independence"] = SQL_CHI2_INDEPENDENCE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Max drawdown of each user's cumulative value stream
+    (operators/windows.py max_drawdown): running sum + running max +
+    rollup all exact integer cents on ONE entity exchange — zero float
+    folds anywhere."""
+    from mpds_spark.operators.windows import max_drawdown
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "value", "event_id"
+    ).filter(F.col("value").isNotNull())
+    return max_drawdown(
+        ev, value="value", ts="ts", by="entity_id",
+        tiebreak=("event_id",),
+    )
+
+
+SQL_MAX_DRAWDOWN = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+    CAST(sign(value) * floor(abs(value)*100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+), cu AS (
+  SELECT user_id, us, event_id, y,
+    CAST(sum(y) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM e
+), c AS (
+  SELECT user_id, y, cum,
+    CAST(max(cum) OVER (PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+  FROM cu
+)
+SELECT user_id AS entity_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(y) AS BIGINT) AS final_cents,
+  CAST(max(peak) AS BIGINT) AS peak_cents,
+  CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents
+FROM c GROUP BY user_id
+"""
+
+QUERIES["max_drawdown"] = q_max_drawdown
+_RAW_ORACLES["max_drawdown"] = SQL_MAX_DRAWDOWN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_activity_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user (operators/windows.py
+    activity_streaks): gaps-and-islands over distinct active days —
+    day minus row_number is constant within a run; the whole chain is
+    entity-cluster-keyed, no self-join."""
+    from mpds_spark.operators.windows import activity_streaks
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    return activity_streaks(ev, by="entity_id", ts="ts")
+
+
+SQL_ACTIVITY_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      AS anchor
+  FROM d
+), s AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len,
+    CAST(max(day) AS BIGINT) AS end_day
+  FROM r GROUP BY user_id, anchor
+)
+SELECT user_id AS entity_id,
+  CAST(sum(len) AS BIGINT) AS n_active_days,
+  CAST(count(*) AS BIGINT) AS n_streaks,
+  CAST(max(len) AS BIGINT) AS longest_streak,
+  CAST(max(end_day) AS BIGINT) AS current_streak_end_day
+FROM s GROUP BY user_id
+"""
+
+QUERIES["activity_streaks"] = q_activity_streaks
+_RAW_ORACLES["activity_streaks"] = SQL_ACTIVITY_STREAKS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

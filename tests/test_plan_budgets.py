@@ -296,6 +296,12 @@ BUDGETS = {
         "shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1,
     },
     "ratio_to_parent": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # chi2: one cell agg + marginal/total windows on the 20-cell frame;
+    # drawdown: cumsum/cummax/rollup on ONE entity exchange;
+    # streaks: (entity,day) distinct exchange + entity window/rollups
+    "chi2_independence": {"shuffle": 2, "python": 0, "cartesian": 0},
+    "max_drawdown": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "activity_streaks": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

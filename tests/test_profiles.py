@@ -156,3 +156,44 @@ def test_welch_pairs_matches_scipy_formula(spark):
         assert abs(r["mean_diff"] - (m1 - m2)) < 1e-12
         assert abs(r["t_stat"] - t) < 1e-9 * max(1.0, abs(t))
         assert abs(r["dof"] - dof) < 1e-9 * dof
+
+
+def test_chi2_independence_matches_direct(spark):
+    """Cell contributions / chi2 / Cramér's V vs the textbook formula
+    over a planted contingency table (one strongly dependent pair, one
+    independent-ish)."""
+    import math
+
+    from mpds_spark.operators.profiles import chi2_independence
+
+    rows = (
+        [("m", "x")] * 40 + [("m", "y")] * 10
+        + [("n", "x")] * 10 + [("n", "y")] * 40
+        + [("o", "x")] * 25 + [("o", "y")] * 25
+    )
+    pdf = pd.DataFrame(rows, columns=["r", "c"])
+    got = chi2_independence(
+        spark.createDataFrame(pdf), row="r", col="c"
+    ).collect()
+    obs = {}
+    for r, c in rows:
+        obs[(r, c)] = obs.get((r, c), 0) + 1
+    n = len(rows)
+    rt = {r: sum(v for (rr, _), v in obs.items() if rr == r)
+          for r in "mno"}
+    ct = {c: sum(v for (_, cc), v in obs.items() if cc == c)
+          for c in "xy"}
+    chi2 = 0.0
+    for r in "mno":
+        for c in "xy":
+            e = rt[r] * ct[c] / n
+            chi2 += (obs[(r, c)] - e) ** 2 / e
+    v = math.sqrt(chi2 / (n * min(2, 1)))
+    assert len(got) == 6
+    for row in got:
+        e = rt[row["r"]] * ct[row["c"]] / n
+        assert row["obs"] == obs[(row["r"], row["c"])]
+        assert abs(row["expected"] - e) < 1e-12
+        assert abs(row["chi2_total"] - chi2) < 1e-9
+        assert row["dof"] == 2
+        assert abs(row["cramers_v"] - v) < 1e-9

@@ -1108,3 +1108,68 @@ def test_decayed_counts_matches_numpy(spark):
     ).selectExpr("entity_id", "to_timestamp(ts) AS ts", "event_id")
     v = decayed_counts(one, half_life_days=hl).collect()[0]
     assert abs(v["decayed_count"] - 1.5) < 1e-12
+
+
+def test_max_drawdown_matches_numpy(spark):
+    from mpds_spark.operators.windows import max_drawdown
+
+    rng = np.random.default_rng(37)
+    rows = []
+    rid = 0
+    for e in range(5):
+        for _ in range(int(rng.integers(3, 40))):
+            rows.append(
+                (f"e{e}", float(rid), round(float(rng.normal(0, 20)), 2))
+            )
+            rid += 1
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    pdf["event_id"] = range(len(pdf))
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "value", "event_id"
+    )
+    got = (
+        max_drawdown(sdf, tiebreak=("event_id",))
+        .toPandas()
+        .set_index("entity_id")
+    )
+    for e, g in pdf.groupby("entity_id"):
+        g = g.sort_values(["ts", "event_id"])
+        y = np.array([
+            int(np.sign(v) * np.floor(abs(v) * 100 + 0.5))
+            for v in g["value"]
+        ])
+        cum = np.cumsum(y)
+        peak = np.maximum.accumulate(cum)
+        r = got.loc[e]
+        assert r["n_events"] == len(y)
+        assert r["final_cents"] == cum[-1]
+        assert r["peak_cents"] == peak.max()
+        assert r["max_drawdown_cents"] == (peak - cum).max()
+
+
+def test_activity_streaks_planted(spark):
+    from mpds_spark.operators.windows import activity_streaks
+
+    day = 86400.0
+    rows = (
+        # e0: days 1,2,3 then 7,8 -> streaks 3 and 2
+        [("e0", d * day + 100.0) for d in [1, 2, 3, 7, 8]]
+        # two events same day must collapse to one active day
+        + [("e0", 2 * day + 500.0)]
+        # e1: one day only
+        + [("e1", 40 * day)]
+    )
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts"
+    )
+    got = {
+        r["entity_id"]: r for r in activity_streaks(sdf).collect()
+    }
+    assert got["e0"]["n_active_days"] == 5
+    assert got["e0"]["n_streaks"] == 2
+    assert got["e0"]["longest_streak"] == 3
+    assert got["e0"]["current_streak_end_day"] == 8
+    assert got["e1"]["n_active_days"] == 1
+    assert got["e1"]["longest_streak"] == 1
+    assert got["e1"]["current_streak_end_day"] == 40
