@@ -73,6 +73,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # on final code (tools/check_correctness.py — the same value gate; see
 # BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (fifteenth batch — continuation session)
+    "pareto_frontier",
+    "linear_attribution",
     # new in round 5 (fourteenth batch — continuation session)
     "chi2_independence",
     "max_drawdown",

@@ -220,3 +220,100 @@ def temporal_motifs(
         .orderBy(F.desc("n"), "t1", "t2", "t3")
         .limit(int(k))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    entity: str = "entity_id",
+    ts: str = "ts",
+    kind: str = "event_type",
+    value: str = "value",
+    conversion: str = "purchase",
+    touch_kinds: tuple = ("view", "click"),
+    lookback: float = 7 * 86400.0,
+    event_id: str = "event_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's value is split
+    equally across its touch events inside the lookback window, then
+    rolled up per touch type — the marketing-mix sibling of the
+    conversion funnel. Conversions with zero touches land in the
+    '(none)' bucket whole.
+
+    Cross-engine determinism: per-conversion touch counts are exact
+    longs; each conversion contributes cents * n_type / n_total (ONE
+    double division); the per-type totals fold contributions sorted by
+    conversion id on BOTH engines (the token_entropy pinned-order
+    convention). At 10^12 conversions the pinned-order fold becomes a
+    hierarchical two-level fold (per-bucket then bucket-ordered) — the
+    same trade documented on ewma_features.
+
+    Shape at scale: the touch-window match is the interval-join shape —
+    entity equi-key drives the join, the time range is a post-filter;
+    counts and the type rollup are conversion-/type-keyed aggs.
+
+    Returns (touch_type, n_conversions, n_touches, attributed_value).
+    """
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    back_us = int(round(float(lookback) * 1e6))
+    scale = 100
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    conv = events.filter(F.col(kind) == conversion).select(
+        F.col(entity).alias("__e"),
+        us.alias("__cu"),
+        cents.alias("__cents"),
+        F.col(event_id).alias("__cid"),
+    )
+    touch = events.filter(
+        F.col(kind).isin(list(touch_kinds))
+    ).select(
+        F.col(entity).alias("__e2"),
+        us.alias("__tu"),
+        F.col(kind).alias("__tk"),
+    )
+    matched = conv.join(
+        touch,
+        (F.col("__e") == F.col("__e2"))
+        & (F.col("__tu") <= F.col("__cu"))
+        & (F.col("__tu") > F.col("__cu") - F.lit(back_us)),
+        "left",
+    )
+    per_conv = matched.groupBy("__cid", "__cents").agg(
+        F.count("__tk").cast("long").alias("__n")
+    )
+    per_type = matched.filter(F.col("__tk").isNotNull()).groupBy(
+        "__cid", "__tk"
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nt"))
+    typed = per_type.join(per_conv, "__cid").select(
+        "__cid",
+        "__tk",
+        "__nt",
+        (
+            F.col("__cents").cast("double")
+            * F.col("__nt").cast("double")
+            / F.col("__n").cast("double")
+            / F.lit(float(scale))
+        ).alias("__contrib"),
+    )
+    untouched = per_conv.filter(F.col("__n") == 0).select(
+        "__cid",
+        F.lit("(none)").alias("__tk"),
+        F.lit(0).cast("long").alias("__nt"),
+        (F.col("__cents").cast("double") / F.lit(float(scale))).alias(
+            "__contrib"
+        ),
+    )
+    allc = typed.unionByName(untouched)
+    return allc.groupBy(F.col("__tk").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum("__nt").cast("long").alias("n_touches"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__cid"), F.col("__contrib")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__contrib"],
+        ).alias("attributed_value"),
+    )

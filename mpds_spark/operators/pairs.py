@@ -622,3 +622,52 @@ def blocked_fuzzy_pairs(
         .orderBy("dist", "key_a", "key_b")
         .limit(int(k))
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    key: str = "id",
+    minimize: str = "cost",
+    maximize: str = "benefit",
+    decimals: int = 2,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated on
+    (minimize asc, maximize desc) — the price/performance shortlist
+    query (Börzsönyi et al. 2001). A row survives iff no other row is
+    <= on cost AND >= on benefit with at least one strict; duplicate
+    (cost, benefit) points all survive (no strict edge).
+
+    Implemented with the one-sort 2-D skyline: over the cost order,
+    a row is dominated exactly when a strictly cheaper row reaches its
+    benefit (RANGE frame ending at -1 on exact integer cost cents) or a
+    same-cost row strictly exceeds it (RANGE frame 0..0). Both frames
+    share ONE ordering. All comparisons exact integer cents.
+
+    Shape at scale: the window is global (skylines are global
+    statements) — at 10^12 rows this becomes range-partition by cost +
+    per-partition skyline + boundary-max carry, the salted-LOCF
+    two-pass; at catalog scale the single-partition pass over the
+    pre-aggregated frame is the honest plan and is budget-pinned.
+
+    Returns the surviving rows (key, minimize, maximize).
+    """
+    scale = int(10**decimals)
+    cents = (
+        F.signum(F.col(minimize))
+        * F.floor(F.abs(F.col(minimize)) * scale + F.lit(0.5))
+    ).cast("long")
+    d = df.select(
+        F.col(key), cents.alias("__c"), F.col(maximize).alias("__b"),
+        F.col(minimize),
+    )
+    w = Window.orderBy("__c")
+    cheaper = w.rangeBetween(Window.unboundedPreceding, -1)
+    same = w.rangeBetween(0, 0)
+    d = d.withColumn(
+        "__mcheap", F.max("__b").over(cheaper)
+    ).withColumn("__msame", F.max("__b").over(same))
+    keep = (
+        F.coalesce(F.col("__mcheap") < F.col("__b"), F.lit(True))
+        & (F.col("__b") == F.col("__msame"))
+    )
+    return d.filter(keep).select(key, minimize, F.col("__b").alias(maximize))

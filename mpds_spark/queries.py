@@ -8942,3 +8942,103 @@ FROM s GROUP BY user_id
 QUERIES["activity_streaks"] = q_activity_streaks
 _RAW_ORACLES["activity_streaks"] = SQL_ACTIVITY_STREAKS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier of parts on (price asc, size desc)
+    (operators/pairs.py pareto_frontier, Börzsönyi et al. 2001): the
+    one-sort skyline — two RANGE frames on exact price cents over one
+    ordering; the oracle is the NOT-EXISTS domination definition
+    itself, proving the window formulation."""
+    from mpds_spark.operators.pairs import pareto_frontier
+
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return pareto_frontier(
+        pt, key="p_partkey", minimize="p_retailprice",
+        maximize="p_size",
+    )
+
+
+SQL_PARETO_FRONTIER = """
+WITH p AS (
+  SELECT p_partkey, p_retailprice, p_size,
+    CAST(sign(p_retailprice) * floor(abs(p_retailprice)*100 + 0.5)
+         AS BIGINT) AS c
+  FROM part
+)
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.c <= a.c AND b.p_size >= a.p_size
+    AND (b.c < a.c OR b.p_size > a.p_size)
+)
+"""
+
+QUERIES["pareto_frontier"] = q_pareto_frontier
+_RAW_ORACLES["pareto_frontier"] = SQL_PARETO_FRONTIER
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution of purchase value to view/click
+    touches within a 7-day lookback (operators/funnels.py
+    linear_attribution): interval-join shape (entity equi-key, range
+    post-filter), exact touch counts, per-type totals folded in
+    conversion-id order; zero-touch conversions land in '(none)'."""
+    from mpds_spark.operators.funnels import linear_attribution
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        "event_type",
+        "value",
+        "event_id",
+    )
+    out = linear_attribution(ev)
+    return out.select(
+        "touch_type",
+        "n_conversions",
+        "n_touches",
+        _r6("attributed_value").alias("attributed_value"),
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH conv AS (
+  SELECT event_id AS cid, user_id, epoch_us(ts) AS cu,
+    CAST(sign(value) * floor(abs(value)*100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_type AS tk
+  FROM events WHERE event_type IN ('view', 'click')
+), m AS (
+  SELECT c.cid, c.cents, t.tk
+  FROM conv c LEFT JOIN touch t ON t.user_id = c.user_id
+    AND t.tu <= c.cu AND t.tu > c.cu - 604800000000
+), pc AS (
+  SELECT cid, cents, CAST(count(tk) AS BIGINT) AS n
+  FROM m GROUP BY cid, cents
+), pt AS (
+  SELECT cid, tk, CAST(count(*) AS BIGINT) AS nt
+  FROM m WHERE tk IS NOT NULL GROUP BY cid, tk
+), typed AS (
+  SELECT pt.cid, pt.tk, pt.nt,
+    pc.cents::DOUBLE * pt.nt::DOUBLE / pc.n::DOUBLE / 100.0 AS contrib
+  FROM pt JOIN pc ON pc.cid = pt.cid
+  UNION ALL
+  SELECT cid, '(none)' AS tk, CAST(0 AS BIGINT) AS nt,
+    cents::DOUBLE / 100.0 AS contrib
+  FROM pc WHERE n = 0
+)
+SELECT tk AS touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+  CAST(sum(nt) AS BIGINT) AS n_touches,
+  round(list_sum(list(contrib ORDER BY cid)), 6) AS attributed_value
+FROM typed GROUP BY tk
+"""
+
+QUERIES["linear_attribution"] = q_linear_attribution
+_RAW_ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -302,6 +302,14 @@ BUDGETS = {
     "chi2_independence": {"shuffle": 2, "python": 0, "cartesian": 0},
     "max_drawdown": {"shuffle": 1, "python": 0, "cartesian": 0},
     "activity_streaks": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # skyline: ONE global single-partition window (documented: the
+    # range-partition+carry two-pass is the at-scale variant);
+    # attribution: interval-join shape + conversion/type aggs + the
+    # pinned-order type fold
+    "pareto_frontier": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "linear_attribution": {
+        "shuffle": 6, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
 }
 
 

@@ -1173,3 +1173,97 @@ def test_activity_streaks_planted(spark):
     assert got["e1"]["n_active_days"] == 1
     assert got["e1"]["longest_streak"] == 1
     assert got["e1"]["current_streak_end_day"] == 40
+
+
+def test_pareto_frontier_bruteforce(spark):
+    """Window skyline must equal the domination definition, including
+    duplicate-point survival and same-cost domination."""
+    from mpds_spark.operators.pairs import pareto_frontier
+
+    rng = np.random.default_rng(43)
+    rows = [
+        (i, round(float(c), 2), int(b))
+        for i, (c, b) in enumerate(
+            zip(rng.uniform(1, 50, 60), rng.integers(1, 30, 60))
+        )
+    ]
+    rows += [(100, 1.0, 1), (101, 1.0, 1)]  # duplicate point: both live
+    rows += [(102, 1.0, 0)]  # same cost, smaller benefit: dominated
+    pdf = pd.DataFrame(rows, columns=["id", "cost", "benefit"])
+    got = {
+        r["id"]
+        for r in pareto_frontier(
+            spark.createDataFrame(pdf), key="id", minimize="cost",
+            maximize="benefit",
+        ).collect()
+    }
+    cents = {i: int(np.floor(abs(c) * 100 + 0.5) * np.sign(c))
+             for i, c, _ in rows}
+    want = set()
+    for i, c, b in rows:
+        dominated = any(
+            cents[j] <= cents[i] and bb >= b
+            and (cents[j] < cents[i] or bb > b)
+            for j, _, bb in rows if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+    assert {100, 101} <= got and 102 not in got
+
+
+def test_linear_attribution_bruteforce(spark):
+    from collections import defaultdict
+
+    from mpds_spark.operators.funnels import linear_attribution
+
+    rng = np.random.default_rng(47)
+    rows = []
+    rid = 0
+    kinds = ["view", "click", "purchase", "error"]
+    for e in range(8):
+        t = 0.0
+        for _ in range(int(rng.integers(3, 30))):
+            t += float(rng.integers(60, 5 * 86400))
+            rows.append(
+                (f"e{e}", t, kinds[rng.integers(0, 4)],
+                 round(float(rng.uniform(1, 99)), 2), rid)
+            )
+            rid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["entity_id", "ts", "event_type", "value", "event_id"]
+    )
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "entity_id", "to_timestamp(ts) AS ts", "event_type", "value",
+        "event_id",
+    )
+    got = {
+        r["touch_type"]: r
+        for r in linear_attribution(sdf, lookback=2 * 86400.0).collect()
+    }
+
+    want_val = defaultdict(float)
+    want_nc = defaultdict(int)
+    want_nt = defaultdict(int)
+    for _, p in pdf[pdf.event_type == "purchase"].iterrows():
+        win = pdf[
+            (pdf.entity_id == p.entity_id)
+            & (pdf.event_type.isin(["view", "click"]))
+            & (pdf.ts <= p.ts)
+            & (pdf.ts > p.ts - 2 * 86400.0)
+        ]
+        cents = int(np.floor(abs(p.value) * 100 + 0.5) * np.sign(p.value))
+        if len(win) == 0:
+            want_val["(none)"] += cents / 100.0
+            want_nc["(none)"] += 1
+            continue
+        n = len(win)
+        for tk, cnt in win.event_type.value_counts().items():
+            want_val[tk] += cents * float(cnt) / n / 100.0
+            want_nc[tk] += 1
+            want_nt[tk] += int(cnt)
+    assert set(got) == set(want_val)
+    for tk, r in got.items():
+        assert r["n_conversions"] == want_nc[tk]
+        assert r["n_touches"] == want_nt[tk]
+        assert abs(r["attributed_value"] - want_val[tk]) < 1e-9
