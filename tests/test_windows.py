@@ -1038,16 +1038,21 @@ def test_blocked_fuzzy_pairs_bruteforce(spark):
         (10, "blue jolt"),
     ]
     pdf = pd.DataFrame(names, columns=["id", "name"])
-    got = [
-        (r["key_a"], r["key_b"], r["dist"])
-        for r in blocked_fuzzy_pairs(
-            spark.createDataFrame(pdf), key="id", name="name",
-            max_dist=3, k=50,
-        ).collect()
-    ]
+    rows = blocked_fuzzy_pairs(
+        spark.createDataFrame(pdf), key="id", name="name",
+        max_dist=3, k=50,
+    ).collect()
+    got = [(r["key_a"], r["key_b"], r["dist"]) for r in rows]
+    counts = {r["key_a"]: r["n_a"] for r in rows}
+    counts.update({r["key_b"]: r["n_b"] for r in rows})
 
-    blocks = {}
+    # distinct-values flow: one node per distinct name, min-id rep
+    reps = {}
     for i, n in names:
+        if n not in reps or i < reps[n][0]:
+            reps[n] = (i, n)
+    blocks = {}
+    for i, n in reps.values():
         blocks.setdefault((n.split(" ")[-1], n[0]), []).append((i, n))
     want = []
     for members in blocks.values():
@@ -1060,7 +1065,9 @@ def test_blocked_fuzzy_pairs_bruteforce(spark):
     want.sort(key=lambda t: (t[2], t[0], t[1]))
     assert got == want
     assert (1, 2, 1) in got     # planted typo pair surfaces at dist 1
-    assert (4, 7, 0) in got     # exact duplicate name at dist 0
+    # duplicate "red widget" rows collapse to rep id 4 with n=2
+    assert 7 not in counts
+    assert counts.get(4, None) == 2 or 4 not in counts
     assert all(a < b for a, b, _ in got)  # canonical orientation
 
 
