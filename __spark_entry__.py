@@ -70,6 +70,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixteenth batch — continuation session)
+    "ltv_curves",
+    "fulfillment_latency",
+    "log_odds_words",
     # new in round 5 (fifteenth batch — continuation session)
     "pareto_frontier",
     "linear_attribution",

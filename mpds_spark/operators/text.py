@@ -6,7 +6,7 @@ mpds_spark/queries.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mpds_spark.operators.dedup import shingles, words_col
@@ -1551,4 +1551,88 @@ def phrase_search(
     return hits.groupBy(F.col("__d").alias(doc_id)).agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("__pos").cast("long").alias("first_pos"),
+    )
+
+
+def log_odds_words(
+    df: DataFrame,
+    group_a: str,
+    group_b: str,
+    group: str = "source",
+    text: str = "text",
+    alpha0: float = 100.0,
+    k: int = 20,
+) -> DataFrame:
+    """Most-distinctive words of corpus A vs corpus B by weighted
+    log-odds-ratio with an informative Dirichlet prior (Monroe, Colaresi
+    & Quinn 2008) — the which-words-define-this-source feature behind
+    domain tagging and drift narratives; strictly better behaved than
+    raw tf-idf deltas on rare words because the pooled prior shrinks
+    them.
+
+        delta_w = ln((y_aw + a_w)/(n_a + a0 - y_aw - a_w))
+                - ln((y_bw + a_w)/(n_b + a0 - y_bw - a_w))
+        z_w     = delta_w / sqrt(1/(y_aw + a_w) + 1/(y_bw + a_w))
+
+    with a_w = a0 * pooled_w / pooled_total.
+
+    Cross-engine determinism: all counts exact longs from ONE word-keyed
+    aggregation over the two groups (conditional sums — the pooled
+    marginal is their sum, no second scan); the prior and z are fixed
+    double expressions; top-k by (rounded z desc, word) via TakeOrdered.
+
+    Returns the k words most distinctive of group_a:
+    (word, y_a, y_b, delta, z).
+    """
+    from mpds_spark.functions.timeutil import duck_round
+
+    w = (
+        df.filter(F.col(group).isin([group_a, group_b]))
+        .select(
+            (F.col(group) == group_a).alias("__a"),
+            F.explode(F.split(F.col(text), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    counts = w.groupBy("word").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0))
+        .cast("long")
+        .alias("y_a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1))
+        .cast("long")
+        .alias("y_b"),
+    )
+    w_tot = Window.partitionBy()
+    counts = (
+        counts.withColumn(
+            "__na", F.sum("y_a").over(w_tot).cast("long")
+        )
+        .withColumn("__nb", F.sum("y_b").over(w_tot).cast("long"))
+        .withColumn(
+            "__pool", (F.col("y_a") + F.col("y_b")).cast("long")
+        )
+        .withColumn(
+            "__ptot",
+            (F.col("__na") + F.col("__nb")).cast("long"),
+        )
+    )
+    a0 = float(alpha0)
+    aw = (
+        F.lit(a0)
+        * F.col("__pool").cast("double")
+        / F.col("__ptot").cast("double")
+    )
+    ya, yb = F.col("y_a").cast("double"), F.col("y_b").cast("double")
+    na, nb = F.col("__na").cast("double"), F.col("__nb").cast("double")
+    delta = F.log(
+        (ya + aw) / (na + F.lit(a0) - ya - aw)
+    ) - F.log((yb + aw) / (nb + F.lit(a0) - yb - aw))
+    z = delta / F.sqrt(
+        F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    )
+    scored = counts.withColumn("delta", delta).withColumn("z", z)
+    return (
+        scored.select("word", "y_a", "y_b", "delta", "z")
+        .orderBy(duck_round(F.col("z"), 6).desc(), F.asc("word"))
+        .limit(int(k))
     )

@@ -9044,3 +9044,198 @@ FROM typed GROUP BY tk
 QUERIES["linear_attribution"] = q_linear_attribution
 _RAW_ORACLES["linear_attribution"] = SQL_LINEAR_ATTRIBUTION
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ltv_curves(spark, sf_dir):
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    (first-activity cohort WEEK, 7-day age period) — first-activity
+    agg, one (cohort, age) rollup with exact cents and distinct actives,
+    cumulative window over the tiny curve frame."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+        "event_type",
+        "value",
+    )
+    first = ev.groupBy("user_id").agg(F.min("__us").alias("__f"))
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        F.expr("(__f div 86400000000) div 7").alias("cohort_week"),
+        F.expr("(__us - __f) div 604800000000").alias("age_period"),
+        F.when(
+            F.col("event_type") == "purchase",
+            (
+                F.signum("value")
+                * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+            ).cast("long"),
+        ).otherwise(F.lit(0)).alias("__cents"),
+    )
+    g = j.groupBy("cohort_week", "age_period").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active_users"),
+        F.sum("__cents").cast("long").alias("revenue_cents"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy(
+        "age_period"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return g.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("long")
+    ).select(
+        "cohort_week",
+        "age_period",
+        "n_active_users",
+        "revenue_cents",
+        "cum_revenue_cents",
+    )
+
+
+SQL_LTV_CURVES = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type,
+    CAST(sign(value) * floor(abs(value)*100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, min(us) AS fus FROM e GROUP BY user_id
+), j AS (
+  SELECT e.user_id,
+    CAST((f.fus // 86400000000) // 7 AS BIGINT) AS cohort_week,
+    (e.us - f.fus) // 604800000000 AS age_period,
+    CASE WHEN e.event_type = 'purchase' THEN e.cents ELSE 0 END AS cents
+  FROM e JOIN f ON f.user_id = e.user_id
+), g AS (
+  SELECT cohort_week, CAST(age_period AS BIGINT) AS age_period,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+    CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM j GROUP BY cohort_week, age_period
+)
+SELECT cohort_week, age_period, n_active_users, revenue_cents,
+  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week ORDER BY age_period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_revenue_cents
+FROM g
+"""
+
+QUERIES["ltv_curves"] = q_ltv_curves
+_RAW_ORACLES["ltv_curves"] = SQL_LTV_CURVES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_fulfillment_latency(spark, sf_dir):
+    """Order-to-first-shipment latency p50/p90 per priority: per-order
+    min shipdate joined to orders (order-keyed), exact day latency,
+    EXACT grouped quantiles via the K-in-one-pass bracketed selection
+    (operators/scale.py exact_grouped_quantiles_multi) — no value map
+    on a reducer, no driver collect."""
+    from mpds_spark.operators.scale import exact_grouped_quantiles_multi
+
+    li = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        ).alias("__ship")
+    )
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "__ord"
+        ),
+    )
+    lat = od.join(li, od["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        ((F.col("__ship") - F.col("__ord")) / F.lit(86400e6)).alias(
+            "latency_days"
+        ),
+    )
+    out = exact_grouped_quantiles_multi(
+        lat, "priority", "latency_days", ps=[0.5, 0.9]
+    )
+    return out.select(
+        "priority",
+        F.col("p").cast("double").alias("p"),
+        _r6("q_latency_days").alias("latency_days"),
+    )
+
+
+SQL_FULFILLMENT_LATENCY = """
+WITH s AS (
+  SELECT l_orderkey, min(epoch_us(l_shipdate)) AS ship
+  FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT o.o_orderpriority AS priority,
+    (s.ship - epoch_us(o.o_orderdate)) / 86400000000.0 AS latency_days
+  FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey
+)
+SELECT priority, p, round(q, 6) AS latency_days
+FROM (
+  SELECT priority, 0.5 AS p,
+    quantile_cont(latency_days, 0.5) AS q
+  FROM lat GROUP BY priority
+  UNION ALL
+  SELECT priority, 0.9 AS p,
+    quantile_cont(latency_days, 0.9) AS q
+  FROM lat GROUP BY priority
+)
+"""
+
+QUERIES["fulfillment_latency"] = q_fulfillment_latency
+_RAW_ORACLES["fulfillment_latency"] = SQL_FULFILLMENT_LATENCY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_log_odds_words(spark, sf_dir):
+    """Top-20 words most distinctive of src0 vs src1 by weighted
+    log-odds with informative Dirichlet prior (operators/text.py
+    log_odds_words, Monroe et al. 2008): one word-keyed agg with
+    conditional per-group sums, fixed double prior/z expressions,
+    TakeOrdered on the rounded z."""
+    from mpds_spark.operators.text import log_odds_words
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    out = log_odds_words(
+        docs, group_a="src0", group_b="src1", group="source",
+        text="text", alpha0=100.0, k=20,
+    )
+    return out.select(
+        "word", "y_a", "y_b", _r6("delta").alias("delta"),
+        _r6("z").alias("z"),
+    )
+
+
+SQL_LOG_ODDS_WORDS = """
+WITH w AS (
+  SELECT source = 'src0' AS a, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT word,
+    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS y_a,
+    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS y_b
+  FROM w WHERE word != '' GROUP BY word
+), t AS (
+  SELECT word, y_a, y_b,
+    CAST(sum(y_a) OVER () AS BIGINT) AS na,
+    CAST(sum(y_b) OVER () AS BIGINT) AS nb
+  FROM c
+), s AS (
+  SELECT word, y_a, y_b,
+    ln((y_a::DOUBLE + 100.0 * (y_a + y_b)::DOUBLE / (na + nb)::DOUBLE)
+       / (na::DOUBLE + 100.0 - y_a::DOUBLE
+          - 100.0 * (y_a + y_b)::DOUBLE / (na + nb)::DOUBLE))
+    - ln((y_b::DOUBLE + 100.0 * (y_a + y_b)::DOUBLE / (na + nb)::DOUBLE)
+       / (nb::DOUBLE + 100.0 - y_b::DOUBLE
+          - 100.0 * (y_a + y_b)::DOUBLE / (na + nb)::DOUBLE)) AS delta,
+    sqrt(1.0 / (y_a::DOUBLE + 100.0 * (y_a + y_b)::DOUBLE
+                / (na + nb)::DOUBLE)
+       + 1.0 / (y_b::DOUBLE + 100.0 * (y_a + y_b)::DOUBLE
+                / (na + nb)::DOUBLE)) AS se
+  FROM t
+)
+SELECT word, y_a, y_b, round(delta, 6) AS delta,
+  round(delta / se, 6) AS z
+FROM s
+ORDER BY (floor(abs(delta / se)*1000000.0 + 0.5)/1000000.0
+          *sign(delta / se)) DESC, word ASC
+LIMIT 20
+"""
+
+QUERIES["log_odds_words"] = q_log_odds_words
+_RAW_ORACLES["log_odds_words"] = SQL_LOG_ODDS_WORDS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

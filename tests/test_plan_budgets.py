@@ -310,6 +310,15 @@ BUDGETS = {
     "linear_attribution": {
         "shuffle": 6, "python": 0, "cartesian": 0, "bnlj": 0,
     },
+    # LTV: first-activity agg + user join + curve agg + cohort window;
+    # latency quantiles: bracketed-selection multi (order-key join +
+    # bracket/below aggs + the tagged rank window); log-odds: one word
+    # agg + totals window on the vocab frame + heap top-k
+    "ltv_curves": {"shuffle": 4, "python": 0, "cartesian": 0},
+    "fulfillment_latency": {
+        "shuffle": 10, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
+    "log_odds_words": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

@@ -1105,3 +1105,53 @@ def test_phrase_search_bruteforce(spark):
             want[d] = (len(pos), pos[0])
     assert got == want
     assert got[0] == (2, 1) and got[4] == (1, 2)
+
+
+def test_log_odds_words_matches_direct(spark):
+    """Monroe et al. weighted log-odds z-scores vs the direct formula;
+    a word heavily overrepresented in A must rank first."""
+    import math
+
+    import pandas as pd
+
+    docs = (
+        [("a", "alpha alpha alpha beta common common")] * 5
+        + [("a", "alpha gamma common")] * 3
+        + [("b", "delta delta beta common common")] * 5
+        + [("b", "delta epsilon common")] * 3
+    )
+    pdf = pd.DataFrame(docs, columns=["source", "text"])
+    from mpds_spark.operators.text import log_odds_words
+
+    got = log_odds_words(
+        spark.createDataFrame(pdf), group_a="a", group_b="b",
+        group="source", text="text", alpha0=10.0, k=10,
+    ).collect()
+
+    ca, cb = {}, {}
+    for s, t in docs:
+        d = ca if s == "a" else cb
+        for w in t.split(" "):
+            d[w] = d.get(w, 0) + 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    ptot = na + nb
+    a0 = 10.0
+    want = {}
+    for w in set(ca) | set(cb):
+        ya, yb = ca.get(w, 0), cb.get(w, 0)
+        aw = a0 * (ya + yb) / ptot
+        delta = math.log((ya + aw) / (na + a0 - ya - aw)) - math.log(
+            (yb + aw) / (nb + a0 - yb - aw)
+        )
+        z = delta / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+        want[w] = (ya, yb, delta, z)
+    ranked = sorted(
+        want.items(), key=lambda kv: (-round(kv[1][3], 6), kv[0])
+    )[:10]
+    assert [r["word"] for r in got] == [w for w, _ in ranked]
+    for r in got:
+        ya, yb, delta, z = want[r["word"]]
+        assert (r["y_a"], r["y_b"]) == (ya, yb)
+        assert abs(r["delta"] - delta) < 1e-9
+        assert abs(r["z"] - z) < 1e-9
+    assert got[0]["word"] == "alpha"
