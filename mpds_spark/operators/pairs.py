@@ -693,3 +693,90 @@ def pareto_frontier(
         & (F.col("__b") == F.col("__msame"))
     )
     return d.filter(keep).select(key, minimize, F.col("__b").alias(maximize))
+
+
+def snm_pairs(
+    df: DataFrame,
+    key: str = "id",
+    name: str = "name",
+    window: int = 5,
+    max_dist: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Sorted-neighborhood method candidate pairs (Hernández & Stolfo
+    1995) — the OTHER classic entity-resolution candidate generator
+    beside blocking (blocked_fuzzy_pairs): sort distinct name values
+    once, pair each with its next window-1 neighbors in sort order,
+    verify with Levenshtein. Catches cross-block typos a blocking key
+    splits (blocking misses 'cold X'/'old X' under a first-char block;
+    SNM pairs them when they sort adjacently... and vice versa — real
+    pipelines run both and union).
+
+    Rows collapse to DISTINCT names first (min-key representative, row
+    counts carried). The neighbor expansion is window-1 lead() columns
+    exploded — never a self-join.
+
+    Shape at scale: ONE global sort of the distinct-name frame (a
+    range exchange; at 10^12 rows this becomes sortWithinPartitions
+    with a (window-1)-row boundary overlap carry — the salted-LOCF
+    two-pass, documented). Heap top-k by (dist, key_a, key_b).
+
+    Returns (key_a, key_b, name_a, name_b, dist, n_a, n_b); pairs are
+    canonical by sort position, keys ordered key_a < key_b for the
+    deterministic tie-break.
+    """
+    base = df.select(
+        F.col(key).alias("__k"), F.col(name).alias("__n")
+    ).groupBy("__n").agg(
+        F.min("__k").alias("__k"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
+    w = Window.orderBy("__n")
+    led = base
+    for i in range(1, int(window)):
+        led = led.withColumn(
+            f"__p{i}",
+            F.struct(
+                F.lead("__n", i).over(w).alias("n2"),
+                F.lead("__k", i).over(w).alias("k2"),
+                F.lead("__cnt", i).over(w).alias("c2"),
+            ),
+        )
+    nbrs = led.select(
+        "__n",
+        "__k",
+        "__cnt",
+        F.explode(
+            F.array(*[F.col(f"__p{i}") for i in range(1, int(window))])
+        ).alias("p"),
+    ).filter(F.col("p.n2").isNotNull())
+    pairs = nbrs.withColumn(
+        "dist", F.levenshtein(F.col("__n"), F.col("p.n2"))
+    ).filter(F.col("dist") <= int(max_dist))
+    key_a = F.least(F.col("__k"), F.col("p.k2"))
+    key_b = F.greatest(F.col("__k"), F.col("p.k2"))
+    name_a = F.when(F.col("__k") < F.col("p.k2"), F.col("__n")).otherwise(
+        F.col("p.n2")
+    )
+    name_b = F.when(F.col("__k") < F.col("p.k2"), F.col("p.n2")).otherwise(
+        F.col("__n")
+    )
+    n_a = F.when(F.col("__k") < F.col("p.k2"), F.col("__cnt")).otherwise(
+        F.col("p.c2")
+    )
+    n_b = F.when(F.col("__k") < F.col("p.k2"), F.col("p.c2")).otherwise(
+        F.col("__cnt")
+    )
+    return (
+        pairs.select(
+            key_a.alias("key_a"),
+            key_b.alias("key_b"),
+            name_a.alias("name_a"),
+            name_b.alias("name_b"),
+            "dist",
+            n_a.alias("n_a"),
+            n_b.alias("n_b"),
+        )
+        .orderBy("dist", "key_a", "key_b")
+        .limit(int(k))
+    )

@@ -52,6 +52,40 @@ def hll_alpha(m: int) -> float:
     return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def _hll_fold(regs: DataFrame, gcols: list, m: int) -> DataFrame:
+    """Fold a (group..., __bucket, __m) register frame to one row per
+    group: buckets hit + the 2^-M sum over hit buckets in
+    bucket-ascending order (exact powers of two; order-pinned)."""
+    # SQL shiftleft: the python binding only takes a literal bit count
+    term = F.lit(1.0) / F.expr("shiftleft(1L, __m)").cast("double")
+    return regs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("hll_buckets_hit"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__bucket").alias("b"), term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("__z_hit"),
+    )
+
+
+def _hll_estimate(m: int, alpha: float):
+    """Estimate column over a _hll_fold frame (raw harmonic estimate
+    with the linear-counting small-range correction)."""
+    z = F.col("__z_hit") + (
+        F.lit(m) - F.col("hll_buckets_hit")
+    ).cast("double")
+    raw = F.lit(alpha * m * m) / z
+    v = F.lit(m) - F.col("hll_buckets_hit")
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+
+
 def hll_cardinality(
     df: DataFrame,
     key: str,
@@ -89,29 +123,8 @@ def hll_cardinality(
     regs = d.groupBy(*gcols, "__bucket").agg(
         F.max("__rho").alias("__m")
     )
-    # SQL shiftleft: the python binding only takes a literal bit count
-    term = F.lit(1.0) / F.expr("shiftleft(1L, __m)").cast("double")
-    folded = regs.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("long").alias("hll_buckets_hit"),
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("__bucket").alias("b"), term.alias("t"))
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, s: acc + s["t"],
-        ).alias("__z_hit"),
-    )
-    z = F.col("__z_hit") + (
-        F.lit(m) - F.col("hll_buckets_hit")
-    ).cast("double")
-    raw = F.lit(alpha * m * m) / z
-    v = F.lit(m) - F.col("hll_buckets_hit")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-    ).otherwise(raw)
+    folded = _hll_fold(regs, gcols, m)
+    est = _hll_estimate(m, alpha)
     exact = df.groupBy(*gcols).agg(
         F.count_distinct(F.col(key)).cast("long").alias("n_exact")
     )
@@ -273,4 +286,95 @@ def bloom_membership(
                 F.col("bloom_positive") & F.col("__act").isNull()
             ).alias("false_positive"),
         )
+    )
+
+
+def hll_rolling_merge(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    window_days: int = 7,
+    p: int = 8,
+) -> DataFrame:
+    """Trailing-window distinct-count estimates by MERGING daily
+    HyperLogLog registers — the demonstration of why sketches win at
+    100 TB: the trailing-7-day distinct-users series needs the raw
+    stream scanned ONCE (daily registers), after which every window is
+    a register-wise MAX over at most window_days * 2^p tiny rows; the
+    exact twin must touch every (user, day) pair per window. Register
+    max-merge is exactly how multi-day sketch rollups compose in
+    production stores.
+
+    The exact count is computed beside the estimate (audit convention);
+    both sides explode each day's contribution to its <= window_days
+    target days and aggregate — no per-window rescan of raw events.
+
+    Returns one row per active day:
+    (day, n_exact, hll_buckets_hit, hll_estimate, rel_err).
+    """
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"p={p} outside [4, 16]")
+    m = 1 << int(p)
+    rbits = 60 - int(p)
+    alpha = hll_alpha(m)
+    w = int(window_days)
+    k = F.col(key).cast("string")
+    day = F.expr(
+        f"unix_micros(cast({ts} as timestamp)) div 86400000000"
+    )
+    d = df.select(
+        day.alias("__day"),
+        F.shiftright(_h60(k), rbits).alias("__bucket"),
+        (_h60(k) % F.lit(1 << rbits)).alias("__r"),
+        F.col(key).alias("__key"),
+    ).withColumn(
+        "__rho",
+        F.when(F.col("__r") == 0, F.lit(rbits + 1)).otherwise(
+            F.lit(rbits + 1) - F.length(F.bin(F.col("__r")))
+        ),
+    )
+    daily = d.groupBy("__day", "__bucket").agg(
+        F.max("__rho").alias("__m")
+    )
+    active = d.select("__day").distinct()
+    spread = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("__day"), F.col("__day") + F.lit(w - 1)
+            )
+        ).alias("day"),
+        "__bucket",
+        "__m",
+    ).join(active.select(F.col("__day").alias("day")), "day", "left_semi")
+    merged = spread.groupBy("day", "__bucket").agg(
+        F.max("__m").alias("__m")
+    )
+    folded = _hll_fold(merged, ["day"], m)
+    est = _hll_estimate(m, alpha)
+    exact = (
+        d.select("__day", "__key")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("__day"), F.col("__day") + F.lit(w - 1)
+                )
+            ).alias("day"),
+            "__key",
+        )
+        .join(
+            active.select(F.col("__day").alias("day")), "day", "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("__key").cast("long").alias("n_exact"))
+    )
+    rel = (est - F.col("n_exact").cast("double")) / F.col(
+        "n_exact"
+    ).cast("double")
+    return exact.join(folded, "day").select(
+        "day",
+        "n_exact",
+        "hll_buckets_hit",
+        est.alias("hll_estimate"),
+        rel.alias("rel_err"),
     )

@@ -9239,3 +9239,127 @@ LIMIT 20
 QUERIES["log_odds_words"] = q_log_odds_words
 _RAW_ORACLES["log_odds_words"] = SQL_LOG_ODDS_WORDS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hll_rolling_merge(spark, sf_dir):
+    """Trailing-7-day distinct-user estimates by max-merging daily HLL
+    registers (operators/sketches.py hll_rolling_merge): the raw stream
+    is scanned ONCE into daily registers; every window is a register
+    MAX over tiny rows — the mergeable-sketch rollup that makes
+    sliding distinct counts affordable at 100 TB. Exact trailing
+    distinct computed beside it; the oracle rebuilds identical
+    registers so the gate is EXACT."""
+    from mpds_spark.operators.sketches import hll_rolling_merge
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    out = hll_rolling_merge(
+        ev, key="user_id", ts="ts", window_days=7, p=8
+    )
+    return out.select(
+        "day",
+        "n_exact",
+        "hll_buckets_hit",
+        _r6("hll_estimate").alias("hll_estimate"),
+        _r6("rel_err").alias("rel_err"),
+    )
+
+
+def _hll_rolling_sql() -> str:
+    from mpds_spark.operators.sketches import hll_alpha
+
+    amm = repr(hll_alpha(256) * 256 * 256)
+    return f"""
+WITH h AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+         AS BIGINT) AS hv
+  FROM events
+), br AS (
+  SELECT day, user_id, hv >> 52 AS bucket,
+    hv % 4503599627370496 AS r
+  FROM h
+), daily AS (
+  SELECT day, bucket,
+    max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END) AS m
+  FROM br GROUP BY day, bucket
+), active AS (SELECT DISTINCT day FROM br),
+spread AS (
+  SELECT unnest(generate_series(d.day, d.day + 6)) AS day, d.bucket, d.m
+  FROM daily d
+), merged AS (
+  SELECT s.day, s.bucket, max(s.m) AS m
+  FROM spread s JOIN active a ON a.day = s.day
+  GROUP BY s.day, s.bucket
+), folded AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS hll_buckets_hit,
+    list_sum(list(1.0 / CAST(1::BIGINT << m AS DOUBLE) ORDER BY bucket))
+      AS z_hit
+  FROM merged GROUP BY day
+), est AS (
+  SELECT day, hll_buckets_hit,
+    CASE WHEN ({amm} / (z_hit + CAST(256 - hll_buckets_hit AS DOUBLE)))
+              <= 640.0
+          AND (256 - hll_buckets_hit) > 0
+      THEN 256.0 * ln(256.0 / CAST(256 - hll_buckets_hit AS DOUBLE))
+      ELSE {amm} / (z_hit + CAST(256 - hll_buckets_hit AS DOUBLE))
+    END AS e
+  FROM folded
+), du AS (
+  SELECT DISTINCT day, user_id FROM br
+), xspread AS (
+  SELECT unnest(generate_series(du.day, du.day + 6)) AS day, du.user_id
+  FROM du
+), exact AS (
+  SELECT x.day, CAST(count(DISTINCT x.user_id) AS BIGINT) AS n_exact
+  FROM xspread x JOIN active a ON a.day = x.day GROUP BY x.day
+)
+SELECT CAST(x.day AS BIGINT) AS day, x.n_exact, s.hll_buckets_hit,
+  round(s.e, 6) AS hll_estimate,
+  round((s.e - x.n_exact::DOUBLE) / x.n_exact::DOUBLE, 6) AS rel_err
+FROM exact x JOIN est s ON s.day = x.day
+"""
+
+
+SQL_HLL_ROLLING_MERGE = _hll_rolling_sql()
+
+QUERIES["hll_rolling_merge"] = q_hll_rolling_merge
+_RAW_ORACLES["hll_rolling_merge"] = SQL_HLL_ROLLING_MERGE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood entity-resolution candidates over part names
+    (operators/pairs.py snm_pairs, Hernández & Stolfo 1995): distinct
+    names sorted once, each paired with its next 4 sort neighbors via
+    lead() — never a self-join; Levenshtein <= 3 verify; heap top-50.
+    The complementary generator to blocked_fuzzy_pairs."""
+    from mpds_spark.operators.pairs import snm_pairs
+
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return snm_pairs(
+        pt, key="p_partkey", name="p_name", window=5, max_dist=3, k=50
+    )
+
+
+SQL_SNM_PAIRS = """
+WITH base AS (
+  SELECT p_name AS n, CAST(min(p_partkey) AS BIGINT) AS k,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM part GROUP BY p_name
+), r AS (
+  SELECT n, k, cnt, row_number() OVER (ORDER BY n) AS rn FROM base
+)
+SELECT least(a.k, b.k) AS key_a, greatest(a.k, b.k) AS key_b,
+  CASE WHEN a.k < b.k THEN a.n ELSE b.n END AS name_a,
+  CASE WHEN a.k < b.k THEN b.n ELSE a.n END AS name_b,
+  CAST(levenshtein(a.n, b.n) AS INT) AS dist,
+  CASE WHEN a.k < b.k THEN a.cnt ELSE b.cnt END AS n_a,
+  CASE WHEN a.k < b.k THEN b.cnt ELSE a.cnt END AS n_b
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+WHERE levenshtein(a.n, b.n) <= 3
+ORDER BY dist, key_a, key_b LIMIT 50
+"""
+
+QUERIES["snm_pairs"] = q_snm_pairs
+_RAW_ORACLES["snm_pairs"] = SQL_SNM_PAIRS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -319,6 +319,13 @@ BUDGETS = {
         "shuffle": 10, "python": 0, "cartesian": 0, "bnlj": 0,
     },
     "log_odds_words": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # rolling HLL merge: daily-register agg + spread re-agg + fold +
+    # the exact-twin legs (distinct + spread agg) + tiny day join;
+    # SNM: distinct-name agg + ONE global sort window, heap top-k
+    "hll_rolling_merge": {
+        "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
+    },
+    "snm_pairs": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

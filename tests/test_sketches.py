@@ -139,3 +139,62 @@ def test_bloom_membership_one_sided(spark):
         )
     # with 40 keys in 128 bits, collisions guarantee a few FPs
     assert got["false_positive"].sum() > 0
+
+
+def test_hll_rolling_merge_matches_python(spark):
+    """Merged trailing-window registers must equal the pure-Python
+    rebuild (daily max-merge), and the estimate must track the exact
+    trailing distinct within the sketch's error envelope."""
+    import math
+
+    from mpds_spark.operators.sketches import hll_alpha, hll_rolling_merge
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for d in range(20):
+        for _ in range(200):
+            rows.append(
+                (float(d * 86400 + rng.integers(0, 86400)),
+                 int(rng.integers(0, 800)))
+            )
+    pdf = pd.DataFrame(rows, columns=["ts", "key"])
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "to_timestamp(ts) AS ts", "key"
+    )
+    got = (
+        hll_rolling_merge(sdf, key="key", ts="ts", window_days=3, p=8)
+        .toPandas()
+        .set_index("day")
+    )
+
+    p, m, rbits = 8, 256, 52
+    daily = {}
+    daysets = {}
+    for ts, k in rows:
+        d = int(ts // 86400)
+        h = _h60(str(k))
+        b, r = h >> rbits, h % (1 << rbits)
+        rho = rbits + 1 if r == 0 else rbits + 1 - r.bit_length()
+        daily.setdefault(d, {})
+        daily[d][b] = max(daily[d].get(b, 0), rho)
+        daysets.setdefault(d, set()).add(k)
+    days = sorted(daily)
+    assert set(got.index) == set(days)
+    for d in days:
+        regs = {}
+        exact = set()
+        for dd in range(d - 2, d + 1):
+            for b, mm in daily.get(dd, {}).items():
+                regs[b] = max(regs.get(b, 0), mm)
+            exact |= daysets.get(dd, set())
+        z = sum(1.0 / (1 << regs[b]) for b in sorted(regs)) + (
+            m - len(regs)
+        )
+        raw = hll_alpha(m) * m * m / z
+        v = m - len(regs)
+        est = m * math.log(m / v) if raw <= 2.5 * m and v > 0 else raw
+        r = got.loc[d]
+        assert r["n_exact"] == len(exact)
+        assert r["hll_buckets_hit"] == len(regs)
+        assert abs(r["hll_estimate"] - est) < 1e-9 * max(1.0, est)
+        assert abs(r["rel_err"]) < 0.26

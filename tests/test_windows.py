@@ -1274,3 +1274,51 @@ def test_linear_attribution_bruteforce(spark):
         assert r["n_conversions"] == want_nc[tk]
         assert r["n_touches"] == want_nt[tk]
         assert abs(r["attributed_value"] - want_val[tk]) < 1e-9
+
+
+def test_snm_pairs_bruteforce(spark):
+    """SNM pairs must equal direct sorted-window enumeration over
+    distinct names, and catch the cross-block typo blocking misses."""
+    from mpds_spark.operators.pairs import snm_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    names = [
+        (1, "cold ring"), (2, "cold rink"), (3, "colt ring"),
+        (4, "old ring"), (5, "zzz zzz"), (6, "cold ring"),
+        (7, "apple pie"), (8, "apple pin"),
+    ]
+    pdf = pd.DataFrame(names, columns=["id", "name"])
+    got = [
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in snm_pairs(
+            spark.createDataFrame(pdf), key="id", name="name",
+            window=3, max_dist=3, k=50,
+        ).collect()
+    ]
+    reps = {}
+    cnt = {}
+    for i, n in names:
+        reps[n] = min(reps.get(n, i), i)
+        cnt[n] = cnt.get(n, 0) + 1
+    ordered = sorted(reps)
+    want = []
+    for i, na in enumerate(ordered):
+        for nb in ordered[i + 1 : i + 3]:
+            d = lev(na, nb)
+            if d <= 3:
+                a, b = sorted((reps[na], reps[nb]))
+                want.append((a, b, d))
+    want.sort(key=lambda t: (t[2], t[0], t[1]))
+    assert got == want
+    # 'cold ring'/'colt ring' adjacent in sort order despite a blocking
+    # key on last-token+first-char splitting them is the SNM win
+    assert any(a == 1 and b == 3 for a, b, _ in got)
