@@ -70,6 +70,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (eighteenth batch — continuation session)
+    "peak_concurrency",
+    "join_size_audit",
+    "log2_histogram",
     # new in round 5 (seventeenth batch — continuation session)
     "hll_rolling_merge",
     "snm_pairs",

@@ -281,3 +281,75 @@ def referential_audit(
         .cast("long")
         .alias("n_unreferenced_dim"),
     )
+
+
+def join_size_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    relation: str,
+) -> DataFrame:
+    """Join-cardinality audit: the EXACT equi-join output size (sum over
+    keys of count_left * count_right — computed from the two per-key
+    count frames, never by materializing the join) beside the textbook
+    optimizer estimate |L|*|R| / max(ndv_L, ndv_R) (Selinger et al.
+    1979) and their ratio — the planner-sanity feature that flags the
+    skewed keys where the uniform-frequency assumption explodes.
+
+    Shape at scale: one key-keyed count agg per side, one key join of
+    the two COUNT frames (never the raw tables), exact long/decimal
+    sums, one double division. Returns one row: (relation, n_left,
+    n_right, ndv_left, ndv_right, actual_rows, est_rows, ratio).
+    """
+    from mpds_spark.operators.util import scratch_persist
+
+    # each count frame feeds the key join AND its own totals agg —
+    # persist so the base table is scanned once per side
+    lc = scratch_persist(
+        left.select(F.col(left_key).alias("__k")).groupBy("__k").agg(
+            F.count(F.lit(1)).cast("long").alias("__cl")
+        )
+    )
+    rc = scratch_persist(
+        right.select(F.col(right_key).alias("__k")).groupBy("__k").agg(
+            F.count(F.lit(1)).cast("long").alias("__cr")
+        )
+    )
+    j = lc.join(rc, "__k")
+    dec = "decimal(38,0)"
+    agg = j.agg(
+        F.sum(
+            F.col("__cl").cast(dec) * F.col("__cr").cast(dec)
+        ).alias("__actual")
+    ).crossJoin(
+        F.broadcast(
+            lc.agg(
+                F.sum("__cl").cast("long").alias("__nl"),
+                F.count(F.lit(1)).cast("long").alias("__dl"),
+            )
+        )
+    ).crossJoin(
+        F.broadcast(
+            rc.agg(
+                F.sum("__cr").cast("long").alias("__nr"),
+                F.count(F.lit(1)).cast("long").alias("__dr"),
+            )
+        )
+    )
+    est = (
+        F.col("__nl").cast("double")
+        * F.col("__nr").cast("double")
+        / F.greatest("__dl", "__dr").cast("double")
+    )
+    actual = F.coalesce(F.col("__actual"), F.lit(0).cast("decimal(38,0)"))
+    return agg.select(
+        F.lit(relation).alias("relation"),
+        F.col("__nl").alias("n_left"),
+        F.col("__nr").alias("n_right"),
+        F.col("__dl").alias("ndv_left"),
+        F.col("__dr").alias("ndv_right"),
+        actual.cast("long").alias("actual_rows"),
+        est.alias("est_rows"),
+        (actual.cast("double") / est).alias("ratio"),
+    )

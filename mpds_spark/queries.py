@@ -9363,3 +9363,189 @@ ORDER BY dist, key_a, key_b LIMIT 50
 QUERIES["snm_pairs"] = q_snm_pairs
 _RAW_ORACLES["snm_pairs"] = SQL_SNM_PAIRS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrent 30-min activity windows per day
+    (operators/sessionize.py peak_concurrency): the boundary sweep —
+    +1/-1 ordered (time, delta) so ends precede starts at ties, one
+    global running count, per-day (max, earliest-attaining-time)
+    rollup. Capacity-planning metric; exact longs throughout."""
+    from mpds_spark.operators.sessionize import peak_concurrency
+
+    ev = _events(spark, sf_dir).select("ts")
+    return peak_concurrency(ev, ts="ts", duration=1800.0)
+
+
+SQL_PEAK_CONCURRENCY = """
+WITH b AS (
+  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + 1800000000 AS t, -1 AS d FROM events
+), r AS (
+  SELECT t, d,
+    CAST(sum(d) OVER (ORDER BY t, d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+  FROM b
+), s AS (
+  SELECT t // 86400000000 AS day, t, run FROM r WHERE d = 1
+), p AS (
+  SELECT day, max(run) AS peak FROM s GROUP BY day
+)
+SELECT CAST(p.day AS BIGINT) AS day,
+  CAST(p.peak AS BIGINT) AS peak_concurrent,
+  CAST(min(s.t) AS BIGINT) AS peak_at_us
+FROM p JOIN s ON s.day = p.day AND s.run = p.peak
+GROUP BY p.day, p.peak
+"""
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+_RAW_ORACLES["peak_concurrency"] = SQL_PEAK_CONCURRENCY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_join_size_audit(spark, sf_dir):
+    """Exact equi-join cardinalities vs the Selinger uniform-frequency
+    estimate for three star relations (operators/validate.py
+    join_size_audit): per-key count frames joined — never the raw
+    tables — exact decimal products, one double division per row."""
+    from mpds_spark.operators.validate import join_size_audit
+
+    ev = _events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    audits = [
+        join_size_audit(
+            orders, cust, "o_custkey", "c_custkey", "orders*customer"
+        ),
+        join_size_audit(
+            li, orders, "l_orderkey", "o_orderkey", "lineitem*orders"
+        ),
+        join_size_audit(
+            li, part, "l_partkey", "p_partkey", "lineitem*part"
+        ),
+        join_size_audit(
+            ev, cust, "user_id", "c_custkey", "events*customer"
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "relation",
+        "n_left",
+        "n_right",
+        "ndv_left",
+        "ndv_right",
+        "actual_rows",
+        _r6("est_rows").alias("est_rows"),
+        _r6("ratio").alias("ratio"),
+    )
+
+
+def _join_audit_block(lsql, rsql, relation):
+    return f"""
+SELECT '{relation}' AS relation,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({lsql})) AS n_left,
+  (SELECT CAST(count(*) AS BIGINT) FROM ({rsql})) AS n_right,
+  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM ({lsql})) AS ndv_left,
+  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM ({rsql})) AS ndv_right,
+  (SELECT CAST(coalesce(sum(cl * cr), 0) AS BIGINT) FROM
+     (SELECT k, CAST(count(*) AS HUGEINT) AS cl FROM ({lsql}) GROUP BY k) a
+     JOIN
+     (SELECT k, CAST(count(*) AS HUGEINT) AS cr FROM ({rsql}) GROUP BY k) b
+     ON a.k = b.k) AS actual_rows,
+  round(
+    (SELECT count(*) FROM ({lsql}))::DOUBLE
+    * (SELECT count(*) FROM ({rsql}))::DOUBLE
+    / greatest((SELECT count(DISTINCT k) FROM ({lsql})),
+               (SELECT count(DISTINCT k) FROM ({rsql})))::DOUBLE, 6)
+    AS est_rows,
+  round(
+    (SELECT CAST(coalesce(sum(cl * cr), 0) AS HUGEINT) FROM
+     (SELECT k, CAST(count(*) AS HUGEINT) AS cl FROM ({lsql}) GROUP BY k) a
+     JOIN
+     (SELECT k, CAST(count(*) AS HUGEINT) AS cr FROM ({rsql}) GROUP BY k) b
+     ON a.k = b.k)::DOUBLE
+    / ((SELECT count(*) FROM ({lsql}))::DOUBLE
+       * (SELECT count(*) FROM ({rsql}))::DOUBLE
+       / greatest((SELECT count(DISTINCT k) FROM ({lsql})),
+                  (SELECT count(DISTINCT k) FROM ({rsql})))::DOUBLE), 6)
+    AS ratio
+"""
+
+
+SQL_JOIN_SIZE_AUDIT = " UNION ALL ".join(
+    [
+        _join_audit_block(
+            "SELECT o_custkey AS k FROM orders",
+            "SELECT c_custkey AS k FROM customer",
+            "orders*customer",
+        ),
+        _join_audit_block(
+            "SELECT l_orderkey AS k FROM lineitem",
+            "SELECT o_orderkey AS k FROM orders",
+            "lineitem*orders",
+        ),
+        _join_audit_block(
+            "SELECT l_partkey AS k FROM lineitem",
+            "SELECT p_partkey AS k FROM part",
+            "lineitem*part",
+        ),
+        _join_audit_block(
+            "SELECT user_id AS k FROM events",
+            "SELECT c_custkey AS k FROM customer",
+            "events*customer",
+        ),
+    ]
+)
+
+QUERIES["join_size_audit"] = q_join_size_audit
+_RAW_ORACLES["join_size_audit"] = SQL_JOIN_SIZE_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_log2_histogram(spark, sf_dir):
+    """Power-of-two histogram of per-user event counts (the activity
+    profile every ops dashboard shows): bucket = floor(log2 n) computed
+    from the bin()-string length — never libm log2; one user agg + one
+    tiny bucket agg, all exact longs."""
+    ev = _events(spark, sf_dir).select("user_id")
+    n = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    b = n.select(
+        (F.length(F.bin(F.col("__n"))) - 1).cast("long").alias("bucket")
+    )
+    out = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return out.select(
+        "bucket",
+        F.expr("cast(1 as bigint) << cast(bucket as int)").alias("lo"),
+        (
+            F.expr("cast(1 as bigint) << (cast(bucket as int) + 1)") - 1
+        ).alias("hi"),
+        "n_users",
+    )
+
+
+SQL_LOG2_HISTOGRAM = """
+WITH n AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), b AS (
+  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket FROM n
+)
+SELECT bucket,
+  CAST(1::BIGINT << CAST(bucket AS INT) AS BIGINT) AS lo,
+  CAST((1::BIGINT << (CAST(bucket AS INT) + 1)) - 1 AS BIGINT) AS hi,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM b GROUP BY bucket
+"""
+
+QUERIES["log2_histogram"] = q_log2_histogram
+_RAW_ORACLES["log2_histogram"] = SQL_LOG2_HISTOGRAM
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

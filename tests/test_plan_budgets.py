@@ -326,6 +326,13 @@ BUDGETS = {
         "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
     },
     "snm_pairs": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # sweep: boundary explode + ONE global running window + day rollup
+    # on the same ordering; join-size audit: persisted per-key count
+    # frames (cached-branch convention: no shuffle budget), 1-row
+    # totals broadcast by design; log2 histogram: user agg + bucket agg
+    "peak_concurrency": {"shuffle": 1, "python": 0, "cartesian": 0},
+    "join_size_audit": {"python": 0, "cartesian": 0},
+    "log2_histogram": {"shuffle": 2, "python": 0, "cartesian": 0},
 }
 
 

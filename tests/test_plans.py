@@ -139,6 +139,7 @@ def test_catalog_plan_inventory(spark):
         "survival_km",         # broadcast 1-row corpus-max censor boundary
         "welch_pairs",         # pair theta join over the 5-row moment frame
         "decayed_counts",      # broadcast 1-row corpus-max decay boundary
+        "join_size_audit",     # two broadcast 1-row totals fits per relation
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

@@ -360,3 +360,42 @@ def test_interval_overlap_brute_force(spark):
         want_j = ous / un if un > 0 else 0.0
         assert abs(r["time_jaccard"] - want_j) < 1e-12
     assert len(got) == seen
+
+
+def test_peak_concurrency_bruteforce(spark):
+    """Sweep result must match direct interval-overlap counting; ends
+    must not stack with starts at the same instant (back-to-back
+    windows)."""
+    from mpds_spark.operators.sessionize import peak_concurrency
+
+    rng = np.random.default_rng(53)
+    dur = 100.0
+    ts = sorted(float(t) for t in rng.integers(0, 3 * 86400, 200))
+    # planted back-to-back pair: second starts exactly when first ends
+    ts += [500000.0, 500100.0]
+    pdf = pd.DataFrame({"ts": ts})
+    sdf = spark.createDataFrame(pdf).selectExpr(
+        "to_timestamp(ts) AS ts"
+    )
+    got = {
+        r["day"]: (r["peak_concurrent"], r["peak_at_us"])
+        for r in peak_concurrency(sdf, duration=dur).collect()
+    }
+
+    us = sorted(int(t * 1e6) for t in ts)
+    dur_us = int(dur * 1e6)
+    # concurrency evaluated at each window start (ends close first)
+    best = {}
+    for t0 in us:
+        c = sum(1 for t in us if t <= t0 < t + dur_us)
+        day = t0 // 86400000000
+        cur = best.get(day)
+        if cur is None or c > cur[0] or (c == cur[0] and t0 < cur[1]):
+            best[day] = (c, t0)
+    assert got == best
+    # the back-to-back pair alone would give concurrency 1, not 2
+    solo = spark.createDataFrame(
+        pd.DataFrame({"ts": [0.0, 100.0]})
+    ).selectExpr("to_timestamp(ts) AS ts")
+    r = peak_concurrency(solo, duration=100.0).collect()[0]
+    assert r["peak_concurrent"] == 1

@@ -167,3 +167,28 @@ def test_referential_audit_counts(spark):
     assert r["n_orphan_rows"] == 4        # three 5s + one 7
     assert r["n_dim_keys"] == 4
     assert r["n_unreferenced_dim"] == 2   # {3, 4}
+
+
+def test_join_size_audit_exact_and_estimate(spark):
+    import pandas as pd
+
+    from mpds_spark.operators.validate import join_size_audit
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1, 2, 3, 9]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"j": [1, 1, 2, 2, 2, 4]})
+    )
+    r = join_size_audit(left, right, "k", "j", "t").collect()[0]
+    # actual = 3*2 (k=1) + 1*3 (k=2) = 9
+    assert r["actual_rows"] == 9
+    assert (r["n_left"], r["n_right"]) == (6, 6)
+    assert (r["ndv_left"], r["ndv_right"]) == (4, 3)
+    est = 6 * 6 / 4
+    assert abs(r["est_rows"] - est) < 1e-12
+    assert abs(r["ratio"] - 9 / est) < 1e-12
+    # disjoint keys -> zero actual, ratio 0
+    right2 = spark.createDataFrame(pd.DataFrame({"j": [7, 8]}))
+    r2 = join_size_audit(left, right2, "k", "j", "t2").collect()[0]
+    assert r2["actual_rows"] == 0 and r2["ratio"] == 0.0
