@@ -70,6 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (nineteenth batch — continuation session)
+    "calendar_features",
     # new in round 5 (eighteenth batch — continuation session)
     "peak_concurrency",
     "join_size_audit",

@@ -9549,3 +9549,42 @@ FROM b GROUP BY bucket
 QUERIES["log2_histogram"] = q_log2_histogram
 _RAW_ORACLES["log2_histogram"] = SQL_LOG2_HISTOGRAM
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_calendar_features(spark, sf_dir):
+    """Calendar feature extraction — the feature-eng staple whose
+    cross-engine parity is genuinely subtle (weekday and week-of-year
+    conventions differ per engine): ISO weekday (1=Mon..7=Sun) via
+    Spark weekday()+1 == DuckDB isodow, ISO week number (Spark
+    weekofyear == DuckDB week), weekend flag, month/quarter/hour,
+    epoch day. Pure map stage, zero shuffles beyond none."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("__t")
+    )
+    return ev.select(
+        "event_id",
+        F.expr("unix_micros(__t) div 86400000000").alias("epoch_day"),
+        (F.weekday("__t") + 1).cast("long").alias("iso_dow"),
+        (F.weekday("__t") >= 5).alias("is_weekend"),
+        F.weekofyear("__t").cast("long").alias("iso_week"),
+        F.month("__t").cast("long").alias("month"),
+        F.quarter("__t").cast("long").alias("quarter"),
+        F.hour("__t").cast("long").alias("hour"),
+    )
+
+
+SQL_CALENDAR_FEATURES = """
+SELECT event_id,
+  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS epoch_day,
+  CAST(isodow(ts) AS BIGINT) AS iso_dow,
+  isodow(ts) >= 6 AS is_weekend,
+  CAST(week(ts) AS BIGINT) AS iso_week,
+  CAST(month(ts) AS BIGINT) AS month,
+  CAST(quarter(ts) AS BIGINT) AS quarter,
+  CAST(hour(ts) AS BIGINT) AS hour
+FROM events
+"""
+
+QUERIES["calendar_features"] = q_calendar_features
+_RAW_ORACLES["calendar_features"] = SQL_CALENDAR_FEATURES
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

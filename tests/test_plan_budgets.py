@@ -333,6 +333,8 @@ BUDGETS = {
     "peak_concurrency": {"shuffle": 1, "python": 0, "cartesian": 0},
     "join_size_audit": {"python": 0, "cartesian": 0},
     "log2_histogram": {"shuffle": 2, "python": 0, "cartesian": 0},
+    # pure map stage — calendar functions pipeline onto the scan
+    "calendar_features": {"shuffle": 0, "python": 0, "cartesian": 0},
 }
 
 
