@@ -70,6 +70,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (twentieth batch — continuation session)
+    "theil_sen_slope",
+    "spearman_rank",
+    "cuped_adjust",
     # new in round 5 (nineteenth batch — continuation session)
     "calendar_features",
     # new in round 5 (eighteenth batch — continuation session)

@@ -320,3 +320,124 @@ def chi2_independence(
         dof.cast("long").alias("dof"),
         cramers.alias("cramers_v"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Spearman rank correlation between two exact-integer unit metrics
+    (plus the raw Pearson r beside it — the rank/raw gap is the
+    classic outlier-sensitivity audit): average ranks with proper tie
+    handling, then the Pearson formula on DOUBLED ranks so every rank
+    is an exact integer and every moment an exact DECIMAL(38,0).
+
+    Average rank of value v = |{u < v}| + (|{u == v}| + 1)/2, computed
+    WITHOUT a global sort of the units: group to the distinct-value
+    frame (tiny — bounded by the metric's domain), one cumulative
+    window over that frame, broadcast-join back. Doubling makes it
+    integer: r2 = 2*cnt_lt + cnt_eq + 1. The at-scale variant for
+    truly high-cardinality metrics is the range-partitioned sort +
+    boundary-count carry two-pass; the distinct-value frame here IS
+    the practical shape for counts/cents metrics.
+
+    Determinism: rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) *
+    (n*Syy - Sy^2)) with every numerator/denominator an exact decimal
+    cast once to double — one multiply, one sqrt, one division per
+    statistic on both engines. The doubling cancels algebraically.
+
+    Returns ONE row (n_units, spearman_rho, pearson_r)."""
+
+    def _rank2(d: DataFrame, col: str, out: str) -> DataFrame:
+        vf = d.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        wc = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        vf = vf.withColumn(
+            "__lt", F.coalesce(F.sum("__c").over(wc), F.lit(0))
+        )
+        vf = vf.select(
+            col,
+            (2 * F.col("__lt") + F.col("__c") + 1).cast("long").alias(out),
+        )
+        return d.join(F.broadcast(vf), col)
+
+    dec = "decimal(38,0)"
+    d = _rank2(_rank2(df, x, "__rx"), y, "__ry")
+    xd, yd = F.col(x).cast(dec), F.col(y).cast(dec)
+    rxd, ryd = F.col("__rx").cast(dec), F.col("__ry").cast(dec)
+    mo = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(rxd).alias("srx"),
+        F.sum(ryd).alias("sry"),
+        F.sum(rxd * rxd).alias("srxx"),
+        F.sum(ryd * ryd).alias("sryy"),
+        F.sum(rxd * ryd).alias("srxy"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n_units").cast(dec)
+
+    def _r(sx, sy, sxx, syy, sxy):
+        num = (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double")
+        dx = (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double")
+        dy = (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double")
+        return num / F.sqrt(dx * dy)
+
+    return mo.select(
+        "n_units",
+        _r("srx", "sry", "srxx", "sryy", "srxy").alias("spearman_rho"),
+        _r("sx", "sy", "sxx", "syy", "sxy").alias("pearson_r"),
+    )
+
+
+def cuped(
+    df: DataFrame,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """CUPED variance-reduction audit (Deng, Xu, Kohavi & Walker, WSDM
+    2013): theta = cov(x, y)/var(x) for a pre-period covariate x and a
+    post-period metric y per unit, and the exact variance the adjusted
+    metric y - theta*(x - xbar) would have — var(y) - cov^2/var(x) —
+    derived ANALYTICALLY from the same exact moments, so no float fold
+    over adjusted per-unit values is ever needed.
+
+    Inputs are exact integer unit aggregates (e.g. cents); all moments
+    are DECIMAL(38,0)-exact; every reported statistic is a fixed short
+    expression over once-cast doubles (identical IEEE ops per engine).
+    Variances are reported in squared metric units (the 10^4 cents
+    rescale is an exact power-of-ten literal).
+
+    Returns ONE row (n_units, theta, var_y, var_cuped, reduction_pct).
+    Shape at scale: one unit-keyed upstream agg feeds a single global
+    moment agg — two exchanges total, nothing wider."""
+    dec = "decimal(38,0)"
+    xd, yd = F.col(x).cast(dec), F.col(y).cast(dec)
+    mo = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n_units").cast(dec)
+    covn = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varxn = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    varyn = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd = F.col("n_units").cast("double")
+    den = nd * nd * F.lit(10000.0)
+    return mo.select(
+        "n_units",
+        (covn / varxn).alias("theta"),
+        (varyn / den).alias("var_y"),
+        ((varyn - covn * covn / varxn) / den).alias("var_cuped"),
+        (F.lit(100.0) * covn * covn / (varxn * varyn)).alias(
+            "reduction_pct"
+        ),
+    )

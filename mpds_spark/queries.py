@@ -9588,3 +9588,211 @@ FROM events
 QUERIES["calendar_features"] = q_calendar_features
 _RAW_ORACLES["calendar_features"] = SQL_CALENDAR_FEATURES
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust per-entity trend (operators/windows.py
+    theil_sen): exact median of all pairwise slopes, pair expansion
+    JVM-side on the per-entity sorted array — never a self-join. The
+    oracle IS the naive pairwise self-join + explicit middle-element
+    selection, proving the array formulation."""
+    from mpds_spark.operators.windows import theil_sen
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "value"
+    )
+    out = theil_sen(ev, value="value", ts="ts", by="entity_id")
+    return out.select(
+        "entity_id", "n_obs", "n_pairs",
+        _r6("slope_per_day").alias("slope_per_day"),
+    )
+
+
+SQL_THEIL_SEN = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS x,
+         CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS y
+  FROM events
+), p AS (
+  SELECT a.user_id,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+  FROM e a JOIN e b ON a.user_id = b.user_id AND b.x > a.x
+), r AS (
+  SELECT user_id, s,
+         row_number() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS m
+  FROM p
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs FROM e GROUP BY user_id
+)
+SELECT g.user_id AS entity_id, g.n_obs,
+  CAST(g.n_obs*(g.n_obs-1)//2 AS BIGINT) AS n_pairs,
+  round((lo.s + hi.s)/2.0 * 864000000.0, 6) AS slope_per_day
+FROM g
+JOIN (SELECT user_id, s FROM r WHERE rn = (m+1)//2) lo ON g.user_id = lo.user_id
+JOIN (SELECT user_id, s FROM r WHERE rn = (m+2)//2) hi ON g.user_id = hi.user_id
+WHERE g.n_obs >= 2
+"""
+
+QUERIES["theil_sen_slope"] = q_theil_sen_slope
+_RAW_ORACLES["theil_sen_slope"] = SQL_THEIL_SEN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_spearman_rank(spark, sf_dir):
+    """Spearman rank correlation of per-customer order count vs total
+    spend, beside the raw Pearson r (operators/profiles.py
+    spearman_corr): tie-correct average ranks WITHOUT a global sort —
+    distinct-value frame + one cumulative window over it + broadcast
+    join back; all moments DECIMAL(38,0)-exact on doubled ranks. The
+    per-customer base frame is scratch-persisted: three plan branches
+    (two value frames + the moment scan) read it, and without the pin
+    each would re-aggregate orders from the scan."""
+    from mpds_spark.operators.profiles import spearman_corr
+    from mpds_spark.operators.util import scratch_persist
+
+    od = load(spark, sf_dir, "orders")
+    cents = (
+        F.signum("o_totalprice")
+        * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+    ).cast("long")
+    base = scratch_persist(
+        od.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("nx"),
+            F.sum(cents).cast("long").alias("yv"),
+        )
+    )
+    out = spearman_corr(base, x="nx", y="yv")
+    return out.select(
+        "n_units",
+        _r6("spearman_rho").alias("spearman_rho"),
+        _r6("pearson_r").alias("pearson_r"),
+    )
+
+
+SQL_SPEARMAN_RANK = """
+WITH base AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS nx,
+    CAST(sum(CAST(floor(abs(o_totalprice)*100 + 0.5)*sign(o_totalprice)
+                  AS BIGINT)) AS BIGINT) AS yv
+  FROM orders GROUP BY o_custkey
+), vx AS (
+  SELECT nx,
+    2*coalesce(sum(count(*)) OVER (ORDER BY nx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + count(*) + 1 AS rx
+  FROM base GROUP BY nx
+), vy AS (
+  SELECT yv,
+    2*coalesce(sum(count(*)) OVER (ORDER BY yv
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + count(*) + 1 AS ry
+  FROM base GROUP BY yv
+), d AS (
+  SELECT CAST(base.nx AS HUGEINT) AS x, CAST(base.yv AS HUGEINT) AS y,
+         CAST(vx.rx AS HUGEINT) AS rx, CAST(vy.ry AS HUGEINT) AS ry
+  FROM base JOIN vx ON base.nx = vx.nx JOIN vy ON base.yv = vy.yv
+), mo AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    sum(rx) AS srx, sum(ry) AS sry, sum(rx*rx) AS srxx,
+    sum(ry*ry) AS sryy, sum(rx*ry) AS srxy,
+    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+    sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_units,
+  round(CAST(n*srxy - srx*sry AS DOUBLE)
+    / sqrt(CAST(n*srxx - srx*srx AS DOUBLE)
+           * CAST(n*sryy - sry*sry AS DOUBLE)), 6) AS spearman_rho,
+  round(CAST(n*sxy - sx*sy AS DOUBLE)
+    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS pearson_r
+FROM mo
+"""
+
+QUERIES["spearman_rank"] = q_spearman_rank
+_RAW_ORACLES["spearman_rank"] = SQL_SPEARMAN_RANK
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_cuped_adjust(spark, sf_dir):
+    """CUPED variance-reduction audit (operators/profiles.py cuped):
+    pre-period spend as covariate, post-period spend as metric per
+    user, split at the exact integer-microsecond midpoint of the
+    corpus span (1-row scalar broadcast, registered BNLJ-by-design);
+    theta and the adjusted-metric variance derived analytically from
+    DECIMAL(38,0)-exact moments — no per-unit float fold."""
+    from mpds_spark.operators.profiles import cuped
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__yc"),
+    )
+    b = ev.agg(F.min("__us").alias("__mn"), F.max("__us").alias("__mx"))
+    ev = ev.crossJoin(F.broadcast(b)).withColumn(
+        "__mid", F.expr("__mn + (__mx - __mn) div 2")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("__us") <= F.col("__mid"), F.col("__yc"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.col("__us") > F.col("__mid"), F.col("__yc"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("y"),
+    )
+    out = cuped(u, x="x", y="y")
+    return out.select(
+        "n_units",
+        _r6("theta").alias("theta"),
+        _r6("var_y").alias("var_y"),
+        _r6("var_cuped").alias("var_cuped"),
+        _r6("reduction_pct").alias("reduction_pct"),
+    )
+
+
+SQL_CUPED_ADJUST = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS yc
+  FROM events
+), b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+m AS (SELECT mn + (mx - mn) // 2 AS mid FROM b),
+u AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN us <= (SELECT mid FROM m) THEN yc ELSE 0 END)
+         AS HUGEINT) AS x,
+    CAST(sum(CASE WHEN us > (SELECT mid FROM m) THEN yc ELSE 0 END)
+         AS HUGEINT) AS y
+  FROM e GROUP BY user_id
+), mo AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+    sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM u
+)
+SELECT CAST(n AS BIGINT) AS n_units,
+  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS theta,
+  round(CAST(n*syy - sy*sy AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 6)
+    AS var_y,
+  round((CAST(n*syy - sy*sy AS DOUBLE)
+         - CAST(n*sxy - sx*sy AS DOUBLE)*CAST(n*sxy - sx*sy AS DOUBLE)
+           / CAST(n*sxx - sx*sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 10000.0), 6)
+    AS var_cuped,
+  round(100.0 * CAST(n*sxy - sx*sy AS DOUBLE)
+        * CAST(n*sxy - sx*sy AS DOUBLE)
+        / (CAST(n*sxx - sx*sx AS DOUBLE)
+           * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS reduction_pct
+FROM mo
+"""
+
+QUERIES["cuped_adjust"] = q_cuped_adjust
+_RAW_ORACLES["cuped_adjust"] = SQL_CUPED_ADJUST
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

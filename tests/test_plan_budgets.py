@@ -335,6 +335,15 @@ BUDGETS = {
     "log2_histogram": {"shuffle": 2, "python": 0, "cartesian": 0},
     # pure map stage — calendar functions pipeline onto the scan
     "calendar_features": {"shuffle": 0, "python": 0, "cartesian": 0},
+    # Theil-Sen: ONE entity exchange; the O(n^2) pair expansion is a
+    # JVM nested transform on the per-entity array, never a self-join
+    "theil_sen_slope": {"shuffle": 1, "python": 0, "cartesian": 0},
+    # spearman: persisted per-customer base frame (cached-branch
+    # convention: no shuffle budget); rank joins are broadcast
+    "spearman_rank": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # cuped: user agg + global moment agg; the BNLJ is the documented
+    # 1-row min/max midpoint broadcast
+    "cuped_adjust": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 

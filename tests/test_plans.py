@@ -140,6 +140,7 @@ def test_catalog_plan_inventory(spark):
         "welch_pairs",         # pair theta join over the 5-row moment frame
         "decayed_counts",      # broadcast 1-row corpus-max decay boundary
         "join_size_audit",     # two broadcast 1-row totals fits per relation
+        "cuped_adjust",        # broadcast 1-row corpus-span midpoint fit
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

@@ -197,3 +197,84 @@ def test_chi2_independence_matches_direct(spark):
         assert abs(row["chi2_total"] - chi2) < 1e-9
         assert row["dof"] == 2
         assert abs(row["cramers_v"] - v) < 1e-9
+
+
+def test_spearman_corr_matches_average_ranks(spark):
+    """spearman_corr's distinct-value-frame rank construction must equal
+    the textbook average-rank Spearman (and the raw Pearson beside it)
+    on a frame with heavy ties in both metrics."""
+    import math
+
+    rng = np.random.default_rng(17)
+    xs = rng.integers(1, 6, size=80)            # heavy ties
+    ys = xs * 100 + rng.integers(-50, 51, size=80)
+    ys[::7] = 9999                               # planted tie block + outliers
+    pdf = pd.DataFrame({"x": xs.astype(int), "y": ys.astype(int)})
+
+    from mpds_spark.operators.profiles import spearman_corr
+
+    r = spearman_corr(spark.createDataFrame(pdf), x="x", y="y").collect()[0]
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and v[order[j]] == v[order[i]]:
+                j += 1
+            # ranks i+1..j averaged
+            ar = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = ar
+            i = j
+        return ranks
+
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        num = n * sum(ai * bi for ai, bi in zip(a, b)) - sa * sb
+        da = n * sum(ai * ai for ai in a) - sa * sa
+        db = n * sum(bi * bi for bi in b) - sb * sb
+        return num / math.sqrt(da * db)
+
+    rho = pearson(avg_ranks(list(xs)), avg_ranks(list(ys)))
+    pr = pearson([float(v) for v in xs], [float(v) for v in ys])
+    assert r["n_units"] == 80
+    assert abs(r["spearman_rho"] - rho) < 1e-12
+    assert abs(r["pearson_r"] - pr) < 1e-9
+    # ties + outliers separate the two: rank corr must be the larger
+    assert r["spearman_rho"] > r["pearson_r"]
+
+
+def test_cuped_matches_closed_form(spark):
+    """cuped's analytic variance reduction must equal the closed form
+    var(y)-cov^2/var(x) (population moments) and the empirical variance
+    of the explicitly adjusted per-unit metric."""
+    rng = np.random.default_rng(23)
+    x = rng.integers(100, 10000, size=200)       # pre-period cents
+    y = (0.7 * x + rng.normal(0, 300, size=200)).astype(int)  # correlated
+
+    from mpds_spark.operators.profiles import cuped
+
+    pdf = pd.DataFrame({"x": x.astype(int), "y": y.astype(int)})
+    r = cuped(spark.createDataFrame(pdf), x="x", y="y").collect()[0]
+
+    xf = x.astype(float)
+    yf = y.astype(float)
+    cov = ((xf - xf.mean()) * (yf - yf.mean())).mean()
+    vx = ((xf - xf.mean()) ** 2).mean()
+    vy = ((yf - yf.mean()) ** 2).mean()
+    theta = cov / vx
+    adj = yf - theta * (xf - xf.mean())
+    var_adj_emp = ((adj - adj.mean()) ** 2).mean()
+    assert r["n_units"] == 200
+    assert abs(r["theta"] - theta) < 1e-9
+    assert abs(r["var_y"] - vy / 1e4) < 1e-6 * vy / 1e4
+    assert abs(r["var_cuped"] - (vy - cov * cov / vx) / 1e4) < 1e-6
+    # analytic == empirical variance of the adjusted metric
+    assert abs(r["var_cuped"] - var_adj_emp / 1e4) < 1e-6
+    assert abs(
+        r["reduction_pct"] - 100.0 * cov * cov / (vx * vy)
+    ) < 1e-9
+    assert r["reduction_pct"] > 50.0  # the planted correlation bites

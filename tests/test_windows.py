@@ -1322,3 +1322,63 @@ def test_snm_pairs_bruteforce(spark):
     # 'cold ring'/'colt ring' adjacent in sort order despite a blocking
     # key on last-token+first-char splitting them is the SNM win
     assert any(a == 1 and b == 3 for a, b, _ in got)
+
+
+def test_theil_sen_bruteforce(spark):
+    """theil_sen's JVM array pair expansion + middle-element selection
+    must equal the naive all-pairs median computed in pure Python,
+    including even/odd pair counts and an outlier the OLS slope would
+    chase but the median slope must shrug off."""
+    import datetime
+    import math
+
+    from mpds_spark.operators.windows import theil_sen
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=s
+        )
+
+    rows = [
+        # entity a: clean rising trend + one wild outlier (odd pairs)
+        ("a", t(0), 1.00), ("a", t(3600), 2.00), ("a", t(7200), 3.00),
+        ("a", t(10800), 500.00), ("a", t(14400), 5.00),
+        # entity b: two points only (one pair)
+        ("b", t(0), 10.00), ("b", t(60), 10.50),
+        # entity c: four points (even pair count -> averaged median)
+        ("c", t(0), 0.00), ("c", t(100), 1.23), ("c", t(200), -4.56),
+        ("c", t(300), 7.89),
+        # entity d: single point -> filtered out
+        ("d", t(0), 99.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    got = {
+        r["entity_id"]: r
+        for r in theil_sen(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for ent in "abc":
+        pts = [
+            (
+                int(r.ts.timestamp() * 1e6),
+                int(math.copysign(
+                    math.floor(abs(r.value) * 100 + 0.5), r.value
+                )),
+            )
+            for r in pdf[pdf.entity_id == ent].itertuples()
+        ]
+        pts.sort()
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+        )
+        m = len(slopes)
+        med = (slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]) / 2.0
+        r = got[ent]
+        assert r["n_obs"] == len(pts)
+        assert r["n_pairs"] == m
+        assert r["slope_per_day"] == med * 864000000.0
+    # the outlier point contributes 4 of a's 10 slopes; the median must
+    # stay near the clean 24-units/day trend, nowhere near the outlier
+    assert 20.0 < got["a"]["slope_per_day"] < 30.0
