@@ -378,3 +378,89 @@ def hll_rolling_merge(
         est.alias("hll_estimate"),
         rel.alias("rel_err"),
     )
+
+
+def ams_f2(
+    df: DataFrame,
+    key: str = "key",
+    n_estimators: int = 16,
+    group_size: int = 4,
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy, STOC
+    1996): F2 = sum_k f_k^2 — the self-join size, the quantity the
+    join-cardinality audit (validate.join_size_audit) estimates from
+    per-key counts, here estimated WITHOUT any per-key state: each of
+    `n_estimators` counters folds sign_j(x) in {-1,+1} over the raw
+    stream (Y_j = sum_x f_x * sign_j(x), so E[Y_j^2] = F2), then the
+    classic median-of-means over `group_size`-counter groups.
+
+    Determinism: sign_j(x) = parity of the first md5 hex char of
+    'ams{j}|{x}' — engine-portable like the HLL/Count-Min/Bloom hashes
+    above; every Y_j is an exact long, every Y_j^2 an exact long, each
+    group mean one exact power-of-two division, the median an explicit
+    two-middle-element average. The exact F2 is computed beside the
+    estimate from a per-key count pass, so the output audits the
+    sketch's own relative error.
+
+    Shape at scale: the sketch leg never holds per-key state — one
+    n_estimators-way explode + a 16-group agg, mergeable across any
+    partitioning (it IS the distributive-sketch shape); the exact leg
+    is one key agg + one global agg. The two 1-row frames meet in a
+    registered broadcast cross join.
+
+    Returns ONE row (n_rows, f2_exact, f2_est, rel_err)."""
+    sgn = (
+        2 * (
+            F.conv(F.substring(F.md5(F.col("__s")), 1, 1), 16, 10)
+            .cast("long") % 2
+        ) - 1
+    )
+    sk = (
+        df.select(
+            F.col(key).cast("string").alias("__k"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_estimators) - 1))
+            ).alias("__j"),
+        )
+        .select(
+            "__j",
+            F.concat(
+                F.lit("ams"), F.col("__j").cast("string"),
+                F.lit("|"), F.col("__k"),
+            ).alias("__s"),
+        )
+        .groupBy("__j")
+        .agg(F.sum(sgn).cast("long").alias("__y"))
+    )
+    g = int(group_size)
+    means = sk.groupBy((F.col("__j") / g).cast("int").alias("__g")).agg(
+        (
+            F.sum(F.col("__y") * F.col("__y")).cast("double") / F.lit(float(g))
+        ).alias("__m")
+    )
+    est = means.agg(
+        F.array_sort(F.collect_list("__m")).alias("__ms")
+    ).select(
+        F.expr(
+            "(element_at(__ms, cast((size(__ms) + 1) div 2 as int))"
+            " + element_at(__ms, cast((size(__ms) + 2) div 2 as int))) / 2.0"
+        ).alias("f2_est")
+    )
+    exact = (
+        df.groupBy(F.col(key))
+        .agg(F.count(F.lit(1)).cast("long").alias("__f"))
+        .agg(
+            F.sum("__f").cast("long").alias("n_rows"),
+            F.sum(F.col("__f") * F.col("__f")).cast("long").alias("f2_exact"),
+        )
+    )
+    out = exact.crossJoin(F.broadcast(est))
+    return out.select(
+        "n_rows",
+        "f2_exact",
+        "f2_est",
+        (
+            (F.col("f2_est") - F.col("f2_exact").cast("double"))
+            / F.col("f2_exact").cast("double")
+        ).alias("rel_err"),
+    )

@@ -1636,3 +1636,64 @@ def log_odds_words(
         .orderBy(duck_round(F.col("z"), 6).desc(), F.asc("word"))
         .limit(int(k))
     )
+
+
+def good_turing(
+    df: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    smoothing backbone of Katz backoff and the classic unseen-mass
+    estimate LM-corpus work leans on): corpus word frequencies r, the
+    count-of-counts N_r, and the Turing-adjusted count
+    r* = (r+1) * N_{r+1} / N_r (NULL where N_{r+1} = 0 — the raw
+    estimator is undefined there; smoothed variants fit a line through
+    (r, N_r), which is a reporting choice this operator leaves out).
+
+    Tokenization matches the engine's text stack: split on single
+    spaces, empty tokens dropped (DuckDB twin: regexp_split_to_array
+    of trimmed text on '\\s+').
+
+    Determinism: r, N_r and the total token mass are exact longs;
+    r* and each bucket's share of the corpus mass are single divisions
+    of exact integers.
+
+    Shape at scale: one word-keyed agg (the heavy leg — same shuffle
+    any vocabulary pass pays), one tiny r-keyed agg, a broadcast
+    self-join of the count-of-counts frame on r+1, and one unpartitioned
+    window over that same tiny frame for the mass total. The
+    count-of-counts frame is scratch-persisted: without the pin the
+    broadcast branch would re-run the whole vocabulary scan.
+
+    Returns (r, n_r, r_star, mass_pct) sorted by r ascending."""
+    from mpds_spark.operators.util import scratch_persist
+
+    w = (
+        df.select(F.explode(F.split(F.col(text), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    wf = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nr = scratch_persist(
+        wf.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    nxt = nr.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("__n_next")
+    )
+    j = nr.join(F.broadcast(nxt), "r", "left")
+    total = F.sum(F.col("r") * F.col("n_r")).over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return j.select(
+        "r",
+        "n_r",
+        (
+            (F.col("r") + 1).cast("double") * F.col("__n_next").cast("double")
+            / F.col("n_r").cast("double")
+        ).alias("r_star"),
+        (
+            F.lit(100.0) * (F.col("r") * F.col("n_r")).cast("double")
+            / total.cast("double")
+        ).alias("mass_pct"),
+    )

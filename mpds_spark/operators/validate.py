@@ -353,3 +353,65 @@ def join_size_audit(
         est.alias("est_rows"),
         (actual.cast("double") / est).alias("ratio"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi: list | tuple = ("qi",),
+    sensitive: str = "sensitive",
+    ks: tuple = (2, 5, 10, 20),
+) -> DataFrame:
+    """k-anonymity / l-diversity risk audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) over a quasi-identifier tuple — the privacy gate a
+    training-data release pipeline runs BEFORE the shard write: how many
+    equivalence classes (rows sharing the full QI tuple) fall below each
+    anonymity threshold k, how many rows they expose, and the worst-case
+    sensitive-attribute diversity across classes.
+
+    All counts are exact longs (sensitive diversity = exact distinct per
+    class); the only float is the at-risk percentage, one division of
+    exact integers.
+
+    Shape at scale: one QI-keyed agg (the heavy leg), then a |classes| x
+    |ks| explode + tiny k-keyed agg. No joins, no windows. At 10^12 rows
+    the QI agg is an ordinary skew-safe hash aggregate; the class frame
+    is bounded by the QI domain.
+
+    Returns one row per k: (k, n_classes, min_class_size, min_l_div,
+    classes_below, rows_at_risk, risk_pct)."""
+    cls = df.groupBy(*[F.col(c) for c in qi]).agg(
+        F.count(F.lit(1)).cast("long").alias("__size"),
+        F.countDistinct(F.col(sensitive)).cast("long").alias("__ldiv"),
+    )
+    e = cls.select(
+        "__size",
+        "__ldiv",
+        F.explode(
+            F.array(*[F.lit(int(k)).cast("long") for k in ks])
+        ).alias("k"),
+    )
+    below = F.col("__size") < F.col("k")
+    out = e.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__size").cast("long").alias("min_class_size"),
+        F.min("__ldiv").cast("long").alias("min_l_div"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("long").alias(
+            "classes_below"
+        ),
+        F.sum(F.when(below, F.col("__size")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.sum("__size").cast("long").alias("__total"),
+    )
+    return out.select(
+        "k",
+        "n_classes",
+        "min_class_size",
+        "min_l_div",
+        "classes_below",
+        "rows_at_risk",
+        (
+            F.lit(100.0) * F.col("rows_at_risk").cast("double")
+            / F.col("__total").cast("double")
+        ).alias("risk_pct"),
+    )

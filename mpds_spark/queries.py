@@ -9796,3 +9796,148 @@ FROM mo
 QUERIES["cuped_adjust"] = q_cuped_adjust
 _RAW_ORACLES["cuped_adjust"] = SQL_CUPED_ADJUST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ams_f2_sketch(spark, sf_dir):
+    """AMS F2 sketch vs exact self-join size of events.user_id
+    (operators/sketches.py ams_f2): 16 sign counters folded over the
+    raw stream with md5-parity signs — zero per-key state — then
+    median-of-means; exact F2 from the per-user count pass beside it.
+    The oracle rebuilds the identical counters, so the gate is EXACT
+    despite the approximate estimator."""
+    from mpds_spark.operators.sketches import ams_f2
+
+    ev = _events(spark, sf_dir).select("user_id")
+    out = ams_f2(ev, key="user_id")
+    return out.select(
+        "n_rows", "f2_exact",
+        _r6("f2_est").alias("f2_est"),
+        _r6("rel_err").alias("rel_err"),
+    )
+
+
+SQL_AMS_F2 = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+), sk AS (
+  SELECT j,
+    CAST(sum(2*(('0x' || substring(md5('ams' || CAST(j AS VARCHAR)
+        || '|' || k), 1, 1))::UBIGINT % 2)::BIGINT - 1) AS BIGINT) AS y
+  FROM e, (SELECT unnest(generate_series(0, 15)) AS j)
+  GROUP BY j
+), mg AS (
+  SELECT j // 4 AS g, CAST(sum(y*y) AS DOUBLE) / 4.0 AS m
+  FROM sk GROUP BY j // 4
+), est AS (
+  SELECT (ms[(len(ms)+1)//2] + ms[(len(ms)+2)//2]) / 2.0 AS f2_est
+  FROM (SELECT list(m ORDER BY m) AS ms FROM mg)
+), ex AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_rows,
+         CAST(sum(f*f) AS BIGINT) AS f2_exact
+  FROM (SELECT count(*) AS f FROM e GROUP BY k)
+)
+SELECT n_rows, f2_exact, round(f2_est, 6) AS f2_est,
+  round((f2_est - f2_exact::DOUBLE) / f2_exact::DOUBLE, 6) AS rel_err
+FROM ex, est
+"""
+
+QUERIES["ams_f2_sketch"] = q_ams_f2_sketch
+_RAW_ORACLES["ams_f2_sketch"] = SQL_AMS_F2
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies over the documents corpus
+    (operators/text.py good_turing): exact (r, N_r) table with the
+    Turing-adjusted count (r+1)N_{r+1}/N_r and each bucket's share of
+    corpus mass — the smoothing backbone of Katz backoff and the
+    unseen-mass estimate."""
+    from mpds_spark.operators.text import good_turing
+
+    docs = load(spark, sf_dir, "documents")
+    out = good_turing(docs, text="text")
+    return out.select(
+        "r", "n_r",
+        _r6("r_star").alias("r_star"),
+        _r6("mass_pct").alias("mass_pct"),
+    )
+
+
+SQL_GOOD_TURING = """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+  WHERE trim(text) <> ''
+), wf AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS r FROM w
+  WHERE word <> '' GROUP BY word
+), nr AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM wf GROUP BY r
+)
+SELECT a.r, a.n_r,
+  round(CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+        / CAST(a.n_r AS DOUBLE), 6) AS r_star,
+  round(100.0 * CAST(a.r * a.n_r AS DOUBLE)
+        / CAST((SELECT sum(r * n_r) FROM nr) AS DOUBLE), 6) AS mass_pct
+FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+"""
+
+QUERIES["good_turing"] = q_good_turing
+_RAW_ORACLES["good_turing"] = SQL_GOOD_TURING
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release audit over customers
+    (operators/validate.py k_anonymity): QI = (mktsegment, nationkey),
+    sensitive = exact acctbal cents; per-threshold counts of
+    under-anonymized classes and exposed rows, worst-case sensitive
+    diversity — all exact longs, one QI agg + one tiny k agg."""
+    from mpds_spark.operators.validate import k_anonymity
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        (
+            F.signum("c_acctbal")
+            * F.floor(F.abs(F.col("c_acctbal")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__bal_c"),
+    )
+    return k_anonymity(
+        cust,
+        qi=("c_mktsegment", "c_nationkey"),
+        sensitive="__bal_c",
+    ).select(
+        "k", "n_classes", "min_class_size", "min_l_div",
+        "classes_below", "rows_at_risk",
+        _r6("risk_pct").alias("risk_pct"),
+    )
+
+
+SQL_K_ANONYMITY = """
+WITH cls AS (
+  SELECT c_mktsegment, c_nationkey,
+    CAST(count(*) AS BIGINT) AS sz,
+    CAST(count(DISTINCT CAST(floor(abs(c_acctbal)*100 + 0.5)
+         * sign(c_acctbal) AS BIGINT)) AS BIGINT) AS ldiv
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+), e AS (
+  SELECT sz, ldiv, CAST(k AS BIGINT) AS k
+  FROM cls, (SELECT unnest([2, 5, 10, 20]) AS k)
+)
+SELECT k,
+  CAST(count(*) AS BIGINT) AS n_classes,
+  CAST(min(sz) AS BIGINT) AS min_class_size,
+  CAST(min(ldiv) AS BIGINT) AS min_l_div,
+  CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+    AS classes_below,
+  CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  round(100.0 * CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        / CAST(sum(sz) AS DOUBLE), 6) AS risk_pct
+FROM e GROUP BY k
+"""
+
+QUERIES["k_anonymity"] = q_k_anonymity
+_RAW_ORACLES["k_anonymity"] = SQL_K_ANONYMITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -344,6 +344,14 @@ BUDGETS = {
     # cuped: user agg + global moment agg; the BNLJ is the documented
     # 1-row min/max midpoint broadcast
     "cuped_adjust": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 1},
+    # AMS: 16-way explode agg (no per-key state) + exact leg; the BNLJ
+    # is the two 1-row frames' registered broadcast cross join
+    "ams_f2_sketch": {"shuffle": 5, "python": 0, "cartesian": 0, "bnlj": 1},
+    # good_turing: word agg + persisted count-of-counts frame
+    # (cached-branch convention: no shuffle budget)
+    "good_turing": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # k-anonymity: QI agg + tiny k agg, no joins
+    "k_anonymity": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -198,3 +198,35 @@ def test_hll_rolling_merge_matches_python(spark):
         assert r["hll_buckets_hit"] == len(regs)
         assert abs(r["hll_estimate"] - est) < 1e-9 * max(1.0, est)
         assert abs(r["rel_err"]) < 0.26
+
+
+def test_ams_f2_matches_python_rebuild(spark):
+    """ams_f2's sign counters and median-of-means must equal a pure
+    Python rebuild with the same md5-parity signs, and the exact leg
+    must equal the brute-force sum of squared frequencies."""
+    from mpds_spark.operators.sketches import ams_f2
+
+    keys = (["a"] * 7 + ["b"] * 3 + ["c"] * 5 + ["d"] * 1
+            + [f"k{i}" for i in range(20)])
+    pdf = pd.DataFrame({"key": keys})
+    r = ams_f2(spark.createDataFrame(pdf), key="key").collect()[0]
+
+    from collections import Counter
+
+    f = Counter(keys)
+    f2 = sum(v * v for v in f.values())
+    ys = []
+    for j in range(16):
+        y = 0
+        for k in keys:
+            h = hashlib.md5(f"ams{j}|{k}".encode()).hexdigest()
+            y += 1 if int(h[0], 16) % 2 else -1
+        ys.append(y)
+    means = sorted(
+        sum(y * y for y in ys[g * 4:(g + 1) * 4]) / 4.0 for g in range(4)
+    )
+    est = (means[1] + means[2]) / 2.0
+    assert r["n_rows"] == len(keys)
+    assert r["f2_exact"] == f2
+    assert r["f2_est"] == est
+    assert r["rel_err"] == (est - float(f2)) / float(f2)

@@ -1155,3 +1155,37 @@ def test_log_odds_words_matches_direct(spark):
         assert abs(r["delta"] - delta) < 1e-9
         assert abs(r["z"] - z) < 1e-9
     assert got[0]["word"] == "alpha"
+
+
+def test_good_turing_matches_counter(spark):
+    """good_turing's (r, N_r, r*) table vs exact Counter enumeration,
+    including the NULL r* at the top frequency and the mass shares."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from mpds_spark.operators.text import good_turing
+
+    docs = [
+        "a a a a b b b c c d",   # a:4 b:3 c:2 d:1
+        "e f g h b",             # singles + one more b -> b:4
+        "",                      # empty doc drops out
+    ]
+    pdf = pd.DataFrame({"text": docs})
+    got = {r["r"]: r for r in good_turing(
+        spark.createDataFrame(pdf), text="text"
+    ).collect()}
+
+    f = Counter(w for d in docs for w in d.split() if w)
+    nr = Counter(f.values())
+    total = sum(r * n for r, n in nr.items())
+    assert set(got) == set(nr)
+    for r, n in nr.items():
+        row = got[r]
+        assert row["n_r"] == n
+        nxt = nr.get(r + 1)
+        if nxt is None:
+            assert row["r_star"] is None
+        else:
+            assert abs(row["r_star"] - (r + 1) * nxt / n) < 1e-12
+        assert abs(row["mass_pct"] - 100.0 * r * n / total) < 1e-12

@@ -192,3 +192,34 @@ def test_join_size_audit_exact_and_estimate(spark):
     right2 = spark.createDataFrame(pd.DataFrame({"j": [7, 8]}))
     r2 = join_size_audit(left, right2, "k", "j", "t2").collect()[0]
     assert r2["actual_rows"] == 0 and r2["ratio"] == 0.0
+
+
+def test_k_anonymity_planted_classes(spark):
+    """Planted QI classes of sizes 1/3/10 with known sensitive
+    diversity: per-threshold risk counts must match exact enumeration."""
+    from mpds_spark.operators.validate import k_anonymity
+
+    rows = (
+        [("x", 1, 100)]                                   # size 1
+        + [("x", 2, v) for v in (5, 5, 7)]                # size 3, ldiv 2
+        + [("y", 1, v) for v in range(10)]                # size 10, ldiv 10
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["seg", "nat", "bal"])
+    got = {
+        r["k"]: r
+        for r in k_anonymity(
+            spark.createDataFrame(pdf), qi=("seg", "nat"),
+            sensitive="bal", ks=(2, 5, 20),
+        ).collect()
+    }
+    assert set(got) == {2, 5, 20}
+    for k, below, risk in [(2, 1, 1), (5, 2, 4), (20, 3, 14)]:
+        r = got[k]
+        assert r["n_classes"] == 3
+        assert r["min_class_size"] == 1
+        assert r["min_l_div"] == 1
+        assert r["classes_below"] == below
+        assert r["rows_at_risk"] == risk
+        assert r["risk_pct"] == 100.0 * risk / 14.0
