@@ -1697,3 +1697,102 @@ def good_turing(
             / total.cast("double")
         ).alias("mass_pct"),
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text: str = "text",
+    window: int = 3,
+    min_pair: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Windowed pointwise mutual information over word co-occurrences
+    (Church & Hanks 1990 — the collocation signal embedding pipelines
+    train on): unordered word pairs within `window` token positions,
+    PMI = ln( (c_ab/T) / ((c_a/N)(c_b/N)) ) with a `min_pair` support
+    guard, top-`k` by (rounded PMI desc, pair) so the cut is
+    deterministic.
+
+    Determinism: c_ab, c_a, c_b, N (token mass) and T (pair mass) are
+    exact longs; PMI is ONE ln of ONE division whose numerator
+    c_ab*N^2 and denominator T*c_a*c_b are exact DECIMAL(38,0) cast
+    once to double — identical IEEE ops per engine.
+
+    Shape at scale: postings (doc, pos, word) explode once; the pair
+    generator is `window` exact-offset copies equi-joined back to the
+    postings on (doc, pos+d) — the phrase_search join shape, never a
+    theta/self-join over the corpus; identical-word pairs excluded.
+    Marginals are one word agg; the three tiny frames (pair counts
+    above support, marginals for those words only, 1-row totals) meet
+    in broadcast joins. Top-k is a TakeOrdered heap, no global sort.
+
+    Returns (word_a, word_b, c_pair, pmi)."""
+    from mpds_spark.operators.util import scratch_persist
+
+    p = scratch_persist(
+        df.select(
+            F.col("doc_id"),
+            F.posexplode(F.split(F.col(text), " ")).alias("__p0", "word"),
+        )
+        .filter(F.col("word") != "")
+        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "word")
+    )
+    left = p.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, int(window) + 1)])
+        ).alias("__d"),
+        F.col("pos").alias("__pa"),
+        F.col("word").alias("__wa"),
+    ).select(
+        "doc_id", (F.col("__pa") + F.col("__d")).alias("pos"), "__wa"
+    )
+    pairs = (
+        left.join(p, ["doc_id", "pos"])
+        .filter(F.col("__wa") != F.col("word"))
+        .select(
+            F.least("__wa", "word").alias("word_a"),
+            F.greatest("__wa", "word").alias("word_b"),
+        )
+    )
+    pc = pairs.groupBy("word_a", "word_b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pair")
+    )
+    totals = pc.agg(F.sum("c_pair").cast("long").alias("__t"))
+    pc = pc.filter(F.col("c_pair") >= int(min_pair))
+    marg = p.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    ntot = p.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    dec = "decimal(38,0)"
+    j = (
+        pc.join(
+            F.broadcast(marg.select(F.col("word").alias("word_a"),
+                                    F.col("__c").alias("__ca"))),
+            "word_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("word").alias("word_b"),
+                                    F.col("__c").alias("__cb"))),
+            "word_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(ntot))
+    )
+    num = (
+        F.col("c_pair").cast(dec) * F.col("__n").cast(dec)
+        * F.col("__n").cast(dec)
+    ).cast("double")
+    den = (
+        F.col("__t").cast(dec) * F.col("__ca").cast(dec)
+        * F.col("__cb").cast(dec)
+    ).cast("double")
+    from mpds_spark.functions.timeutil import duck_round
+
+    out = j.select(
+        "word_a", "word_b", "c_pair",
+        duck_round(F.log(num / den), 6).alias("pmi"),
+    )
+    return out.orderBy(
+        F.desc("pmi"), "word_a", "word_b"
+    ).limit(int(k))

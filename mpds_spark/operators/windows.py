@@ -1249,3 +1249,167 @@ def theil_sen(
         F.expr("n_obs * (n_obs - 1) div 2").cast("long").alias("n_pairs"),
         (med * F.lit(per_day)).alias("slope_per_day"),
     )
+
+
+def sax_symbols(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    n_segments: int = 8,
+    decimals: int = 2,
+) -> DataFrame:
+    """SAX symbolization (Lin, Keogh, Lonardi & Chiu, DMKD 2003): each
+    entity's ts-ordered series → PAA segment means → z-scored against
+    the entity's own population moments → a 4-letter-alphabet word
+    ('a' < -0.6745 <= 'b' < 0 <= 'c' < 0.6745 <= 'd', the N(0,1)
+    quartile breakpoints). The shape-index feature that makes
+    similarity search over raw series tractable — two entities with
+    the same SAX word are rolling-pattern candidates.
+
+    Segment assignment: point rn (1-based) of n goes to segment
+    (rn-1)*W div n — every segment non-empty for n >= W, degenerate
+    series (n < W) get shorter words.
+
+    Determinism: per-segment sums/counts and per-entity moments are
+    exact integers at `decimals`; each z is a fixed 3-division
+    expression over once-cast doubles (the cents scale cancels inside
+    the z-score, so no rescale ever happens); breakpoint comparisons on
+    identical doubles; the word is a position-ordered concat — the
+    OUTPUT IS A STRING, gated exactly. A zero-variance entity z-scores
+    to NaN, which compares false on every `<` and lands every segment
+    on the top symbol in both engines (documented, not reachable on
+    real cent streams).
+
+    Shape at scale: one entity window (rn/n) + one (entity, segment)
+    agg carrying (count, sum, sum-of-squares), entity moments re-derived
+    from the TINY segment frame (never a second corpus scan), broadcast
+    joined back, one final entity agg for the word. Per-entity history
+    bounds the window partition — the salting contract applies beyond.
+
+    Returns (by, n_obs, sax)."""
+    scale = int(10**decimals)
+    W = int(n_segments)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * scale + F.lit(0.5))
+    ).cast("long")
+    w = Window.partitionBy(by).orderBy(F.col(ts))
+    d = df.select(
+        F.col(by), F.col(ts), cents.alias("__c")
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(
+            Window.partitionBy(by).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    )
+    seg = d.groupBy(
+        F.col(by),
+        F.expr(f"(__rn - 1) * {W} div __n").alias("__seg"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum("__c").cast("long").alias("__sc"),
+        F.sum(F.col("__c").cast("decimal(38,0)")
+              * F.col("__c").cast("decimal(38,0)")).alias("__ssq"),
+    )
+    mo = seg.groupBy(by).agg(
+        F.sum("__k").cast("long").alias("__nn"),
+        F.sum("__sc").cast("decimal(38,0)").alias("__sx"),
+        F.sum("__ssq").alias("__sxx"),
+    )
+    j = seg.join(F.broadcast(mo), by)
+    nd = F.col("__nn").cast("double")
+    mu = F.col("__sx").cast("double") / nd
+    var = (
+        F.col("__nn").cast("decimal(38,0)") * F.col("__sxx")
+        - F.col("__sx") * F.col("__sx")
+    ).cast("double") / (nd * nd)
+    z = (
+        (F.col("__sc").cast("double") / F.col("__k").cast("double")) - mu
+    ) / F.sqrt(var)
+    sym = (
+        F.when(z < F.lit(-0.6745), F.lit("a"))
+        .when(z < F.lit(0.0), F.lit("b"))
+        .when(z < F.lit(0.6745), F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    per_seg = j.select(F.col(by), F.col("__seg"), sym.alias("__sym"))
+    out = per_seg.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("__w"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(__seg, __sym))), x -> x.__sym)"
+            ),
+            "",
+        ).alias("sax"),
+    )
+    n_obs = mo.select(F.col(by), F.col("__nn").alias("n_obs"))
+    return out.join(F.broadcast(n_obs), by).select(
+        F.col(by), "n_obs", "sax"
+    )
+
+
+def holt_trend(
+    df: DataFrame,
+    value: str = "value",
+    ts: str = "ts",
+    by: str = "entity_id",
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    decimals: int = 2,
+) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957): the level+trend
+    recursion l_t = a*y_t + (1-a)(l_{t-1} + b_{t-1}),
+    b_t = B(l_t - l_{t-1}) + (1-B) b_{t-1}, seeded l_1 = y_1, b_1 = 0 —
+    EWMA's companion when the stream drifts: the one-step-ahead
+    forecast l+b tracks a trending entity where flat EWMA lags forever.
+
+    Cross-engine determinism: the fold runs SEQUENTIALLY over the
+    ts-sorted per-entity array with a (level, trend) accumulator —
+    Spark `aggregate` with named_struct vs DuckDB `list_reduce`, the
+    level expression written out verbatim inside the trend update on
+    BOTH engines so the IEEE op sequence is identical. The DuckDB twin
+    must carry the state as a 2-element LIST, not a struct: DuckDB 1.0
+    evaluates struct-result lambdas field-sequentially, rebinding
+    acc.<field> to the just-computed value inside later fields, which
+    silently turns the coupled recursion into a different (wrong) one.
+    alpha/beta default to exact binary fractions. Inputs fold as exact
+    integer cents (cast once to double); the only rescales are three
+    final power-of-ten divisions.
+
+    Shape at scale: one entity-keyed shuffle, O(n) serial fold per
+    entity inside codegen (same contract as ewma_features — affine
+    chunk composition is the salting path for monstrous entities).
+
+    Returns (by, n_events, level, trend, forecast_1)."""
+    scale = float(10**decimals)
+    a, b = float(alpha), float(beta)
+    cents = (
+        F.signum(F.col(value))
+        * F.floor(F.abs(F.col(value)) * F.lit(scale) + F.lit(0.5))
+    ).cast("long")
+    d = df.select(F.col(by), F.col(ts).alias("__t"), cents.alias("__c"))
+    g = d.groupBy(by).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__t, __c))), "
+            "x -> cast(x.__c as double))"
+        ).alias("__vs"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    lnew = f"{a!r}D * v + {1 - a!r}D * (acc.l + acc.b)"
+    fold = F.expr(
+        "aggregate(slice(__vs, 2, size(__vs) - 1), "
+        "named_struct('l', element_at(__vs, 1), 'b', cast(0.0 as double)), "
+        f"(acc, v) -> named_struct('l', {lnew}, "
+        f"'b', {b!r}D * (({lnew}) - acc.l) + {1 - b!r}D * acc.b))"
+    )
+    g = g.withColumn("__st", fold)
+    lv = F.col("__st.l") / F.lit(scale)
+    tr = F.col("__st.b") / F.lit(scale)
+    fc = (F.col("__st.l") + F.col("__st.b")) / F.lit(scale)
+    return g.select(
+        F.col(by), "n_events",
+        lv.alias("level"), tr.alias("trend"), fc.alias("forecast_1"),
+    )

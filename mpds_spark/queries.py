@@ -9941,3 +9941,160 @@ FROM e GROUP BY k
 QUERIES["k_anonymity"] = q_k_anonymity
 _RAW_ORACLES["k_anonymity"] = SQL_K_ANONYMITY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_pmi_pairs(spark, sf_dir):
+    """Windowed PMI collocations over documents (operators/text.py
+    pmi_pairs, Church & Hanks 1990): pairs within 3 positions via the
+    exact-offset posting equi-join (never a theta self-join), support
+    guard >= 10, top-50 by (rounded PMI desc, pair); the oracle IS the
+    positional theta-join definition, proving the offset-explode."""
+    from mpds_spark.operators.text import pmi_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_pairs(docs, text="text", window=3, min_pair=10, k=50)
+
+
+SQL_PMI_PAIRS = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), p AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) t
+  WHERE w[i] <> ''
+), pairs AS (
+  SELECT least(a.word, b.word) AS word_a,
+         greatest(a.word, b.word) AS word_b
+  FROM p a JOIN p b ON a.doc_id = b.doc_id
+   AND b.pos - a.pos BETWEEN 1 AND 3
+  WHERE a.word <> b.word
+), pc AS (
+  SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS c_pair
+  FROM pairs GROUP BY word_a, word_b
+), tot AS (SELECT CAST(sum(c_pair) AS HUGEINT) AS t FROM pc),
+marg AS (SELECT word, CAST(count(*) AS HUGEINT) AS c FROM p GROUP BY word),
+ntot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM p)
+SELECT word_a, word_b, c_pair,
+  round(ln(CAST(CAST(c_pair AS HUGEINT) * (SELECT n FROM ntot)
+                * (SELECT n FROM ntot) AS DOUBLE)
+           / CAST((SELECT t FROM tot) * ma.c * mb.c AS DOUBLE)), 6)
+    AS pmi
+FROM pc
+JOIN marg ma ON pc.word_a = ma.word
+JOIN marg mb ON pc.word_b = mb.word
+WHERE c_pair >= 10
+ORDER BY pmi DESC, word_a, word_b
+LIMIT 50
+"""
+
+QUERIES["pmi_pairs"] = q_pmi_pairs
+_RAW_ORACLES["pmi_pairs"] = SQL_PMI_PAIRS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_sax_symbols(spark, sf_dir):
+    """SAX words per entity (operators/windows.py sax_symbols, Lin et
+    al. 2003): 8-segment PAA of the cents stream z-scored on exact
+    entity moments (the cents scale cancels inside z), 4-letter
+    quartile alphabet — the output is a STRING, gated exactly."""
+    from mpds_spark.operators.windows import sax_symbols
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "value"
+    )
+    return sax_symbols(ev, value="value", ts="ts", by="entity_id")
+
+
+SQL_SAX_SYMBOLS = """
+WITH e AS (
+  SELECT user_id, ts,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+    count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), seg AS (
+  SELECT user_id, (rn - 1) * 8 // n AS seg,
+    CAST(count(*) AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS sc,
+    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ssq
+  FROM e GROUP BY user_id, (rn - 1) * 8 // n
+), mo AS (
+  SELECT user_id, CAST(sum(k) AS BIGINT) AS nn,
+    CAST(sum(sc) AS HUGEINT) AS sx, CAST(sum(ssq) AS HUGEINT) AS sxx
+  FROM seg GROUP BY user_id
+), z AS (
+  SELECT seg.user_id, seg.seg,
+    ((CAST(sc AS DOUBLE) / CAST(k AS DOUBLE))
+     - CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+    / sqrt(CAST(CAST(nn AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+           / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) AS z
+  FROM seg JOIN mo ON seg.user_id = mo.user_id
+), sym AS (
+  SELECT user_id, seg,
+    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+  FROM z
+)
+SELECT sym.user_id AS entity_id, mo.nn AS n_obs,
+  string_agg(s, '' ORDER BY seg) AS sax
+FROM sym JOIN mo ON sym.user_id = mo.user_id
+GROUP BY sym.user_id, mo.nn
+"""
+
+QUERIES["sax_symbols"] = q_sax_symbols
+_RAW_ORACLES["sax_symbols"] = SQL_SAX_SYMBOLS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_holt_trend(spark, sf_dir):
+    """Holt level+trend smoothing per entity (operators/windows.py
+    holt_trend): sequential struct fold over the ts-sorted cents
+    array — Spark aggregate vs DuckDB list_reduce with the level
+    expression inlined verbatim in the trend update on both engines."""
+    from mpds_spark.operators.windows import holt_trend
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "value"
+    )
+    out = holt_trend(ev, value="value", ts="ts", by="entity_id")
+    return out.select(
+        "entity_id", "n_events",
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("forecast_1").alias("forecast_1"),
+    )
+
+
+SQL_HOLT_TREND = """
+WITH e AS (
+  SELECT user_id, ts,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    list(CAST(c AS DOUBLE) ORDER BY ts) AS vs
+  FROM e GROUP BY user_id
+), f AS (
+  -- list (not struct) accumulator: DuckDB 1.0 list_reduce evaluates
+  -- struct-result lambdas FIELD-SEQUENTIALLY, rebinding acc.<field> to
+  -- the just-computed value inside later fields; list results build
+  -- atomically, matching Spark's named_struct fold
+  SELECT user_id, n_events,
+    list_reduce(
+      list_transform(vs, v -> [v, 0.0::DOUBLE]),
+      (acc, x) -> [
+        0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]),
+        0.125::DOUBLE * ((0.25::DOUBLE * x[1]
+              + 0.75::DOUBLE * (acc[1] + acc[2])) - acc[1])
+             + 0.875::DOUBLE * acc[2]]) AS st
+  FROM g
+)
+SELECT user_id AS entity_id, n_events,
+  round(st[1] / 100.0, 6) AS level,
+  round(st[2] / 100.0, 6) AS trend,
+  round((st[1] + st[2]) / 100.0, 6) AS forecast_1
+FROM f
+"""
+
+QUERIES["holt_trend"] = q_holt_trend
+_RAW_ORACLES["holt_trend"] = SQL_HOLT_TREND
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -352,6 +352,14 @@ BUDGETS = {
     "good_turing": {"python": 0, "cartesian": 0, "bnlj": 0},
     # k-anonymity: QI agg + tiny k agg, no joins
     "k_anonymity": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 0},
+    # PMI: persisted postings (cached-branch convention: no shuffle
+    # budget); the 2 BNLJs are the registered 1-row T/N totals
+    "pmi_pairs": {"python": 0, "cartesian": 0, "bnlj": 2},
+    # SAX: entity window + (entity,seg) agg + tiny moment agg; the
+    # word is one final entity agg, joins broadcast
+    "sax_symbols": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 0},
+    # Holt: ONE entity exchange, serial struct fold inside codegen
+    "holt_trend": {"shuffle": 1, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -142,6 +142,7 @@ def test_catalog_plan_inventory(spark):
         "join_size_audit",     # two broadcast 1-row totals fits per relation
         "cuped_adjust",        # broadcast 1-row corpus-span midpoint fit
         "ams_f2_sketch",       # two 1-row frames (exact leg x sketch leg)
+        "pmi_pairs",           # broadcast 1-row pair-mass / token-mass fits
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

@@ -1189,3 +1189,53 @@ def test_good_turing_matches_counter(spark):
         else:
             assert abs(row["r_star"] - (r + 1) * nxt / n) < 1e-12
         assert abs(row["mass_pct"] - 100.0 * r * n / total) < 1e-12
+
+
+def test_pmi_pairs_bruteforce(spark):
+    """pmi_pairs' offset-explode equi-join + exact-integer PMI vs naive
+    enumeration of all position pairs within the window."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from mpds_spark.operators.text import pmi_pairs
+
+    docs = [
+        "x y x y x y x y",        # tight x/y collocation
+        "a b c a b c a b c",
+        "x q q q y",              # x..y at distance 4 (outside window 3)
+        "a a a a",                # identical-word pairs excluded
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    got = [
+        (r["word_a"], r["word_b"], r["c_pair"], r["pmi"])
+        for r in pmi_pairs(
+            spark.createDataFrame(pdf), window=3, min_pair=2, k=100
+        ).collect()
+    ]
+
+    toks = [[w for w in d.split(" ") if w] for d in docs]
+    marg = Counter(w for t in toks for w in t)
+    N = sum(marg.values())
+    pairs = Counter()
+    for t in toks:
+        for i, wa in enumerate(t):
+            for j in range(i + 1, min(i + 4, len(t))):
+                if t[j] != wa:
+                    pairs[tuple(sorted((wa, t[j])))] += 1
+    T = sum(pairs.values())
+    want = []
+    for (a, b), c in pairs.items():
+        if c >= 2:
+            pmi = math.log((c * N * N) / (T * marg[a] * marg[b]))
+            pmi = math.copysign(
+                math.floor(abs(pmi) * 1e6 + 0.5), pmi
+            ) / 1e6
+            want.append((a, b, c, pmi))
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want
+    # the planted collocation is present with positive PMI; the
+    # distance-4 x..y occurrence contributed nothing (window=3)
+    xy = [r for r in got if r[:2] == ("x", "y")]
+    assert xy and xy[0][3] > 0 and xy[0][2] == 12

@@ -1382,3 +1382,91 @@ def test_theil_sen_bruteforce(spark):
     # the outlier point contributes 4 of a's 10 slopes; the median must
     # stay near the clean 24-units/day trend, nowhere near the outlier
     assert 20.0 < got["a"]["slope_per_day"] < 30.0
+
+
+def test_sax_symbols_matches_python(spark):
+    """sax_symbols vs a pure-python PAA+SAX rebuild (population
+    z-scores, quartile breakpoints) on series engineered to hit all
+    four letters and a non-divisible segment split."""
+    import datetime
+    import math
+
+    from mpds_spark.operators.windows import sax_symbols
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=s
+        )
+
+    series = {
+        # rising ramp, n=16 (2 per segment)
+        "up": [float(i) for i in range(16)],
+        # n=10: segments get 2/1/1/2/1/1/1/1 points (non-divisible)
+        "vee": [5.0, 3.0, 1.0, -2.0, -5.0, -5.0, -2.0, 1.0, 3.0, 5.0],
+    }
+    rows = [
+        (e, t(60 * i), v)
+        for e, vs in series.items()
+        for i, v in enumerate(vs)
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    got = {
+        r["entity_id"]: r for r in sax_symbols(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    for e, vs in series.items():
+        cents = [int(math.copysign(math.floor(abs(v) * 100 + 0.5), v))
+                 for v in vs]
+        n = len(cents)
+        mu = sum(cents) / n
+        var = (n * sum(c * c for c in cents) - sum(cents) ** 2) / (n * n)
+        sd = math.sqrt(var)
+        segs = {}
+        for i, c in enumerate(cents):
+            segs.setdefault(i * 8 // n, []).append(c)
+        word = ""
+        for s in sorted(segs):
+            z = (sum(segs[s]) / len(segs[s]) - mu) / sd
+            word += ("a" if z < -0.6745 else "b" if z < 0 else
+                     "c" if z < 0.6745 else "d")
+        assert got[e]["n_obs"] == n
+        assert got[e]["sax"] == word
+    assert got["up"]["sax"] == "aabbccdd"
+
+
+def test_holt_trend_matches_python_recursion(spark):
+    """holt_trend's struct fold vs the explicit sequential recursion in
+    pure Python (bit-equal — the IEEE op order is pinned)."""
+    import datetime
+
+    from mpds_spark.operators.windows import holt_trend
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            seconds=s
+        )
+
+    vals = [10.00, 12.50, 11.25, 15.00, 18.75, 17.50, 21.00, 24.30]
+    rows = [("e", t(3600 * i), v) for i, v in enumerate(vals)] + [
+        ("solo", t(0), 42.00)
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "value"])
+    got = {
+        r["entity_id"]: r
+        for r in holt_trend(spark.createDataFrame(pdf)).collect()
+    }
+    cents = [round(v * 100) for v in vals]
+    l, b = float(cents[0]), 0.0
+    for v in cents[1:]:
+        ln = 0.25 * v + 0.75 * (l + b)
+        b = 0.125 * (ln - l) + 0.875 * b
+        l = ln
+    assert got["e"]["n_events"] == len(vals)
+    assert got["e"]["level"] == l / 100.0
+    assert got["e"]["trend"] == b / 100.0
+    assert got["e"]["forecast_1"] == (l + b) / 100.0
+    # the trending series forecasts ABOVE its last level (EWMA wouldn't)
+    assert got["e"]["forecast_1"] > got["e"]["level"]
+    # single-point entity: level = the point, trend 0
+    assert got["solo"]["level"] == 42.0 and got["solo"]["trend"] == 0.0
