@@ -70,6 +70,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (twenty-third batch — continuation session)
+    "ivm_merge_audit",
+    "mase_eval",
+    "simpson_audit",
     # new in round 5 (twenty-second batch — continuation session)
     "pmi_pairs",
     "sax_symbols",

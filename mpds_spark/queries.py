@@ -10098,3 +10098,299 @@ FROM f
 QUERIES["holt_trend"] = q_holt_trend
 _RAW_ORACLES["holt_trend"] = SQL_HOLT_TREND
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ivm_merge_audit(spark, sf_dir):
+    """Incremental-view-maintenance merge audit: the mergeable-aggregate
+    contract (count/sum/min/max compose; avg re-derives from merged
+    sum/count) that makes incremental pipelines, AQE partial aggs and
+    checkpoint-resume correct. Events split base/delta at the exact
+    corpus midpoint (1-row broadcast, registered BNLJ-by-design); the
+    merged path must equal the full recompute cell-for-cell — the
+    audit reports both so the oracle gate PROVES the merge."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__us"),
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    b = ev.agg(F.min("__us").alias("__mn"), F.max("__us").alias("__mx"))
+    ev = ev.crossJoin(F.broadcast(b)).withColumn(
+        "__base", F.expr("__us <= __mn + (__mx - __mn) div 2")
+    )
+
+    def leg(pred):
+        return [
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(pred, F.col("__c")).otherwise(0)).cast("long"),
+            F.min(F.when(pred, F.col("__c"))).cast("long"),
+            F.max(F.when(pred, F.col("__c"))).cast("long"),
+        ]
+
+    base = leg(F.col("__base"))
+    delta = leg(~F.col("__base"))
+    full = leg(F.lit(True))
+    g = ev.groupBy("event_type").agg(
+        base[0].alias("__bn"), base[1].alias("__bs"),
+        base[2].alias("__bmin"), base[3].alias("__bmax"),
+        delta[0].alias("__dn"), delta[1].alias("__ds"),
+        delta[2].alias("__dmin"), delta[3].alias("__dmax"),
+        full[0].alias("n_full"), full[1].alias("__fs"),
+        full[2].alias("__fmin"), full[3].alias("__fmax"),
+    )
+    n_m = (F.col("__bn") + F.col("__dn")).cast("long")
+    s_m = (F.col("__bs") + F.col("__ds")).cast("long")
+    min_m = F.least(
+        F.coalesce("__bmin", "__dmin"), F.coalesce("__dmin", "__bmin")
+    ).cast("long")
+    max_m = F.greatest(
+        F.coalesce("__bmax", "__dmax"), F.coalesce("__dmax", "__bmax")
+    ).cast("long")
+    return g.select(
+        "event_type",
+        "n_full",
+        n_m.alias("n_merged"),
+        F.col("__fs").alias("sum_full_c"),
+        s_m.alias("sum_merged_c"),
+        F.col("__fmin").alias("min_full_c"),
+        min_m.alias("min_merged_c"),
+        F.col("__fmax").alias("max_full_c"),
+        max_m.alias("max_merged_c"),
+        _r6(F.col("__fs").cast("double") / F.col("n_full").cast("double"))
+        .alias("avg_full"),
+        _r6(s_m.cast("double") / n_m.cast("double")).alias("avg_merged"),
+        (
+            (F.col("n_full") == n_m) & (F.col("__fs") == s_m)
+            & (F.col("__fmin") == min_m) & (F.col("__fmax") == max_m)
+        ).alias("merge_ok"),
+    )
+
+
+SQL_IVM_MERGE = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+), b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+t AS (
+  SELECT event_type, c,
+    us <= (SELECT mn + (mx - mn) // 2 FROM b) AS is_base
+  FROM e
+), g AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS bn,
+    CAST(sum(CASE WHEN is_base THEN c ELSE 0 END) AS BIGINT) AS bs,
+    CAST(min(CASE WHEN is_base THEN c END) AS BIGINT) AS bmin,
+    CAST(max(CASE WHEN is_base THEN c END) AS BIGINT) AS bmax,
+    CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS dn,
+    CAST(sum(CASE WHEN is_base THEN 0 ELSE c END) AS BIGINT) AS ds,
+    CAST(min(CASE WHEN NOT is_base THEN c END) AS BIGINT) AS dmin,
+    CAST(max(CASE WHEN NOT is_base THEN c END) AS BIGINT) AS dmax,
+    CAST(count(*) AS BIGINT) AS n_full,
+    CAST(sum(c) AS BIGINT) AS fs,
+    CAST(min(c) AS BIGINT) AS fmin,
+    CAST(max(c) AS BIGINT) AS fmax
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n_full,
+  CAST(bn + dn AS BIGINT) AS n_merged,
+  fs AS sum_full_c,
+  CAST(bs + ds AS BIGINT) AS sum_merged_c,
+  fmin AS min_full_c,
+  CAST(least(coalesce(bmin, dmin), coalesce(dmin, bmin)) AS BIGINT)
+    AS min_merged_c,
+  fmax AS max_full_c,
+  CAST(greatest(coalesce(bmax, dmax), coalesce(dmax, bmax)) AS BIGINT)
+    AS max_merged_c,
+  round(CAST(fs AS DOUBLE) / CAST(n_full AS DOUBLE), 6) AS avg_full,
+  round(CAST(bs + ds AS DOUBLE) / CAST(bn + dn AS DOUBLE), 6)
+    AS avg_merged,
+  (n_full = bn + dn AND fs = bs + ds
+   AND fmin = least(coalesce(bmin, dmin), coalesce(dmin, bmin))
+   AND fmax = greatest(coalesce(bmax, dmax), coalesce(dmax, bmax)))
+    AS merge_ok
+FROM g
+"""
+
+QUERIES["ivm_merge_audit"] = q_ivm_merge_audit
+_RAW_ORACLES["ivm_merge_audit"] = SQL_IVM_MERGE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_mase_eval(spark, sf_dir):
+    """Forecast backtest per entity: MAE of the naive lag-1 forecast,
+    MAE of the lag-7 'seasonal' forecast, and MASE = seasonal/naive
+    (Hyndman & Koehler 2006 — the scale-free forecast-accuracy metric;
+    values below 1 mean the weekly-period model beats persistence).
+    Exact integer |error| sums on ONE entity-keyed exchange; two
+    divisions + one ratio at the end."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"),
+        F.col("ts"),
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy("entity_id").orderBy("ts")
+    d = ev.select(
+        "entity_id",
+        F.abs(F.col("__c") - F.lag("__c", 1).over(w)).alias("__e1"),
+        F.abs(F.col("__c") - F.lag("__c", 7).over(w)).alias("__e7"),
+    )
+    g = d.groupBy("entity_id").agg(
+        F.count("__e1").cast("long").alias("n_naive"),
+        F.sum("__e1").cast("long").alias("__s1"),
+        F.count("__e7").cast("long").alias("n_seasonal"),
+        F.sum("__e7").cast("long").alias("__s7"),
+    ).filter(F.col("n_seasonal") > 0)
+    mae1 = F.col("__s1").cast("double") / F.col("n_naive").cast("double")
+    mae7 = (
+        F.col("__s7").cast("double") / F.col("n_seasonal").cast("double")
+    )
+    return g.select(
+        "entity_id", "n_naive", "n_seasonal",
+        _r6(mae1 / F.lit(100.0)).alias("mae_naive"),
+        _r6(mae7 / F.lit(100.0)).alias("mae_lag7"),
+        _r6(mae7 / mae1).alias("mase_lag7"),
+    )
+
+
+SQL_MASE_EVAL = """
+WITH e AS (
+  SELECT user_id, ts,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+), d AS (
+  SELECT user_id,
+    abs(c - lag(c, 1) OVER w) AS e1,
+    abs(c - lag(c, 7) OVER w) AS e7
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id,
+    CAST(count(e1) AS BIGINT) AS n_naive,
+    CAST(sum(e1) AS BIGINT) AS s1,
+    CAST(count(e7) AS BIGINT) AS n_seasonal,
+    CAST(sum(e7) AS BIGINT) AS s7
+  FROM d GROUP BY user_id
+)
+SELECT user_id AS entity_id, n_naive, n_seasonal,
+  round(CAST(s1 AS DOUBLE) / CAST(n_naive AS DOUBLE) / 100.0, 6)
+    AS mae_naive,
+  round(CAST(s7 AS DOUBLE) / CAST(n_seasonal AS DOUBLE) / 100.0, 6)
+    AS mae_lag7,
+  round((CAST(s7 AS DOUBLE) / CAST(n_seasonal AS DOUBLE))
+        / (CAST(s1 AS DOUBLE) / CAST(n_naive AS DOUBLE)), 6)
+    AS mase_lag7
+FROM g WHERE n_seasonal > 0
+"""
+
+QUERIES["mase_eval"] = q_mase_eval
+_RAW_ORACLES["mase_eval"] = SQL_MASE_EVAL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_simpson_audit(spark, sf_dir):
+    """Simpson's-paradox audit over lineitem: the discounted→returned
+    association P(R|disc) - P(R|full), pooled vs within each
+    linestatus stratum, with the per-stratum sign-flip flag — the
+    pooled-vs-stratified sanity check every observational metric read
+    needs. All cells exact longs; every probability ONE division."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_linestatus").alias("stratum"),
+        (F.col("l_discount") >= 0.05).alias("__x"),
+        (F.col("l_returnflag") == "R").alias("__y"),
+    )
+    cells = [
+        F.sum(F.when(F.col("__x") & F.col("__y"), 1).otherwise(0))
+        .cast("long").alias("__xy"),
+        F.sum(F.when(F.col("__x") & ~F.col("__y"), 1).otherwise(0))
+        .cast("long").alias("__xn"),
+        F.sum(F.when(~F.col("__x") & F.col("__y"), 1).otherwise(0))
+        .cast("long").alias("__ny"),
+        F.sum(F.when(~F.col("__x") & ~F.col("__y"), 1).otherwise(0))
+        .cast("long").alias("__nn"),
+    ]
+    g = li.groupBy("stratum").agg(*cells)
+    pooled = li.agg(*cells)
+
+    def diff(pre=""):
+        px = F.col(f"{pre}__xy").cast("double") / (
+            F.col(f"{pre}__xy") + F.col(f"{pre}__xn")
+        ).cast("double")
+        pn = F.col(f"{pre}__ny").cast("double") / (
+            F.col(f"{pre}__ny") + F.col(f"{pre}__nn")
+        ).cast("double")
+        return px, pn, px - pn
+
+    px, pn, d = diff()
+    pooled = pooled.select(
+        F.col("__xy").alias("p__xy"), F.col("__xn").alias("p__xn"),
+        F.col("__ny").alias("p__ny"), F.col("__nn").alias("p__nn"),
+    )
+    j = g.crossJoin(F.broadcast(pooled))
+    ppx = F.col("p__xy").cast("double") / (
+        F.col("p__xy") + F.col("p__xn")
+    ).cast("double")
+    ppn = F.col("p__ny").cast("double") / (
+        F.col("p__ny") + F.col("p__nn")
+    ).cast("double")
+    pd = ppx - ppn
+    return j.select(
+        "stratum",
+        (F.col("__xy") + F.col("__xn") + F.col("__ny") + F.col("__nn"))
+        .cast("long").alias("n"),
+        _r6(px).alias("p_ret_disc"),
+        _r6(pn).alias("p_ret_full"),
+        _r6(d).alias("diff"),
+        _r6(pd).alias("pooled_diff"),
+        (F.signum(d) != F.signum(pd)).alias("sign_flipped"),
+    )
+
+
+SQL_SIMPSON_AUDIT = """
+WITH li AS (
+  SELECT l_linestatus AS stratum,
+    l_discount >= 0.05 AS x, l_returnflag = 'R' AS y
+  FROM lineitem
+), g AS (
+  SELECT stratum,
+    CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS xy,
+    CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS xn,
+    CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+    CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn
+  FROM li GROUP BY stratum
+), p AS (
+  SELECT CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS xy,
+    CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS xn,
+    CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+    CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn
+  FROM li
+)
+SELECT g.stratum,
+  CAST(g.xy + g.xn + g.ny + g.nn AS BIGINT) AS n,
+  round(CAST(g.xy AS DOUBLE) / CAST(g.xy + g.xn AS DOUBLE), 6)
+    AS p_ret_disc,
+  round(CAST(g.ny AS DOUBLE) / CAST(g.ny + g.nn AS DOUBLE), 6)
+    AS p_ret_full,
+  round(CAST(g.xy AS DOUBLE) / CAST(g.xy + g.xn AS DOUBLE)
+        - CAST(g.ny AS DOUBLE) / CAST(g.ny + g.nn AS DOUBLE), 6)
+    AS diff,
+  round(CAST(p.xy AS DOUBLE) / CAST(p.xy + p.xn AS DOUBLE)
+        - CAST(p.ny AS DOUBLE) / CAST(p.ny + p.nn AS DOUBLE), 6)
+    AS pooled_diff,
+  sign(CAST(g.xy AS DOUBLE) / CAST(g.xy + g.xn AS DOUBLE)
+       - CAST(g.ny AS DOUBLE) / CAST(g.ny + g.nn AS DOUBLE))
+    <> sign(CAST(p.xy AS DOUBLE) / CAST(p.xy + p.xn AS DOUBLE)
+            - CAST(p.ny AS DOUBLE) / CAST(p.ny + p.nn AS DOUBLE))
+    AS sign_flipped
+FROM g, p
+"""
+
+QUERIES["simpson_audit"] = q_simpson_audit
+_RAW_ORACLES["simpson_audit"] = SQL_SIMPSON_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

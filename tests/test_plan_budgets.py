@@ -360,6 +360,13 @@ BUDGETS = {
     "sax_symbols": {"shuffle": 3, "python": 0, "cartesian": 0, "bnlj": 0},
     # Holt: ONE entity exchange, serial struct fold inside codegen
     "holt_trend": {"shuffle": 1, "python": 0, "cartesian": 0, "bnlj": 0},
+    # IVM/simpson: one fact agg + 1-row registered broadcast each
+    "ivm_merge_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 1},
+    "simpson_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 1},
+    # MASE: lag errors + rollup share ONE entity exchange
+    "mase_eval": {"shuffle": 1, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -143,6 +143,8 @@ def test_catalog_plan_inventory(spark):
         "cuped_adjust",        # broadcast 1-row corpus-span midpoint fit
         "ams_f2_sketch",       # two 1-row frames (exact leg x sketch leg)
         "pmi_pairs",           # broadcast 1-row pair-mass / token-mass fits
+        "ivm_merge_audit",     # broadcast 1-row corpus-span midpoint fit
+        "simpson_audit",       # broadcast 1-row pooled contingency fit
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"
