@@ -152,3 +152,88 @@ def triangle_stats(
         t.alias("triangles"),
         clustering.alias("clustering"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998) over a canonical undirected edge set
+    (a < b, distinct), fixed `n_iter` power iterations of
+    r_v = (1-d)/N + d * sum_{u~v} r_u / deg_u, seeded uniformly — the
+    graph-centrality feature beside triangle_stats' local clustering.
+    No dangling mass correction is needed: every node in the edge set
+    has degree >= 1 by construction.
+
+    Cross-engine determinism: degrees and N are exact longs; the seed
+    and every contribution r_u/deg_u are single double divisions; each
+    node's incoming contributions fold over a SOURCE-SORTED array
+    (array_sort(collect_list) / list(... ORDER BY src)) so the float
+    sum order is pinned on both engines (the decayed_counts
+    convention); the damped update is one fixed expression.
+
+    Shape at scale: the symmetrized adjacency (with source degree
+    attached) is scratch-persisted once; each iteration is ONE
+    rank-to-adjacency equi-join + ONE destination-keyed aggregation —
+    the classic Pregel-style synchronous sweep expressed as joins, a
+    lazily chained 2-exchange stage per iteration, no driver loop over
+    data. Hot (high-degree) nodes bound the collect_list — at web
+    scale the fold becomes the two-pass salted sum (same contract as
+    the salting module); catalog scale runs the direct shape. The
+    1-row node-count frame is a registered broadcast.
+
+    Returns (node, degree, pr) for every node of the graph."""
+    from mpds_spark.operators.util import scratch_persist
+
+    d = float(damping)
+    sym = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    deg0 = sym.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    # ONE eager pin: every later frame (degrees, node set, node count,
+    # each iteration's contribution join) derives from the cached
+    # adjacency, so the basket pair-flatten runs exactly once
+    adj = scratch_persist(sym.join(deg0, "src"))
+    deg = adj.select("src", "__deg").groupBy("src").agg(
+        F.max("__deg").alias("__deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranks = deg.select(F.col("src").alias("node")).crossJoin(
+        F.broadcast(nn)
+    ).select(
+        "node", (F.lit(1.0) / F.col("__n").cast("double")).alias("pr")
+    )
+    for _ in range(int(n_iter)):
+        contrib = adj.join(
+            ranks.select(F.col("node").alias("src"), "pr"), "src"
+        ).select(
+            "dst", "src",
+            (F.col("pr") / F.col("__deg").cast("double")).alias("__c"),
+        )
+        s = contrib.groupBy("dst").agg(
+            F.array_sort(
+                F.collect_list(F.struct("src", "__c"))
+            ).alias("__a")
+        ).select(
+            "dst",
+            F.aggregate(
+                F.expr("transform(__a, x -> x.__c)"),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+        )
+        ranks = s.crossJoin(F.broadcast(nn)).select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(1.0 - d) / F.col("__n").cast("double")
+                + F.lit(d) * F.col("__s")
+            ).alias("pr"),
+        )
+    return ranks.join(
+        deg.select(F.col("src").alias("node"), F.col("__deg")), "node"
+    ).select("node", F.col("__deg").alias("degree"), "pr")

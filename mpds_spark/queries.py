@@ -10394,3 +10394,139 @@ FROM g, p
 QUERIES["simpson_audit"] = q_simpson_audit
 _RAW_ORACLES["simpson_audit"] = SQL_SIMPSON_AUDIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_pagerank_iter(spark, sf_dir):
+    """Five synchronous PageRank sweeps over the co-order part graph
+    (operators/graph.py pagerank, Brin & Page 1998): per-iteration
+    rank-to-adjacency equi-join + source-sorted contribution fold so
+    the float sum order is pinned; adjacency persisted once; the
+    oracle unrolls the identical five iterations as CTEs."""
+    from mpds_spark.operators.graph import co_occurrence_edges, pagerank
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 8 == 0
+    )
+    edges = co_occurrence_edges(
+        li, basket="l_orderkey", item="l_partkey"
+    )
+    out = pagerank(edges, damping=0.85, n_iter=5)
+    return out.select(
+        F.col("node").alias("part_id"),
+        "degree",
+        _r6("pr").alias("pr"),
+    )
+
+
+def _pagerank_sql() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 8 = 0 AND b.l_partkey % 8 = 0
+), sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, 1.0::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE)
+    AS pr
+  FROM deg
+)"""
+    om = repr(1.0 - 0.85)  # Spark computes F.lit(1.0 - d): embed the
+    # IDENTICAL double (0.15000000000000002), not the 0.15 literal
+    step = """, r{k} AS (
+  SELECT sym.dst AS node,
+    {om}::DOUBLE / CAST((SELECT n FROM nn) AS DOUBLE)
+    + 0.85::DOUBLE
+      * list_sum(list(r{p}.pr / CAST(deg.deg AS DOUBLE)
+                      ORDER BY sym.src)) AS pr
+  FROM sym JOIN deg ON sym.src = deg.src
+           JOIN r{p} ON r{p}.node = sym.src
+  GROUP BY sym.dst
+)"""
+    tail = """
+SELECT r5.node AS part_id, deg.deg AS degree, round(r5.pr, 6) AS pr
+FROM r5 JOIN deg ON deg.src = r5.node
+"""
+    return head + "".join(
+        step.format(k=i, p=i - 1, om=om) for i in range(1, 6)
+    ) + tail
+
+
+SQL_PAGERANK_ITER = _pagerank_sql()
+
+QUERIES["pagerank_iter"] = q_pagerank_iter
+_RAW_ORACLES["pagerank_iter"] = SQL_PAGERANK_ITER
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_knn_eval(spark, sf_dir):
+    """Leave-one-out 1-NN label accuracy over the embedding table — the
+    standard intrinsic embedding-quality eval (does the space cluster
+    by label?): exact cosine argmax per held-out vector against the
+    FULL corpus (operators/similarity.py cosine_topk, the documented
+    brute-force baseline with ties broken by neighbor id), per-label
+    accuracy from exact counts. The query side is a deterministic
+    1-in-4 id sample — the standard sampled-eval shape that keeps the
+    quadratic Q x N scorer budget-bounded; the at-scale path swaps the
+    exact scorer for the LSH/IVF variants beside it."""
+    from mpds_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    nn1 = cosine_topk(emb, emb.filter(F.col("vec_id") % 4 == 0), k=1)
+    lab = emb.select("vec_id", "label")
+    j = (
+        nn1.join(
+            F.broadcast(lab.select(F.col("vec_id").alias("query_id"),
+                                   F.col("label").alias("__ql"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("neighbor_id"),
+                                   F.col("label").alias("__nl"))),
+            "neighbor_id",
+        )
+    )
+    g = j.groupBy(F.col("__ql").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__ql") == F.col("__nl"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+    )
+    return g.select(
+        "label", "n", "n_correct",
+        _r6(
+            F.col("n_correct").cast("double") / F.col("n").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+SQL_KNN_EVAL = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT a.vec_id AS q, a.label AS ql, b.label AS nl,
+    list_dot_product(a.e, b.e) / sqrt(list_dot_product(a.e, a.e))
+      / sqrt(list_dot_product(b.e, b.e)) AS cos,
+    b.vec_id AS nid
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 4 = 0
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q ORDER BY cos DESC, nid) AS rn
+  FROM s
+)
+SELECT ql AS label, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  round(CAST(sum(CASE WHEN ql = nl THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM r WHERE rn = 1
+GROUP BY ql
+"""
+
+QUERIES["knn_eval"] = q_knn_eval
+_RAW_ORACLES["knn_eval"] = SQL_KNN_EVAL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -95,3 +95,39 @@ def test_co_occurrence_edges_canonical(spark):
         .collect()
     }
     assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """pagerank's join-sweep must equal the explicit power iteration in
+    pure Python (bit-equal: contributions summed in sorted-source
+    order, identical IEEE sequence) on a small asymmetric graph."""
+    from mpds_spark.operators.graph import pagerank
+
+    E = [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5), (5, 6)]
+    pdf = pd.DataFrame(E, columns=["a", "b"])
+    got = {
+        r["node"]: r
+        for r in pagerank(spark.createDataFrame(pdf), n_iter=5).collect()
+    }
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    nodes = sorted(adj)
+    N = len(nodes)
+    pr = {v: 1.0 / N for v in nodes}
+    for _ in range(5):
+        new = {}
+        for v in nodes:
+            s = 0.0
+            for u in sorted(adj[v]):
+                s += pr[u] / len(adj[u])
+            new[v] = (1.0 - 0.85) / N + 0.85 * s
+        pr = new
+    for v in nodes:
+        assert got[v]["degree"] == len(adj[v])
+        assert got[v]["pr"] == pr[v], (v, got[v]["pr"], pr[v])
+    # the hub out-ranks the leaves
+    assert got[1]["pr"] == max(r["pr"] for r in got.values())
+    # total rank mass stays ~1 (no dangling loss on a degree>=1 graph)
+    assert abs(sum(r["pr"] for r in got.values()) - 1.0) < 1e-9

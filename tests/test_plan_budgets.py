@@ -367,6 +367,12 @@ BUDGETS = {
                       "bnlj": 1},
     # MASE: lag errors + rollup share ONE entity exchange
     "mase_eval": {"shuffle": 1, "python": 0, "cartesian": 0, "bnlj": 0},
+    # PageRank: persisted adjacency (cached-branch convention: no
+    # shuffle budget); 6 BNLJs = the registered 1-row node-count fits
+    "pagerank_iter": {"python": 0, "cartesian": 0, "bnlj": 6},
+    # kNN eval: broadcast sampled-query brute scorer (registered) +
+    # per-query WindowGroupLimit heap + label agg
+    "knn_eval": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 

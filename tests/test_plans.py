@@ -145,6 +145,9 @@ def test_catalog_plan_inventory(spark):
         "pmi_pairs",           # broadcast 1-row pair-mass / token-mass fits
         "ivm_merge_audit",     # broadcast 1-row corpus-span midpoint fit
         "simpson_audit",       # broadcast 1-row pooled contingency fit
+        "pagerank_iter",       # broadcast 1-row node-count fit per sweep
+        "knn_eval",            # broadcast sampled query set x corpus
+                               # (documented exact brute baseline)
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

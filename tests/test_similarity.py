@@ -301,3 +301,40 @@ def test_semdedup_keep_brute_force(spark):
     # the planted near-dups were dropped, most others kept
     dropped = [i for i in range(40) if not got[i]["keep"]]
     assert set(range(9, 40, 9)) <= set(dropped)
+
+
+def test_knn_loo_label_accuracy_bruteforce(spark):
+    """Sampled-query LOO 1-NN accuracy vs numpy brute force with the
+    same (cosine desc, id) tie-break, on planted label clusters."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(31)
+    centers = {0: np.array([5.0, 0, 0, 0]), 1: np.array([0, 5.0, 0, 0]),
+               2: np.array([0, 0, 5.0, 0])}
+    rows = []
+    for i in range(60):
+        lab = i % 3
+        v = centers[lab] + rng.normal(0, 1.0, size=4)
+        rows.append((i, lab, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+    nn1 = cosine_topk(sdf, sdf.filter(F.col("vec_id") % 4 == 0), k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in nn1.collect()}
+
+    V = np.array([r[2] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    for q in range(0, 60, 4):
+        order = sorted(
+            (i for i in range(60) if i != q),
+            key=lambda i: (-cos[q, i], i),
+        )
+        assert got[q] == order[0], q
+    # planted clusters are separable: most sampled queries match label
+    correct = sum(1 for q in range(0, 60, 4) if got[q] % 3 == q % 3)
+    assert correct >= 12
