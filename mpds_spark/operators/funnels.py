@@ -317,3 +317,69 @@ def linear_attribution(
             lambda acc, s: acc + s["__contrib"],
         ).alias("attributed_value"),
     )
+
+
+def window_funnel(
+    df: DataFrame,
+    chain: tuple = ("view", "click", "purchase"),
+    window_us: int = 48 * 3600 * 1000000,
+    event: str = "event_type",
+    ts: str = "ts",
+    by: str = "entity_id",
+) -> DataFrame:
+    """ClickHouse-windowFunnel-style strict-order chain depth: the
+    deepest k such that the entity produced chain[0..k-1] events IN
+    TIME ORDER with every step landing within `window_us` of the
+    CHAIN-START event. The sliding-window funnel product analytics
+    runs on raw streams (reference analogue: the ordered reaction
+    chains of dssl/dssFunctionLibrary.R:119-171, collapsed to a
+    max-depth statistic).
+
+    Algorithm: one sequential fold over the ts-sorted event array with
+    an all-integer state s[i] = latest chain-start micros of any chain
+    that has reached level i (-1 = unreached). Latest-start dominance:
+    the within-window constraint t - start <= W only loosens as the
+    start grows, and every recorded chain saw its level events in fold
+    (= time) order — so keeping the max start is lossless. All state
+    is exact longs; the gate needs no rounding at all.
+
+    Shape at scale: ONE entity-keyed exchange, O(n) fold per entity
+    inside codegen (the ewma/holt contract). The DuckDB twin must fold
+    a LIST accumulator (struct-result lambdas rebind mid-struct —
+    see holt_trend).
+
+    Returns (by, n_events, funnel_depth) with depth in 0..len(chain)."""
+    K = len(chain)
+    W = int(window_us)
+    d = df.select(
+        F.col(by),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__t"),
+        F.col(event).alias("__e"),
+    )
+    g = d.groupBy(by).agg(
+        F.array_sort(
+            F.collect_list(F.struct("__t", "__e"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    init = "array(" + ", ".join(["-1L"] * K) + ")"
+    steps = [f"IF(x.__e = '{chain[0]}', greatest(acc[0], x.__t), acc[0])"]
+    for i in range(1, K):
+        steps.append(
+            f"IF(x.__e = '{chain[i]}' AND acc[{i-1}] >= 0L "
+            f"AND x.__t - acc[{i-1}] <= {W}L, "
+            f"greatest(acc[{i}], acc[{i-1}]), acc[{i}])"
+        )
+    fold = F.expr(
+        f"aggregate(__a, {init}, (acc, x) -> array({', '.join(steps)}))"
+    )
+    g = g.withColumn("__s", fold)
+    # build shallow -> deep so the DEEPEST reached level wraps outermost
+    depth = F.lit(0)
+    for i in range(K):
+        depth = F.when(
+            F.expr(f"__s[{i}] >= 0L"), F.lit(i + 1)
+        ).otherwise(depth)
+    return g.select(
+        F.col(by), "n_events", depth.cast("long").alias("funnel_depth")
+    )

@@ -1413,3 +1413,69 @@ def holt_trend(
         F.col(by), "n_events",
         lv.alias("level"), tr.alias("trend"), fc.alias("forecast_1"),
     )
+
+
+def burst_detect(
+    df: DataFrame,
+    ts: str = "ts",
+    by: str = "entity_id",
+    t_on_us: int = 2 * 3600 * 1000000,
+    t_off_us: int = 10 * 3600 * 1000000,
+) -> DataFrame:
+    """Hysteresis burst segmentation of each entity's event stream: a
+    burst OPENS when an inter-event gap drops to <= `t_on_us` and
+    CLOSES only when a gap reaches >= `t_off_us` — the two-threshold
+    (Schmitt-trigger) rule that a single cutoff can't express: brief
+    mid-burst pauses between t_on and t_off do NOT split the burst,
+    which is exactly the flapping single-threshold segmentation
+    suffers (cheap, deterministic stand-in for Kleinberg 2002's
+    two-state burst automaton).
+
+    Counting convention (mirrored verbatim in the oracle): an opening
+    gap counts BOTH its endpoints into the burst; every in-burst
+    continuation gap (< t_off) counts its later endpoint; the closing
+    gap's later endpoint is outside. State is three exact integers
+    (in_burst, n_bursts, events_in_burst) folded over the ts-sorted
+    gap array — the only float in the output is one final percentage
+    division.
+
+    Shape at scale: ONE entity-keyed exchange, O(n) integer fold per
+    entity inside codegen. DuckDB twin folds a LIST accumulator (see
+    holt_trend's struct-rebinding hazard).
+
+    Returns (by, n_events, n_bursts, events_in_burst, burst_pct)."""
+    on, off = int(t_on_us), int(t_off_us)
+    d = df.select(
+        F.col(by),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("__t"),
+    )
+    g = d.groupBy(by).agg(
+        F.array_sort(F.collect_list("__t")).alias("__ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    gaps = F.expr(
+        "transform(slice(__ts, 2, size(__ts) - 1), "
+        "(t, i) -> t - element_at(__ts, i + 1))"
+    )
+    fold = F.expr(
+        f"""aggregate(__g,
+        array(0L, 0L, 0L),
+        (acc, g) -> CASE
+          WHEN acc[0] = 0L AND g <= {on}L
+            THEN array(1L, acc[1] + 1L, acc[2] + 2L)
+          WHEN acc[0] = 1L AND g < {off}L
+            THEN array(1L, acc[1], acc[2] + 1L)
+          WHEN acc[0] = 1L THEN array(0L, acc[1], acc[2])
+          ELSE acc END)"""
+    )
+    g = g.withColumn("__g", gaps).withColumn("__s", fold)
+    return g.select(
+        F.col(by),
+        "n_events",
+        F.expr("__s[1]").alias("n_bursts"),
+        F.expr("__s[2]").alias("events_in_burst"),
+        (
+            F.lit(100.0) * F.expr("__s[2]").cast("double")
+            / F.col("n_events").cast("double")
+        ).alias("burst_pct"),
+    )

@@ -10530,3 +10530,105 @@ GROUP BY ql
 QUERIES["knn_eval"] = q_knn_eval
 _RAW_ORACLES["knn_eval"] = SQL_KNN_EVAL
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_window_funnel(spark, sf_dir):
+    """ClickHouse-style strict-order funnel depth per user
+    (operators/funnels.py window_funnel): deepest view->click->purchase
+    chain with every step within 48h of the chain start, computed by an
+    all-integer latest-start fold — the gate needs no rounding at all."""
+    from mpds_spark.operators.funnels import window_funnel
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts", "event_type"
+    )
+    return window_funnel(
+        ev, chain=("view", "click", "purchase"),
+        window_us=48 * 3600 * 1000000,
+    )
+
+
+SQL_WINDOW_FUNNEL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+         WHEN 'purchase' THEN 3 ELSE 0 END AS c
+  FROM events
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    list_reduce(
+      list_prepend([-1, -1, -1]::BIGINT[],
+                   list([t, c, 0]::BIGINT[] ORDER BY t)),
+      (acc, x) -> [
+        CASE WHEN x[2] = 1 THEN greatest(acc[1], x[1]) ELSE acc[1] END,
+        CASE WHEN x[2] = 2 AND acc[1] >= 0
+                  AND x[1] - acc[1] <= 172800000000
+             THEN greatest(acc[2], acc[1]) ELSE acc[2] END,
+        CASE WHEN x[2] = 3 AND acc[2] >= 0
+                  AND x[1] - acc[2] <= 172800000000
+             THEN greatest(acc[3], acc[2]) ELSE acc[3] END]) AS s
+  FROM e GROUP BY user_id
+)
+SELECT user_id AS entity_id, n_events,
+  CAST(CASE WHEN s[3] >= 0 THEN 3 WHEN s[2] >= 0 THEN 2
+            WHEN s[1] >= 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS funnel_depth
+FROM g
+"""
+
+QUERIES["window_funnel"] = q_window_funnel
+_RAW_ORACLES["window_funnel"] = SQL_WINDOW_FUNNEL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_burst_detect(spark, sf_dir):
+    """Hysteresis burst segmentation per user (operators/windows.py
+    burst_detect): bursts open at gaps <= 2h and close only at gaps
+    >= 10h — the Schmitt-trigger rule single-threshold segmentation
+    can't express; three-integer state fold, one final pct division."""
+    from mpds_spark.operators.windows import burst_detect
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    out = burst_detect(
+        ev, t_on_us=2 * 3600 * 1000000, t_off_us=10 * 3600 * 1000000
+    )
+    return out.select(
+        "entity_id", "n_events", "n_bursts", "events_in_burst",
+        _r6("burst_pct").alias("burst_pct"),
+    )
+
+
+SQL_BURST_DETECT = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+), d AS (
+  SELECT user_id, t,
+    t - lag(t) OVER (PARTITION BY user_id ORDER BY t) AS gap
+  FROM e
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+    list_reduce(
+      list_prepend([0, 0, 0]::BIGINT[],
+                   list([gap, 0, 0]::BIGINT[] ORDER BY t)
+                     FILTER (WHERE gap IS NOT NULL)),
+      (acc, x) -> CASE
+        WHEN acc[1] = 0 AND x[1] <= 7200000000
+          THEN [1, acc[2] + 1, acc[3] + 2]::BIGINT[]
+        WHEN acc[1] = 1 AND x[1] < 36000000000
+          THEN [1, acc[2], acc[3] + 1]::BIGINT[]
+        WHEN acc[1] = 1 THEN [0, acc[2], acc[3]]::BIGINT[]
+        ELSE acc END) AS s
+  FROM d GROUP BY user_id
+)
+SELECT user_id AS entity_id, n_events,
+  s[2] AS n_bursts, s[3] AS events_in_burst,
+  round(100.0 * CAST(s[3] AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+    AS burst_pct
+FROM g
+"""
+
+QUERIES["burst_detect"] = q_burst_detect
+_RAW_ORACLES["burst_detect"] = SQL_BURST_DETECT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -202,3 +202,66 @@ def test_temporal_motifs_bruteforce(spark):
                 cnt[(ks[i], ks[i + 1], ks[i + 2])] += 1
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert [((r["t1"], r["t2"], r["t3"]), r["n"]) for r in got] == want
+
+
+def test_window_funnel_bruteforce(spark):
+    """window_funnel's latest-start fold vs exhaustive chain
+    enumeration (all index triples in order within the window) —
+    including the case a min-start greedy would get wrong: an early
+    chain start that times out while a later one completes."""
+    import datetime
+
+    import pandas as pd
+
+    from mpds_spark.operators.funnels import window_funnel
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            minutes=m
+        )
+
+    W_MIN = 60  # 1h window
+    series = {
+        # early view at 0 times out; view at 100 -> click 130 ->
+        # purchase 150 completes. min-start greedy would fail this.
+        "late_chain": [(0, "view"), (100, "view"), (130, "click"),
+                       (150, "purchase")],
+        # click before view: no chain beyond view
+        "out_of_order": [(0, "click"), (10, "view"), (200, "purchase")],
+        # full chain inside window
+        "quick": [(0, "view"), (5, "click"), (10, "purchase")],
+        # purchase within window of chain start but click outside
+        "click_late": [(0, "view"), (70, "click"), (80, "purchase")],
+        # no relevant events
+        "noise": [(0, "error"), (10, "signup")],
+    }
+    rows = [
+        (e, t(m), ev) for e, evs in series.items() for m, ev in evs
+    ]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts", "event_type"])
+    got = {
+        r["entity_id"]: r["funnel_depth"]
+        for r in window_funnel(
+            spark.createDataFrame(pdf),
+            chain=("view", "click", "purchase"),
+            window_us=W_MIN * 60 * 1000000,
+        ).collect()
+    }
+
+    chain = ["view", "click", "purchase"]
+    for e, evs in series.items():
+        best = 0
+        n = len(evs)
+        # exhaustive: all increasing index tuples matching a chain prefix
+        import itertools
+
+        for k in (1, 2, 3):
+            for idx in itertools.combinations(range(n), k):
+                if all(evs[idx[j]][1] == chain[j] for j in range(k)) and \
+                   (evs[idx[-1]][0] - evs[idx[0]][0]) <= W_MIN and \
+                   all(evs[idx[j]][0] - evs[idx[0]][0] <= W_MIN
+                       for j in range(k)):
+                    best = max(best, k)
+        assert got[e] == best, (e, got[e], best)
+    assert got["late_chain"] == 3
+    assert got["click_late"] == 1

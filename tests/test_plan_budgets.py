@@ -373,6 +373,11 @@ BUDGETS = {
     # kNN eval: broadcast sampled-query brute scorer (registered) +
     # per-query WindowGroupLimit heap + label agg
     "knn_eval": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1},
+    # both are ONE entity exchange + an all-integer array fold
+    "window_funnel": {"shuffle": 1, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "burst_detect": {"shuffle": 1, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -1470,3 +1470,57 @@ def test_holt_trend_matches_python_recursion(spark):
     assert got["e"]["forecast_1"] > got["e"]["level"]
     # single-point entity: level = the point, trend 0
     assert got["solo"]["level"] == 42.0 and got["solo"]["trend"] == 0.0
+
+
+def test_burst_detect_planted(spark):
+    """burst_detect vs an explicit python fold on planted patterns:
+    a clean burst, a mid-burst pause between the two thresholds that
+    must NOT split (the hysteresis point), and a no-burst stream."""
+    import datetime
+
+    from mpds_spark.operators.windows import burst_detect
+
+    def t(h):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            hours=h
+        )
+
+    series = {
+        # burst of 4 quick events, 5h pause (between 2h on / 10h off:
+        # must stay IN burst), 2 more quick, then 12h gap closes it
+        "hyst": [0, 1, 2, 3, 8, 9, 10, 22, 40],
+        # all gaps 8h: never opens
+        "calm": [0, 8, 16, 24],
+        # two separate bursts split by a 12h gap
+        "two": [0, 1, 2, 14, 15, 16],
+        "solo": [0],
+    }
+    rows = [(e, t(h)) for e, hs in series.items() for h in hs]
+    pdf = pd.DataFrame(rows, columns=["entity_id", "ts"])
+    got = {
+        r["entity_id"]: r
+        for r in burst_detect(
+            spark.createDataFrame(pdf),
+            t_on_us=2 * 3600 * 1000000,
+            t_off_us=10 * 3600 * 1000000,
+        ).collect()
+    }
+    on, off = 2, 10
+    for e, hs in series.items():
+        in_b, nb, ev = 0, 0, 0
+        for a, b in zip(hs, hs[1:]):
+            g = b - a
+            if in_b == 0 and g <= on:
+                in_b, nb, ev = 1, nb + 1, ev + 2
+            elif in_b == 1 and g < off:
+                ev += 1
+            elif in_b == 1:
+                in_b = 0
+        r = got[e]
+        assert (r["n_bursts"], r["events_in_burst"]) == (nb, ev), e
+        assert r["burst_pct"] == 100.0 * ev / len(hs)
+    # the hysteresis case: ONE burst spanning the 5h pause, 7 events in
+    assert (got["hyst"]["n_bursts"], got["hyst"]["events_in_burst"]) \
+        == (1, 7)
+    assert got["two"]["n_bursts"] == 2
+    assert got["calm"]["n_bursts"] == 0
