@@ -629,3 +629,84 @@ def ann_recall_audit(
             (F.col("n_hit") / float(k)).alias("recall"),
         )
     )
+
+
+def quantized_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """INT8 quantization recall audit — the measurement a vector store
+    makes before switching its index to quantized codes (Jégou et al.
+    2011 product-quantization lineage, reduced to the scalar-quantizer
+    case): L2-normalize, q = round(127 * x/||x||) per component, rank
+    by EXACT integer dot product of the int8 codes, and report
+    recall@k against the exact float cosine top-k per query.
+
+    Determinism: quantization is the engine's floor-based half-away
+    rounding of deterministic doubles; every quantized score is an
+    exact integer (|q| <= 127, so a 64-dim dot < 2^21 — exact in any
+    engine, summation-order-free); both rankings tie-break by neighbor
+    id; recall counts are exact longs over the top-k set intersection.
+
+    Shape at scale: both legs are the documented broadcast-query
+    brute baseline (registered; the at-scale path is IVF/LSH over the
+    same codes); the intersection is a (query, neighbor) equi-join of
+    two k-row-per-query frames.
+
+    Returns (query_id, n_overlap, recall)."""
+    exact = cosine_topk(vectors, queries, k=k, vec_col=vec_col,
+                        id_col=id_col)
+
+    def quant(df, out_id):
+        d = df.select(
+            F.col(id_col).alias(out_id), _as_double(vec_col).alias("__v")
+        ).withColumn(
+            "__n", F.sqrt(_dot(F.col("__v"), F.col("__v")))
+        )
+        return d.select(
+            out_id,
+            F.expr(
+                "transform(__v, x -> cast(floor(abs(127.0D * x / __n)"
+                " + 0.5D) * sign(x) as bigint))"
+            ).alias("__q"),
+        )
+
+    qv = quant(vectors, "neighbor_id")
+    qq = quant(queries, "query_id")
+    j = qv.join(
+        F.broadcast(qq.withColumnRenamed("__q", "__qq")),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    score = F.expr(
+        "aggregate(zip_with(__q, __qq, (a, b) -> a * b), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("neighbor_id")
+    )
+    qtop = (
+        j.withColumn("__s", score)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    ov = exact.select("query_id", "neighbor_id").join(
+        qtop, ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    z = F.lit(0).cast("long")
+    return base.join(ov, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_overlap", z).alias("n_overlap"),
+        (
+            F.coalesce("n_overlap", z).cast("double")
+            / F.col("__k").cast("double")
+        ).alias("recall"),
+    )

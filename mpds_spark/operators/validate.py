@@ -415,3 +415,90 @@ def k_anonymity(
             / F.col("__total").cast("double")
         ).alias("risk_pct"),
     )
+
+
+def consistent_hash_audit(
+    df: DataFrame,
+    key: str = "key",
+    n_nodes: int = 8,
+    n_virtual: int = 16,
+) -> DataFrame:
+    """Consistent-hashing ring audit (Karger et al. 1997): assign every
+    key to the first clockwise virtual node on a 60-bit md5 ring with
+    `n_virtual` points per node, then re-assign on a ring grown by ONE
+    node and report per-node membership before/after plus gained/lost
+    counts — evidencing the guarantee sharded 100-TB layouts lean on:
+    a resize moves only the keys landing in the new node's arcs
+    (expected share 1/(N+1)), everything else stays put.
+
+    Determinism: vnode and key positions are the engine's portable
+    60-bit md5 hashes; assignment = first vnode position >= key
+    position (wrapping to the ring minimum); all outputs exact longs.
+
+    Shape at scale: the two rings are 1-row sorted-array broadcasts
+    (registered BNLJ-by-design) searched per key with a JVM array
+    filter — the key stream is scanned once, no join explosion, then
+    one node-keyed agg.
+
+    Returns (node, n_before, n_after, n_gained, n_lost)."""
+    from mpds_spark.operators.sketches import _h60
+
+    def ring(n):
+        vn = None
+        for i in range(n):
+            for j in range(int(n_virtual)):
+                h = F.struct(
+                    _h60(F.lit(f"node{i}|v{j}")).alias("h"),
+                    F.lit(f"node{i}").alias("node"),
+                )
+                vn = F.array(h) if vn is None else F.concat(
+                    vn, F.array(h)
+                )
+        return F.array_sort(vn)
+
+    d = df.select(
+        _h60(F.col(key).cast("string"), salt="key|").alias("__hk")
+    )
+    d = d.withColumn("__r1", ring(int(n_nodes))).withColumn(
+        "__r2", ring(int(n_nodes) + 1)
+    )
+
+    def assign(r):
+        return F.expr(
+            f"coalesce(try_element_at(filter({r}, e -> e.h >= __hk),"
+            f" 1).node, try_element_at({r}, 1).node)"
+        )
+
+    a = d.select(
+        assign("__r1").alias("__before"), assign("__r2").alias("__after")
+    )
+    nodes = a.select(F.col("__before").alias("node")).union(
+        a.select(F.col("__after").alias("node"))
+    ).distinct()
+    g = nodes.join(
+        a.groupBy(F.col("__before").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_before"),
+            F.sum(
+                F.when(F.col("__after") != F.col("__before"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_lost"),
+        ),
+        "node", "left",
+    ).join(
+        a.groupBy(F.col("__after").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+            F.sum(
+                F.when(F.col("__after") != F.col("__before"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_gained"),
+        ),
+        "node", "left",
+    )
+    z = F.lit(0).cast("long")
+    return g.select(
+        "node",
+        F.coalesce("n_before", z).alias("n_before"),
+        F.coalesce("n_after", z).alias("n_after"),
+        F.coalesce("n_gained", z).alias("n_gained"),
+        F.coalesce("n_lost", z).alias("n_lost"),
+    )

@@ -10632,3 +10632,134 @@ FROM g
 QUERIES["burst_detect"] = q_burst_detect
 _RAW_ORACLES["burst_detect"] = SQL_BURST_DETECT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_quant_recall(spark, sf_dir):
+    """INT8 quantization recall@10 per sampled query
+    (operators/similarity.py quantized_recall): exact integer-dot
+    ranking of round(127*x/||x||) codes vs the exact float cosine
+    top-10; deterministic corpus halving + 1-in-16 query sample bound the two
+    registered brute legs."""
+    from mpds_spark.operators.similarity import quantized_recall
+
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
+    )
+    out = quantized_recall(
+        emb, emb.filter(F.col("vec_id") % 16 == 0), k=10
+    )
+    return out.select(
+        "query_id", "n_overlap", _r6("recall").alias("recall")
+    )
+
+
+SQL_QUANT_RECALL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      AS n
+  FROM embeddings WHERE vec_id % 2 = 0
+), q8 AS (
+  SELECT vec_id,
+    list_transform(e, x -> CAST(floor(abs(127.0::DOUBLE * x / n)
+        + 0.5) * sign(x) AS BIGINT)) AS q,
+    e
+  FROM v
+), ex AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      list_dot_product(a.e, b.e)
+        / sqrt(list_dot_product(a.e, a.e))
+        / sqrt(list_dot_product(b.e, b.e)) DESC, b.vec_id) AS rn
+  FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 16 = 0
+), qt AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+        DESC, b.vec_id) AS rn
+  FROM q8 a JOIN q8 b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 16 = 0
+), ov AS (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM (SELECT query_id, neighbor_id FROM ex WHERE rn <= 10) e
+  JOIN (SELECT query_id, neighbor_id FROM qt WHERE rn <= 10) t
+    ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+  GROUP BY e.query_id
+), base AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS k
+  FROM ex WHERE rn <= 10 GROUP BY query_id
+)
+SELECT base.query_id,
+  coalesce(ov.n_overlap, 0) AS n_overlap,
+  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+        / CAST(base.k AS DOUBLE), 6) AS recall
+FROM base LEFT JOIN ov ON base.query_id = ov.query_id
+"""
+
+QUERIES["quant_recall"] = q_quant_recall
+_RAW_ORACLES["quant_recall"] = SQL_QUANT_RECALL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_consistent_hash_audit(spark, sf_dir):
+    """Consistent-hash ring resize audit over customer keys
+    (operators/validate.py consistent_hash_audit, Karger et al. 1997):
+    8 nodes x 16 vnodes -> add one node; per-node before/after
+    membership + gained/lost — the moved share must concentrate on the
+    new node's arcs. All exact longs; rings are 1-row sorted-array
+    broadcasts (registered)."""
+    from mpds_spark.operators.validate import consistent_hash_audit
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    return consistent_hash_audit(cust, key="key", n_nodes=8,
+                                 n_virtual=16)
+
+
+SQL_CONSISTENT_HASH = """
+WITH vn AS (
+  SELECT ('0x' || substring(md5('node' || CAST(i AS VARCHAR) || '|v'
+          || CAST(j AS VARCHAR)), 1, 15))::UBIGINT::BIGINT AS h,
+         'node' || CAST(i AS VARCHAR) AS node, i
+  FROM (SELECT unnest(generate_series(0, 8)) AS i),
+       (SELECT unnest(generate_series(0, 15)) AS j)
+), keys AS (
+  SELECT ('0x' || substring(md5('key|' || CAST(c_custkey AS VARCHAR)),
+          1, 15))::UBIGINT::BIGINT AS hk
+  FROM customer
+), a AS (
+  SELECT hk,
+    coalesce(
+      (SELECT min_by(node, h) FROM vn WHERE i < 8 AND h >= keys.hk),
+      (SELECT min_by(node, h) FROM vn WHERE i < 8)) AS before,
+    coalesce(
+      (SELECT min_by(node, h) FROM vn WHERE h >= keys.hk),
+      (SELECT min_by(node, h) FROM vn)) AS after
+  FROM keys
+), nodes AS (
+  SELECT DISTINCT before AS node FROM a
+  UNION SELECT DISTINCT after FROM a
+)
+SELECT nodes.node,
+  coalesce(b.n_before, 0) AS n_before,
+  coalesce(f.n_after, 0) AS n_after,
+  coalesce(f.n_gained, 0) AS n_gained,
+  coalesce(b.n_lost, 0) AS n_lost
+FROM nodes
+LEFT JOIN (
+  SELECT before AS node, CAST(count(*) AS BIGINT) AS n_before,
+    CAST(sum(CASE WHEN after <> before THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_lost
+  FROM a GROUP BY before) b ON nodes.node = b.node
+LEFT JOIN (
+  SELECT after AS node, CAST(count(*) AS BIGINT) AS n_after,
+    CAST(sum(CASE WHEN after <> before THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_gained
+  FROM a GROUP BY after) f ON nodes.node = f.node
+"""
+
+QUERIES["consistent_hash_audit"] = q_consistent_hash_audit
+_RAW_ORACLES["consistent_hash_audit"] = SQL_CONSISTENT_HASH
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

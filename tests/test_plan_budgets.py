@@ -378,6 +378,12 @@ BUDGETS = {
                       "bnlj": 0},
     "burst_detect": {"shuffle": 1, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # quant recall: two registered broadcast brute legs + k-row joins
+    "quant_recall": {"shuffle": 6, "python": 0, "cartesian": 0,
+                     "bnlj": 3},
+    # ring audit: key scan + two 1-row ring-array broadcasts + node agg
+    "consistent_hash_audit": {"shuffle": 3, "python": 0,
+                              "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -148,6 +148,7 @@ def test_catalog_plan_inventory(spark):
         "pagerank_iter",       # broadcast 1-row node-count fit per sweep
         "knn_eval",            # broadcast sampled query set x corpus
                                # (documented exact brute baseline)
+        "quant_recall",        # two registered brute legs (exact + int8)
     }
     EAGER_CONSTRUCTION = {"near_dup_components"}
     sf = "/root/testdata/sf0.001"

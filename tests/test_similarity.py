@@ -338,3 +338,54 @@ def test_knn_loo_label_accuracy_bruteforce(spark):
     # planted clusters are separable: most sampled queries match label
     correct = sum(1 for q in range(0, 60, 4) if got[q] % 3 == q % 3)
     assert correct >= 12
+
+
+def test_quantized_recall_numpy_rebuild(spark):
+    """quantized_recall vs a numpy rebuild of BOTH rankings (same
+    floor-based quantizer, same (score desc, id) tie-break) — and
+    recall must be < 1 somewhere on vectors engineered so int8
+    rounding flips a near-tie."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.similarity import quantized_recall
+
+    rng = np.random.default_rng(41)
+    V = rng.normal(size=(40, 8))
+    # plant near-ties: tight cluster where quantization reorders
+    V[1] = V[0] + rng.normal(0, 1e-3, size=8)
+    V[2] = V[0] + rng.normal(0, 1e-3, size=8)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["query_id"]: r
+        for r in quantized_recall(
+            sdf, sdf.filter(F.col("vec_id") % 4 == 0), k=5
+        ).collect()
+    }
+
+    def quant(x):
+        n = math.sqrt(float(np.dot(x, x)))
+        return np.array([
+            math.floor(abs(127.0 * xi / n) + 0.5) * math.copysign(
+                1.0, xi
+            ) if xi != 0 else 0.0
+            for xi in x
+        ])
+
+    Q = np.array([quant(V[i]) for i in range(40)])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    qdot = Q @ Q.T
+    for q in range(0, 40, 4):
+        others = [i for i in range(40) if i != q]
+        ex = sorted(others, key=lambda i: (-cos[q, i], i))[:5]
+        qt = sorted(others, key=lambda i: (-qdot[q, i], i))[:5]
+        want = len(set(ex) & set(qt))
+        assert got[q]["n_overlap"] == want, q
+        assert got[q]["recall"] == want / 5.0

@@ -223,3 +223,30 @@ def test_k_anonymity_planted_classes(spark):
         assert r["classes_below"] == below
         assert r["rows_at_risk"] == risk
         assert r["risk_pct"] == 100.0 * risk / 14.0
+
+
+def test_consistent_hash_audit_guarantee(spark):
+    """The consistent-hashing contract on real keys: totals conserved,
+    the grown ring's NEW node gains everything that moves, no existing
+    node gains anything, and the moved share is far below 1/2 (vs
+    modulo hashing which moves ~8/9 of all keys)."""
+    import pandas as pd
+
+    from mpds_spark.operators.validate import consistent_hash_audit
+
+    pdf = pd.DataFrame({"key": range(2000)})
+    rows = consistent_hash_audit(
+        spark.createDataFrame(pdf), key="key", n_nodes=8, n_virtual=16
+    ).collect()
+    by = {r["node"]: r for r in rows}
+    assert sum(r["n_before"] for r in rows) == 2000
+    assert sum(r["n_after"] for r in rows) == 2000
+    moved = sum(r["n_gained"] for r in rows)
+    assert moved == sum(r["n_lost"] for r in rows)
+    # only the new node gains
+    assert by["node8"]["n_gained"] == by["node8"]["n_after"] == moved
+    assert by["node8"]["n_before"] == 0
+    for i in range(8):
+        assert by[f"node{i}"]["n_gained"] == 0
+    # moved share near 1/9, certainly below 1/3
+    assert 0 < moved < 2000 / 3
