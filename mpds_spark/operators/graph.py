@@ -237,3 +237,58 @@ def pagerank(
     return ranks.join(
         deg.select(F.col("src").alias("node"), F.col("__deg")), "node"
     ).select("node", F.col("__deg").alias("degree"), "pr")
+
+
+def label_propagation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation communities (Raghavan et al. 2007)
+    over a canonical undirected edge set, made FULLY deterministic:
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label (the classic
+    randomized tie-break is replaced by a total order, so the result
+    is a pure function of the graph). Complements min-label connected
+    components (which ignore density) with density-sensitive
+    communities.
+
+    Determinism: labels are node ids (exact longs); per-round counts
+    are exact; the argmax is one max(struct(count, -label)) aggregate —
+    count descending then smallest label, no window, no rng.
+
+    Shape at scale: adjacency persisted once; each round is ONE
+    label-to-adjacency equi-join + TWO hash aggregations ((dst, label)
+    count, then dst argmax) — the Pregel sweep as joins, lazily
+    chained like pagerank. Hot labels are ordinary skew-safe hash-agg
+    keys.
+
+    Returns (node, community) after `n_rounds` sweeps."""
+    from mpds_spark.operators.util import scratch_persist
+
+    sym = edges.select(
+        F.col(a).alias("src"), F.col(b).alias("dst")
+    ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    adj = scratch_persist(sym)
+    labels = adj.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    )
+    for _ in range(int(n_rounds)):
+        cnt = (
+            adj.join(
+                labels.select(F.col("node").alias("src"), "community"),
+                "src",
+            )
+            .groupBy("dst", "community")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        labels = cnt.groupBy("dst").agg(
+            F.max(
+                F.struct(F.col("__c"), (-F.col("community")).alias("__m"))
+            ).alias("__best")
+        ).select(
+            F.col("dst").alias("node"),
+            (-F.col("__best.__m")).cast("long").alias("community"),
+        )
+    return labels

@@ -10763,3 +10763,117 @@ LEFT JOIN (
 QUERIES["consistent_hash_audit"] = q_consistent_hash_audit
 _RAW_ORACLES["consistent_hash_audit"] = SQL_CONSISTENT_HASH
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous LPA communities over the co-order part
+    graph (operators/graph.py label_propagation, Raghavan et al. 2007
+    with the randomized tie-break replaced by smallest-label): four
+    sweeps, each ONE join + two hash aggs; the oracle unrolls the same
+    four rounds with QUALIFY row_number argmax."""
+    from mpds_spark.operators.graph import (
+        co_occurrence_edges,
+        label_propagation,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 8 == 0
+    )
+    edges = co_occurrence_edges(
+        li, basket="l_orderkey", item="l_partkey"
+    )
+    out = label_propagation(edges, n_rounds=4)
+    return out.select(F.col("node").alias("part_id"), "community")
+
+
+def _lpa_sql() -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey % 8 = 0 AND b.l_partkey % 8 = 0
+), sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS community FROM sym
+)"""
+    step = """, l{k} AS (
+  SELECT dst AS node, community
+  FROM (
+    SELECT sym.dst, l{p}.community, count(*) AS c
+    FROM sym JOIN l{p} ON l{p}.node = sym.src
+    GROUP BY sym.dst, l{p}.community
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY dst ORDER BY c DESC, community) = 1
+)"""
+    tail = """
+SELECT node AS part_id, CAST(community AS BIGINT) AS community FROM l4
+"""
+    return head + "".join(
+        step.format(k=i, p=i - 1) for i in range(1, 5)
+    ) + tail
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql()
+
+QUERIES["label_propagation"] = q_label_propagation
+_RAW_ORACLES["label_propagation"] = SQL_LABEL_PROPAGATION
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (the first check every A/B
+    readout runs): md5-parity 50/50 user assignment, exact arm counts,
+    1-dof chi-square (o_a - o_b)^2 / n vs the 3.841 critical value.
+    One agg over the distinct-user frame; everything exact until one
+    division."""
+    ev = _events(spark, sf_dir).select("user_id").distinct()
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("srm|"),
+                               F.col("user_id").cast("string"))), 1, 1
+            ), 16, 10
+        ).cast("long") % 2
+    )
+    g = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(arm).cast("long").alias("n_b"),
+    )
+    chi2 = (
+        ((F.col("n") - 2 * F.col("n_b"))
+         * (F.col("n") - 2 * F.col("n_b"))).cast("double")
+        / F.col("n").cast("double")
+    )
+    return g.select(
+        "n",
+        (F.col("n") - F.col("n_b")).cast("long").alias("n_a"),
+        "n_b",
+        _r6(chi2).alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )
+
+
+SQL_SRM_CHECK = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(('0x' || substring(md5('srm|' ||
+        CAST(user_id AS VARCHAR)), 1, 1))::UBIGINT % 2) AS BIGINT)
+      AS n_b
+  FROM u
+)
+SELECT n, CAST(n - n_b AS BIGINT) AS n_a, n_b,
+  round(CAST((n - 2*n_b) * (n - 2*n_b) AS DOUBLE)
+        / CAST(n AS DOUBLE), 6) AS chi2,
+  CAST((n - 2*n_b) * (n - 2*n_b) AS DOUBLE) / CAST(n AS DOUBLE)
+    > 3.841 AS srm_flag
+FROM g
+"""
+
+QUERIES["srm_check"] = q_srm_check
+_RAW_ORACLES["srm_check"] = SQL_SRM_CHECK
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

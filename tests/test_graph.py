@@ -131,3 +131,44 @@ def test_pagerank_matches_python_power_iteration(spark):
     assert got[1]["pr"] == max(r["pr"] for r in got.values())
     # total rank mass stays ~1 (no dangling loss on a degree>=1 graph)
     assert abs(sum(r["pr"] for r in got.values()) - 1.0) < 1e-9
+
+
+def test_label_propagation_planted_communities(spark):
+    """LPA vs an explicit synchronous min-label-tiebreak sweep in pure
+    Python on two dense cliques joined by one bridge edge — the cliques
+    must resolve to two communities, bit-for-bit per round."""
+    from mpds_spark.operators.graph import label_propagation
+
+    import itertools
+
+    c1 = list(range(1, 6))        # clique 1..5
+    c2 = list(range(10, 15))      # clique 10..14
+    E = (list(itertools.combinations(c1, 2))
+         + list(itertools.combinations(c2, 2))
+         + [(5, 10)])             # bridge
+    pdf = pd.DataFrame(E, columns=["a", "b"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(
+            spark.createDataFrame(pdf), n_rounds=4
+        ).collect()
+    }
+    adj = {}
+    for x, y in E:
+        adj.setdefault(x, []).append(y)
+        adj.setdefault(y, []).append(x)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v in adj:
+            cnt = {}
+            for u in adj[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            best = min(cnt, key=lambda c: (-cnt[c], c))
+            new[v] = best
+        lab = new
+    assert got == lab
+    # the two cliques form two communities
+    assert len({got[v] for v in c1}) == 1
+    assert len({got[v] for v in c2}) == 1
+    assert {got[v] for v in c1} != {got[v] for v in c2}

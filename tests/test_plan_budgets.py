@@ -384,6 +384,10 @@ BUDGETS = {
     # ring audit: key scan + two 1-row ring-array broadcasts + node agg
     "consistent_hash_audit": {"shuffle": 3, "python": 0,
                               "cartesian": 0, "bnlj": 0},
+    # LPA: persisted adjacency (cached-branch convention)
+    "label_propagation": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # SRM: one agg over the distinct-user frame
+    "srm_check": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

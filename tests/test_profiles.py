@@ -379,3 +379,28 @@ def test_ivm_merge_audit_all_green(spark):
         assert r["min_full_c"] == r["min_merged_c"]
         assert r["max_full_c"] == r["max_merged_c"]
         assert r["avg_full"] == r["avg_merged"]
+
+
+def test_srm_check_hash_rebuild(spark):
+    """srm_check's md5-parity arm counts vs hashlib rebuild, and the
+    chi-square arithmetic vs the closed form."""
+    import hashlib
+
+    from mpds_spark.queries import q_srm_check
+
+    r = q_srm_check(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    users = [u for (u,) in duckdb.sql(
+        "SELECT DISTINCT user_id FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()]
+    nb = sum(
+        int(hashlib.md5(f"srm|{u}".encode()).hexdigest()[0], 16) % 2
+        for u in users
+    )
+    n = len(users)
+    assert (r["n"], r["n_a"], r["n_b"]) == (n, n - nb, nb)
+    chi2 = (n - 2 * nb) ** 2 / n
+    assert abs(r["chi2"] - chi2) < 1e-9
+    assert r["srm_flag"] == (chi2 > 3.841)
