@@ -710,3 +710,69 @@ def quantized_recall(
             / F.col("__k").cast("double")
         ).alias("recall"),
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; Sener &
+    Savarese ICLR 2018 for training-data selection): seed with the
+    smallest id, then repeatedly add the point FARTHEST (max cosine
+    distance 1 - cos to its nearest chosen center) from the current
+    set, ties to the smallest id — the 2-approximation cover that
+    picks maximally diverse exemplars for labeling/distillation
+    budgets.
+
+    Determinism: distances are the engine's exact-deterministic cosine
+    (dot/sqrt/sqrt over once-cast doubles); the per-round argmax
+    tie-breaks by id; the selection is a pure function of the table.
+
+    Shape at scale: k-1 bounded driver rounds (the sanctioned fit
+    idiom — each round collects ONE row), each ONE corpus scan
+    against the <= k broadcast chosen centers; the scan re-derives
+    min-distance-to-chosen per point. O(k * n) total distance
+    evaluations, never an n x n matrix.
+
+    Returns (round, vec_id, dist_to_chosen) — round 0 is the seed with
+    distance NULL, round i the i-th added center with its selection
+    distance."""
+    import math
+
+    v = vectors.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    seed = v.select(F.min("__id").alias("m")).collect()[0]["m"]
+    chosen = [(0, seed, None)]
+    for r in range(1, int(k)):
+        ids = [c[1] for c in chosen]
+        cen = v.filter(F.col("__id").isin(ids)).select(
+            F.col("__id").alias("__cid"),
+            F.col("__v").alias("__cv"),
+            F.col("__n").alias("__cn"),
+        )
+        j = v.join(F.broadcast(cen), F.col("__id") != F.col("__cid"))
+        dist = F.lit(1.0) - (
+            _dot(F.col("__v"), F.col("__cv"))
+            / F.col("__n") / F.col("__cn")
+        )
+        far = (
+            j.filter(~F.col("__id").isin(ids))
+            .groupBy("__id")
+            .agg(F.min(dist).alias("__d"))
+            .orderBy(F.desc("__d"), "__id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((r, far["__id"], float(far["__d"])))
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in chosen],
+        "round INT, vec_id BIGINT, dist_to_chosen DOUBLE",
+    ).select(
+        F.col("round").cast("long").alias("round"),
+        "vec_id",
+        "dist_to_chosen",
+    )

@@ -10877,3 +10877,133 @@ FROM g
 QUERIES["srm_check"] = q_srm_check
 _RAW_ORACLES["srm_check"] = SQL_SRM_CHECK
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset over embeddings (operators/similarity.py
+    kcenter_coreset, Gonzalez 1985 / Sener & Savarese 2018): 8 maximally
+    diverse exemplars by farthest-point traversal with id tie-breaks;
+    bounded driver rounds (the sanctioned fit idiom); the oracle unrolls
+    the same greedy rounds as CTEs."""
+    from mpds_spark.operators.similarity import kcenter_coreset
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = kcenter_coreset(emb, k=8)
+    return out.select(
+        "round", "vec_id", _r6("dist_to_chosen").alias("dist_to_chosen")
+    )
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    head = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      AS n
+  FROM embeddings
+), sel0 AS (
+  SELECT 0 AS round, min(vec_id) AS vec_id,
+         CAST(NULL AS DOUBLE) AS d
+  FROM v
+)"""
+    step = """, p{r} AS (
+  SELECT {r} AS round, vec_id, d FROM (
+    SELECT a.vec_id,
+      min(1.0 - list_dot_product(a.e, c.e) / a.n / c.n) AS d
+    FROM v a, v c
+    WHERE c.vec_id IN (SELECT vec_id FROM sel{p})
+      AND a.vec_id NOT IN (SELECT vec_id FROM sel{p})
+    GROUP BY a.vec_id
+  ) QUALIFY row_number() OVER (ORDER BY d DESC, vec_id) = 1
+), sel{r} AS (
+  SELECT * FROM sel{p} UNION ALL SELECT * FROM p{r}
+)"""
+    tail = f"""
+SELECT CAST(round AS BIGINT) AS round, vec_id,
+  round(d, 6) AS dist_to_chosen
+FROM sel{k - 1}
+"""
+    return head + "".join(
+        step.format(r=i, p=i - 1) for i in range(1, k)
+    ) + tail
+
+
+SQL_KCENTER_CORESET = _kcenter_sql(8)
+
+QUERIES["kcenter_coreset"] = q_kcenter_coreset
+_RAW_ORACLES["kcenter_coreset"] = SQL_KCENTER_CORESET
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10%-trimmed vs raw mean order value per priority — the robust
+    location estimate beside the exact grouped quantiles: rank by
+    (cents, orderkey) per group, drop floor(n/10) from each tail,
+    exact integer sums, one division each."""
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        (
+            F.signum("o_totalprice")
+            * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy("priority").orderBy("__c", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    d = od.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.floor(F.col("__n") / 10).cast("long")
+    kept = (F.col("__rn") > cut) & (F.col("__rn") <= F.col("__n") - cut)
+    g = d.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__c").cast("long").alias("__s_all"),
+        F.sum(F.when(kept, F.col("__c")).otherwise(0)).cast("long")
+        .alias("__s_kept"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return g.select(
+        "priority", "n", "n_kept",
+        _r6(
+            F.col("__s_all").cast("double")
+            / F.col("n").cast("double") / F.lit(100.0)
+        ).alias("mean_raw"),
+        _r6(
+            F.col("__s_kept").cast("double")
+            / F.col("n_kept").cast("double") / F.lit(100.0)
+        ).alias("mean_trimmed"),
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH o AS (
+  SELECT o_orderpriority AS priority, o_orderkey,
+    CAST(floor(abs(o_totalprice)*100 + 0.5)*sign(o_totalprice)
+         AS BIGINT) AS c
+  FROM orders
+), d AS (
+  SELECT priority, c,
+    row_number() OVER (PARTITION BY priority ORDER BY c, o_orderkey)
+      AS rn,
+    count(*) OVER (PARTITION BY priority) AS n
+  FROM o
+), g AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS s_all,
+    CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+             THEN c ELSE 0 END) AS BIGINT) AS s_kept,
+    CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM d GROUP BY priority
+)
+SELECT priority, n, n_kept,
+  round(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+    AS mean_raw,
+  round(CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE) / 100.0, 6)
+    AS mean_trimmed
+FROM g
+"""
+
+QUERIES["trimmed_mean"] = q_trimmed_mean
+_RAW_ORACLES["trimmed_mean"] = SQL_TRIMMED_MEAN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

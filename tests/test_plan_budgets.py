@@ -388,6 +388,9 @@ BUDGETS = {
     "label_propagation": {"python": 0, "cartesian": 0, "bnlj": 0},
     # SRM: one agg over the distinct-user frame
     "srm_check": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # trimmed mean: both windows + the agg share ONE group exchange
+    "trimmed_mean": {"shuffle": 1, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

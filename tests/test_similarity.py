@@ -389,3 +389,44 @@ def test_quantized_recall_numpy_rebuild(spark):
         want = len(set(ex) & set(qt))
         assert got[q]["n_overlap"] == want, q
         assert got[q]["recall"] == want / 5.0
+
+
+def test_kcenter_coreset_greedy_rebuild(spark):
+    """kcenter_coreset vs the explicit greedy farthest-point traversal
+    in numpy (same cosine distance, same id tie-break), on clusters
+    where the greedy MUST hop between clusters before densifying."""
+    import numpy as np
+    import pandas as pd
+
+    from mpds_spark.operators.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(53)
+    cs = [np.array([9.0, 0, 0]), np.array([0, 9.0, 0]),
+          np.array([0, 0, 9.0])]
+    rows = []
+    for i in range(30):
+        v = cs[i % 3] + rng.normal(0, 0.5, size=3)
+        rows.append((i, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    got = [
+        (r["round"], r["vec_id"])
+        for r in kcenter_coreset(
+            spark.createDataFrame(pdf), k=5
+        ).collect()
+    ]
+    V = np.array([r[1] for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = Vn @ Vn.T
+    chosen = [0]
+    for _ in range(4):
+        best, bd = None, -1.0
+        for i in range(30):
+            if i in chosen:
+                continue
+            d = min(1.0 - cos[i, c] for c in chosen)
+            if d > bd or (d == bd and i < best):
+                best, bd = i, d
+        chosen.append(best)
+    assert [c for _, c in sorted(got)] == chosen
+    # the first three picks cover all three clusters
+    assert {c % 3 for c in chosen[:3]} == {0, 1, 2}
