@@ -11007,3 +11007,184 @@ FROM g
 QUERIES["trimmed_mean"] = q_trimmed_mean
 _RAW_ORACLES["trimmed_mean"] = SQL_TRIMMED_MEAN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_source_digest(spark, sf_dir):
+    """Per-source content digest — the reproducibility audit a staged
+    pipeline runs to prove a rewrite/resume produced byte-identical
+    data: md5 row hashes over canonicalized fields, then one md5 over
+    the row-hash-sorted concatenation per source. Order-insensitive by
+    construction (the sort pins it), partition-count-invariant. At
+    10^12 rows the concat becomes a Merkle tree over per-partition
+    digests; the per-source array is the catalog-scale shape."""
+    docs = load(spark, sf_dir, "documents")
+    rh = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                "\x1f",
+                F.col("doc_id").cast("string"),
+                F.col("text"),
+                F.col("lang"),
+                F.col("n_chars").cast("string"),
+            )
+        ).alias("__h"),
+    )
+    return rh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("__h")), "")
+        ).alias("digest"),
+    )
+
+
+SQL_SOURCE_DIGEST = """
+WITH rh AS (
+  SELECT source,
+    md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
+        || lang || chr(31) || CAST(n_chars AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+  md5(string_agg(h, '' ORDER BY h)) AS digest
+FROM rh GROUP BY source
+"""
+
+QUERIES["source_digest"] = q_source_digest
+_RAW_ORACLES["source_digest"] = SQL_SOURCE_DIGEST
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_lpt_partition_plan(spark, sf_dir):
+    """Skew-aware partition planning via Graham's LPT greedy (1969,
+    4/3-approximation): assign per-user row counts, LARGEST FIRST, to
+    the least-loaded of 4 target partitions (ties to the lowest slot) —
+    the planner behind salting decisions: the output's makespan ratio
+    says whether key-hash assignment needs rebalancing. Entirely
+    integer: counts exact, the fold carries 4 long loads, the only
+    float is the final load-share division."""
+    ev = _events(spark, sf_dir).select("user_id")
+    cnt = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    g = cnt.agg(
+        F.expr(
+            # fold (count desc, user asc): sort by (-count, user)
+            "aggregate(array_sort(collect_list("
+            "struct(-__c as nc, user_id as u, __c as c))), "
+            "array(0L, 0L, 0L, 0L), (acc, x) -> CASE "
+            "WHEN acc[0] <= acc[1] AND acc[0] <= acc[2] "
+            "AND acc[0] <= acc[3] "
+            "THEN array(acc[0] + x.c, acc[1], acc[2], acc[3]) "
+            "WHEN acc[1] <= acc[2] AND acc[1] <= acc[3] "
+            "THEN array(acc[0], acc[1] + x.c, acc[2], acc[3]) "
+            "WHEN acc[2] <= acc[3] "
+            "THEN array(acc[0], acc[1], acc[2] + x.c, acc[3]) "
+            "ELSE array(acc[0], acc[1], acc[2], acc[3] + x.c) END)"
+        ).alias("__l"),
+        F.sum("__c").cast("long").alias("__total"),
+        F.count(F.lit(1)).cast("long").alias("__nk"),
+    )
+    e = g.select(
+        "__total", "__nk",
+        F.posexplode("__l").alias("partition", "load"),
+    )
+    return e.select(
+        F.col("partition").cast("long").alias("partition"),
+        F.col("load").cast("long").alias("load"),
+        F.col("__nk").alias("n_keys_total"),
+        _r6(
+            F.col("load").cast("double")
+            / (F.col("__total").cast("double") / F.lit(4.0))
+        ).alias("balance_ratio"),
+    )
+
+
+SQL_LPT_PLAN = """
+WITH cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT
+    list_reduce(
+      list_prepend([0, 0, 0, 0]::BIGINT[],
+        list([c, 0, 0, 0]::BIGINT[] ORDER BY c DESC, user_id)),
+      (acc, x) -> CASE
+        WHEN acc[1] <= acc[2] AND acc[1] <= acc[3] AND acc[1] <= acc[4]
+          THEN [acc[1] + x[1], acc[2], acc[3], acc[4]]::BIGINT[]
+        WHEN acc[2] <= acc[3] AND acc[2] <= acc[4]
+          THEN [acc[1], acc[2] + x[1], acc[3], acc[4]]::BIGINT[]
+        WHEN acc[3] <= acc[4]
+          THEN [acc[1], acc[2], acc[3] + x[1], acc[4]]::BIGINT[]
+        ELSE [acc[1], acc[2], acc[3], acc[4] + x[1]]::BIGINT[]
+        END) AS l,
+    CAST(sum(c) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS nk
+  FROM cnt
+)
+SELECT CAST(i - 1 AS BIGINT) AS partition,
+  l[i] AS load, nk AS n_keys_total,
+  round(CAST(l[i] AS DOUBLE) / (CAST(total AS DOUBLE) / 4.0), 6)
+    AS balance_ratio
+FROM g, (SELECT unnest(generate_series(1, 4)) AS i)
+"""
+
+QUERIES["lpt_partition_plan"] = q_lpt_partition_plan
+_RAW_ORACLES["lpt_partition_plan"] = SQL_LPT_PLAN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rate_shrinkage(spark, sf_dir):
+    """Smoothed purchase-rate league table: per-user purchase share
+    shrunk toward the pooled rate with prior strength m=20
+    (additive/Dirichlet smoothing — the small-n ranking fix: a 2/2
+    user must NOT out-rank a 95/100 one). Exact integer counts; the
+    pooled rate is a registered 1-row broadcast; raw and shrunk rates
+    are one division each."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", (F.col("event_type") == "purchase").alias("__p")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__p"), 1).otherwise(0)).cast("long")
+        .alias("k"),
+    )
+    tot = u.agg(
+        F.sum("n").cast("long").alias("__tn"),
+        F.sum("k").cast("long").alias("__tk"),
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    p0 = F.col("__tk").cast("double") / F.col("__tn").cast("double")
+    shrunk = (
+        (F.col("k").cast("double") + F.lit(20.0) * p0)
+        / (F.col("n").cast("double") + F.lit(20.0))
+    )
+    return j.select(
+        "user_id", "n", "k",
+        _r6(F.col("k").cast("double") / F.col("n").cast("double"))
+        .alias("rate_raw"),
+        _r6(shrunk).alias("rate_shrunk"),
+    )
+
+
+SQL_RATE_SHRINKAGE = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS k
+  FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(k) AS BIGINT) AS tk
+  FROM u
+)
+SELECT user_id, n, k,
+  round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_raw,
+  round((CAST(k AS DOUBLE)
+         + 20.0 * (CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE)))
+        / (CAST(n AS DOUBLE) + 20.0), 6) AS rate_shrunk
+FROM u, t
+"""
+
+QUERIES["rate_shrinkage"] = q_rate_shrinkage
+_RAW_ORACLES["rate_shrinkage"] = SQL_RATE_SHRINKAGE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

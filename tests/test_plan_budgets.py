@@ -391,6 +391,14 @@ BUDGETS = {
     # trimmed mean: both windows + the agg share ONE group exchange
     "trimmed_mean": {"shuffle": 1, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # digest: ONE source agg; LPT: key agg + global fold; shrinkage:
+    # user agg + registered 1-row pooled-rate broadcast
+    "source_digest": {"shuffle": 1, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "lpt_partition_plan": {"shuffle": 2, "python": 0, "cartesian": 0,
+                           "bnlj": 0},
+    "rate_shrinkage": {"shuffle": 3, "python": 0, "cartesian": 0,
+                       "bnlj": 1},
 }
 
 

@@ -149,6 +149,7 @@ def test_catalog_plan_inventory(spark):
         "knn_eval",            # broadcast sampled query set x corpus
                                # (documented exact brute baseline)
         "quant_recall",        # two registered brute legs (exact + int8)
+        "rate_shrinkage",      # broadcast 1-row pooled-rate fit
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

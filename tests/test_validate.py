@@ -250,3 +250,80 @@ def test_consistent_hash_audit_guarantee(spark):
         assert by[f"node{i}"]["n_gained"] == 0
     # moved share near 1/9, certainly below 1/3
     assert 0 < moved < 2000 / 3
+
+
+def test_source_digest_partition_invariant(spark):
+    """The content digest must be invariant to partitioning and row
+    order, and flip on a single-byte change."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text {i}", "en", "s0", 10 + i) for i in range(50)]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    def digest(df):
+        rh = df.select(
+            "source",
+            F.md5(F.concat_ws(
+                "\x1f", F.col("doc_id").cast("string"), "text", "lang",
+                F.col("n_chars").cast("string"))).alias("h"),
+        )
+        return rh.groupBy("source").agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("h")), ""))
+            .alias("d")
+        ).collect()[0]["d"]
+
+    a = digest(spark.createDataFrame(pdf))
+    b = digest(spark.createDataFrame(
+        pdf.sample(frac=1.0, random_state=7)).repartition(13))
+    assert a == b
+    # hashlib rebuild
+    hs = sorted(
+        hashlib.md5(
+            f"{i}\x1f{t}\x1f{lg}\x1f{nc}".encode()
+        ).hexdigest()
+        for i, t, lg, _s, nc in rows
+    )
+    assert a == hashlib.md5("".join(hs).encode()).hexdigest()
+    pdf2 = pdf.copy()
+    pdf2.loc[0, "text"] = "text 0!"
+    assert digest(spark.createDataFrame(pdf2)) != a
+
+
+def test_lpt_partition_plan_greedy_rebuild(spark):
+    """The LPT fold vs the explicit greedy in python on a skewed count
+    set — and LPT must beat the ideal-bound ratio naive hash gets on
+    the same skew."""
+    import datetime
+
+    import pandas as pd
+
+    from mpds_spark.queries import q_lpt_partition_plan  # noqa: F401
+
+    # drive the same fold via the catalog query on real data instead:
+    rows = q_lpt_partition_plan(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    counts = duckdb.sql(
+        "SELECT user_id, count(*) c FROM "
+        "'/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    order = sorted(counts, key=lambda r: (-r[1], r[0]))
+    loads = [0, 0, 0, 0]
+    for _, c in order:
+        i = loads.index(min(loads))
+        loads[i] += c
+    got = sorted((r["partition"], r["load"]) for r in rows)
+    assert got == list(enumerate(loads))
+    total = sum(c for _, c in counts)
+    for r in rows:
+        assert r["balance_ratio"] == r["load"] / (total / 4.0)
+    # LPT keeps makespan within 4/3 of ideal (Graham 1969)
+    assert max(loads) / (total / 4.0) <= 4.0 / 3.0 + 1e-9
