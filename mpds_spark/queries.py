@@ -11188,3 +11188,194 @@ FROM u, t
 QUERIES["rate_shrinkage"] = q_rate_shrinkage
 _RAW_ORACLES["rate_shrinkage"] = SQL_RATE_SHRINKAGE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_merkle_diff(spark, sf_dir):
+    """Block-level Merkle diff between two snapshots — the incremental
+    sync/verify primitive (rsync, snapshot deep-clone verification):
+    rows bucket into doc_id-range blocks of 64, each side digests each
+    block (md5 over row-hash-sorted concat), and ONLY differing blocks
+    surface. v2 is a deterministic in-query simulation of drift:
+    doc_id % 97 == 0 rows edited, doc_id % 101 == 0 rows deleted —
+    self-contained, no second table needed. At 10^12 rows the block
+    digests ARE the Merkle leaves: comparing snapshots touches
+    O(changed blocks), not O(rows)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    v2 = docs.filter(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")).alias("text"),
+        "lang", "n_chars",
+    )
+
+    def blocks(df, side):
+        rh = df.select(
+            (F.col("doc_id") / 64).cast("long").alias("block"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("doc_id").cast("string"), "text", "lang",
+                    F.col("n_chars").cast("string"),
+                )
+            ).alias("__h"),
+        )
+        return rh.groupBy("block").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{side}"),
+            F.md5(
+                F.array_join(F.array_sort(F.collect_list("__h")), "")
+            ).alias(f"d_{side}"),
+        )
+
+    j = blocks(docs, "v1").join(blocks(v2, "v2"), "block", "full")
+    changed = j.filter(
+        F.col("d_v1").isNull() | F.col("d_v2").isNull()
+        | (F.col("d_v1") != F.col("d_v2"))
+    )
+    z = F.lit(0).cast("long")
+    return changed.select(
+        "block",
+        F.coalesce("n_v1", z).alias("n_v1"),
+        F.coalesce("n_v2", z).alias("n_v2"),
+    )
+
+
+SQL_MERKLE_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+), v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 97 = 0 THEN text || '!' ELSE text END AS text,
+    lang, n_chars
+  FROM documents WHERE doc_id % 101 <> 0
+), b1 AS (
+  SELECT doc_id // 64 AS block, CAST(count(*) AS BIGINT) AS n_v1,
+    md5(string_agg(h, '' ORDER BY h)) AS d_v1
+  FROM (SELECT doc_id,
+          md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
+              || lang || chr(31) || CAST(n_chars AS VARCHAR)) AS h
+        FROM v1)
+  GROUP BY doc_id // 64
+), b2 AS (
+  SELECT doc_id // 64 AS block, CAST(count(*) AS BIGINT) AS n_v2,
+    md5(string_agg(h, '' ORDER BY h)) AS d_v2
+  FROM (SELECT doc_id,
+          md5(CAST(doc_id AS VARCHAR) || chr(31) || text || chr(31)
+              || lang || chr(31) || CAST(n_chars AS VARCHAR)) AS h
+        FROM v2)
+  GROUP BY doc_id // 64
+)
+SELECT coalesce(b1.block, b2.block) AS block,
+  coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2
+FROM b1 FULL OUTER JOIN b2 ON b1.block = b2.block
+WHERE d_v1 IS NULL OR d_v2 IS NULL OR d_v1 <> d_v2
+"""
+
+QUERIES["merkle_diff"] = q_merkle_diff
+_RAW_ORACLES["merkle_diff"] = SQL_MERKLE_DIFF
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_jackknife_ratio(spark, sf_dir):
+    """Delete-a-group jackknife standard error (Efron 1982; Kott 2001
+    for the grouped variant) of the average order value — the
+    resampling-free CI machinery for RATIO statistics, where naive
+    per-row variance is simply wrong: G=20 md5-hash groups, leave-out
+    ratios r_g = (Sa - a_g)/(Sb - b_g) from exact integer group
+    totals, SE = sqrt((G-1)/G * sum (r_g - rbar)^2) with both folds
+    order-pinned over the group-sorted array."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.signum("o_totalprice")
+            * F.floor(F.abs(F.col("o_totalprice")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("jk|"),
+                               F.col("o_orderkey").cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long") % 20
+    )
+    g = od.groupBy(grp.alias("__g")).agg(
+        F.sum("__c").cast("long").alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("__b"),
+    )
+    agg = g.agg(
+        F.sum("__a").cast("long").alias("__sa"),
+        F.sum("__b").cast("long").alias("__sb"),
+        F.count(F.lit(1)).cast("long").alias("__gn"),
+        F.array_sort(
+            F.collect_list(F.struct("__g", "__a", "__b"))
+        ).alias("__arr"),
+    )
+    # leave-out ratios in group order, then two order-pinned folds
+    rs = F.expr(
+        "transform(__arr, x -> "
+        "cast(__sa - x.__a as double) / cast(__sb - x.__b as double))"
+    )
+    agg = agg.withColumn("__rs", rs)
+    rbar = F.expr(
+        "aggregate(__rs, 0.0D, (acc, r) -> acc + r)"
+    ) / F.col("__gn").cast("double")
+    agg = agg.withColumn("__rbar", rbar)
+    ss = F.expr(
+        "aggregate(__rs, 0.0D, (acc, r) -> "
+        "acc + (r - __rbar) * (r - __rbar))"
+    )
+    ratio = F.col("__sa").cast("double") / F.col("__sb").cast("double")
+    se = F.sqrt(
+        (F.col("__gn") - 1).cast("double")
+        / F.col("__gn").cast("double") * ss
+    )
+    return agg.select(
+        F.col("__gn").alias("n_groups"),
+        F.col("__sb").alias("n_orders"),
+        _r6(ratio / F.lit(100.0)).alias("avg_order_value"),
+        _r6(se / F.lit(100.0)).alias("jackknife_se"),
+    )
+
+
+SQL_JACKKNIFE_RATIO = """
+WITH o AS (
+  SELECT o_orderkey,
+    CAST(floor(abs(o_totalprice)*100 + 0.5)*sign(o_totalprice)
+         AS BIGINT) AS c,
+    CAST(('0x' || substring(md5('jk|' || CAST(o_orderkey AS VARCHAR)),
+          1, 15))::UBIGINT % 20 AS BIGINT) AS g
+  FROM orders
+), gr AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS b
+  FROM o GROUP BY g
+), t AS (
+  SELECT CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+    CAST(count(*) AS BIGINT) AS gn
+  FROM gr
+), rs AS (
+  SELECT gn, sa, sb,
+    list(CAST(sa - a AS DOUBLE) / CAST(sb - b AS DOUBLE) ORDER BY g)
+      AS r
+  FROM gr, t GROUP BY gn, sa, sb
+), m AS (
+  SELECT gn, sa, sb, r,
+    list_sum(r) / CAST(gn AS DOUBLE) AS rbar
+  FROM rs
+)
+SELECT gn AS n_groups, sb AS n_orders,
+  round(CAST(sa AS DOUBLE) / CAST(sb AS DOUBLE) / 100.0, 6)
+    AS avg_order_value,
+  round(sqrt(CAST(gn - 1 AS DOUBLE) / CAST(gn AS DOUBLE)
+        * list_sum(list_transform(r,
+            x -> (x - rbar) * (x - rbar)))) / 100.0, 6)
+    AS jackknife_se
+FROM m
+"""
+
+QUERIES["jackknife_ratio"] = q_jackknife_ratio
+_RAW_ORACLES["jackknife_ratio"] = SQL_JACKKNIFE_RATIO
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -399,6 +399,12 @@ BUDGETS = {
                            "bnlj": 0},
     "rate_shrinkage": {"shuffle": 3, "python": 0, "cartesian": 0,
                        "bnlj": 1},
+    # merkle: two block aggs + one block-keyed full-outer join
+    "merkle_diff": {"shuffle": 2, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
+    # jackknife: group agg + global fold agg
+    "jackknife_ratio": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

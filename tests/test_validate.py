@@ -327,3 +327,68 @@ def test_lpt_partition_plan_greedy_rebuild(spark):
         assert r["balance_ratio"] == r["load"] / (total / 4.0)
     # LPT keeps makespan within 4/3 of ideal (Graham 1969)
     assert max(loads) / (total / 4.0) <= 4.0 / 3.0 + 1e-9
+
+
+def test_merkle_diff_localizes_changes(spark):
+    """Only blocks holding an edited (doc_id%97==0) or deleted
+    (doc_id%101==0) row may surface; every surfaced block must hold
+    one; counts must reflect deletions."""
+    from mpds_spark.queries import q_merkle_diff
+
+    rows = q_merkle_diff(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    import duckdb
+
+    ids = [i for (i,) in duckdb.sql(
+        "SELECT doc_id FROM "
+        "'/root/testdata/sf0.001/documents.parquet'").fetchall()]
+    dirty = {i // 64 for i in ids if i % 97 == 0 or i % 101 == 0}
+    got = {r["block"] for r in rows}
+    assert got == dirty
+    for r in rows:
+        dels = sum(1 for i in ids
+                   if i // 64 == r["block"] and i % 101 == 0)
+        n1 = sum(1 for i in ids if i // 64 == r["block"])
+        assert r["n_v1"] == n1
+        assert r["n_v2"] == n1 - dels
+
+
+def test_jackknife_ratio_formula(spark):
+    """The delete-a-group jackknife SE vs explicit recomputation from
+    the same hash groups."""
+    import hashlib
+    import math
+
+    from mpds_spark.queries import q_jackknife_ratio
+
+    r = q_jackknife_ratio(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT o_orderkey, CAST(floor(abs(o_totalprice)*100 + 0.5)"
+        "*sign(o_totalprice) AS BIGINT) FROM "
+        "'/root/testdata/sf0.001/orders.parquet'").fetchall()
+    groups = {}
+    for k, c in rows:
+        g = int(hashlib.md5(f"jk|{k}".encode()).hexdigest()[:15], 16) % 20
+        a, b = groups.get(g, (0, 0))
+        groups[g] = (a + c, b + 1)
+    sa = sum(a for a, _ in groups.values())
+    sb = sum(b for _, b in groups.values())
+    rs = [(sa - a) / (sb - b) for g, (a, b) in sorted(groups.items())]
+    rbar = 0.0
+    for x in rs:
+        rbar += x
+    rbar /= len(rs)
+    ss = 0.0
+    for x in rs:
+        ss += (x - rbar) * (x - rbar)
+    se = math.sqrt((len(rs) - 1) / len(rs) * ss)
+    assert r["n_groups"] == len(rs) and r["n_orders"] == sb
+    from mpds_spark.functions.timeutil import duck_round  # noqa: F401
+
+    def r6(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    assert r["avg_order_value"] == r6(sa / sb / 100.0)
+    assert r["jackknife_se"] == r6(se / 100.0)
