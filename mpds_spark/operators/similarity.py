@@ -776,3 +776,110 @@ def kcenter_coreset(
         "vec_id",
         "dist_to_chosen",
     )
+
+
+def knn_shapley(
+    train: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """KNN-Shapley data valuation (Jia et al., VLDB 2019, "Efficient
+    task-specific data valuation for nearest neighbor algorithms"):
+    for a K-NN classifier the EXACT Shapley value of every training
+    point — normally a 2^N coalition sum — collapses to one sorted
+    sweep per test point (their Theorem 1). With training points
+    ranked by similarity to the test point (rank 1 nearest, y = test
+    label, I_j = 1[y_j = y]):
+
+        s_N = I_N / N
+        s_j = s_{j+1} + (I_j - I_{j+1}) / K * min(K, j) / j
+
+    so the per-rank increment d_j = s_j - s_{j+1} depends only on the
+    two adjacent label indicators, and s_j = I_N/N + suffix_sum(d)_j.
+    This is THE training-data-attribution primitive that scales: which
+    corpus rows actually help the eval set, per-point, exactly.
+
+    Determinism: neighbors are ranked by the EXACT INT8 integer dot
+    product of round(127 * x/||x||) codes (the quantized_recall
+    construction — |q| <= 127 keeps a 64-dim dot < 2^21, so the score
+    is an order-free exact integer in any engine), ties to the
+    smaller train id; the suffix sum is a running window in rank-DESC
+    order, sequential and identically ordered in both engines; the
+    cross-query mean is the one unordered float reduction (callers
+    round it).
+
+    Shape at scale: queries broadcast against one corpus scan (the
+    registered brute-force Q x N leg — the at-scale path ranks inside
+    IVF/LSH buckets with the same codes); ranking + both windows share
+    ONE query-keyed exchange; the per-train mean is the second.
+
+    Returns (train_id, n_queries, mean_shapley) — one row per
+    training point, mean taken over all test points.
+    """
+    def quant(df, out_id, out_lab):
+        d = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(label_col).alias(out_lab),
+            _as_double(vec_col).alias("__v"),
+        ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+        return d.select(
+            out_id,
+            out_lab,
+            F.expr(
+                "transform(__v, x -> cast(floor(abs(127.0D * x / __n)"
+                " + 0.5D) * sign(x) as bigint))"
+            ).alias("__q"),
+        )
+
+    tr = quant(train, "train_id", "__tl")
+    qq = quant(queries, "query_id", "__ql").withColumnRenamed(
+        "__q", "__qq"
+    )
+    j = tr.join(
+        F.broadcast(qq), F.col("query_id") != F.col("train_id")
+    )
+    score = F.expr(
+        "aggregate(zip_with(__q, __qq, (a, b) -> a * b), 0L, "
+        "(acc, x) -> acc + x)"
+    )
+    j = j.select(
+        "train_id",
+        "query_id",
+        score.alias("__s"),
+        F.when(F.col("__tl") == F.col("__ql"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("__i"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("train_id")
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = (
+        j.withColumn("__rank", F.row_number().over(w))
+        .withColumn("__inext", F.lead("__i").over(w))
+        .withColumn("__nn", F.count(F.lit(1)).over(wfull))
+        .withColumn("__ilast", F.last("__i").over(wfull))
+    )
+    d = F.when(
+        F.col("__rank") < F.col("__nn"),
+        ((F.col("__i") - F.col("__inext"))
+         * F.least(F.lit(k), F.col("__rank"))).cast("double")
+        / (F.lit(k) * F.col("__rank")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    wdesc = Window.partitionBy("query_id").orderBy(
+        F.col("__rank").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = r.withColumn("__d", d).withColumn(
+        "__shap",
+        F.col("__ilast").cast("double") / F.col("__nn").cast("double")
+        + F.sum("__d").over(wdesc),
+    )
+    return r.groupBy("train_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.avg("__shap").alias("mean_shapley"),
+    )

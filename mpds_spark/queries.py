@@ -11379,3 +11379,193 @@ FROM m
 QUERIES["jackknife_ratio"] = q_jackknife_ratio
 _RAW_ORACLES["jackknife_ratio"] = SQL_JACKKNIFE_RATIO
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_rank_auc(spark, sf_dir):
+    """ROC AUC + Mann-Whitney U from tie-corrected rank sums — the
+    eval staple computed WITHOUT a global per-row sort: the classifier
+    here is "does event value predict a purchase event". AUC is the
+    rank-sum formula AUC = (R+ - n1(n1+1)/2)/(n1*n0) on DOUBLED
+    average ranks (r2 = 2*cum_before + cnt + 1 over the distinct-value
+    frame, the spearman_rank machinery), so every moment up to the two
+    final divisions is an exact integer: U, the tie-corrected variance
+    term sum(t^3 - t), and the normal-approximation z are all derived
+    from one distinct-cents aggregate + one window over that tiny
+    frame. Zero unordered float reductions anywhere — the gate is
+    exact by construction, not by rounding luck."""
+    ev = _events(spark, sf_dir).select(
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__p"),
+    )
+    v = ev.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        F.sum("__p").cast("long").alias("__pc"),
+    )
+    w = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r2 = (
+        2 * F.coalesce(F.sum("__cnt").over(w), F.lit(0).cast("long"))
+        + F.col("__cnt") + 1
+    )
+    a = v.select(
+        (F.col("__pc") * r2).alias("__pr2"),
+        "__cnt", "__pc",
+        (F.col("__cnt") * F.col("__cnt") * F.col("__cnt")
+         - F.col("__cnt")).alias("__t3"),
+    ).agg(
+        F.sum("__pr2").cast("long").alias("__s2"),
+        F.sum("__cnt").cast("long").alias("__n"),
+        F.sum("__pc").cast("long").alias("__n1"),
+        F.sum("__t3").cast("long").alias("__tt"),
+    )
+    n0 = F.col("__n") - F.col("__n1")
+    u2 = F.col("__s2") - F.col("__n1") * (F.col("__n1") + 1)
+    auc = u2.cast("double") / (2 * F.col("__n1") * n0).cast("double")
+    varu = (
+        (F.col("__n1") * n0).cast("double")
+        * (
+            (F.col("__n") + 1).cast("double")
+            - F.col("__tt").cast("double")
+            / (F.col("__n") * (F.col("__n") - 1)).cast("double")
+        )
+        / F.lit(12.0)
+    )
+    z = (
+        (u2 - F.col("__n1") * n0).cast("double")
+        / (F.lit(2.0) * F.sqrt(varu))
+    )
+    return a.select(
+        F.col("__n1").alias("n_pos"),
+        n0.alias("n_neg"),
+        (u2.cast("double") / F.lit(2.0)).alias("mann_whitney_u"),
+        _r6(auc).alias("auc"),
+        _r6(z).alias("z_score"),
+    )
+
+
+SQL_RANK_AUC = """
+WITH ev AS (
+  SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+  FROM events
+), v AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(p) AS BIGINT) AS pc
+  FROM ev GROUP BY c
+), r AS (
+  SELECT cnt, pc,
+    2*coalesce(sum(cnt) OVER (ORDER BY c
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + cnt + 1 AS r2,
+    cnt*cnt*cnt - cnt AS t3
+  FROM v
+), a AS (
+  SELECT CAST(sum(pc * r2) AS BIGINT) AS s2,
+    CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(pc) AS BIGINT) AS n1,
+    CAST(sum(t3) AS BIGINT) AS tt
+  FROM r
+)
+SELECT n1 AS n_pos, n - n1 AS n_neg,
+  CAST(s2 - n1*(n1+1) AS DOUBLE) / 2.0 AS mann_whitney_u,
+  round(CAST(s2 - n1*(n1+1) AS DOUBLE)
+        / CAST(2*n1*(n - n1) AS DOUBLE), 6) AS auc,
+  round(CAST(s2 - n1*(n1+1) - n1*(n - n1) AS DOUBLE)
+        / (2.0 * sqrt(CAST(n1*(n - n1) AS DOUBLE)
+            * (CAST(n + 1 AS DOUBLE)
+               - CAST(tt AS DOUBLE) / CAST(n*(n-1) AS DOUBLE))
+            / 12.0)), 6) AS z_score
+FROM a
+"""
+
+QUERIES["rank_auc"] = q_rank_auc
+_RAW_ORACLES["rank_auc"] = SQL_RANK_AUC
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_knn_shapley(spark, sf_dir):
+    """KNN-Shapley data valuation (Jia et al. VLDB 2019, Theorem 1 —
+    operators/similarity.py knn_shapley): the exact Shapley value of
+    each training embedding for a 5-NN label classifier over a
+    deterministic held-out query set, the closed-form
+    training-data-attribution primitive (2^N coalitions collapse to
+    one sorted sweep per test point). Neighbor order is the EXACT
+    INT8 integer dot product with id tie-breaks (cross-engine exact);
+    the suffix-sum recursion runs as a rank-DESC running window inside
+    the ONE query-keyed exchange; only the final cross-query mean is
+    an unordered float reduction (rounded 6dp both sides). Corpus =
+    even vec_ids, queries = vec_id % 8 == 1 (disjoint), the bounded
+    registered brute leg — at scale the same sweep runs inside
+    IVF/LSH candidate buckets over identical codes."""
+    from mpds_spark.operators.similarity import knn_shapley
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn_shapley(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 8 == 1),
+        k=5,
+    )
+    return out.select(
+        "train_id", "n_queries", _r6("mean_shapley").alias("mean_shapley")
+    )
+
+
+SQL_KNN_SHAPLEY = """
+WITH base AS (
+  SELECT vec_id, label,
+    list_transform(embedding::DOUBLE[], x ->
+      CAST(floor(abs(127.0::DOUBLE * x /
+        sqrt(list_dot_product(embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) + 0.5)
+           * sign(x) AS BIGINT)) AS q
+  FROM embeddings
+), tr AS (
+  SELECT vec_id AS train_id, label AS tl, q FROM base
+  WHERE vec_id % 2 = 0
+), qs AS (
+  SELECT vec_id AS query_id, label AS ql, q AS qq FROM base
+  WHERE vec_id % 8 = 1
+), p AS (
+  SELECT t.train_id, s.query_id,
+    CAST(list_dot_product(t.q::DOUBLE[], s.qq::DOUBLE[]) AS BIGINT)
+      AS sc,
+    CASE WHEN t.tl = s.ql THEN 1 ELSE 0 END AS i
+  FROM tr t JOIN qs s ON s.query_id <> t.train_id
+), r AS (
+  SELECT train_id, query_id, i,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sc DESC, train_id) AS rnk,
+    lead(i) OVER (PARTITION BY query_id
+                  ORDER BY sc DESC, train_id) AS inext,
+    count(*) OVER (PARTITION BY query_id) AS nn,
+    last_value(i) OVER (PARTITION BY query_id
+      ORDER BY sc DESC, train_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS ilast
+  FROM p
+), dd AS (
+  SELECT train_id, query_id, nn, ilast, rnk,
+    CASE WHEN rnk < nn THEN
+      CAST((i - inext) * least(5, rnk) AS DOUBLE)
+        / CAST(5 * rnk AS DOUBLE)
+    ELSE 0.0 END AS d
+  FROM r
+), sfx AS (
+  SELECT train_id, query_id,
+    CAST(ilast AS DOUBLE) / CAST(nn AS DOUBLE)
+      + sum(d) OVER (PARTITION BY query_id ORDER BY rnk DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shap
+  FROM dd
+)
+SELECT train_id, CAST(count(*) AS BIGINT) AS n_queries,
+  round(avg(shap), 6) AS mean_shapley
+FROM sfx GROUP BY train_id
+"""
+
+QUERIES["knn_shapley"] = q_knn_shapley
+_RAW_ORACLES["knn_shapley"] = SQL_KNN_SHAPLEY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

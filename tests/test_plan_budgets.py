@@ -405,6 +405,12 @@ BUDGETS = {
     # jackknife: group agg + global fold agg
     "jackknife_ratio": {"shuffle": 2, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # AUC: distinct-cents agg + tiny global window + final fold
+    "rank_auc": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # shapley: registered broadcast brute leg; rank + both suffix
+    # windows share ONE query exchange, per-train mean is the second
+    "knn_shapley": {"shuffle": 2, "python": 0, "cartesian": 0,
+                    "bnlj": 1},
 }
 
 

@@ -150,6 +150,8 @@ def test_catalog_plan_inventory(spark):
                                # (documented exact brute baseline)
         "quant_recall",        # two registered brute legs (exact + int8)
         "rate_shrinkage",      # broadcast 1-row pooled-rate fit
+        "knn_shapley",         # broadcast held-out query set x corpus
+                               # (registered brute valuation leg)
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -392,3 +392,118 @@ def test_jackknife_ratio_formula(spark):
 
     assert r["avg_order_value"] == r6(sa / sb / 100.0)
     assert r["jackknife_se"] == r6(se / 100.0)
+
+
+def test_rank_auc_brute_force(spark):
+    """Tie-corrected rank-sum AUC/U/z vs literal enumeration of all
+    pos x neg pairs (wins + half-ties) on the sf0.001 events."""
+    import math
+
+    from mpds_spark.queries import q_rank_auc
+
+    r = q_rank_auc(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT),"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        " FROM '/root/testdata/sf0.001/events.parquet'").fetchall()
+    pos = [c for c, p in rows if p]
+    neg = [c for c, p in rows if not p]
+    u = 0.0
+    for a in pos:
+        for b in neg:
+            u += 1.0 if a > b else (0.5 if a == b else 0.0)
+    n1, n0, n = len(pos), len(neg), len(rows)
+    from collections import Counter
+
+    t = Counter(c for c, _ in rows)
+    tt = sum(v * v * v - v for v in t.values())
+    var = n1 * n0 * ((n + 1) - tt / (n * (n - 1))) / 12.0
+    z = (u - n1 * n0 / 2.0) / math.sqrt(var)
+
+    def r6(v):
+        return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+    assert r["n_pos"] == n1 and r["n_neg"] == n0
+    assert r["mann_whitney_u"] == u
+    assert r["auc"] == r6(u / (n1 * n0))
+    assert abs(r["z_score"] - r6(z)) <= 1e-6
+
+
+def test_knn_shapley_vs_exact_coalitions(spark):
+    """Jia et al. 2019 Theorem-1 recursion vs the LITERAL Shapley
+    value — enumerating all 2^N coalitions of a planted 8-point
+    training set with exact Fractions — for every training point,
+    under the KNN utility v(S) = (1/K) * sum_{j<=min(K,|S|)}
+    1[y_(j) = y]."""
+    from fractions import Fraction
+    from itertools import combinations
+    from math import factorial
+
+    from mpds_spark.operators.similarity import knn_shapley
+
+    # planted: 8 train + 1 query, 2-dim ints so the int8 codes give a
+    # clean deterministic neighbor order
+    train = [
+        (0, 1, [100.0, 0.0]),
+        (1, 0, [90.0, 30.0]),
+        (2, 1, [80.0, 50.0]),
+        (3, 0, [60.0, 70.0]),
+        (4, 1, [40.0, 80.0]),
+        (5, 0, [20.0, 90.0]),
+        (6, 1, [10.0, 95.0]),
+        (7, 1, [0.0, 100.0]),
+    ]
+    query = [(100, 1, [99.0, 5.0])]
+    K = 3
+    tdf = spark.createDataFrame(
+        [(i, lab, v) for i, lab, v in train],
+        "vec_id long, label int, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(i, lab, v) for i, lab, v in query],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        r["train_id"]: r["mean_shapley"]
+        for r in knn_shapley(tdf, qdf, k=K).collect()
+    }
+
+    # exact neighbor order by int8 integer dot (rebuild in python)
+    import math as _m
+
+    def codes(v):
+        n = _m.sqrt(sum(x * x for x in v))
+        return [int(_m.floor(abs(127.0 * x / n) + 0.5)
+                    * (1 if x > 0 else (-1 if x < 0 else 0)))
+                for x in v]
+
+    qc = codes(query[0][2])
+    scored = sorted(
+        ((-sum(a * b for a, b in zip(codes(v), qc)), i, lab)
+         for i, lab, v in train),
+    )
+    order = [(i, lab) for _, i, lab in scored]  # rank 1 first
+    y = query[0][1]
+    ids = [i for i, _ in order]
+    I = {i: (1 if lab == y else 0) for i, lab in order}
+    rank = {i: r + 1 for r, (i, _) in enumerate(order)}
+    n = len(ids)
+
+    def util(S):  # S = frozenset of ids
+        if not S:
+            return Fraction(0)
+        mem = sorted(S, key=lambda i: rank[i])[:K]
+        return Fraction(sum(I[i] for i in mem), K)
+
+    for i in ids:
+        others = [j for j in ids if j != i]
+        val = Fraction(0)
+        for sz in range(n):
+            for S in combinations(others, sz):
+                w = Fraction(
+                    factorial(sz) * factorial(n - sz - 1), factorial(n)
+                )
+                val += w * (util(frozenset(S) | {i}) - util(frozenset(S)))
+        assert abs(got[i] - float(val)) < 1e-12, (i, got[i], float(val))
