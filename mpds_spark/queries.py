@@ -11569,3 +11569,188 @@ FROM sfx GROUP BY train_id
 QUERIES["knn_shapley"] = q_knn_shapley
 _RAW_ORACLES["knn_shapley"] = SQL_KNN_SHAPLEY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    """1-D Wasserstein-1 (earth mover's) distance between the purchase
+    and click value distributions, PLUS the KS statistic from the same
+    sweep — the drift metric pair a feature-monitoring pipeline wants
+    (W1 sees magnitude of shift, KS sees the worst point). Entirely
+    integer-exact: over the merged distinct-cents support, |F_A - F_B|
+    = |cumA*nB - cumB*nA| / (nA*nB), so W1 = sum(|cumA*nB - cumB*nA|
+    * gap) / (nA*nB) accumulates exact longs and performs ONE double
+    division at the end (ditto KS = max numerator). One distinct-cents
+    agg + one tiny global window — the per-row frame never sorts. At
+    10^12 rows the distinct-support frame is the value histogram, not
+    the corpus."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__a"),
+    )
+    v = ev.groupBy("__c").agg(
+        F.sum("__a").cast("long").alias("__ca"),
+        F.sum(1 - F.col("__a")).cast("long").alias("__cb"),
+    )
+    wcum = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlead = Window.orderBy("__c")
+    v = v.select(
+        "__c",
+        F.sum("__ca").over(wcum).alias("__cA"),
+        F.sum("__cb").over(wcum).alias("__cB"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+        (F.lead("__c").over(wlead) - F.col("__c")).alias("__gap"),
+    )
+    num = F.abs(
+        F.col("__cA") * F.col("__nb") - F.col("__cB") * F.col("__na")
+    )
+    a = v.select(
+        num.alias("__num"), "__gap", "__na", "__nb"
+    ).agg(
+        F.sum(F.col("__num") * F.coalesce("__gap", F.lit(0).cast("long")))
+        .cast("long").alias("__w1n"),
+        F.max("__num").cast("long").alias("__ksn"),
+        F.max("__na").alias("__n1"),
+        F.max("__nb").alias("__n0"),
+    )
+    denom = (F.col("__n1") * F.col("__n0")).cast("double")
+    return a.select(
+        F.col("__n1").alias("n_purchase"),
+        F.col("__n0").alias("n_click"),
+        (F.col("__w1n").cast("double") / denom / F.lit(100.0))
+        .alias("wasserstein"),
+        (F.col("__ksn").cast("double") / denom).alias("ks_stat"),
+    )
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH ev AS (
+  SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+  FROM events WHERE event_type IN ('purchase', 'click')
+), v AS (
+  SELECT c, CAST(sum(a) AS BIGINT) AS ca,
+    CAST(sum(1 - a) AS BIGINT) AS cb
+  FROM ev GROUP BY c
+), s AS (
+  SELECT c,
+    sum(ca) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cA,
+    sum(cb) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cB,
+    sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+    lead(c) OVER (ORDER BY c) - c AS gap
+  FROM v
+), a AS (
+  SELECT CAST(sum(abs(cA*nb - cB*na) * coalesce(gap, 0)) AS BIGINT)
+      AS w1n,
+    CAST(max(abs(cA*nb - cB*na)) AS BIGINT) AS ksn,
+    CAST(max(na) AS BIGINT) AS n1, CAST(max(nb) AS BIGINT) AS n0
+  FROM s
+)
+SELECT n1 AS n_purchase, n0 AS n_click,
+  CAST(w1n AS DOUBLE) / CAST(n1*n0 AS DOUBLE) / 100.0 AS wasserstein,
+  CAST(ksn AS DOUBLE) / CAST(n1*n0 AS DOUBLE) AS ks_stat
+FROM a
+"""
+
+QUERIES["wasserstein_drift"] = q_wasserstein_drift
+_RAW_ORACLES["wasserstein_drift"] = SQL_WASSERSTEIN_DRIFT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (Cohen 1960) between two deterministic document
+    quality raters — the inter-annotator-agreement audit every
+    labeling/filtering pipeline runs before trusting a rule or a
+    model-distilled classifier: rater A keeps n_chars >= 120, rater B
+    keeps docs with >= 20 whitespace-delimited words (word count from
+    the space-count identity length(text) - length(replace(text,' ',''))
+    + 1, identical in any engine). The 2x2 contingency cells come from
+    ONE aggregate; po, pe and kappa = (n*(n11+n00) - sum(r*c)) /
+    (n^2 - sum(r*c)) are single exact-integer-ratio divisions — no
+    float folds anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 120, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("__ra"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 20,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__rb"),
+    )
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__ra") * F.col("__rb")).cast("long").alias("__n11"),
+        F.sum((1 - F.col("__ra")) * (1 - F.col("__rb"))).cast("long")
+        .alias("__n00"),
+        F.sum(F.col("__ra") * (1 - F.col("__rb"))).cast("long")
+        .alias("__n10"),
+        F.sum((1 - F.col("__ra")) * F.col("__rb")).cast("long")
+        .alias("__n01"),
+    )
+    r1 = F.col("__n11") + F.col("__n10")
+    r0 = F.col("__n00") + F.col("__n01")
+    c1 = F.col("__n11") + F.col("__n01")
+    c0 = F.col("__n00") + F.col("__n10")
+    rc = r1 * c1 + r0 * c0
+    po = (F.col("__n11") + F.col("__n00")).cast("double") \
+        / F.col("__n").cast("double")
+    pe = rc.cast("double") / (F.col("__n") * F.col("__n")).cast("double")
+    kappa = (
+        (F.col("__n") * (F.col("__n11") + F.col("__n00")) - rc)
+        .cast("double")
+        / (F.col("__n") * F.col("__n") - rc).cast("double")
+    )
+    return a.select(
+        F.col("__n").alias("n_docs"),
+        F.col("__n11").alias("n_both_keep"),
+        F.col("__n00").alias("n_both_drop"),
+        F.col("__n10").alias("n_only_a"),
+        F.col("__n01").alias("n_only_b"),
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        kappa.alias("kappa"),
+    )
+
+
+SQL_COHENS_KAPPA = """
+WITH d AS (
+  SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS ra,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+      THEN 1 ELSE 0 END AS rb
+  FROM documents
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(ra*rb) AS BIGINT) AS n11,
+    CAST(sum((1-ra)*(1-rb)) AS BIGINT) AS n00,
+    CAST(sum(ra*(1-rb)) AS BIGINT) AS n10,
+    CAST(sum((1-ra)*rb) AS BIGINT) AS n01
+  FROM d
+)
+SELECT n AS n_docs, n11 AS n_both_keep, n00 AS n_both_drop,
+  n10 AS n_only_a, n01 AS n_only_b,
+  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+  CAST((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10) AS DOUBLE)
+    / CAST(n*n AS DOUBLE) AS p_expected,
+  CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))
+       AS DOUBLE)
+    / CAST(n*n - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))
+           AS DOUBLE) AS kappa
+FROM a
+"""
+
+QUERIES["cohens_kappa"] = q_cohens_kappa
+_RAW_ORACLES["cohens_kappa"] = SQL_COHENS_KAPPA
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

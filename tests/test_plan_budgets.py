@@ -411,6 +411,12 @@ BUDGETS = {
     # windows share ONE query exchange, per-train mean is the second
     "knn_shapley": {"shuffle": 2, "python": 0, "cartesian": 0,
                     "bnlj": 1},
+    # EMD/KS: distinct-cents agg + tiny global window + final fold
+    "wasserstein_drift": {"shuffle": 2, "python": 0, "cartesian": 0,
+                          "bnlj": 0},
+    # kappa: ONE corpus aggregate, all-integer cells
+    "cohens_kappa": {"shuffle": 1, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

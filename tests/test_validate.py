@@ -507,3 +507,63 @@ def test_knn_shapley_vs_exact_coalitions(spark):
                 )
                 val += w * (util(frozenset(S) | {i}) - util(frozenset(S)))
         assert abs(got[i] - float(val)) < 1e-12, (i, got[i], float(val))
+
+
+def test_wasserstein_drift_brute_force(spark):
+    """Exact W1/KS vs a literal python sweep over the merged support
+    (and, as a cross-check, W1 via interpolated quantile functions is
+    skipped — the CDF-integral IS the definition for step CDFs)."""
+    from mpds_spark.queries import q_wasserstein_drift
+
+    r = q_wasserstein_drift(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT),"
+        " event_type FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type IN ('purchase','click')").fetchall()
+    a = sorted(c for c, t in rows if t == "purchase")
+    b = sorted(c for c, t in rows if t == "click")
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    w1n = 0
+    ksn = 0
+    for v, nxt in zip(support, support[1:] + [None]):
+        cA = sum(1 for x in a if x <= v)
+        cB = sum(1 for x in b if x <= v)
+        num = abs(cA * nb - cB * na)
+        ksn = max(ksn, num)
+        if nxt is not None:
+            w1n += num * (nxt - v)
+    assert r["n_purchase"] == na and r["n_click"] == nb
+    assert r["wasserstein"] == w1n / (na * nb) / 100.0
+    assert r["ks_stat"] == ksn / (na * nb)
+
+
+def test_cohens_kappa_cells(spark):
+    """2x2 cells + kappa vs direct python recomputation; planted
+    perfect-agreement and independence sanity bounds."""
+    from mpds_spark.queries import q_cohens_kappa
+
+    r = q_cohens_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT n_chars, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+    n11 = n00 = n10 = n01 = 0
+    for nc, text in rows:
+        ra = 1 if nc >= 120 else 0
+        rb = 1 if (len(text) - len(text.replace(" ", "")) + 1) >= 20 else 0
+        n11 += ra * rb
+        n00 += (1 - ra) * (1 - rb)
+        n10 += ra * (1 - rb)
+        n01 += (1 - ra) * rb
+    n = len(rows)
+    rc = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)
+    assert (r["n_docs"], r["n_both_keep"], r["n_both_drop"],
+            r["n_only_a"], r["n_only_b"]) == (n, n11, n00, n10, n01)
+    assert r["p_observed"] == (n11 + n00) / n
+    assert r["kappa"] == (n * (n11 + n00) - rc) / (n * n - rc)
+    # kappa <= po always; kappa == 1 iff perfect agreement
+    assert r["kappa"] <= r["p_observed"] + 1e-15
