@@ -883,3 +883,116 @@ def knn_shapley(
         F.count(F.lit(1)).cast("long").alias("n_queries"),
         F.avg("__shap").alias("mean_shapley"),
     )
+
+
+def silhouette_cosine(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-point silhouette coefficient (Rousseeuw 1987, "Silhouettes: a
+    graphical aid to the interpretation and validation of cluster
+    analysis") under mean-cosine dissimilarity — the cluster-quality
+    audit a labeled embedding corpus wants before trusting the labels
+    for curation (SemDeDup buckets, stratified mixing, kNN evals).
+
+    The O(n^2) pairwise definition collapses to O(n * L) because mean
+    cosine dissimilarity is LINEAR in the other vector: with unit-ish
+    int8 codes q = round(127 * x/||x||) and K = 127^2,
+
+        mean_{y in C} (1 - dot(q_x, q_y)/K) = 1 - dot(q_x, S_C)/(|C| K)
+
+    where S_C = component-wise SUM of member codes. So one corpus agg
+    builds the L x dim exact-integer sum table, the (bounded, L-row)
+    fit collects it, and a single shuffle-free map scan scores every
+    point: a(i) excludes the self term via dot(q, q); b(i) is the min
+    over the other labels. Every dot is an exact long (|q| <= 127,
+    64-dim sums < 2^53), so a, b and s = (b-a)/max(a,b) are single
+    IEEE divisions of exact integers — cross-engine deterministic with
+    no rounding. Singleton clusters take the standard s = 0 convention
+    (a undefined -> NULL).
+
+    Shape at scale: the sum table is L x dim longs (an agg with
+    map-side combine — one exchange); the apply is a pure map stage.
+    For very large L, prune candidate labels per point with the IVF /
+    LSH scorers over the same codes before the exact min.
+    """
+    K = 127 * 127
+    d = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        _as_double(vec_col).alias("__v"),
+    ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    q = d.select(
+        id_col,
+        label_col,
+        F.expr(
+            "transform(__v, x -> cast(floor(abs(127.0D * x / __n)"
+            " + 0.5D) * sign(x) as bigint))"
+        ).alias("__q"),
+    )
+    dim = len(q.select("__q").first()["__q"])
+    sums = (
+        q.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__cnt"),
+            *[
+                F.sum(F.col("__q")[i]).cast("long").alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        .collect()
+    )
+    fit = sorted(
+        (
+            r[label_col],
+            int(r["__cnt"]),
+            [int(r[f"__s{i}"]) for i in range(dim)],
+        )
+        for r in sums
+    )
+    selfdot = F.expr(
+        "aggregate(zip_with(__q, __q, (a, b) -> a * b), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    out = q.withColumn("__sd", selfdot)
+    a_expr = F.lit(None).cast("double")
+    b_parts = []
+    for lab, n, svec in fit:
+        lit_s = F.array(*[F.lit(v).cast("long") for v in svec])
+        dot = F.aggregate(
+            F.zip_with(F.col("__q"), lit_s, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        if n > 1:
+            a_here = (
+                (F.lit((n - 1) * K) - (dot - F.col("__sd")))
+                .cast("double")
+                / F.lit(float((n - 1) * K))
+            )
+        else:
+            a_here = F.lit(None).cast("double")
+        a_expr = F.when(F.col(label_col) == F.lit(lab), a_here).otherwise(
+            a_expr
+        )
+        b_parts.append(
+            F.when(
+                F.col(label_col) != F.lit(lab),
+                (F.lit(n * K) - dot).cast("double") / F.lit(float(n * K)),
+            )
+        )
+    b_expr = F.least(*b_parts) if len(b_parts) > 1 else b_parts[0]
+    out = out.withColumn("__a", a_expr).withColumn("__b", b_expr)
+    sil = F.when(F.col("__a").isNull(), F.lit(0.0)).otherwise(
+        (F.col("__b") - F.col("__a"))
+        / F.greatest(F.col("__a"), F.col("__b"))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col("__a").alias("a_intra"),
+        F.col("__b").alias("b_inter"),
+        sil.alias("silhouette"),
+    )

@@ -11754,3 +11754,237 @@ FROM a
 QUERIES["cohens_kappa"] = q_cohens_kappa
 _RAW_ORACLES["cohens_kappa"] = SQL_COHENS_KAPPA
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_silhouette_cosine(spark, sf_dir):
+    """Per-point silhouette under mean-cosine dissimilarity (Rousseeuw
+    1987 — operators/similarity.py silhouette_cosine): the labeled-
+    embedding cluster-quality audit, with the O(n^2) pairwise
+    definition collapsed to O(n*L) via linearity of the mean cosine —
+    one exact-integer L x dim label-sum table (ONE corpus agg +
+    bounded L-row fit) and a shuffle-free scoring map. a/b/s are
+    single IEEE divisions of exact longs (int8 codes, 64-dim dots
+    < 2^53), so the gate is EXACT with zero rounding; the oracle
+    recomputes the identical sum table and per-label min, proving the
+    linearity collapse against the definitional form."""
+    from mpds_spark.operators.similarity import silhouette_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    return silhouette_cosine(emb).select(
+        "vec_id", "label", "a_intra", "b_inter", "silhouette"
+    )
+
+
+SQL_SILHOUETTE_COSINE = """
+WITH base AS (
+  SELECT vec_id, label,
+    list_transform(embedding::DOUBLE[], x ->
+      CAST(floor(abs(127.0::DOUBLE * x /
+        sqrt(list_dot_product(embedding::DOUBLE[],
+                              embedding::DOUBLE[]))) + 0.5)
+           * sign(x) AS BIGINT)) AS q
+  FROM embeddings
+), comp AS (
+  SELECT label, unnest(q) AS v, generate_subscripts(q, 1) AS pos
+  FROM base
+), lsum AS (
+  SELECT label AS lb, array_agg(sv ORDER BY pos) AS sv
+  FROM (
+    SELECT label, pos, CAST(sum(v) AS BIGINT) AS sv
+    FROM comp GROUP BY label, pos
+  ) GROUP BY label
+), cnt AS (
+  SELECT label AS lb, CAST(count(*) AS BIGINT) AS n
+  FROM base GROUP BY label
+), x AS (
+  SELECT b.vec_id, b.label, l.lb, c.n,
+    CAST(list_dot_product(b.q::DOUBLE[], l.sv::DOUBLE[]) AS BIGINT)
+      AS dt,
+    CAST(list_dot_product(b.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT)
+      AS sd
+  FROM base b, lsum l JOIN cnt c ON c.lb = l.lb
+), p AS (
+  SELECT vec_id, label,
+    max(CASE WHEN lb = label AND n > 1 THEN
+      CAST((n-1)*16129 - (dt - sd) AS DOUBLE)
+        / CAST((n-1)*16129 AS DOUBLE) END) AS a,
+    min(CASE WHEN lb <> label THEN
+      CAST(n*16129 - dt AS DOUBLE) / CAST(n*16129 AS DOUBLE) END) AS b
+  FROM x GROUP BY vec_id, label
+)
+SELECT vec_id, label, a AS a_intra, b AS b_inter,
+  CASE WHEN a IS NULL THEN 0.0
+       ELSE (b - a) / greatest(a, b) END AS silhouette
+FROM p
+"""
+
+QUERIES["silhouette_cosine"] = q_silhouette_cosine
+_RAW_ORACLES["silhouette_cosine"] = SQL_SILHOUETTE_COSINE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability diagram + expected calibration error + Brier score
+    (Brier 1950; ECE as in Naeini et al. 2015 / Guo et al. 2017) for a
+    deterministic length-based document classifier: predicted
+    probability s = least(n_chars, 400)/400 of the label y = "doc has
+    >= 50 whitespace words" (space-count identity), 10 equal-width
+    score bins via integer division. Entirely integer-exact: per-bin
+    confidence = sum(m)/(400 n_b), accuracy = pos_b/n_b, ECE =
+    sum_b |400 pos_b - sum_b(m)| / (400 N) and Brier = (sum m^2 -
+    800 sum(m y) + 160000 sum y)/(160000 N) all accumulate exact longs
+    and divide ONCE — no float folds, no rounding, gate EXACT. ONE bin
+    agg + one tiny global window over the <=10-row bin frame; at 10^12
+    docs the bin frame is still 10 rows."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars"), F.lit(400)).cast("long").alias("__m"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 50,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    b = d.groupBy(
+        F.least(F.lit(9).cast("long"), F.expr("__m div 40")).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+        F.sum("__m").cast("long").alias("__sm"),
+        F.sum(F.col("__m") * F.col("__m")).cast("long").alias("__sm2"),
+        F.sum(F.col("__m") * F.col("__y")).cast("long").alias("__smy"),
+    )
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = b.select(
+        "bin", "__n", "__pos", "__sm",
+        F.sum("__n").over(wall).alias("__ntot"),
+        F.sum(F.abs(F.lit(400) * F.col("__pos") - F.col("__sm")))
+        .over(wall).alias("__eceN"),
+        (
+            F.sum("__sm2").over(wall)
+            - F.lit(800) * F.sum("__smy").over(wall)
+            + F.lit(160000) * F.sum("__pos").over(wall)
+        ).alias("__brierN"),
+    )
+    return b.select(
+        "bin",
+        F.col("__n").alias("n_docs"),
+        F.col("__pos").alias("n_pos"),
+        (F.col("__sm").cast("double")
+         / (F.lit(400) * F.col("__n")).cast("double")).alias("confidence"),
+        (F.col("__pos").cast("double") / F.col("__n").cast("double"))
+        .alias("accuracy"),
+        (F.col("__eceN").cast("double")
+         / (F.lit(400) * F.col("__ntot")).cast("double")).alias("ece"),
+        (F.col("__brierN").cast("double")
+         / (F.lit(160000) * F.col("__ntot")).cast("double")).alias("brier"),
+    )
+
+
+SQL_CALIBRATION_BINS = """
+WITH d AS (
+  SELECT CAST(least(n_chars, 400) AS BIGINT) AS m,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 50
+      THEN 1 ELSE 0 END AS y
+  FROM documents
+), b AS (
+  SELECT least(9, m // 40) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(m) AS BIGINT) AS sm,
+    CAST(sum(m*m) AS BIGINT) AS sm2,
+    CAST(sum(m*y) AS BIGINT) AS smy
+  FROM d GROUP BY 1
+), w AS (
+  SELECT bin, n, pos, sm,
+    sum(n) OVER () AS nn,
+    sum(abs(400*pos - sm)) OVER () AS ecen,
+    sum(sm2) OVER () - 800*sum(smy) OVER ()
+      + 160000*sum(pos) OVER () AS briern
+  FROM b
+)
+SELECT bin, n AS n_docs, pos AS n_pos,
+  CAST(sm AS DOUBLE) / CAST(400*n AS DOUBLE) AS confidence,
+  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+  CAST(ecen AS DOUBLE) / CAST(400*nn AS DOUBLE) AS ece,
+  CAST(briern AS DOUBLE) / CAST(160000*nn AS DOUBLE) AS brier
+FROM w
+"""
+
+QUERIES["calibration_bins"] = q_calibration_bins
+_RAW_ORACLES["calibration_bins"] = SQL_CALIBRATION_BINS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_markov_accuracy(spark, sf_dir):
+    """First-order Markov next-event predictability audit (the Shannon
+    1951 guessing-game baseline for event sequences, and the
+    sanity floor every sequence model must beat): fit the global
+    event-type transition table, predict the modal next type per
+    current type, and report each type's top-1 accuracy. The key
+    collapse: the correct-prediction count per current type IS the max
+    transition count, so no join back to the pair stream is needed —
+    ONE entity exchange builds (cur, next) lead pairs, a transition
+    agg counts them, and a tiny per-cur argmax via min(struct(-cnt,
+    next)) (count desc, type asc — deterministic tie-break) finishes.
+    accuracy = ONE division of exact longs; gate EXACT. Complements
+    transition_entropy (the information bound) with the achievable
+    top-1 rate."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        F.col("event_type").alias("__cur"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__t")
+    pairs = ev.withColumn("__nxt", F.lead("__cur").over(w)).filter(
+        F.col("__nxt").isNotNull()
+    )
+    t = pairs.groupBy("__cur", "__nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    a = t.groupBy("__cur").agg(
+        F.sum("__cnt").cast("long").alias("__np"),
+        F.min(
+            F.struct(
+                (-F.col("__cnt")).alias("negc"),
+                F.col("__nxt").alias("nxt"),
+            )
+        ).alias("__best"),
+    )
+    return a.select(
+        F.col("__cur").alias("cur_type"),
+        F.col("__best.nxt").alias("predicted_next"),
+        F.col("__np").alias("n_pairs"),
+        (-F.col("__best.negc")).cast("long").alias("n_correct"),
+        ((-F.col("__best.negc")).cast("double")
+         / F.col("__np").cast("double")).alias("accuracy"),
+    )
+
+
+SQL_MARKOV_ACCURACY = """
+WITH ev AS (
+  SELECT user_id, epoch(ts) AS t, event_type AS cur FROM events
+), p AS (
+  SELECT cur,
+    lead(cur) OVER (PARTITION BY user_id ORDER BY t) AS nxt
+  FROM ev
+), t AS (
+  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS cnt
+  FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt
+), a AS (
+  SELECT cur, nxt, cnt,
+    row_number() OVER (PARTITION BY cur
+                       ORDER BY cnt DESC, nxt) AS rn,
+    CAST(sum(cnt) OVER (PARTITION BY cur) AS BIGINT) AS np
+  FROM t
+)
+SELECT cur AS cur_type, nxt AS predicted_next, np AS n_pairs,
+  cnt AS n_correct,
+  CAST(cnt AS DOUBLE) / CAST(np AS DOUBLE) AS accuracy
+FROM a WHERE rn = 1
+"""
+
+QUERIES["markov_accuracy"] = q_markov_accuracy
+_RAW_ORACLES["markov_accuracy"] = SQL_MARKOV_ACCURACY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

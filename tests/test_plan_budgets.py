@@ -417,6 +417,16 @@ BUDGETS = {
     # kappa: ONE corpus aggregate, all-integer cells
     "cohens_kappa": {"shuffle": 1, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # silhouette: eager L-row label-sum fit (eager-construction
+    # convention); the returned scoring frame is a pure map — 0 shuffles
+    "silhouette_cosine": {"shuffle": 0, "python": 0, "cartesian": 0,
+                          "bnlj": 0},
+    # calibration: ONE bin agg + tiny global window over <=10 bins
+    "calibration_bins": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    # markov: entity lead window + transition agg + per-cur argmax agg
+    "markov_accuracy": {"shuffle": 3, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

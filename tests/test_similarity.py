@@ -430,3 +430,57 @@ def test_kcenter_coreset_greedy_rebuild(spark):
     assert [c for _, c in sorted(got)] == chosen
     # the first three picks cover all three clusters
     assert {c % 3 for c in chosen[:3]} == {0, 1, 2}
+
+
+def test_silhouette_brute_force_pairwise(spark):
+    """silhouette_cosine vs the literal O(n^2) pairwise Rousseeuw 1987
+    definition in numpy over the SAME int8 quantized codes — proving
+    the linearity collapse (mean cosine dissim vs a label = affine in
+    the label's code-sum) gives bit-identical a(i), b(i), s(i).
+    Includes a singleton cluster to pin the s=0 convention."""
+    import numpy as np
+    import pandas as pd
+
+    from mpds_spark.operators.similarity import silhouette_cosine
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        lab = ["a", "b", "c"][i % 3]
+        base = {"a": [8.0, 0, 0], "b": [0, 8.0, 0], "c": [0, 0, 8.0]}[lab]
+        v = np.array(base) + rng.normal(0, 1.0, size=3)
+        rows.append((i, lab, [float(x) for x in v]))
+    rows.append((99, "solo", [1.0, 1.0, 1.0]))  # singleton cluster
+    pdf = pd.DataFrame(rows, columns=["vec_id", "label", "embedding"])
+    got = {
+        r["vec_id"]: (r["a_intra"], r["b_inter"], r["silhouette"])
+        for r in silhouette_cosine(spark.createDataFrame(pdf)).collect()
+    }
+    V = np.array([r[2] for r in rows])
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = np.floor(np.abs(127.0 * n) + 0.5) * np.sign(n)
+    K = 127 * 127
+    labs = [r[1] for r in rows]
+    ids = [r[0] for r in rows]
+    qi = q.astype(np.int64)
+    for i in range(len(rows)):
+        mine = [j for j in range(len(rows)) if labs[j] == labs[i] and j != i]
+        if mine:
+            # pairwise-sum in exact ints, ONE division (definitional
+            # mean == (nK - sum of dots)/(nK) by linearity)
+            s = sum(int(qi[i] @ qi[j]) for j in mine)
+            a = (len(mine) * K - s) / (len(mine) * K)
+        else:
+            a = None
+        b = min(
+            (len(js) * K - sum(int(qi[i] @ qi[j]) for j in js))
+            / (len(js) * K)
+            for lab in set(labs) if lab != labs[i]
+            for js in [[j for j in range(len(rows)) if labs[j] == lab]]
+        )
+        ga, gb, gs = got[ids[i]]
+        assert gb == b, (ids[i], gb, b)
+        if a is None:
+            assert ga is None and gs == 0.0
+        else:
+            assert ga == a and gs == (b - a) / max(a, b)

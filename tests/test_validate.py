@@ -567,3 +567,70 @@ def test_cohens_kappa_cells(spark):
     assert r["kappa"] == (n * (n11 + n00) - rc) / (n * n - rc)
     # kappa <= po always; kappa == 1 iff perfect agreement
     assert r["kappa"] <= r["p_observed"] + 1e-15
+
+
+def test_calibration_bins_formula(spark):
+    """Per-bin confidence/accuracy + global ECE/Brier vs a literal
+    python recompute from the raw (m, y) pairs — exact equality (the
+    statistics are single divisions of exact integer accumulators)."""
+    from mpds_spark.queries import q_calibration_bins
+
+    out = {r["bin"]: r for r in
+           q_calibration_bins(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT least(n_chars, 400), CASE WHEN length(text) -"
+        " length(replace(text, ' ', '')) + 1 >= 50 THEN 1 ELSE 0 END"
+        " FROM '/root/testdata/sf0.001/documents.parquet'").fetchall()
+    bins = {}
+    for m, y in rows:
+        b = min(9, m // 40)
+        n, pos, sm, sm2, smy = bins.get(b, (0, 0, 0, 0, 0))
+        bins[b] = (n + 1, pos + y, sm + m, sm2 + m * m, smy + m * y)
+    N = sum(v[0] for v in bins.values())
+    eceN = sum(abs(400 * v[1] - v[2]) for v in bins.values())
+    brierN = sum(v[3] - 800 * v[4] + 160000 * v[1] for v in bins.values())
+    assert set(out) == set(bins)
+    for b, (n, pos, sm, _, _) in bins.items():
+        r = out[b]
+        assert (r["n_docs"], r["n_pos"]) == (n, pos)
+        assert r["confidence"] == sm / (400 * n)
+        assert r["accuracy"] == pos / n
+        assert r["ece"] == eceN / (400 * N)
+        assert r["brier"] == brierN / (160000 * N)
+    # Brier decomposable sanity: 0 <= brier <= 1, 0 <= ece <= 1
+    any_r = next(iter(out.values()))
+    assert 0.0 <= any_r["ece"] <= 1.0 and 0.0 <= any_r["brier"] <= 1.0
+
+
+def test_markov_accuracy_rebuild(spark):
+    """Transition-table argmax accuracy vs a literal python rebuild of
+    the per-user lead pairs (count desc, type asc tie-break)."""
+    from mpds_spark.queries import q_markov_accuracy
+
+    got = {r["cur_type"]: r for r in
+           q_markov_accuracy(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts), event_type FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " ORDER BY user_id, epoch(ts)").fetchall()
+    seqs = defaultdict(list)
+    for u, t, e in rows:
+        seqs[u].append((t, e))
+    trans = defaultdict(Counter)
+    for u, evs in seqs.items():
+        evs.sort()
+        for (_, c), (_, nx) in zip(evs, evs[1:]):
+            trans[c][nx] += 1
+    assert set(got) == set(trans)
+    for cur, cnt in trans.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = got[cur]
+        assert r["predicted_next"] == best[0]
+        assert r["n_correct"] == best[1]
+        assert r["n_pairs"] == sum(cnt.values())
+        assert r["accuracy"] == best[1] / sum(cnt.values())
