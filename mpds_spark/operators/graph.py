@@ -292,3 +292,72 @@ def label_propagation(
             (-F.col("__best.__m")).cast("long").alias("community"),
         )
     return labels
+
+
+def degree_assortativity(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks", Phys. Rev. Lett. 89) of a canonical
+    (a < b, distinct) undirected edge set — the one-number graph-health
+    audit that says whether hubs attach to hubs (r > 0, social-ish) or
+    to leaves (r < 0, web/biology-ish). Run on the near-dup or
+    co-occurrence graph it tells you whether duplication is clustered
+    in a dense core (one template family) or spread hub-to-leaf (a few
+    masters copied everywhere) — which decides the dedup strategy.
+
+    r is the Pearson correlation of (deg(src), deg(dst)) over the
+    DIRECTED doubling of the edge set (each undirected edge
+    contributes both orientations, the standard convention — the
+    doubling makes the x and y marginals identical by symmetry).
+
+    Shape at scale: one endpoint-explode aggregation for exact integer
+    degrees, two broadcast joins to annotate the directed edges, ONE
+    moment aggregate (M, Sx, Sy, Sxy, Sxx, Syy — all exact longs), and
+    a fixed expression tree for r: every product is computed on
+    exactly-represented doubles (the longs stay < 2^53), so the result
+    is cross-engine deterministic with no rounding.
+
+    Returns a 1-row frame (n_nodes, n_edges, assortativity).
+    """
+    from mpds_spark.operators.util import scratch_persist
+
+    e = scratch_persist(
+        edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    )
+    deg = scratch_persist(
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    directed = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    ann = directed.join(
+        F.broadcast(deg.select(F.col("node").alias("a"),
+                               F.col("degree").alias("__x"))), "a"
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("b"),
+                               F.col("degree").alias("__y"))), "b"
+    )
+    m = ann.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    md = F.col("__m").cast("double")
+    sxd = F.col("__sx").cast("double")
+    syd = F.col("__sy").cast("double")
+    r = (md * F.col("__sxy").cast("double") - sxd * syd) / (
+        F.sqrt(md * F.col("__sxx").cast("double") - sxd * sxd)
+        * F.sqrt(md * F.col("__syy").cast("double") - syd * syd)
+    )
+    return m.join(F.broadcast(nn)).select(
+        F.col("n_nodes"),
+        (F.col("__m") / F.lit(2)).cast("long").alias("n_edges"),
+        r.alias("assortativity"),
+    )

@@ -11988,3 +11988,339 @@ FROM a WHERE rn = 1
 QUERIES["markov_accuracy"] = q_markov_accuracy
 _RAW_ORACLES["markov_accuracy"] = SQL_MARKOV_ACCURACY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman 2002) of the co-order part graph
+    (operators/graph.py degree_assortativity): Pearson correlation of
+    endpoint degrees over the directed doubling of the edge set —
+    whether hub parts co-occur with hub parts. Exact integer moments
+    (one moment agg over the annotated directed edges), fixed
+    expression tree for r (all intermediate longs < 2^53 so every
+    double op is on exactly-represented values): the gate is EXACT
+    with zero rounding. Same %4 subgraph gate as graph_triangles to
+    bound the toy-scale pair flatten; at 10^12 rows the edge build is
+    the bucketed basket aggregation and the moment agg is one
+    map-side-combine pass."""
+    from mpds_spark.operators.graph import (
+        co_occurrence_edges,
+        degree_assortativity,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    edges = co_occurrence_edges(
+        li, basket="l_orderkey", item="l_partkey"
+    )
+    return degree_assortativity(edges).select(
+        "n_nodes", "n_edges", "assortativity"
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_partkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+), dir AS (
+  SELECT a AS s, b AS d FROM e
+  UNION ALL SELECT b AS s, a AS d FROM e
+), ann AS (
+  SELECT ds.degree AS x, dd.degree AS y
+  FROM dir JOIN deg ds ON ds.node = dir.s
+           JOIN deg dd ON dd.node = dir.d
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x*y) AS BIGINT) AS sxy,
+    CAST(sum(x*x) AS BIGINT) AS sxx,
+    CAST(sum(y*y) AS BIGINT) AS syy
+  FROM ann
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+)
+SELECT nn.n_nodes, m.m // 2 AS n_edges,
+  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS assortativity
+FROM m, nn
+"""
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+_RAW_ORACLES["degree_assortativity"] = SQL_DEGREE_ASSORTATIVITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation (Kendall 1938; tau-b tie
+    correction as in Agresti, "Analysis of Ordinal Categorical Data")
+    between document length decile and word-count decile — the
+    ordinal-association audit that, unlike Pearson/Spearman, is a
+    direct function of concordant/discordant PAIR counts, so it reads
+    as "probability a random doc pair agrees in order". The O(n^2)
+    pair definition collapses to the contingency table: C and D are
+    cell-pair sums over the <=100-cell frame (a broadcast self-join of
+    the aggregate — BNLJ-by-design on a bounded frame, never the
+    corpus), tie terms come from the row/column marginals, and tau_b =
+    (C-D)/(sqrt(n0-Tx)*sqrt(n0-Ty)) is a fixed expression tree over
+    exact longs — gate EXACT, no rounding. Goodman-Kruskal gamma
+    rides along as the tie-free companion. At 10^12 docs the cell
+    frame is STILL <=100 rows — the corpus is touched exactly once."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.lit(9).cast("long"),
+                F.expr("cast(n_chars as bigint) div 40")).alias("__i"),
+        F.least(
+            F.lit(9).cast("long"),
+            F.expr(
+                "cast(length(text) - length(replace(text, ' ', ''))"
+                " + 1 as bigint) div 10"
+            ),
+        ).alias("__j"),
+    )
+    cells = d.groupBy("__i", "__j").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    from mpds_spark.operators.util import scratch_persist
+
+    cells = scratch_persist(cells)
+    c1 = cells.select(F.col("__i").alias("i1"), F.col("__j").alias("j1"),
+                      F.col("__n").alias("n1"))
+    c2 = cells.select(F.col("__i").alias("i2"), F.col("__j").alias("j2"),
+                      F.col("__n").alias("n2"))
+    cd = (
+        c1.join(F.broadcast(c2), F.col("i2") > F.col("i1"))
+        .agg(
+            F.sum(
+                F.when(F.col("j2") > F.col("j1"),
+                       F.col("n1") * F.col("n2")).otherwise(F.lit(0))
+            ).cast("long").alias("__C"),
+            F.sum(
+                F.when(F.col("j2") < F.col("j1"),
+                       F.col("n1") * F.col("n2")).otherwise(F.lit(0))
+            ).cast("long").alias("__D"),
+        )
+    )
+    tx = (
+        cells.groupBy("__i").agg(F.sum("__n").cast("long").alias("t"))
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / F.lit(2))
+             .cast("long").alias("__tx"),
+             F.sum("t").cast("long").alias("__nd"))
+    )
+    ty = (
+        cells.groupBy("__j").agg(F.sum("__n").cast("long").alias("t"))
+        .agg((F.sum(F.col("t") * (F.col("t") - 1)) / F.lit(2))
+             .cast("long").alias("__ty"))
+    )
+    one = cd.join(F.broadcast(tx)).join(F.broadcast(ty))
+    n0 = (F.col("__nd") * (F.col("__nd") - 1) / F.lit(2)).cast("long")
+    one = one.withColumn("__n0", n0)
+    tau = (F.col("__C") - F.col("__D")).cast("double") / (
+        F.sqrt((F.col("__n0") - F.col("__tx")).cast("double"))
+        * F.sqrt((F.col("__n0") - F.col("__ty")).cast("double"))
+    )
+    gamma = (F.col("__C") - F.col("__D")).cast("double") / (
+        F.col("__C") + F.col("__D")
+    ).cast("double")
+    return one.select(
+        F.col("__nd").alias("n_docs"),
+        F.col("__C").alias("concordant"),
+        F.col("__D").alias("discordant"),
+        tau.alias("tau_b"),
+        gamma.alias("gamma"),
+    )
+
+
+SQL_KENDALL_TAU = """
+WITH d AS (
+  SELECT least(9, CAST(n_chars AS BIGINT) // 40) AS i,
+    least(9, CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) // 10) AS j
+  FROM documents
+), cells AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY i, j
+), cd AS (
+  SELECT
+    CAST(sum(CASE WHEN c2.j > c1.j THEN c1.n * c2.n ELSE 0 END)
+         AS BIGINT) AS c,
+    CAST(sum(CASE WHEN c2.j < c1.j THEN c1.n * c2.n ELSE 0 END)
+         AS BIGINT) AS dd
+  FROM cells c1 JOIN cells c2 ON c2.i > c1.i
+), tx AS (
+  SELECT CAST(sum(t*(t-1)) // 2 AS BIGINT) AS tx,
+         CAST(sum(t) AS BIGINT) AS nd
+  FROM (SELECT sum(n) AS t FROM cells GROUP BY i)
+), ty AS (
+  SELECT CAST(sum(t*(t-1)) // 2 AS BIGINT) AS ty
+  FROM (SELECT sum(n) AS t FROM cells GROUP BY j)
+)
+SELECT nd AS n_docs, c AS concordant, dd AS discordant,
+  CAST(c - dd AS DOUBLE)
+    / (sqrt(CAST(nd*(nd-1)//2 - tx AS DOUBLE))
+       * sqrt(CAST(nd*(nd-1)//2 - ty AS DOUBLE))) AS tau_b,
+  CAST(c - dd AS DOUBLE) / CAST(c + dd AS DOUBLE) AS gamma
+FROM cd, tx, ty
+"""
+
+QUERIES["kendall_tau"] = q_kendall_tau
+_RAW_ORACLES["kendall_tau"] = SQL_KENDALL_TAU
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_did_estimate(spark, sf_dir):
+    """Difference-in-differences estimate + pooled standard error
+    (Card & Krueger 1994 for the design; SE caveat per Bertrand,
+    Duflo & Mullainathan 2004 — with one period per side the pooled
+    4-cell SE is the textbook form) over purchase values: treatment =
+    md5-parity user assignment (an A/A audit by construction, like
+    srm_check — the expected DiD is ~0, so a large |t| flags a broken
+    assignment or leaky metric), period = second half of the month (day >= 16) vs first. ONE cell
+    aggregate (n, sum-cents, sum-cents^2 — exact longs), pivoted to a
+    single row by order-independent conditional MAX, then a FIXED
+    expression tree: each mean is one division of exact longs, DiD two
+    subtractions, the variance terms Welford-free exact-moment forms.
+    No float folds anywhere -> gate EXACT. At 10^12 rows the cell
+    frame is 4 rows."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("did|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__tr"),
+        F.when(F.dayofmonth(F.col("ts").cast("timestamp")) >= 16, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__po"),
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    cells = ev.groupBy("__tr", "__po").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__c").cast("long").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    p = cells.agg(
+        *[
+            f
+            for tr in (0, 1)
+            for po in (0, 1)
+            for f in (
+                F.max(
+                    F.when((F.col("__tr") == tr) & (F.col("__po") == po),
+                           F.col("__n"))
+                ).alias(f"n{tr}{po}"),
+                F.max(
+                    F.when((F.col("__tr") == tr) & (F.col("__po") == po),
+                           F.col("__s"))
+                ).alias(f"s{tr}{po}"),
+                F.max(
+                    F.when((F.col("__tr") == tr) & (F.col("__po") == po),
+                           F.col("__s2"))
+                ).alias(f"q{tr}{po}"),
+            )
+        ]
+    )
+
+    def mean(tr, po):
+        return F.col(f"s{tr}{po}").cast("double") / (
+            F.lit(100) * F.col(f"n{tr}{po}")
+        ).cast("double")
+
+    def varterm(tr, po):
+        n = F.col(f"n{tr}{po}").cast("double")
+        s = F.col(f"s{tr}{po}").cast("double")
+        q = F.col(f"q{tr}{po}").cast("double")
+        return (q - s * s / n) / (n - F.lit(1.0)) / n
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        varterm(0, 0) + varterm(0, 1) + varterm(1, 0) + varterm(1, 1)
+    ) / F.lit(100.0)
+    return p.select(
+        (F.col("n00") + F.col("n01") + F.col("n10") + F.col("n11"))
+        .alias("n_purchases"),
+        mean(0, 0).alias("mean_ctrl_pre"),
+        mean(0, 1).alias("mean_ctrl_post"),
+        mean(1, 0).alias("mean_treat_pre"),
+        mean(1, 1).alias("mean_treat_post"),
+        did.alias("did"),
+        se.alias("did_se"),
+        (did / se).alias("t_stat"),
+    )
+
+
+SQL_DID_ESTIMATE = """
+WITH ev AS (
+  SELECT
+    CAST(('0x' || substring(md5('did|' || CAST(user_id AS VARCHAR)),
+          1, 15))::UBIGINT % 2 AS BIGINT) AS tr,
+    CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END AS po,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT tr, po, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS q
+  FROM ev GROUP BY tr, po
+), p AS (
+  SELECT
+    max(CASE WHEN tr=0 AND po=0 THEN n END) AS n00,
+    max(CASE WHEN tr=0 AND po=0 THEN s END) AS s00,
+    max(CASE WHEN tr=0 AND po=0 THEN q END) AS q00,
+    max(CASE WHEN tr=0 AND po=1 THEN n END) AS n01,
+    max(CASE WHEN tr=0 AND po=1 THEN s END) AS s01,
+    max(CASE WHEN tr=0 AND po=1 THEN q END) AS q01,
+    max(CASE WHEN tr=1 AND po=0 THEN n END) AS n10,
+    max(CASE WHEN tr=1 AND po=0 THEN s END) AS s10,
+    max(CASE WHEN tr=1 AND po=0 THEN q END) AS q10,
+    max(CASE WHEN tr=1 AND po=1 THEN n END) AS n11,
+    max(CASE WHEN tr=1 AND po=1 THEN s END) AS s11,
+    max(CASE WHEN tr=1 AND po=1 THEN q END) AS q11
+  FROM cells
+), f AS (
+  SELECT n00 + n01 + n10 + n11 AS n_purchases,
+    CAST(s00 AS DOUBLE)/CAST(100*n00 AS DOUBLE) AS m00,
+    CAST(s01 AS DOUBLE)/CAST(100*n01 AS DOUBLE) AS m01,
+    CAST(s10 AS DOUBLE)/CAST(100*n10 AS DOUBLE) AS m10,
+    CAST(s11 AS DOUBLE)/CAST(100*n11 AS DOUBLE) AS m11,
+    sqrt(
+      (CAST(q00 AS DOUBLE) - CAST(s00 AS DOUBLE)*CAST(s00 AS DOUBLE)
+        / CAST(n00 AS DOUBLE)) / (CAST(n00 AS DOUBLE) - 1.0)
+        / CAST(n00 AS DOUBLE)
+      + (CAST(q01 AS DOUBLE) - CAST(s01 AS DOUBLE)*CAST(s01 AS DOUBLE)
+        / CAST(n01 AS DOUBLE)) / (CAST(n01 AS DOUBLE) - 1.0)
+        / CAST(n01 AS DOUBLE)
+      + (CAST(q10 AS DOUBLE) - CAST(s10 AS DOUBLE)*CAST(s10 AS DOUBLE)
+        / CAST(n10 AS DOUBLE)) / (CAST(n10 AS DOUBLE) - 1.0)
+        / CAST(n10 AS DOUBLE)
+      + (CAST(q11 AS DOUBLE) - CAST(s11 AS DOUBLE)*CAST(s11 AS DOUBLE)
+        / CAST(n11 AS DOUBLE)) / (CAST(n11 AS DOUBLE) - 1.0)
+        / CAST(n11 AS DOUBLE)
+    ) / 100.0 AS se
+  FROM p
+)
+SELECT n_purchases, m00 AS mean_ctrl_pre, m01 AS mean_ctrl_post,
+  m10 AS mean_treat_pre, m11 AS mean_treat_post,
+  (m11 - m10) - (m01 - m00) AS did, se AS did_se,
+  ((m11 - m10) - (m01 - m00)) / se AS t_stat
+FROM f
+"""
+
+QUERIES["did_estimate"] = q_did_estimate
+_RAW_ORACLES["did_estimate"] = SQL_DID_ESTIMATE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

