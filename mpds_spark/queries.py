@@ -12324,3 +12324,211 @@ FROM f
 QUERIES["did_estimate"] = q_did_estimate
 _RAW_ORACLES["did_estimate"] = SQL_DID_ESTIMATE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_perm_entropy(spark, sf_dir):
+    """Per-user permutation entropy of the purchase-value stream
+    (Bandt & Pompe 2002, "Permutation entropy: a natural complexity
+    measure for time series", PRL 88 — the standard
+    model-free complexity feature for sensor/behavioral series, robust
+    to monotone transforms because it sees only ORDER patterns):
+    embed order m=3, ordinal pattern of each consecutive value triple
+    under the stable (value, time-index) tie rule, normalized Shannon
+    entropy of the 6-pattern distribution. Encoded branch-free: the
+    three pairwise stable comparisons (b01, b02, b12) determine the
+    permutation, so code = 4*b01 + 2*b02 + b12 needs no rank sort.
+    Counts are exact longs; the entropy folds SEQUENTIALLY over the
+    code-sorted cell array (<=6 cells/user), so no shuffle-order float
+    summation on either engine (the transition_entropy discipline);
+    _r6 absorbs libm ln ULP skew. ONE user exchange feeds both lead
+    windows and the cell count. Low H -> trending/periodic behavior,
+    H ~ 1 -> white-noise spending."""
+    import math
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        "event_id",
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    d = (
+        ev.withColumn("__v1", F.lead("__c", 1).over(w))
+        .withColumn("__v2", F.lead("__c", 2).over(w))
+        .filter(F.col("__v2").isNotNull())
+    )
+    code = (
+        F.when(F.col("__c") <= F.col("__v1"), F.lit(4)).otherwise(F.lit(0))
+        + F.when(F.col("__c") <= F.col("__v2"), F.lit(2)).otherwise(F.lit(0))
+        + F.when(F.col("__v1") <= F.col("__v2"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    cells = d.groupBy("user_id", code.alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    per_u = cells.groupBy("user_id").agg(
+        F.sum("__n").cast("long").alias("n_triples"),
+        F.array_sort(F.collect_list(F.struct("__k", "__n"))).alias("__a"),
+    )
+    h = F.expr(
+        "aggregate(__a, 0.0D, (acc, x) -> acc + (cast(x.__n as double)"
+        " / cast(n_triples as double))"
+        " * ln(cast(n_triples as double) / cast(x.__n as double)))"
+    )
+    return per_u.select(
+        "user_id",
+        "n_triples",
+        _r6(h / F.lit(math.log(6.0))).alias("perm_entropy"),
+    )
+
+
+SQL_PERM_ENTROPY = """
+WITH ev AS (
+  SELECT user_id, epoch(ts) AS t, event_id,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events
+), tr AS (
+  SELECT user_id, c,
+    lead(c, 1) OVER (PARTITION BY user_id ORDER BY t, event_id) AS v1,
+    lead(c, 2) OVER (PARTITION BY user_id ORDER BY t, event_id) AS v2
+  FROM ev
+), pat AS (
+  SELECT user_id,
+    (CASE WHEN c <= v1 THEN 4 ELSE 0 END
+     + CASE WHEN c <= v2 THEN 2 ELSE 0 END
+     + CASE WHEN v1 <= v2 THEN 1 ELSE 0 END) AS k
+  FROM tr WHERE v2 IS NOT NULL
+), cells AS (
+  SELECT user_id, k, CAST(count(*) AS BIGINT) AS n
+  FROM pat GROUP BY user_id, k
+), tot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS nt
+  FROM cells GROUP BY user_id
+), h AS (
+  SELECT cells.user_id,
+    list_sum(list((n::DOUBLE / nt::DOUBLE) * ln(nt::DOUBLE / n::DOUBLE)
+      ORDER BY k)) AS h
+  FROM cells JOIN tot ON tot.user_id = cells.user_id
+  GROUP BY cells.user_id
+)
+SELECT tot.user_id, nt AS n_triples,
+  round(h.h / {LN6}, 6) AS perm_entropy
+FROM tot JOIN h ON h.user_id = tot.user_id
+""".replace("{LN6}", __import__("math").log(6.0).__repr__())
+
+QUERIES["perm_entropy"] = q_perm_entropy
+_RAW_ORACLES["perm_entropy"] = SQL_PERM_ENTROPY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_theil_index(spark, sf_dir):
+    """Per-source Theil-T inequality decomposition of document word
+    counts (Theil 1967; the between/within decomposition as in
+    Shorrocks 1980, "The class of additively decomposable inequality
+    measures", Econometrica — the corpus-balance audit that says
+    whether length inequality lives INSIDE sources or BETWEEN them,
+    which decides whether to rebalance the mixture or re-chunk
+    individual sources): T = T_between + sum_g s_g T_g with
+    s_g = X_g / X the token share. Per source: T_g = (1/X_g) *
+    sum x ln x - ln(X_g/n_g), computed over the DISTINCT word-count
+    histogram (the value frame, <=few hundred rows per source — never
+    a per-row float fold): counts and sums are exact longs, the
+    sum x ln x folds SEQUENTIALLY over the value-sorted array, global
+    N and X are integer window sums (order-independent), and every
+    emitted float is a fixed per-row expression — no cross-row float
+    reduction anywhere. _r6 absorbs libm ln ULP skew. At 10^12 docs
+    the histogram IS the aggregate; the corpus is scanned once."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).cast("long").alias("__w"),
+    )
+    vals = d.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    g = vals.groupBy("source").agg(
+        F.sum("__n").cast("long").alias("n_docs"),
+        F.sum(F.col("__n") * F.col("__w")).cast("long").alias("sum_words"),
+        F.array_sort(F.collect_list(F.struct("__w", "__n"))).alias("__a"),
+    )
+    sxlx = F.expr(
+        "aggregate(__a, 0.0D, (acc, x) -> acc +"
+        " cast(x.__n as double) * cast(x.__w as double)"
+        " * ln(cast(x.__w as double)))"
+    )
+    g = g.withColumn("__sxlx", sxlx)
+    wall = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.withColumn("__N", F.sum("n_docs").over(wall)).withColumn(
+        "__X", F.sum("sum_words").over(wall)
+    )
+    tg = (
+        F.col("__sxlx") / F.col("sum_words").cast("double")
+        - F.log(
+            F.col("sum_words").cast("double") / F.col("n_docs").cast("double")
+        )
+    )
+    sg = F.col("sum_words").cast("double") / F.col("__X").cast("double")
+    between = sg * F.log(
+        (F.col("sum_words").cast("double") / F.col("__X").cast("double"))
+        / (F.col("n_docs").cast("double") / F.col("__N").cast("double"))
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "sum_words",
+        _r6(sg).alias("word_share"),
+        _r6(tg).alias("theil_within"),
+        _r6(between).alias("between_term"),
+        _r6(sg * tg + between).alias("contribution"),
+    )
+
+
+SQL_THEIL_INDEX = """
+WITH d AS (
+  SELECT source,
+    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      AS w
+  FROM documents
+), vals AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS n
+  FROM d GROUP BY source, w
+), g AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+    CAST(sum(n*w) AS BIGINT) AS sum_words,
+    list_sum(list(n::DOUBLE * w::DOUBLE * ln(w::DOUBLE) ORDER BY w))
+      AS sxlx
+  FROM vals GROUP BY source
+), t AS (
+  SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS nn,
+    CAST(sum(sum_words) OVER () AS BIGINT) AS xx
+  FROM g
+)
+SELECT source, n_docs, sum_words,
+  round(CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE), 6)
+    AS word_share,
+  round(sxlx / CAST(sum_words AS DOUBLE)
+        - ln(CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+    AS theil_within,
+  round((CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE))
+        * ln((CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+    AS between_term,
+  round((CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE))
+        * (sxlx / CAST(sum_words AS DOUBLE)
+           - ln(CAST(sum_words AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        + (CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE))
+        * ln((CAST(sum_words AS DOUBLE) / CAST(xx AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE))), 6)
+    AS contribution
+FROM t
+"""
+
+QUERIES["theil_index"] = q_theil_index
+_RAW_ORACLES["theil_index"] = SQL_THEIL_INDEX
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

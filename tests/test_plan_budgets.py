@@ -436,6 +436,12 @@ BUDGETS = {
     # DiD: cell agg + order-independent pivot agg
     "did_estimate": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # perm entropy: ONE user exchange feeds both lead windows + cells
+    "perm_entropy": {"shuffle": 1, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # theil: value-histogram agg + source agg + tiny global window
+    "theil_index": {"shuffle": 3, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
 }
 
 

@@ -709,3 +709,102 @@ def test_did_estimate_rebuild(spark):
     assert r["mean_ctrl_pre"] == m(0, 0) and r["mean_treat_post"] == m(1, 1)
     assert r["did"] == did and r["did_se"] == se
     assert r["t_stat"] == did / se
+
+
+def test_perm_entropy_brute_force(spark):
+    """Branch-free pattern code vs a literal stable argsort per triple,
+    and the entropy vs a direct python recompute. Also pins the code
+    <-> permutation bijection on all 6 orderings."""
+    from mpds_spark.queries import q_perm_entropy
+
+    def duck_round_py(v, digits=6):
+        import math as _m
+        pw = float(10 ** digits)
+        return _m.copysign(_m.floor(abs(v) * pw + 0.5) / pw, v)
+
+    got = {r["user_id"]: r for r in
+           q_perm_entropy(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    import math
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts), event_id,"
+        " CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " ORDER BY user_id, epoch(ts), event_id").fetchall()
+    series = defaultdict(list)
+    for u, t, e, c in rows:
+        series[u].append(c)
+    # code space: exactly 6 valid codes, one per permutation
+    valid = set()
+    import itertools
+    for perm in itertools.permutations([10, 20, 30]):
+        b01 = perm[0] <= perm[1]
+        b02 = perm[0] <= perm[2]
+        b12 = perm[1] <= perm[2]
+        valid.add(4 * b01 + 2 * b02 + b12)
+    assert len(valid) == 6
+    for u, vs in series.items():
+        cnt = Counter()
+        for i in range(len(vs) - 2):
+            a, b, c = vs[i], vs[i + 1], vs[i + 2]
+            # stable ordinal pattern == the three stable comparisons
+            code = 4 * (a <= b) + 2 * (a <= c) + (b <= c)
+            # cross-check vs explicit stable argsort
+            order = sorted(range(3), key=lambda k: ((a, b, c)[k], k))
+            code2 = 4 * (order.index(0) < order.index(1)) \
+                + 2 * (order.index(0) < order.index(2)) \
+                + (order.index(1) < order.index(2))
+            assert code == code2
+            cnt[code] += 1
+        n = sum(cnt.values())
+        if n == 0:
+            assert u not in got
+            continue
+        h = 0.0
+        for k in sorted(cnt):
+            h += (cnt[k] / n) * math.log(n / cnt[k])
+        r = got[u]
+        assert r["n_triples"] == n
+        assert r["perm_entropy"] == duck_round_py(h / math.log(6.0), 6)
+        assert 0.0 <= r["perm_entropy"] <= 1.0 + 1e-12
+
+
+def test_theil_index_decomposition(spark):
+    """Per-source T_g vs direct python; decomposition identity: sum of
+    contributions == global Theil T computed from the pooled
+    distribution (float tolerance only in the identity — the per-row
+    values themselves are compared through the gate's duck_round)."""
+    from mpds_spark.queries import q_theil_index
+
+    out = {r["source"]: r for r in
+           q_theil_index(spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT source, length(text) - length(replace(text, ' ', '')) + 1"
+        " FROM '/root/testdata/sf0.001/documents.parquet'").fetchall()
+    by = defaultdict(list)
+    for s, w in rows:
+        by[s].append(w)
+    N = len(rows)
+    X = sum(w for _, w in rows)
+    total_contrib = 0.0
+    for s, ws in by.items():
+        n, x = len(ws), sum(ws)
+        tg = sum(w * math.log(w) for w in sorted(ws)) / x - math.log(x / n)
+        sg = x / X
+        bt = sg * math.log((x / X) / (n / N))
+        r = out[s]
+        assert (r["n_docs"], r["sum_words"]) == (n, x)
+        # outputs are _r6-rounded -> tolerance 1e-6
+        assert abs(r["theil_within"] - tg) < 1e-6
+        assert abs(r["between_term"] - bt) < 1e-6
+        assert r["theil_within"] >= -1e-12  # T_g >= 0 always
+        total_contrib += sg * tg + bt
+    T = sum((w / X) * math.log((w / X) / (1.0 / N))
+            for _, w in rows) / 1.0
+    assert abs(total_contrib - T) < 1e-9
