@@ -12532,3 +12532,310 @@ FROM t
 QUERIES["theil_index"] = q_theil_index
 _RAW_ORACLES["theil_index"] = SQL_THEIL_INDEX
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_anova_twoway(spark, sf_dir):
+    """Two-way variance decomposition of purchase value over hour-of-
+    day x day-of-week (Fisher's ANOVA in the cell-means form; for the
+    unbalanced counts the interaction term is the hierarchical
+    SS_cells - SS_hour - SS_dow, i.e. sequential/Type-I-style — the
+    seasonality-strength audit that says whether a value model needs
+    hour, weekday, or their interaction as features, read off as
+    eta-squared shares). EVERYTHING derives from ONE corpus aggregate
+    to the <=168-cell (hour, dow) frame of exact integer (n, sum,
+    sum-of-squares): marginal hour/dow totals are integer regroups of
+    the cell frame, each SS is a difference of exact-ratio doubles
+    via a fixed expression tree, and no float ever crosses a shuffle
+    — gate EXACT with zero rounding. At 10^12 rows the cell frame is
+    still 168 rows."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("__h"),
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    cells = ev.groupBy("__h", "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__c").cast("long").alias("__s"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__q"),
+    )
+    from mpds_spark.operators.util import scratch_persist
+
+    cells = scratch_persist(cells)
+
+    def ss_of(df, keys):
+        # sum over groups of s_g^2 / n_g (exact longs -> one division
+        # each, order-pinned by folding over the key-sorted array)
+        gg = df.groupBy(*keys).agg(
+            F.sum("__n").cast("long").alias("n"),
+            F.sum("__s").cast("long").alias("s"),
+        )
+        return gg.agg(
+            F.array_sort(
+                F.collect_list(F.struct(*keys, "n", "s"))
+            ).alias("arr")
+        ).select(
+            F.expr(
+                "aggregate(arr, 0.0D, (acc, x) -> acc +"
+                " cast(x.s as double) * cast(x.s as double)"
+                " / cast(x.n as double))"
+            ).alias("v")
+        )
+
+    tot = cells.agg(
+        F.sum("__n").cast("long").alias("__nn"),
+        F.sum("__s").cast("long").alias("__ss"),
+        F.sum("__q").cast("long").alias("__qq"),
+    )
+    sc = ss_of(cells, ["__h", "__d"]).select(F.col("v").alias("__vc"))
+    sh = ss_of(cells, ["__h"]).select(F.col("v").alias("__vh"))
+    sd = ss_of(cells, ["__d"]).select(F.col("v").alias("__vd"))
+    one = (
+        tot.join(F.broadcast(sc))
+        .join(F.broadcast(sh))
+        .join(F.broadcast(sd))
+    )
+    cm = (
+        F.col("__ss").cast("double") * F.col("__ss").cast("double")
+        / F.col("__nn").cast("double")
+    )
+    ss_total = F.col("__qq").cast("double") - cm
+    ss_cells = F.col("__vc") - cm
+    ss_hour = F.col("__vh") - cm
+    ss_dow = F.col("__vd") - cm
+    ss_inter = ss_cells - ss_hour - ss_dow
+    ss_within = ss_total - ss_cells
+    return one.select(
+        F.col("__nn").alias("n_purchases"),
+        (ss_total / F.lit(10000.0)).alias("ss_total"),
+        (ss_hour / F.lit(10000.0)).alias("ss_hour"),
+        (ss_dow / F.lit(10000.0)).alias("ss_dow"),
+        (ss_inter / F.lit(10000.0)).alias("ss_interaction"),
+        (ss_within / F.lit(10000.0)).alias("ss_within"),
+        (ss_hour / ss_total).alias("eta2_hour"),
+        (ss_dow / ss_total).alias("eta2_dow"),
+        (ss_inter / ss_total).alias("eta2_interaction"),
+    )
+
+
+SQL_ANOVA_TWOWAY = """
+WITH ev AS (
+  SELECT hour(ts) AS h, dayofweek(ts) + 1 AS d,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT h, d, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS q
+  FROM ev GROUP BY h, d
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+    CAST(sum(q) AS BIGINT) AS qq
+  FROM cells
+), vc AS (
+  SELECT list_sum(list(s::DOUBLE * s::DOUBLE / n::DOUBLE
+    ORDER BY h, d)) AS v
+  FROM cells
+), vh AS (
+  SELECT list_sum(list(s::DOUBLE * s::DOUBLE / n::DOUBLE ORDER BY h))
+    AS v
+  FROM (SELECT h, CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(s) AS BIGINT) AS s FROM cells GROUP BY h)
+), vd AS (
+  SELECT list_sum(list(s::DOUBLE * s::DOUBLE / n::DOUBLE ORDER BY d))
+    AS v
+  FROM (SELECT d, CAST(sum(n) AS BIGINT) AS n,
+          CAST(sum(s) AS BIGINT) AS s FROM cells GROUP BY d)
+), f AS (
+  SELECT nn,
+    qq::DOUBLE - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS sst,
+    vc.v - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssc,
+    vh.v - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssh,
+    vd.v - ss::DOUBLE * ss::DOUBLE / nn::DOUBLE AS ssd
+  FROM tot, vc, vh, vd
+)
+SELECT nn AS n_purchases,
+  sst / 10000.0 AS ss_total,
+  ssh / 10000.0 AS ss_hour,
+  ssd / 10000.0 AS ss_dow,
+  (ssc - ssh - ssd) / 10000.0 AS ss_interaction,
+  (sst - ssc) / 10000.0 AS ss_within,
+  ssh / sst AS eta2_hour,
+  ssd / sst AS eta2_dow,
+  (ssc - ssh - ssd) / sst AS eta2_interaction
+FROM f
+"""
+
+QUERIES["anova_twoway"] = q_anova_twoway
+_RAW_ORACLES["anova_twoway"] = SQL_ANOVA_TWOWAY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_hurst_variance_plot(spark, sf_dir):
+    """Hurst exponent of the per-user event-value stream via the
+    aggregated-variance method (Beran 1994, "Statistics for Long-
+    Memory Processes"; Taqqu, Teverovsky & Willinger 1995 for the
+    estimator): pool block means at block sizes m in {1,2,4,8} over
+    every user's ts-ordered series, regress log2 Var(mean_m) on
+    log2 m — slope beta estimates 2H-2, H = 1 + beta/2. H ~ 0.5 is
+    memoryless spending, H -> 1 long-range-dependent sessions — the
+    self-similarity feature that decides whether naive sqrt(n) CI
+    scaling is valid for the metric at all.
+
+    Exactness discipline: block sums are exact longs, so
+    sum of block-mean squares = (sum s^2) / m^2 keeps an exact
+    integer numerator (max |s| ~ 8 * max cents keeps sum s^2 well
+    under 2^53 at sf0.1); each Var(m) is a fixed expression of exact
+    longs; the 4-point least-squares slope is a fixed tree over the 4
+    variances. The block roll-up is a log-depth hierarchy (m=2 blocks
+    aggregate m=1 rows, m=4 aggregates m=2, ...), exactly the at-
+    scale shape; trailing partial blocks drop (count == m only)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        "event_id",
+        (
+            F.signum("value") * F.floor(F.abs(F.col("value")) * 100
+                                        + F.lit(0.5))
+        ).cast("long").alias("__c"),
+    )
+    from mpds_spark.operators.util import scratch_persist
+
+    w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    base = scratch_persist(ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).alias("__i"),
+        F.col("__c").alias("__s"),
+    ))
+
+    levels = {}
+    cur = base
+    m = 1
+    for lvl in range(4):  # m = 1, 2, 4, 8
+        if lvl > 0:
+            # each level is scanned twice (its own moment agg + the next
+            # roll-up) — persist so the corpus window runs ONCE
+            cur = scratch_persist(
+                cur.groupBy(
+                    "user_id",
+                    (F.col("__i") / 2).cast("long").alias("__i2"),
+                )
+                .agg(
+                    F.sum("__s").cast("long").alias("__s"),
+                    F.count(F.lit(1)).alias("__k"),
+                )
+                .filter(F.col("__k") == 2)
+                .select("user_id", F.col("__i2").alias("__i"), "__s")
+            )
+        levels[m] = cur.agg(
+            F.count(F.lit(1)).cast("long").alias(f"b{m}"),
+            F.sum("__s").cast("long").alias(f"t{m}"),
+            F.sum(F.col("__s") * F.col("__s")).cast("long")
+            .alias(f"u{m}"),
+        )
+        m *= 2
+    one = levels[1]
+    for mm in (2, 4, 8):
+        one = one.join(F.broadcast(levels[mm]))
+
+    def var(mm):
+        b = F.col(f"b{mm}").cast("double")
+        t = F.col(f"t{mm}").cast("double")
+        u = F.col(f"u{mm}").cast("double")
+        md = float(mm)
+        # Var of block means: (sum s^2/m^2 - (sum s/m)^2 / B) / (B-1)
+        return (
+            (u / F.lit(md * md) - (t / F.lit(md)) * (t / F.lit(md)) / b)
+            / (b - F.lit(1.0))
+        )
+
+    lv = {mm: F.log2(var(mm)) for mm in (1, 2, 4, 8)}
+    xs = [0.0, 1.0, 2.0, 3.0]
+    xbar = sum(xs) / 4.0  # 1.5
+    sxx = sum((x - xbar) ** 2 for x in xs)  # 5.0
+    ybar = (lv[1] + lv[2] + lv[4] + lv[8]) / F.lit(4.0)
+    slope = (
+        (lv[1] - ybar) * F.lit(0.0 - xbar)
+        + (lv[2] - ybar) * F.lit(1.0 - xbar)
+        + (lv[4] - ybar) * F.lit(2.0 - xbar)
+        + (lv[8] - ybar) * F.lit(3.0 - xbar)
+    ) / F.lit(sxx)
+    return one.select(
+        F.col("b1").alias("n_events"),
+        _r6(var(1) / F.lit(10000.0)).alias("var_m1"),
+        _r6(var(2) / F.lit(10000.0)).alias("var_m2"),
+        _r6(var(4) / F.lit(10000.0)).alias("var_m4"),
+        _r6(var(8) / F.lit(10000.0)).alias("var_m8"),
+        _r6(slope).alias("slope"),
+        _r6(F.lit(1.0) + slope / F.lit(2.0)).alias("hurst"),
+    )
+
+
+SQL_HURST_VARIANCE_PLOT = """
+WITH ev AS (
+  SELECT user_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch(ts), event_id) - 1 AS i,
+    CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS s
+  FROM events
+), l2 AS (
+  SELECT user_id, i // 2 AS i, CAST(sum(s) AS BIGINT) AS s
+  FROM ev GROUP BY user_id, i // 2 HAVING count(*) = 2
+), l4 AS (
+  SELECT user_id, i // 2 AS i, CAST(sum(s) AS BIGINT) AS s
+  FROM l2 GROUP BY user_id, i // 2 HAVING count(*) = 2
+), l8 AS (
+  SELECT user_id, i // 2 AS i, CAST(sum(s) AS BIGINT) AS s
+  FROM l4 GROUP BY user_id, i // 2 HAVING count(*) = 2
+), a1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(s) AS BIGINT) AS t,
+    CAST(sum(s*s) AS BIGINT) AS u FROM ev
+), a2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(s) AS BIGINT) AS t,
+    CAST(sum(s*s) AS BIGINT) AS u FROM l2
+), a4 AS (
+  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(s) AS BIGINT) AS t,
+    CAST(sum(s*s) AS BIGINT) AS u FROM l4
+), a8 AS (
+  SELECT CAST(count(*) AS BIGINT) AS b, CAST(sum(s) AS BIGINT) AS t,
+    CAST(sum(s*s) AS BIGINT) AS u FROM l8
+), v AS (
+  SELECT a1.b AS n_events,
+    (a1.u::DOUBLE / 1.0 - (a1.t::DOUBLE / 1.0)*(a1.t::DOUBLE / 1.0)
+       / a1.b::DOUBLE) / (a1.b::DOUBLE - 1.0) AS v1,
+    (a2.u::DOUBLE / 4.0 - (a2.t::DOUBLE / 2.0)*(a2.t::DOUBLE / 2.0)
+       / a2.b::DOUBLE) / (a2.b::DOUBLE - 1.0) AS v2,
+    (a4.u::DOUBLE / 16.0 - (a4.t::DOUBLE / 4.0)*(a4.t::DOUBLE / 4.0)
+       / a4.b::DOUBLE) / (a4.b::DOUBLE - 1.0) AS v4,
+    (a8.u::DOUBLE / 64.0 - (a8.t::DOUBLE / 8.0)*(a8.t::DOUBLE / 8.0)
+       / a8.b::DOUBLE) / (a8.b::DOUBLE - 1.0) AS v8
+  FROM a1, a2, a4, a8
+), s AS (
+  SELECT n_events, v1, v2, v4, v8,
+    (log2(v1) + log2(v2) + log2(v4) + log2(v8)) / 4.0 AS ybar
+  FROM v
+), f AS (
+  SELECT n_events, v1, v2, v4, v8,
+    ((log2(v1) - ybar) * (0.0 - 1.5)
+     + (log2(v2) - ybar) * (1.0 - 1.5)
+     + (log2(v4) - ybar) * (2.0 - 1.5)
+     + (log2(v8) - ybar) * (3.0 - 1.5)) / 5.0 AS slope
+  FROM s
+)
+SELECT n_events,
+  round(v1 / 10000.0, 6) AS var_m1,
+  round(v2 / 10000.0, 6) AS var_m2,
+  round(v4 / 10000.0, 6) AS var_m4,
+  round(v8 / 10000.0, 6) AS var_m8,
+  round(slope, 6) AS slope,
+  round(1.0 + slope / 2.0, 6) AS hurst
+FROM f
+"""
+
+QUERIES["hurst_variance_plot"] = q_hurst_variance_plot
+_RAW_ORACLES["hurst_variance_plot"] = SQL_HURST_VARIANCE_PLOT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

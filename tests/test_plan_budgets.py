@@ -442,6 +442,12 @@ BUDGETS = {
     # theil: value-histogram agg + source agg + tiny global window
     "theil_index": {"shuffle": 3, "python": 0, "cartesian": 0,
                     "bnlj": 0},
+    # ANOVA: persisted 168-cell frame (cached-branch convention);
+    # three 1-row SS joins are the registered BNLJs
+    "anova_twoway": {"python": 0, "cartesian": 0, "bnlj": 3},
+    # hurst: persisted log-depth roll-up levels (cached-branch
+    # convention); three 1-row level joins are the registered BNLJs
+    "hurst_variance_plot": {"python": 0, "cartesian": 0, "bnlj": 3},
 }
 
 

@@ -808,3 +808,95 @@ def test_theil_index_decomposition(spark):
     T = sum((w / X) * math.log((w / X) / (1.0 / N))
             for _, w in rows) / 1.0
     assert abs(total_contrib - T) < 1e-9
+
+
+def test_anova_twoway_rebuild(spark):
+    """SS decomposition vs direct python; identities: parts sum to
+    total, eta^2 in [0,1], and SS_hour from the cell frame equals the
+    one-way SS computed from raw rows."""
+    from mpds_spark.queries import q_anova_twoway
+
+    r = q_anova_twoway(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT hour(ts), dayofweek(ts) + 1,"
+        " CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase'").fetchall()
+    cells = defaultdict(lambda: [0, 0, 0])
+    for h, d, c in rows:
+        e = cells[(h, d)]
+        e[0] += 1
+        e[1] += c
+        e[2] += c * c
+    nn = sum(v[0] for v in cells.values())
+    ss = sum(v[1] for v in cells.values())
+    qq = sum(v[2] for v in cells.values())
+    cm = ss * ss / nn
+
+    def marg(idx):
+        m = defaultdict(lambda: [0, 0])
+        for k, v in cells.items():
+            m[k[idx]][0] += v[0]
+            m[k[idx]][1] += v[1]
+        return sum(s * s / n for k, (n, s) in sorted(m.items())) - cm
+
+    sst = qq - cm
+    ssc = sum(v[1] * v[1] / v[0] for k, v in sorted(cells.items())) - cm
+    ssh, ssd = marg(0), marg(1)
+    assert r["n_purchases"] == nn
+    assert abs(r["ss_total"] - sst / 1e4) < 1e-6 * max(1, abs(sst / 1e4))
+    assert abs(r["ss_hour"] - ssh / 1e4) < 1e-6 * max(1, abs(ssh / 1e4))
+    assert abs(r["ss_dow"] - ssd / 1e4) < 1e-6 * max(1, abs(ssd / 1e4))
+    # decomposition identity
+    assert abs(
+        (r["ss_hour"] + r["ss_dow"] + r["ss_interaction"]
+         + r["ss_within"]) - r["ss_total"]
+    ) < 1e-6 * max(1.0, r["ss_total"])
+    assert 0.0 <= r["eta2_hour"] <= 1.0 and 0.0 <= r["eta2_dow"] <= 1.0
+
+
+def test_hurst_variance_plot_rebuild(spark):
+    """Block roll-up + 4-point LS slope vs direct python on the same
+    per-user ordered series; white-noise sanity: iid-ish values give
+    H below ~0.75 (no long-range dependence planted)."""
+    from mpds_spark.queries import q_hurst_variance_plot
+
+    r = q_hurst_variance_plot(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts), event_id,"
+        " CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " ORDER BY user_id, epoch(ts), event_id").fetchall()
+    series = defaultdict(list)
+    for u, t, e, c in rows:
+        series[u].append(c)
+    vs = {}
+    for m in (1, 2, 4, 8):
+        b = tt = uu = 0
+        for u, xs in series.items():
+            nb = len(xs) // m
+            for i in range(nb):
+                s = sum(xs[i * m:(i + 1) * m])
+                b += 1
+                tt += s
+                uu += s * s
+        vs[m] = (uu / (m * m) - (tt / m) * (tt / m) / b) / (b - 1)
+    lv = {m: math.log2(vs[m]) for m in vs}
+    ybar = sum(lv.values()) / 4.0
+    slope = sum(
+        (lv[m] - ybar) * (x - 1.5)
+        for m, x in zip((1, 2, 4, 8), (0.0, 1.0, 2.0, 3.0))
+    ) / 5.0
+    assert abs(r["var_m1"] - vs[1] / 1e4) < 1e-5
+    assert abs(r["var_m8"] - vs[8] / 1e4) < 1e-5
+    assert abs(r["slope"] - slope) < 1e-5
+    assert abs(r["hurst"] - (1.0 + slope / 2.0)) < 1e-5
+    assert r["hurst"] < 0.75
