@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (thirty-seventh batch — continuation session)
+    "logrank_test",
+    "segmented_trend",
     # new in round 5 (thirty-sixth batch — continuation session)
     "anova_twoway",
     "hurst_variance_plot",

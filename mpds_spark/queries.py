@@ -12839,3 +12839,354 @@ FROM f
 QUERIES["hurst_variance_plot"] = q_hurst_variance_plot
 _RAW_ORACLES["hurst_variance_plot"] = SQL_HURST_VARIANCE_PLOT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_logrank_test(spark, sf_dir):
+    """Two-arm log-rank test (Mantel 1966; Peto & Peto 1972) of
+    inter-purchase gap-time curves between md5-parity arms — the
+    survival-curve companion to srm_check/did_estimate: arms are
+    hash-random, so the expected chi-square is ~1 and a large value
+    flags a broken assignment or a gap metric leaking the arm.
+    Survival variable: each user's consecutive purchase gaps
+    (completed gap = event; the final open gap, last purchase ->
+    corpus end, is right-censored), hour bins — the recurrent-event
+    gap-time pooling (within-user correlation caveat per
+    Andersen & Gill 1982 noted; as an assignment AUDIT the hash
+    randomization makes the null exact). The whole test reduces to
+    the per-hour-bin curve frame: deaths/censored per (bin, arm) are
+    exact longs, at-risk counts are integer suffix sums over the
+    <=720-row bin frame, the hypergeometric O-E and variance terms
+    fold SEQUENTIALLY in bin order (each term a fixed expression of
+    exact longs), and chi2 = one final division. At 10^12 events
+    only the binned curve crosses the global window."""
+    d = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("__e"),
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        "event_id",
+    )
+    mx = _events(spark, sf_dir).agg(
+        F.max(F.col("ts").cast("timestamp").cast("double")).alias("__mx")
+    )
+    wlead = Window.partitionBy("__e").orderBy("__t", "event_id")
+    g = d.withColumn("__nxt", F.lead("__t").over(wlead)).join(
+        F.broadcast(mx)
+    )
+    sv = g.select(
+        F.floor(
+            (F.coalesce(F.col("__nxt"), F.col("__mx")) - F.col("__t"))
+            / F.lit(3600.0)
+        ).cast("long").alias("__day"),
+        F.when(F.col("__nxt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__obs"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lr|"),
+                                   F.col("__e").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    curve = sv.groupBy("__day").agg(
+        F.sum(F.when(F.col("__arm") == 1, F.col("__obs")).otherwise(0))
+        .cast("long").alias("__d1"),
+        F.sum(F.when(F.col("__arm") == 1, 1 - F.col("__obs")).otherwise(0))
+        .cast("long").alias("__c1"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__obs")).otherwise(0))
+        .cast("long").alias("__d0"),
+        F.sum(F.when(F.col("__arm") == 0, 1 - F.col("__obs")).otherwise(0))
+        .cast("long").alias("__c0"),
+    )
+    wall = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tall = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = curve.select(
+        "*",
+        (
+            F.sum(F.col("__d1") + F.col("__c1")).over(tall)
+            - F.coalesce(
+                F.sum(F.col("__d1") + F.col("__c1")).over(wall), F.lit(0)
+            )
+        ).cast("long").alias("__n1"),
+        (
+            F.sum(
+                F.col("__d1") + F.col("__c1") + F.col("__d0") + F.col("__c0")
+            ).over(tall)
+            - F.coalesce(
+                F.sum(
+                    F.col("__d1") + F.col("__c1")
+                    + F.col("__d0") + F.col("__c0")
+                ).over(wall),
+                F.lit(0),
+            )
+        ).cast("long").alias("__nt"),
+    )
+    agg = curve.agg(
+        F.sum("__d1").cast("long").alias("obs_deaths_arm1"),
+        F.sum("__d0").cast("long").alias("obs_deaths_arm0"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("__day", "__d1", "__d0", "__n1", "__nt")
+            )
+        ).alias("__a"),
+    )
+    oe = F.expr(
+        "aggregate(__a, 0.0D, (acc, x) -> acc + (CASE WHEN"
+        " x.__d1 + x.__d0 > 0 THEN cast(x.__d1 as double)"
+        " - cast(x.__d1 + x.__d0 as double) * cast(x.__n1 as double)"
+        " / cast(x.__nt as double) ELSE 0.0D END))"
+    )
+    vv = F.expr(
+        "aggregate(__a, 0.0D, (acc, x) -> acc + (CASE WHEN"
+        " x.__d1 + x.__d0 > 0 AND x.__nt > 1 THEN"
+        " cast(x.__d1 + x.__d0 as double)"
+        " * (cast(x.__n1 as double) / cast(x.__nt as double))"
+        " * (cast(x.__nt - x.__n1 as double) / cast(x.__nt as double))"
+        " * (cast(x.__nt - x.__d1 - x.__d0 as double)"
+        "    / cast(x.__nt - 1 as double)) ELSE 0.0D END))"
+    )
+    agg = agg.withColumn("__oe", oe).withColumn("__v", vv)
+    return agg.select(
+        "obs_deaths_arm1",
+        "obs_deaths_arm0",
+        _r6(F.col("obs_deaths_arm1") - F.col("__oe"))
+        .alias("expected_deaths_arm1"),
+        _r6("__oe").alias("o_minus_e"),
+        _r6("__v").alias("variance"),
+        _r6(F.col("__oe") * F.col("__oe") / F.col("__v")).alias("chi2"),
+    )
+
+
+SQL_LOGRANK_TEST = """
+WITH mx AS (SELECT max(epoch(ts)) AS mx FROM events),
+d AS (
+  SELECT user_id AS e, epoch(ts) AS t,
+    lead(epoch(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch(ts), event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+),
+sv AS (
+  SELECT CAST(floor((coalesce(nxt, (SELECT mx FROM mx)) - t) / 3600.0)
+              AS BIGINT) AS day,
+    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS obs,
+    CAST(('0x' || substring(md5('lr|' || CAST(e AS VARCHAR)), 1, 15))
+      ::UBIGINT % 2 AS BIGINT) AS arm
+  FROM d
+), curve AS (
+  SELECT day,
+    CAST(sum(CASE WHEN arm = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 - obs ELSE 0 END) AS BIGINT)
+      AS c1,
+    CAST(sum(CASE WHEN arm = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 - obs ELSE 0 END) AS BIGINT)
+      AS c0
+  FROM sv GROUP BY day
+), risk AS (
+  SELECT day, d1, d0,
+    CAST((SELECT sum(d1 + c1) FROM curve)
+      - coalesce(sum(d1 + c1) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1,
+    CAST((SELECT sum(d1 + c1 + d0 + c0) FROM curve)
+      - coalesce(sum(d1 + c1 + d0 + c0) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt
+  FROM curve
+), f AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS obs1,
+    CAST(sum(d0) AS BIGINT) AS obs0,
+    list_sum(list(CASE WHEN d1 + d0 > 0 THEN d1::DOUBLE
+      - (d1 + d0)::DOUBLE * n1::DOUBLE / nt::DOUBLE
+      ELSE 0.0 END ORDER BY day)) AS oe,
+    list_sum(list(CASE WHEN d1 + d0 > 0 AND nt > 1 THEN
+      (d1 + d0)::DOUBLE * (n1::DOUBLE / nt::DOUBLE)
+      * ((nt - n1)::DOUBLE / nt::DOUBLE)
+      * ((nt - d1 - d0)::DOUBLE / (nt - 1)::DOUBLE)
+      ELSE 0.0 END ORDER BY day)) AS v
+  FROM risk
+)
+SELECT obs1 AS obs_deaths_arm1, obs0 AS obs_deaths_arm0,
+  round(obs1 - oe, 6) AS expected_deaths_arm1,
+  round(oe, 6) AS o_minus_e,
+  round(v, 6) AS variance,
+  round(oe * oe / v, 6) AS chi2
+FROM f
+"""
+
+QUERIES["logrank_test"] = q_logrank_test
+_RAW_ORACLES["logrank_test"] = SQL_LOGRANK_TEST
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_segmented_trend(spark, sf_dir):
+    """Best single-breakpoint two-piece linear trend of daily event
+    volume (segmented/piecewise regression with the break chosen by
+    least squares — Quandt 1958's likelihood-ratio formulation,
+    Bai & Perron 1998 for the general program; the changepoint
+    complement to cusum_changepoint that returns the fitted TREND
+    LINES, not just the shift day): for every candidate break b with
+    >= 3 days each side, fit separate OLS lines to daily counts on
+    [1..b] and (b..D], pick the b minimizing total SSE (smallest-b
+    tie-break), and report both slopes plus the single-line fit and
+    the SSE reduction share. All OLS moments (n, Sx, Sy, Sxy, Sxx,
+    Syy per side) are exact-integer prefix/suffix sums over the
+    <=31-row day frame — the corpus is touched ONCE by the day
+    aggregate; every SSE is a fixed expression tree; argmin via
+    min(struct(sse, b)) on deterministic doubles. At 10^12 rows the
+    candidate scan is still a 31-row frame."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    wcum = Window.orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tall = Window.orderBy("__x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = day.select(
+        F.col("__x").alias("b"),
+        F.count(F.lit(1)).over(wcum).cast("long").alias("nl"),
+        F.sum("__x").over(wcum).cast("long").alias("sxl"),
+        F.sum("__y").over(wcum).cast("long").alias("syl"),
+        F.sum(F.col("__x") * F.col("__y")).over(wcum).cast("long")
+        .alias("sxyl"),
+        F.sum(F.col("__x") * F.col("__x")).over(wcum).cast("long")
+        .alias("sxxl"),
+        F.sum(F.col("__y") * F.col("__y")).over(wcum).cast("long")
+        .alias("syyl"),
+        F.count(F.lit(1)).over(tall).cast("long").alias("nt"),
+        F.sum("__x").over(tall).cast("long").alias("sxt"),
+        F.sum("__y").over(tall).cast("long").alias("syt"),
+        F.sum(F.col("__x") * F.col("__y")).over(tall).cast("long")
+        .alias("sxyt"),
+        F.sum(F.col("__x") * F.col("__x")).over(tall).cast("long")
+        .alias("sxxt"),
+        F.sum(F.col("__y") * F.col("__y")).over(tall).cast("long")
+        .alias("syyt"),
+    ).filter(
+        (F.col("nl") >= 3) & (F.col("nt") - F.col("nl") >= 3)
+    )
+
+    def sse(n, sx, sy, sxy, sxx, syy):
+        nd = n.cast("double")
+        sxd, syd = sx.cast("double"), sy.cast("double")
+        sxyd, sxxd, syyd = (sxy.cast("double"), sxx.cast("double"),
+                            syy.cast("double"))
+        sxx_c = sxxd - sxd * sxd / nd
+        sxy_c = sxyd - sxd * syd / nd
+        syy_c = syyd - syd * syd / nd
+        return syy_c - sxy_c * sxy_c / sxx_c
+
+    def slope(n, sx, sy, sxy, sxx):
+        nd = n.cast("double")
+        return (sxy.cast("double") - sx.cast("double") * sy.cast("double")
+                / nd) / (sxx.cast("double")
+                         - sx.cast("double") * sx.cast("double") / nd)
+
+    nr = F.col("nt") - F.col("nl")
+    sxr = F.col("sxt") - F.col("sxl")
+    syr = F.col("syt") - F.col("syl")
+    sxyr = F.col("sxyt") - F.col("sxyl")
+    sxxr = F.col("sxxt") - F.col("sxxl")
+    syyr = F.col("syyt") - F.col("syyl")
+    sse_l = sse(F.col("nl"), F.col("sxl"), F.col("syl"), F.col("sxyl"),
+                F.col("sxxl"), F.col("syyl"))
+    sse_r = sse(nr, sxr, syr, sxyr, sxxr, syyr)
+    sse0 = sse(F.col("nt"), F.col("sxt"), F.col("syt"), F.col("sxyt"),
+               F.col("sxxt"), F.col("syyt"))
+    cand = c.select(
+        "b",
+        (sse_l + sse_r).alias("__sse"),
+        slope(F.col("nl"), F.col("sxl"), F.col("syl"), F.col("sxyl"),
+              F.col("sxxl")).alias("__sll"),
+        slope(nr, sxr, syr, sxyr, sxxr).alias("__slr"),
+        sse0.alias("__sse0"),
+    )
+    best = cand.agg(
+        F.min(F.struct(F.col("__sse"), F.col("b"), F.col("__sll"),
+                       F.col("__slr"), F.col("__sse0"))).alias("w")
+    )
+    return best.select(
+        F.col("w.b").alias("break_day"),
+        _r6(F.col("w.__sll")).alias("slope_left"),
+        _r6(F.col("w.__slr")).alias("slope_right"),
+        _r6(F.col("w.__sse")).alias("sse_two_piece"),
+        _r6(F.col("w.__sse0")).alias("sse_single_line"),
+        _r6((F.col("w.__sse0") - F.col("w.__sse")) / F.col("w.__sse0"))
+        .alias("sse_reduction"),
+    )
+
+
+SQL_SEGMENTED_TREND = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), c AS (
+  SELECT x AS b,
+    CAST(count(*) OVER w AS BIGINT) AS nl,
+    CAST(sum(x) OVER w AS BIGINT) AS sxl,
+    CAST(sum(y) OVER w AS BIGINT) AS syl,
+    CAST(sum(x*y) OVER w AS BIGINT) AS sxyl,
+    CAST(sum(x*x) OVER w AS BIGINT) AS sxxl,
+    CAST(sum(y*y) OVER w AS BIGINT) AS syyl,
+    CAST(count(*) OVER t AS BIGINT) AS nt,
+    CAST(sum(x) OVER t AS BIGINT) AS sxt,
+    CAST(sum(y) OVER t AS BIGINT) AS syt,
+    CAST(sum(x*y) OVER t AS BIGINT) AS sxyt,
+    CAST(sum(x*x) OVER t AS BIGINT) AS sxxt,
+    CAST(sum(y*y) OVER t AS BIGINT) AS syyt
+  FROM day
+  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW),
+         t AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+               AND UNBOUNDED FOLLOWING)
+), f AS (
+  SELECT b,
+    ((syyl::DOUBLE - syl::DOUBLE*syl::DOUBLE/nl::DOUBLE)
+     - (sxyl::DOUBLE - sxl::DOUBLE*syl::DOUBLE/nl::DOUBLE)
+       * (sxyl::DOUBLE - sxl::DOUBLE*syl::DOUBLE/nl::DOUBLE)
+       / (sxxl::DOUBLE - sxl::DOUBLE*sxl::DOUBLE/nl::DOUBLE))
+    + (((syyt-syyl)::DOUBLE
+        - (syt-syl)::DOUBLE*(syt-syl)::DOUBLE/(nt-nl)::DOUBLE)
+     - ((sxyt-sxyl)::DOUBLE
+        - (sxt-sxl)::DOUBLE*(syt-syl)::DOUBLE/(nt-nl)::DOUBLE)
+       * ((sxyt-sxyl)::DOUBLE
+          - (sxt-sxl)::DOUBLE*(syt-syl)::DOUBLE/(nt-nl)::DOUBLE)
+       / ((sxxt-sxxl)::DOUBLE
+          - (sxt-sxl)::DOUBLE*(sxt-sxl)::DOUBLE/(nt-nl)::DOUBLE))
+      AS sse,
+    (sxyl::DOUBLE - sxl::DOUBLE*syl::DOUBLE/nl::DOUBLE)
+      / (sxxl::DOUBLE - sxl::DOUBLE*sxl::DOUBLE/nl::DOUBLE) AS sll,
+    ((sxyt-sxyl)::DOUBLE
+       - (sxt-sxl)::DOUBLE*(syt-syl)::DOUBLE/(nt-nl)::DOUBLE)
+      / ((sxxt-sxxl)::DOUBLE
+         - (sxt-sxl)::DOUBLE*(sxt-sxl)::DOUBLE/(nt-nl)::DOUBLE)
+      AS slr,
+    ((syyt::DOUBLE - syt::DOUBLE*syt::DOUBLE/nt::DOUBLE)
+     - (sxyt::DOUBLE - sxt::DOUBLE*syt::DOUBLE/nt::DOUBLE)
+       * (sxyt::DOUBLE - sxt::DOUBLE*syt::DOUBLE/nt::DOUBLE)
+       / (sxxt::DOUBLE - sxt::DOUBLE*sxt::DOUBLE/nt::DOUBLE)) AS sse0
+  FROM c WHERE nl >= 3 AND nt - nl >= 3
+)
+SELECT b AS break_day,
+  round(sll, 6) AS slope_left,
+  round(slr, 6) AS slope_right,
+  round(sse, 6) AS sse_two_piece,
+  round(sse0, 6) AS sse_single_line,
+  round((sse0 - sse) / sse0, 6) AS sse_reduction
+FROM f ORDER BY sse, b LIMIT 1
+"""
+
+QUERIES["segmented_trend"] = q_segmented_trend
+_RAW_ORACLES["segmented_trend"] = SQL_SEGMENTED_TREND
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

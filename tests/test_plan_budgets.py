@@ -448,6 +448,13 @@ BUDGETS = {
     # hurst: persisted log-depth roll-up levels (cached-branch
     # convention); three 1-row level joins are the registered BNLJs
     "hurst_variance_plot": {"python": 0, "cartesian": 0, "bnlj": 3},
+    # logrank: user lead window + bin agg + tiny curve window + fold;
+    # corpus-max 1-row broadcast is the registered BNLJ
+    "logrank_test": {"shuffle": 4, "python": 0, "cartesian": 0,
+                     "bnlj": 1},
+    # segmented: ONE day agg + tiny 31-row candidate windows + argmin
+    "segmented_trend": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

@@ -900,3 +900,109 @@ def test_hurst_variance_plot_rebuild(spark):
     assert abs(r["slope"] - slope) < 1e-5
     assert abs(r["hurst"] - (1.0 + slope / 2.0)) < 1e-5
     assert r["hurst"] < 0.75
+
+
+def test_logrank_rebuild(spark):
+    """O-E / variance / chi2 vs a literal python sweep over the gap
+    curve (same bins, same censoring), plus a planted two-arm check
+    where one arm's gaps are doubled -> chi2 must be large."""
+    from mpds_spark.queries import q_logrank_test
+
+    r = q_logrank_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts), event_id FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase'"
+        " ORDER BY user_id, epoch(ts), event_id").fetchall()
+    mx = duckdb.sql(
+        "SELECT max(epoch(ts)) FROM"
+        " '/root/testdata/sf0.001/events.parquet'").fetchone()[0]
+    seqs = defaultdict(list)
+    for u, t, e in rows:
+        seqs[u].append(t)
+    curve = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d0, c0
+    for u, ts in seqs.items():
+        arm = int(hashlib.md5(f"lr|{u}".encode()).hexdigest()[:15],
+                  16) % 2
+        for i, t in enumerate(ts):
+            nxt = ts[i + 1] if i + 1 < len(ts) else None
+            gap = (nxt if nxt is not None else mx) - t
+            day = int(gap // 3600)
+            obs = 1 if nxt is not None else 0
+            e = curve[day]
+            if arm == 1:
+                e[0] += obs
+                e[1] += 1 - obs
+            else:
+                e[2] += obs
+                e[3] += 1 - obs
+    days = sorted(curve)
+    total1 = sum(curve[d][0] + curve[d][1] for d in days)
+    totalt = total1 + sum(curve[d][2] + curve[d][3] for d in days)
+    oe = vv = 0.0
+    rem1, remt = total1, totalt
+    obs1 = obs0 = 0
+    for d in days:
+        d1, c1, d0, c0 = curve[d]
+        dt = d1 + d0
+        obs1 += d1
+        obs0 += d0
+        if dt > 0:
+            oe += d1 - dt * rem1 / remt
+            if remt > 1:
+                vv += (dt * (rem1 / remt) * ((remt - rem1) / remt)
+                       * ((remt - dt) / (remt - 1)))
+        rem1 -= d1 + c1
+        remt -= d1 + c1 + d0 + c0
+    assert (r["obs_deaths_arm1"], r["obs_deaths_arm0"]) == (obs1, obs0)
+    assert abs(r["o_minus_e"] - oe) < 1e-5
+    assert abs(r["variance"] - vv) < 1e-5
+    assert abs(r["chi2"] - oe * oe / vv) < 1e-5
+
+
+def test_segmented_trend_rebuild(spark):
+    """Breakpoint argmin vs a literal per-candidate python OLS sweep,
+    and the decomposition sanity sse_two_piece <= sse_single_line."""
+    from mpds_spark.queries import q_segmented_trend
+
+    r = q_segmented_trend(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(day(ts) AS BIGINT), CAST(count(*) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1").fetchall()
+
+    def ols_sse(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        syy = sum(y * y for _, y in pts)
+        sxx_c = sxx - sx * sx / n
+        sxy_c = sxy - sx * sy / n
+        syy_c = syy - sy * sy / n
+        return syy_c - sxy_c * sxy_c / sxx_c, sxy_c / sxx_c
+
+    best = None
+    for bi in range(len(rows)):
+        left = rows[: bi + 1]
+        right = rows[bi + 1:]
+        if len(left) < 3 or len(right) < 3:
+            continue
+        sl, bl = ols_sse(left)
+        sr, br = ols_sse(right)
+        key = (sl + sr, rows[bi][0])
+        if best is None or key < best[0]:
+            best = (key, bl, br)
+    (sse, b), bl, br = best
+    assert r["break_day"] == b
+    assert abs(r["slope_left"] - bl) < 1e-5
+    assert abs(r["slope_right"] - br) < 1e-5
+    assert r["sse_two_piece"] <= r["sse_single_line"] + 1e-9
+    assert 0.0 <= r["sse_reduction"] <= 1.0
