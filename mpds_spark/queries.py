@@ -13189,4 +13189,267 @@ FROM f ORDER BY sse, b LIMIT 1
 
 QUERIES["segmented_trend"] = q_segmented_trend
 _RAW_ORACLES["segmented_trend"] = SQL_SEGMENTED_TREND
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall nonparametric trend test on daily event volume
+    (Mann 1945, Kendall 1975; Hirsch et al. 1982 made it the standard
+    monitoring-series audit): S = sum over day pairs i<j of
+    sign(y_j - y_i), tie-corrected variance
+    var = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18, and the
+    continuity-corrected z. The significance companion to
+    theil_sen_slope (magnitude) and segmented_trend (shape): it asks
+    "is there a monotone trend at all" with no distributional
+    assumption, which is the right first question for a pipeline
+    volume monitor. The corpus is touched ONCE by the day aggregate;
+    S comes from a registered-by-design BNLJ self-join of the
+    persisted <=31-row day frame (a bounded 31x31 pair sweep, never a
+    corpus join); the tie term regroups the same frame. S, n and the
+    tie term are exact longs; var is ONE division of exact integers;
+    z is a fixed expression tree (IEEE sqrt is correctly rounded, so
+    cross-engine exact). At 10^12 rows the pair sweep is still 465
+    comparisons."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = scratch_persist(
+        ev.groupBy("__x").agg(
+            F.count(F.lit(1)).cast("long").alias("__y")
+        )
+    )
+    d1 = day.select(F.col("__x").alias("x1"), F.col("__y").alias("y1"))
+    d2 = day.select(F.col("__x").alias("x2"), F.col("__y").alias("y2"))
+    sfrm = (
+        d1.join(d2, F.col("x1") < F.col("x2"))
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    tiefrm = (
+        day.groupBy("__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        .agg(
+            F.sum("__t").cast("long").alias("n_days"),
+            F.sum(
+                F.col("__t") * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).cast("long").alias("tie_term"),
+        )
+    )
+    f = sfrm.crossJoin(tiefrm)
+    n = F.col("n_days")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double")
+        / F.lit(18.0)
+    )
+    s = F.col("s_stat")
+    z = (
+        F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s))
+        .when(s < 0, (s + 1).cast("double") / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return f.select(
+        "n_days",
+        "s_stat",
+        "tie_term",
+        _r6(var_s).alias("var_s"),
+        _r6(z).alias("z_score"),
+        F.when(s > 0, F.lit("increasing"))
+        .when(s < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend")).alias("trend"),
+    )
+
+
+SQL_MANN_KENDALL = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+         AS s_stat
+  FROM day a JOIN day b ON a.x < b.x
+), t AS (
+  SELECT CAST(sum(tt) AS BIGINT) AS n_days,
+         CAST(sum(tt*(tt-1)*(2*tt+5)) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS tt FROM day GROUP BY y)
+), f AS (
+  SELECT n_days, s_stat, tie_term,
+    CAST(n_days*(n_days-1)*(2*n_days+5) - tie_term AS DOUBLE) / 18.0
+      AS var_s
+  FROM s, t
+)
+SELECT n_days, s_stat, tie_term,
+  round(var_s, 6) AS var_s,
+  round(CASE WHEN s_stat > 0
+             THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             WHEN s_stat < 0
+             THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             ELSE 0.0 END, 6) AS z_score,
+  CASE WHEN s_stat > 0 THEN 'increasing'
+       WHEN s_stat < 0 THEN 'decreasing'
+       ELSE 'no_trend' END AS trend
+FROM f
+"""
+
+QUERIES["mann_kendall"] = q_mann_kendall
+_RAW_ORACLES["mann_kendall"] = SQL_MANN_KENDALL
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test of the daily event-volume sequence
+    around its median (Wald & Wolfowitz 1940; the classic randomness
+    audit — too FEW runs means the series is sticky/trending, too MANY
+    means oscillation, either way iid-based monitors are miscalibrated
+    and block-wise resampling is required). Days equal to the median
+    are dropped (the standard treatment); R = 1 + #sign changes,
+    E[R] = 1 + 2*n1*n2/n, Var[R] = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)).
+    The corpus is touched ONCE by the day aggregate; everything after
+    runs on the persisted <=31-row day frame: the median is kept as
+    the INTEGER doubled statistic med2 = y_lo + y_hi (so the
+    above/below classification never touches a float), the sign
+    changes come from one lag over the tiny frame, and E/Var/z are
+    fixed expression trees over exact longs. The single-partition
+    windows scan 31 rows by construction at any corpus scale."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = scratch_persist(
+        ev.groupBy("__x").agg(
+            F.count(F.lit(1)).cast("long").alias("__y")
+        )
+    )
+    wr = Window.orderBy("__y", "__x")
+    ranked = day.select(
+        "__x", "__y",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("__y", "__x").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__n"),
+    )
+    med = ranked.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2),
+                    F.col("__y"),
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("__rn") == F.floor(F.col("__n") / 2) + 1,
+                    F.col("__y"),
+                ).otherwise(0)
+            )
+        ).cast("long").alias("med2")
+    )
+    signs = (
+        day.crossJoin(med)
+        .filter(2 * F.col("__y") != F.col("med2"))
+        .select(
+            "__x",
+            F.when(2 * F.col("__y") > F.col("med2"), 1)
+            .otherwise(0).alias("__s"),
+        )
+    )
+    lagged = signs.select(
+        "__s", F.lag("__s").over(Window.orderBy("__x")).alias("__p")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("__s").cast("long").alias("n_above"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("__p").isNotNull()
+                    & (F.col("__p") != F.col("__s")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1 = F.col("n_above")
+    nk = F.col("n_kept")
+    n2 = nk - n1
+    two = (2 * n1 * n2).cast("double")
+    e_runs = F.lit(1.0) + two / nk.cast("double")
+    var_runs = (
+        two * (two - nk.cast("double"))
+        / (nk.cast("double") * nk.cast("double")
+           * (nk - 1).cast("double"))
+    )
+    z = F.when(
+        var_runs > 0,
+        (F.col("runs").cast("double") - e_runs) / F.sqrt(var_runs),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_kept",
+        "n_above",
+        n2.alias("n_below"),
+        "runs",
+        _r6(e_runs).alias("expected_runs"),
+        _r6(var_runs).alias("var_runs"),
+        _r6(z).alias("z_score"),
+    )
+
+
+SQL_RUNS_TEST = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT x, y, row_number() OVER (ORDER BY y, x) AS rn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM day
+), med AS (
+  SELECT CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN y ELSE 0 END)
+            + sum(CASE WHEN rn = n // 2 + 1 THEN y ELSE 0 END)
+         AS BIGINT) AS med2
+  FROM ranked
+), s AS (
+  SELECT x, CASE WHEN 2*y > med2 THEN 1 ELSE 0 END AS sgn
+  FROM day, med WHERE 2*y <> med2
+), lagged AS (
+  SELECT sgn, lag(sgn) OVER (ORDER BY x) AS prev FROM s
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(sgn) AS BIGINT) AS n_above,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND prev <> sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged
+), f AS (
+  SELECT n_kept, n_above, n_kept - n_above AS n_below, runs,
+    1.0 + CAST(2*n_above*(n_kept-n_above) AS DOUBLE)
+        / CAST(n_kept AS DOUBLE) AS e_runs,
+    CAST(2*n_above*(n_kept-n_above) AS DOUBLE)
+      * (CAST(2*n_above*(n_kept-n_above) AS DOUBLE)
+         - CAST(n_kept AS DOUBLE))
+      / (CAST(n_kept AS DOUBLE) * CAST(n_kept AS DOUBLE)
+         * CAST(n_kept - 1 AS DOUBLE)) AS var_runs
+  FROM agg
+)
+SELECT n_kept, n_above, n_below, runs,
+  round(e_runs, 6) AS expected_runs,
+  round(var_runs, 6) AS var_runs,
+  round(CASE WHEN var_runs > 0
+             THEN (CAST(runs AS DOUBLE) - e_runs) / sqrt(var_runs)
+             ELSE 0.0 END, 6) AS z_score
+FROM f
+"""
+
+QUERIES["runs_test"] = q_runs_test
+_RAW_ORACLES["runs_test"] = SQL_RUNS_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

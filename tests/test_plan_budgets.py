@@ -455,6 +455,13 @@ BUDGETS = {
     # segmented: ONE day agg + tiny 31-row candidate windows + argmin
     "segmented_trend": {"shuffle": 2, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # mann-kendall: persisted 31-row day frame (cached-branch
+    # convention); the pair sweep + 1-row combine are the registered
+    # BNLJs — bounded 31x31, never a corpus join
+    "mann_kendall": {"python": 0, "cartesian": 0, "bnlj": 2},
+    # runs test: ONE day agg + tiny-frame rank/lag windows; the 1-row
+    # med2 broadcast is the registered BNLJ
+    "runs_test": {"shuffle": 6, "python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 

@@ -1006,3 +1006,74 @@ def test_segmented_trend_rebuild(spark):
     assert abs(r["slope_right"] - br) < 1e-5
     assert r["sse_two_piece"] <= r["sse_single_line"] + 1e-9
     assert 0.0 <= r["sse_reduction"] <= 1.0
+
+
+def test_mann_kendall_brute_force(spark):
+    """S / tie-corrected variance / continuity-corrected z vs the
+    literal O(n^2) pairwise definition in python over the same daily
+    counts (Mann 1945 eq. for S; Kendall 1975 tie variance)."""
+    from mpds_spark.queries import q_mann_kendall
+
+    r = q_mann_kendall(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        y
+        for (y,) in duckdb.sql(
+            "SELECT CAST(count(*) AS BIGINT) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0.0)
+    assert (r["n_days"], r["s_stat"], r["tie_term"]) == (n, s, tie)
+    assert abs(r["var_s"] - var) < 1e-5
+    assert abs(r["z_score"] - z) < 1e-5
+    assert r["trend"] == (
+        "increasing" if s > 0 else "decreasing" if s < 0 else "no_trend"
+    )
+
+
+def test_runs_test_rebuild(spark):
+    """Runs count / moments / z vs a literal python rebuild (Wald &
+    Wolfowitz 1940), including the drop-equal-to-median treatment and
+    the doubled-median integer classification."""
+    from mpds_spark.queries import q_runs_test
+
+    r = q_runs_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(day(ts) AS BIGINT), CAST(count(*) AS BIGINT) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [y for _, y in rows]
+    srt = sorted(ys)
+    n = len(srt)
+    med2 = srt[(n + 1) // 2 - 1] + srt[n // 2]
+    signs = [1 if 2 * y > med2 else 0 for y in ys if 2 * y != med2]
+    runs = 1 + sum(a != b for a, b in zip(signs, signs[1:]))
+    nk, n1 = len(signs), sum(signs)
+    n2 = nk - n1
+    e = 1.0 + 2 * n1 * n2 / nk
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - nk) / (nk * nk * (nk - 1))
+    )
+    z = (runs - e) / var**0.5 if var > 0 else 0.0
+    assert (r["n_kept"], r["n_above"], r["n_below"], r["runs"]) == (
+        nk, n1, n2, runs,
+    )
+    assert abs(r["expected_runs"] - e) < 1e-5
+    assert abs(r["var_runs"] - var) < 1e-5
+    assert abs(r["z_score"] - z) < 1e-5
