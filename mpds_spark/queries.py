@@ -13452,4 +13452,247 @@ FROM f
 
 QUERIES["runs_test"] = q_runs_test
 _RAW_ORACLES["runs_test"] = SQL_RUNS_TEST
+
+
+def q_bpe_merge_step(spark, sf_dir):
+    """One byte-pair-encoding merge iteration over the corpus word
+    streams (Gage 1994; Sennrich, Haddow & Birch 2016 made it THE
+    subword tokenizer-training step): count every adjacent token pair,
+    pick the most frequent (count desc, then lexicographic — the
+    deterministic tie-break real BPE trainers pin), and report what
+    applying that merge greedily left-to-right does to the corpus
+    token count. The pair stream is the posting-list (doc, pos+1)
+    equi-join — the phrase_search shape, only positions shuffle, never
+    a theta join; the posting frame is persisted so the corpus
+    tokenizes ONCE. Greedy application never needs a sequential fold:
+    two occurrences of (A,B) can share a token only when A == B, so
+    merges_applied = pair_count for A != B, and for A == B it is
+    sum(floor(L/2)) over maximal runs of A — recovered exactly by
+    gaps-and-islands (pos - row_number) on A's postings. Counts are
+    exact longs; the one float is the reduction share. At 10^12 tokens
+    this is the real first iteration of a distributed BPE trainer:
+    pair counts are one word-pair-keyed agg, the argmax is a 1-row
+    frame, and the run-length pass touches only the winning token's
+    postings."""
+    from mpds_spark.operators.util import scratch_persist
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("__w")
+    )
+    post = scratch_persist(
+        docs.select(
+            "doc_id", F.posexplode("__w").alias("__p", "__word")
+        )
+    )
+    a = post.select(
+        F.col("doc_id").alias("d1"), F.col("__p").alias("p1"),
+        F.col("__word").alias("w1"),
+    )
+    b = post.select(
+        F.col("doc_id").alias("d2"), F.col("__p").alias("p2"),
+        F.col("__word").alias("w2"),
+    )
+    cnts = (
+        a.join(
+            b,
+            (F.col("d1") == F.col("d2"))
+            & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = cnts.agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("w1").alias("tw1"),
+                F.col("w2").alias("tw2"),
+            )
+        ).alias("t")
+    ).select(
+        F.col("t.tw1").alias("tw1"),
+        F.col("t.tw2").alias("tw2"),
+        (-F.col("t.nc")).cast("long").alias("pair_count"),
+    )
+    tot = post.agg(
+        F.count(F.lit(1)).cast("long").alias("tokens_before")
+    )
+    wisl = Window.partitionBy("doc_id").orderBy("__p")
+    eq_app = (
+        post.crossJoin(top.select("tw1"))
+        .filter(F.col("__word") == F.col("tw1"))
+        .select(
+            "doc_id",
+            (F.col("__p") - F.row_number().over(wisl)).alias("__g"),
+        )
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__L"))
+        .agg(
+            F.coalesce(
+                F.sum(F.floor(F.col("__L") / 2)), F.lit(0)
+            ).cast("long").alias("eq_app")
+        )
+    )
+    f = top.crossJoin(tot).crossJoin(eq_app)
+    applied = F.when(
+        F.col("tw1") == F.col("tw2"), F.col("eq_app")
+    ).otherwise(F.col("pair_count"))
+    return f.select(
+        F.col("tw1").alias("pair_left"),
+        F.col("tw2").alias("pair_right"),
+        "pair_count",
+        applied.alias("merges_applied"),
+        "tokens_before",
+        (F.col("tokens_before") - applied).alias("tokens_after"),
+        _r6(
+            applied.cast("double")
+            / F.col("tokens_before").cast("double")
+        ).alias("reduction_share"),
+    )
+
+
+SQL_BPE_MERGE_STEP = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws)
+), top AS (
+  SELECT w1 AS tw1, w2 AS tw2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM pairs GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1, w2 LIMIT 1
+), tot AS (
+  SELECT CAST(sum(len(w)) AS BIGINT) AS tokens_before FROM ws
+), occ AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM ws),
+       top
+  WHERE w[i] = top.tw1
+), runs AS (
+  SELECT CAST(count(*) AS BIGINT) AS L
+  FROM (SELECT doc_id,
+          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM occ)
+  GROUP BY doc_id, g
+), eqapp AS (
+  SELECT CAST(coalesce(sum(L // 2), 0) AS BIGINT) AS eq_app FROM runs
+)
+SELECT tw1 AS pair_left, tw2 AS pair_right, pair_count,
+  CASE WHEN tw1 = tw2 THEN eq_app ELSE pair_count END
+    AS merges_applied,
+  tokens_before,
+  tokens_before - CASE WHEN tw1 = tw2 THEN eq_app ELSE pair_count END
+    AS tokens_after,
+  round(CAST(CASE WHEN tw1 = tw2 THEN eq_app ELSE pair_count END
+             AS DOUBLE)
+        / CAST(tokens_before AS DOUBLE), 6) AS reduction_share
+FROM top, tot, eqapp
+"""
+
+QUERIES["bpe_merge_step"] = q_bpe_merge_step
+_RAW_ORACLES["bpe_merge_step"] = SQL_BPE_MERGE_STEP
+
+
+def q_padding_waste_audit(spark, sf_dir):
+    """Batch padding-waste audit: how many pad tokens does fixed-size-8
+    batching burn per source under arrival-order vs length-sorted
+    batching (the bucketed-batching argument every seq2seq/LLM trainer
+    makes — Vaswani et al. 2017 tensor2tensor and fairseq both ship
+    length-bucketed loaders; this measures the win on OUR corpus
+    instead of assuming it). Per (source, batch of 8 consecutive
+    docs): padded cost = rows * max(len), waste = padded - real.
+    Everything is exact longs off ONE persisted per-doc length frame;
+    waste_pct is the single division. The per-source row_number is the
+    per-shard sort a real loader does; at 10^12 docs each source
+    partition range-sorts independently (the documented
+    range-partition + boundary-carry variant applies if one source
+    dominates)."""
+    from mpds_spark.operators.util import scratch_persist
+
+    d = scratch_persist(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "source",
+            F.size(F.split(F.col("text"), " ")).cast("long")
+            .alias("__l"),
+        )
+    )
+
+    def audit(order_cols, label):
+        w = Window.partitionBy("source").orderBy(*order_cols)
+        batched = d.select(
+            "source", "__l",
+            F.floor((F.row_number().over(w) - 1) / 8).alias("__b"),
+        )
+        per_batch = batched.groupBy("source", "__b").agg(
+            F.count(F.lit(1)).cast("long").alias("__rows"),
+            F.max("__l").alias("__mx"),
+            F.sum("__l").cast("long").alias("__real"),
+        )
+        agg = per_batch.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("__real").cast("long").alias("real_tokens"),
+            F.sum(F.col("__rows") * F.col("__mx")).cast("long")
+            .alias("padded_tokens"),
+        )
+        return agg.select(
+            F.lit(label).alias("strategy"),
+            "source", "n_batches", "real_tokens", "padded_tokens",
+            _r6(
+                (F.col("padded_tokens") - F.col("real_tokens"))
+                .cast("double")
+                / F.col("padded_tokens").cast("double")
+            ).alias("waste_pct"),
+        )
+
+    return audit([F.col("doc_id")], "arrival").unionAll(
+        audit([F.col("__l"), F.col("doc_id")], "length_sorted")
+    )
+
+
+SQL_PADDING_WASTE = """
+WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+  FROM documents
+), a AS (
+  SELECT source, l,
+    (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8
+      AS b
+  FROM d
+), s AS (
+  SELECT source, l,
+    (row_number() OVER (PARTITION BY source ORDER BY l, doc_id) - 1)
+      // 8 AS b
+  FROM d
+), pa AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS rows_,
+    CAST(max(l) AS BIGINT) AS mx, CAST(sum(l) AS BIGINT) AS real_
+  FROM a GROUP BY source, b
+), ps AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS rows_,
+    CAST(max(l) AS BIGINT) AS mx, CAST(sum(l) AS BIGINT) AS real_
+  FROM s GROUP BY source, b
+), fa AS (
+  SELECT 'arrival' AS strategy, source,
+    CAST(count(*) AS BIGINT) AS n_batches,
+    CAST(sum(real_) AS BIGINT) AS real_tokens,
+    CAST(sum(rows_ * mx) AS BIGINT) AS padded_tokens
+  FROM pa GROUP BY source
+), fs AS (
+  SELECT 'length_sorted' AS strategy, source,
+    CAST(count(*) AS BIGINT) AS n_batches,
+    CAST(sum(real_) AS BIGINT) AS real_tokens,
+    CAST(sum(rows_ * mx) AS BIGINT) AS padded_tokens
+  FROM ps GROUP BY source
+), u AS (
+  SELECT * FROM fa UNION ALL SELECT * FROM fs
+)
+SELECT strategy, source, n_batches, real_tokens, padded_tokens,
+  round(CAST(padded_tokens - real_tokens AS DOUBLE)
+        / CAST(padded_tokens AS DOUBLE), 6) AS waste_pct
+FROM u
+"""
+
+QUERIES["padding_waste_audit"] = q_padding_waste_audit
+_RAW_ORACLES["padding_waste_audit"] = SQL_PADDING_WASTE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -462,6 +462,13 @@ BUDGETS = {
     # runs test: ONE day agg + tiny-frame rank/lag windows; the 1-row
     # med2 broadcast is the registered BNLJ
     "runs_test": {"shuffle": 6, "python": 0, "cartesian": 0, "bnlj": 1},
+    # bpe: persisted posting frame (cached-branch convention); the two
+    # 1-row top/total combines are the registered BNLJs
+    "bpe_merge_step": {"python": 0, "cartesian": 0, "bnlj": 2},
+    # padding: ONE source-keyed window exchange per strategy; batch agg
+    # reuses the source partitioning
+    "padding_waste_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
+                            "bnlj": 0},
 }
 
 

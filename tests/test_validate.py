@@ -1077,3 +1077,122 @@ def test_runs_test_rebuild(spark):
     assert abs(r["expected_runs"] - e) < 1e-5
     assert abs(r["var_runs"] - var) < 1e-5
     assert abs(r["z_score"] - z) < 1e-5
+
+
+def test_bpe_merge_step_greedy_rebuild(spark):
+    """Top pair + greedy left-to-right merge count vs a literal python
+    BPE application over every document (including the A==B run case
+    the gaps-and-islands formula must get right)."""
+    from mpds_spark.queries import q_bpe_merge_step
+
+    r = q_bpe_merge_step(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    from collections import Counter
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            "SELECT text FROM"
+            " '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    cnt = Counter()
+    tokens_before = 0
+    for t in texts:
+        w = t.split(" ")
+        tokens_before += len(w)
+        cnt.update(zip(w, w[1:]))
+    (tw1, tw2), pc = min(
+        cnt.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    applied = 0
+    for t in texts:
+        w = t.split(" ")
+        i = 0
+        while i < len(w) - 1:
+            if w[i] == tw1 and w[i + 1] == tw2:
+                applied += 1
+                i += 2
+            else:
+                i += 1
+    assert (r["pair_left"], r["pair_right"], r["pair_count"]) == (
+        tw1, tw2, pc,
+    )
+    assert r["merges_applied"] == applied
+    assert r["tokens_before"] == tokens_before
+    assert r["tokens_after"] == tokens_before - applied
+
+
+def test_bpe_merge_step_equal_pair_runs(spark):
+    """The A==B branch: plant run lengths 1..5 of the winning token and
+    check floor(L/2) greedy counting survives the islands formula."""
+    from mpds_spark.queries import q_bpe_merge_step
+    import os
+    import tempfile
+
+    rows = [
+        ("d1", "a a a a a"),       # run 5 -> 2 merges
+        ("d2", "a a x a a a"),     # runs 2,3 -> 1 + 1
+        ("d3", "x a x"),           # run 1 -> 0
+        ("d4", "a a"),             # run 2 -> 1
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id string, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        r = q_bpe_merge_step(spark, td).collect()[0]
+    assert (r["pair_left"], r["pair_right"]) == ("a", "a")
+    # adjacent (a,a) pairs: 4 + (1 + 2) + 0 + 1 = 8
+    assert r["pair_count"] == 8
+    # greedy merges: 2 + (1 + 1) + 0 + 1 = 5
+    assert r["merges_applied"] == 5
+    assert r["tokens_after"] == r["tokens_before"] - 5
+
+
+def test_padding_waste_audit_brute_force(spark):
+    """Both strategies vs a literal python batching loop; and the
+    length-sorted strategy must never waste more than arrival order
+    within any source (sorting minimizes sum of batch maxima for
+    consecutive grouping)."""
+    from mpds_spark.queries import q_padding_waste_audit
+
+    out = {
+        (r["strategy"], r["source"]): r
+        for r in q_padding_waste_audit(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT doc_id, source, len(string_split(text, ' ')) FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    by_src = defaultdict(list)
+    for doc_id, src, l in rows:
+        by_src[src].append((doc_id, l))
+    for src, docs in by_src.items():
+        for strat, key in (
+            ("arrival", lambda d: d[0]),
+            ("length_sorted", lambda d: (d[1], d[0])),
+        ):
+            ordered = [l for _, l in sorted(
+                docs, key=lambda d: key(d) if strat == "arrival"
+                else (d[1], d[0])
+            )] if strat == "length_sorted" else [
+                l for _, l in sorted(docs)
+            ]
+            batches = [
+                ordered[i:i + 8] for i in range(0, len(ordered), 8)
+            ]
+            real = sum(ordered)
+            padded = sum(len(b) * max(b) for b in batches)
+            r = out[(strat, src)]
+            assert r["n_batches"] == len(batches)
+            assert r["real_tokens"] == real
+            assert r["padded_tokens"] == padded
+        assert (
+            out[("length_sorted", src)]["padded_tokens"]
+            <= out[("arrival", src)]["padded_tokens"]
+        )
