@@ -13695,4 +13695,285 @@ FROM u
 
 QUERIES["padding_waste_audit"] = q_padding_waste_audit
 _RAW_ORACLES["padding_waste_audit"] = SQL_PADDING_WASTE
+
+
+def _chi2_inv_1dof(p: float) -> float:
+    """Inverse upper-tail chi-square(1): the z with erfc(z/sqrt(2)) = p,
+    squared. 200 deterministic bisection steps on [0, 40] converge past
+    double resolution, so the returned literal is a pure function of p —
+    the SAME double is embedded in the Spark plan and the DuckDB SQL
+    (repr round-trips doubles exactly), and the BH comparisons stay
+    cross-engine exact."""
+    import math
+
+    lo, hi = 0.0, 40.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if math.erfc(mid / math.sqrt(2.0)) > p:
+            lo = mid
+        else:
+            hi = mid
+    z = (lo + hi) / 2
+    return z * z
+
+
+_BH_M = 24
+_BH_ALPHA = 0.05
+_BH_CRITS = [
+    _chi2_inv_1dof(i * _BH_ALPHA / _BH_M) for i in range(1, _BH_M + 1)
+]
+
+
+def q_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR control over the 24 simultaneous
+    per-hour purchase-rate tests (Benjamini & Hochberg 1995 — THE
+    multiple-testing correction for feature screens and metric sweeps;
+    running 24 hourly tests at alpha=0.05 uncorrected expects a false
+    alarm, which is how seasonality dashboards cry wolf). Each hour
+    gets the one-sample binomial chi-square against the pooled rate (a
+    fixed expression tree of exact longs, so the statistic is
+    cross-engine exact); BH works in chi2 space — p_(i) <= i*alpha/m
+    iff chi2_(i) >= chi2inv(1 - i*alpha/m) — with the 24 critical
+    values precomputed ONCE by deterministic bisection and embedded as
+    identical literals on both engines, so no runtime erf is needed
+    (Spark has none). Reject ranks 1..k where k is the LARGEST
+    satisfied rank (the step-up rule — a window max over the 24-row
+    frame, so a non-monotone chi2 sequence still rejects everything
+    below the last crossing). ONE corpus aggregate; everything after
+    runs on 24 rows at any scale."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("hour"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("__pur"),
+    )
+    c = ev.groupBy("hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__pur").cast("long").alias("purchases"),
+    )
+    tall = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = c.select(
+        "hour", "n_events", "purchases",
+        F.sum("n_events").over(tall).cast("long").alias("__N"),
+        F.sum("purchases").over(tall).cast("long").alias("__X"),
+    )
+    nd = F.col("n_events").cast("double")
+    xd = F.col("purchases").cast("double")
+    Nd = F.col("__N").cast("double")
+    Xd = F.col("__X").cast("double")
+    num = xd - nd * Xd / Nd
+    den = nd * (Xd / Nd) * (F.lit(1.0) - Xd / Nd)
+    s = t.select(
+        "hour", "n_events", "purchases",
+        (xd / nd).alias("__rate"),
+        (num * num / den).alias("__chi2"),
+    )
+    wr = Window.orderBy(F.desc("__chi2"), "hour")
+    crit_arr = F.array(*[F.lit(v) for v in _BH_CRITS])
+    r = s.select(
+        "hour", "n_events", "purchases", "__rate", "__chi2",
+        F.row_number().over(wr).alias("rank"),
+    ).select(
+        "*", F.element_at(crit_arr, F.col("rank")).alias("__crit")
+    )
+    wk = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.max(
+        F.when(F.col("__chi2") >= F.col("__crit"), F.col("rank"))
+        .otherwise(0)
+    ).over(wk)
+    return r.select(
+        "hour", "n_events", "purchases",
+        _r6(F.col("__rate")).alias("rate"),
+        _r6(F.col("__chi2")).alias("chi2"),
+        "rank",
+        _r6(F.col("__crit")).alias("bh_critical"),
+        (F.col("rank") <= k).alias("rejected"),
+    )
+
+
+_BH_VALUES = ",\n         ".join(
+    f"({i + 1}, CAST({v!r} AS DOUBLE))" for i, v in enumerate(_BH_CRITS)
+)
+
+SQL_BH_FDR = f"""
+WITH c AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hour,
+    CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS purchases
+  FROM events GROUP BY 1
+), t AS (
+  SELECT hour, n_events, purchases,
+    CAST(sum(n_events) OVER () AS BIGINT) AS nn,
+    CAST(sum(purchases) OVER () AS BIGINT) AS xx
+  FROM c
+), s AS (
+  SELECT hour, n_events, purchases,
+    CAST(purchases AS DOUBLE) / CAST(n_events AS DOUBLE) AS rate,
+    ((CAST(purchases AS DOUBLE)
+      - CAST(n_events AS DOUBLE) * CAST(xx AS DOUBLE)
+        / CAST(nn AS DOUBLE))
+     * (CAST(purchases AS DOUBLE)
+        - CAST(n_events AS DOUBLE) * CAST(xx AS DOUBLE)
+          / CAST(nn AS DOUBLE)))
+    / (CAST(n_events AS DOUBLE)
+       * (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))
+       * (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))) AS chi2
+  FROM t
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY chi2 DESC, hour) AS rank
+  FROM s
+), cr (rank, crit) AS (
+  VALUES {_BH_VALUES}
+), j AS (
+  SELECT r.*, cr.crit FROM r JOIN cr ON r.rank = cr.rank
+), k AS (
+  SELECT max(CASE WHEN chi2 >= crit THEN rank ELSE 0 END) AS kmax
+  FROM j
+)
+SELECT hour, n_events, purchases,
+  round(rate, 6) AS rate,
+  round(chi2, 6) AS chi2,
+  rank,
+  round(crit, 6) AS bh_critical,
+  rank <= kmax AS rejected
+FROM j, k
+"""
+
+QUERIES["bh_fdr"] = q_bh_fdr
+_RAW_ORACLES["bh_fdr"] = SQL_BH_FDR
+
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes beta-binomial shrinkage of per-user purchase
+    rates with the prior FITTED from the data by method of moments
+    (Robbins 1956 empirical Bayes; the beta-binomial MoM is the
+    textbook Efron & Morris 1975 batting-average treatment): estimate
+    (m, v) = mean/variance of raw rates across users with n >= 5,
+    prior strength s = m(1-m)/v - 1, alpha = m*s, beta = (1-m)*s,
+    shrunk rate = (x + alpha)/(n + alpha + beta). The data-driven
+    companion to rate_shrinkage's FIXED prior strength 20 — here the
+    data says how much to trust small samples. The corpus aggregates
+    to per-user (x, n), then to the DISTINCT (x, n) CELL histogram, so
+    the rate moments are sequential folds over the (n, x)-sorted
+    bounded cell array (the theil_index convention — no per-row float
+    reduction ever touches the user frame, and at 10^12 users the cell
+    frame is still bounded by max-events-per-user^2). MoM caveat
+    documented: if between-user variance is sub-binomial the strength
+    goes negative and EB is undefined — both engines emit the same
+    fixed expressions either way, so the gate stays exact."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("__pur"),
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__pur").cast("long").alias("x"),
+    ).filter(F.col("n") >= 5)
+    cells = scratch_persist(
+        u.groupBy("x", "n").agg(
+            F.count(F.lit(1)).cast("long").alias("users")
+        )
+    )
+    xd = F.col("x").cast("double")
+    ndc = F.col("n").cast("double")
+    ud = F.col("users").cast("double")
+    terms = cells.select(
+        F.struct(
+            F.col("n").alias("n"), F.col("x").alias("x"),
+            (ud * (xd / ndc)).alias("t1"),
+            (ud * (xd / ndc) * (xd / ndc)).alias("t2"),
+        ).alias("__s"),
+        "users",
+    )
+    st = terms.agg(
+        F.sum("users").cast("long").alias("uu"),
+        F.sort_array(F.collect_list("__s")).alias("__arr"),
+    ).select(
+        "uu",
+        F.aggregate(
+            F.transform(F.col("__arr"), lambda e: e["t1"]),
+            F.lit(0.0), lambda a, b: a + b,
+        ).alias("sr"),
+        F.aggregate(
+            F.transform(F.col("__arr"), lambda e: e["t2"]),
+            F.lit(0.0), lambda a, b: a + b,
+        ).alias("sr2"),
+    )
+    uud = F.col("uu").cast("double")
+    m = F.col("sr") / uud
+    v = (F.col("sr2") - F.col("sr") * F.col("sr") / uud) / (
+        (F.col("uu") - 1).cast("double")
+    )
+    s = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    ab = st.select(
+        (m * s).alias("__alpha"),
+        ((F.lit(1.0) - m) * s).alias("__beta"),
+    )
+    f = cells.crossJoin(ab)
+    return f.select(
+        F.col("x").alias("purchases"),
+        F.col("n").alias("n_events"),
+        "users",
+        _r6(xd / ndc).alias("raw_rate"),
+        _r6(
+            (xd + F.col("__alpha"))
+            / (ndc + F.col("__alpha") + F.col("__beta"))
+        ).alias("shrunk_rate"),
+        _r6(F.col("__alpha")).alias("alpha"),
+        _r6(F.col("__beta")).alias("beta"),
+    )
+
+
+SQL_EB_SHRINKAGE = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT x, n, CAST(count(*) AS BIGINT) AS users
+  FROM u WHERE n >= 5 GROUP BY x, n
+), st AS (
+  SELECT CAST(sum(users) AS BIGINT) AS uu,
+    coalesce(list_reduce(
+      list(CAST(users AS DOUBLE)
+           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+           ORDER BY n, x),
+      (a, b) -> a + b), 0.0) AS sr,
+    coalesce(list_reduce(
+      list(CAST(users AS DOUBLE)
+           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+           ORDER BY n, x),
+      (a, b) -> a + b), 0.0) AS sr2
+  FROM cells
+), p AS (
+  SELECT uu, sr / CAST(uu AS DOUBLE) AS m,
+    (sr2 - sr * sr / CAST(uu AS DOUBLE))
+      / CAST(uu - 1 AS DOUBLE) AS v
+  FROM st
+), ab AS (
+  SELECT m * (m * (1.0 - m) / v - 1.0) AS alpha,
+         (1.0 - m) * (m * (1.0 - m) / v - 1.0) AS beta
+  FROM p
+)
+SELECT c.x AS purchases, c.n AS n_events, c.users,
+  round(CAST(c.x AS DOUBLE) / CAST(c.n AS DOUBLE), 6) AS raw_rate,
+  round((CAST(c.x AS DOUBLE) + alpha)
+        / (CAST(c.n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+  round(alpha, 6) AS alpha,
+  round(beta, 6) AS beta
+FROM cells c, ab
+"""
+
+QUERIES["eb_shrinkage"] = q_eb_shrinkage
+_RAW_ORACLES["eb_shrinkage"] = SQL_EB_SHRINKAGE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -469,6 +469,11 @@ BUDGETS = {
     # reuses the source partitioning
     "padding_waste_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
                             "bnlj": 0},
+    # bh: ONE hour agg + tiny 24-row rank/step-up windows
+    "bh_fdr": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # eb: persisted cell histogram (cached-branch convention); the
+    # 1-row alpha/beta broadcast is the registered BNLJ
+    "eb_shrinkage": {"python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 

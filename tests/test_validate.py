@@ -1196,3 +1196,91 @@ def test_padding_waste_audit_brute_force(spark):
             out[("length_sorted", src)]["padded_tokens"]
             <= out[("arrival", src)]["padded_tokens"]
         )
+
+
+def test_bh_fdr_stepup_rebuild(spark):
+    """Chi-square statistics, deterministic critical values, and the
+    step-up k vs a literal python rebuild (Benjamini & Hochberg 1995);
+    also pins the bisection helper against math.erfc round-trips."""
+    import math
+
+    from mpds_spark.queries import _BH_CRITS, _chi2_inv_1dof, q_bh_fdr
+
+    # the bisection inverts erfc: erfc(sqrt(chi2)/sqrt(2)) == target
+    for i, c in enumerate(_BH_CRITS, start=1):
+        assert abs(
+            math.erfc(math.sqrt(c) / math.sqrt(2.0)) - i * 0.05 / 24
+        ) < 1e-12
+    assert _chi2_inv_1dof(0.05) == _BH_CRITS[-1]
+
+    rows = {
+        r["hour"]: r
+        for r in q_bh_fdr(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT CAST(hour(ts) AS BIGINT), CAST(count(*) AS BIGINT),"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT) FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    N = sum(n for _, n, _ in cells)
+    X = sum(x for _, _, x in cells)
+    stats = []
+    for h, n, x in cells:
+        num = x - n * X / N
+        chi2 = num * num / (n * (X / N) * (1 - X / N))
+        stats.append((h, chi2))
+    ranked = sorted(stats, key=lambda t: (-t[1], t[0]))
+    kmax = 0
+    for i, (h, chi2) in enumerate(ranked, start=1):
+        if chi2 >= _BH_CRITS[i - 1]:
+            kmax = i
+    for i, (h, chi2) in enumerate(ranked, start=1):
+        r = rows[h]
+        assert r["rank"] == i
+        assert abs(r["chi2"] - chi2) < 1e-4
+        assert r["rejected"] == (i <= kmax)
+
+
+def test_eb_shrinkage_mom_rebuild(spark):
+    """alpha/beta and the shrunk rates vs a literal python
+    method-of-moments rebuild over the same per-user cells, and the
+    shrinkage direction invariant: every shrunk rate lies between the
+    raw rate and the prior mean."""
+    from mpds_spark.queries import q_eb_shrinkage
+
+    out = q_eb_shrinkage(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT x, n, CAST(count(*) AS BIGINT) FROM ("
+        " SELECT user_id, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS x"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY 1)"
+        " WHERE n >= 5 GROUP BY x, n ORDER BY n, x"
+    ).fetchall()
+    uu = sum(c for _, _, c in cells)
+    sr = 0.0
+    sr2 = 0.0
+    for x, n, c in cells:
+        sr += c * (x / n)
+        sr2 += c * (x / n) * (x / n)
+    m = sr / uu
+    v = (sr2 - sr * sr / uu) / (uu - 1)
+    s = m * (1.0 - m) / v - 1.0
+    alpha, beta = m * s, (1.0 - m) * s
+    assert s > 0, "testdata must be overdispersed for EB to apply"
+    prior_mean = alpha / (alpha + beta)
+    for r in out:
+        assert abs(r["alpha"] - alpha) < 1e-5
+        assert abs(r["beta"] - beta) < 1e-5
+        want = (r["purchases"] + alpha) / (
+            r["n_events"] + alpha + beta
+        )
+        assert abs(r["shrunk_rate"] - want) < 1e-5
+        lo = min(r["raw_rate"], prior_mean) - 1e-6
+        hi = max(r["raw_rate"], prior_mean) + 1e-6
+        assert lo <= r["shrunk_rate"] <= hi
