@@ -13976,4 +13976,196 @@ FROM cells c, ab
 
 QUERIES["eb_shrinkage"] = q_eb_shrinkage
 _RAW_ORACLES["eb_shrinkage"] = SQL_EB_SHRINKAGE
+
+
+def q_kneser_ney_nll(spark, sf_dir):
+    """Per-doc interpolated Kneser-Ney bigram NLL (operators/text.py
+    kneser_ney_score; Kneser & Ney 1995, Chen & Goodman 1998 §2.7
+    fixed-discount form, D = 0.75): the smoothing upgrade of
+    bigram_nll whose continuation probabilities separate
+    narrow-continuation boilerplate from fluent text. Forward and
+    backward continuation counts and the type total all derive from
+    the ONE persisted bigram-count frame; the occurrence stream joins
+    back by bigram — occurrence-linear, no self-join."""
+    from mpds_spark.operators.text import kneser_ney_score
+
+    docs = load(spark, sf_dir, "documents")
+    out = kneser_ney_score(docs, text="text", key="doc_id",
+                           discount=0.75)
+    return out.select(
+        "doc_id", "n_bigrams", _r6("kn_nll").alias("kn_nll")
+    )
+
+
+SQL_KNESER_NEY_NLL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(ws)), i ->
+      struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS b
+  FROM t WHERE len(ws) >= 2
+), o2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM occ),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+  FROM o2 GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+    CAST(count(*) AS BIGINT) AS n1fw
+  FROM c12 GROUP BY w1
+), bw AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c12 GROUP BY w2
+), tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  round(avg(-ln(
+    greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+    + (0.75 * CAST(n1fw AS DOUBLE) / CAST(c1 AS DOUBLE))
+      * (CAST(n1bw AS DOUBLE) / CAST(t AS DOUBLE))
+  )), 6) AS kn_nll
+FROM o2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN bw USING (w2)
+CROSS JOIN tt
+GROUP BY doc_id
+"""
+
+QUERIES["kneser_ney_nll"] = q_kneser_ney_nll
+_RAW_ORACLES["kneser_ney_nll"] = SQL_KNESER_NEY_NLL
+
+
+def q_levene_test(spark, sf_dir):
+    """Brown-Forsythe homogeneity-of-variance test of event value
+    across event types (Levene 1960 with Brown & Forsythe 1974's
+    median centers — the robust pre-check before any pooled-variance
+    t/F machinery, and the reason Welch pairs exist in this catalog:
+    if this F is large, pooling is wrong). Deviations are kept
+    INTEGER: z = |2*cents - med2_g| where med2_g is the group's
+    doubled median (lo+hi middle ranks), so every per-row quantity and
+    every group moment (n, sum z, sum z^2) is an exact long — the
+    common factor 2 cancels inside F. The between-groups term folds
+    S_g^2/n_g in group-sorted order over the tiny k-row frame; F is a
+    fixed expression tree. ONE corpus exchange: the group-rank window,
+    the median agg, the deviation pass and the moment agg all share
+    the event_type partitioning."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        "event_id",
+        (F.signum("value")
+         * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)))
+        .cast("long").alias("__c"),
+    )
+    wg = Window.partitionBy("g").orderBy("__c", "event_id")
+    wn = Window.partitionBy("g")
+    ranked = ev.select(
+        "g", "__c",
+        F.row_number().over(wg).alias("__rn"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("__n"),
+    )
+    med = ranked.groupBy("g").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2),
+                    F.col("__c"),
+                ).otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("__rn") == F.floor(F.col("__n") / 2) + 1,
+                    F.col("__c"),
+                ).otherwise(0)
+            )
+        ).cast("long").alias("med2")
+    )
+    z = ranked.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("__c") - F.col("med2")).alias("__z")
+    )
+    grp = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("__z").cast("long").alias("s"),
+        F.sum(F.col("__z") * F.col("__z")).cast("long").alias("q"),
+    )
+    one = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("st"),
+        F.sum("q").cast("long").alias("qt"),
+        F.sort_array(
+            F.collect_list(F.struct("g", "ng", "s"))
+        ).alias("__arr"),
+    ).select(
+        "k", "n", "st", "qt",
+        F.aggregate(
+            F.transform(
+                F.col("__arr"),
+                lambda e: e["s"].cast("double") * e["s"].cast("double")
+                / e["ng"].cast("double"),
+            ),
+            F.lit(0.0), lambda a, b: a + b,
+        ).alias("sb"),
+    )
+    b = F.col("sb") - (
+        F.col("st").cast("double") * F.col("st").cast("double")
+        / F.col("n").cast("double")
+    )
+    w = F.col("qt").cast("double") - F.col("sb")
+    km1 = (F.col("k") - 1).cast("double")
+    nmk = (F.col("n") - F.col("k")).cast("double")
+    return one.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+        _r6(b / km1).alias("between_ms"),
+        _r6(w / nmk).alias("within_ms"),
+        _r6((b / km1) / (w / nmk)).alias("f_stat"),
+    )
+
+
+SQL_LEVENE_TEST = """
+WITH e AS (
+  SELECT event_type AS g, event_id,
+    CAST(floor(abs(value)*100 + 0.5) * sign(value) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT g, c,
+    row_number() OVER (PARTITION BY g ORDER BY c, event_id) AS rn,
+    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM e
+), m AS (
+  SELECT g, CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c ELSE 0 END)
+             + sum(CASE WHEN rn = n // 2 + 1 THEN c ELSE 0 END)
+         AS BIGINT) AS med2
+  FROM r GROUP BY g
+), z AS (
+  SELECT r.g, abs(2 * r.c - m.med2) AS z FROM r JOIN m ON r.g = m.g
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+    CAST(sum(z) AS BIGINT) AS s,
+    CAST(sum(z * z) AS BIGINT) AS q
+  FROM z GROUP BY g
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+    CAST(sum(s) AS BIGINT) AS st, CAST(sum(q) AS BIGINT) AS qt,
+    coalesce(list_reduce(
+      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(ng AS DOUBLE)
+           ORDER BY g),
+      (a, b) -> a + b), 0.0) AS sb
+  FROM grp
+), f AS (
+  SELECT k, n,
+    sb - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)
+      AS b,
+    CAST(qt AS DOUBLE) - sb AS w
+  FROM one
+)
+SELECT k AS k_groups, n AS n_total, k - 1 AS df1, n - k AS df2,
+  round(b / CAST(k - 1 AS DOUBLE), 6) AS between_ms,
+  round(w / CAST(n - k AS DOUBLE), 6) AS within_ms,
+  round((b / CAST(k - 1 AS DOUBLE)) / (w / CAST(n - k AS DOUBLE)), 6)
+    AS f_stat
+FROM f
+"""
+
+QUERIES["levene_test"] = q_levene_test
+_RAW_ORACLES["levene_test"] = SQL_LEVENE_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -474,6 +474,13 @@ BUDGETS = {
     # eb: persisted cell histogram (cached-branch convention); the
     # 1-row alpha/beta broadcast is the registered BNLJ
     "eb_shrinkage": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # kn: persisted bigram-count frame (cached-branch convention);
+    # occurrence-linear, no self-join, no BNLJ
+    "kneser_ney_nll": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # levene: group window + median agg + global moment agg; the
+    # median joins back as a broadcast hash join, never BNLJ
+    "levene_test": {"shuffle": 3, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
 }
 
 

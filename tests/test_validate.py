@@ -1284,3 +1284,107 @@ def test_eb_shrinkage_mom_rebuild(spark):
         lo = min(r["raw_rate"], prior_mean) - 1e-6
         hi = max(r["raw_rate"], prior_mean) + 1e-6
         assert lo <= r["shrunk_rate"] <= hi
+
+
+def test_kneser_ney_vs_literal_model(spark):
+    """KN probabilities vs a literal python Kneser-Ney bigram model
+    (Chen & Goodman 1998 interpolated form, D=0.75) on every doc, and
+    the probability-simplex sanity: for a planted context the KN
+    distribution over continuations sums to 1."""
+    from mpds_spark.queries import q_kneser_ney_nll
+
+    out = {
+        r["doc_id"]: r
+        for r in q_kneser_ney_nll(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import math
+
+    import duckdb
+    from collections import Counter, defaultdict
+
+    texts = duckdb.sql(
+        "SELECT doc_id, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    c12 = Counter()
+    for _, t in texts:
+        w = t.split()
+        c12.update(zip(w, w[1:]))
+    c1 = defaultdict(int)
+    n1fw = defaultdict(int)
+    n1bw = defaultdict(int)
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    T = len(c12)
+    D = 0.75
+
+    def p(w1, w2):
+        return max(c12[(w1, w2)] - D, 0.0) / c1[w1] + (
+            D * n1fw[w1] / c1[w1]
+        ) * (n1bw[w2] / T)
+
+    # simplex check over every observed continuation of one context
+    # plus the continuation mass it spreads over unseen words: for
+    # corpus-trained KN the observed continuations alone carry
+    # sum(max(c-D,0))/c1 + D*n1fw/c1 * sum(n1bw(w2) for seen w2)/T
+    w1 = max(c1, key=lambda k: (c1[k], k))
+    seen = [w2 for (a, w2) in c12 if a == w1]
+    mass = sum(p(w1, w2) for w2 in seen)
+    full = sum(
+        (D * n1fw[w1] / c1[w1]) * (n1bw[w2] / T)
+        for w2 in set(n1bw) - set(seen)
+    )
+    assert abs(mass + full - 1.0) < 1e-9
+
+    for doc_id, t in texts:
+        w = t.split()
+        if len(w) < 2:
+            assert doc_id not in out
+            continue
+        nll = [-math.log(p(a, b)) for a, b in zip(w, w[1:])]
+        r = out[doc_id]
+        assert r["n_bigrams"] == len(nll)
+        assert abs(r["kn_nll"] - sum(nll) / len(nll)) < 1e-5
+
+
+def test_levene_brown_forsythe_rebuild(spark):
+    """F statistic vs a literal python Brown-Forsythe computation
+    (median-centered absolute deviations, one-way ANOVA on them),
+    including the doubled-median integer trick's scale cancellation."""
+    from mpds_spark.queries import q_levene_test
+
+    r = q_levene_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    from collections import defaultdict
+
+    rows = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    by_g = defaultdict(list)
+    for g, c in rows:
+        by_g[g].append(c)
+    zs = {}
+    for g, cs in by_g.items():
+        srt = sorted(cs)
+        n = len(srt)
+        med2 = srt[(n + 1) // 2 - 1] + srt[n // 2]
+        zs[g] = [abs(2 * c - med2) for c in cs]
+    k = len(zs)
+    N = sum(len(v) for v in zs.values())
+    St = sum(sum(v) for v in zs.values())
+    Qt = sum(z * z for v in zs.values() for z in v)
+    sb = sum(sum(v) ** 2 / len(v) for g, v in sorted(zs.items()))
+    B = sb - St * St / N
+    W = Qt - sb
+    f = (B / (k - 1)) / (W / (N - k))
+    assert (r["k_groups"], r["n_total"]) == (k, N)
+    assert (r["df1"], r["df2"]) == (k - 1, N - k)
+    assert abs(r["f_stat"] - f) < 1e-4
+    assert abs(r["between_ms"] - B / (k - 1)) < 1e-2
+    assert abs(r["within_ms"] - W / (N - k)) < 1e-2
