@@ -14168,4 +14168,221 @@ FROM f
 
 QUERIES["levene_test"] = q_levene_test
 _RAW_ORACLES["levene_test"] = SQL_LEVENE_TEST
+
+
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend-in-proportions test of the purchase
+    SHARE across the ordered days of the month (Cochran 1954, Armitage
+    1955 — the dose-response test, with the day index as the dose: a
+    1-dof monotone-drift audit of the event mix that a plain
+    chi-square on the same cells cannot see because it ignores the
+    level ORDERING; the mix-drift companion to segmented_trend's
+    volume drift). T = sum_i s_i (x_i - n_i X/N) has the exact integer
+    numerator N*sum(s x) - X*sum(s n); z^2 = N*T_num^2 /
+    (X (N-X) (N*sum(s^2 n) - sum(s n)^2)) is a fixed expression tree
+    whose every operand is an exact long < 2^53, so each double
+    conversion is correctly rounded and the gate is exact with zero
+    rounding. ONE corpus aggregate to the <=31-day frame; the user
+    frame is never touched."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("__pur"),
+    )
+    lev = ev.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni"),
+        F.sum("__pur").cast("long").alias("__xi"),
+    )
+    one = lev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum("__ni").cast("long").alias("n_events"),
+        F.sum("__xi").cast("long").alias("n_pos"),
+        F.sum(F.col("__s") * F.col("__ni")).cast("long").alias("ssn"),
+        F.sum(F.col("__s") * F.col("__xi")).cast("long").alias("ssx"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__ni"))
+        .cast("long").alias("ss2n"),
+    )
+    N = F.col("n_events")
+    X = F.col("n_pos")
+    tnum = N * F.col("ssx") - X * F.col("ssn")
+    Nd = N.cast("double")
+    Xd = X.cast("double")
+    Td = tnum.cast("double")
+    z2 = (Nd * Td * Td) / (
+        Xd * (Nd - Xd)
+        * (Nd * F.col("ss2n").cast("double")
+           - F.col("ssn").cast("double") * F.col("ssn").cast("double"))
+    )
+    return one.select(
+        "n_levels", "n_events", "n_pos",
+        tnum.alias("t_num"),
+        _r6(z2).alias("z2"),
+        F.when(tnum > 0, F.lit("increasing"))
+        .when(tnum < 0, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend")).alias("trend"),
+    )
+
+
+SQL_COCHRAN_ARMITAGE = """
+WITH lev AS (
+  SELECT CAST(day(ts) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS ni,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS xi
+  FROM events GROUP BY 1
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_levels,
+    CAST(sum(ni) AS BIGINT) AS n_events,
+    CAST(sum(xi) AS BIGINT) AS n_pos,
+    CAST(sum(s * ni) AS BIGINT) AS ssn,
+    CAST(sum(s * xi) AS BIGINT) AS ssx,
+    CAST(sum(s * s * ni) AS BIGINT) AS ss2n
+  FROM lev
+)
+SELECT n_levels, n_events, n_pos,
+  n_events * ssx - n_pos * ssn AS t_num,
+  round((CAST(n_events AS DOUBLE)
+         * CAST(n_events * ssx - n_pos * ssn AS DOUBLE)
+         * CAST(n_events * ssx - n_pos * ssn AS DOUBLE))
+        / (CAST(n_pos AS DOUBLE)
+           * (CAST(n_events AS DOUBLE) - CAST(n_pos AS DOUBLE))
+           * (CAST(n_events AS DOUBLE) * CAST(ss2n AS DOUBLE)
+              - CAST(ssn AS DOUBLE) * CAST(ssn AS DOUBLE))), 6)
+    AS z2,
+  CASE WHEN n_events * ssx - n_pos * ssn > 0 THEN 'increasing'
+       WHEN n_events * ssx - n_pos * ssn < 0 THEN 'decreasing'
+       ELSE 'no_trend' END AS trend
+FROM one
+"""
+
+QUERIES["cochran_armitage"] = q_cochran_armitage
+_RAW_ORACLES["cochran_armitage"] = SQL_COCHRAN_ARMITAGE
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic regression of the calibration_bins reliability curve
+    (PAVA solution via the Barlow et al. 1972 minimax identity
+    iso_i = max_{j<=i} min_{k>=i} weightedMean(x[j..k]) — the
+    calibration-repair step of Zadrozny & Elkan 2002 that every
+    score-based curation filter should run before thresholding).
+    Same deterministic classifier as calibration_bins: score bin =
+    min(9, min(n_chars,400) div 40), label = doc has >= 50 words. The
+    corpus aggregates ONCE to the <=10-bin frame; the minimax runs as
+    nested bounded transforms over the bin-sorted arrays, every
+    candidate mean ONE division of exact slice-sum longs, so max/min
+    pick identical doubles on both engines and the gate is exact. The
+    pytest proves the minimax equals classic stack-based PAVA. At
+    10^12 docs the isotonic fit still touches 10 rows."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars"), F.lit(400)).cast("long").alias("__m"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 50,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    b = d.groupBy(
+        F.least(F.lit(9).cast("long"), F.expr("__m div 40"))
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("pos"),
+    )
+    one = b.agg(
+        F.sort_array(
+            F.collect_list(F.struct("bin", "n", "pos"))
+        ).alias("__arr")
+    ).select(
+        F.transform(F.col("__arr"), lambda e: e["bin"]).alias("bs"),
+        F.transform(F.col("__arr"), lambda e: e["n"]).alias("ns"),
+        F.transform(F.col("__arr"), lambda e: e["pos"]).alias("xs"),
+        F.size(F.col("__arr")).alias("bcnt"),
+    )
+
+    def ssum(arr, j, k):
+        return F.aggregate(
+            F.slice(arr, j, k - j + 1),
+            F.lit(0).cast("long"),
+            lambda a, e: a + e,
+        )
+
+    iso = one.select(
+        "bs", "ns", "xs",
+        F.transform(
+            F.sequence(F.lit(1), F.col("bcnt")),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), i),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(i, F.col("bcnt")),
+                            lambda k: ssum(F.col("xs"), j, k)
+                            .cast("double")
+                            / ssum(F.col("ns"), j, k).cast("double"),
+                        )
+                    ),
+                )
+            ),
+        ).alias("iso_arr"),
+    )
+    z = iso.select(
+        F.explode(
+            F.arrays_zip(
+                F.col("bs").alias("bin"),
+                F.col("ns").alias("n"),
+                F.col("xs").alias("pos"),
+                F.col("iso_arr").alias("iso"),
+            )
+        ).alias("__e")
+    )
+    return z.select(
+        F.col("__e.bin").alias("bin"),
+        F.col("__e.n").alias("n_docs"),
+        F.col("__e.pos").alias("n_pos"),
+        _r6(
+            F.col("__e.pos").cast("double")
+            / F.col("__e.n").cast("double")
+        ).alias("raw_rate"),
+        _r6(F.col("__e.iso")).alias("iso_rate"),
+    )
+
+
+SQL_ISOTONIC_CALIBRATION = """
+WITH d AS (
+  SELECT least(n_chars, 400) AS m,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 50
+         THEN 1 ELSE 0 END AS y
+  FROM documents
+), bins AS (
+  SELECT least(9, m // 40) AS bin,
+    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM d GROUP BY 1
+), one AS (
+  SELECT list(bin ORDER BY bin) AS bs,
+         list(n ORDER BY bin) AS ns,
+         list(pos ORDER BY bin) AS xs,
+         CAST(count(*) AS BIGINT) AS bcnt
+  FROM bins
+), iso AS (
+  SELECT bs, ns, xs, bcnt,
+    list_transform(range(1, bcnt + 1), i ->
+      list_max(list_transform(range(1, i + 1), j ->
+        list_min(list_transform(range(i, bcnt + 1), k ->
+          CAST(list_sum(xs[j:k]) AS DOUBLE)
+          / CAST(list_sum(ns[j:k]) AS DOUBLE)))))) AS iso_arr
+  FROM one
+), ex AS (
+  SELECT bs, ns, xs, iso_arr,
+    unnest(range(1, bcnt + 1)) AS i
+  FROM iso
+)
+SELECT bs[i] AS bin, ns[i] AS n_docs, xs[i] AS n_pos,
+  round(CAST(xs[i] AS DOUBLE) / CAST(ns[i] AS DOUBLE), 6) AS raw_rate,
+  round(iso_arr[i], 6) AS iso_rate
+FROM ex
+"""
+
+QUERIES["isotonic_calibration"] = q_isotonic_calibration
+_RAW_ORACLES["isotonic_calibration"] = SQL_ISOTONIC_CALIBRATION
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -481,6 +481,12 @@ BUDGETS = {
     # median joins back as a broadcast hash join, never BNLJ
     "levene_test": {"shuffle": 3, "python": 0, "cartesian": 0,
                     "bnlj": 0},
+    # cochran-armitage: ONE day agg + global moment agg, no windows
+    "cochran_armitage": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    # isotonic: ONE bin agg + global collect; minimax is array math
+    "isotonic_calibration": {"shuffle": 2, "python": 0, "cartesian": 0,
+                             "bnlj": 0},
 }
 
 

@@ -1388,3 +1388,86 @@ def test_levene_brown_forsythe_rebuild(spark):
     assert abs(r["f_stat"] - f) < 1e-4
     assert abs(r["between_ms"] - B / (k - 1)) < 1e-2
     assert abs(r["within_ms"] - W / (N - k)) < 1e-2
+
+
+def test_cochran_armitage_rebuild(spark):
+    """T numerator and z^2 vs the literal Cochran-Armitage definition
+    T = sum s_i (x_i - n_i X/N) computed in python over the same day
+    cells (Armitage 1955 eq. 2-3)."""
+    from mpds_spark.queries import q_cochran_armitage
+
+    r = q_cochran_armitage(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT CAST(day(ts) AS BIGINT), CAST(count(*) AS BIGINT),"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT) FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1"
+    ).fetchall()
+    N = sum(n for _, n, _ in cells)
+    X = sum(x for _, _, x in cells)
+    t = sum(s * (x - n * X / N) for s, n, x in cells)
+    t_num = N * sum(s * x for s, _, x in cells) - X * sum(
+        s * n for s, n, _ in cells
+    )
+    assert abs(t_num / N - t) < 1e-6
+    var = (X / N) * (1 - X / N) * (
+        sum(s * s * n for s, n, _ in cells)
+        - sum(s * n for s, n, _ in cells) ** 2 / N
+    )
+    z2 = (t_num / N) ** 2 / var
+    assert r["t_num"] == t_num
+    assert (r["n_events"], r["n_pos"], r["n_levels"]) == (
+        N, X, len(cells),
+    )
+    assert abs(r["z2"] - z2) < 1e-4
+    assert r["trend"] == (
+        "increasing" if t_num > 0
+        else "decreasing" if t_num < 0 else "no_trend"
+    )
+
+
+def _pava(ns, xs):
+    """Classic stack-based pool-adjacent-violators (weighted means)."""
+    blocks = []  # (weight, sum, span)
+    for n, x in zip(ns, xs):
+        blocks.append([n, x, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+        ):
+            w2, s2, c2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    out = []
+    for w, s, c in blocks:
+        out.extend([s / w] * c)
+    return out
+
+
+def test_isotonic_minimax_equals_pava(spark):
+    """The minimax identity must reproduce classic stack-based PAVA on
+    the real bin frame AND on planted violator patterns; the fitted
+    curve must be monotone and weight-mean-preserving."""
+    from mpds_spark.queries import q_isotonic_calibration
+
+    rows = sorted(
+        q_isotonic_calibration(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["bin"],
+    )
+    ns = [r["n_docs"] for r in rows]
+    xs = [r["n_pos"] for r in rows]
+    want = _pava(ns, xs)
+    for r, w in zip(rows, want):
+        assert abs(r["iso_rate"] - w) < 1e-6
+    for a, b in zip(rows, rows[1:]):
+        assert a["iso_rate"] <= b["iso_rate"] + 1e-12
+    assert abs(
+        sum(r["iso_rate"] * r["n_docs"] for r in rows)
+        - sum(xs)
+    ) < 1e-3
+
+    # planted violators: strictly decreasing rates pool into one block
+    ns2, xs2 = [10, 10, 10], [9, 5, 1]
+    assert _pava(ns2, xs2) == [0.5, 0.5, 0.5]
