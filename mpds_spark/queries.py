@@ -14385,4 +14385,169 @@ FROM ex
 
 QUERIES["isotonic_calibration"] = q_isotonic_calibration
 _RAW_ORACLES["isotonic_calibration"] = SQL_ISOTONIC_CALIBRATION
+
+
+def q_gumbel_maxima(spark, sf_dir):
+    """Gumbel extreme-value fit of DAILY MAXIMUM purchase value by
+    block maxima + method of moments (Gumbel 1958; the Fisher-Tippett
+    1928 type-I domain — the capacity-planning question 'how big a
+    spike should we provision for' answered from tail theory instead
+    of eyeballing the max): scale beta = std * sqrt(6)/pi, location
+    mu = mean - gamma * beta (Euler-Mascheroni gamma pinned as the
+    identical literal on both engines), and the T-block return levels
+    x_T = mu - beta * ln(-ln(1 - 1/T)) for T = 7 and 30 days. Daily
+    maxima are exact integer cents from ONE corpus aggregate; n, sum,
+    sum-of-squares over the <=31-day frame are exact longs, so
+    mean/std/mu/beta/rl are fixed expression trees (IEEE sqrt exact;
+    the lns follow the catalog's established cross-engine ln
+    precedent). At 10^12 rows the block-maxima frame is still 31
+    rows."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+        (F.signum("value")
+         * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)))
+        .cast("long").alias("__c"),
+    )
+    day = ev.groupBy("__d").agg(F.max("__c").alias("__m"))
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__m").cast("long").alias("__s"),
+        F.sum(F.col("__m") * F.col("__m")).cast("long").alias("__q"),
+    )
+    nd = F.col("n_days").cast("double")
+    sd = F.col("__s").cast("double")
+    qd = F.col("__q").cast("double")
+    mean = sd / nd / F.lit(100.0)
+    std = F.sqrt(
+        (qd - sd * sd / nd) / (F.col("n_days") - 1).cast("double")
+    ) / F.lit(100.0)
+    euler = F.lit(0.5772156649015329)
+    beta = std * F.sqrt(F.lit(6.0)) / F.lit(3.141592653589793)
+    mu = mean - euler * beta
+
+    def rl(T):
+        return mu - beta * F.log(
+            -F.log(F.lit(1.0) - F.lit(1.0) / F.lit(float(T)))
+        )
+
+    return one.select(
+        "n_days",
+        _r6(mean).alias("mean_daily_max"),
+        _r6(std).alias("std_daily_max"),
+        _r6(mu).alias("gumbel_mu"),
+        _r6(beta).alias("gumbel_beta"),
+        _r6(rl(7)).alias("return_level_7d"),
+        _r6(rl(30)).alias("return_level_30d"),
+    )
+
+
+SQL_GUMBEL_MAXIMA = """
+WITH e AS (
+  SELECT CAST(day(ts) AS BIGINT) AS d,
+    CAST(floor(abs(value)*100 + 0.5) * sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), day AS (
+  SELECT d, CAST(max(c) AS BIGINT) AS m FROM e GROUP BY d
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(m) AS BIGINT) AS s,
+    CAST(sum(m * m) AS BIGINT) AS q
+  FROM day
+), f AS (
+  SELECT n_days,
+    CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mean,
+    sqrt((CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+            / CAST(n_days AS DOUBLE))
+         / CAST(n_days - 1 AS DOUBLE)) / 100.0 AS std
+  FROM one
+), g AS (
+  SELECT n_days, mean, std,
+    std * sqrt(6.0) / 3.141592653589793 AS beta
+  FROM f
+), h AS (
+  SELECT n_days, mean, std, beta,
+    mean - 0.5772156649015329 * beta AS mu
+  FROM g
+)
+SELECT n_days,
+  round(mean, 6) AS mean_daily_max,
+  round(std, 6) AS std_daily_max,
+  round(mu, 6) AS gumbel_mu,
+  round(beta, 6) AS gumbel_beta,
+  round(mu - beta * ln(-ln(1.0 - 1.0 / 7.0)), 6) AS return_level_7d,
+  round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS return_level_30d
+FROM h
+"""
+
+QUERIES["gumbel_maxima"] = q_gumbel_maxima
+_RAW_ORACLES["gumbel_maxima"] = SQL_GUMBEL_MAXIMA
+
+
+def q_session_edit_distance(spark, sf_dir):
+    """Histogram of Levenshtein edit distances between each user's
+    CONSECUTIVE active-day behavior strings (Levenshtein 1966; the
+    day's events collapse to an initials string in time order —
+    'vvcp' = view view click purchase — so the distance measures how
+    much a user's daily routine mutates day over day: the behavioral-
+    stability feature that separates habitual from exploratory users,
+    and the sequence-level drift audit for event pipelines). Day
+    strings are deterministic (ts is unique per user); distances are
+    exact integers from the JVM/native levenshtein on BOTH engines;
+    the histogram is exact longs — zero floats anywhere. One
+    (user, day) aggregate + one user-keyed lag; day strings are <= a
+    few dozen chars so the O(len^2) DP is constant work per pair."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        F.substring("event_type", 1, 1).alias("__i"),
+    )
+    day = ev.groupBy("user_id", "__d").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__t", "__i"))),
+                lambda e: e["__i"],
+            ),
+            "",
+        ).alias("__s")
+    )
+    w = Window.partitionBy("user_id").orderBy("__d")
+    pairs = day.select(
+        F.lag("__s").over(w).alias("__p"), "__s"
+    ).filter(F.col("__p").isNotNull())
+    return (
+        pairs.select(
+            F.levenshtein("__p", "__s").cast("long")
+            .alias("edit_distance")
+        )
+        .groupBy("edit_distance")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+SQL_SESSION_EDIT_DISTANCE = """
+WITH e AS (
+  SELECT user_id, CAST(day(ts) AS BIGINT) AS d, ts,
+    substring(event_type, 1, 1) AS i
+  FROM events
+), day AS (
+  SELECT user_id, d, string_agg(i, '' ORDER BY ts) AS s
+  FROM e GROUP BY user_id, d
+), pairs AS (
+  SELECT lag(s) OVER (PARTITION BY user_id ORDER BY d) AS p, s
+  FROM day
+)
+SELECT CAST(levenshtein(p, s) AS BIGINT) AS edit_distance,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE p IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["session_edit_distance"] = q_session_edit_distance
+_RAW_ORACLES["session_edit_distance"] = SQL_SESSION_EDIT_DISTANCE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -487,6 +487,12 @@ BUDGETS = {
     # isotonic: ONE bin agg + global collect; minimax is array math
     "isotonic_calibration": {"shuffle": 2, "python": 0, "cartesian": 0,
                              "bnlj": 0},
+    # gumbel: ONE day-max agg + global moment agg
+    "gumbel_maxima": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    # edit distance: (user,day) agg + user lag window + histogram agg
+    "session_edit_distance": {"shuffle": 3, "python": 0,
+                              "cartesian": 0, "bnlj": 0},
 }
 
 

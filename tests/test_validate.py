@@ -1471,3 +1471,87 @@ def test_isotonic_minimax_equals_pava(spark):
     # planted violators: strictly decreasing rates pool into one block
     ns2, xs2 = [10, 10, 10], [9, 5, 1]
     assert _pava(ns2, xs2) == [0.5, 0.5, 0.5]
+
+
+def test_gumbel_maxima_formula(spark):
+    """MoM fit vs a literal python computation over the same daily
+    maxima, and the quantile sanity F(rl_T) = 1 - 1/T under the fitted
+    Gumbel CDF exp(-exp(-(x-mu)/beta))."""
+    from mpds_spark.queries import q_gumbel_maxima
+
+    r = q_gumbel_maxima(spark, "/root/testdata/sf0.001").collect()[0]
+    import math
+
+    import duckdb
+
+    ms = [
+        m
+        for (m,) in duckdb.sql(
+            "SELECT CAST(max(CAST(floor(abs(value)*100+0.5)*sign(value)"
+            " AS BIGINT)) AS BIGINT) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " WHERE event_type='purchase' GROUP BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ms)
+    mean = sum(ms) / n / 100.0
+    std = (
+        (sum(m * m for m in ms) - sum(ms) ** 2 / n) / (n - 1)
+    ) ** 0.5 / 100.0
+    beta = std * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert r["n_days"] == n
+    assert abs(r["mean_daily_max"] - mean) < 1e-4
+    assert abs(r["gumbel_mu"] - mu) < 1e-4
+    assert abs(r["gumbel_beta"] - beta) < 1e-4
+    for T, col in ((7, "return_level_7d"), (30, "return_level_30d")):
+        want = mu - beta * math.log(-math.log(1.0 - 1.0 / T))
+        assert abs(r[col] - want) < 1e-4
+        cdf = math.exp(-math.exp(-(r[col] - mu) / beta))
+        assert abs(cdf - (1.0 - 1.0 / T)) < 1e-6
+    assert r["return_level_30d"] > r["return_level_7d"]
+
+
+def test_session_edit_distance_brute_force(spark):
+    """Histogram vs a literal python DP-Levenshtein over the same
+    per-user-day initials strings."""
+    from mpds_spark.queries import q_session_edit_distance
+
+    got = {
+        r["edit_distance"]: r["n_pairs"]
+        for r in q_session_edit_distance(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, CAST(day(ts) AS BIGINT), ts, event_type FROM"
+        " '/root/testdata/sf0.001/events.parquet' ORDER BY user_id, ts"
+    ).fetchall()
+    days = defaultdict(str)
+    for u, d, _, et in rows:
+        days[(u, d)] += et[0]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                ))
+            prev = cur
+        return prev[-1]
+
+    by_user = defaultdict(list)
+    for (u, d), s in sorted(days.items()):
+        by_user[u].append((d, s))
+    want = Counter()
+    for u, lst in by_user.items():
+        lst.sort()
+        for (_, a), (_, b) in zip(lst, lst[1:]):
+            want[lev(a, b)] += 1
+    assert got == dict(want)
