@@ -14550,4 +14550,405 @@ GROUP BY 1
 
 QUERIES["session_edit_distance"] = q_session_edit_distance
 _RAW_ORACLES["session_edit_distance"] = SQL_SESSION_EDIT_DISTANCE
+
+
+_BT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_BT_K = len(_BT_TYPES)
+_BT_R = 10
+
+
+def _bt_fragments():
+    """Shared SQL fragments for the Bradley-Terry MM iterations: the
+    SAME strings run through Spark selectExpr and the DuckDB CTE
+    chain, so every float op is literally identical cross-engine."""
+    K = _BT_K
+    carry = []
+    for i in range(K):
+        for j in range(i + 1, K):
+            carry.append(
+                f"CAST(w{i}{j} + w{j}{i} AS DOUBLE) AS n{i}{j}"
+            )
+    for i in range(K):
+        ws = " + ".join(f"w{i}{j}" for j in range(K) if j != i)
+        ls = " + ".join(f"w{j}{i}" for j in range(K) if j != i)
+        carry.append(f"CAST({ws} AS DOUBLE) AS bw{i}")
+        carry.append(f"CAST({ws} AS BIGINT) AS wt{i}")
+        carry.append(f"CAST({ls} AS BIGINT) AS lt{i}")
+    init = [f"CAST(0.2 AS DOUBLE) AS p0_{i}" for i in range(K)]
+    iters = []
+    for t in range(1, _BT_R + 1):
+        qs = []
+        for i in range(K):
+            den = " + ".join(
+                f"n{min(i, j)}{max(i, j)} / (p{t - 1}_{i} + p{t - 1}_{j})"
+                for j in range(K) if j != i
+            )
+            qs.append(f"bw{i} / ({den}) AS q{t}_{i}")
+        s = " + ".join(f"q{t}_{i}" for i in range(K))
+        ps = [f"q{t}_{i} / ({s}) AS p{t}_{i}" for i in range(K)]
+        iters.append((qs, ps))
+    return carry, init, iters
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strength ranking of the event types from pairwise
+    user-level dominance (Zermelo 1929; Bradley & Terry 1952; fitted
+    by Hunter 2004's MM algorithm, 10 iterations from the uniform
+    start — the SAME model RLHF reward pipelines fit to pairwise
+    preference data, exercised here on 'which event type does a user
+    do more of': w_ij = #users with count_i > count_j, ties dropped).
+    The corpus aggregates to per-user type counts, then ONE global
+    aggregate yields all 20 directed win counts (exact longs); the MM
+    fixed-point iterations p_i <- W_i / sum_j n_ij/(p_i+p_j),
+    renormalized each round, run on that 1-row frame as generated SQL
+    fragments executed VERBATIM by both engines (selectExpr here, a
+    CTE chain in DuckDB), so every division happens in the same order
+    and the gate is exact. The 1-row iteration frame is persisted
+    before the 5-way output union (cached-branch convention). At
+    10^12 events the iteration cost is still 1 row x 10 rounds."""
+    from mpds_spark.operators.util import scratch_persist
+
+    K = _BT_K
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    u = ev.groupBy("user_id").agg(*[
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("long").alias(f"c{i}")
+        for i, t in enumerate(_BT_TYPES)
+    ])
+    wins = []
+    for i in range(K):
+        for j in range(K):
+            if i != j:
+                wins.append(
+                    F.sum(
+                        F.when(F.col(f"c{i}") > F.col(f"c{j}"), 1)
+                        .otherwise(0)
+                    ).cast("long").alias(f"w{i}{j}")
+                )
+    w = u.agg(*wins)
+    carry, init, iters = _bt_fragments()
+    df = w.selectExpr("*", *carry).selectExpr("*", *init)
+    for qs, ps in iters:
+        df = df.selectExpr("*", *qs).selectExpr("*", *ps)
+    df = scratch_persist(df)
+    outs = [
+        df.selectExpr(
+            f"'{t}' AS event_type",
+            f"wt{i} AS wins",
+            f"lt{i} AS losses",
+            f"p{_BT_R}_{i} AS __p",
+        )
+        for i, t in enumerate(_BT_TYPES)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "event_type", "wins", "losses",
+        _r6(F.col("__p")).alias("bt_strength"),
+    )
+
+
+def _bt_sql() -> str:
+    K = _BT_K
+    carry, init, iters = _bt_fragments()
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    winsel = ", ".join(
+        f"CAST(sum(CASE WHEN c{i} > c{j} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS w{i}{j}"
+        for i in range(K) for j in range(K) if i != j
+    )
+    ctes = [
+        f"u AS (SELECT user_id, {cases} FROM events GROUP BY user_id)",
+        f"w AS (SELECT {winsel} FROM u)",
+        f"base AS (SELECT *, {', '.join(carry)} FROM w)",
+        f"it0 AS (SELECT *, {', '.join(init)} FROM base)",
+    ]
+    prev = "it0"
+    for t, (qs, ps) in enumerate(iters, start=1):
+        ctes.append(f"iq{t} AS (SELECT *, {', '.join(qs)} FROM {prev})")
+        ctes.append(f"it{t} AS (SELECT *, {', '.join(ps)} FROM iq{t})")
+        prev = f"it{t}"
+    finals = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type, wt{i} AS wins, lt{i} AS losses,"
+        f" round(p{_BT_R}_{i}, 6) AS bt_strength FROM {prev}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BRADLEY_TERRY = _bt_sql()
+
+QUERIES["bradley_terry"] = q_bradley_terry
+_RAW_ORACLES["bradley_terry"] = SQL_BRADLEY_TERRY
+
+
+_PCA_D = 64
+_PCA_R = 8
+
+
+def q_pca_power_iter(spark, sf_dir):
+    """Top principal component of the embedding cloud by distributed
+    scatter-matrix + power iteration (Pearson 1901 for PCA; von Mises
+    & Pollaczek-Geiger 1929 for the iteration — the anisotropy audit
+    that says whether the embedding space has a dominant direction,
+    which decides PCA-whitening before ANN and exposes collapsed
+    encoders): embeddings quantize to exact integer milli-codes
+    (floor(|x|*1000+.5)*sign — the quant_recall idiom), so the UPPER-
+    TRIANGULAR scatter S_ij = sum q_i q_j and the dim sums are EXACT
+    LONGS from one explode+agg — the one corpus-shaped reduce, emitting
+    a dim^2-bounded frame no matter the row count. The covariance
+    C_ij = (S_ij - s_i s_j/n)/(n-1) is a fixed per-cell expression; 8
+    power iterations v <- C v / ||C v|| run as array transforms over
+    the collected 4096-cell matrix with j-ascending matvec folds and
+    one CTE/select per step so both engines execute literally the same
+    float sequence; the Rayleigh quotient and explained-variance share
+    close it out. At 10^12 embeddings only the scatter agg grows."""
+    from mpds_spark.operators.util import scratch_persist
+
+    D, R = _PCA_D, _PCA_R
+    codes = scratch_persist(
+        load(spark, sf_dir, "embeddings").select(
+            F.transform(
+                "embedding",
+                lambda x: (
+                    F.signum(x.cast("double"))
+                    * F.floor(F.abs(x.cast("double")) * 1000
+                              + F.lit(0.5))
+                ).cast("long"),
+            ).alias("q")
+        )
+    )
+    tri = codes.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(D)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(D)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("q", i)
+                                * F.element_at("q", j)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    cells = scratch_persist(
+        tri.groupBy("i", "j").agg(
+            F.sum("p").cast("long").alias("s")
+        )
+    )
+    fullm = cells.unionAll(
+        cells.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    cf_row = fullm.agg(
+        F.sort_array(F.collect_list(F.struct("i", "j", "s")))
+        .alias("__a")
+    ).select(
+        F.transform(F.col("__a"), lambda e: e["s"]).alias("cf")
+    )
+    dimsums = codes.select(
+        F.posexplode("q").alias("__p0", "__v")
+    ).groupBy((F.col("__p0") + 1).alias("i")).agg(
+        F.sum("__v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    si_row = dimsums.agg(
+        F.sort_array(F.collect_list(F.struct("i", "s", "c")))
+        .alias("__a")
+    ).select(
+        F.transform(F.col("__a"), lambda e: e["s"]).alias("si"),
+        F.element_at(
+            F.transform(F.col("__a"), lambda e: e["c"]), 1
+        ).alias("n"),
+    )
+    df = cf_row.crossJoin(si_row).select(
+        "cf", "si",
+        F.col("n").cast("double").alias("nd"),
+        (F.col("n") - 1).cast("double").alias("nm1"),
+    )
+
+    def cov(i, j):
+        return (
+            F.element_at("cf", ((i - F.lit(1)) * F.lit(D) + j))
+            - F.element_at("si", i) * F.element_at("si", j)
+            / F.col("nd")
+        ) / F.col("nm1")
+
+    def matvec(vcol):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(D)),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(1), F.lit(D)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + cov(i, j) * F.element_at(vcol, j),
+            ),
+        )
+
+    df = df.select(
+        "*",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(D)),
+            lambda i: F.lit(1.0) / F.sqrt(F.lit(float(D))),
+        ).alias("v0"),
+    )
+    for t in range(1, R + 1):
+        df = df.select(
+            "*", matvec(F.col(f"v{t - 1}")).alias(f"u{t}")
+        ).select(
+            "*",
+            F.sqrt(
+                F.aggregate(
+                    F.col(f"u{t}"), F.lit(0.0),
+                    lambda a, e: a + e * e,
+                )
+            ).alias(f"m{t}"),
+        ).select(
+            "*",
+            F.transform(
+                F.col(f"u{t}"), lambda e: e / F.col(f"m{t}")
+            ).alias(f"v{t}"),
+        )
+    df = df.select(
+        "*", matvec(F.col(f"v{R}")).alias("uf")
+    ).select(
+        "*",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(D)), F.lit(0.0),
+            lambda a, i: a
+            + F.element_at(f"v{R}", i) * F.element_at("uf", i),
+        ).alias("lam"),
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(D)), F.lit(0.0),
+            lambda a, i: a + cov(i, i),
+        ).alias("tr"),
+        F.sqrt(
+            F.aggregate(
+                F.col("uf"), F.lit(0.0), lambda a, e: a + e * e
+            )
+        ).alias("mf"),
+    )
+    out = df.select(
+        F.posexplode(
+            F.transform(F.col("uf"), lambda e: e / F.col("mf"))
+        ).alias("__p0", "__l"),
+        "lam", "tr",
+    )
+    return out.select(
+        (F.col("__p0") + 1).alias("component"),
+        _r6(F.col("__l")).alias("loading"),
+        _r6(F.col("lam")).alias("eigenvalue"),
+        _r6(F.col("lam") / F.col("tr")).alias("explained_share"),
+    )
+
+
+def _pca_sql() -> str:
+    D, R = _PCA_D, _PCA_R
+    cov = (
+        "((cf[(i-1)*{d}+j] - si[i]*si[j]/nd)/nm1)".replace(
+            "{d}", str(D)
+        )
+    )
+    covii = "((cf[(i-1)*{d}+i] - si[i]*si[i]/nd)/nm1)".replace(
+        "{d}", str(D)
+    )
+
+    def mv(v):
+        return (
+            f"list_transform(range(1, {D + 1}), i -> "
+            f"list_reduce(list_transform(range(1, {D + 1}), j -> "
+            f"{cov} * {v}[j]), (a, b) -> a + b))"
+        )
+
+    its = []
+    prev = "v0"
+    for t in range(1, R + 1):
+        its.append(
+            f"iu{t} AS (SELECT *, {mv(prev)} AS u{t} FROM "
+            f"{'init' if t == 1 else 'iv' + str(t - 1)})"
+        )
+        its.append(
+            f"im{t} AS (SELECT *, sqrt(list_reduce(list_transform("
+            f"u{t}, e -> e * e), (a, b) -> a + b)) AS m{t} FROM iu{t})"
+        )
+        its.append(
+            f"iv{t} AS (SELECT *, list_transform(u{t}, e -> "
+            f"e / m{t}) AS v{t} FROM im{t})"
+        )
+        prev = f"v{t}"
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+    CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)
+         * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS q
+  FROM embeddings
+), tri AS (
+  SELECT unnest(flatten(list_transform(range(1, {D + 1}), i ->
+    list_transform(range(i, {D + 1}), j ->
+      struct_pack(i := i, j := j, p := q[i]*q[j]))))) AS e
+  FROM q
+), cells AS (
+  SELECT e.i AS i, e.j AS j, CAST(sum(e.p) AS BIGINT) AS s
+  FROM tri GROUP BY 1, 2
+), fullm AS (
+  SELECT i, j, s FROM cells
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM cells WHERE i < j
+), cfr AS (SELECT list(s ORDER BY i, j) AS cf FROM fullm),
+ds AS (
+  SELECT i, CAST(sum(q[i]) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT q, unnest(range(1, {D + 1})) AS i FROM q)
+  GROUP BY i
+), sir AS (
+  SELECT list(s ORDER BY i) AS si, min(c) AS n FROM ds
+), init AS (
+  SELECT cf, si, CAST(n AS DOUBLE) AS nd,
+    CAST(n - 1 AS DOUBLE) AS nm1,
+    list_transform(range(1, {D + 1}), i ->
+      1.0 / sqrt(CAST({D} AS DOUBLE))) AS v0
+  FROM cfr, sir
+),
+{",".join(its)},
+fin AS (
+  SELECT *, {mv(prev)} AS uf FROM iv{R}
+), fin2 AS (
+  SELECT *,
+    list_reduce(list_transform(range(1, {D + 1}), i ->
+      v{R}[i] * uf[i]), (a, b) -> a + b) AS lam,
+    list_reduce(list_transform(range(1, {D + 1}), i ->
+      {covii}), (a, b) -> a + b) AS tr,
+    sqrt(list_reduce(list_transform(uf, e -> e * e),
+         (a, b) -> a + b)) AS mf
+  FROM fin
+), ex AS (
+  SELECT unnest(range(1, {D + 1})) AS component, uf, mf, lam, tr
+  FROM fin2
+)
+SELECT CAST(component AS INT) AS component,
+  round(uf[component] / mf, 6) AS loading,
+  round(lam, 6) AS eigenvalue,
+  round(lam / tr, 6) AS explained_share
+FROM ex
+"""
+
+
+SQL_PCA_POWER_ITER = _pca_sql()
+
+QUERIES["pca_power_iter"] = q_pca_power_iter
+_RAW_ORACLES["pca_power_iter"] = SQL_PCA_POWER_ITER
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -493,6 +493,12 @@ BUDGETS = {
     # edit distance: (user,day) agg + user lag window + histogram agg
     "session_edit_distance": {"shuffle": 3, "python": 0,
                               "cartesian": 0, "bnlj": 0},
+    # bradley-terry: persisted 1-row iteration frame fans out to the
+    # 5-way output union (cached-branch convention)
+    "bradley_terry": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # pca: persisted codes + 2080-cell scatter (cached-branch
+    # convention); the 1-row cf x si combine is the registered BNLJ
+    "pca_power_iter": {"python": 0, "cartesian": 0, "bnlj": 1},
 }
 
 

@@ -1555,3 +1555,179 @@ def test_session_edit_distance_brute_force(spark):
         for (_, a), (_, b) in zip(lst, lst[1:]):
             want[lev(a, b)] += 1
     assert got == dict(want)
+
+
+def test_bradley_terry_mm_rebuild(spark):
+    """Strengths vs a literal python MM rebuild (Hunter 2004, 10
+    iterations, same op order), the simplex invariant sum p = 1, and
+    the fixed-point residual shrinking vs the uniform start."""
+    from mpds_spark.queries import _BT_R, _BT_TYPES, q_bradley_terry
+
+    rows = {
+        r["event_type"]: r
+        for r in q_bradley_terry(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    K = len(_BT_TYPES)
+    cases = ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS c{i}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    users = duckdb.sql(
+        f"SELECT {cases} FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    w = [[0] * K for _ in range(K)]
+    for cs in users:
+        for i in range(K):
+            for j in range(K):
+                if i != j and cs[i] > cs[j]:
+                    w[i][j] += 1
+    n = [[w[i][j] + w[j][i] for j in range(K)] for i in range(K)]
+    bw = [sum(w[i][j] for j in range(K) if j != i) for i in range(K)]
+    p = [0.2] * K
+    for _ in range(_BT_R):
+        q = []
+        for i in range(K):
+            den = 0.0
+            for j in range(K):
+                if j != i:
+                    den += n[i][j] / (p[i] + p[j])
+            q.append(bw[i] / den)
+        s = sum(q)
+        p = [qi / s for qi in q]
+    for i, t in enumerate(_BT_TYPES):
+        r = rows[t]
+        assert r["wins"] == bw[i]
+        assert r["losses"] == sum(w[j][i] for j in range(K) if j != i)
+        assert abs(r["bt_strength"] - p[i]) < 1e-6
+    assert abs(sum(r["bt_strength"] for r in rows.values()) - 1.0) < 1e-5
+    # MM is monotone in likelihood: the fitted point must satisfy the
+    # fixed-point equation better than the uniform start
+    def resid(pv):
+        tot = 0.0
+        for i in range(K):
+            den = sum(
+                n[i][j] / (pv[i] + pv[j]) for j in range(K) if j != i
+            )
+            tot += abs(pv[i] - bw[i] / den / sum(
+                bw[k] / sum(
+                    n[k][j] / (pv[k] + pv[j]) for j in range(K) if j != k
+                ) for k in range(K)
+            ))
+        return tot
+
+    assert resid(p) < resid([0.2] * K)
+
+
+def test_pca_power_iter_rebuild_and_bounds(spark):
+    """Loadings/eigenvalue vs a literal python rebuild of the SAME 8
+    power-iteration steps (identical op order), plus the spectral
+    bounds: the Rayleigh quotient after R steps is monotone in R,
+    lies in [mean eigenvalue, lambda_max], and the loading vector is
+    unit norm. On this near-isotropic random cloud 8 steps do NOT
+    converge to the eigh top vector — small explained_share + slow
+    convergence IS the audit's no-dominant-direction signal; the
+    planted-anisotropy test below covers the converging regime."""
+    from mpds_spark.queries import _PCA_D, _PCA_R, q_pca_power_iter
+
+    rows = sorted(
+        q_pca_power_iter(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["component"],
+    )
+    import duckdb
+    import numpy as np
+
+    vecs = duckdb.sql(
+        "SELECT list_transform(embedding, x ->"
+        " CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)"
+        " * sign(CAST(x AS DOUBLE)) AS BIGINT)) FROM"
+        " '/root/testdata/sf0.001/embeddings.parquet'"
+    ).fetchall()
+    D = _PCA_D
+    X = [v[0] for v in vecs]
+    n = len(X)
+    S = [[0] * D for _ in range(D)]
+    ssum = [0] * D
+    for q in X:
+        for i in range(D):
+            ssum[i] += q[i]
+            for j in range(i, D):
+                S[i][j] += q[i] * q[j]
+    for i in range(D):
+        for j in range(i):
+            S[i][j] = S[j][i]
+    C = [
+        [(S[i][j] - ssum[i] * ssum[j] / n) / (n - 1) for j in range(D)]
+        for i in range(D)
+    ]
+
+    def mv(v):
+        return [
+            sum(C[i][j] * v[j] for j in range(D)) for i in range(D)
+        ]
+
+    v = [1.0 / D ** 0.5] * D
+    lams = []
+    for _ in range(_PCA_R):
+        u = mv(v)
+        m = sum(e * e for e in u) ** 0.5
+        v = [e / m for e in u]
+        lams.append(sum(a * b for a, b in zip(v, mv(v))))
+    uf = mv(v)
+    lam = sum(a * b for a, b in zip(v, uf))
+    mf = sum(e * e for e in uf) ** 0.5
+    loadings = [e / mf for e in uf]
+    for r, w in zip(rows, loadings):
+        assert abs(r["loading"] - w) < 1e-6
+    assert abs(rows[0]["eigenvalue"] - lam) < 1e-4
+
+    Cn = np.array(C)
+    evals = np.linalg.eigvalsh(Cn)
+    assert lams == sorted(lams), "Rayleigh quotient must be monotone"
+    assert lam <= evals[-1] + 1e-6
+    assert lam >= float(np.trace(Cn)) / D - 1e-6
+    assert abs(np.linalg.norm(np.array(loadings)) - 1.0) < 1e-9
+    assert abs(
+        rows[0]["explained_share"] - lam / float(np.trace(Cn))
+    ) < 1e-4
+
+
+def test_pca_power_iter_planted_direction(spark):
+    """On a planted-anisotropy cloud (one dominant axis, eigengap
+    large) 8 power iterations DO converge: |cos| vs the numpy eigh
+    top eigenvector > 0.999 and explained_share is large."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mpds_spark.queries import q_pca_power_iter
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 120
+    axis = rng.standard_normal(d)
+    axis /= np.linalg.norm(axis)
+    X = (
+        np.outer(rng.standard_normal(n) * 0.5, axis)
+        + rng.standard_normal((n, d)) * 0.02
+    ).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+            "vec_id long, embedding array<float>",
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = sorted(
+            q_pca_power_iter(spark, td).collect(),
+            key=lambda r: r["component"],
+        )
+    Q = np.floor(np.abs(X.astype(np.float64)) * 1000 + 0.5) * np.sign(X)
+    C = np.cov(Q, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(C)
+    v = np.array([r["loading"] for r in rows])
+    assert abs(abs(float(np.dot(v, evecs[:, -1]))) - 1.0) < 1e-3
+    assert rows[0]["explained_share"] > 0.8
+    assert abs(rows[0]["eigenvalue"] - evals[-1]) / evals[-1] < 1e-3
