@@ -14951,4 +14951,279 @@ SQL_PCA_POWER_ITER = _pca_sql()
 
 QUERIES["pca_power_iter"] = q_pca_power_iter
 _RAW_ORACLES["pca_power_iter"] = SQL_PCA_POWER_ITER
+
+
+def q_ransac_trend(spark, sf_dir):
+    """RANSAC line fit of daily event volume, made fully deterministic
+    by sweeping EVERY two-day candidate line instead of random
+    sampling (Fischler & Bolles 1981; with <=31 days the
+    465-candidate exhaustive sweep IS the algorithm, no RNG needed —
+    the robust alternative to OLS when a release-day spike or outage
+    day would drag the least-squares trend): for each day pair the
+    line through the two points counts its inliers (residual within
+    10% of the mean daily count), the candidate with the most inliers
+    wins (smallest-pair tie-break), and the final slope/intercept are
+    RE-FIT by OLS on the winning inlier set from exact integer
+    moments. The corpus is touched ONCE by the day aggregate; the
+    candidate x day sweep is a bounded 465x31 join over the persisted
+    tiny frame (registered BNLJ-by-design), never a corpus join."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = scratch_persist(
+        ev.groupBy("__x").agg(
+            F.count(F.lit(1)).cast("long").alias("__y")
+        )
+    )
+    tol = day.agg(
+        (F.lit(0.1) * (
+            F.sum("__y").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )).alias("__tol")
+    )
+    a = day.select(F.col("__x").alias("x1"), F.col("__y").alias("y1"))
+    b = day.select(F.col("__x").alias("x2"), F.col("__y").alias("y2"))
+    # try_divide: Catalyst's join reorder may evaluate the slope on
+    # pairs that fail x1 < x2 before that predicate applies (ANSI mode
+    # throws on double/0 in Spark 4); surviving rows always have
+    # x2 > x1, so try_divide equals plain division on them
+    cand = a.join(b, F.col("x1") < F.col("x2")).select(
+        "x1", "y1", "x2",
+        F.try_divide(
+            (F.col("y2") - F.col("y1")).cast("double"),
+            (F.col("x2") - F.col("x1")).cast("double"),
+        ).alias("__sl"),
+    )
+    sweep = cand.crossJoin(tol).join(
+        day.select(F.col("__x").alias("xx"), F.col("__y").alias("yy")),
+        F.abs(
+            F.col("yy").cast("double")
+            - (F.col("y1").cast("double")
+               + F.col("__sl")
+               * (F.col("xx") - F.col("x1")).cast("double"))
+        ) <= F.col("__tol"),
+    )
+    scored = sweep.groupBy("x1", "x2", "y1", "__sl").agg(
+        F.count(F.lit(1)).cast("long").alias("__inl")
+    )
+    win = scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("__inl")).alias("ninl"),
+                F.col("x1"), F.col("x2"), F.col("y1"), F.col("__sl"),
+            )
+        ).alias("w")
+    ).select(
+        F.col("w.x1").alias("x1"), F.col("w.x2").alias("x2"),
+        F.col("w.y1").alias("wy1"), F.col("w.__sl").alias("wsl"),
+        (-F.col("w.ninl")).cast("long").alias("n_inliers"),
+    )
+    refit = win.crossJoin(tol).join(
+        day,
+        F.abs(
+            F.col("__y").cast("double")
+            - (F.col("wy1").cast("double")
+               + F.col("wsl")
+               * (F.col("__x") - F.col("x1")).cast("double"))
+        ) <= F.col("__tol"),
+    ).groupBy("x1", "x2", "n_inliers").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+    )
+    nd = F.col("__n").cast("double")
+    sxd = F.col("__sx").cast("double")
+    syd = F.col("__sy").cast("double")
+    slope = (
+        F.col("__sxy").cast("double") - sxd * syd / nd
+    ) / (F.col("__sxx").cast("double") - sxd * sxd / nd)
+    return refit.select(
+        F.col("x1").alias("anchor_day1"),
+        F.col("x2").alias("anchor_day2"),
+        "n_inliers",
+        _r6(slope).alias("slope_refit"),
+        _r6(syd / nd - slope * (sxd / nd)).alias("intercept_refit"),
+    )
+
+
+SQL_RANSAC_TREND = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tol AS (
+  SELECT 0.1 * (CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+    AS tol
+  FROM day
+), cand AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS sl
+  FROM day a JOIN day b ON a.x < b.x
+), scored AS (
+  SELECT c.x1, c.x2, c.y1, c.sl, CAST(count(*) AS BIGINT) AS inl
+  FROM cand c, tol, day d
+  WHERE abs(CAST(d.y AS DOUBLE)
+            - (CAST(c.y1 AS DOUBLE)
+               + c.sl * CAST(d.x - c.x1 AS DOUBLE))) <= tol
+  GROUP BY c.x1, c.x2, c.y1, c.sl
+), win AS (
+  SELECT x1, x2, y1 AS wy1, sl AS wsl, inl AS n_inliers
+  FROM scored ORDER BY inl DESC, x1, x2 LIMIT 1
+), refit AS (
+  SELECT w.x1, w.x2, w.n_inliers,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(d.x) AS BIGINT) AS sx,
+    CAST(sum(d.y) AS BIGINT) AS sy,
+    CAST(sum(d.x * d.y) AS BIGINT) AS sxy,
+    CAST(sum(d.x * d.x) AS BIGINT) AS sxx
+  FROM win w, tol, day d
+  WHERE abs(CAST(d.y AS DOUBLE)
+            - (CAST(w.wy1 AS DOUBLE)
+               + w.wsl * CAST(d.x - w.x1 AS DOUBLE))) <= tol
+  GROUP BY w.x1, w.x2, w.n_inliers
+)
+SELECT x1 AS anchor_day1, x2 AS anchor_day2, n_inliers,
+  round((CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+             / CAST(n AS DOUBLE)), 6) AS slope_refit,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+        - ((CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / (CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)))
+          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+    AS intercept_refit
+FROM refit
+"""
+
+QUERIES["ransac_trend"] = q_ransac_trend
+_RAW_ORACLES["ransac_trend"] = SQL_RANSAC_TREND
+
+
+def q_dft_periodogram(spark, sf_dir):
+    """Discrete-Fourier periodogram of the daily event-volume series
+    at cycle counts k = 1..8 over the month (Schuster 1898 — THE
+    seasonality detector; the weekly cycle shows up as power
+    concentrated at k ~ n/7): P_k = C_k^2 + S_k^2 with C_k =
+    sum_t y_t cos(2 pi k t/n) and S_k the sine sum, t the dense day
+    rank. The corpus is touched ONCE by the day aggregate; the trig
+    sums fold DAY-ASCENDING over the collected <=31-point arrays so
+    both engines execute the identical float sequence (cos/sin follow
+    the catalog's cross-engine libm precedent, verified at all three
+    SFs), and the mean is removed exactly via the integer identity
+    n*y_t - S inside the fold (scaled by n, so P_k carries n^2 — the
+    power SHARE divides it out). Output: per-k power share of the
+    detrended total."""
+    from mpds_spark.operators.util import scratch_persist
+
+    K = 8
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("s"),
+    ).select(
+        F.transform(F.col("__a"), lambda e: e["__y"]).alias("ys"),
+        "n", "s",
+    )
+    twopi = F.lit(6.283185307179586)
+    nd = F.col("n").cast("double")
+
+    def trig(k, fn):
+        # sum over t of (n*y_t - S) * fn(2 pi k t / n), t ascending
+        return F.aggregate(
+            F.sequence(F.lit(1), F.col("n").cast("int")),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (F.col("n") * F.element_at("ys", t) - F.col("s"))
+            .cast("double")
+            * fn(twopi * F.lit(float(k)) * t.cast("double") / nd),
+        )
+
+    powers = one.select(
+        "n",
+        *[
+            (trig(k, F.cos) * trig(k, F.cos)
+             + trig(k, F.sin) * trig(k, F.sin)).alias(f"p{k}")
+            for k in range(1, K + 1)
+        ],
+    )
+    powers = scratch_persist(powers)
+    tot = " + ".join(f"p{k}" for k in range(1, K + 1))
+    rows = []
+    for k in range(1, K + 1):
+        rows.append(
+            powers.selectExpr(
+                f"{k} AS k",
+                f"p{k} AS __p",
+                f"({tot}) AS __tot",
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionAll(r)
+    return res.select(
+        "k",
+        _r6(F.col("__p") / F.col("__tot")).alias("power_share"),
+    )
+
+
+def _dft_sql() -> str:
+    K = 8
+
+    def trig(k, fn):
+        return (
+            f"list_reduce(list_transform(range(1, n + 1), t -> "
+            f"CAST(n * ys[t] - s AS DOUBLE) "
+            f"* {fn}(6.283185307179586 * CAST({k} AS DOUBLE) "
+            f"* CAST(t AS DOUBLE) / CAST(n AS DOUBLE))), "
+            f"(a, b) -> a + b)"
+        )
+
+    pcols = ", ".join(
+        f"{trig(k, 'cos')} * {trig(k, 'cos')}"
+        f" + {trig(k, 'sin')} * {trig(k, 'sin')} AS p{k}"
+        for k in range(1, K + 1)
+    )
+    tot = " + ".join(f"p{k}" for k in range(1, K + 1))
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS k, round(p{k} / ({tot}), 6) AS power_share"
+        f" FROM powers"
+        for k in range(1, K + 1)
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(y ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s
+  FROM day
+), powers AS (
+  SELECT n, {pcols} FROM one
+)
+{finals}
+"""
+
+
+SQL_DFT_PERIODOGRAM = _dft_sql()
+
+QUERIES["dft_periodogram"] = q_dft_periodogram
+_RAW_ORACLES["dft_periodogram"] = SQL_DFT_PERIODOGRAM
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -499,6 +499,12 @@ BUDGETS = {
     # pca: persisted codes + 2080-cell scatter (cached-branch
     # convention); the 1-row cf x si combine is the registered BNLJ
     "pca_power_iter": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # ransac: persisted day frame; candidate pair join + tol/win
+    # broadcasts + sweep/refit joins are the registered bounded BNLJs
+    # (465x31 worst case, never a corpus join)
+    "ransac_trend": {"python": 0, "cartesian": 0, "bnlj": 5},
+    # dft: persisted 1-row power frame fans out to the 8-way union
+    "dft_periodogram": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -1731,3 +1731,85 @@ def test_pca_power_iter_planted_direction(spark):
     assert abs(abs(float(np.dot(v, evecs[:, -1]))) - 1.0) < 1e-3
     assert rows[0]["explained_share"] > 0.8
     assert abs(rows[0]["eigenvalue"] - evals[-1]) / evals[-1] < 1e-3
+
+
+def test_ransac_trend_exhaustive_rebuild(spark):
+    """Winning candidate, inlier count and the exact-integer OLS refit
+    vs a literal python sweep of every two-day line (Fischler & Bolles
+    1981 consensus rule, 10%-of-mean tolerance)."""
+    from mpds_spark.queries import q_ransac_trend
+
+    r = q_ransac_trend(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(day(ts) AS BIGINT), CAST(count(*) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    tol = 0.1 * (sum(y for _, y in rows) / len(rows))
+    best = None
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            x1, y1 = rows[i]
+            x2, y2 = rows[j]
+            sl = (y2 - y1) / (x2 - x1)
+            inl = [
+                (x, y) for x, y in rows
+                if abs(y - (y1 + sl * (x - x1))) <= tol
+            ]
+            key = (-len(inl), x1, x2)
+            if best is None or key < best[0]:
+                best = (key, inl)
+    (ninl_neg, bx1, bx2), inliers = best
+    assert (r["anchor_day1"], r["anchor_day2"]) == (bx1, bx2)
+    assert r["n_inliers"] == -ninl_neg == len(inliers)
+    n = len(inliers)
+    sx = sum(x for x, _ in inliers)
+    sy = sum(y for _, y in inliers)
+    sxy = sum(x * y for x, y in inliers)
+    sxx = sum(x * x for x, _ in inliers)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert abs(r["slope_refit"] - slope) < 1e-5
+    assert abs(
+        r["intercept_refit"] - (sy / n - slope * (sx / n))
+    ) < 1e-4
+
+
+def test_dft_periodogram_rebuild(spark):
+    """Power shares vs a literal python DFT over the same detrended
+    daily series (identical fold order, libm cos/sin), plus the
+    Parseval-flavored sanity that shares sum to 1."""
+    from mpds_spark.queries import q_dft_periodogram
+
+    rows = sorted(
+        q_dft_periodogram(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["k"],
+    )
+    import math
+
+    import duckdb
+
+    ys = [
+        y
+        for (y,) in duckdb.sql(
+            "SELECT CAST(count(*) AS BIGINT) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    s = sum(ys)
+    powers = []
+    for k in range(1, 9):
+        c = 0.0
+        sn = 0.0
+        for t in range(1, n + 1):
+            ang = 6.283185307179586 * k * t / n
+            c += (n * ys[t - 1] - s) * math.cos(ang)
+            sn += (n * ys[t - 1] - s) * math.sin(ang)
+        powers.append(c * c + sn * sn)
+    tot = sum(powers)
+    for r, p in zip(rows, powers):
+        assert abs(r["power_share"] - p / tot) < 1e-6
+    assert abs(sum(r["power_share"] for r in rows) - 1.0) < 1e-6
