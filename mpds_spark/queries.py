@@ -15226,4 +15226,346 @@ SQL_DFT_PERIODOGRAM = _dft_sql()
 
 QUERIES["dft_periodogram"] = q_dft_periodogram
 _RAW_ORACLES["dft_periodogram"] = SQL_DFT_PERIODOGRAM
+
+
+import math as _math
+
+_SPRT_LN_LIFT = _math.log(1.1)
+_SPRT_LN19 = _math.log(19.0)
+
+
+def q_sprt_monitor(spark, sf_dir):
+    """Wald sequential probability ratio test replayed over the month
+    of daily purchase shares (Wald 1945 — the sequential monitor that
+    lets a metric watch stop EARLY with guaranteed alpha/beta, the
+    ancestor of every always-valid A/B sequential boundary): H0 = the
+    pooled share p0, H1 = a 10% lift 1.1*p0, so the per-event
+    log-likelihood ratio is x*ln(1.1) + (n-x)*ln((1-p1)/(1-p0)) and
+    the cumulative LLR is a running window over the <=31-day frame;
+    decision boundaries +-ln(19) are the alpha=beta=0.05 Wald bounds,
+    with ln(1.1) and ln(19) pinned as identical python literals on
+    both engines. Replaying against the POOLED p0 makes this an A/A
+    null replay: the LLR should random-walk between the boundaries,
+    and an early accept_h1 crossing flags a drifting metric (the
+    sequential companion to srm_check). ONE corpus aggregate; the
+    cumulative machinery never touches more than 31 rows."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("__pur"),
+    )
+    cells = ev.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__pur").cast("long").alias("__x"),
+    )
+    wc = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        F.col("__s").alias("day"),
+        F.sum("__n").over(wc).cast("long").alias("cum_events"),
+        F.sum("__x").over(wc).cast("long").alias("cum_purchases"),
+        F.sum("__n").over(wt).cast("long").alias("__N"),
+        F.sum("__x").over(wt).cast("long").alias("__X"),
+    )
+    p0 = F.col("__X").cast("double") / F.col("__N").cast("double")
+    p1 = F.lit(1.1) * p0
+    l0 = F.log((F.lit(1.0) - p1) / (F.lit(1.0) - p0))
+    llr = (
+        F.col("cum_purchases").cast("double") * F.lit(_SPRT_LN_LIFT)
+        + (F.col("cum_events") - F.col("cum_purchases")).cast("double")
+        * l0
+    )
+    return t.select(
+        "day", "cum_events", "cum_purchases",
+        _r6(llr).alias("llr"),
+        F.when(llr >= F.lit(_SPRT_LN19), F.lit("accept_h1"))
+        .when(llr <= F.lit(-_SPRT_LN19), F.lit("accept_h0"))
+        .otherwise(F.lit("continue")).alias("decision"),
+    )
+
+
+SQL_SPRT_MONITOR = f"""
+WITH cells AS (
+  SELECT CAST(day(ts) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x
+  FROM events GROUP BY 1
+), t AS (
+  SELECT s AS day,
+    CAST(sum(n) OVER w AS BIGINT) AS cum_events,
+    CAST(sum(x) OVER w AS BIGINT) AS cum_purchases,
+    CAST(sum(n) OVER () AS BIGINT) AS nn,
+    CAST(sum(x) OVER () AS BIGINT) AS xx
+  FROM cells
+  WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), f AS (
+  SELECT day, cum_events, cum_purchases,
+    CAST(cum_purchases AS DOUBLE) * CAST({_SPRT_LN_LIFT!r} AS DOUBLE)
+    + CAST(cum_events - cum_purchases AS DOUBLE)
+      * ln((1.0 - 1.1 * (CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE)))
+           / (1.0 - CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE))) AS llr
+  FROM t
+)
+SELECT day, cum_events, cum_purchases,
+  round(llr, 6) AS llr,
+  CASE WHEN llr >= CAST({_SPRT_LN19!r} AS DOUBLE) THEN 'accept_h1'
+       WHEN llr <= CAST({(-_SPRT_LN19)!r} AS DOUBLE) THEN 'accept_h0'
+       ELSE 'continue' END AS decision
+FROM f
+"""
+
+QUERIES["sprt_monitor"] = q_sprt_monitor
+_RAW_ORACLES["sprt_monitor"] = SQL_SPRT_MONITOR
+
+
+_SK_R = 20
+_SK_K = [_math.exp(-float(c)) for c in range(10)]
+
+
+def q_sinkhorn_ot(spark, sf_dir):
+    """Entropic optimal transport between the purchase and click value
+    histograms by Sinkhorn-Knopp scaling (Cuturi NeurIPS 2013 — the
+    regularized OT that made transport distances practical for ML;
+    the geometry-aware drift metric beside wasserstein_drift's exact
+    1-D EMD, and the same machinery behind dataset-distance work like
+    OTDD): both streams bin into 10 equal-width value buckets (width
+    from the shared max via a registered 1-row boundary broadcast),
+    marginals are exact-count ratios, the Gibbs kernel
+    K_ij = exp(-|i-j|) is a 10-literal python table pinned identically
+    on both engines, and 20 u/v scaling rounds run as array
+    transforms with ascending folds and one select/CTE per step —
+    literally the same float sequence cross-engine. Output: the
+    transport cost <P, C>, the row-marginal residual after the final
+    column update (the convergence certificate), and the plan
+    entropy. ONE corpus aggregate; the iteration state is 2x10
+    doubles at any scale."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        F.col("event_type").alias("__t"),
+        (F.signum("value")
+         * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)))
+        .cast("long").alias("__c"),
+    )
+    mx = ev.agg(F.max("__c").alias("__mx"))
+    binned = ev.crossJoin(mx).select(
+        "__t",
+        (F.col("__c") / (F.floor(F.col("__mx") / 10) + 1))
+        .cast("long").alias("__b"),
+    )
+    cells = binned.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t") == "purchase", 1).otherwise(0))
+        .cast("long").alias("__pa"),
+        F.sum(F.when(F.col("__t") == "click", 1).otherwise(0))
+        .cast("long").alias("__pb"),
+    )
+    one = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__b", "__pa", "__pb"))
+        ).alias("__arr")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.coalesce(
+                F.try_element_at(
+                    F.filter(
+                        F.col("__arr"), lambda e: e["__b"] == i
+                    ), F.lit(1)
+                )["__pa"],
+                F.lit(0).cast("long"),
+            ),
+        ).alias("pa"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda i: F.coalesce(
+                F.try_element_at(
+                    F.filter(
+                        F.col("__arr"), lambda e: e["__b"] == i
+                    ), F.lit(1)
+                )["__pb"],
+                F.lit(0).cast("long"),
+            ),
+        ).alias("pb"),
+    )
+    karr = F.array(*[F.lit(v) for v in _SK_K])
+
+    def kk(i, j):
+        return F.element_at(karr, F.abs(i - j) + 1)
+
+    df = one.select(
+        F.transform(
+            "pa",
+            lambda e: e.cast("double")
+            / F.aggregate(
+                F.col("pa"), F.lit(0).cast("long"), lambda a, b: a + b
+            ).cast("double"),
+        ).alias("a"),
+        F.transform(
+            "pb",
+            lambda e: e.cast("double")
+            / F.aggregate(
+                F.col("pb"), F.lit(0).cast("long"), lambda a, b: a + b
+            ).cast("double"),
+        ).alias("b"),
+    )
+    seq10 = F.sequence(F.lit(1), F.lit(10))
+
+    # One fold carries the (u, v) pair as a 20-element array — 40
+    # chained projections of higher-order functions stall Catalyst
+    # analysis, a single aggregate does not. The inner transform-over-
+    # singleton binds u' once per round (DuckDB mirrors round-by-round
+    # with the identical update expressions, so the floats match).
+    def round_step(acc):
+        vprev = F.slice(acc, 11, 10)
+        uexpr = F.transform(
+            seq10,
+            lambda i: F.element_at("a", i)
+            / F.aggregate(
+                seq10, F.lit(0.0),
+                lambda a2, j: a2 + kk(i, j) * F.element_at(vprev, j),
+            ),
+        )
+        return F.element_at(
+            F.transform(
+                F.array(uexpr),
+                lambda u: F.concat(
+                    u,
+                    F.transform(
+                        seq10,
+                        lambda j: F.element_at("b", j)
+                        / F.aggregate(
+                            seq10, F.lit(0.0),
+                            lambda a2, i: a2
+                            + kk(i, j) * F.element_at(u, i),
+                        ),
+                    ),
+                ),
+            ),
+            1,
+        )
+
+    ones = F.transform(seq10, lambda i: F.lit(1.0))
+    df = df.select(
+        "a", "b",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_SK_R)),
+            F.concat(ones, ones),
+            lambda acc, t: round_step(acc),
+        ).alias("uv"),
+    ).select(
+        "a", "b",
+        F.slice("uv", 1, 10).alias("uR"),
+        F.slice("uv", 11, 10).alias("vR"),
+    )
+    plan = lambda i, j: (
+        F.element_at("uR", i) * kk(i, j) * F.element_at("vR", j)
+    )
+    cost = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)), F.lit(0.0),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.sequence(F.lit(1), F.lit(10)), F.lit(0.0),
+            lambda a2, j: a2
+            + plan(i, j) * F.abs(i - j).cast("double"),
+        ),
+    )
+    resid = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)), F.lit(0.0),
+        lambda acc, i: acc
+        + F.abs(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(10)), F.lit(0.0),
+                lambda a2, j: a2 + plan(i, j),
+            )
+            - F.element_at("a", i)
+        ),
+    )
+    return df.select(
+        F.lit(_SK_R).alias("iterations"),
+        _r6(cost).alias("ot_cost"),
+        _r6(resid).alias("row_marginal_resid"),
+    )
+
+
+def _sinkhorn_sql() -> str:
+    R = _SK_R
+    klit = "[" + ", ".join(
+        f"CAST({v!r} AS DOUBLE)" for v in _SK_K
+    ) + "]"
+    kk = f"({klit})[abs(i - j) + 1]"
+    kkji = f"({klit})[abs(i - j) + 1]"
+    its = []
+    prev = "v0"
+    for t in range(1, R + 1):
+        its.append(
+            f"iu{t} AS (SELECT *, list_transform(range(1, 11), i -> "
+            f"a[i] / list_reduce(list_transform(range(1, 11), j -> "
+            f"{kk} * {prev}[j]), (x, y) -> x + y)) AS u{t} FROM "
+            f"{'init' if t == 1 else 'iv' + str(t - 1)})"
+        )
+        its.append(
+            f"iv{t} AS (SELECT *, list_transform(range(1, 11), j -> "
+            f"b[j] / list_reduce(list_transform(range(1, 11), i -> "
+            f"{kkji} * u{t}[i]), (x, y) -> x + y)) AS v{t} FROM iu{t})"
+        )
+        prev = f"v{t}"
+    plan = f"u{R}[i] * ({klit})[abs(i - j) + 1] * v{R}[j]"
+    return f"""
+WITH e AS (
+  SELECT event_type AS t,
+    CAST(floor(abs(value)*100 + 0.5) * sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'click')
+), mx AS (SELECT CAST(max(c) AS BIGINT) AS mx FROM e),
+binned AS (
+  SELECT t, CAST(c // (mx // 10 + 1) AS BIGINT) AS b FROM e, mx
+), cells AS (
+  SELECT b,
+    CAST(sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pa,
+    CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+      AS pb
+  FROM binned GROUP BY b
+), dense AS (
+  SELECT i AS b, coalesce(pa, 0) AS pa, coalesce(pb, 0) AS pb
+  FROM (SELECT unnest(range(0, 10)) AS i)
+  LEFT JOIN cells ON cells.b = i
+), one AS (
+  SELECT list(pa ORDER BY b) AS lpa, list(pb ORDER BY b) AS lpb
+  FROM dense
+), init AS (
+  SELECT
+    list_transform(lpa, e -> CAST(e AS DOUBLE)
+      / CAST(list_reduce(lpa, (x, y) -> x + y) AS DOUBLE)) AS a,
+    list_transform(lpb, e -> CAST(e AS DOUBLE)
+      / CAST(list_reduce(lpb, (x, y) -> x + y) AS DOUBLE)) AS b,
+    list_transform(range(1, 11), i -> 1.0) AS v0
+  FROM one
+),
+{",".join(its)}
+SELECT {R} AS iterations,
+  round(list_reduce(list_transform(range(1, 11), i ->
+    list_reduce(list_transform(range(1, 11), j ->
+      {plan} * CAST(abs(i - j) AS DOUBLE)), (x, y) -> x + y)),
+    (x, y) -> x + y), 6) AS ot_cost,
+  round(list_reduce(list_transform(range(1, 11), i ->
+    abs(list_reduce(list_transform(range(1, 11), j ->
+      {plan}), (x, y) -> x + y) - a[i])), (x, y) -> x + y), 6)
+    AS row_marginal_resid
+FROM iv{R}
+"""
+
+
+SQL_SINKHORN_OT = _sinkhorn_sql()
+
+QUERIES["sinkhorn_ot"] = q_sinkhorn_ot
+_RAW_ORACLES["sinkhorn_ot"] = SQL_SINKHORN_OT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

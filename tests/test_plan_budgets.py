@@ -505,6 +505,13 @@ BUDGETS = {
     "ransac_trend": {"python": 0, "cartesian": 0, "bnlj": 5},
     # dft: persisted 1-row power frame fans out to the 8-way union
     "dft_periodogram": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # sprt: ONE day agg + tiny cumulative windows
+    "sprt_monitor": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # sinkhorn: bin agg + dense collect; the corpus-max 1-row boundary
+    # broadcast is the registered BNLJ; all iterations are ONE fold
+    "sinkhorn_ot": {"shuffle": 3, "python": 0, "cartesian": 0,
+                    "bnlj": 1},
 }
 
 

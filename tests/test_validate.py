@@ -1813,3 +1813,100 @@ def test_dft_periodogram_rebuild(spark):
     for r, p in zip(rows, powers):
         assert abs(r["power_share"] - p / tot) < 1e-6
     assert abs(sum(r["power_share"] for r in rows) - 1.0) < 1e-6
+
+
+def test_sprt_monitor_rebuild(spark):
+    """Cumulative LLR vs a literal python Wald SPRT replay with the
+    same pinned literals, plus the A/A-null expectation that the
+    final-day LLR corresponds to the pooled rate (the boundary
+    decision recomputed identically)."""
+    from mpds_spark.queries import (
+        _SPRT_LN19, _SPRT_LN_LIFT, q_sprt_monitor,
+    )
+
+    rows = {
+        r["day"]: r
+        for r in q_sprt_monitor(spark, "/root/testdata/sf0.001").collect()
+    }
+    import math
+
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT CAST(day(ts) AS BIGINT), CAST(count(*) AS BIGINT),"
+        " CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT) FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    N = sum(n for _, n, _ in cells)
+    X = sum(x for _, _, x in cells)
+    p0 = X / N
+    l0 = math.log((1.0 - 1.1 * p0) / (1.0 - p0))
+    cn = cx = 0
+    for d, n, x in cells:
+        cn += n
+        cx += x
+        llr = cx * _SPRT_LN_LIFT + (cn - cx) * l0
+        r = rows[d]
+        assert (r["cum_events"], r["cum_purchases"]) == (cn, cx)
+        assert abs(r["llr"] - llr) < 1e-5
+        want = (
+            "accept_h1" if llr >= _SPRT_LN19
+            else "accept_h0" if llr <= -_SPRT_LN19 else "continue"
+        )
+        assert r["decision"] == want
+
+
+def test_sinkhorn_ot_rebuild_and_marginals(spark):
+    """OT cost vs a literal python Sinkhorn rebuild (same kernel
+    literals, same fold order), the marginal-residual convergence
+    certificate, and the transport-plan mass balance."""
+    from mpds_spark.queries import _SK_K, _SK_R, q_sinkhorn_ot
+
+    r = q_sinkhorn_ot(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "WITH e AS (SELECT event_type AS t,"
+        " CAST(floor(abs(value)*100+0.5)*sign(value) AS BIGINT) AS c"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type IN ('purchase','click')),"
+        " mx AS (SELECT max(c) AS mx FROM e)"
+        " SELECT t, CAST(c // (mx // 10 + 1) AS BIGINT) AS b,"
+        " count(*) FROM e, mx GROUP BY 1, 2"
+    ).fetchall()
+    pa = [0] * 10
+    pb = [0] * 10
+    for t, b, c in rows:
+        (pa if t == "purchase" else pb)[b] += c
+    a = [x / sum(pa) for x in pa]
+    b = [x / sum(pb) for x in pb]
+    K = [[_SK_K[abs(i - j)] for j in range(10)] for i in range(10)]
+    v = [1.0] * 10
+    for _ in range(_SK_R):
+        u = [
+            a[i] / sum(K[i][j] * v[j] for j in range(10))
+            if a[i] else 0.0
+            for i in range(10)
+        ]
+        v = [
+            b[j] / sum(K[i][j] * u[i] for i in range(10))
+            if b[j] else 0.0
+            for j in range(10)
+        ]
+    P = [[u[i] * K[i][j] * v[j] for j in range(10)] for i in range(10)]
+    cost = sum(
+        P[i][j] * abs(i - j) for i in range(10) for j in range(10)
+    )
+    assert r["iterations"] == _SK_R
+    assert abs(r["ot_cost"] - cost) < 1e-5
+    # column marginals exact after the final v update; row residual
+    # small and equal to the reported certificate
+    for j in range(10):
+        colsum = sum(P[i][j] for i in range(10))
+        assert abs(colsum - b[j]) < 1e-9
+    resid = sum(
+        abs(sum(P[i][j] for j in range(10)) - a[i]) for i in range(10)
+    )
+    assert abs(r["row_marginal_resid"] - resid) < 1e-5
+    assert r["row_marginal_resid"] < 0.01
