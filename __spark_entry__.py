@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (forty-seventh batch — continuation session)
+    "kruskal_wallis",
+    "mcnemar_test",
     # new in round 5 (forty-sixth batch — continuation session)
     "sprt_monitor",
     "sinkhorn_ot",

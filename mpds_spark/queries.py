@@ -15568,4 +15568,203 @@ SQL_SINKHORN_OT = _sinkhorn_sql()
 
 QUERIES["sinkhorn_ot"] = q_sinkhorn_ot
 _RAW_ORACLES["sinkhorn_ot"] = SQL_SINKHORN_OT
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis rank one-way ANOVA of event value across event
+    types (Kruskal & Wallis 1952 — the distribution-free complement to
+    levene_test/welch_pairs: it asks whether ANY group's value
+    distribution is shifted, with no normality assumption, which is
+    the right omnibus test for heavy-tailed revenue-like values).
+    Ranks never require a global per-row sort: doubled mid-ranks
+    r2(c) = 2*cum_before + t_c + 1 come from the DISTINCT-cents
+    histogram (the spearman_rank convention) and stay EXACT INTEGERS;
+    per-group rank sums R2_g are exact longs; H = 12/(N(N+1)) *
+    sum_g (R2_g/2)^2/n_g - 3(N+1) and the tie correction
+    C = 1 - sum(t^3-t)/(N^3-N) fold group-sorted/value-sorted over
+    bounded frames. ONE corpus agg to the histogram + one rank join
+    back + one group agg. At 10^12 rows the rank table is the value
+    histogram."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("g"),
+        (F.signum("value")
+         * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5)))
+        .cast("long").alias("__c"),
+    )
+    hist = ev.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    wv = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranks = hist.select(
+        "__c", "__t",
+        (2 * (F.sum("__t").over(wv) - F.col("__t"))
+         + F.col("__t") + 1).cast("long").alias("__r2"),
+    )
+    joined = ev.join(ranks.select("__c", "__r2"), "__c")
+    grp = joined.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("__r2").cast("long").alias("r2g"),
+    )
+    tiefrm = hist.agg(
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).cast("long").alias("tie")
+    )
+    one = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("g", "ng", "r2g"))
+        ).alias("__arr"),
+    ).crossJoin(tiefrm)
+    nd = F.col("n").cast("double")
+    sb = F.aggregate(
+        F.transform(
+            F.col("__arr"),
+            lambda e: (e["r2g"].cast("double") / F.lit(2.0))
+            * (e["r2g"].cast("double") / F.lit(2.0))
+            / e["ng"].cast("double"),
+        ),
+        F.lit(0.0), lambda a, b: a + b,
+    )
+    h = F.lit(12.0) / (nd * (nd + F.lit(1.0))) * sb \
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    corr = F.lit(1.0) - F.col("tie").cast("double") / (
+        nd * nd * nd - nd
+    )
+    return one.select(
+        F.col("k").alias("k_groups"),
+        F.col("n").alias("n_total"),
+        F.col("tie").alias("tie_term"),
+        _r6(h).alias("h_stat"),
+        _r6(h / corr).alias("h_corrected"),
+    )
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH e AS (
+  SELECT event_type AS g,
+    CAST(floor(abs(value)*100 + 0.5) * sign(value) AS BIGINT) AS c
+  FROM events
+), hist AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM e GROUP BY c
+), ranks AS (
+  SELECT c, t,
+    CAST(2 * (sum(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) - t) + t + 1 AS BIGINT)
+      AS r2
+  FROM hist
+), grp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+    CAST(sum(r2) AS BIGINT) AS r2g
+  FROM e JOIN ranks USING (c) GROUP BY g
+), tiefrm AS (
+  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie FROM hist
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+    coalesce(list_reduce(
+      list((CAST(r2g AS DOUBLE) / 2.0) * (CAST(r2g AS DOUBLE) / 2.0)
+           / CAST(ng AS DOUBLE) ORDER BY g),
+      (a, b) -> a + b), 0.0) AS sb
+  FROM grp
+), f AS (
+  SELECT k, n, tie,
+    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sb
+      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+    1.0 - CAST(tie AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         - CAST(n AS DOUBLE)) AS corr
+  FROM one, tiefrm
+)
+SELECT k AS k_groups, n AS n_total, tie AS tie_term,
+  round(h, 6) AS h_stat,
+  round(h / corr, 6) AS h_corrected
+FROM f
+"""
+
+QUERIES["kruskal_wallis"] = q_kruskal_wallis
+_RAW_ORACLES["kruskal_wallis"] = SQL_KRUSKAL_WALLIS
+
+
+def q_mcnemar_test(spark, sf_dir):
+    """McNemar's test on the cohens_kappa rater pair (McNemar 1947;
+    Edwards 1948 continuity correction — the PAIRED disagreement test
+    that kappa does not give you: kappa says how much two
+    quality-filter rules agree, McNemar says whether their
+    DISAGREEMENTS are one-sided, i.e. one rule is systematically
+    stricter, which is what you check before swapping rule A for rule
+    B in a curation pipeline). Uses the identical deterministic raters
+    (n_chars >= 120 vs >= 20 words via the space-count identity); the
+    discordant cells b = A-only, c = B-only come from ONE aggregate;
+    chi2 = (b-c)^2/(b+c) and the corrected (|b-c|-1)^2/(b+c) are
+    single exact-integer-ratio divisions."""
+    d = load(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") >= 120, F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("__ra"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 20,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__rb"),
+    )
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("__ra") * (1 - F.col("__rb"))).cast("long")
+        .alias("b_only_a"),
+        F.sum((1 - F.col("__ra")) * F.col("__rb")).cast("long")
+        .alias("c_only_b"),
+    )
+    b = F.col("b_only_a")
+    c = F.col("c_only_b")
+    bc = (b + c).cast("double")
+    chi2 = F.when(
+        b + c > 0,
+        ((b - c) * (b - c)).cast("double") / bc,
+    ).otherwise(F.lit(0.0))
+    chi2_cc = F.when(
+        b + c > 0,
+        ((F.abs(b - c) - 1) * (F.abs(b - c) - 1)).cast("double") / bc,
+    ).otherwise(F.lit(0.0))
+    return a.select(
+        "n_docs", "b_only_a", "c_only_b",
+        _r6(chi2).alias("chi2"),
+        _r6(chi2_cc).alias("chi2_corrected"),
+        (chi2_cc > F.lit(3.841)).alias("one_sided_disagreement"),
+    )
+
+
+SQL_MCNEMAR_TEST = """
+WITH d AS (
+  SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END AS ra,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+         THEN 1 ELSE 0 END AS rb
+  FROM documents
+), a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ra * (1 - rb)) AS BIGINT) AS b_only_a,
+    CAST(sum((1 - ra) * rb) AS BIGINT) AS c_only_b
+  FROM d
+)
+SELECT n_docs, b_only_a, c_only_b,
+  round(CASE WHEN b_only_a + c_only_b > 0
+    THEN CAST((b_only_a - c_only_b) * (b_only_a - c_only_b) AS DOUBLE)
+         / CAST(b_only_a + c_only_b AS DOUBLE)
+    ELSE 0.0 END, 6) AS chi2,
+  round(CASE WHEN b_only_a + c_only_b > 0
+    THEN CAST((abs(b_only_a - c_only_b) - 1)
+              * (abs(b_only_a - c_only_b) - 1) AS DOUBLE)
+         / CAST(b_only_a + c_only_b AS DOUBLE)
+    ELSE 0.0 END, 6) AS chi2_corrected,
+  CASE WHEN b_only_a + c_only_b > 0
+    THEN CAST((abs(b_only_a - c_only_b) - 1)
+              * (abs(b_only_a - c_only_b) - 1) AS DOUBLE)
+         / CAST(b_only_a + c_only_b AS DOUBLE)
+    ELSE 0.0 END > 3.841 AS one_sided_disagreement
+FROM a
+"""
+
+QUERIES["mcnemar_test"] = q_mcnemar_test
+_RAW_ORACLES["mcnemar_test"] = SQL_MCNEMAR_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

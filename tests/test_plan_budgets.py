@@ -512,6 +512,13 @@ BUDGETS = {
     # broadcast is the registered BNLJ; all iterations are ONE fold
     "sinkhorn_ot": {"shuffle": 3, "python": 0, "cartesian": 0,
                     "bnlj": 1},
+    # kruskal: histogram agg + rank window + broadcast rank join +
+    # group agg + tiny folds; 1-row tie combine is the registered BNLJ
+    "kruskal_wallis": {"shuffle": 6, "python": 0, "cartesian": 0,
+                       "bnlj": 1},
+    # mcnemar: ONE corpus aggregate, nothing else
+    "mcnemar_test": {"shuffle": 1, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

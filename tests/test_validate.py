@@ -1910,3 +1910,74 @@ def test_sinkhorn_ot_rebuild_and_marginals(spark):
     )
     assert abs(r["row_marginal_resid"] - resid) < 1e-5
     assert r["row_marginal_resid"] < 0.01
+
+
+def test_kruskal_wallis_rebuild(spark):
+    """H and the tie-corrected H vs a literal python average-rank
+    computation over every event row (Kruskal & Wallis 1952 eq. 1.1
+    with the standard tie correction)."""
+    from mpds_spark.queries import q_kruskal_wallis
+
+    r = q_kruskal_wallis(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    vals = sorted(c for _, c in rows)
+    N = len(vals)
+    # average rank per distinct value
+    first = {}
+    cnt = Counter(vals)
+    pos = 1
+    avg_rank = {}
+    for v in sorted(cnt):
+        t = cnt[v]
+        avg_rank[v] = pos + (t - 1) / 2.0
+        pos += t
+    rsum = defaultdict(float)
+    ng = defaultdict(int)
+    for g, c in rows:
+        rsum[g] += avg_rank[c]
+        ng[g] += 1
+    h = 12.0 / (N * (N + 1)) * sum(
+        rsum[g] ** 2 / ng[g] for g in sorted(rsum)
+    ) - 3.0 * (N + 1)
+    tie = sum(t ** 3 - t for t in cnt.values())
+    corr = 1.0 - tie / (N ** 3 - N)
+    assert (r["k_groups"], r["n_total"], r["tie_term"]) == (
+        len(ng), N, tie,
+    )
+    assert abs(r["h_stat"] - h) < 1e-4
+    assert abs(r["h_corrected"] - h / corr) < 1e-4
+
+
+def test_mcnemar_cells_and_consistency_with_kappa(spark):
+    """Discordant cells vs a direct python count, the chi-square
+    formulas, and cross-query consistency: McNemar's b/c must equal
+    cohens_kappa's off-diagonal cells on the same raters."""
+    from mpds_spark.queries import q_cohens_kappa, q_mcnemar_test
+
+    r = q_mcnemar_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    b, c = duckdb.sql(
+        "SELECT sum(CASE WHEN n_chars >= 120 AND"
+        " length(text) - length(replace(text,' ','')) + 1 < 20"
+        " THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN n_chars < 120 AND"
+        " length(text) - length(replace(text,' ','')) + 1 >= 20"
+        " THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()[0]
+    assert (r["b_only_a"], r["c_only_b"]) == (b, c)
+    if b + c > 0:
+        assert abs(r["chi2"] - (b - c) ** 2 / (b + c)) < 1e-6
+        assert abs(
+            r["chi2_corrected"] - (abs(b - c) - 1) ** 2 / (b + c)
+        ) < 1e-6
+    kap = q_cohens_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_docs"] == kap["n_docs"]
