@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (forty-ninth batch — continuation session)
+    "friedman_test",
+    "jarque_bera",
+    # new in round 5 (forty-eighth batch — continuation session)
+    "ljung_box",
+    "cox_ph",
     # new in round 5 (forty-seventh batch — continuation session)
     "kruskal_wallis",
     "mcnemar_test",

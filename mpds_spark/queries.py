@@ -15768,3 +15768,725 @@ FROM a
 QUERIES["mcnemar_test"] = q_mcnemar_test
 _RAW_ORACLES["mcnemar_test"] = SQL_MCNEMAR_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_LB_H = 8
+_LB_CHI2_8_95 = 15.507
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test of the daily event-volume
+    series at lags 1..8 (Box & Pierce 1970; Ljung & Box 1978 — THE
+    residual-autocorrelation gate: before trusting holt_trend /
+    segmented_trend / dft_periodogram readings you ask whether the
+    series is distinguishable from white noise at all). Sample ACF
+    from EXACT INTEGERS: with y_t the daily counts and S their sum,
+    z_t = n*y_t - S is an exact long, so den = sum z_t^2 and
+    num_k = sum_{t>k} z_t z_{t-k} are exact longs and each
+    rho_k = num_k/den is ONE division of identical integers on both
+    engines (exact for daily counts up to ~3e7; at 10^12 rows/day
+    widen to decimal). Q_LB = n(n+2) sum rho_k^2/(n-k) and the
+    Box-Pierce Q_BP = n sum rho_k^2 are fixed left-assoc chains
+    written identically on both sides; reject at the chi2(8) 95%
+    point 15.507. ONE corpus aggregate; everything after the day
+    histogram is a <=31-element array fold."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("s"),
+    ).selectExpr(
+        "n",
+        "transform(sequence(1, cast(n as int)),"
+        " t -> n * element_at(__a, t).__y - s) AS zs",
+    ).selectExpr(
+        "n", "zs",
+        "aggregate(zs, 0L, (acc, z) -> acc + z * z) AS den",
+    )
+    nums = [
+        f"CASE WHEN n > {k} THEN"
+        f" aggregate(sequence({k} + 1, cast(n as int)), 0L,"
+        f" (acc, t) -> acc + element_at(zs, t) * element_at(zs, t - {k}))"
+        f" ELSE 0L END AS num{k}"
+        for k in range(1, _LB_H + 1)
+    ]
+    one = one.selectExpr("n", "den", *nums)
+    rhos = [
+        f"CASE WHEN n > {k} AND den > 0 THEN"
+        f" CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" ELSE 0.0D END AS rho{k}"
+        for k in range(1, _LB_H + 1)
+    ]
+    one = one.selectExpr("n", "den", *rhos)
+    lb_terms = " + ".join(
+        f"(CASE WHEN n > {k} THEN rho{k} * rho{k}"
+        f" / CAST(n - {k} AS DOUBLE) ELSE 0.0D END)"
+        for k in range(1, _LB_H + 1)
+    )
+    bp_terms = " + ".join(
+        f"rho{k} * rho{k}" for k in range(1, _LB_H + 1)
+    )
+    one = one.selectExpr(
+        "n", "den", "rho1", "rho7",
+        f"CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ({lb_terms})"
+        " AS __qlb",
+        f"CAST(n AS DOUBLE) * ({bp_terms}) AS __qbp",
+    )
+    return one.select(
+        F.col("n").alias("n_days"),
+        F.col("den").alias("den_z2"),
+        _r6("rho1").alias("rho_1"),
+        _r6("rho7").alias("rho_7"),
+        _r6("__qlb").alias("q_ljung_box"),
+        _r6("__qbp").alias("q_box_pierce"),
+        (F.col("__qlb") > F.lit(_LB_CHI2_8_95)).alias("reject_white"),
+    )
+
+
+def _ljung_box_sql() -> str:
+    nums = ", ".join(
+        f"CASE WHEN n > {k} THEN"
+        f" list_reduce(list_transform(range({k} + 1, CAST(n + 1 AS"
+        f" INTEGER)), t -> zs[t] * zs[t - {k}]), (a, b) -> a + b)"
+        f" ELSE 0 END AS num{k}"
+        for k in range(1, _LB_H + 1)
+    )
+    rhos = ", ".join(
+        f"CASE WHEN n > {k} AND den > 0 THEN"
+        f" CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" ELSE 0.0 END AS rho{k}"
+        for k in range(1, _LB_H + 1)
+    )
+    lb_terms = " + ".join(
+        f"(CASE WHEN n > {k} THEN rho{k} * rho{k}"
+        f" / CAST(n - {k} AS DOUBLE) ELSE 0.0 END)"
+        for k in range(1, _LB_H + 1)
+    )
+    bp_terms = " + ".join(
+        f"rho{k} * rho{k}" for k in range(1, _LB_H + 1)
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(y ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s
+  FROM day
+), z AS (
+  SELECT n, list_transform(range(1, CAST(n + 1 AS INTEGER)),
+    t -> n * ys[t] - s) AS zs
+  FROM one
+), dd AS (
+  SELECT n, zs,
+    list_reduce(list_transform(zs, zz -> zz * zz), (a, b) -> a + b)
+      AS den
+  FROM z
+), nn AS (
+  SELECT n, den, {nums} FROM dd
+), rr AS (
+  SELECT n, den, {rhos} FROM nn
+), f AS (
+  SELECT n, den, rho1, rho7,
+    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) * ({lb_terms}) AS qlb,
+    CAST(n AS DOUBLE) * ({bp_terms}) AS qbp
+  FROM rr
+)
+SELECT n AS n_days, den AS den_z2,
+  round(rho1, 6) AS rho_1,
+  round(rho7, 6) AS rho_7,
+  round(qlb, 6) AS q_ljung_box,
+  round(qbp, 6) AS q_box_pierce,
+  qlb > {_LB_CHI2_8_95!r} AS reject_white
+FROM f
+"""
+
+
+SQL_LJUNG_BOX = _ljung_box_sql()
+
+QUERIES["ljung_box"] = q_ljung_box
+_RAW_ORACLES["ljung_box"] = SQL_LJUNG_BOX
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_COX_R = 15
+
+
+def _cox_den_duck(th: str) -> str:
+    """Breslow MM denominator sum_bins d * n1 / (n0 + n1*theta) as a
+    DuckDB left fold over the day-ascending risk-set list (exact
+    logrank_test frame; list_reduce is a guaranteed sequential fold,
+    matching Spark's aggregate)."""
+    return (
+        "list_reduce(list_transform(a, x ->"
+        " CASE WHEN x.d1 + x.d0 > 0 AND x.n1 > 0 THEN"
+        " CAST(x.d1 + x.d0 AS DOUBLE) * CAST(x.n1 AS DOUBLE)"
+        " / (CAST(x.nt - x.n1 AS DOUBLE)"
+        f"    + CAST(x.n1 AS DOUBLE) * {th})"
+        " ELSE 0.0 END), (acc, t) -> acc + t)"
+    )
+
+
+def q_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards fit of the md5-parity arm effect on
+    inter-purchase gap times (Cox 1972, Breslow 1974 tie handling —
+    the regression companion to survival_km/logrank_test: logrank
+    answers 'do the curves differ', Cox answers 'by WHAT hazard
+    ratio', the effect size a curation A/B readout ships). One binary
+    covariate makes the Breslow partial likelihood a function of
+    theta = exp(beta) alone: L(theta) = theta^s1 / prod_bins
+    (n0 + n1*theta)^d, and the score root solves s1/theta =
+    sum d*n1/(n0 + n1*theta) — fitted by the monotone fixed-point
+    iteration theta <- s1 / sum_bins d*n1/(n0 + n1*theta) (15 rounds
+    from theta=1; the Zermelo/MM shape bradley_terry uses, so NO
+    exp() inside the loop — ln enters once at the end under the
+    catalog's cross-engine ln precedent). Risk sets are the EXACT
+    logrank_test frame (hour-binned completed gaps, final open gap
+    right-censored, arms hash-random so H0 is true by construction
+    and hazard_ratio ~ 1): deaths/at-risk per bin are exact longs;
+    Spark runs all 15 rounds as ONE nested-aggregate fold over the
+    collected <=720-row array (the sinkhorn precedent — chained HOF
+    projections stall Catalyst), DuckDB as a CTE chain with the
+    identical per-round update expression; standard error
+    1/sqrt(I(theta)) from the observed information
+    I = sum d*n1*n0*theta/(n0+n1*theta)^2, Wald z = ln(theta)/se,
+    and score_at_null re-reports the logrank O-E fold (cross-query
+    consistency gate). At 10^12 events only the hour-bin curve
+    crosses the global window; the fit itself is 1 row."""
+    d = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("__e"),
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        "event_id",
+    )
+    mx = _events(spark, sf_dir).agg(
+        F.max(F.col("ts").cast("timestamp").cast("double")).alias("__mx")
+    )
+    wlead = Window.partitionBy("__e").orderBy("__t", "event_id")
+    g = d.withColumn("__nxt", F.lead("__t").over(wlead)).join(
+        F.broadcast(mx)
+    )
+    sv = g.select(
+        F.floor(
+            (F.coalesce(F.col("__nxt"), F.col("__mx")) - F.col("__t"))
+            / F.lit(3600.0)
+        ).cast("long").alias("__day"),
+        F.when(F.col("__nxt").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__obs"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lr|"),
+                                   F.col("__e").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    curve = sv.groupBy("__day").agg(
+        F.sum(F.when(F.col("__arm") == 1, F.col("__obs")).otherwise(0))
+        .cast("long").alias("__d1"),
+        F.sum(F.when(F.col("__arm") == 1, 1 - F.col("__obs")).otherwise(0))
+        .cast("long").alias("__c1"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__obs")).otherwise(0))
+        .cast("long").alias("__d0"),
+        F.sum(F.when(F.col("__arm") == 0, 1 - F.col("__obs")).otherwise(0))
+        .cast("long").alias("__c0"),
+    )
+    wall = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tall = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curve = curve.select(
+        "*",
+        (
+            F.sum(F.col("__d1") + F.col("__c1")).over(tall)
+            - F.coalesce(
+                F.sum(F.col("__d1") + F.col("__c1")).over(wall), F.lit(0)
+            )
+        ).cast("long").alias("__n1"),
+        (
+            F.sum(
+                F.col("__d1") + F.col("__c1") + F.col("__d0") + F.col("__c0")
+            ).over(tall)
+            - F.coalesce(
+                F.sum(
+                    F.col("__d1") + F.col("__c1")
+                    + F.col("__d0") + F.col("__c0")
+                ).over(wall),
+                F.lit(0),
+            )
+        ).cast("long").alias("__nt"),
+    )
+    agg = curve.agg(
+        F.sum("__d1").cast("long").alias("s1"),
+        F.sum("__d0").cast("long").alias("s0"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("__day", "__d1", "__d0", "__n1", "__nt")
+            )
+        ).alias("__a"),
+    )
+    # the per-round Breslow MM denominator as a Spark fold over __a,
+    # parameterized on the current theta expression
+    def den(th: str) -> str:
+        return (
+            "aggregate(__a, 0.0D, (acc, x) ->"
+            " acc + (CASE WHEN x.__d1 + x.__d0 > 0 AND x.__n1 > 0 THEN"
+            " cast(x.__d1 + x.__d0 as double) * cast(x.__n1 as double)"
+            " / (cast(x.__nt - x.__n1 as double)"
+            f"    + cast(x.__n1 as double) * {th})"
+            " ELSE 0.0D END))"
+        )
+
+    th_fold = (
+        f"aggregate(sequence(1, {_COX_R}), 1.0D, (th, r) ->"
+        f" CASE WHEN {den('th')} > 0.0D THEN"
+        f" cast(s1 as double) / {den('th')}"
+        " ELSE th END) AS th"
+    )
+    agg = agg.selectExpr("s1", "s0", "__a", th_fold)
+    info = (
+        "aggregate(__a, 0.0D, (acc, x) ->"
+        " acc + (CASE WHEN x.__d1 + x.__d0 > 0 AND x.__n1 > 0"
+        " AND x.__nt > x.__n1 THEN"
+        " cast(x.__d1 + x.__d0 as double) * cast(x.__n1 as double)"
+        " * cast(x.__nt - x.__n1 as double) * th"
+        " / ((cast(x.__nt - x.__n1 as double)"
+        "     + cast(x.__n1 as double) * th)"
+        "    * (cast(x.__nt - x.__n1 as double)"
+        "       + cast(x.__n1 as double) * th))"
+        " ELSE 0.0D END)) AS info"
+    )
+    u0 = (
+        "aggregate(__a, 0.0D, (acc, x) ->"
+        " acc + (CASE WHEN x.__d1 + x.__d0 > 0 THEN"
+        " cast(x.__d1 as double) - cast(x.__d1 + x.__d0 as double)"
+        " * cast(x.__n1 as double) / cast(x.__nt as double)"
+        " ELSE 0.0D END)) AS u0"
+    )
+    agg = agg.selectExpr("s1", "s0", "th", info, u0)
+    return agg.selectExpr(
+        "s1 AS deaths_arm1",
+        "s0 AS deaths_arm0",
+        "th AS __th", "info AS __info", "u0 AS __u0",
+    ).select(
+        "deaths_arm1", "deaths_arm0",
+        _r6("__th").alias("hazard_ratio"),
+        _r6(
+            F.when(F.col("__th") > 0, F.log(F.col("__th")))
+        ).alias("log_hr"),
+        _r6(
+            F.when(
+                F.col("__info") > 0,
+                F.lit(1.0) / F.sqrt(F.col("__info")),
+            )
+        ).alias("se_log_hr"),
+        _r6(
+            F.when(
+                (F.col("__th") > 0) & (F.col("__info") > 0),
+                F.log(F.col("__th")) * F.sqrt(F.col("__info")),
+            )
+        ).alias("wald_z"),
+        _r6("__u0").alias("score_at_null"),
+    )
+
+
+def _cox_sql() -> str:
+    ctes = [
+        """mx AS (SELECT max(epoch(ts)) AS mx FROM events)""",
+        """d AS (
+  SELECT user_id AS e, epoch(ts) AS t,
+    lead(epoch(ts)) OVER (PARTITION BY user_id
+                          ORDER BY epoch(ts), event_id) AS nxt
+  FROM events WHERE event_type = 'purchase'
+)""",
+        """sv AS (
+  SELECT CAST(floor((coalesce(nxt, (SELECT mx FROM mx)) - t) / 3600.0)
+              AS BIGINT) AS day,
+    CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS obs,
+    CAST(('0x' || substring(md5('lr|' || CAST(e AS VARCHAR)), 1, 15))
+      ::UBIGINT % 2 AS BIGINT) AS arm
+  FROM d
+)""",
+        """curve AS (
+  SELECT day,
+    CAST(sum(CASE WHEN arm = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 - obs ELSE 0 END) AS BIGINT)
+      AS c1,
+    CAST(sum(CASE WHEN arm = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 - obs ELSE 0 END) AS BIGINT)
+      AS c0
+  FROM sv GROUP BY day
+)""",
+        """risk AS (
+  SELECT day, d1, d0,
+    CAST((SELECT sum(d1 + c1) FROM curve)
+      - coalesce(sum(d1 + c1) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n1,
+    CAST((SELECT sum(d1 + c1 + d0 + c0) FROM curve)
+      - coalesce(sum(d1 + c1 + d0 + c0) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS nt
+  FROM curve
+)""",
+        """base AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS s1, CAST(sum(d0) AS BIGINT) AS s0,
+    list({'d1': d1, 'd0': d0, 'n1': n1, 'nt': nt} ORDER BY day) AS a,
+    1.0 AS th0
+  FROM risk
+)""",
+    ]
+    prev = "base"
+    for r in range(_COX_R):
+        ctes.append(
+            f"dn{r} AS (SELECT *, {_cox_den_duck(f'th{r}')} AS den{r}"
+            f" FROM {prev})"
+        )
+        ctes.append(
+            f"it{r} AS (SELECT *, CASE WHEN den{r} > 0.0 THEN"
+            f" CAST(s1 AS DOUBLE) / den{r} ELSE th{r} END AS th{r + 1}"
+            f" FROM dn{r})"
+        )
+        prev = f"it{r}"
+    info = (
+        "list_reduce(list_transform(a, x ->"
+        " CASE WHEN x.d1 + x.d0 > 0 AND x.n1 > 0 AND x.nt > x.n1 THEN"
+        " CAST(x.d1 + x.d0 AS DOUBLE) * CAST(x.n1 AS DOUBLE)"
+        " * CAST(x.nt - x.n1 AS DOUBLE) * th"
+        " / ((CAST(x.nt - x.n1 AS DOUBLE) + CAST(x.n1 AS DOUBLE) * th)"
+        "    * (CAST(x.nt - x.n1 AS DOUBLE)"
+        "       + CAST(x.n1 AS DOUBLE) * th))"
+        " ELSE 0.0 END), (acc, t) -> acc + t)"
+    )
+    u0 = (
+        "list_reduce(list_transform(a, x ->"
+        " CASE WHEN x.d1 + x.d0 > 0 THEN"
+        " CAST(x.d1 AS DOUBLE) - CAST(x.d1 + x.d0 AS DOUBLE)"
+        " * CAST(x.n1 AS DOUBLE) / CAST(x.nt AS DOUBLE)"
+        " ELSE 0.0 END), (acc, t) -> acc + t)"
+    )
+    ctes.append(
+        f"fin AS (SELECT s1, s0, th{_COX_R} AS th, a FROM {prev})"
+    )
+    ctes.append(
+        f"ff AS (SELECT s1, s0, th, {info} AS info, {u0} AS u0 FROM fin)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT s1 AS deaths_arm1, s0 AS deaths_arm0,\n"
+        "  round(th, 6) AS hazard_ratio,\n"
+        "  round(CASE WHEN th > 0 THEN ln(th) END, 6) AS log_hr,\n"
+        "  round(CASE WHEN info > 0 THEN 1.0 / sqrt(info) END, 6)"
+        " AS se_log_hr,\n"
+        "  round(CASE WHEN th > 0 AND info > 0 THEN"
+        " ln(th) * sqrt(info) END, 6) AS wald_z,\n"
+        "  round(u0, 6) AS score_at_null\n"
+        "FROM ff"
+    )
+
+
+SQL_COX_PH = _cox_sql()
+
+QUERIES["cox_ph"] = q_cox_ph
+_RAW_ORACLES["cox_ph"] = SQL_COX_PH
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+
+_FR_CHI2_4_95 = 9.488
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman blocked rank test (Friedman 1937) of event-type daily
+    volume with day-of-month blocks — the WITHIN-block companion to
+    kruskal_wallis: kruskal asks whether the value distributions of
+    the types differ pooled over the month, Friedman asks whether the
+    type ORDERING is consistent day after day, which is robust to the
+    day-level volume swings that dominate a pooled test. Treatments =
+    the 5 event types, blocks = days; the dense 31x5 measurement grid
+    is built as 5 CONDITIONAL-COUNT COLUMNS of one day aggregate
+    (missing cells are true zeros by construction — no type-grid
+    cross join), and the within-block average ranks collapse to
+    row-level integer expressions over those 5 columns using the
+    catalog's doubled mid-rank convention r2_i = 2*#{c_j < c_i} +
+    #{c_j = c_i} + 1 — no window, no shuffle beyond the two aggs.
+    Per-type rank sums R2_j = 2*R_j and the rank-square total are
+    exact longs from ONE global aggregate, and the tie-general
+    statistic (Conover 1999 eq. 5.5, scaled by 4/4)
+    Q = (k-1) * sum_j (R2_j - n(k+1))^2 / (sum r2^2 - n k (k+1)^2)
+    is ONE division of exact integers — the no-tie case reduces to
+    the familiar 12/(nk(k+1)) sum R_j^2 - 3n(k+1). The persisted
+    1-row frame fans out to the 5 output rows (cached-branch
+    convention); at 10^12 events the rank machinery is 31 rows."""
+    from mpds_spark.operators.util import scratch_persist
+
+    k = _BT_K
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+        "event_type",
+    )
+    day = ev.groupBy("__d").agg(*[
+        F.sum(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("long").alias(f"c{i}")
+        for i, t in enumerate(_BT_TYPES)
+    ])
+    r2s = []
+    for i in range(k):
+        lt = sum(
+            F.when(F.col(f"c{j}") < F.col(f"c{i}"), 1).otherwise(0)
+            for j in range(k) if j != i
+        )
+        eq = sum(
+            F.when(F.col(f"c{j}") == F.col(f"c{i}"), 1).otherwise(0)
+            for j in range(k) if j != i
+        )
+        r2s.append(
+            (2 * lt + (eq + 1) + 1).cast("long").alias(f"r2_{i}")
+        )
+    r = day.select(*r2s)
+    one = r.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[F.sum(f"r2_{i}").cast("long").alias(f"R2_{i}")
+          for i in range(k)],
+        F.sum(
+            sum(F.col(f"r2_{i}") * F.col(f"r2_{i}") for i in range(k))
+        ).cast("long").alias("__a4"),
+    )
+    ss = sum(
+        (F.col(f"R2_{i}") - F.col("__n") * F.lit(k + 1))
+        * (F.col(f"R2_{i}") - F.col("__n") * F.lit(k + 1))
+        for i in range(k)
+    ).cast("long")
+    den = (
+        F.col("__a4") - F.col("__n") * F.lit(k) * F.lit((k + 1) * (k + 1))
+    ).cast("long")
+    q = F.when(
+        den > 0,
+        F.lit(k - 1) * ss.cast("double") / den.cast("double"),
+    ).otherwise(F.lit(0.0))
+    one = scratch_persist(one.select(
+        *[f"R2_{i}" for i in range(k)],
+        F.col("__n").alias("n_blocks"),
+        F.lit(k).cast("long").alias("k_treatments"),
+        _r6(q).alias("q_friedman"),
+        (q > F.lit(_FR_CHI2_4_95)).alias("reject_equal"),
+    ))
+    outs = [
+        one.selectExpr(
+            f"'{t}' AS event_type",
+            f"CAST(R2_{i} AS DOUBLE) / 2.0 AS rank_sum",
+            "n_blocks", "k_treatments", "q_friedman", "reject_equal",
+        )
+        for i, t in enumerate(_BT_TYPES)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _friedman_sql() -> str:
+    k = _BT_K
+    cases = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    r2s = []
+    for i in range(k):
+        lt = " + ".join(
+            f"CASE WHEN c{j} < c{i} THEN 1 ELSE 0 END"
+            for j in range(k) if j != i
+        )
+        eq = " + ".join(
+            f"CASE WHEN c{j} = c{i} THEN 1 ELSE 0 END"
+            for j in range(k) if j != i
+        )
+        r2s.append(
+            f"CAST(2 * ({lt}) + (({eq}) + 1) + 1 AS BIGINT) AS r2_{i}"
+        )
+    sums = ", ".join(
+        f"CAST(sum(r2_{i}) AS BIGINT) AS R2_{i}" for i in range(k)
+    )
+    sq = " + ".join(f"r2_{i} * r2_{i}" for i in range(k))
+    ss = " + ".join(
+        f"(R2_{i} - n * {k + 1}) * (R2_{i} - n * {k + 1})"
+        for i in range(k)
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type,"
+        f" CAST(R2_{i} AS DOUBLE) / 2.0 AS rank_sum,"
+        " n_blocks, k_treatments, q_friedman, reject_equal FROM f"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS d, {cases}
+  FROM events GROUP BY 1
+), r AS (
+  SELECT {', '.join(r2s)} FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, {sums},
+    CAST(sum({sq}) AS BIGINT) AS a4
+  FROM r
+), f AS (
+  SELECT {', '.join(f'R2_{i}' for i in range(k))},
+    n AS n_blocks, CAST({k} AS BIGINT) AS k_treatments,
+    round(CASE WHEN a4 - n * {k} * {(k + 1) * (k + 1)} > 0 THEN
+      {k - 1} * CAST({ss} AS DOUBLE)
+      / CAST(a4 - n * {k} * {(k + 1) * (k + 1)} AS DOUBLE)
+    ELSE 0.0 END, 6) AS q_friedman,
+    CASE WHEN a4 - n * {k} * {(k + 1) * (k + 1)} > 0 THEN
+      {k - 1} * CAST({ss} AS DOUBLE)
+      / CAST(a4 - n * {k} * {(k + 1) * (k + 1)} AS DOUBLE)
+    ELSE 0.0 END > {_FR_CHI2_4_95!r} AS reject_equal
+  FROM one
+)
+{finals}
+"""
+
+
+SQL_FRIEDMAN_TEST = _friedman_sql()
+
+QUERIES["friedman_test"] = q_friedman_test
+_RAW_ORACLES["friedman_test"] = SQL_FRIEDMAN_TEST
+
+
+_JB_CHI2_2_95 = 5.991
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Jarque-Bera normality test (Jarque & Bera 1980; Bowman &
+    Shenton 1975) of each event type's daily-count series — the
+    omnibus skew/kurtosis gate you run BEFORE trusting the Gaussian
+    machinery downstream (gumbel block maxima, welch/levene/anova all
+    assume rough normality of their inputs): JB = n/6 (g1^2 +
+    (g2-3)^2/4) with g1 = sqrt(n) M3/M2^1.5 and g2 = n M4/M2^2.
+    EXACT INTEGER central moments in ONE pass: with y_t the (type,
+    day) counts, S = sum y and P_k = sum y^k raw power sums (exact
+    longs / decimal(38,0) / HUGEINT), the scaled central moments of
+    z_t = n*y_t - S expand binomially —
+    M2z = n^2 P2 - n S^2, M3z = n^3 P3 - 3 n^2 S P2 + 2 n S^3,
+    M4z = n^4 P4 - 4 n^3 S P3 + 6 n^2 S^2 P2 - 3 n S^4 —
+    so NO mean-centering join and the corpus is touched ONCE; the
+    n-scaling cancels inside g1/g2 (z = n*(y - mean) exactly).
+    Every downstream value is a fixed expression tree over exact
+    integers (x*sqrt(x) for the ^1.5, no pow) — the gate is exact
+    with zero float folds (integer-exact for daily counts up to
+    ~1e6/day at month scale; widen the decimal at 10^12 rows/day).
+    Reject at the chi2(2) 95% point 5.991."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+    )
+    cells = ev.groupBy("event_type", "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    yd = F.col("__y").cast("decimal(38,0)")
+    mom = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__p2"),
+        F.sum(yd * yd * yd).cast("decimal(38,0)").alias("__p3"),
+        F.sum(yd * yd * yd * yd).cast("decimal(38,0)").alias("__p4"),
+    )
+    nn = F.col("__n").cast("decimal(38,0)")
+    sd = F.col("__s").cast("decimal(38,0)")
+    p2 = F.col("__p2").cast("decimal(38,0)")
+    m2 = (nn * nn * p2 - nn * sd * sd).cast("double")
+    m3 = (
+        nn * nn * nn * F.col("__p3")
+        - F.lit(3) * nn * nn * sd * p2
+        + F.lit(2) * nn * sd * sd * sd
+    ).cast("double")
+    m4 = (
+        nn * nn * nn * nn * F.col("__p4")
+        - F.lit(4) * nn * nn * nn * sd * F.col("__p3")
+        + F.lit(6) * nn * nn * sd * sd * p2
+        - F.lit(3) * nn * sd * sd * sd * sd
+    ).cast("double")
+    nd = F.col("__n").cast("double")
+    g1 = F.when(
+        m2 > 0, F.sqrt(nd) * m3 / (m2 * F.sqrt(m2))
+    ).otherwise(F.lit(0.0))
+    g2 = F.when(m2 > 0, nd * m4 / (m2 * m2)).otherwise(F.lit(0.0))
+    jb = nd / F.lit(6.0) * (
+        g1 * g1
+        + (g2 - F.lit(3.0)) * (g2 - F.lit(3.0)) / F.lit(4.0)
+    )
+    return mom.select(
+        "event_type",
+        F.col("__n").alias("n_days"),
+        _r6(g1).alias("skew_g1"),
+        _r6(g2).alias("kurt_g2"),
+        _r6(jb).alias("jb_stat"),
+        (jb > F.lit(_JB_CHI2_2_95)).alias("reject_normal"),
+    )
+
+
+SQL_JARQUE_BERA = f"""
+WITH cells AS (
+  SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day(ts)
+), mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s,
+    CAST(sum(y * y) AS BIGINT) AS p2,
+    CAST(sum(CAST(y AS HUGEINT) * y * y) AS HUGEINT) AS p3,
+    CAST(sum(CAST(y AS HUGEINT) * y * y * y) AS HUGEINT) AS p4
+  FROM cells GROUP BY event_type
+), cm AS (
+  SELECT event_type, n,
+    CAST(CAST(n AS HUGEINT) * n * p2
+         - CAST(n AS HUGEINT) * s * s AS DOUBLE) AS m2,
+    CAST(CAST(n AS HUGEINT) * n * n * p3
+         - 3 * CAST(n AS HUGEINT) * n * s * p2
+         + 2 * CAST(n AS HUGEINT) * s * s * s AS DOUBLE) AS m3,
+    CAST(CAST(n AS HUGEINT) * n * n * n * p4
+         - 4 * CAST(n AS HUGEINT) * n * n * s * p3
+         + 6 * CAST(n AS HUGEINT) * n * s * s * p2
+         - 3 * CAST(n AS HUGEINT) * s * s * s * s AS DOUBLE) AS m4
+  FROM mom
+), f AS (
+  SELECT event_type, n,
+    CASE WHEN m2 > 0 THEN
+      sqrt(CAST(n AS DOUBLE)) * m3 / (m2 * sqrt(m2))
+    ELSE 0.0 END AS g1,
+    CASE WHEN m2 > 0 THEN
+      CAST(n AS DOUBLE) * m4 / (m2 * m2)
+    ELSE 0.0 END AS g2
+  FROM cm
+), jb AS (
+  SELECT event_type, n, g1, g2,
+    CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+      AS jb
+  FROM f
+)
+SELECT event_type, n AS n_days,
+  round(g1, 6) AS skew_g1,
+  round(g2, 6) AS kurt_g2,
+  round(jb, 6) AS jb_stat,
+  jb > {_JB_CHI2_2_95!r} AS reject_normal
+FROM jb
+"""
+
+QUERIES["jarque_bera"] = q_jarque_bera
+_RAW_ORACLES["jarque_bera"] = SQL_JARQUE_BERA
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -519,6 +519,23 @@ BUDGETS = {
     # mcnemar: ONE corpus aggregate, nothing else
     "mcnemar_test": {"shuffle": 1, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # ljung-box: ONE day agg + 1-row array folds
+    "ljung_box": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
+    # cox: the logrank frame (user lead window + bin agg + tiny curve
+    # window) + the 1-row MM fold; corpus-max broadcast is the
+    # registered BNLJ
+    "cox_ph": {"shuffle": 4, "python": 0, "cartesian": 0,
+               "bnlj": 1},
+    # friedman: persisted 1-row rank-moment frame fans out to the
+    # 5-way output union (cached-branch convention); ranks are
+    # row-level expressions over the 5 conditional-count columns —
+    # no grid cross, no window
+    "friedman_test": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # jarque-bera: cell agg + per-type raw-power-sum agg, central
+    # moments by binomial expansion — ONE corpus pass, no join
+    "jarque_bera": {"shuffle": 2, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
 }
 
 

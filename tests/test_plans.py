@@ -152,6 +152,22 @@ def test_catalog_plan_inventory(spark):
         "rate_shrinkage",      # broadcast 1-row pooled-rate fit
         "knn_shapley",         # broadcast held-out query set x corpus
                                # (registered brute valuation leg)
+        # 1-row / bounded-frame combines registered (with exact counts)
+        # in tests/test_plan_budgets.py BUDGETS — mirrored here:
+        "anova_twoway",        # three 1-row SS joins on the 168-cell frame
+        "bpe_merge_step",      # 1-row best-pair broadcast
+        "cox_ph",              # broadcast 1-row corpus-max censor boundary
+        "degree_assortativity",  # 1-row moment x 1-row node-count combine
+        "eb_shrinkage",        # broadcast 1-row pooled moment fit
+        "hurst_variance_plot",  # three 1-row level joins
+        "kendall_tau",         # cell-pair sweep over the <=100-cell frame
+        "kruskal_wallis",      # 1-row tie-term combine
+        "logrank_test",        # broadcast 1-row corpus-max censor boundary
+        "mann_kendall",        # bounded 31x31 day-pair sweep + 1-row combine
+        "pca_power_iter",      # 1-row cf x si combine
+        "ransac_trend",        # bounded 465x31 candidate sweep joins
+        "runs_test",           # 1-row combine
+        "sinkhorn_ot",         # 1-row corpus-max bin-boundary broadcast
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -1981,3 +1981,232 @@ def test_mcnemar_cells_and_consistency_with_kappa(spark):
         ) < 1e-6
     kap = q_cohens_kappa(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["n_docs"] == kap["n_docs"]
+
+
+def test_ljung_box_rebuild(spark):
+    """Q_LB / Q_BP / rho_k vs a literal python rebuild from the daily
+    counts (Ljung & Box 1978 eq. 4; Box & Pierce 1970), the exact
+    integer den, and internal consistency Q_LB >= Q_BP (each lag term
+    is inflated by n/(n-k) >= 1)."""
+    from mpds_spark.queries import q_ljung_box
+
+    r = q_ljung_box(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        c for (c,) in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    s = sum(ys)
+    zs = [n * y - s for y in ys]
+    den = sum(z * z for z in zs)
+    rho = {
+        k: sum(zs[t] * zs[t - k] for t in range(k, n)) / den
+        for k in range(1, 9)
+    }
+    qlb = n * (n + 2) * sum(rho[k] ** 2 / (n - k) for k in range(1, 9))
+    qbp = n * sum(rho[k] ** 2 for k in range(1, 9))
+    assert (r["n_days"], r["den_z2"]) == (n, den)
+    assert abs(r["rho_1"] - rho[1]) < 1e-6
+    assert abs(r["rho_7"] - rho[7]) < 1e-6
+    assert abs(r["q_ljung_box"] - qlb) < 1e-4
+    assert abs(r["q_box_pierce"] - qbp) < 1e-4
+    assert r["q_ljung_box"] >= r["q_box_pierce"]
+    assert r["reject_white"] == (qlb > 15.507)
+
+
+def test_cox_ph_rebuild_and_logrank_consistency(spark):
+    """theta / se / Wald z vs a literal python rebuild of the SAME 15
+    MM rounds on the SAME risk-set frame (Cox 1972, Breslow ties;
+    identical op order), the fixed-point residual shrinking vs the
+    theta=1 start, and cross-query consistency: deaths and
+    score_at_null must equal logrank_test's observed deaths and
+    O-E on the identical frame."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import _COX_R, q_cox_ph, q_logrank_test
+
+    r = q_cox_ph(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts), event_id FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase'"
+        " ORDER BY user_id, epoch(ts), event_id"
+    ).fetchall()
+    mx = duckdb.sql(
+        "SELECT max(epoch(ts)) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()[0][0]
+    by_user = defaultdict(list)
+    for e, t, _ in rows:
+        by_user[e].append(t)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d0, c0
+    for e, ts in by_user.items():
+        arm = (
+            int(hashlib.md5(f"lr|{e}".encode()).hexdigest()[:15], 16) % 2
+        )
+        for i, t in enumerate(ts):
+            nxt = ts[i + 1] if i + 1 < len(ts) else None
+            day = int(math.floor(((nxt if nxt is not None else mx) - t)
+                                 / 3600.0))
+            obs = 1 if nxt is not None else 0
+            c = cells[day]
+            if arm == 1:
+                c[0] += obs
+                c[1] += 1 - obs
+            else:
+                c[2] += obs
+                c[3] += 1 - obs
+    days = sorted(cells)
+    tot1 = sum(cells[d][0] + cells[d][1] for d in days)
+    tott = sum(sum(cells[d]) for d in days)
+    frame = []
+    run1 = runt = 0
+    for d in days:
+        d1, c1, d0, c0 = cells[d]
+        frame.append((d1, d0, tot1 - run1, tott - runt))
+        run1 += d1 + c1
+        runt += d1 + c1 + d0 + c0
+    s1 = sum(f[0] for f in frame)
+    s0 = sum(f[1] for f in frame)
+
+    def den(th):
+        acc = 0.0
+        for d1, d0, n1, nt in frame:
+            if d1 + d0 > 0 and n1 > 0:
+                acc += (d1 + d0) * float(n1) / ((nt - n1) + n1 * th)
+        return acc
+
+    th = 1.0
+    for _ in range(_COX_R):
+        dd = den(th)
+        th = s1 / dd if dd > 0 else th
+    info = 0.0
+    for d1, d0, n1, nt in frame:
+        if d1 + d0 > 0 and n1 > 0 and nt > n1:
+            b = (nt - n1) + n1 * th
+            info += (d1 + d0) * float(n1) * (nt - n1) * th / (b * b)
+    u0 = sum(
+        d1 - (d1 + d0) * float(n1) / nt
+        for d1, d0, n1, nt in frame if d1 + d0 > 0
+    )
+    assert (r["deaths_arm1"], r["deaths_arm0"]) == (s1, s0)
+    assert abs(r["hazard_ratio"] - th) < 1e-6
+    assert abs(r["log_hr"] - math.log(th)) < 1e-6
+    assert abs(r["se_log_hr"] - 1.0 / math.sqrt(info)) < 1e-6
+    assert abs(r["wald_z"] - math.log(th) * math.sqrt(info)) < 1e-6
+    assert abs(r["score_at_null"] - u0) < 1e-4
+    # the fitted point satisfies the score equation far better than
+    # the theta=1 start (monotone MM)
+    assert abs(s1 / th - den(th)) < abs(s1 / 1.0 - den(1.0))
+    # cross-query: identical frame as logrank_test
+    lr = q_logrank_test(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["deaths_arm1"] == lr["obs_deaths_arm1"]
+    assert r["deaths_arm0"] == lr["obs_deaths_arm0"]
+    assert r["score_at_null"] == lr["o_minus_e"]
+
+
+def test_friedman_rebuild(spark):
+    """Rank sums and the tie-general Q vs a literal python average-rank
+    rebuild on the dense day x type count grid (Friedman 1937; Conover
+    1999 eq. 5.5), plus the no-tie reduction identity when no block
+    has tied counts."""
+    from mpds_spark.queries import _BT_TYPES, q_friedman_test
+
+    rows = {
+        r["event_type"]: r
+        for r in q_friedman_test(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+    from collections import defaultdict
+
+    raw = duckdb.sql(
+        "SELECT day(ts), event_type, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    grid = defaultdict(dict)
+    for d, t, c in raw:
+        grid[d][t] = c
+    k = len(_BT_TYPES)
+    rsum = dict.fromkeys(_BT_TYPES, 0.0)
+    a_sq = 0.0
+    n = len(grid)
+    for d in grid:
+        cs = [(grid[d].get(t, 0), t) for t in _BT_TYPES]
+        vals = sorted(c for c, _ in cs)
+        for c, t in cs:
+            lt = sum(1 for v in vals if v < c)
+            eq = sum(1 for v in vals if v == c)
+            rk = lt + (eq + 1) / 2.0
+            rsum[t] += rk
+            a_sq += rk * rk
+    cc = n * k * (k + 1) ** 2 / 4.0
+    ss = sum((rsum[t] - n * (k + 1) / 2.0) ** 2 for t in _BT_TYPES)
+    q = (k - 1) * ss / (a_sq - cc) if a_sq > cc else 0.0
+    for t in _BT_TYPES:
+        assert abs(rows[t]["rank_sum"] - rsum[t]) < 1e-9
+        assert rows[t]["n_blocks"] == n
+        assert rows[t]["k_treatments"] == k
+        assert abs(rows[t]["q_friedman"] - q) < 1e-4
+        assert rows[t]["reject_equal"] == (q > 9.488)
+    # rank sums over all treatments are a fixed total n*k*(k+1)/2
+    assert abs(sum(rsum.values()) - n * k * (k + 1) / 2.0) < 1e-9
+    # no-tie reduction: if no block has ties, Q equals the textbook
+    # 12/(nk(k+1)) sum R^2 - 3n(k+1)
+    has_tie = any(
+        len({grid[d].get(t, 0) for t in _BT_TYPES}) < k for d in grid
+    )
+    if not has_tie:
+        q_classic = 12.0 / (n * k * (k + 1)) * sum(
+            v * v for v in rsum.values()
+        ) - 3.0 * n * (k + 1)
+        assert abs(q - q_classic) < 1e-9
+
+
+def test_jarque_bera_rebuild(spark):
+    """g1/g2/JB vs literal python central moments of each type's daily
+    count series, and the decision threshold."""
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_jarque_bera
+
+    rows = {
+        r["event_type"]: r
+        for r in q_jarque_bera(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT event_type, day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for t, _, c in raw:
+        series[t].append(c)
+    for t, ys in series.items():
+        n = len(ys)
+        mean = sum(ys) / n
+        m2 = sum((y - mean) ** 2 for y in ys) / n
+        m3 = sum((y - mean) ** 3 for y in ys) / n
+        m4 = sum((y - mean) ** 4 for y in ys) / n
+        g1 = m3 / m2 ** 1.5
+        g2 = m4 / m2 ** 2
+        jb = n / 6.0 * (g1 ** 2 + (g2 - 3.0) ** 2 / 4.0)
+        r = rows[t]
+        assert r["n_days"] == n
+        assert abs(r["skew_g1"] - g1) < 1e-6
+        assert abs(r["kurt_g2"] - g2) < 1e-6
+        assert abs(r["jb_stat"] - jb) < 1e-4
+        assert r["reject_normal"] == (jb > 5.991)
+        assert not math.isnan(r["jb_stat"])
