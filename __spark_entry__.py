@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (fiftieth batch — continuation session)
+    "box_cox_lambda",
+    "dickey_fuller",
     # new in round 5 (forty-ninth batch — continuation session)
     "friedman_test",
     "jarque_bera",

@@ -16490,3 +16490,302 @@ FROM jb
 QUERIES["jarque_bera"] = q_jarque_bera
 _RAW_ORACLES["jarque_bera"] = SQL_JARQUE_BERA
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_BC_LAMBDAS = [-1.0, -0.5, 0.0, 0.5, 1.0]
+
+
+def _bc_x(lam: float) -> str:
+    """Box-Cox transform of yv at the grid point, as expression text
+    executed verbatim by both engines (sqrt/ln only — no generic pow).
+    yv is bound by the caller's fold lambda."""
+    if lam == -1.0:
+        return "(1.0 - 1.0 / yv)"
+    if lam == -0.5:
+        return "(2.0 * (1.0 - 1.0 / sqrt(yv)))"
+    if lam == 0.0:
+        return "ln(yv)"
+    if lam == 0.5:
+        return "(2.0 * (sqrt(yv) - 1.0))"
+    return "(yv - 1.0)"
+
+
+def q_box_cox_lambda(spark, sf_dir):
+    """Box-Cox power-transform selection for the purchase-value
+    distribution (Box & Cox 1964 — the feature-engineering step that
+    decides HOW to transform a heavy-tailed monetary column before the
+    Gaussian machinery: profile log-likelihood
+    LL(lambda) = -n/2 ln(sigma2_lambda) + (lambda-1) sum ln y over the
+    grid {-1, -1/2, 0, 1/2, 1}, where the transforms need only
+    sqrt/ln/reciprocal — no generic pow). The corpus collapses ONCE to
+    the DISTINCT-cents histogram (the kruskal_wallis convention), so
+    every float enters via folds over the <=10k-element value-sorted
+    array executed in identical order by both engines (ln/sqrt follow
+    the catalog's cross-engine libm precedent); counts and n are exact
+    longs. The persisted 1-row frame fans out to the 5 output rows
+    (cached-branch convention); is_best breaks ties toward the
+    smaller lambda. At 10^12 rows the histogram is still the number
+    of distinct prices."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c")
+    ).filter(F.col("__c") > 0)  # Box-Cox domain: strictly positive y
+    hist = ev.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    one = hist.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__c", "__t"))
+        ).alias("__a"),
+        F.sum("__t").cast("long").alias("n"),
+    )
+
+    def fold(body: str) -> str:
+        # yv bound per element; t is the exact multiplicity
+        return (
+            "aggregate(__a, 0.0D, (acc, e) -> acc + ("
+            "cast(e.__t as double) * "
+            + body.replace(
+                "yv", "(cast(e.__c as double) / 100.0)"
+            )
+            + "))"
+        )
+
+    cols = ["__a", "n", f"{fold('ln(yv)')} AS logsum"]
+    for i, lam in enumerate(_BC_LAMBDAS):
+        x = _bc_x(lam)
+        cols.append(f"{fold(x)} AS s1_{i}")
+        cols.append(f"{fold(f'{x} * {x}')} AS s2_{i}")
+    one = one.selectExpr(*cols)
+    lls = []
+    for i, lam in enumerate(_BC_LAMBDAS):
+        sig = (
+            f"((s2_{i} - s1_{i} * s1_{i} / cast(n as double))"
+            " / cast(n as double))"
+        )
+        lls.append(f"{sig} AS sigma2_{i}")
+        lls.append(
+            f"(-0.5 * cast(n as double) * ln({sig})"
+            f" + ({lam!r} - 1.0) * logsum) AS ll_{i}"
+        )
+    one = one.selectExpr("n", *lls)
+    best = "greatest(" + ", ".join(
+        f"ll_{i}" for i in range(len(_BC_LAMBDAS))
+    ) + ")"
+    one = scratch_persist(one.selectExpr("*", f"{best} AS __best"))
+    outs = [
+        one.selectExpr(
+            f"CAST({lam!r} AS DOUBLE) AS lambda",
+            "n AS n_obs",
+            f"sigma2_{i} AS __sig",
+            f"ll_{i} AS __ll",
+            # tie-break toward the smaller lambda: earlier grid points
+            # claim the flag via strict comparison on the later ones
+            "(ll_{i} >= __best{ties}) AS is_best".format(
+                i=i,
+                ties="".join(
+                    f" AND ll_{j} < __best" for j in range(i)
+                ),
+            ),
+        )
+        for i, lam in enumerate(_BC_LAMBDAS)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "lambda", "n_obs",
+        _r6("__sig").alias("sigma2"),
+        _r6("__ll").alias("loglik"),
+        "is_best",
+    )
+
+
+def _box_cox_sql() -> str:
+    def fold(body: str) -> str:
+        return (
+            "list_reduce(list_transform(a, e -> CAST(e.t AS DOUBLE) * "
+            + body.replace("yv", "(CAST(e.c AS DOUBLE) / 100.0)")
+            + "), (acc, v) -> acc + v)"
+        )
+
+    scols = [fold("ln(yv)") + " AS logsum"]
+    for i, lam in enumerate(_BC_LAMBDAS):
+        x = _bc_x(lam)
+        scols.append(f"{fold(x)} AS s1_{i}")
+        scols.append(f"{fold(f'{x} * {x}')} AS s2_{i}")
+    lls = []
+    for i, lam in enumerate(_BC_LAMBDAS):
+        sig = (
+            f"((s2_{i} - s1_{i} * s1_{i} / CAST(n AS DOUBLE))"
+            " / CAST(n AS DOUBLE))"
+        )
+        lls.append(f"{sig} AS sigma2_{i}")
+        lls.append(
+            f"(-0.5 * CAST(n AS DOUBLE) * ln({sig})"
+            f" + ({lam!r} - 1.0) * logsum) AS ll_{i}"
+        )
+    best = "greatest(" + ", ".join(
+        f"ll_{i}" for i in range(len(_BC_LAMBDAS))
+    ) + ")"
+    finals = " UNION ALL ".join(
+        "SELECT CAST({lam!r} AS DOUBLE) AS lambda, n AS n_obs,"
+        " round(sigma2_{i}, 6) AS sigma2,"
+        " round(ll_{i}, 6) AS loglik,"
+        " (ll_{i} >= best{ties}) AS is_best FROM b".format(
+            lam=lam, i=i,
+            ties="".join(
+                f" AND ll_{j} < best" for j in range(i)
+            ),
+        )
+        for i, lam in enumerate(_BC_LAMBDAS)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+    AND CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) > 0
+), hist AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM ev GROUP BY c
+), one AS (
+  SELECT list({{'c': c, 't': t}} ORDER BY c) AS a,
+    CAST(sum(t) AS BIGINT) AS n
+  FROM hist
+), s AS (
+  SELECT n, {', '.join(scols)} FROM one
+), l AS (
+  SELECT n, logsum, {', '.join(lls)} FROM s
+), b AS (
+  SELECT *, {best} AS best FROM l
+)
+{finals}
+"""
+
+
+SQL_BOX_COX_LAMBDA = _box_cox_sql()
+
+QUERIES["box_cox_lambda"] = q_box_cox_lambda
+_RAW_ORACLES["box_cox_lambda"] = SQL_BOX_COX_LAMBDA
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_DF_TAU_MU_5PCT = -2.96
+
+
+def q_dickey_fuller(spark, sf_dir):
+    """Dickey-Fuller unit-root test of the daily event-volume series
+    (Dickey & Fuller 1979; drift specification Delta y_t = alpha +
+    beta y_{t-1} + eps, the DF(0) regression — the stationarity gate
+    you run BEFORE trusting ACF-based tooling like ljung_box /
+    holt_trend: a unit root makes sample autocorrelations
+    meaningless). OLS on the <=30-obs lag frame from EXACT INTEGER
+    moments: with x = y_{t-1}, d = y_t - y_{t-1} (exact longs) and
+    m = n-1 observations, beta = (m*Sxd - Sx*Sd)/(m*Sxx - Sx^2) is
+    ONE division of exact integers, alpha = (Sd - beta*Sx)/m, and
+    RSS = (SYYc - beta*SXYc)/m with SXYc/SYYc exact longs, so
+    t = beta/se is a fixed expression tree — the gate is exact with
+    zero float folds. Reject 'unit root' when t < -2.96 (Fuller 1976
+    / MacKinnon 1991 tau_mu 5% point near n=30, pinned literal). The
+    corpus is touched ONCE by the day aggregate; the regression frame
+    is the <=31-day series."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    wlag = Window.orderBy("__x")
+    lagf = day.select(
+        F.col("__y").alias("__cur"),
+        F.lag("__y").over(wlag).alias("__prev"),
+    ).filter(F.col("__prev").isNotNull())
+    mom = lagf.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("__prev").cast("long").alias("sx"),
+        F.sum(F.col("__cur") - F.col("__prev")).cast("long").alias("sd"),
+        F.sum(F.col("__prev") * F.col("__prev")).cast("long")
+        .alias("sxx"),
+        F.sum(
+            F.col("__prev") * (F.col("__cur") - F.col("__prev"))
+        ).cast("long").alias("sxd"),
+        F.sum(
+            (F.col("__cur") - F.col("__prev"))
+            * (F.col("__cur") - F.col("__prev"))
+        ).cast("long").alias("sdd"),
+    )
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    sxyc = (F.col("m") * F.col("sxd") - F.col("sx") * F.col("sd"))
+    syyc = (F.col("m") * F.col("sdd") - F.col("sd") * F.col("sd"))
+    beta = sxyc.cast("double") / den.cast("double")
+    alpha = (
+        F.col("sd").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("m").cast("double")
+    rss = (syyc.cast("double") - beta * sxyc.cast("double")) \
+        / F.col("m").cast("double")
+    s2 = rss / (F.col("m") - 2).cast("double")
+    se = F.sqrt(s2 * F.col("m").cast("double") / den.cast("double"))
+    t = beta / se
+    ok = (den > 0) & (F.col("m") > 2)
+    return mom.select(
+        (F.col("m") + 1).alias("n_days"),
+        _r6(F.when(ok, beta)).alias("beta"),
+        _r6(F.when(ok, alpha)).alias("alpha"),
+        _r6(F.when(ok, t)).alias("t_stat"),
+        F.when(ok, t < F.lit(_DF_TAU_MU_5PCT)).alias("unit_root_rejected"),
+    )
+
+
+SQL_DICKEY_FULLER = f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lagf AS (
+  SELECT y AS cur, lag(y) OVER (ORDER BY x) AS prev FROM day
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(prev) AS BIGINT) AS sx,
+    CAST(sum(cur - prev) AS BIGINT) AS sd,
+    CAST(sum(prev * prev) AS BIGINT) AS sxx,
+    CAST(sum(prev * (cur - prev)) AS BIGINT) AS sxd,
+    CAST(sum((cur - prev) * (cur - prev)) AS BIGINT) AS sdd
+  FROM lagf WHERE prev IS NOT NULL
+), f AS (
+  SELECT m,
+    m * sxx - sx * sx AS den,
+    m * sxd - sx * sd AS sxyc,
+    m * sdd - sd * sd AS syyc,
+    sx, sd
+  FROM mom
+), g AS (
+  SELECT m, den, sx, sd,
+    CAST(sxyc AS DOUBLE) / CAST(den AS DOUBLE) AS beta,
+    (CAST(syyc AS DOUBLE)
+     - CAST(sxyc AS DOUBLE) / CAST(den AS DOUBLE)
+       * CAST(sxyc AS DOUBLE)) / CAST(m AS DOUBLE) AS rss
+  FROM f WHERE den > 0 AND m > 2
+), h AS (
+  SELECT m, beta,
+    (CAST(sd AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+      / CAST(m AS DOUBLE) AS alpha,
+    beta / sqrt(rss / CAST(m - 2 AS DOUBLE)
+                * CAST(m AS DOUBLE) / CAST(den AS DOUBLE)) AS t
+  FROM g
+)
+SELECT m + 1 AS n_days,
+  round(beta, 6) AS beta,
+  round(alpha, 6) AS alpha,
+  round(t, 6) AS t_stat,
+  t < {_DF_TAU_MU_5PCT!r} AS unit_root_rejected
+FROM h
+"""
+
+QUERIES["dickey_fuller"] = q_dickey_fuller
+_RAW_ORACLES["dickey_fuller"] = SQL_DICKEY_FULLER
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

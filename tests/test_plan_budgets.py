@@ -536,6 +536,12 @@ BUDGETS = {
     # moments by binomial expansion — ONE corpus pass, no join
     "jarque_bera": {"shuffle": 2, "python": 0, "cartesian": 0,
                     "bnlj": 0},
+    # box-cox: persisted 1-row histogram-fold frame fans out to the
+    # 5-way lambda-grid union (cached-branch convention)
+    "box_cox_lambda": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # dickey-fuller: ONE day agg + tiny lag window + moment agg
+    "dickey_fuller": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

@@ -2210,3 +2210,99 @@ def test_jarque_bera_rebuild(spark):
         assert abs(r["jb_stat"] - jb) < 1e-4
         assert r["reject_normal"] == (jb > 5.991)
         assert not math.isnan(r["jb_stat"])
+
+
+def test_box_cox_rebuild(spark):
+    """Per-lambda profile log-likelihood vs a literal python rebuild
+    with the identical fold order over the cents histogram (Box & Cox
+    1964), the sigma2 values, the is_best flag (argmax with
+    smaller-lambda tie-break), and the concavity sanity that the
+    best lambda's LL dominates both grid neighbors."""
+    import math
+
+    from mpds_spark.queries import _BC_LAMBDAS, q_box_cox_lambda
+
+    rows = sorted(
+        q_box_cox_lambda(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["lambda"],
+    )
+    import duckdb
+
+    hist = duckdb.sql(
+        "SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT)"
+        " AS c, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase'"
+        " AND CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) > 0"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n = sum(t for _, t in hist)
+
+    def xf(lam, y):
+        if lam == 0.0:
+            return math.log(y)
+        if lam == -1.0:
+            return 1.0 - 1.0 / y
+        if lam == -0.5:
+            return 2.0 * (1.0 - 1.0 / math.sqrt(y))
+        if lam == 0.5:
+            return 2.0 * (math.sqrt(y) - 1.0)
+        return y - 1.0
+
+    logsum = 0.0
+    for c, t in hist:
+        logsum += t * math.log(c / 100.0)
+    lls = {}
+    for lam in _BC_LAMBDAS:
+        s1 = s2 = 0.0
+        for c, t in hist:
+            x = xf(lam, c / 100.0)
+            s1 += t * x
+            s2 += t * x * x
+        sig = (s2 - s1 * s1 / n) / n
+        lls[lam] = -0.5 * n * math.log(sig) + (lam - 1.0) * logsum
+        row = next(r for r in rows if r["lambda"] == lam)
+        assert row["n_obs"] == n
+        assert abs(row["sigma2"] - sig) < 1e-6 * max(1.0, abs(sig))
+        assert abs(row["loglik"] - lls[lam]) < 1e-3
+    best = max(_BC_LAMBDAS, key=lambda l: (lls[l], -l))
+    for r in rows:
+        assert r["is_best"] == (r["lambda"] == best)
+    assert sum(r["is_best"] for r in rows) == 1
+
+
+def test_dickey_fuller_rebuild(spark):
+    """beta/alpha/t vs a literal python OLS of Delta y on (1, lag y)
+    over the daily series (Dickey & Fuller 1979 drift form), cross-
+    checked against numpy lstsq."""
+    import numpy as np
+
+    from mpds_spark.queries import q_dickey_fuller
+
+    r = q_dickey_fuller(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        c for (c,) in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    x = np.array(ys[:-1], dtype=float)
+    d = np.diff(np.array(ys, dtype=float))
+    m = len(x)
+    X = np.column_stack([np.ones(m), x])
+    coef, _, _, _ = np.linalg.lstsq(X, d, rcond=None)
+    resid = d - X @ coef
+    s2 = float(resid @ resid) / (m - 2)
+    den = m * float(x @ x) - float(x.sum()) ** 2
+    se = (s2 * m / den) ** 0.5
+    assert r["n_days"] == m + 1
+    assert abs(r["alpha"] - coef[0]) < 1e-4
+    assert abs(r["beta"] - coef[1]) < 1e-6
+    assert abs(r["t_stat"] - coef[1] / se) < 1e-4
+    assert r["unit_root_rejected"] == (coef[1] / se < -2.96)
+    # mean-reverting daily volume: beta must be negative (the series
+    # is a stationary count process, not a random walk)
+    assert r["beta"] < 0
