@@ -16789,3 +16789,177 @@ FROM h
 QUERIES["dickey_fuller"] = q_dickey_fuller
 _RAW_ORACLES["dickey_fuller"] = SQL_DICKEY_FULLER
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # 16^15, the 60-bit md5-prefix hash space
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV / k-minimum-values distinct-count sketch of users per event
+    type and pooled (Bar-Yossef et al. RANDOM 2002; Beyer et al.
+    SIGMOD 2007 unbiased estimator D = (k-1)/u_(k)) — the ORDER-
+    STATISTIC sketch family beside hll_cardinality's register family:
+    KMV supports set EXPRESSIONS (union/intersection via the combined
+    k smallest) and gives a distribution-free error bound, which is
+    why join-size planners carry it. Hashes are the catalog's 60-bit
+    md5 prefixes (exact longs, uniform on [0, 2^60)); the k smallest
+    per scope come from a rank window that plans as a per-partition
+    WindowGroupLimit heap — never a global sort; when a scope has
+    fewer than k distinct keys the sketch IS the exact set (est =
+    count, the standard small-regime behavior). The estimate
+    (k-1) * 2^60 / h_(k) is one division of exactly-representable
+    values, audited against the exact distinct count per scope. At
+    10^12 rows each scope ships k=256 longs — mergeable by taking
+    the k smallest of a union."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    stacked = ev.select(
+        F.col("event_type").alias("__scope"), "user_id"
+    ).unionAll(
+        ev.select(F.lit("all").alias("__scope"), "user_id")
+    ).distinct()
+    h = stacked.select(
+        "__scope",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16, 10,
+        ).cast("long").alias("__h"),
+    )
+    exact = h.groupBy("__scope").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    wr = Window.partitionBy("__scope").orderBy("__h")
+    topk = h.withColumn("__rn", F.row_number().over(wr)).filter(
+        F.col("__rn") <= F.lit(_KMV_K)
+    ).groupBy("__scope").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("__h").cast("long").alias("__kth"),
+    )
+    j = exact.join(topk, "__scope")
+    est = F.when(
+        F.col("k_used") < F.lit(_KMV_K),
+        F.col("k_used").cast("double"),
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE)
+        / F.col("__kth").cast("double")
+    )
+    return j.select(
+        F.col("__scope").alias("scope"),
+        "exact_distinct",
+        "k_used",
+        _r6(est).alias("kmv_estimate"),
+        _r6(
+            (est - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH stacked AS (
+  SELECT DISTINCT scope, user_id FROM (
+    SELECT event_type AS scope, user_id FROM events
+    UNION ALL
+    SELECT 'all' AS scope, user_id FROM events
+  )
+), h AS (
+  SELECT scope,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      ::UBIGINT AS BIGINT) AS hv
+  FROM stacked
+), exact AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM h GROUP BY scope
+), topk AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS k_used,
+    CAST(max(hv) AS BIGINT) AS kth
+  FROM (
+    SELECT scope, hv,
+      row_number() OVER (PARTITION BY scope ORDER BY hv) AS rn
+    FROM h
+  ) WHERE rn <= {_KMV_K}
+  GROUP BY scope
+), j AS (
+  SELECT exact.scope, exact_distinct, k_used,
+    CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+      ELSE {float(_KMV_K - 1)!r} * {_KMV_SPACE!r}
+           / CAST(kth AS DOUBLE) END AS est
+  FROM exact JOIN topk USING (scope)
+)
+SELECT scope, exact_distinct, k_used,
+  round(est, 6) AS kmv_estimate,
+  round((est - CAST(exact_distinct AS DOUBLE))
+        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+FROM j
+"""
+
+QUERIES["kmv_distinct"] = q_kmv_distinct
+_RAW_ORACLES["kmv_distinct"] = SQL_KMV_DISTINCT
+
+
+def q_yule_k(spark, sf_dir):
+    """Yule's characteristic K per source (Yule 1944, "The Statistical
+    Study of Literary Vocabulary") plus Herdan's C (Herdan 1960) — the
+    repeat-rate lexical-diversity pair that, unlike zipf_fit's slope
+    or heaps_fit's growth exponent, is a CLOSED-FORM function of the
+    frequency-of-frequencies: K = 10^4 (sum_w c_w^2 - N) / N^2 is
+    (up to scale) the probability two random tokens are the same
+    word, so template-heavy / boilerplate sources score high and
+    diverse prose scores low — the cheap per-source screen you run
+    before the expensive dedup passes. Token counts c_w are exact
+    longs from ONE (source, word) aggregation (whitespace tokens, the
+    corpus convention), K is a fixed expression over exact integers,
+    and C = ln V / ln N rides the catalog's ln precedent. At 10^12
+    tokens both reduce to the word-count table."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__w"),
+    )
+    cells = d.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    mom = cells.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("sum_c2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    k = (
+        F.lit(10000.0)
+        * (F.col("sum_c2") - F.col("n_tokens")).cast("double")
+        / (nd * nd)
+    )
+    c = F.log(F.col("vocab").cast("double")) / F.log(nd)
+    return mom.select(
+        "source", "n_tokens", "vocab", "sum_c2",
+        _r6(k).alias("yule_k"),
+        _r6(c).alias("herdan_c"),
+    )
+
+
+SQL_YULE_K = """
+WITH w AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), cells AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY source, word
+), mom AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM cells GROUP BY source
+)
+SELECT source, n_tokens, vocab, sum_c2,
+  round(10000.0 * CAST(sum_c2 - n_tokens AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+    AS yule_k,
+  round(ln(CAST(vocab AS DOUBLE)) / ln(CAST(n_tokens AS DOUBLE)), 6)
+    AS herdan_c
+FROM mom
+"""
+
+QUERIES["yule_k"] = q_yule_k
+_RAW_ORACLES["yule_k"] = SQL_YULE_K
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -542,6 +542,13 @@ BUDGETS = {
     # dickey-fuller: ONE day agg + tiny lag window + moment agg
     "dickey_fuller": {"shuffle": 2, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # kmv: stacked distinct + scope rank window (WindowGroupLimit
+    # heap, asserted below) + two scope aggs + 6-row join
+    "kmv_distinct": {"shuffle": 4, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # yule: (source, word) agg + per-source moment agg — one corpus
+    # pass, no join
+    "yule_k": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 
@@ -567,6 +574,14 @@ def test_plan_budget(plans, name):
             f"{name}: {got} {node} nodes (budget {cap}) — the plan shape "
             f"regressed; see tools/plan_audit.py.\n{plan[:2000]}"
         )
+
+
+def test_kmv_windowgrouplimit(plans):
+    """kmv_distinct's per-scope k smallest must plan as a
+    WindowGroupLimit (per-partition top-k heap pushed below the
+    exchange) — at 10^12 rows a scope-rank without the pushed limit
+    sorts every hash in the scope."""
+    assert "WindowGroupLimit" in plans["kmv_distinct"]
 
 
 def test_topk_takeordered(plans):

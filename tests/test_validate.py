@@ -2306,3 +2306,91 @@ def test_dickey_fuller_rebuild(spark):
     # mean-reverting daily volume: beta must be negative (the series
     # is a stationary count process, not a random walk)
     assert r["beta"] < 0
+
+
+def test_kmv_rebuild(spark):
+    """Estimates vs a literal python rebuild of the k smallest 60-bit
+    md5-prefix hashes per scope (Beyer et al. 2007 (k-1)/u_(k)),
+    the exact-set small regime (scope smaller than k => est = exact,
+    rel_err = 0), and the merge property: the pooled-scope sketch
+    must equal the k smallest of the union of the per-type hash
+    sets."""
+    import hashlib
+
+    from mpds_spark.queries import _KMV_K, q_kmv_distinct
+
+    rows = {
+        r["scope"]: r
+        for r in q_kmv_distinct(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT DISTINCT event_type, user_id FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    scopes = {}
+    for t, u in raw:
+        hv = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        scopes.setdefault(t, set()).add(hv)
+        scopes.setdefault("all", set()).add(hv)
+    for sc, hs in scopes.items():
+        r = rows[sc]
+        assert r["exact_distinct"] == len(hs)
+        ks = sorted(hs)[:_KMV_K]
+        assert r["k_used"] == len(ks)
+        if len(hs) < _KMV_K:
+            assert r["kmv_estimate"] == float(len(hs))
+            assert r["rel_err"] == 0.0
+        else:
+            est = (_KMV_K - 1) * float(1 << 60) / ks[-1]
+            assert abs(r["kmv_estimate"] - est) < 1e-4
+            # distribution-free concentration: within 50% at k=256
+            assert abs(r["rel_err"]) < 0.5
+    # mergeability: union of per-type k-min sets re-sketches 'all'
+    merged = sorted(set().union(
+        *[set(sorted(hs)[:_KMV_K]) for t, hs in scopes.items()
+          if t != "all"]
+    ))[:_KMV_K]
+    assert merged == sorted(scopes["all"])[:_KMV_K]
+
+
+def test_yule_k_rebuild(spark):
+    """K and Herdan C vs a literal python frequency-of-frequencies
+    rebuild per source, plus the repeat-rate identity: K/10^4 equals
+    the probability two distinct token draws collide, computed from
+    the same counts."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mpds_spark.queries import q_yule_k
+
+    rows = {
+        r["source"]: r
+        for r in q_yule_k(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT source, trim(text) FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(Counter)
+    import re as _re
+
+    for s, txt in raw:
+        per[s].update(_re.split(r"\s+", txt))
+    assert set(per) == set(rows)
+    for s, cnt in per.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        s2 = sum(c * c for c in cnt.values())
+        k = 1e4 * (s2 - n) / (n * n)
+        r = rows[s]
+        assert (r["n_tokens"], r["vocab"], r["sum_c2"]) == (n, v, s2)
+        assert abs(r["yule_k"] - k) < 1e-4
+        assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 1e-6
+        # repeat-rate identity (sampling WITH replacement form)
+        coll = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+        k_alt = 1e4 * coll * (n - 1) / n
+        assert abs(k - k_alt) < 1e-9 * max(1.0, k)
