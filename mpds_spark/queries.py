@@ -16963,3 +16963,248 @@ FROM mom
 QUERIES["yule_k"] = q_yule_k
 _RAW_ORACLES["yule_k"] = SQL_YULE_K
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_newman_modularity(spark, sf_dir):
+    """Newman modularity of the BRAND partition over the co-order part
+    graph (Newman & Girvan 2004; Newman PNAS 2006 eq. 17 — Q =
+    sum_c [e_c/m - (d_c/2m)^2], the null-adjusted intra-community
+    edge share): do parts of the same brand co-occur in orders more
+    than the degree-preserving null predicts? The categorical
+    companion to degree_assortativity (same %4-gated edge set, same
+    persisted-edges convention): assortativity asks whether hubs
+    attach to hubs, modularity asks whether a GIVEN labeling explains
+    the edge structure — run with quality buckets or dedup components
+    as the labels it is the audit that decides whether a partition is
+    worth sharding by. Both sums are EXACT LONGS (intra-edge count;
+    per-brand degree masses d_c and sum d_c^2 from one explode+agg),
+    so Q = intra/m - sum(d_c^2)/(4m^2) is two divisions of exact
+    integers. The 1-row edge-moment x 1-row degree-moment combine is
+    the registered BNLJ; at 10^12 rows the brand frame is <=|brands|."""
+    from mpds_spark.operators.graph import co_occurrence_edges
+    from mpds_spark.operators.util import scratch_persist
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    e = scratch_persist(
+        co_occurrence_edges(li, basket="l_orderkey", item="l_partkey")
+    )
+    brand = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("__pk"), F.col("p_brand").alias("__br")
+    )
+    ann = e.join(
+        F.broadcast(brand.select(F.col("__pk").alias("a"),
+                                 F.col("__br").alias("__ba"))), "a"
+    ).join(
+        F.broadcast(brand.select(F.col("__pk").alias("b"),
+                                 F.col("__br").alias("__bb"))), "b"
+    )
+    em = ann.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(
+            F.when(F.col("__ba") == F.col("__bb"), 1).otherwise(0)
+        ).cast("long").alias("intra_edges"),
+    )
+    deg = e.select(
+        F.explode(F.array("a", "b")).alias("__pk")
+    ).groupBy("__pk").agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    dc = deg.join(F.broadcast(brand), "__pk").groupBy("__br").agg(
+        F.sum("__deg").cast("long").alias("__dc")
+    )
+    dm = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("__dc") * F.col("__dc")).cast("long").alias("__d2"),
+    )
+    j = em.join(F.broadcast(dm))
+    md = F.col("n_edges").cast("double")
+    intra_share = F.col("intra_edges").cast("double") / md
+    expected = F.col("__d2").cast("double") / (F.lit(4.0) * md * md)
+    return j.select(
+        "n_edges", "intra_edges", "n_communities",
+        _r6(intra_share).alias("intra_share"),
+        _r6(expected).alias("expected_share"),
+        _r6(intra_share - expected).alias("modularity"),
+    )
+
+
+SQL_NEWMAN_MODULARITY = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_partkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+), brand AS (
+  SELECT p_partkey AS pk, p_brand AS br FROM part
+), em AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+    CAST(sum(CASE WHEN ba.br = bb.br THEN 1 ELSE 0 END) AS BIGINT)
+      AS intra_edges
+  FROM e JOIN brand ba ON ba.pk = e.a
+         JOIN brand bb ON bb.pk = e.b
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+  ) GROUP BY node
+), dc AS (
+  SELECT brand.br, CAST(sum(degree) AS BIGINT) AS dcm
+  FROM deg JOIN brand ON brand.pk = deg.node
+  GROUP BY brand.br
+), dm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_communities,
+    CAST(sum(dcm * dcm) AS BIGINT) AS d2
+  FROM dc
+)
+SELECT n_edges, intra_edges, n_communities,
+  round(CAST(intra_edges AS DOUBLE) / CAST(n_edges AS DOUBLE), 6)
+    AS intra_share,
+  round(CAST(d2 AS DOUBLE)
+        / (4.0 * CAST(n_edges AS DOUBLE) * CAST(n_edges AS DOUBLE)), 6)
+    AS expected_share,
+  round(CAST(intra_edges AS DOUBLE) / CAST(n_edges AS DOUBLE)
+        - CAST(d2 AS DOUBLE)
+          / (4.0 * CAST(n_edges AS DOUBLE) * CAST(n_edges AS DOUBLE)),
+        6) AS modularity
+FROM em CROSS JOIN dm
+"""
+
+QUERIES["newman_modularity"] = q_newman_modularity
+_RAW_ORACLES["newman_modularity"] = SQL_NEWMAN_MODULARITY
+
+
+_HT_RATES = {"src0": 0.5, "src1": 0.25, "src2": 1.0, "src3": 0.1}
+
+
+def q_horvitz_thompson(spark, sf_dir):
+    """Horvitz-Thompson estimation audit over the deterministic
+    stratified sample (Horvitz & Thompson JASA 1952): every kept doc
+    is inverse-weighted by its inclusion probability pi_s (the
+    stratum rate), so N_hat = n_kept/pi_s and T_hat(chars) =
+    sum_kept(n_chars)/pi_s are design-unbiased totals — the estimator
+    that makes rate-subsampled pipelines still report calibrated
+    corpus statistics (count a 10%-sampled stratum at x10). Reuses
+    the EXACT stratified_sample inclusion rule (md5 content-hash
+    threshold, operators/sampling.py:371 — same seed, so the kept
+    sets of the shared strata are identical across the two queries,
+    pytest-asserted), audits the estimates against the true per-
+    stratum totals, and pools the covered strata. Kept agg + true
+    agg + |strata|-row join; at 10^12 docs the audit frame is
+    |strata|+1 rows."""
+    from mpds_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, _HT_RATES, group="source")
+    rates = spark.createDataFrame(
+        [(g, float(x)) for g, x in _HT_RATES.items()],
+        "source string, __pi double",
+    )
+    ka = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(F.col("n_chars").cast("long")).cast("long")
+        .alias("__kchars"),
+    )
+    tr = docs.join(F.broadcast(rates), "source").groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.col("n_chars").cast("long")).cast("long")
+        .alias("chars_true"),
+    )
+    per = tr.join(ka, "source", "left").join(
+        F.broadcast(rates), "source"
+    ).select(
+        "source",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "n_true",
+        (F.coalesce("n_kept", F.lit(0)).cast("double") / F.col("__pi"))
+        .alias("__nht"),
+        "chars_true",
+        (F.coalesce("__kchars", F.lit(0)).cast("double")
+         / F.col("__pi")).alias("__cht"),
+    )
+    # pooled float totals fold in source order (integer sums are
+    # order-free; the double HT sums are not)
+    pooled = per.agg(
+        F.lit("__all__").alias("source"),
+        F.sum("n_kept").cast("long").alias("n_kept"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, __nht))),"
+            " 0.0D, (acc, x) -> acc + x.__nht)"
+        ).alias("__nht"),
+        F.sum("chars_true").cast("long").alias("chars_true"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(source, __cht))),"
+            " 0.0D, (acc, x) -> acc + x.__cht)"
+        ).alias("__cht"),
+    )
+    allr = per.unionAll(pooled)
+    return allr.select(
+        "source", "n_kept", "n_true",
+        _r6("__nht").alias("n_ht"),
+        "chars_true",
+        _r6("__cht").alias("chars_ht"),
+        _r6(
+            (F.col("__cht") - F.col("chars_true").cast("double"))
+            / F.col("chars_true").cast("double")
+        ).alias("chars_rel_err"),
+    )
+
+
+def _ht_sql() -> str:
+    rv = ", ".join(f"('{g}', {x!r})" for g, x in _HT_RATES.items())
+    return f"""
+WITH rates(source, pi) AS (
+  VALUES {rv}
+), kept AS (
+  SELECT d.source,
+    CAST(count(*) AS BIGINT) AS n_kept,
+    CAST(sum(n_chars) AS BIGINT) AS kchars
+  FROM documents d JOIN rates USING (source)
+  WHERE CAST(('0x' || substr(md5('strat|' || d.source || '|'
+      || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0
+    < rates.pi
+  GROUP BY d.source
+), tr AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(n_chars) AS BIGINT) AS chars_true
+  FROM documents d JOIN rates USING (source)
+  GROUP BY d.source
+), per AS (
+  SELECT tr.source,
+    CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+    tr.n_true,
+    CAST(coalesce(kept.n_kept, 0) AS DOUBLE) / rates.pi AS nht,
+    tr.chars_true,
+    CAST(coalesce(kept.kchars, 0) AS DOUBLE) / rates.pi AS cht
+  FROM tr LEFT JOIN kept ON kept.source = tr.source
+          JOIN rates ON rates.source = tr.source
+), pooled AS (
+  SELECT '__all__' AS source,
+    CAST(sum(n_kept) AS BIGINT) AS n_kept,
+    CAST(sum(n_true) AS BIGINT) AS n_true,
+    list_reduce(list_prepend(0.0, list(nht ORDER BY source)),
+                (acc, x) -> acc + x) AS nht,
+    CAST(sum(chars_true) AS BIGINT) AS chars_true,
+    list_reduce(list_prepend(0.0, list(cht ORDER BY source)),
+                (acc, x) -> acc + x) AS cht
+  FROM per
+), allr AS (
+  SELECT * FROM per UNION ALL SELECT * FROM pooled
+)
+SELECT source, n_kept, n_true,
+  round(nht, 6) AS n_ht,
+  chars_true,
+  round(cht, 6) AS chars_ht,
+  round((cht - CAST(chars_true AS DOUBLE))
+        / CAST(chars_true AS DOUBLE), 6) AS chars_rel_err
+FROM allr
+"""
+
+
+SQL_HORVITZ_THOMPSON = _ht_sql()
+
+QUERIES["horvitz_thompson"] = q_horvitz_thompson
+_RAW_ORACLES["horvitz_thompson"] = SQL_HORVITZ_THOMPSON
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

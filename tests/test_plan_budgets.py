@@ -549,6 +549,15 @@ BUDGETS = {
     # yule: (source, word) agg + per-source moment agg — one corpus
     # pass, no join
     "yule_k": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 0},
+    # modularity: persisted edges fan out to the edge-moment and
+    # degree-moment branches (cached-branch convention, the
+    # degree_assortativity shape); 1-row x 1-row combine is the
+    # registered BNLJ
+    "newman_modularity": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # horvitz-thompson: kept agg + true agg + |strata| join + ordered
+    # pooled fold
+    "horvitz_thompson": {"shuffle": 5, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
 }
 
 

@@ -168,6 +168,7 @@ def test_catalog_plan_inventory(spark):
         "ransac_trend",        # bounded 465x31 candidate sweep joins
         "runs_test",           # 1-row combine
         "sinkhorn_ot",         # 1-row corpus-max bin-boundary broadcast
+        "newman_modularity",   # 1-row edge-moment x 1-row degree-moment
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -2394,3 +2394,108 @@ def test_yule_k_rebuild(spark):
         coll = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
         k_alt = 1e4 * coll * (n - 1) / n
         assert abs(k - k_alt) < 1e-9 * max(1.0, k)
+
+
+def test_newman_modularity_rebuild(spark):
+    """Q vs a literal python rebuild of the brand partition over the
+    naively-enumerated co-order edge set, the exact integer cells,
+    and the bounds -1/2 <= Q < 1."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_newman_modularity
+
+    r = q_newman_modularity(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    edges = duckdb.sql(
+        "WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+        " FROM '/root/testdata/sf0.001/lineitem.parquet'"
+        " WHERE l_partkey % 4 = 0)"
+        " SELECT DISTINCT a.pk, b.pk FROM op a JOIN op b"
+        " ON a.ok = b.ok AND a.pk < b.pk"
+    ).fetchall()
+    brand = dict(duckdb.sql(
+        "SELECT p_partkey, p_brand FROM"
+        " '/root/testdata/sf0.001/part.parquet'"
+    ).fetchall())
+    m = len(edges)
+    intra = sum(1 for a, b in edges if brand[a] == brand[b])
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    dc = defaultdict(int)
+    for n, d in deg.items():
+        dc[brand[n]] += d
+    d2 = sum(v * v for v in dc.values())
+    q = intra / m - d2 / (4.0 * m * m)
+    assert (r["n_edges"], r["intra_edges"]) == (m, intra)
+    assert r["n_communities"] == len(dc)
+    assert abs(r["modularity"] - q) < 1e-6
+    assert -0.5 <= r["modularity"] < 1.0
+    assert abs(
+        r["modularity"] - (r["intra_share"] - r["expected_share"])
+    ) < 2e-6
+
+
+def test_horvitz_thompson_unbiased_and_consistent(spark):
+    """HT estimates vs a literal hashlib rebuild of the inclusion
+    rule, per-stratum identities (n_ht = n_kept/pi; full-rate stratum
+    has zero error), and cross-query consistency with
+    stratified_sample's kept counts on the shared strata."""
+    import hashlib
+
+    from mpds_spark.queries import (
+        _HT_RATES,
+        q_horvitz_thompson,
+        q_stratified_sample,
+    )
+
+    rows = {
+        r["source"]: r
+        for r in q_horvitz_thompson(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT source, doc_id, n_chars FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    kept = {g: [0, 0] for g in _HT_RATES}
+    true = {g: [0, 0] for g in _HT_RATES}
+    for s, d, nc in docs:
+        if s not in _HT_RATES:
+            continue
+        true[s][0] += 1
+        true[s][1] += nc
+        u = int(
+            hashlib.md5(f"strat|{s}|{d}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        if u < _HT_RATES[s]:
+            kept[s][0] += 1
+            kept[s][1] += nc
+    for g, pi in _HT_RATES.items():
+        r = rows[g]
+        assert (r["n_kept"], r["n_true"]) == (kept[g][0], true[g][0])
+        assert r["chars_true"] == true[g][1]
+        assert abs(r["n_ht"] - kept[g][0] / pi) < 1e-4
+        assert abs(r["chars_ht"] - kept[g][1] / pi) < 1e-2
+    # the pi=1 stratum reproduces its totals exactly
+    assert rows["src2"]["chars_rel_err"] == 0.0
+    assert rows["src2"]["n_ht"] == float(rows["src2"]["n_true"])
+    # pooled row sums the strata
+    allr = rows["__all__"]
+    assert allr["n_true"] == sum(true[g][0] for g in _HT_RATES)
+    assert allr["n_kept"] == sum(kept[g][0] for g in _HT_RATES)
+    # cross-query: same kept counts as stratified_sample on the
+    # shared strata (identical seed + rule)
+    ss = {
+        r["source"]: r
+        for r in q_stratified_sample(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for g in ("src0", "src1", "src2"):
+        assert ss[g]["n_docs"] == rows[g]["n_kept"]
