@@ -17208,3 +17208,242 @@ SQL_HORVITZ_THOMPSON = _ht_sql()
 QUERIES["horvitz_thompson"] = q_horvitz_thompson
 _RAW_ORACLES["horvitz_thompson"] = SQL_HORVITZ_THOMPSON
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_km_confidence(spark, sf_dir):
+    """Kaplan-Meier curve with Greenwood variance and log-log 95%
+    bands (Greenwood 1926; Kalbfleisch & Prentice 2002 §1.4 —
+    operators/survival.py kaplan_meier_ci): the same hour-binned
+    user-lifetime curve as survival_km (identical risk sets,
+    pytest-asserted), now shipping the uncertainty a retention
+    readout is useless without — bands via the ln(-ln S) transform
+    stay inside [0,1] (what survfit/lifelines print by default).
+    Greenwood's G(t) folds over the same running window with
+    integer-ratio d/(n(n-d)) terms in ascending-duration order; the
+    DuckDB twin folds list(term ORDER BY day) over a theta self-join
+    of the tiny curve. Bands NULL where undefined (S=1 before the
+    first death; S=0 after risk exhaustion). Only the aggregated
+    curve crosses the global window at any corpus size."""
+    from mpds_spark.operators.survival import kaplan_meier_ci
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    out = kaplan_meier_ci(
+        ev, entity="entity_id", ts="ts", churn_gap_days=7.0,
+        bin_seconds=3600,
+    )
+    return out.select(
+        "duration_bin",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        _r6("km_survival").alias("km_survival"),
+        _r6("se_greenwood").alias("se_greenwood"),
+        _r6("lo95").alias("lo95"),
+        _r6("hi95").alias("hi95"),
+    )
+
+
+SQL_KM_CONFIDENCE = """
+WITH d AS (SELECT user_id AS e, epoch_us(ts) AS us FROM events),
+mx AS (SELECT max(us) AS mx FROM d),
+sp AS (SELECT e, min(us) AS s, max(us) AS t FROM d GROUP BY e),
+sv AS (
+  SELECT CAST((t - s) // 3600000000 AS BIGINT) AS day,
+    CASE WHEN t <= (SELECT mx FROM mx) - 604800000000
+         THEN 1 ELSE 0 END AS obs
+  FROM sp
+), curve AS (
+  SELECT day, CAST(sum(obs) AS BIGINT) AS n_events,
+    CAST(sum(1 - obs) AS BIGINT) AS n_censored
+  FROM sv GROUP BY day
+), risk AS (
+  SELECT day, n_events, n_censored,
+    CAST((SELECT sum(n_events + n_censored) FROM curve)
+      - coalesce(sum(n_events + n_censored) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM curve
+), km AS (
+  SELECT r1.day,
+    list_sum(list(CASE WHEN r2.n_events < r2.n_risk
+      THEN ln((r2.n_risk - r2.n_events)::DOUBLE / r2.n_risk::DOUBLE)
+      ELSE 0.0 END ORDER BY r2.day)) AS lnsum,
+    list_sum(list(CASE WHEN r2.n_events < r2.n_risk
+      THEN r2.n_events::DOUBLE
+           / (r2.n_risk::DOUBLE * (r2.n_risk - r2.n_events)::DOUBLE)
+      ELSE 0.0 END ORDER BY r2.day)) AS g,
+    max(CASE WHEN r2.n_events = r2.n_risk THEN 1 ELSE 0 END) AS zero
+  FROM risk r1 JOIN risk r2 ON r2.day <= r1.day GROUP BY r1.day
+), f AS (
+  SELECT r.day, r.n_risk, r.n_events, r.n_censored,
+    CASE WHEN k.zero = 1 THEN 0.0 ELSE exp(k.lnsum) END AS s,
+    k.g
+  FROM risk r JOIN km k ON k.day = r.day
+)
+SELECT day AS duration_bin, n_risk, n_events, n_censored,
+  round(s, 6) AS km_survival,
+  round(CASE WHEN s > 0 AND s < 1 THEN s * sqrt(g) END, 6)
+    AS se_greenwood,
+  round(CASE WHEN s > 0 AND s < 1 THEN
+    exp(-exp(ln(-ln(s)) + 1.96 * (sqrt(g) / abs(ln(s))))) END, 6)
+    AS lo95,
+  round(CASE WHEN s > 0 AND s < 1 THEN
+    exp(-exp(ln(-ln(s)) - 1.96 * (sqrt(g) / abs(ln(s))))) END, 6)
+    AS hi95
+FROM f
+"""
+
+QUERIES["km_confidence"] = q_km_confidence
+_RAW_ORACLES["km_confidence"] = SQL_KM_CONFIDENCE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_SES_ALPHAS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def q_ses_alpha_grid(spark, sf_dir):
+    """Simple-exponential-smoothing alpha selection for the daily
+    event-volume series by one-step-ahead SSE over the grid
+    alpha = 0.1..0.9 (Brown 1956; Hyndman & Athanasopoulos FPP3 §8.1
+    — the forecasting-hyperparameter sweep beside holt_trend: SES is
+    the level-only special case, and the SSE grid is exactly how
+    statsmodels' fixed-smoothing path evaluates it): l_1 = y_1,
+    e_t = y_t - l_{t-1}, l_t = alpha*y_t + (1-alpha)*l_{t-1}. Each
+    alpha's recursion runs as ONE left fold over the day-ascending
+    array with a (level, sse) struct accumulator — Spark seeds
+    aggregate() with the first element and folds the rest via
+    slice(); DuckDB's list_reduce seeds from the first element
+    NATIVELY, so the two engines execute the identical float
+    sequence by construction. Counts are exact longs; is_best takes
+    the smallest SSE with the smaller-alpha tie-break. The persisted
+    1-row frame fans out to the 9-row grid (cached-branch); at 10^12
+    rows the fold still sees <=31 values."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).selectExpr(
+        "n",
+        "transform(__a, e -> cast(e.__y as double)) AS ys",
+    )
+    cols = ["n"]
+    for i, a in enumerate(_SES_ALPHAS):
+        fold = (
+            "aggregate(slice(ys, 2, cast(n - 1 as int)),"
+            " named_struct('l', element_at(ys, 1), 'sse', 0.0D),"
+            f" (acc, y) -> named_struct("
+            f"'l', {a!r} * y + (1.0 - {a!r}) * acc.l,"
+            " 'sse', acc.sse + (y - acc.l) * (y - acc.l)))"
+        )
+        cols.append(f"{fold} AS st_{i}")
+    one = one.selectExpr(*cols)
+    one = scratch_persist(one.selectExpr(
+        "n",
+        *[c for i in range(len(_SES_ALPHAS))
+          for c in (f"st_{i}.sse AS sse_{i}", f"st_{i}.l AS lvl_{i}")],
+        "least(" + ", ".join(
+            f"st_{i}.sse" for i in range(len(_SES_ALPHAS))
+        ) + ") AS __best",
+    ))
+    outs = [
+        one.selectExpr(
+            f"CAST({a!r} AS DOUBLE) AS alpha",
+            "n AS n_days",
+            f"sse_{i} AS __sse",
+            f"sqrt(sse_{i} / cast(n - 1 as double)) AS __rmse",
+            f"lvl_{i} AS __lvl",
+            "(sse_{i} <= __best{ties}) AS is_best".format(
+                i=i,
+                ties="".join(
+                    f" AND sse_{j} > __best" for j in range(i)
+                ),
+            ),
+        )
+        for i, a in enumerate(_SES_ALPHAS)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "alpha", "n_days",
+        _r6("__sse").alias("sse"),
+        _r6("__rmse").alias("rmse"),
+        _r6("__lvl").alias("final_level"),
+        "is_best",
+    )
+
+
+def _ses_sql() -> str:
+    # DuckDB list_reduce evaluates struct-accumulator fields
+    # SEQUENTIALLY (the 'sse' field sees the already-updated 'l'), so
+    # the oracle avoids struct accumulators entirely: each one-step
+    # level l_{t-1} is recomputed from scratch as a plain DOUBLE fold
+    # over the prefix (identical op sequence => bit-identical to the
+    # running value), and the SSE folds t-ascending. O(n^2) on the
+    # <=31-day frame.
+    def lvl(a, hi):
+        return (
+            f"list_reduce(list_slice(ys, 1, {hi}), (acc, y) ->"
+            f" CAST({a!r} AS DOUBLE) * y"
+            f" + (CAST(1.0 AS DOUBLE) - CAST({a!r} AS DOUBLE)) * acc)"
+        )
+
+    folds = []
+    for i, a in enumerate(_SES_ALPHAS):
+        err = f"(ys[t] - {lvl(a, 't - 1')})"
+        folds.append(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            " list_transform(range(2, CAST(n + 1 AS INTEGER)),"
+            f" t -> {err} * {err})), (acc, v) -> acc + v) AS sse_{i}"
+        )
+        folds.append(f"{lvl(a, 'CAST(n AS INTEGER)')} AS lvl_{i}")
+    best = "least(" + ", ".join(
+        f"sse_{i}" for i in range(len(_SES_ALPHAS))
+    ) + ")"
+    finals = " UNION ALL ".join(
+        "SELECT CAST({a!r} AS DOUBLE) AS alpha, n AS n_days,"
+        " round(sse_{i}, 6) AS sse,"
+        " round(sqrt(sse_{i} / CAST(n - 1 AS DOUBLE)), 6) AS rmse,"
+        " round(lvl_{i}, 6) AS final_level,"
+        " (sse_{i} <= best{ties}) AS is_best FROM b".format(
+            a=a, i=i,
+            ties="".join(
+                f" AND sse_{j} > best" for j in range(i)
+            ),
+        )
+        for i, a in enumerate(_SES_ALPHAS)
+    )
+    return f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+    CAST(count(*) AS BIGINT) AS n
+  FROM day
+), fl AS (
+  SELECT n, {', '.join(folds)} FROM one
+), b AS (
+  SELECT *, {best} AS best FROM fl
+)
+{finals}
+"""
+
+
+SQL_SES_ALPHA_GRID = _ses_sql()
+
+QUERIES["ses_alpha_grid"] = q_ses_alpha_grid
+_RAW_ORACLES["ses_alpha_grid"] = SQL_SES_ALPHA_GRID
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -558,6 +558,13 @@ BUDGETS = {
     # pooled fold
     "horvitz_thompson": {"shuffle": 5, "python": 0, "cartesian": 0,
                          "bnlj": 0},
+    # km-ci: the survival_km frame (entity span agg + bin agg + tiny
+    # curve windows); corpus-max broadcast is the registered BNLJ
+    "km_confidence": {"shuffle": 4, "python": 0, "cartesian": 0,
+                      "bnlj": 1},
+    # ses: persisted 1-row fold frame fans out to the 9-way alpha
+    # grid union (cached-branch convention)
+    "ses_alpha_grid": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -169,6 +169,7 @@ def test_catalog_plan_inventory(spark):
         "runs_test",           # 1-row combine
         "sinkhorn_ot",         # 1-row corpus-max bin-boundary broadcast
         "newman_modularity",   # 1-row edge-moment x 1-row degree-moment
+        "km_confidence",       # broadcast 1-row corpus-max censor boundary
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -2499,3 +2499,89 @@ def test_horvitz_thompson_unbiased_and_consistent(spark):
     }
     for g in ("src0", "src1", "src2"):
         assert ss[g]["n_docs"] == rows[g]["n_kept"]
+
+
+def test_km_confidence_rebuild_and_km_consistency(spark):
+    """Greenwood SE and log-log bands vs a literal python rebuild on
+    the same curve, band ordering lo < S < hi where defined, bands in
+    [0,1], and cross-query consistency: the curve columns must equal
+    survival_km's exactly."""
+    import math
+
+    from mpds_spark.queries import q_km_confidence, q_survival_km
+
+    rows = sorted(
+        q_km_confidence(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["duration_bin"],
+    )
+    km = {
+        r["duration_bin"]: r
+        for r in q_survival_km(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(km) == {r["duration_bin"] for r in rows}
+    g = 0.0
+    s_prev = 1.0
+    for r in rows:
+        base = km[r["duration_bin"]]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (
+            base["n_risk"], base["n_events"], base["n_censored"],
+        )
+        assert r["km_survival"] == base["km_survival"]
+        n, d = r["n_risk"], r["n_events"]
+        if d < n:
+            g += d / (n * (n - d))
+        s = r["km_survival"]
+        if 0 < s < 1:
+            se = s * math.sqrt(g)
+            th = math.log(-math.log(s))
+            seth = math.sqrt(g) / abs(math.log(s))
+            lo = math.exp(-math.exp(th + 1.96 * seth))
+            hi = math.exp(-math.exp(th - 1.96 * seth))
+            assert abs(r["se_greenwood"] - se) < 1e-5
+            assert abs(r["lo95"] - lo) < 1e-5
+            assert abs(r["hi95"] - hi) < 1e-5
+            assert 0.0 <= r["lo95"] < s < r["hi95"] <= 1.0
+        else:
+            assert r["se_greenwood"] is None
+        assert s <= s_prev + 1e-12
+        s_prev = s
+
+
+def test_ses_alpha_grid_rebuild(spark):
+    """Per-alpha one-step-ahead SSE and final level vs a literal
+    python recursion (identical op order), the is_best argmin with
+    smaller-alpha tie-break, and the RMSE identity."""
+    import math
+
+    from mpds_spark.queries import _SES_ALPHAS, q_ses_alpha_grid
+
+    rows = {
+        r["alpha"]: r
+        for r in q_ses_alpha_grid(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    ys = [
+        float(c) for (c,) in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    sses = {}
+    for a in _SES_ALPHAS:
+        l, sse = ys[0], 0.0
+        for y in ys[1:]:
+            sse += (y - l) * (y - l)
+            l = a * y + (1.0 - a) * l
+        sses[a] = sse
+        r = rows[a]
+        assert r["n_days"] == n
+        assert abs(r["sse"] - sse) < 1e-4
+        assert abs(r["rmse"] - math.sqrt(sse / (n - 1))) < 1e-6
+        assert abs(r["final_level"] - l) < 1e-6
+    best = min(_SES_ALPHAS, key=lambda a: (sses[a], a))
+    for a, r in rows.items():
+        assert r["is_best"] == (a == best)
+    assert sum(r["is_best"] for r in rows.values()) == 1
