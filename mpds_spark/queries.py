@@ -17447,3 +17447,279 @@ SQL_SES_ALPHA_GRID = _ses_sql()
 QUERIES["ses_alpha_grid"] = q_ses_alpha_grid
 _RAW_ORACLES["ses_alpha_grid"] = SQL_SES_ALPHA_GRID
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_best_split_stump(spark, sf_dir):
+    """CART decision-stump split finder (Breiman et al. 1984): the
+    single n_chars threshold that best separates the >=20-words
+    quality label by Gini impurity — the one-feature special case of
+    the split search every tree learner runs, and the weak-supervision
+    primitive that turns a labeling rule into a cheap surrogate
+    feature threshold. The corpus collapses ONCE to the distinct-
+    n_chars histogram with per-class counts (exact longs); prefix
+    sums over the value-ascending window make every candidate split
+    'x <= v' a row, the weighted Gini
+    sum_side (n_s - (s1^2 + s0^2)/n_s) is a fixed expression over
+    exact integers per candidate (single divisions), and the argmin
+    is a TakeOrdered over (score, threshold) — smallest-threshold
+    tie-break, no global sort. At 10^12 docs the candidate frame is
+    the number of distinct lengths."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("__v"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 20,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    hist = d.groupBy("__v").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("long").alias("__q"),
+    )
+    w = Window.orderBy("__v")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = hist.select(
+        "__v",
+        F.sum("__p").over(wc).cast("long").alias("__l1"),
+        F.sum("__q").over(wc).cast("long").alias("__l0"),
+        F.sum("__p").over(wt).cast("long").alias("__t1"),
+        F.sum("__q").over(wt).cast("long").alias("__t0"),
+    ).select(
+        "__v", "__l1", "__l0", "__t1", "__t0",
+        (F.col("__l1") + F.col("__l0")).alias("__nl"),
+        (F.col("__t1") - F.col("__l1") + F.col("__t0") - F.col("__l0"))
+        .alias("__nr"),
+    ).filter((F.col("__nl") > 0) & (F.col("__nr") > 0))
+    r1 = F.col("__t1") - F.col("__l1")
+    r0 = F.col("__t0") - F.col("__l0")
+    score = (
+        F.col("__nl").cast("double")
+        - (F.col("__l1") * F.col("__l1")
+           + F.col("__l0") * F.col("__l0")).cast("double")
+        / F.col("__nl").cast("double")
+        + F.col("__nr").cast("double")
+        - (r1 * r1 + r0 * r0).cast("double")
+        / F.col("__nr").cast("double")
+    )
+    best = cand.select(
+        "__v", "__l1", "__l0", "__t1", "__t0", "__nl", "__nr",
+        score.alias("__score"),
+    ).orderBy("__score", "__v").limit(1)
+    n = (F.col("__t1") + F.col("__t0")).cast("double")
+    gini_parent = F.lit(1.0) - (
+        (F.col("__t1") * F.col("__t1")
+         + F.col("__t0") * F.col("__t0")).cast("double") / (n * n)
+    )
+    return best.select(
+        (F.col("__t1") + F.col("__t0")).alias("n_docs"),
+        F.col("__t1").alias("n_pos"),
+        F.col("__v").alias("best_threshold"),
+        F.col("__nl").alias("n_left"),
+        F.col("__l1").alias("pos_left"),
+        F.col("__nr").alias("n_right"),
+        (F.col("__t1") - F.col("__l1")).alias("pos_right"),
+        _r6(gini_parent).alias("gini_parent"),
+        _r6(F.col("__score") / n).alias("gini_split"),
+        _r6(gini_parent - F.col("__score") / n).alias("gini_gain"),
+    )
+
+
+SQL_BEST_SPLIT_STUMP = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+         THEN 1 ELSE 0 END AS y
+  FROM documents
+), hist AS (
+  SELECT v, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS q
+  FROM d GROUP BY v
+), cand AS (
+  SELECT v,
+    CAST(sum(p) OVER wc AS BIGINT) AS l1,
+    CAST(sum(q) OVER wc AS BIGINT) AS l0,
+    CAST(sum(p) OVER () AS BIGINT) AS t1,
+    CAST(sum(q) OVER () AS BIGINT) AS t0
+  FROM hist
+  WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+), scored AS (
+  SELECT v, l1, l0, t1, t0, l1 + l0 AS nl,
+    (t1 - l1) + (t0 - l0) AS nr,
+    CAST(l1 + l0 AS DOUBLE)
+      - CAST(l1 * l1 + l0 * l0 AS DOUBLE) / CAST(l1 + l0 AS DOUBLE)
+      + CAST((t1 - l1) + (t0 - l0) AS DOUBLE)
+      - CAST((t1 - l1) * (t1 - l1) + (t0 - l0) * (t0 - l0) AS DOUBLE)
+        / CAST((t1 - l1) + (t0 - l0) AS DOUBLE) AS score
+  FROM cand
+  WHERE l1 + l0 > 0 AND (t1 - l1) + (t0 - l0) > 0
+), best AS (
+  SELECT * FROM scored ORDER BY score, v LIMIT 1
+)
+SELECT t1 + t0 AS n_docs, t1 AS n_pos, v AS best_threshold,
+  nl AS n_left, l1 AS pos_left, nr AS n_right, t1 - l1 AS pos_right,
+  round(1.0 - CAST(t1 * t1 + t0 * t0 AS DOUBLE)
+        / (CAST(t1 + t0 AS DOUBLE) * CAST(t1 + t0 AS DOUBLE)), 6)
+    AS gini_parent,
+  round(score / CAST(t1 + t0 AS DOUBLE), 6) AS gini_split,
+  round(1.0 - CAST(t1 * t1 + t0 * t0 AS DOUBLE)
+        / (CAST(t1 + t0 AS DOUBLE) * CAST(t1 + t0 AS DOUBLE))
+        - score / CAST(t1 + t0 AS DOUBLE), 6) AS gini_gain
+FROM best
+"""
+
+QUERIES["best_split_stump"] = q_best_split_stump
+_RAW_ORACLES["best_split_stump"] = SQL_BEST_SPLIT_STUMP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_THSD_Q_K5_DF120 = 3.92  # studentized range q(0.05; k=5, df=120)
+
+
+def q_tukey_hsd(spark, sf_dir):
+    """Tukey-Kramer HSD post-hoc pairwise comparisons of event-type
+    daily volume (Tukey 1949; Kramer 1956 unequal-n form) — the
+    follow-up kruskal_wallis / friedman_test / anova_twoway all
+    punt on: the omnibus tests say SOME types differ, HSD says WHICH
+    pairs, with the studentized-range correction that keeps the
+    familywise error at alpha across all 10 comparisons (what a naive
+    10x welch sweep inflates). Per-type moments (n_i, S_i, sum y^2)
+    come from 5 conditional-count column sets of ONE cell aggregate
+    (exact longs); MSW = sum_g (n_g P2_g - S_g^2)/n_g / (N - k) is a
+    fixed 5-term chain of exact-integer ratios; each pair's
+    |mean_i - mean_j| tests against q* sqrt(MSW/2 (1/n_i + 1/n_j))
+    with the pinned q(0.05; 5, 120) = 3.92 literal. The persisted
+    1-row moment frame fans out to the 10 pair rows (cached-branch).
+    At 10^12 events the comparison frame is 1 row."""
+    from mpds_spark.operators.util import scratch_persist
+
+    k = _BT_K
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__d"),
+        "event_type",
+    )
+    cells = ev.groupBy("__d", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = cells.agg(*[
+        c for i, t in enumerate(_BT_TYPES) for c in (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long").alias(f"n{i}"),
+            F.sum(
+                F.when(F.col("event_type") == t, F.col("__y"))
+                .otherwise(0)
+            ).cast("long").alias(f"s{i}"),
+            F.sum(
+                F.when(F.col("event_type") == t,
+                       F.col("__y") * F.col("__y")).otherwise(0)
+            ).cast("long").alias(f"p{i}"),
+        )
+    ])
+    ssw = " + ".join(
+        f"(cast(n{i} as double) * cast(p{i} as double)"
+        f" - cast(s{i} as double) * cast(s{i} as double))"
+        f" / cast(n{i} as double)"
+        for i in range(k)
+    )
+    ntot = " + ".join(f"n{i}" for i in range(k))
+    one = scratch_persist(one.selectExpr(
+        "*",
+        f"({ssw}) / cast(({ntot}) - {k} as double) AS msw",
+        f"cast({ntot} as long) AS n_cells",
+    ))
+    outs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            diff = (
+                f"cast(s{i} as double) / cast(n{i} as double)"
+                f" - cast(s{j} as double) / cast(n{j} as double)"
+            )
+            hsd = (
+                f"{_THSD_Q_K5_DF120!r} * sqrt(msw / 2.0"
+                f" * (1.0 / cast(n{i} as double)"
+                f"    + 1.0 / cast(n{j} as double)))"
+            )
+            outs.append(one.selectExpr(
+                f"'{_BT_TYPES[i]}' AS type_a",
+                f"'{_BT_TYPES[j]}' AS type_b",
+                "n_cells",
+                f"({diff}) AS __diff",
+                "msw AS __msw",
+                f"({hsd}) AS __hsd",
+                f"(abs({diff}) > {hsd}) AS significant",
+            ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "type_a", "type_b", "n_cells",
+        _r6("__diff").alias("mean_diff"),
+        _r6("__msw").alias("msw"),
+        _r6("__hsd").alias("hsd_threshold"),
+        "significant",
+    )
+
+
+def _tukey_sql() -> str:
+    k = _BT_K
+    moms = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n{i},"
+        f" CAST(sum(CASE WHEN event_type = '{t}' THEN y ELSE 0 END)"
+        f" AS BIGINT) AS s{i},"
+        f" CAST(sum(CASE WHEN event_type = '{t}' THEN y * y ELSE 0 END)"
+        f" AS BIGINT) AS p{i}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    ssw = " + ".join(
+        f"(CAST(n{i} AS DOUBLE) * CAST(p{i} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+        f" / CAST(n{i} AS DOUBLE)"
+        for i in range(k)
+    )
+    ntot = " + ".join(f"n{i}" for i in range(k))
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            diff = (
+                f"CAST(s{i} AS DOUBLE) / CAST(n{i} AS DOUBLE)"
+                f" - CAST(s{j} AS DOUBLE) / CAST(n{j} AS DOUBLE)"
+            )
+            hsd = (
+                f"{_THSD_Q_K5_DF120!r} * sqrt(msw / 2.0"
+                f" * (1.0 / CAST(n{i} AS DOUBLE)"
+                f"    + 1.0 / CAST(n{j} AS DOUBLE)))"
+            )
+            pairs.append(
+                f"SELECT '{_BT_TYPES[i]}' AS type_a,"
+                f" '{_BT_TYPES[j]}' AS type_b, n_cells,"
+                f" round({diff}, 6) AS mean_diff,"
+                " round(msw, 6) AS msw,"
+                f" round({hsd}, 6) AS hsd_threshold,"
+                f" (abs({diff}) > {hsd}) AS significant FROM m"
+            )
+    return f"""
+WITH cells AS (
+  SELECT CAST(day(ts) AS BIGINT) AS d, event_type,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), one AS (
+  SELECT {moms} FROM cells
+), m AS (
+  SELECT *, ({ssw}) / CAST(({ntot}) - {k} AS DOUBLE) AS msw,
+    CAST({ntot} AS BIGINT) AS n_cells
+  FROM one
+)
+{' UNION ALL '.join(pairs)}
+"""
+
+
+SQL_TUKEY_HSD = _tukey_sql()
+
+QUERIES["tukey_hsd"] = q_tukey_hsd
+_RAW_ORACLES["tukey_hsd"] = SQL_TUKEY_HSD
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

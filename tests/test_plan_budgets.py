@@ -565,6 +565,13 @@ BUDGETS = {
     # ses: persisted 1-row fold frame fans out to the 9-way alpha
     # grid union (cached-branch convention)
     "ses_alpha_grid": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # stump: histogram agg + tiny prefix window + TakeOrdered argmin
+    # (asserted below)
+    "best_split_stump": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    # tukey: persisted 1-row moment frame fans out to the 10 pair
+    # rows (cached-branch convention)
+    "tukey_hsd": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 
@@ -590,6 +597,13 @@ def test_plan_budget(plans, name):
             f"{name}: {got} {node} nodes (budget {cap}) — the plan shape "
             f"regressed; see tools/plan_audit.py.\n{plan[:2000]}"
         )
+
+
+def test_stump_takeordered(plans):
+    """best_split_stump's argmin over the candidate frame must plan as
+    TakeOrderedAndProject — never a global sort of the distinct-value
+    histogram."""
+    assert "TakeOrderedAndProject" in plans["best_split_stump"]
 
 
 def test_kmv_windowgrouplimit(plans):

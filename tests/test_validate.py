@@ -2585,3 +2585,96 @@ def test_ses_alpha_grid_rebuild(spark):
     for a, r in rows.items():
         assert r["is_best"] == (a == best)
     assert sum(r["is_best"] for r in rows.values()) == 1
+
+
+def test_best_split_stump_rebuild(spark):
+    """Best threshold and Gini quantities vs a literal python sweep of
+    EVERY candidate split, cell-count identities, and the gain bound
+    0 <= gain <= gini_parent."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_best_split_stump
+
+    r = q_best_split_stump(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(n_chars AS BIGINT),"
+        " CASE WHEN length(text) - length(replace(text,' ','')) + 1 >= 20"
+        " THEN 1 ELSE 0 END FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    hist = defaultdict(lambda: [0, 0])
+    for v, y in rows:
+        hist[v][y] += 1
+    vs = sorted(hist)
+    t1 = sum(hist[v][1] for v in vs)
+    t0 = sum(hist[v][0] for v in vs)
+    n = t1 + t0
+    best = None
+    l1 = l0 = 0
+    for v in vs:
+        l1 += hist[v][1]
+        l0 += hist[v][0]
+        nl, nr = l1 + l0, (t1 - l1) + (t0 - l0)
+        if nl == 0 or nr == 0:
+            continue
+        score = (
+            nl - (l1 * l1 + l0 * l0) / nl
+            + nr - ((t1 - l1) ** 2 + (t0 - l0) ** 2) / nr
+        )
+        key = (score, v)
+        if best is None or key < best[0]:
+            best = (key, v, l1, l0, nl, nr, score)
+    _, v, l1, l0, nl, nr, score = best
+    gini_parent = 1.0 - (t1 * t1 + t0 * t0) / (n * n)
+    assert (r["n_docs"], r["n_pos"]) == (n, t1)
+    assert r["best_threshold"] == v
+    assert (r["n_left"], r["pos_left"]) == (nl, l1)
+    assert (r["n_right"], r["pos_right"]) == (nr, t1 - l1)
+    assert abs(r["gini_parent"] - gini_parent) < 1e-6
+    assert abs(r["gini_split"] - score / n) < 1e-6
+    assert abs(r["gini_gain"] - (gini_parent - score / n)) < 1e-6
+    assert 0.0 <= r["gini_gain"] <= r["gini_parent"] + 1e-12
+
+
+def test_tukey_hsd_rebuild(spark):
+    """Pairwise mean diffs, pooled MSW, and HSD thresholds vs a
+    literal python rebuild on the (type, day) cells; antisymmetry of
+    the significance call; MSW matches the one-way ANOVA pooled
+    within-group variance."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import _BT_TYPES, q_tukey_hsd
+
+    rows = {
+        (r["type_a"], r["type_b"]): r
+        for r in q_tukey_hsd(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) == 10
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT event_type, day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for t, _, c in raw:
+        per[t].append(c)
+    nn = {t: len(v) for t, v in per.items()}
+    ss = {t: sum(v) for t, v in per.items()}
+    ssw = sum(
+        sum((y - ss[t] / nn[t]) ** 2 for y in per[t]) for t in per
+    )
+    ncells = sum(nn.values())
+    msw = ssw / (ncells - len(per))
+    for i, a in enumerate(_BT_TYPES):
+        for b in _BT_TYPES[i + 1:]:
+            r = rows[(a, b)]
+            diff = ss[a] / nn[a] - ss[b] / nn[b]
+            hsd = 3.92 * (msw / 2 * (1 / nn[a] + 1 / nn[b])) ** 0.5
+            assert r["n_cells"] == ncells
+            assert abs(r["mean_diff"] - diff) < 1e-4
+            assert abs(r["msw"] - msw) < 1e-4
+            assert abs(r["hsd_threshold"] - hsd) < 1e-4
+            assert r["significant"] == (abs(diff) > hsd)
