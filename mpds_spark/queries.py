@@ -17723,3 +17723,335 @@ SQL_TUKEY_HSD = _tukey_sql()
 QUERIES["tukey_hsd"] = q_tukey_hsd
 _RAW_ORACLES["tukey_hsd"] = SQL_TUKEY_HSD
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_LW_D = 64
+
+
+def q_ledoit_wolf_shrinkage(spark, sf_dir):
+    """Ledoit-Wolf covariance shrinkage intensity for the embedding
+    cloud (Ledoit & Wolf 2004, "A well-conditioned estimator for
+    large-dimensional covariance matrices", JMA — THE closed-form
+    answer to 'how much do I shrink the sample covariance toward
+    mu*I before whitening/Mahalanobis at d=64': rho* = b^2/d^2 with
+    d^2 = ||S - mu I||_F^2 the dispersion and b^2 = min(d^2,
+    (1/n^2) sum_k ||y_k y_k' - S||_F^2) the estimation noise — the
+    quantity sklearn's LedoitWolf.shrinkage_ returns, here with the
+    MLE 1/n covariance of the SAME milli-quantized codes as
+    pca_power_iter). EVERYTHING is exact integers until the final
+    divisions: with A_ij = n M_ij - s_i s_j (scatter M, dim sums s)
+    the covariance is A/n^2, so ||S||_F^2 = sum A^2/n^4 and
+    tr(S) = sum A_ii/n^2 are exact-integer ratios; the noise term
+    collapses by sum_k ||y_k y_k' - S||^2 = sum_k ||y_k||^4 -
+    n||S||^2 with ||y_k||^2 = B_k/n^2, B_k = n^2 (x_k.x_k) -
+    2n (x_k.s) + s.s exact per row (A^2/B^2 sums ride decimal(38,0)
+    / HUGEINT). The dim^2-bounded scatter is the only corpus-scale
+    agg (pca convention); two 1-row combines + the si broadcast are
+    the registered BNLJs."""
+    from mpds_spark.operators.util import scratch_persist
+
+    D = _LW_D
+    codes = scratch_persist(
+        load(spark, sf_dir, "embeddings").select(
+            F.transform(
+                "embedding",
+                lambda x: (
+                    F.signum(x.cast("double"))
+                    * F.floor(F.abs(x.cast("double")) * 1000
+                              + F.lit(0.5))
+                ).cast("long"),
+            ).alias("q")
+        )
+    )
+    tri = codes.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(D)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(D)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("q", i)
+                                * F.element_at("q", j)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    cells = tri.groupBy("i", "j").agg(
+        F.sum("p").cast("long").alias("s")
+    )
+    dimsums = codes.select(
+        F.posexplode("q").alias("__p0", "__v")
+    ).groupBy((F.col("__p0") + 1).alias("i")).agg(
+        F.sum("__v").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    si_row = scratch_persist(dimsums.agg(
+        F.sort_array(F.collect_list(F.struct("i", "s", "c")))
+        .alias("__a")
+    ).selectExpr(
+        "transform(__a, e -> e.s) AS si",
+        "element_at(transform(__a, e -> e.c), 1) AS n",
+        "aggregate(transform(__a, e -> e.s), 0L,"
+        " (acc, s) -> acc + s * s) AS ss",
+    ))
+    perrow = codes.join(F.broadcast(si_row)).selectExpr(
+        "n",
+        "aggregate(q, 0L, (acc, v) -> acc + v * v) AS xx",
+        f"aggregate(sequence(1, {D}), 0L, (acc, d) ->"
+        " acc + element_at(q, d) * element_at(si, d)) AS xs",
+        "ss",
+    ).selectExpr(
+        "cast(n * n * xx - 2 * n * xs + ss as decimal(38,0)) AS B"
+    )
+    momB = perrow.agg(
+        F.sum(F.col("B") * F.col("B")).cast("decimal(38,0)")
+        .alias("sumB2"),
+    )
+    cellsA = cells.join(F.broadcast(si_row)).selectExpr(
+        "i", "j",
+        "cast(n * s - element_at(si, i) * element_at(si, j) as"
+        " decimal(38,0)) AS A",
+    )
+    momA = cellsA.selectExpr(
+        "i", "j", "A",
+        "CASE WHEN i = j THEN 1 ELSE 2 END AS w",
+    ).agg(
+        F.sum(F.expr("w * A * A")).cast("decimal(38,0)").alias("sumA2"),
+        F.sum(F.expr("CASE WHEN i = j THEN A ELSE 0 END"))
+        .cast("decimal(38,0)").alias("sumAii"),
+    )
+    one = si_row.select("n").join(F.broadcast(momA)).join(
+        F.broadcast(momB)
+    )
+    nd = F.col("n").cast("double")
+    dd = F.lit(float(D))
+    n4 = nd * nd * nd * nd
+    a2 = F.col("sumA2").cast("double")
+    aii = F.col("sumAii").cast("double")
+    b2s = F.col("sumB2").cast("double")
+    mu = aii / (dd * nd * nd)
+    d2 = (a2 - aii * aii / dd) / n4
+    bbar2 = (b2s - nd * a2) / (n4 * nd * nd)
+    b2 = F.least(bbar2, d2)
+    rho = F.when(d2 > 0, b2 / d2).otherwise(F.lit(0.0))
+    return one.select(
+        F.col("n").alias("n_vectors"),
+        F.lit(D).cast("long").alias("dim"),
+        _r6(mu).alias("mu"),
+        _r6(d2).alias("dispersion_d2"),
+        _r6(bbar2).alias("noise_bbar2"),
+        _r6(b2).alias("b2"),
+        _r6(rho).alias("shrinkage"),
+    )
+
+
+def _lw_sql() -> str:
+    D = _LW_D
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding, x ->
+    CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)
+         * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS q
+  FROM embeddings
+), tri AS (
+  SELECT unnest(flatten(list_transform(range(1, {D + 1}), i ->
+    list_transform(range(i, {D + 1}), j ->
+      struct_pack(i := i, j := j, p := q[i]*q[j]))))) AS e
+  FROM q
+), cells AS (
+  SELECT e.i AS i, e.j AS j, CAST(sum(e.p) AS BIGINT) AS s
+  FROM tri GROUP BY 1, 2
+), ds AS (
+  SELECT i, CAST(sum(q[i]) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT q, unnest(range(1, {D + 1})) AS i FROM q)
+  GROUP BY i
+), sir AS (
+  SELECT list(s ORDER BY i) AS si, min(c) AS n,
+    list_reduce(list_transform(list(s ORDER BY i), s -> s * s),
+                (a, b) -> a + b) AS ss
+  FROM ds
+), perrow AS (
+  SELECT CAST(sir.n * sir.n *
+      list_reduce(list_transform(q.q, v -> v * v), (a, b) -> a + b)
+    - 2 * sir.n *
+      list_reduce(list_transform(range(1, {D + 1}), d ->
+        q.q[d] * sir.si[d]), (a, b) -> a + b)
+    + sir.ss AS HUGEINT) AS B
+  FROM q CROSS JOIN sir
+), momB AS (
+  SELECT CAST(sum(B * B) AS HUGEINT) AS sumB2 FROM perrow
+), cellsA AS (
+  SELECT i, j,
+    CAST(sir.n * cells.s - sir.si[i] * sir.si[j] AS HUGEINT) AS A
+  FROM cells CROSS JOIN sir
+), momA AS (
+  SELECT CAST(sum((CASE WHEN i = j THEN 1 ELSE 2 END) * A * A)
+              AS HUGEINT) AS sumA2,
+    CAST(sum(CASE WHEN i = j THEN A ELSE 0 END) AS HUGEINT) AS sumAii
+  FROM cellsA
+), one AS (
+  SELECT sir.n, momA.sumA2, momA.sumAii, momB.sumB2
+  FROM sir CROSS JOIN momA CROSS JOIN momB
+), f AS (
+  SELECT n,
+    CAST(sumAii AS DOUBLE)
+      / ({float(D)!r} * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS mu,
+    (CAST(sumA2 AS DOUBLE)
+     - CAST(sumAii AS DOUBLE) * CAST(sumAii AS DOUBLE) / {float(D)!r})
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       * CAST(n AS DOUBLE)) AS d2,
+    (CAST(sumB2 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(sumA2 AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      AS bbar2
+  FROM one
+)
+SELECT n AS n_vectors, CAST({D} AS BIGINT) AS dim,
+  round(mu, 6) AS mu,
+  round(d2, 6) AS dispersion_d2,
+  round(bbar2, 6) AS noise_bbar2,
+  round(least(bbar2, d2), 6) AS b2,
+  round(CASE WHEN d2 > 0 THEN least(bbar2, d2) / d2 ELSE 0.0 END, 6)
+    AS shrinkage
+FROM f
+"""
+
+
+SQL_LEDOIT_WOLF = _lw_sql()
+
+QUERIES["ledoit_wolf_shrinkage"] = q_ledoit_wolf_shrinkage
+_RAW_ORACLES["ledoit_wolf_shrinkage"] = SQL_LEDOIT_WOLF
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_PH_DELTA = 0.001
+_PH_LAMBDA = 0.05
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift monitor replayed over the month of daily
+    purchase shares (Page 1954 §5; Hinkley 1971 — the mean-shift
+    detector streaming-ML stacks (river/MOA) run per feature: the
+    cumulative deviation from the RUNNING mean, m_t = sum_{i<=t}
+    (x_i - xbar_i - delta), alarms when it rises more than lambda
+    above its own running minimum; unlike cusum_changepoint's
+    fixed-reference two-sided scan this tracks an adaptive baseline,
+    and unlike sprt_monitor it needs no alternative hypothesis).
+    Daily shares are exact-integer ratios p_t/n_t; every float after
+    that is a PREFIX FOLD over the day-ascending array — running
+    means, m, and the running minimum are all O(n^2)/O(n^3)
+    recomputed-prefix folds executed identically by both engines
+    (the ses_alpha_grid convention: plain DOUBLE accumulators only,
+    no struct folds), so the replay is exact. An alarm says the share
+    is NOT mean-stationary (the weekday pattern in this corpus does
+    trip it — exactly what the detector is for). ONE corpus
+    aggregate; the detector never sees more than 31 values."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__s"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0).alias("__pur"),
+    )
+    cells = ev.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__pur").cast("long").alias("__x"),
+    )
+    one = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__s", "__n", "__x"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).selectExpr(
+        "n",
+        "transform(__a, e -> e.__s) AS days",
+        "transform(__a, e -> cast(e.__x as double)"
+        " / cast(e.__n as double)) AS xs",
+    )
+    d, lam = _PH_DELTA, _PH_LAMBDA
+    one = one.selectExpr(
+        "n", "days", "xs",
+        "transform(sequence(1, cast(n as int)), t ->"
+        " element_at(xs, t)"
+        " - aggregate(slice(xs, 1, t), 0.0D, (acc, v) -> acc + v)"
+        f"   / cast(t as double) - {d!r}) AS devs",
+    ).selectExpr(
+        "n", "days", "xs",
+        "transform(sequence(1, cast(n as int)), t ->"
+        " aggregate(slice(devs, 1, t), 0.0D, (acc, v) -> acc + v))"
+        " AS ms",
+    ).selectExpr(
+        "n", "days", "xs", "ms",
+        "transform(sequence(1, cast(n as int)), t ->"
+        " element_at(ms, t) - array_min(slice(ms, 1, t))) AS phs",
+    )
+    out = one.selectExpr(
+        "posexplode(days) AS (__p, day)",
+        "xs", "ms", "phs",
+    ).selectExpr(
+        "day",
+        "element_at(xs, __p + 1) AS __x",
+        "element_at(ms, __p + 1) AS __m",
+        "element_at(phs, __p + 1) AS __ph",
+    )
+    return out.select(
+        "day",
+        _r6("__x").alias("share"),
+        _r6("__m").alias("m_cum"),
+        _r6("__ph").alias("ph_stat"),
+        (F.col("__ph") > F.lit(lam)).alias("alarm"),
+    )
+
+
+SQL_PAGE_HINKLEY = f"""
+WITH cells AS (
+  SELECT CAST(day(ts) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(s ORDER BY s) AS days,
+    list(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY s) AS xs,
+    CAST(count(*) AS BIGINT) AS n
+  FROM cells
+), dv AS (
+  SELECT n, days, xs,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), t ->
+      xs[t] - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_slice(xs, 1, t)), (acc, v) -> acc + v)
+              / CAST(t AS DOUBLE) - {_PH_DELTA!r}) AS devs
+  FROM one
+), mm AS (
+  SELECT n, days, xs,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), t ->
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list_slice(devs, 1, t)), (acc, v) -> acc + v)) AS ms
+  FROM dv
+), ph AS (
+  SELECT n, days, xs, ms,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), t ->
+      ms[t] - list_aggregate(list_slice(ms, 1, t), 'min')) AS phs
+  FROM mm
+), rows_out AS (
+  SELECT days[t] AS day, xs[t] AS x, ms[t] AS m, phs[t] AS p
+  FROM ph, unnest(range(1, CAST(n + 1 AS INTEGER))) AS u(t)
+)
+SELECT day,
+  round(x, 6) AS share,
+  round(m, 6) AS m_cum,
+  round(p, 6) AS ph_stat,
+  p > {_PH_LAMBDA!r} AS alarm
+FROM rows_out
+"""
+
+QUERIES["page_hinkley"] = q_page_hinkley
+_RAW_ORACLES["page_hinkley"] = SQL_PAGE_HINKLEY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

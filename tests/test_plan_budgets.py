@@ -572,6 +572,13 @@ BUDGETS = {
     # tukey: persisted 1-row moment frame fans out to the 10 pair
     # rows (cached-branch convention)
     "tukey_hsd": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # ledoit-wolf: persisted codes + dim^2 scatter (cached-branch,
+    # the pca shape); si-broadcast per-row/cell passes + two 1-row
+    # moment combines are the registered BNLJs
+    "ledoit_wolf_shrinkage": {"python": 0, "cartesian": 0, "bnlj": 4},
+    # page-hinkley: ONE day agg + 1-row prefix-fold arrays
+    "page_hinkley": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -170,6 +170,7 @@ def test_catalog_plan_inventory(spark):
         "sinkhorn_ot",         # 1-row corpus-max bin-boundary broadcast
         "newman_modularity",   # 1-row edge-moment x 1-row degree-moment
         "km_confidence",       # broadcast 1-row corpus-max censor boundary
+        "ledoit_wolf_shrinkage",  # si broadcast + 1-row moment combines
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

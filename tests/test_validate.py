@@ -2678,3 +2678,81 @@ def test_tukey_hsd_rebuild(spark):
             assert abs(r["msw"] - msw) < 1e-4
             assert abs(r["hsd_threshold"] - hsd) < 1e-4
             assert r["significant"] == (abs(diff) > hsd)
+
+
+def test_ledoit_wolf_rebuild(spark):
+    """Shrinkage intensity vs a literal numpy rebuild on the SAME
+    milli-quantized codes (Ledoit & Wolf 2004 eqs. 12-15, MLE 1/n
+    covariance), plus the structural bounds 0 <= rho <= 1 and
+    b2 <= d2."""
+    import numpy as np
+
+    from mpds_spark.queries import _LW_D, q_ledoit_wolf_shrinkage
+
+    r = q_ledoit_wolf_shrinkage(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT list_transform(embedding, x ->"
+        " CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)"
+        " * sign(CAST(x AS DOUBLE)) AS BIGINT)) FROM"
+        " '/root/testdata/sf0.001/embeddings.parquet'"
+    ).fetchall()
+    X = np.array([list(q) for (q,) in rows], dtype=float)
+    n, d = X.shape
+    assert (r["n_vectors"], r["dim"]) == (n, _LW_D)
+    Y = X - X.mean(axis=0)
+    S = Y.T @ Y / n
+    mu = np.trace(S) / d
+    d2 = float(((S - mu * np.eye(d)) ** 2).sum())
+    bbar2 = float(
+        sum(((np.outer(y, y) - S) ** 2).sum() for y in Y) / n**2
+    )
+    b2 = min(bbar2, d2)
+    assert abs(r["mu"] - mu) < 1e-3 * max(1.0, abs(mu))
+    assert abs(r["dispersion_d2"] - d2) < 1e-4 * max(1.0, d2)
+    assert abs(r["noise_bbar2"] - bbar2) < 1e-4 * max(1.0, bbar2)
+    assert abs(r["shrinkage"] - b2 / d2) < 1e-5
+    assert 0.0 <= r["shrinkage"] <= 1.0
+    assert r["b2"] <= r["dispersion_d2"] + 1e-12
+
+
+def test_page_hinkley_rebuild(spark):
+    """PH statistic vs a literal python replay with identical prefix
+    arithmetic, the invariant ph >= 0 with ph = 0 whenever m sets a
+    new running minimum, and the A/A expectation that the pooled
+    replay raises no alarm."""
+    from mpds_spark.queries import _PH_DELTA, _PH_LAMBDA, q_page_hinkley
+
+    rows = sorted(
+        q_page_hinkley(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT day(ts), count(*),"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [x / n for _, n, x in cells]
+    ms = []
+    for t in range(1, len(xs) + 1):
+        xbar = sum(xs[:t]) / t
+        dev_prefix = [
+            xs[i] - sum(xs[: i + 1]) / (i + 1) - _PH_DELTA
+            for i in range(t)
+        ]
+        ms.append(sum(dev_prefix))
+    for t, r in enumerate(rows, start=1):
+        ph = ms[t - 1] - min(ms[:t])
+        assert abs(r["share"] - xs[t - 1]) < 1e-6
+        assert abs(r["m_cum"] - ms[t - 1]) < 1e-5
+        assert abs(r["ph_stat"] - ph) < 1e-5
+        assert r["ph_stat"] >= 0.0
+        if ms[t - 1] <= min(ms[:t]):
+            assert r["ph_stat"] == 0.0
+        assert r["alarm"] == (ph > _PH_LAMBDA)
