@@ -18055,3 +18055,230 @@ FROM rows_out
 QUERIES["page_hinkley"] = q_page_hinkley
 _RAW_ORACLES["page_hinkley"] = SQL_PAGE_HINKLEY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_l_moments(spark, sf_dir):
+    """L-moment shape statistics of the purchase-value distribution
+    (Hosking JRSS-B 1990 — the order-statistic moments that stay
+    FINITE and robust for the heavy-tailed monetary columns where
+    jarque_bera's classical skew/kurtosis explode: L-CV, L-skewness
+    and L-kurtosis are THE regional-frequency-analysis features and
+    the distribution fingerprint that survives subsampling). Fully
+    EXACT from the distinct-cents histogram: with c the rank mass
+    before a value and t its multiplicity, the order-statistic sums
+    collapse by sum_{i=c+1}^{c+t} C(i-1, r) = C(c+t, r+1) - C(c, r+1),
+    carried as FALLING FACTORIALS P_{r+1}(m) = m(m-1)..(m-r) in
+    decimal(38,0)/HUGEINT so no binomial division happens until the
+    single exact-ratio division per b_r: b_r = G_r / ((r+1)! * n *
+    C(n-1, r)) with G_r = sum_v v*(P_{r+1}(c+t) - P_{r+1}(c)).
+    lambda_1..4 and the tau ratios are fixed expression trees over
+    those four doubles. ONE corpus aggregate; everything after the
+    histogram is a <=10k-row frame. Values in dollars (cents/100)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c")
+    )
+    h = ev.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    w = Window.orderBy("__c")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows = h.select(
+        "__c", "__t",
+        F.coalesce(F.sum("__t").over(wc), F.lit(0)).cast("long")
+        .alias("__b"),
+    )
+
+    def pfall(m: str, k: int) -> str:
+        # falling factorial P_k(m) in decimal(38,0)
+        terms = " * ".join(
+            f"cast({m} - {r} as decimal(38,0))" for r in range(k)
+        )
+        return f"({terms})"
+
+    gcols = []
+    for r in range(4):
+        k = r + 1
+        up = pfall("(__b + __t)", k)
+        lo = pfall("__b", k)
+        gcols.append(
+            f"cast(__c as decimal(38,0)) * ({up} - {lo}) AS g{r}"
+        )
+    rows = rows.selectExpr("__c", "__t", *gcols)
+    mom = rows.agg(
+        F.sum("__t").cast("long").alias("n"),
+        *[
+            F.sum(f"g{r}").cast("decimal(38,0)").alias(f"G{r}")
+            for r in range(4)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    # C(n-1, r) as doubles from exact longs (n-1 choose r, r<=3)
+    c1 = (F.col("n") - 1).cast("double")
+    c2 = ((F.col("n") - 1) * (F.col("n") - 2) / F.lit(2)).cast("double")
+    c3 = (
+        (F.col("n") - 1) * (F.col("n") - 2) * (F.col("n") - 3)
+        / F.lit(6)
+    ).cast("double")
+    fact = [1.0, 2.0, 6.0, 24.0]
+    b = [
+        F.col("G0").cast("double") / (F.lit(fact[0]) * nd),
+        F.col("G1").cast("double") / (F.lit(fact[1]) * nd * c1),
+        F.col("G2").cast("double") / (F.lit(fact[2]) * nd * c2),
+        F.col("G3").cast("double") / (F.lit(fact[3]) * nd * c3),
+    ]
+    l1 = b[0]
+    l2 = 2 * b[1] - b[0]
+    l3 = 6 * b[2] - 6 * b[1] + b[0]
+    l4 = 20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]
+    return mom.select(
+        "n",
+        _r6(l1 / F.lit(100.0)).alias("l1_mean"),
+        _r6(l2 / F.lit(100.0)).alias("l2_scale"),
+        _r6(l2 / l1).alias("l_cv"),
+        _r6(l3 / l2).alias("l_skew"),
+        _r6(l4 / l2).alias("l_kurt"),
+    )
+
+
+def _lmom_sql() -> str:
+    def pfall(m: str, k: int) -> str:
+        terms = " * ".join(
+            f"CAST({m} - {r} AS HUGEINT)" for r in range(k)
+        )
+        return f"({terms})"
+
+    gcols = ", ".join(
+        f"CAST(sum(CAST(c AS HUGEINT)"
+        f" * ({pfall('(b + t)', r + 1)} - {pfall('b', r + 1)}))"
+        f" AS HUGEINT) AS G{r}"
+        for r in range(4)
+    )
+    return f"""
+WITH ev AS (
+  SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), h AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM ev GROUP BY c
+), rk AS (
+  SELECT c, t,
+    CAST(coalesce(sum(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM h
+), mom AS (
+  SELECT CAST(sum(t) AS BIGINT) AS n, {gcols} FROM rk
+), f AS (
+  SELECT n,
+    CAST(G0 AS DOUBLE) / (1.0 * CAST(n AS DOUBLE)) AS b0,
+    CAST(G1 AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)
+      * CAST(n - 1 AS DOUBLE)) AS b1,
+    CAST(G2 AS DOUBLE) / (6.0 * CAST(n AS DOUBLE)
+      * CAST((n - 1) * (n - 2) // 2 AS DOUBLE)) AS b2,
+    CAST(G3 AS DOUBLE) / (24.0 * CAST(n AS DOUBLE)
+      * CAST((n - 1) * (n - 2) * (n - 3) // 6 AS DOUBLE)) AS b3
+  FROM mom
+), l AS (
+  SELECT n, b0 AS l1, 2 * b1 - b0 AS l2,
+    6 * b2 - 6 * b1 + b0 AS l3,
+    20 * b3 - 30 * b2 + 12 * b1 - b0 AS l4
+  FROM f
+)
+SELECT n,
+  round(l1 / 100.0, 6) AS l1_mean,
+  round(l2 / 100.0, 6) AS l2_scale,
+  round(l2 / l1, 6) AS l_cv,
+  round(l3 / l2, 6) AS l_skew,
+  round(l4 / l2, 6) AS l_kurt
+FROM l
+"""
+
+
+SQL_L_MOMENTS = _lmom_sql()
+
+QUERIES["l_moments"] = q_l_moments
+_RAW_ORACLES["l_moments"] = SQL_L_MOMENTS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_chao1_richness(spark, sf_dir):
+    """Chao1 unseen-vocabulary richness estimate per source (Chao
+    1984; bias-corrected form Chao 2005 — 'how many word types does
+    this source REALLY have', the coverage question behind
+    deduplication budgeting and crawl-more-or-stop decisions, with
+    Good-Turing coverage C = 1 - F1/N riding along): chao1 = V +
+    F1(F1-1)/(2(F2+1)) from the singleton/doubleton counts of the
+    frequency-of-frequencies — the companion to yule_k (repeat rate)
+    and the global good_turing table, answering richness rather than
+    concentration. All inputs are exact longs from the (source,
+    word) count aggregation; the estimate and coverage are fixed
+    expression trees (single divisions). At 10^12 tokens the
+    per-source frame is |sources| rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__w"),
+    )
+    cells = d.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    mom = cells.groupBy("source").agg(
+        F.sum("__cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("__cnt") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"),
+    )
+    chao = (
+        F.col("vocab").cast("double")
+        + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    )
+    cov = (
+        F.lit(1.0)
+        - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+    )
+    unseen = (
+        (F.col("f1") * (F.col("f1") - 1)).cast("double")
+        / (F.lit(2.0) * (F.col("f2") + 1).cast("double"))
+    )
+    return mom.select(
+        "source", "n_tokens", "vocab", "f1", "f2",
+        _r6(chao).alias("chao1"),
+        _r6(unseen).alias("unseen_est"),
+        _r6(cov).alias("coverage"),
+    )
+
+
+SQL_CHAO1_RICHNESS = """
+WITH w AS (
+  SELECT source,
+    unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), cells AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY source, word
+), mom AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM cells GROUP BY source
+)
+SELECT source, n_tokens, vocab, f1, f2,
+  round(CAST(vocab AS DOUBLE)
+        + CAST(f1 * (f1 - 1) AS DOUBLE)
+          / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+  round(CAST(f1 * (f1 - 1) AS DOUBLE)
+        / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS unseen_est,
+  round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+    AS coverage
+FROM mom
+"""
+
+QUERIES["chao1_richness"] = q_chao1_richness
+_RAW_ORACLES["chao1_richness"] = SQL_CHAO1_RICHNESS
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

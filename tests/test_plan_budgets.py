@@ -579,6 +579,12 @@ BUDGETS = {
     # page-hinkley: ONE day agg + 1-row prefix-fold arrays
     "page_hinkley": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # l-moments: histogram agg + tiny rank window + moment agg
+    "l_moments": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
+    # chao1: (source, word) agg + per-source freq-of-freq agg
+    "chao1_richness": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
 }
 
 

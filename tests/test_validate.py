@@ -2756,3 +2756,89 @@ def test_page_hinkley_rebuild(spark):
         if ms[t - 1] <= min(ms[:t]):
             assert r["ph_stat"] == 0.0
         assert r["alarm"] == (ph > _PH_LAMBDA)
+
+
+def test_l_moments_rebuild(spark):
+    """b_r / lambda_r vs a literal python order-statistic computation
+    over the fully sorted sample (Hosking 1990 eq. 2.3 direct form —
+    proves the histogram binomial-difference collapse), plus the
+    structural bounds l2 > 0, |l_skew| < 1, l_kurt in
+    [(5 l_skew^2 - 1)/4, 1)."""
+    from math import comb
+
+    from mpds_spark.queries import q_l_moments
+
+    r = q_l_moments(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    xs = sorted(
+        c for (c,) in duckdb.sql(
+            "SELECT CAST(floor(abs(value)*100 + 0.5)*sign(value)"
+            " AS BIGINT) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " WHERE event_type = 'purchase'"
+        ).fetchall()
+    )
+    n = len(xs)
+    b = []
+    for k in range(4):
+        num = sum(x * comb(i, k) for i, x in enumerate(xs))
+        b.append(num / (n * comb(n - 1, k)))
+    l1 = b[0]
+    l2 = 2 * b[1] - b[0]
+    l3 = 6 * b[2] - 6 * b[1] + b[0]
+    l4 = 20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]
+    assert r["n"] == n
+    assert abs(r["l1_mean"] - l1 / 100) < 1e-6
+    assert abs(r["l2_scale"] - l2 / 100) < 1e-6
+    assert abs(r["l_cv"] - l2 / l1) < 1e-6
+    assert abs(r["l_skew"] - l3 / l2) < 1e-6
+    assert abs(r["l_kurt"] - l4 / l2) < 1e-6
+    assert r["l2_scale"] > 0
+    assert abs(r["l_skew"]) < 1.0
+    assert (5 * r["l_skew"] ** 2 - 1) / 4 - 1e-9 <= r["l_kurt"] < 1.0
+
+
+def test_chao1_rebuild(spark):
+    """Chao1 / coverage vs a literal python frequency-of-frequencies
+    rebuild per source, the lower-bound property chao1 >= vocab, and
+    cross-query consistency with yule_k's (n_tokens, vocab) on the
+    identical tokenization."""
+    from collections import Counter, defaultdict
+    import re as _re
+
+    from mpds_spark.queries import q_chao1_richness, q_yule_k
+
+    rows = {
+        r["source"]: r
+        for r in q_chao1_richness(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT source, trim(text) FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(Counter)
+    for s, txt in raw:
+        per[s].update(_re.split(r"\s+", txt))
+    for s, cnt in per.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        chao = v + f1 * (f1 - 1) / (2 * (f2 + 1))
+        r = rows[s]
+        assert (r["n_tokens"], r["vocab"], r["f1"], r["f2"]) == (
+            n, v, f1, f2,
+        )
+        assert abs(r["chao1"] - chao) < 1e-4
+        assert abs(r["coverage"] - (1 - f1 / n)) < 1e-6
+        assert r["chao1"] >= r["vocab"]
+    yk = {
+        r["source"]: r
+        for r in q_yule_k(spark, "/root/testdata/sf0.001").collect()
+    }
+    for s in rows:
+        assert rows[s]["n_tokens"] == yk[s]["n_tokens"]
+        assert rows[s]["vocab"] == yk[s]["vocab"]
