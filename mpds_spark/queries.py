@@ -18282,3 +18282,291 @@ FROM mom
 QUERIES["chao1_richness"] = q_chao1_richness
 _RAW_ORACLES["chao1_richness"] = SQL_CHAO1_RICHNESS
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_PACF_K = 5
+
+
+def _pacf_steps():
+    """Durbin-Levinson recursion unrolled to fixed column expressions
+    over rho1..rho5 (identical text both engines): returns a list of
+    (colname, expr) in dependency order, ending at pk1..pk5 = the
+    partial autocorrelations phi_kk."""
+    steps = [("pk1", "rho1"), ("p1_1", "rho1")]
+    for k in range(2, _PACF_K + 1):
+        num = f"rho{k} - (" + " + ".join(
+            f"p{k - 1}_{j} * rho{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"p{k - 1}_{j} * rho{j}" for j in range(1, k)
+        ) + ")"
+        steps.append((f"pk{k}", f"({num}) / ({den})"))
+        for j in range(1, k):
+            steps.append(
+                (f"p{k}_{j}", f"p{k - 1}_{j} - pk{k} * p{k - 1}_{k - j}")
+            )
+        steps.append((f"p{k}_{k}", f"pk{k}"))
+    return steps
+
+
+def q_pacf_durbin(spark, sf_dir):
+    """Partial autocorrelations of the daily event-volume series at
+    lags 1..5 via the Durbin-Levinson recursion (Durbin 1960;
+    Levinson 1947; Box & Jenkins ch. 3 — THE AR-order identification
+    tool: the PACF cuts off after lag p for an AR(p), so this is how
+    you pick the lag depth for trailing features, where ljung_box
+    only says 'some structure exists' and dickey_fuller only tests
+    the unit root). Sample ACF comes from the ljung_box exact-integer
+    machinery (z_t = n*y_t - S, each rho_k ONE division of exact
+    longs); the recursion unrolls to a fixed chain of column
+    expressions over those five doubles, generated ONCE and executed
+    verbatim by both engines (selectExpr steps here, an identical CTE
+    chain in DuckDB), so every division happens in the same order.
+    The persisted 1-row frame fans out to the 5 output rows
+    (cached-branch). The 1.96/sqrt(n) white-noise band rides along."""
+    from mpds_spark.operators.util import scratch_persist
+
+    K = _PACF_K
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("s"),
+    ).selectExpr(
+        "n",
+        "transform(sequence(1, cast(n as int)),"
+        " t -> n * element_at(__a, t).__y - s) AS zs",
+    ).selectExpr(
+        "n", "zs",
+        "aggregate(zs, 0L, (acc, z) -> acc + z * z) AS den",
+    )
+    nums = [
+        f"CASE WHEN n > {k} THEN"
+        f" aggregate(sequence({k} + 1, cast(n as int)), 0L,"
+        f" (acc, t) -> acc + element_at(zs, t) * element_at(zs, t - {k}))"
+        f" ELSE 0L END AS num{k}"
+        for k in range(1, K + 1)
+    ]
+    one = one.selectExpr("n", "den", *nums)
+    rhos = [
+        f"CASE WHEN n > {k} AND den > 0 THEN"
+        f" CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" ELSE 0.0D END AS rho{k}"
+        for k in range(1, K + 1)
+    ]
+    one = one.selectExpr("n", *rhos)
+    for name, expr in _pacf_steps():
+        one = one.selectExpr("*", f"({expr}) AS {name}")
+    one = scratch_persist(one)
+    outs = [
+        one.selectExpr(
+            f"CAST({k} AS BIGINT) AS lag",
+            "n AS n_days",
+            f"rho{k} AS __acf",
+            f"pk{k} AS __pacf",
+            f"abs(pk{k}) > 1.96 / sqrt(cast(n as double))"
+            " AS outside_band",
+        )
+        for k in range(1, K + 1)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "lag", "n_days",
+        _r6("__acf").alias("acf"),
+        _r6("__pacf").alias("pacf"),
+        "outside_band",
+    )
+
+
+def _pacf_sql() -> str:
+    K = _PACF_K
+    nums = ", ".join(
+        f"CASE WHEN n > {k} THEN"
+        f" list_reduce(list_transform(range({k} + 1, CAST(n + 1 AS"
+        f" INTEGER)), t -> zs[t] * zs[t - {k}]), (a, b) -> a + b)"
+        f" ELSE 0 END AS num{k}"
+        for k in range(1, K + 1)
+    )
+    rhos = ", ".join(
+        f"CASE WHEN n > {k} AND den > 0 THEN"
+        f" CAST(num{k} AS DOUBLE) / CAST(den AS DOUBLE)"
+        f" ELSE 0.0 END AS rho{k}"
+        for k in range(1, K + 1)
+    )
+    ctes = [
+        """day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+)""",
+        """one AS (
+  SELECT list(y ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s
+  FROM day
+)""",
+        """z AS (
+  SELECT n, list_transform(range(1, CAST(n + 1 AS INTEGER)),
+    t -> n * ys[t] - s) AS zs
+  FROM one
+)""",
+        """dd AS (
+  SELECT n, zs,
+    list_reduce(list_transform(zs, zz -> zz * zz), (a, b) -> a + b)
+      AS den
+  FROM z
+)""",
+        f"nn AS (SELECT n, den, {nums} FROM dd)",
+        f"rr AS (SELECT n, {rhos} FROM nn)",
+    ]
+    prev = "rr"
+    for i, (name, expr) in enumerate(_pacf_steps()):
+        ctes.append(f"s{i} AS (SELECT *, ({expr}) AS {name} FROM {prev})")
+        prev = f"s{i}"
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, n AS n_days,"
+        f" round(rho{k}, 6) AS acf,"
+        f" round(pk{k}, 6) AS pacf,"
+        f" abs(pk{k}) > 1.96 / sqrt(CAST(n AS DOUBLE)) AS outside_band"
+        f" FROM {prev}"
+        for k in range(1, K + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_PACF_DURBIN = _pacf_sql()
+
+QUERIES["pacf_durbin"] = q_pacf_durbin
+_RAW_ORACLES["pacf_durbin"] = SQL_PACF_DURBIN
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_ols_influence(spark, sf_dir):
+    """Regression influence diagnostics for the daily-volume linear
+    trend (Cook 1977; Belsley, Kuh & Welsch 1980 — leverage,
+    internally studentized residuals, Cook's distance: WHICH days
+    drive the fitted trend, the diagnostic companion to
+    ransac_trend's robust fit and dickey_fuller's OLS machinery; a
+    single outage or launch day with D > 4/n can flip a trend
+    readout). y = daily count on x = day-of-month; beta/alpha/SSR
+    from EXACT INTEGER moments (m Sxy - Sx Sy etc., single
+    divisions), then per-day leverage h_t = 1/m + m(x_t - xbar)^2 /
+    (m Sxx - Sx^2) [written as exact-integer ratios:
+    (m x_t - Sx)^2 / (m (m Sxx - Sx^2))], residual e_t, studentized
+    r_t = e_t / sqrt(s2 (1 - h_t)) and D_t = r_t^2 h_t /
+    (2 (1 - h_t)) — every term a fixed expression of exact longs
+    joined back by a broadcast 1-row moment fit (the registered
+    BNLJ). At 10^12 events the diagnostic frame is <=31 rows."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    mom = day.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"),
+    )
+    j = day.join(F.broadcast(mom))
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    sxyc = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    syyc = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    beta = sxyc.cast("double") / den.cast("double")
+    alpha = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("m").cast("double")
+    rss = (syyc.cast("double") - beta * sxyc.cast("double")) \
+        / F.col("m").cast("double")
+    s2 = rss / (F.col("m") - 2).cast("double")
+    dev = (F.col("m") * F.col("__x") - F.col("sx"))
+    h = (
+        F.lit(1.0) / F.col("m").cast("double")
+        + (dev * dev).cast("double")
+        / (F.col("m").cast("double") * den.cast("double"))
+    )
+    e = F.col("__y").cast("double") - (alpha + beta
+                                       * F.col("__x").cast("double"))
+    ok = (F.col("m") > 2) & (den > 0)
+    rstud = e / F.sqrt(s2 * (F.lit(1.0) - h))
+    cook = (rstud * rstud) * h / (F.lit(2.0) * (F.lit(1.0) - h))
+    infl = cook > F.lit(4.0) / F.col("m").cast("double")
+    return j.select(
+        F.col("__x").alias("day"),
+        F.col("__y").alias("volume"),
+        _r6(F.when(ok, h)).alias("leverage"),
+        _r6(F.when(ok, e)).alias("residual"),
+        _r6(F.when(ok, rstud)).alias("r_student"),
+        _r6(F.when(ok, cook)).alias("cooks_d"),
+        F.when(ok, infl).alias("influential"),
+    )
+
+
+SQL_OLS_INFLUENCE = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(y * y) AS BIGINT) AS syy
+  FROM day
+), f AS (
+  SELECT day.x, day.y, mom.m, mom.sx, mom.sy,
+    m * sxx - sx * sx AS den,
+    m * sxy - sx * sy AS sxyc,
+    m * syy - sy * sy AS syyc
+  FROM day CROSS JOIN mom
+), g AS (
+  SELECT x, y, m, sx, sy, den,
+    CAST(sxyc AS DOUBLE) / CAST(den AS DOUBLE) AS beta,
+    (CAST(syyc AS DOUBLE)
+     - CAST(sxyc AS DOUBLE) / CAST(den AS DOUBLE)
+       * CAST(sxyc AS DOUBLE)) / CAST(m AS DOUBLE) AS rss
+  FROM f WHERE m > 2 AND den > 0
+), h AS (
+  SELECT x, y, m, den, beta,
+    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+      / CAST(m AS DOUBLE) AS alpha,
+    rss / CAST(m - 2 AS DOUBLE) AS s2,
+    1.0 / CAST(m AS DOUBLE)
+      + CAST((m * x - sx) * (m * x - sx) AS DOUBLE)
+        / (CAST(m AS DOUBLE) * CAST(den AS DOUBLE)) AS lev
+  FROM g
+), i AS (
+  SELECT x, y, m, lev,
+    CAST(y AS DOUBLE) - (alpha + beta * CAST(x AS DOUBLE)) AS e,
+    s2
+  FROM h
+), k AS (
+  SELECT x, y, m, lev, e,
+    e / sqrt(s2 * (1.0 - lev)) AS rstud
+  FROM i
+)
+SELECT x AS day, y AS volume,
+  round(lev, 6) AS leverage,
+  round(e, 6) AS residual,
+  round(rstud, 6) AS r_student,
+  round((rstud * rstud) * lev / (2.0 * (1.0 - lev)), 6) AS cooks_d,
+  (rstud * rstud) * lev / (2.0 * (1.0 - lev))
+    > 4.0 / CAST(m AS DOUBLE) AS influential
+FROM k
+"""
+
+QUERIES["ols_influence"] = q_ols_influence
+_RAW_ORACLES["ols_influence"] = SQL_OLS_INFLUENCE
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -585,6 +585,13 @@ BUDGETS = {
     # chao1: (source, word) agg + per-source freq-of-freq agg
     "chao1_richness": {"shuffle": 2, "python": 0, "cartesian": 0,
                        "bnlj": 0},
+    # pacf: persisted 1-row Durbin-Levinson frame fans out to the
+    # 5-way lag union (cached-branch convention)
+    "pacf_durbin": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # ols-influence: ONE day agg + 1-row moment broadcast back onto
+    # the <=31-day frame (registered BNLJ)
+    "ols_influence": {"shuffle": 3, "python": 0, "cartesian": 0,
+                      "bnlj": 1},
 }
 
 

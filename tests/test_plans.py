@@ -171,6 +171,7 @@ def test_catalog_plan_inventory(spark):
         "newman_modularity",   # 1-row edge-moment x 1-row degree-moment
         "km_confidence",       # broadcast 1-row corpus-max censor boundary
         "ledoit_wolf_shrinkage",  # si broadcast + 1-row moment combines
+        "ols_influence",       # broadcast 1-row moment fit x day frame
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

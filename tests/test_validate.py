@@ -2842,3 +2842,96 @@ def test_chao1_rebuild(spark):
     for s in rows:
         assert rows[s]["n_tokens"] == yk[s]["n_tokens"]
         assert rows[s]["vocab"] == yk[s]["vocab"]
+
+
+def test_pacf_durbin_rebuild(spark):
+    """PACF values vs a literal python Durbin-Levinson recursion on
+    the same exact-integer ACF (identical op order), the lag-1
+    identity pacf(1) = acf(1), and cross-query ACF consistency with
+    ljung_box's rho_1."""
+    from mpds_spark.queries import _PACF_K, q_ljung_box, q_pacf_durbin
+
+    rows = {
+        r["lag"]: r
+        for r in q_pacf_durbin(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    ys = [
+        c for (c,) in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    s = sum(ys)
+    zs = [n * y - s for y in ys]
+    den = sum(z * z for z in zs)
+    rho = {
+        k: sum(zs[t] * zs[t - k] for t in range(k, n)) / den
+        for k in range(1, _PACF_K + 1)
+    }
+    phi = {1: {1: rho[1]}}
+    for k in range(2, _PACF_K + 1):
+        num = rho[k] - sum(
+            phi[k - 1][j] * rho[k - j] for j in range(1, k)
+        )
+        d = 1.0 - sum(phi[k - 1][j] * rho[j] for j in range(1, k))
+        pkk = num / d
+        phi[k] = {
+            j: phi[k - 1][j] - pkk * phi[k - 1][k - j]
+            for j in range(1, k)
+        }
+        phi[k][k] = pkk
+    for k in range(1, _PACF_K + 1):
+        r = rows[k]
+        assert r["n_days"] == n
+        assert abs(r["acf"] - rho[k]) < 1e-6
+        assert abs(r["pacf"] - phi[k][k]) < 1e-5
+        assert r["outside_band"] == (
+            abs(phi[k][k]) > 1.96 / n ** 0.5
+        )
+    assert rows[1]["acf"] == rows[1]["pacf"]
+    lb = q_ljung_box(spark, "/root/testdata/sf0.001").collect()[0]
+    assert rows[1]["acf"] == lb["rho_1"]
+
+
+def test_ols_influence_rebuild(spark):
+    """Leverage/residual/Cook's D vs a literal numpy hat-matrix
+    computation, the leverage identities sum(h) = 2 and
+    1/m <= h < 1, and the influence flag."""
+    import numpy as np
+
+    from mpds_spark.queries import q_ols_influence
+
+    rows = sorted(
+        q_ols_influence(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["day"],
+    )
+    import duckdb
+
+    cells = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    x = np.array([d for d, _ in cells], dtype=float)
+    y = np.array([c for _, c in cells], dtype=float)
+    m = len(x)
+    X = np.column_stack([np.ones(m), x])
+    H = X @ np.linalg.inv(X.T @ X) @ X.T
+    h = np.diag(H)
+    coef = np.linalg.lstsq(X, y, rcond=None)[0]
+    e = y - X @ coef
+    s2 = float(e @ e) / (m - 2)
+    r_stud = e / np.sqrt(s2 * (1 - h))
+    cook = r_stud**2 * h / (2 * (1 - h))
+    assert abs(sum(r["leverage"] for r in rows) - 2.0) < 1e-4
+    for i, r in enumerate(rows):
+        assert abs(r["leverage"] - h[i]) < 1e-6
+        assert 1.0 / m - 1e-12 <= r["leverage"] < 1.0
+        assert abs(r["residual"] - e[i]) < 1e-4
+        assert abs(r["r_student"] - r_stud[i]) < 1e-4
+        assert abs(r["cooks_d"] - cook[i]) < 1e-4
+        assert r["influential"] == (cook[i] > 4.0 / m)
