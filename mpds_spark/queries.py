@@ -18570,3 +18570,214 @@ FROM k
 QUERIES["ols_influence"] = q_ols_influence
 _RAW_ORACLES["ols_influence"] = SQL_OLS_INFLUENCE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_WI_Z = 1.96
+
+
+def q_wilson_intervals(spark, sf_dir):
+    """Wilson score 95% intervals for each event type's share of
+    total events (Wilson JASA 1927; Brown, Cai & DasGupta 2001 —
+    the proportion CI that actually holds its coverage at small n
+    and extreme p, where the naive Wald interval collapses; what a
+    metrics layer should print next to every rate). Counts are exact
+    longs from ONE aggregate; the interval
+    (p + z^2/2n +- z sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n) is a
+    fixed expression tree per type with the z = 1.96 literal pinned,
+    and the Wald interval rides along to show the difference. At
+    10^12 events the interval frame is |types| rows."""
+    ev = _events(spark, sf_dir).select("event_type")
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = cells.select(
+        "event_type", "k",
+        F.sum("k").over(wt).cast("long").alias("n"),
+    )
+    z = F.lit(_WI_Z)
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    p = kd / nd
+    z2n = z * z / nd
+    center = (p + z2n / F.lit(2.0)) / (F.lit(1.0) + z2n)
+    half = (
+        z
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z * z / (F.lit(4.0) * nd * nd)
+        )
+        / (F.lit(1.0) + z2n)
+    )
+    wald = z * F.sqrt(p * (F.lit(1.0) - p) / nd)
+    return t.select(
+        "event_type", "k", "n",
+        _r6(p).alias("share"),
+        _r6(center - half).alias("wilson_lo"),
+        _r6(center + half).alias("wilson_hi"),
+        _r6(p - wald).alias("wald_lo"),
+        _r6(p + wald).alias("wald_hi"),
+    )
+
+
+SQL_WILSON_INTERVALS = f"""
+WITH cells AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY event_type
+), t AS (
+  SELECT event_type, k, CAST(sum(k) OVER () AS BIGINT) AS n FROM cells
+), f AS (
+  SELECT event_type, k, n,
+    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    {_WI_Z!r} * {_WI_Z!r} / CAST(n AS DOUBLE) AS z2n
+  FROM t
+), g AS (
+  SELECT event_type, k, n, p,
+    (p + z2n / 2.0) / (1.0 + z2n) AS center,
+    {_WI_Z!r} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+      + {_WI_Z!r} * {_WI_Z!r}
+        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      / (1.0 + z2n) AS half,
+    {_WI_Z!r} * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)) AS wald
+  FROM f
+)
+SELECT event_type, k, n,
+  round(p, 6) AS share,
+  round(center - half, 6) AS wilson_lo,
+  round(center + half, 6) AS wilson_hi,
+  round(p - wald, 6) AS wald_lo,
+  round(p + wald, 6) AS wald_hi
+FROM g
+"""
+
+QUERIES["wilson_intervals"] = q_wilson_intervals
+_RAW_ORACLES["wilson_intervals"] = SQL_WILSON_INTERVALS
+
+
+_MDE_Z_ALPHA = 1.96   # two-sided 5%
+_MDE_Z_BETA = 0.8416  # 80% power
+
+
+def q_mde_power(spark, sf_dir):
+    """Minimum detectable effect of the md5-parity A/B design for
+    each event type's per-user conversion rate (the classic
+    two-proportion power formula, e.g. Cohen 1988 / every experiment
+    sizing sheet: MDE_abs = (z_{a/2} + z_beta) sqrt(2 p(1-p) / n)
+    at 80% power, 5% two-sided — the 'how small a lift could this
+    split even see' readout that belongs NEXT TO srm_check before
+    anyone celebrates a flat metric). Baseline p = share of users
+    with >= 1 event of the type, n = the smaller arm's user count
+    (conservative), z literals pinned; exact longs from one
+    user-level aggregate + one global aggregate. At 10^12 events the
+    sizing frame is |types| rows."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    peru = ev.groupBy("user_id").agg(*[
+        F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("long").alias(f"c{i}")
+        for i, t in enumerate(_BT_TYPES)
+    ]).select(
+        "*",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lr|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    from mpds_spark.operators.util import scratch_persist
+
+    one = scratch_persist(peru.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("__arm")).cast("long").alias("n_arm1"),
+        *[
+            F.sum(f"c{i}").cast("long").alias(f"k{i}")
+            for i in range(len(_BT_TYPES))
+        ],
+    ))
+    za, zb = F.lit(_MDE_Z_ALPHA), F.lit(_MDE_Z_BETA)
+    outs = []
+    for i, t in enumerate(_BT_TYPES):
+        nd = F.col("n_users").cast("double")
+        n1 = F.col("n_arm1").cast("double")
+        n0 = nd - n1
+        narm = F.least(n0, n1)
+        p = F.col(f"k{i}").cast("double") / nd
+        mde = (za + zb) * F.sqrt(
+            F.lit(2.0) * p * (F.lit(1.0) - p) / narm
+        )
+        outs.append(
+            one.select(
+                F.lit(t).alias("event_type"),
+                F.col("n_users"),
+                narm.cast("long").alias("n_smaller_arm"),
+                _r6(p).alias("baseline_rate"),
+                _r6(mde).alias("mde_abs"),
+                _r6(
+                    F.when(p > 0, mde / p)
+                ).alias("mde_rel"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _mde_sql() -> str:
+    cases = ", ".join(
+        f"CAST(sum(c{i}) AS BIGINT) AS k{i}"
+        for i in range(len(_BT_TYPES))
+    )
+    percase = ", ".join(
+        f"CAST(max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    zsum = f"({_MDE_Z_ALPHA!r} + {_MDE_Z_BETA!r})"
+    finals = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type, n_users,"
+        " CAST(least(CAST(n_users - n_arm1 AS DOUBLE),"
+        " CAST(n_arm1 AS DOUBLE)) AS BIGINT) AS n_smaller_arm,"
+        f" round(CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE), 6)"
+        " AS baseline_rate,"
+        f" round({zsum} * sqrt(2.0"
+        f" * (CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        f" * (1.0 - CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " / least(CAST(n_users - n_arm1 AS DOUBLE),"
+        " CAST(n_arm1 AS DOUBLE))), 6) AS mde_abs,"
+        f" round(CASE WHEN k{i} > 0 THEN"
+        f" {zsum} * sqrt(2.0"
+        f" * (CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        f" * (1.0 - CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " / least(CAST(n_users - n_arm1 AS DOUBLE),"
+        " CAST(n_arm1 AS DOUBLE)))"
+        f" / (CAST(k{i} AS DOUBLE) / CAST(n_users AS DOUBLE))"
+        " END, 6) AS mde_rel FROM one"
+        for i, t in enumerate(_BT_TYPES)
+    )
+    return f"""
+WITH peru AS (
+  SELECT user_id, {percase},
+    CAST(('0x' || substring(md5('lr|' || CAST(user_id AS VARCHAR)),
+      1, 15))::UBIGINT % 2 AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(arm) AS BIGINT) AS n_arm1, {cases}
+  FROM peru
+)
+{finals}
+"""
+
+
+SQL_MDE_POWER = _mde_sql()
+
+QUERIES["mde_power"] = q_mde_power
+_RAW_ORACLES["mde_power"] = SQL_MDE_POWER
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

