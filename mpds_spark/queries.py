@@ -18781,3 +18781,289 @@ SQL_MDE_POWER = _mde_sql()
 QUERIES["mde_power"] = q_mde_power
 _RAW_ORACLES["mde_power"] = SQL_MDE_POWER
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_nb_dispersion(spark, sf_dir):
+    """Poisson overdispersion test + negative-binomial moment fit for
+    per-user event counts (Boehning 1994's O statistic — the
+    asymptotically-normal score test of H0: Poisson; Cameron &
+    Trivedi 1990 family — the 'is a Poisson rate feature enough, or
+    do we need the NB dispersion parameter' gate every count-feature
+    pipeline should run before modeling): with exact integer moments
+    n, S = sum y, Q = sum y^2 over the per-user counts, the sample
+    mean/variance, the dispersion index v/m, the MoM NB size
+    r = m^2/(v - m) and p = m/v, and O = (n S2/m - n)/sqrt(2(n-1))
+    are all fixed expression trees (v written as the exact-integer
+    ratio (nQ - S^2)/(n(n-1)) so both engines divide identical
+    longs). Overdispersed at the one-sided 5% point 1.645. ONE
+    user agg + ONE global agg; the test frame is 1 row at 10^12
+    events."""
+    ev = _events(spark, sf_dir).select("user_id")
+    peru = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    mom = peru.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("__y").cast("long").alias("s"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("q"),
+    )
+    nd = F.col("n_users").cast("double")
+    m = F.col("s").cast("double") / nd
+    vnum = (
+        F.col("n_users") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double")
+    vden = (
+        F.col("n_users") * (F.col("n_users") - 1)
+    ).cast("double")
+    v = vnum / vden
+    disp = v / m
+    r = F.when(v > m, m * m / (v - m))
+    p = F.when(v > 0, m / v)
+    o = (nd * v / m - nd) / F.sqrt(
+        F.lit(2.0) * (nd - F.lit(1.0))
+    )
+    return mom.select(
+        "n_users",
+        _r6(m).alias("mean_count"),
+        _r6(v).alias("var_count"),
+        _r6(disp).alias("dispersion_index"),
+        _r6(r).alias("nb_size_r"),
+        _r6(p).alias("nb_prob_p"),
+        _r6(o).alias("boehning_o"),
+        (o > F.lit(1.645)).alias("overdispersed"),
+    )
+
+
+SQL_NB_DISPERSION = """
+WITH peru AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s,
+    CAST(sum(y * y) AS BIGINT) AS q
+  FROM peru
+), f AS (
+  SELECT n,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    CAST(n * q - s * s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS v
+  FROM mom
+), g AS (
+  SELECT n, m, v, v / m AS disp,
+    CASE WHEN v > m THEN m * m / (v - m) END AS r,
+    CASE WHEN v > 0 THEN m / v END AS p,
+    (CAST(n AS DOUBLE) * v / m - CAST(n AS DOUBLE))
+      / sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) AS o
+  FROM f
+)
+SELECT n AS n_users,
+  round(m, 6) AS mean_count,
+  round(v, 6) AS var_count,
+  round(disp, 6) AS dispersion_index,
+  round(r, 6) AS nb_size_r,
+  round(p, 6) AS nb_prob_p,
+  round(o, 6) AS boehning_o,
+  o > 1.645 AS overdispersed
+FROM g
+"""
+
+QUERIES["nb_dispersion"] = q_nb_dispersion
+_RAW_ORACLES["nb_dispersion"] = SQL_NB_DISPERSION
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_MS_R = 20
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the per-user event-type transition
+    chain by unrolled power iteration (Kemeny & Snell 1960 ch. 4 —
+    pi = pi P; 20 left-multiplications from the uniform start, the
+    convergence horizon a 5-state ergodic chain needs), audited
+    against the EMPIRICAL type distribution with the total-variation
+    distance: if the process were stationary the two match, so a
+    large TV flags cohort drift inside the month — the missing third
+    of the catalog's Markov family (transition_entropy = how
+    predictable, markov_accuracy = how well a 1-step predictor does,
+    THIS = where the chain settles). Transition counts are exact
+    longs from ONE lag pass sharing the entity-keyed exchange (the
+    transition_entropy shape); row-normalized probabilities are
+    exact-integer ratios; the 100 update expressions are generated
+    ONCE and executed verbatim by both engines (selectExpr chain /
+    CTE chain, the bradley_terry convention). The persisted 1-row
+    frame fans out to the 5 output rows (cached-branch)."""
+    from mpds_spark.operators.util import scratch_persist
+
+    K = _BT_K
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("__t"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("__t", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("__prev"),
+        F.col("event_type").alias("__cur"),
+    ).filter(F.col("__prev").isNotNull())
+    one = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("__prev") == a) & (F.col("__cur") == b), 1
+                ).otherwise(0)
+            ).cast("long").alias(f"c{i}{j}")
+            for i, a in enumerate(_BT_TYPES)
+            for j, b in enumerate(_BT_TYPES)
+        ],
+        *[
+            F.sum(
+                F.when(F.col("__cur") == b, 1).otherwise(0)
+            ).cast("long").alias(f"e{j}")
+            for j, b in enumerate(_BT_TYPES)
+        ],
+    )
+    rows_ = [
+        f"(c{i}0 + c{i}1 + c{i}2 + c{i}3 + c{i}4) AS r{i}"
+        for i in range(K)
+    ]
+    one = one.selectExpr("*", *rows_)
+    ps = [
+        f"CASE WHEN r{i} > 0 THEN cast(c{i}{j} as double)"
+        f" / cast(r{i} as double) ELSE {1.0 / K!r} END AS p{i}{j}"
+        for i in range(K) for j in range(K)
+    ]
+    one = one.selectExpr("*", *ps)
+    one = one.selectExpr(
+        "*", *[f"{1.0 / K!r} AS pi0_{j}" for j in range(K)]
+    )
+    # the 100 scalar updates chunked into per-round projections
+    for r in range(_MS_R):
+        exprs = [
+            "({}) AS pi{}_{}".format(
+                " + ".join(f"pi{r}_{i} * p{i}{j}" for i in range(K)),
+                r + 1, j,
+            )
+            for j in range(K)
+        ]
+        one = one.selectExpr("*", *exprs)
+    conv = " + ".join(
+        f"abs(pi{_MS_R}_{j} - pi{_MS_R - 1}_{j})" for j in range(K)
+    )
+    tv = " + ".join(
+        f"abs(pi{_MS_R}_{j} - cast(e{j} as double)"
+        f" / cast(n_trans as double))"
+        for j in range(K)
+    )
+    one = scratch_persist(one.selectExpr(
+        "n_trans",
+        *[f"pi{_MS_R}_{j}" for j in range(K)],
+        *[f"cast(e{j} as double) / cast(n_trans as double)"
+          f" AS emp{j}" for j in range(K)],
+        f"0.5 * ({tv}) AS tv_dist",
+        f"({conv}) < 1e-9 AS converged",
+    ))
+    outs = [
+        one.selectExpr(
+            f"'{t}' AS event_type",
+            "n_trans",
+            f"pi{_MS_R}_{j} AS __pi",
+            f"emp{j} AS __emp",
+            "tv_dist", "converged",
+        )
+        for j, t in enumerate(_BT_TYPES)
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "event_type", "n_trans",
+        _r6("__pi").alias("stationary_pi"),
+        _r6("__emp").alias("empirical_share"),
+        _r6("tv_dist").alias("tv_dist"),
+        "converged",
+    )
+
+
+def _ms_sql() -> str:
+    K = _BT_K
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN prev = '{a}' AND cur = '{b}'"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS c{i}{j}"
+        for i, a in enumerate(_BT_TYPES)
+        for j, b in enumerate(_BT_TYPES)
+    )
+    emps = ", ".join(
+        f"CAST(sum(CASE WHEN cur = '{b}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS e{j}"
+        for j, b in enumerate(_BT_TYPES)
+    )
+    rows_ = ", ".join(
+        f"(c{i}0 + c{i}1 + c{i}2 + c{i}3 + c{i}4) AS r{i}"
+        for i in range(K)
+    )
+    ps = ", ".join(
+        f"CASE WHEN r{i} > 0 THEN CAST(c{i}{j} AS DOUBLE)"
+        f" / CAST(r{i} AS DOUBLE) ELSE {1.0 / K!r} END AS p{i}{j}"
+        for i in range(K) for j in range(K)
+    )
+    pis = ", ".join(f"{1.0 / K!r} AS pi0_{j}" for j in range(K))
+    ctes = [
+        """pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+           ORDER BY epoch(ts), event_id) AS prev,
+    event_type AS cur
+  FROM events
+)""",
+        f"""one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_trans, {cells}, {emps}
+  FROM pairs WHERE prev IS NOT NULL
+)""",
+        f"rr AS (SELECT *, {rows_} FROM one)",
+        f"pp AS (SELECT *, {ps} FROM rr)",
+        f"i0 AS (SELECT *, {pis} FROM pp)",
+    ]
+    prev = "i0"
+    for r in range(_MS_R):
+        exprs = ", ".join(
+            "({}) AS pi{}_{}".format(
+                " + ".join(f"pi{r}_{i} * p{i}{j}" for i in range(K)),
+                r + 1, j,
+            )
+            for j in range(K)
+        )
+        ctes.append(f"i{r + 1} AS (SELECT *, {exprs} FROM {prev})")
+        prev = f"i{r + 1}"
+    conv = " + ".join(
+        f"abs(pi{_MS_R}_{j} - pi{_MS_R - 1}_{j})" for j in range(K)
+    )
+    tv = " + ".join(
+        f"abs(pi{_MS_R}_{j} - CAST(e{j} AS DOUBLE)"
+        f" / CAST(n_trans AS DOUBLE))"
+        for j in range(K)
+    )
+    ctes.append(
+        f"fin AS (SELECT n_trans,"
+        + ", ".join(f"pi{_MS_R}_{j}" for j in range(K)) + ", "
+        + ", ".join(
+            f"CAST(e{j} AS DOUBLE) / CAST(n_trans AS DOUBLE) AS emp{j}"
+            for j in range(K)
+        )
+        + f", 0.5 * ({tv}) AS tv_dist, ({conv}) < 1e-9 AS converged"
+        f" FROM {prev})"
+    )
+    finals = " UNION ALL ".join(
+        f"SELECT '{t}' AS event_type, n_trans,"
+        f" round(pi{_MS_R}_{j}, 6) AS stationary_pi,"
+        f" round(emp{j}, 6) AS empirical_share,"
+        " round(tv_dist, 6) AS tv_dist, converged FROM fin"
+        for j, t in enumerate(_BT_TYPES)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_MARKOV_STATIONARY = _ms_sql()
+
+QUERIES["markov_stationary"] = q_markov_stationary
+_RAW_ORACLES["markov_stationary"] = SQL_MARKOV_STATIONARY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

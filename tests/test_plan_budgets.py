@@ -598,6 +598,13 @@ BUDGETS = {
     # mde: persisted 1-row user-level moment frame fans out to the
     # 5-way type union (cached-branch convention)
     "mde_power": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # nb-dispersion: ONE user agg + ONE global agg
+    "nb_dispersion": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    # markov-stationary: persisted 1-row power-iteration frame fans
+    # out to the 5-way type union (cached-branch convention); the lag
+    # pass shares one entity-keyed exchange
+    "markov_stationary": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -3010,3 +3010,89 @@ def test_mde_power_rebuild(spark):
     for (p1, m1), (p2, m2) in zip(rel, rel[1:]):
         if p2 <= 0.5:
             assert m2 <= m1 + 1e-9
+
+
+def test_nb_dispersion_rebuild(spark):
+    """Moments / dispersion / NB fit / Boehning O vs a literal python
+    rebuild of the per-user counts, and the NB moment-fit identity
+    r(1-p)/p^2... (mean m = r(1-p)/p, var = r(1-p)/p^2 recovered
+    within float tolerance)."""
+    from collections import Counter
+
+    from mpds_spark.queries import q_nb_dispersion
+
+    r = q_nb_dispersion(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        c for (c,) in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+        ).fetchall()
+    ]
+    n = len(ys)
+    m = sum(ys) / n
+    v = sum((y - m) ** 2 for y in ys) / (n - 1)
+    o = (n * v / m - n) / (2 * (n - 1)) ** 0.5
+    assert r["n_users"] == n
+    assert abs(r["mean_count"] - m) < 1e-4
+    assert abs(r["var_count"] - v) < 1e-3
+    assert abs(r["dispersion_index"] - v / m) < 1e-5
+    assert abs(r["boehning_o"] - o) < 1e-3
+    assert r["overdispersed"] == (o > 1.645)
+    if v > m:
+        rr, pp = r["nb_size_r"], r["nb_prob_p"]
+        # MoM inversion: mean = r(1-p)/p, var = r(1-p)/p^2
+        assert abs(rr * (1 - pp) / pp - m) < 1e-3 * max(1.0, m)
+        assert abs(rr * (1 - pp) / pp**2 - v) < 1e-2 * max(1.0, v)
+
+
+def test_markov_stationary_rebuild(spark):
+    """Stationary pi vs a literal numpy power iteration on the same
+    row-normalized transition matrix, the fixed-point residual
+    ||pi P - pi|| ~ 0 at convergence, sum pi = 1, and the TV-distance
+    identity vs the empirical shares."""
+    import numpy as np
+
+    from mpds_spark.queries import _BT_TYPES, _MS_R, q_markov_stationary
+
+    rows = {
+        r["event_type"]: r
+        for r in q_markov_stationary(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "WITH p AS (SELECT user_id, event_type,"
+        " lag(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY epoch(ts), event_id) AS prev"
+        " FROM '/root/testdata/sf0.001/events.parquet')"
+        " SELECT prev, event_type, count(*) FROM p"
+        " WHERE prev IS NOT NULL GROUP BY 1, 2"
+    ).fetchall()
+    K = len(_BT_TYPES)
+    idx = {t: i for i, t in enumerate(_BT_TYPES)}
+    C = np.zeros((K, K))
+    for a, b, c in raw:
+        C[idx[a], idx[b]] = c
+    P = np.where(
+        C.sum(axis=1, keepdims=True) > 0,
+        C / np.maximum(C.sum(axis=1, keepdims=True), 1),
+        1.0 / K,
+    )
+    pi = np.full(K, 1.0 / K)
+    for _ in range(_MS_R):
+        pi = pi @ P
+    emp = C.sum(axis=0) / C.sum()
+    tv = 0.5 * np.abs(pi - emp).sum()
+    for t, i in idx.items():
+        r = rows[t]
+        assert abs(r["stationary_pi"] - pi[i]) < 1e-5
+        assert abs(r["empirical_share"] - emp[i]) < 1e-6
+        assert abs(r["tv_dist"] - tv) < 1e-5
+    assert abs(sum(r["stationary_pi"] for r in rows.values()) - 1.0) \
+        < 1e-6
+    if next(iter(rows.values()))["converged"]:
+        assert np.abs(pi @ P - pi).max() < 1e-8
