@@ -19067,3 +19067,316 @@ SQL_MARKOV_STATIONARY = _ms_sql()
 QUERIES["markov_stationary"] = q_markov_stationary
 _RAW_ORACLES["markov_stationary"] = SQL_MARKOV_STATIONARY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_JL_K = 16
+_JL_D = 64
+
+
+def _jl_signs():
+    """Pinned +-1 projection matrix (Achlioptas 2003 sign variant),
+    derived from md5 in PYTHON at build time and embedded as literals
+    in both engines — the matrix IS part of the query definition."""
+    import hashlib
+
+    return [
+        [
+            1 if int(
+                hashlib.md5(f"jl|{k}|{d}".encode()).hexdigest()[-1], 16
+            ) % 2 == 0 else -1
+            for d in range(_JL_D)
+        ]
+        for k in range(_JL_K)
+    ]
+
+
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection distortion audit
+    (Johnson & Lindenstrauss 1984; Achlioptas JCSS 2003 — the +-1
+    sign projection whose E||Rx||^2 = k||x||^2 makes y = Rx / sqrt(k)
+    an unbiased distance sketch; THE cheap dimension squeeze before
+    ANN/clustering at 10^12 vectors, and this query answers 'how
+    much pairwise-distance distortion did 64 -> 16 actually cost ON
+    THIS corpus'): the pinned sign matrix is generated from md5 in
+    python ONCE and embedded as literals in both engines, so the
+    projections y_k = sum_d r_kd q_d of the milli-quantized codes
+    are EXACT LONGS; pairs are the deterministic md5-rank
+    half-pairing (row i with row i + n/2 — layout-independent), and
+    both the true distance d2 and the sketch distance dy2 are exact
+    integers, so the distortion |1 - dy2/(k d2)| is one exact-ratio
+    division per pair. Outputs exact distortion-bin COUNTS plus the
+    max (order-free aggregates — no float folds anywhere). At 10^12
+    rows the audit runs on the same half-pairing sample shape."""
+    signs = _jl_signs()
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (
+                F.signum(x.cast("double"))
+                * F.floor(F.abs(x.cast("double")) * 1000 + F.lit(0.5))
+            ).cast("long"),
+        ).alias("q"),
+    )
+    ycols = [
+        sum(
+            (F.element_at("q", d + 1) * F.lit(signs[k][d]))
+            for d in range(_JL_D)
+        ).cast("long").alias(f"y{k}")
+        for k in range(_JL_K)
+    ]
+    proj = emb.select("vec_id", "q", *ycols)
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("jlp|"), F.col("vec_id").cast("string")))
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = proj.select(
+        "*",
+        F.row_number().over(w).alias("__r"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("__n"),
+    )
+    half = (F.col("__n") / 2).cast("long")
+    left = ranked.filter(F.col("__r") <= half).select(
+        F.col("__r").alias("__k"),
+        F.col("q").alias("qa"),
+        *[F.col(f"y{k}").alias(f"ya{k}") for k in range(_JL_K)],
+    )
+    right = ranked.filter(F.col("__r") > half).select(
+        (F.col("__r") - half).alias("__k"),
+        F.col("q").alias("qb"),
+        *[F.col(f"y{k}").alias(f"yb{k}") for k in range(_JL_K)],
+    )
+    pairs = left.join(right, "__k")
+    d2 = F.expr(
+        "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    dy2 = sum(
+        (F.col(f"ya{k}") - F.col(f"yb{k}"))
+        * (F.col(f"ya{k}") - F.col(f"yb{k}"))
+        for k in range(_JL_K)
+    ).cast("long")
+    pr = pairs.select(
+        d2.alias("__d2"), dy2.alias("__dy2")
+    ).filter(F.col("__d2") > 0)
+    dist = F.abs(
+        F.lit(1.0)
+        - F.col("__dy2").cast("double")
+        / (F.lit(float(_JL_K)) * F.col("__d2").cast("double"))
+    )
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        _r6(F.max(dist)).alias("max_distortion"),
+        F.sum(F.when(dist <= 0.1, 1).otherwise(0)).cast("long")
+        .alias("within_10pct"),
+        F.sum(F.when(dist <= 0.25, 1).otherwise(0)).cast("long")
+        .alias("within_25pct"),
+        F.sum(F.when(dist <= 0.5, 1).otherwise(0)).cast("long")
+        .alias("within_50pct"),
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    ycols = ", ".join(
+        "("
+        + " + ".join(
+            f"q[{d + 1}] * ({signs[k][d]})" for d in range(_JL_D)
+        )
+        + f") AS y{k}"
+        for k in range(_JL_K)
+    )
+    dy2 = " + ".join(
+        f"(l.y{k} - r.y{k}) * (l.y{k} - r.y{k})"
+        for k in range(_JL_K)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x ->
+    CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)
+         * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS q
+  FROM embeddings
+), proj AS (
+  SELECT vec_id, q, {ycols} FROM emb
+), ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY md5('jlp|' || CAST(vec_id AS VARCHAR)))
+      AS r,
+    CAST(count(*) OVER () AS BIGINT) AS n
+  FROM proj
+), pairs AS (
+  SELECT l.q AS qa, r.q AS qb,
+    CAST({dy2} AS BIGINT) AS dy2
+  FROM ranked l JOIN ranked r
+    ON r.r = l.r + CAST(l.n // 2 AS BIGINT)
+  WHERE l.r <= l.n // 2
+), pd AS (
+  SELECT dy2,
+    CAST(list_reduce(list_transform(range(1, {_JL_D + 1}),
+      d -> (qa[d] - qb[d]) * (qa[d] - qb[d])), (a, b) -> a + b)
+      AS BIGINT) AS d2
+  FROM pairs
+), f AS (
+  SELECT
+    abs(1.0 - CAST(dy2 AS DOUBLE)
+        / ({float(_JL_K)!r} * CAST(d2 AS DOUBLE))) AS dist
+  FROM pd WHERE d2 > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+  round(max(dist), 6) AS max_distortion,
+  CAST(sum(CASE WHEN dist <= 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS within_10pct,
+  CAST(sum(CASE WHEN dist <= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+    AS within_25pct,
+  CAST(sum(CASE WHEN dist <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS within_50pct
+FROM f
+"""
+
+
+SQL_JL_PROJECTION_AUDIT = _jl_sql()
+
+QUERIES["jl_projection_audit"] = q_jl_projection_audit
+_RAW_ORACLES["jl_projection_audit"] = SQL_JL_PROJECTION_AUDIT
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_pr_curve_ap(spark, sf_dir):
+    """Average precision + best-F1 operating point for n_chars as a
+    scorer of the >=20-words quality label (the precision-recall
+    summary sklearn's average_precision_score computes, with the
+    step-wise AP = sum_k (R_k - R_{k-1}) P_k convention — the eval
+    primitive beside rank_auc (threshold-free ranking quality) and
+    calibration_bins (probability quality): AP answers 'how good is
+    the ranking where it matters, at the top', and the best-F1 row
+    answers 'where should the production threshold sit'). The corpus
+    collapses ONCE to the distinct-length class histogram; suffix
+    sums over the value-DESCENDING window make every threshold
+    'x >= v' a row with exact TP/FP longs; AP folds the exact-ratio
+    step terms (p_v/P) * precision_v in descending-threshold order
+    over the collected array (both engines, identical order); the
+    best-F1 argmax is one TakeOrdered over (-F1-as-ratio, v) — F1
+    compared via the cross-multiplied EXACT INTEGER ratio 2TP /
+    (2TP + FP + FN) so the tie-break is exact, never a global
+    sort."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("__v"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 20,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    hist = d.groupBy("__v").agg(
+        F.sum("__y").cast("long").alias("__p"),
+        F.sum(1 - F.col("__y")).cast("long").alias("__q"),
+    )
+    wdesc = Window.orderBy(F.desc("__v"))
+    wc = wdesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = wdesc.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cand = hist.select(
+        "__v", "__p",
+        F.sum("__p").over(wc).cast("long").alias("__tp"),
+        F.sum("__q").over(wc).cast("long").alias("__fp"),
+        F.sum("__p").over(wt).cast("long").alias("__post"),
+        F.sum("__q").over(wt).cast("long").alias("__negt"),
+    )
+    # AP: fold (p_v / P) * (tp / (tp + fp)) in v-DESC order
+    ap_frame = cand.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("__v")).alias("__nv"),
+                    "__p", "__tp", "__fp",
+                )
+            )
+        ).alias("__a"),
+        F.max("__post").alias("__post"),
+        F.max("__negt").alias("__negt"),
+    ).selectExpr(
+        "__post", "__negt",
+        "aggregate(__a, 0.0D, (acc, x) -> acc +"
+        " (cast(x.__p as double) / cast(__post as double))"
+        " * (cast(x.__tp as double)"
+        "    / cast(x.__tp + x.__fp as double))) AS __ap",
+    )
+    # best F1 by exact-integer cross-comparison via TakeOrdered on
+    # the double ratio (exact-ratio doubles; smaller-v tie-break)
+    f1 = (
+        (F.lit(2) * F.col("__tp")).cast("double")
+        / (F.lit(2) * F.col("__tp") + F.col("__fp")
+           + (F.col("__post") - F.col("__tp"))).cast("double")
+    )
+    best = cand.select(
+        "__v", "__tp", "__fp", "__post",
+        f1.alias("__f1"),
+    ).orderBy(F.desc("__f1"), "__v").limit(1)
+    out = best.join(F.broadcast(ap_frame.select("__ap", "__negt")))
+    return out.select(
+        (F.col("__post") + F.col("__negt")).alias("n_docs"),
+        F.col("__post").alias("n_pos"),
+        _r6("__ap").alias("average_precision"),
+        F.col("__v").alias("best_f1_threshold"),
+        _r6("__f1").alias("best_f1"),
+        _r6(
+            F.col("__tp").cast("double")
+            / (F.col("__tp") + F.col("__fp")).cast("double")
+        ).alias("precision_at_best"),
+        _r6(
+            F.col("__tp").cast("double") / F.col("__post").cast("double")
+        ).alias("recall_at_best"),
+    )
+
+
+SQL_PR_CURVE_AP = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+         THEN 1 ELSE 0 END AS y
+  FROM documents
+), hist AS (
+  SELECT v, CAST(sum(y) AS BIGINT) AS p,
+    CAST(sum(1 - y) AS BIGINT) AS q
+  FROM d GROUP BY v
+), cand AS (
+  SELECT v, p,
+    CAST(sum(p) OVER wc AS BIGINT) AS tp,
+    CAST(sum(q) OVER wc AS BIGINT) AS fp,
+    CAST(sum(p) OVER () AS BIGINT) AS post,
+    CAST(sum(q) OVER () AS BIGINT) AS negt
+  FROM hist
+  WINDOW wc AS (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW)
+), apf AS (
+  SELECT max(post) AS post, max(negt) AS negt,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list((CAST(p AS DOUBLE) / CAST(post AS DOUBLE))
+           * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+           ORDER BY v DESC)),
+      (acc, x) -> acc + x) AS ap
+  FROM cand
+), best AS (
+  SELECT v, tp, fp, post,
+    CAST(2 * tp AS DOUBLE)
+      / CAST(2 * tp + fp + (post - tp) AS DOUBLE) AS f1
+  FROM cand
+  ORDER BY f1 DESC, v LIMIT 1
+)
+SELECT best.post + apf.negt AS n_docs, best.post AS n_pos,
+  round(apf.ap, 6) AS average_precision,
+  best.v AS best_f1_threshold,
+  round(best.f1, 6) AS best_f1,
+  round(CAST(best.tp AS DOUBLE) / CAST(best.tp + best.fp AS DOUBLE), 6)
+    AS precision_at_best,
+  round(CAST(best.tp AS DOUBLE) / CAST(best.post AS DOUBLE), 6)
+    AS recall_at_best
+FROM best CROSS JOIN apf
+"""
+
+QUERIES["pr_curve_ap"] = q_pr_curve_ap
+_RAW_ORACLES["pr_curve_ap"] = SQL_PR_CURVE_AP
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -605,6 +605,14 @@ BUDGETS = {
     # out to the 5-way type union (cached-branch convention); the lag
     # pass shares one entity-keyed exchange
     "markov_stationary": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # jl: projection map + md5-rank window + half-pair equi-join +
+    # bin agg — 2 shuffles, never a pairwise cross
+    "jl_projection_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
+                            "bnlj": 0},
+    # pr-ap: histogram agg + tiny desc windows + TakeOrdered best-F1
+    # + 1-row AP-fold combine (registered BNLJ)
+    "pr_curve_ap": {"shuffle": 4, "python": 0, "cartesian": 0,
+                    "bnlj": 1},
 }
 
 

@@ -172,6 +172,7 @@ def test_catalog_plan_inventory(spark):
         "km_confidence",       # broadcast 1-row corpus-max censor boundary
         "ledoit_wolf_shrinkage",  # si broadcast + 1-row moment combines
         "ols_influence",       # broadcast 1-row moment fit x day frame
+        "pr_curve_ap",         # 1-row AP fold x best-F1 row combine
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -3096,3 +3096,105 @@ def test_markov_stationary_rebuild(spark):
         < 1e-6
     if next(iter(rows.values()))["converged"]:
         assert np.abs(pi @ P - pi).max() < 1e-8
+
+
+def test_jl_projection_rebuild(spark):
+    """Bin counts and max distortion vs a literal numpy rebuild of
+    the pinned sign projection and md5 half-pairing, plus the
+    monotone containment within_10 <= within_25 <= within_50 <=
+    n_pairs."""
+    import hashlib
+
+    import numpy as np
+
+    from mpds_spark.queries import (
+        _JL_D,
+        _JL_K,
+        _jl_signs,
+        q_jl_projection_audit,
+    )
+
+    r = q_jl_projection_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT vec_id, list_transform(embedding, x ->"
+        " CAST(floor(abs(CAST(x AS DOUBLE))*1000 + 0.5)"
+        " * sign(CAST(x AS DOUBLE)) AS BIGINT)) FROM"
+        " '/root/testdata/sf0.001/embeddings.parquet'"
+    ).fetchall()
+    R = np.array(_jl_signs())
+    order = sorted(
+        rows, key=lambda t: hashlib.md5(
+            f"jlp|{t[0]}".encode()
+        ).hexdigest()
+    )
+    n = len(order)
+    half = n // 2
+    dists = []
+    for i in range(half):
+        qa = np.array(order[i][1])
+        qb = np.array(order[i + half][1])
+        d2 = int(((qa - qb) ** 2).sum())
+        if d2 == 0:
+            continue
+        dy2 = int(((R @ (qa - qb)) ** 2).sum())
+        dists.append(abs(1.0 - dy2 / (_JL_K * d2)))
+    assert r["n_pairs"] == len(dists)
+    assert abs(r["max_distortion"] - max(dists)) < 1e-6
+    assert r["within_10pct"] == sum(1 for d in dists if d <= 0.1)
+    assert r["within_25pct"] == sum(1 for d in dists if d <= 0.25)
+    assert r["within_50pct"] == sum(1 for d in dists if d <= 0.5)
+    assert (
+        r["within_10pct"] <= r["within_25pct"]
+        <= r["within_50pct"] <= r["n_pairs"]
+    )
+
+
+def test_pr_curve_ap_rebuild(spark):
+    """AP and the best-F1 operating point vs a literal python sweep of
+    every threshold (sklearn step-AP convention), plus the bound
+    AP <= 1 and the F1 harmonic identity at the chosen point."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_pr_curve_ap
+
+    r = q_pr_curve_ap(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(n_chars AS BIGINT),"
+        " CASE WHEN length(text) - length(replace(text,' ','')) + 1 >= 20"
+        " THEN 1 ELSE 0 END FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    hist = defaultdict(lambda: [0, 0])
+    for v, y in rows:
+        hist[v][y] += 1
+    vs = sorted(hist, reverse=True)
+    P = sum(hist[v][1] for v in vs)
+    N = sum(hist[v][0] for v in vs)
+    tp = fp = 0
+    ap = 0.0
+    best = None
+    for v in vs:
+        tp += hist[v][1]
+        fp += hist[v][0]
+        prec = tp / (tp + fp)
+        ap += (hist[v][1] / P) * prec
+        f1 = 2 * tp / (2 * tp + fp + (P - tp))
+        key = (-f1, v)
+        if best is None or key < best[0]:
+            best = (key, v, f1, prec, tp / P)
+    _, bv, bf1, bprec, brec = best
+    assert (r["n_docs"], r["n_pos"]) == (P + N, P)
+    assert abs(r["average_precision"] - ap) < 1e-5
+    assert r["average_precision"] <= 1.0 + 1e-12
+    assert r["best_f1_threshold"] == bv
+    assert abs(r["best_f1"] - bf1) < 1e-6
+    assert abs(r["precision_at_best"] - bprec) < 1e-6
+    assert abs(r["recall_at_best"] - brec) < 1e-6
+    p_, rcl = r["precision_at_best"], r["recall_at_best"]
+    assert abs(r["best_f1"] - 2 * p_ * rcl / (p_ + rcl)) < 1e-5
