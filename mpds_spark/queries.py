@@ -19380,3 +19380,237 @@ FROM best CROSS JOIN apf
 QUERIES["pr_curve_ap"] = q_pr_curve_ap
 _RAW_ORACLES["pr_curve_ap"] = SQL_PR_CURVE_AP
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Weekly seasonality strength of daily event volume as the
+    day-of-week eta-squared (the one-way ANOVA R^2 = SSB/SST over
+    dow groups — the variance-decomposition reading of what
+    dft_periodogram shows as power at k ~ n/7 and friedman_test
+    shows as rank consistency: 'WHAT SHARE of day-to-day volume
+    variation is the weekly cycle', Hyndman & Athanasopoulos FPP3
+    seasonal-strength analog with the flat-trend simplification
+    appropriate to a one-month window). EXACT INTEGERS throughout:
+    with day counts y, dow group sums S_g and sizes n_g, SST*n and
+    SSB*n are integer combinations (n sum y^2 - S^2 and
+    n sum_g S_g^2/n_g re-scaled by the lcm-free per-group single
+    divisions), so eta2 is a ratio of two doubles each assembled
+    from exact longs. Per-dow mean volume rides along (7 rows +
+    strength replicated, cached-branch fan-out avoided — the dow
+    frame IS the output). ONE day agg + ONE dow agg."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("__d"),
+        F.dayofweek(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__dow"),
+    )
+    day = ev.groupBy("__d", "__dow").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    bydow = day.groupBy("__dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__s"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__q"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = bydow.select(
+        "*",
+        F.sum("n_days").over(wt).cast("long").alias("__n"),
+        F.sum("__s").over(wt).cast("long").alias("__st"),
+        F.sum("__q").over(wt).cast("long").alias("__qt"),
+        # SSB accumulations need S_g^2/n_g — fold in dow order as
+        # exact-ratio doubles
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(__dow, __s,"
+            " n_days)) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " UNBOUNDED FOLLOWING)), 0.0D, (acc, x) ->"
+            " acc + cast(x.__s as double) * cast(x.__s as double)"
+            " / cast(x.n_days as double))"
+        ).alias("__gs"),
+    )
+    nd = F.col("__n").cast("double")
+    sst = F.col("__qt").cast("double") \
+        - F.col("__st").cast("double") * F.col("__st").cast("double") \
+        / nd
+    ssb = F.col("__gs") - F.col("__st").cast("double") \
+        * F.col("__st").cast("double") / nd
+    eta2 = F.when(sst > 0, ssb / sst).otherwise(F.lit(0.0))
+    return t.select(
+        F.col("__dow").alias("dow"),
+        "n_days",
+        _r6(
+            F.col("__s").cast("double") / F.col("n_days").cast("double")
+        ).alias("mean_volume"),
+        _r6(ssb).alias("ssb"),
+        _r6(sst).alias("sst"),
+        _r6(eta2).alias("seasonal_strength"),
+    )
+
+
+SQL_SEASONAL_STRENGTH = """
+WITH day AS (
+  SELECT CAST(ts AS DATE) AS d,
+    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), bydow AS (
+  SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(y) AS BIGINT) AS s,
+    CAST(sum(y * y) AS BIGINT) AS q
+  FROM day GROUP BY dow
+), gsf AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+           / CAST(n_days AS DOUBLE) ORDER BY dow)),
+      (acc, x) -> acc + x) AS gs
+  FROM bydow
+), t AS (
+  SELECT dow, n_days, s,
+    CAST(sum(n_days) OVER () AS BIGINT) AS n,
+    CAST(sum(s) OVER () AS BIGINT) AS st,
+    CAST(sum(q) OVER () AS BIGINT) AS qt,
+    gsf.gs AS gs
+  FROM bydow CROSS JOIN gsf
+), f AS (
+  SELECT dow, n_days, s,
+    CAST(qt AS DOUBLE)
+      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        / CAST(n AS DOUBLE) AS sst,
+    gs - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        / CAST(n AS DOUBLE) AS ssb
+  FROM t
+)
+SELECT dow, n_days,
+  round(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_volume,
+  round(ssb, 6) AS ssb,
+  round(sst, 6) AS sst,
+  round(CASE WHEN sst > 0 THEN ssb / sst ELSE 0.0 END, 6)
+    AS seasonal_strength
+FROM f
+"""
+
+QUERIES["seasonal_strength"] = q_seasonal_strength
+_RAW_ORACLES["seasonal_strength"] = SQL_SEASONAL_STRENGTH
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+_CQ_RULES = [
+    ("len120", "n_chars >= 120"),
+    ("words20",
+     "length(text) - length(replace(text, ' ', '')) + 1 >= 20"),
+    ("len200", "n_chars >= 200"),
+]
+
+
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q test of k=3 correlated binary quality rules
+    (Cochran Biometrika 1950 — the k-rater generalization of
+    mcnemar_test, which it reduces to at k=2: do the three
+    deterministic document-quality rules pass the SAME share of
+    docs, accounting for the within-doc correlation a naive 3-way
+    chi-square ignores? The pre-check before treating any one rule
+    as exchangeable with the others in a curation stack). With
+    per-doc row sums R_i and per-rule column totals C_j:
+    Q = k(k-1) sum_j (C_j - T/k)^2 / (k T - sum_i R_i^2), all EXACT
+    LONGS from ONE corpus aggregate (sum R, sum R^2, and the three
+    C_j come from the same pass; the numerator is assembled with
+    the k-scaled integer identity sum_j (k C_j - T)^2 / k to avoid
+    the fractional mean). Reject at the chi2(2) 95% point 5.991.
+    The test frame is 1 row at 10^12 docs."""
+    k = len(_CQ_RULES)
+    d = load(spark, sf_dir, "documents").selectExpr(
+        *[
+            f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT)"
+            f" AS r_{name}"
+            for name, cond in _CQ_RULES
+        ]
+    )
+    rsum = " + ".join(f"r_{name}" for name, _ in _CQ_RULES)
+    one = d.selectExpr(
+        "*", f"({rsum}) AS __ri"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ri").cast("long").alias("t"),
+        F.sum(F.expr("__ri * __ri")).cast("long").alias("r2"),
+        *[
+            F.sum(f"r_{name}").cast("long").alias(f"c_{name}")
+            for name, _ in _CQ_RULES
+        ],
+    )
+    # numerator: k(k-1) sum_j (C_j - T/k)^2 = (k-1)/k sum_j (kC_j-T)^2
+    sq = " + ".join(
+        f"(cast({k} * c_{name} - t as double))"
+        f" * (cast({k} * c_{name} - t as double))"
+        for name, _ in _CQ_RULES
+    )
+    qexpr = (
+        f"CASE WHEN {k} * t - r2 > 0 THEN"
+        f" (cast({k - 1} as double) / cast({k} as double))"
+        f" * ({sq}) / cast({k} * t - r2 as double)"
+        " ELSE 0.0D END"
+    )
+    one = one.selectExpr(
+        "n_docs", "t AS n_passes",
+        *[f"c_{name} AS pass_{name}" for name, _ in _CQ_RULES],
+        f"({qexpr}) AS __q",
+    )
+    return one.select(
+        "n_docs", "n_passes",
+        *[f"pass_{name}" for name, _ in _CQ_RULES],
+        _r6("__q").alias("cochran_q"),
+        (F.col("__q") > F.lit(5.991)).alias("rules_differ"),
+    )
+
+
+def _cq_sql() -> str:
+    k = len(_CQ_RULES)
+    rs = ", ".join(
+        f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS r_{name}"
+        for name, cond in _CQ_RULES
+    )
+    rsum = " + ".join(f"r_{name}" for name, _ in _CQ_RULES)
+    cs = ", ".join(
+        f"CAST(sum(r_{name}) AS BIGINT) AS c_{name}"
+        for name, _ in _CQ_RULES
+    )
+    sq = " + ".join(
+        f"(CAST({k} * c_{name} - t AS DOUBLE))"
+        f" * (CAST({k} * c_{name} - t AS DOUBLE))"
+        for name, _ in _CQ_RULES
+    )
+    passes = ", ".join(
+        f"c_{name} AS pass_{name}" for name, _ in _CQ_RULES
+    )
+    return f"""
+WITH d AS (
+  SELECT {rs} FROM documents
+), e AS (
+  SELECT *, ({rsum}) AS ri FROM d
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ri) AS BIGINT) AS t,
+    CAST(sum(ri * ri) AS BIGINT) AS r2, {cs}
+  FROM e
+), f AS (
+  SELECT n_docs, t AS n_passes, {passes},
+    CASE WHEN {k} * t - r2 > 0 THEN
+      (CAST({k - 1} AS DOUBLE) / CAST({k} AS DOUBLE))
+      * ({sq}) / CAST({k} * t - r2 AS DOUBLE)
+    ELSE 0.0 END AS q
+  FROM one
+)
+SELECT n_docs, n_passes,
+  {', '.join(f'pass_{name}' for name, _ in _CQ_RULES)},
+  round(q, 6) AS cochran_q,
+  q > 5.991 AS rules_differ
+FROM f
+"""
+
+
+SQL_COCHRAN_Q = _cq_sql()
+
+QUERIES["cochran_q"] = q_cochran_q
+_RAW_ORACLES["cochran_q"] = SQL_COCHRAN_Q
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -613,6 +613,12 @@ BUDGETS = {
     # + 1-row AP-fold combine (registered BNLJ)
     "pr_curve_ap": {"shuffle": 4, "python": 0, "cartesian": 0,
                     "bnlj": 1},
+    # seasonal-strength: day agg + dow agg + tiny 7-row window
+    "seasonal_strength": {"shuffle": 3, "python": 0, "cartesian": 0,
+                          "bnlj": 0},
+    # cochran-q: ONE corpus aggregate, nothing else
+    "cochran_q": {"shuffle": 1, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
 }
 
 

@@ -3198,3 +3198,90 @@ def test_pr_curve_ap_rebuild(spark):
     assert abs(r["recall_at_best"] - brec) < 1e-6
     p_, rcl = r["precision_at_best"], r["recall_at_best"]
     assert abs(r["best_f1"] - 2 * p_ * rcl / (p_ + rcl)) < 1e-5
+
+
+def test_seasonal_strength_rebuild(spark):
+    """eta^2 and per-dow means vs a literal python one-way variance
+    decomposition, the ANOVA identity SSB <= SST, and strength in
+    [0, 1]."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_seasonal_strength
+
+    rows = {
+        r["dow"]: r
+        for r in q_seasonal_strength(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT CAST(ts AS DATE), dayofweek(ts) + 1, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = defaultdict(list)
+    for _, dow, c in raw:
+        per[dow].append(c)
+    allv = [c for v in per.values() for c in v]
+    n = len(allv)
+    gm = sum(allv) / n
+    sst = sum((y - gm) ** 2 for y in allv)
+    ssb = sum(
+        len(v) * (sum(v) / len(v) - gm) ** 2 for v in per.values()
+    )
+    for dow, v in per.items():
+        r = rows[dow]
+        assert r["n_days"] == len(v)
+        assert abs(r["mean_volume"] - sum(v) / len(v)) < 1e-6
+        assert abs(r["sst"] - sst) < 1e-3
+        assert abs(r["ssb"] - ssb) < 1e-3
+        assert abs(r["seasonal_strength"] - ssb / sst) < 1e-6
+        assert 0.0 <= r["seasonal_strength"] <= 1.0
+        assert r["ssb"] <= r["sst"] + 1e-9
+
+
+def test_cochran_q_rebuild_and_mcnemar_reduction(spark):
+    """Q vs a literal python computation over per-doc rule triples,
+    and the k=2 reduction identity: Cochran's Q restricted to the
+    (len120, words20) pair equals McNemar's UNcorrected chi-square
+    on the same raters (textbook equivalence)."""
+    from mpds_spark.queries import (
+        _CQ_RULES,
+        q_cochran_q,
+        q_mcnemar_test,
+    )
+
+    r = q_cochran_q(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END,"
+        " CASE WHEN length(text) - length(replace(text,' ','')) + 1"
+        " >= 20 THEN 1 ELSE 0 END,"
+        " CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    k = 3
+    cj = [sum(t[j] for t in rows) for j in range(k)]
+    t_tot = sum(cj)
+    r2 = sum(sum(t) ** 2 for t in rows)
+    q = (
+        k * (k - 1) * sum((c - t_tot / k) ** 2 for c in cj)
+        / (k * t_tot - r2)
+    )
+    assert r["n_docs"] == len(rows)
+    assert r["n_passes"] == t_tot
+    assert (r["pass_len120"], r["pass_words20"], r["pass_len200"]) \
+        == tuple(cj)
+    assert abs(r["cochran_q"] - q) < 1e-4
+    assert r["rules_differ"] == (q > 5.991)
+    # k=2 reduction: Q(pair) == McNemar uncorrected chi2
+    b = sum(1 for t in rows if t[0] == 1 and t[1] == 0)
+    c = sum(1 for t in rows if t[0] == 0 and t[1] == 1)
+    if b + c > 0:
+        q2 = 2 * 1 * (
+            ((b - c) / 2) ** 2 + ((c - b) / 2) ** 2
+        ) / (b + c)
+        mn = q_mcnemar_test(spark, "/root/testdata/sf0.001").collect()[0]
+        assert abs(q2 - mn["chi2"]) < 1e-6
