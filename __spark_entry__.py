@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixty-second batch — continuation session)
+    "capture_recapture",
+    "odds_ratio_ci",
     # new in round 5 (sixty-first batch — continuation session)
     "seasonal_strength",
     "cochran_q",

@@ -19614,3 +19614,175 @@ SQL_COCHRAN_Q = _cq_sql()
 QUERIES["cochran_q"] = q_cochran_q
 _RAW_ORACLES["cochran_q"] = SQL_COCHRAN_Q
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_capture_recapture(spark, sf_dir):
+    """Chapman-corrected Lincoln-Petersen capture-recapture estimate
+    of the active-user population from the month's two halves
+    (Lincoln 1930; Petersen 1896; Chapman 1951 — the two-sample
+    mark-recapture estimator N = (n1+1)(n2+1)/(m+1) - 1 with
+    Seber 1970's variance; in a data platform this is the closed-
+    population audit: if the estimate from two observation windows
+    undershoots the true distinct count, user identity is CHURNING
+    under you — cookies resetting, ids rotating — exactly what
+    breaks retention features). Capture 1 = users seen on days
+    1-15, capture 2 = days 16+, marks m = users in both; all exact
+    longs from ONE user-level aggregate; estimate, variance and the
+    relative error vs the TRUE distinct count (observable here, the
+    audit's point) are fixed expression trees. 2 shuffles at any
+    corpus size."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        (F.dayofmonth(F.col("ts").cast("timestamp")) <= 15)
+        .alias("__h1"),
+    )
+    peru = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("__h1"), 1).otherwise(0)).alias("__in1"),
+        F.max(F.when(~F.col("__h1"), 1).otherwise(0)).alias("__in2"),
+    )
+    one = peru.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("__in1").cast("long").alias("n1"),
+        F.sum("__in2").cast("long").alias("n2"),
+        F.sum(F.col("__in1") * F.col("__in2")).cast("long").alias("m"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m = F.col("m").cast("double")
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - F.lit(1.0)
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return one.select(
+        "n_true", "n1", "n2", "m",
+        _r6(est).alias("chapman_estimate"),
+        _r6(F.sqrt(var)).alias("se"),
+        _r6(
+            (est - F.col("n_true").cast("double"))
+            / F.col("n_true").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH peru AS (
+  SELECT user_id,
+    max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS in1,
+    max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS in2
+  FROM events GROUP BY user_id
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(in1) AS BIGINT) AS n1,
+    CAST(sum(in2) AS BIGINT) AS n2,
+    CAST(sum(in1 * in2) AS BIGINT) AS m
+  FROM peru
+), f AS (
+  SELECT n_true, n1, n2, m,
+    (CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+      / (CAST(m AS DOUBLE) + 1) - 1.0 AS est,
+    (CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+      * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+      * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+      / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+         * (CAST(m AS DOUBLE) + 2)) AS var
+  FROM one
+)
+SELECT n_true, n1, n2, m,
+  round(est, 6) AS chapman_estimate,
+  round(sqrt(var), 6) AS se,
+  round((est - CAST(n_true AS DOUBLE)) / CAST(n_true AS DOUBLE), 6)
+    AS rel_err
+FROM f
+"""
+
+QUERIES["capture_recapture"] = q_capture_recapture
+_RAW_ORACLES["capture_recapture"] = SQL_CAPTURE_RECAPTURE
+
+
+def q_odds_ratio_ci(spark, sf_dir):
+    """Weekend x purchase odds ratio with the Woolf 95% log-interval
+    (Woolf Ann. Hum. Genet. 1955; Bland & Altman BMJ 2000 — THE 2x2
+    effect-size-with-uncertainty: chi2_independence says the table
+    isn't independent, woe_encoding gives the per-cell evidence
+    weight, this says 'the purchase odds are X times higher on
+    weekends, CI [lo, hi]' — the sentence an analyst actually
+    ships). Cells a,b,c,d are exact longs from ONE aggregate;
+    OR = ad/bc is one division of exact products, ln OR rides the
+    catalog's ln precedent, se = sqrt(1/a+1/b+1/c+1/d), and the
+    interval exponentiates the pinned +-1.96 band. Significant when
+    the CI excludes 1. 1-row frame at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofweek(F.col("ts").cast("timestamp")).isin(1, 7)
+        .alias("__wk"),
+        (F.col("event_type") == "purchase").alias("__pur"),
+    )
+    one = ev.agg(
+        F.sum(F.when(F.col("__wk") & F.col("__pur"), 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("__wk") & ~F.col("__pur"), 1).otherwise(0))
+        .cast("long").alias("b"),
+        F.sum(F.when(~F.col("__wk") & F.col("__pur"), 1).otherwise(0))
+        .cast("long").alias("c"),
+        F.sum(F.when(~F.col("__wk") & ~F.col("__pur"), 1).otherwise(0))
+        .cast("long").alias("d"),
+    )
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) \
+        & (F.col("d") > 0)
+    orr = (F.col("a") * F.col("d")).cast("double") \
+        / (F.col("b") * F.col("c")).cast("double")
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a").cast("double")
+        + F.lit(1.0) / F.col("b").cast("double")
+        + F.lit(1.0) / F.col("c").cast("double")
+        + F.lit(1.0) / F.col("d").cast("double")
+    )
+    lo = F.exp(F.log(orr) - F.lit(1.96) * se)
+    hi = F.exp(F.log(orr) + F.lit(1.96) * se)
+    return one.select(
+        "a", "b", "c", "d",
+        _r6(F.when(ok, orr)).alias("odds_ratio"),
+        _r6(F.when(ok, F.log(orr))).alias("log_or"),
+        _r6(F.when(ok, se)).alias("se_log_or"),
+        _r6(F.when(ok, lo)).alias("or_lo95"),
+        _r6(F.when(ok, hi)).alias("or_hi95"),
+        F.when(ok, (lo > 1.0) | (hi < 1.0)).alias("significant"),
+    )
+
+
+SQL_ODDS_RATIO_CI = """
+WITH ev AS (
+  SELECT (dayofweek(ts) IN (0, 6)) AS wk,
+    (event_type = 'purchase') AS pur
+  FROM events
+), one AS (
+  SELECT
+    CAST(sum(CASE WHEN wk AND pur THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN wk AND NOT pur THEN 1 ELSE 0 END) AS BIGINT)
+      AS b,
+    CAST(sum(CASE WHEN NOT wk AND pur THEN 1 ELSE 0 END) AS BIGINT)
+      AS c,
+    CAST(sum(CASE WHEN NOT wk AND NOT pur THEN 1 ELSE 0 END)
+         AS BIGINT) AS d
+  FROM ev
+), f AS (
+  SELECT a, b, c, d,
+    CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS orr,
+    sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+         + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE)) AS se
+  FROM one WHERE a > 0 AND b > 0 AND c > 0 AND d > 0
+)
+SELECT a, b, c, d,
+  round(orr, 6) AS odds_ratio,
+  round(ln(orr), 6) AS log_or,
+  round(se, 6) AS se_log_or,
+  round(exp(ln(orr) - 1.96 * se), 6) AS or_lo95,
+  round(exp(ln(orr) + 1.96 * se), 6) AS or_hi95,
+  (exp(ln(orr) - 1.96 * se) > 1.0 OR exp(ln(orr) + 1.96 * se) < 1.0)
+    AS significant
+FROM f
+"""
+
+QUERIES["odds_ratio_ci"] = q_odds_ratio_ci
+_RAW_ORACLES["odds_ratio_ci"] = SQL_ODDS_RATIO_CI
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -619,6 +619,12 @@ BUDGETS = {
     # cochran-q: ONE corpus aggregate, nothing else
     "cochran_q": {"shuffle": 1, "python": 0, "cartesian": 0,
                   "bnlj": 0},
+    # capture-recapture: user agg + 1-row global agg
+    "capture_recapture": {"shuffle": 2, "python": 0, "cartesian": 0,
+                          "bnlj": 0},
+    # odds-ratio: ONE corpus aggregate, nothing else
+    "odds_ratio_ci": {"shuffle": 1, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

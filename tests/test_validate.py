@@ -3285,3 +3285,76 @@ def test_cochran_q_rebuild_and_mcnemar_reduction(spark):
         ) / (b + c)
         mn = q_mcnemar_test(spark, "/root/testdata/sf0.001").collect()[0]
         assert abs(q2 - mn["chi2"]) < 1e-6
+
+
+def test_capture_recapture_rebuild(spark):
+    """Capture cells vs a literal python split of the month, the
+    Chapman estimate/SE formulas, and the closed-population sanity
+    that the estimate lands within a few SE of the true count on
+    identity-stable data."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_capture_recapture
+
+    r = q_capture_recapture(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    raw = duckdb.sql(
+        "SELECT user_id, min(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0"
+        " END) IS NOT NULL,"
+        " max(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END),"
+        " max(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    n_true = len(raw)
+    n1 = sum(t[2] for t in raw)
+    n2 = sum(t[3] for t in raw)
+    m = sum(1 for t in raw if t[2] and t[3])
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) ** 2 * (m + 2))
+    )
+    assert (r["n_true"], r["n1"], r["n2"], r["m"]) == (
+        n_true, n1, n2, m,
+    )
+    assert abs(r["chapman_estimate"] - est) < 1e-4
+    assert abs(r["se"] - var ** 0.5) < 1e-4
+    assert abs(r["chapman_estimate"] - n_true) \
+        <= max(4 * r["se"], 0.1 * n_true)
+
+
+def test_odds_ratio_ci_rebuild(spark):
+    """Cells and the Woolf interval vs a literal python rebuild, the
+    CI-contains-point-estimate invariant, and consistency between
+    the significance flag and the interval."""
+    import math
+
+    from mpds_spark.queries import q_odds_ratio_ci
+
+    r = q_odds_ratio_ci(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    a, b, c, d = duckdb.sql(
+        "SELECT"
+        " sum(CASE WHEN dayofweek(ts) IN (0,6) AND event_type ="
+        " 'purchase' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN dayofweek(ts) IN (0,6) AND event_type <>"
+        " 'purchase' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN dayofweek(ts) NOT IN (0,6) AND event_type ="
+        " 'purchase' THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN dayofweek(ts) NOT IN (0,6) AND event_type <>"
+        " 'purchase' THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (a, b, c, d)
+    orr = a * d / (b * c)
+    se = (1 / a + 1 / b + 1 / c + 1 / d) ** 0.5
+    lo = math.exp(math.log(orr) - 1.96 * se)
+    hi = math.exp(math.log(orr) + 1.96 * se)
+    assert abs(r["odds_ratio"] - orr) < 1e-5
+    assert abs(r["se_log_or"] - se) < 1e-6
+    assert abs(r["or_lo95"] - lo) < 1e-5
+    assert abs(r["or_hi95"] - hi) < 1e-5
+    assert r["or_lo95"] < r["odds_ratio"] < r["or_hi95"]
+    assert r["significant"] == (lo > 1.0 or hi < 1.0)
