@@ -19786,3 +19786,372 @@ FROM f
 QUERIES["odds_ratio_ci"] = q_odds_ratio_ci
 _RAW_ORACLES["odds_ratio_ci"] = SQL_ODDS_RATIO_CI
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_kpss_test(spark, sf_dir):
+    """KPSS level-stationarity test of daily event volume
+    (Kwiatkowski, Phillips, Schmidt & Shin J. Econometrics 1992 —
+    the null-REVERSED complement to dickey_fuller: ADF's null is a
+    unit root, KPSS's null is stationarity, and the 2x2 of their
+    verdicts is the standard pre-check before trusting any
+    rolling-mean feature or CI that assumes mean reversion).
+    Daily counts are exact longs from ONE corpus aggregate; the
+    demeaned residual numerators n*y_t - X and the partial-sum
+    numerators n*cumY_t - t*X are exact longs (< 2^53 at any
+    realistic month volume) so every double is ONE exact-integer
+    division; eta = sum((S_t/n)^2) / s2_lrv with the Bartlett
+    long-run variance s2 = g0/n + sum_j 2*(1-j/(l+1))*g_j/n at
+    Schwert's l = floor(4*(n/100)^(1/4)) computed via the
+    IEEE-exact sqrt(sqrt(.)) so no pow() crosses engines; the
+    autocovariance folds g_j run t-ascending over the <=31-element
+    day arrays on BOTH engines (sequence/element_at in Spark,
+    range/list indexing in DuckDB) so the float sequences are
+    identical. Reject at the 5% level-stationarity critical value
+    0.463 (KPSS 1992 Table 1, pinned literal). 2 shuffles at any
+    corpus size: the day aggregate and the tiny single-partition
+    day window."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    wcum = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    day = day.select(
+        "__day",
+        "__y",
+        F.sum("__y").over(wcum).cast("long").alias("__cy"),
+        F.row_number().over(Window.orderBy("__day"))
+        .cast("long").alias("__t"),
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__X"),
+        F.array_sort(
+            F.collect_list(F.struct("__t", "__y", "__cy"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__e",
+        F.expr(
+            "transform(__a, s -> cast(n_days * s.__y - __X as double)"
+            " / cast(n_days as double))"
+        ),
+    ).withColumn(
+        "__s",
+        F.expr(
+            "transform(__a, s -> cast(n_days * s.__cy - s.__t * __X"
+            " as double) / cast(n_days as double))"
+        ),
+    ).withColumn(
+        "__l",
+        F.expr(
+            "cast(floor(4.0D * sqrt(sqrt(cast(n_days as double)"
+            " / 100.0D))) as long)"
+        ),
+    )
+    one = one.withColumn(
+        "__g0",
+        F.expr(
+            "aggregate(transform(__e, x -> x * x), 0.0D,"
+            " (acc, x) -> acc + x)"
+        ),
+    ).withColumn(
+        "__ss",
+        F.expr(
+            "aggregate(transform(__s, x -> x * x), 0.0D,"
+            " (acc, x) -> acc + x)"
+        ),
+    )
+    for j in (1, 2, 3, 4):
+        one = one.withColumn(
+            f"__g{j}",
+            F.expr(
+                f"CASE WHEN n_days > {j} THEN"
+                f" aggregate(transform(sequence({j + 1}L, n_days),"
+                f" i -> element_at(__e, cast(i as int))"
+                f" * element_at(__e, cast(i - {j} as int))), 0.0D,"
+                f" (acc, x) -> acc + x) ELSE 0.0D END"
+            ),
+        )
+    nD = F.col("n_days").cast("double")
+    lD = F.col("__l").cast("double")
+    s2 = F.col("__g0") / nD
+    for j in (1, 2, 3, 4):
+        s2 = s2 + F.when(
+            F.col("__l") >= j,
+            F.lit(2.0) * (F.lit(1.0) - F.lit(float(j)) / (lD + 1.0))
+            * F.col(f"__g{j}") / nD,
+        ).otherwise(F.lit(0.0))
+    one = one.withColumn("__s2", s2)
+    stat = F.col("__ss") / (nD * F.col("__s2"))
+    return one.select(
+        "n_days",
+        F.col("__l").alias("lag_l"),
+        _r6(F.col("__g0") / nD).alias("s2_short"),
+        _r6("__s2").alias("s2_long"),
+        _r6(stat).alias("kpss_stat"),
+        (stat > F.lit(0.463)).alias("reject_5pct"),
+    )
+
+
+SQL_KPSS_TEST = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), cum AS (
+  SELECT day, y,
+    CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS cy,
+    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(y) AS BIGINT) AS X,
+    list(y ORDER BY t) AS ye,
+    list(cy ORDER BY t) AS cye
+  FROM cum
+), arr AS (
+  SELECT n_days, X,
+    list_transform(range(1, n_days + 1),
+      i -> CAST(n_days * ye[i] - X AS DOUBLE)
+           / CAST(n_days AS DOUBLE)) AS e,
+    list_transform(range(1, n_days + 1),
+      t -> CAST(n_days * cye[t] - t * X AS DOUBLE)
+           / CAST(n_days AS DOUBLE)) AS s,
+    CAST(floor(CAST(4.0 AS DOUBLE)
+      * sqrt(sqrt(CAST(n_days AS DOUBLE) / CAST(100.0 AS DOUBLE))))
+      AS BIGINT) AS l
+  FROM one
+), fold AS (
+  SELECT n_days, l,
+    list_sum(list_transform(e, x -> x * x)) AS g0,
+    list_sum(list_transform(s, x -> x * x)) AS ss,
+    CASE WHEN n_days > 1 THEN list_sum(list_transform(
+      range(2, n_days + 1), i -> e[i] * e[i - 1]))
+      ELSE CAST(0.0 AS DOUBLE) END AS g1,
+    CASE WHEN n_days > 2 THEN list_sum(list_transform(
+      range(3, n_days + 1), i -> e[i] * e[i - 2]))
+      ELSE CAST(0.0 AS DOUBLE) END AS g2,
+    CASE WHEN n_days > 3 THEN list_sum(list_transform(
+      range(4, n_days + 1), i -> e[i] * e[i - 3]))
+      ELSE CAST(0.0 AS DOUBLE) END AS g3,
+    CASE WHEN n_days > 4 THEN list_sum(list_transform(
+      range(5, n_days + 1), i -> e[i] * e[i - 4]))
+      ELSE CAST(0.0 AS DOUBLE) END AS g4
+  FROM arr
+), f AS (
+  SELECT n_days, l, g0, ss,
+    g0 / CAST(n_days AS DOUBLE)
+    + (CASE WHEN l >= 1 THEN 2.0 * (1.0 - 1.0 / (CAST(l AS DOUBLE)
+         + 1.0)) * g1 / CAST(n_days AS DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN l >= 2 THEN 2.0 * (1.0 - 2.0 / (CAST(l AS DOUBLE)
+         + 1.0)) * g2 / CAST(n_days AS DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN l >= 3 THEN 2.0 * (1.0 - 3.0 / (CAST(l AS DOUBLE)
+         + 1.0)) * g3 / CAST(n_days AS DOUBLE) ELSE 0.0 END)
+    + (CASE WHEN l >= 4 THEN 2.0 * (1.0 - 4.0 / (CAST(l AS DOUBLE)
+         + 1.0)) * g4 / CAST(n_days AS DOUBLE) ELSE 0.0 END)
+    AS s2
+  FROM fold
+)
+SELECT n_days, l AS lag_l,
+  round(g0 / CAST(n_days AS DOUBLE), 6) AS s2_short,
+  round(s2, 6) AS s2_long,
+  round(ss / (CAST(n_days AS DOUBLE) * s2), 6) AS kpss_stat,
+  (ss / (CAST(n_days AS DOUBLE) * s2) > 0.463) AS reject_5pct
+FROM f
+"""
+
+QUERIES["kpss_test"] = q_kpss_test
+_RAW_ORACLES["kpss_test"] = SQL_KPSS_TEST
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio across day-of-week strata
+    with the Robins-Breslow-Greenland SE and the
+    Cochran-Mantel-Haenszel chi-square (Mantel & Haenszel JNCI 1959;
+    Robins, Breslow & Greenland Biometrics 1986 — the stratified
+    companion to odds_ratio_ci and the REPAIR for simpson_audit's
+    disease: when the exposure mix differs by stratum the crude OR
+    lies, MH pools the per-stratum 2x2s into one
+    confounding-adjusted effect). Exposure = md5-parity arm (hash-
+    random, so the null OR=1 is exact by construction and a CI
+    excluding 1 or a large CMH chi2 flags a broken assignment —
+    the stratified A/A audit beside srm_check/did_estimate);
+    outcome = purchase; strata = the 7 days of week. Per-stratum
+    cells are exact longs from ONE corpus aggregate; every pooled
+    sum (R, S, E, V and the three RBG variance pieces) folds
+    stratum-ascending over the <=7-row frame so the float sequences
+    are identical cross-engine; OR, ln OR, the 95% interval and
+    chi2 = (sum a - E)^2 / V are fixed expression trees. 2 shuffles
+    at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        (F.dayofweek(F.col("ts").cast("timestamp")) - 1).alias("__k"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mh|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+        (F.col("event_type") == "purchase").alias("__pur"),
+    )
+    st = ev.groupBy("__k").agg(
+        F.sum(F.when((F.col("__arm") == 1) & F.col("__pur"), 1)
+              .otherwise(0)).cast("long").alias("__ca"),
+        F.sum(F.when((F.col("__arm") == 1) & ~F.col("__pur"), 1)
+              .otherwise(0)).cast("long").alias("__cb"),
+        F.sum(F.when((F.col("__arm") == 0) & F.col("__pur"), 1)
+              .otherwise(0)).cast("long").alias("__cc"),
+        F.sum(F.when((F.col("__arm") == 0) & ~F.col("__pur"), 1)
+              .otherwise(0)).cast("long").alias("__cd"),
+    )
+    one = st.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("__ca").cast("long").alias("sum_a"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("__k", "__ca", "__cb", "__cc", "__cd")
+            )
+        ).alias("__a"),
+    )
+
+    def fold(term):
+        return F.expr(
+            "aggregate(__a, 0.0D, (acc, x) -> acc + (" + term + "))"
+        )
+
+    n = ("cast(x.__ca + x.__cb + x.__cc + x.__cd as double)")
+    one = (
+        one
+        .withColumn("__R", fold(
+            f"cast(x.__ca as double) * cast(x.__cd as double) / {n}"))
+        .withColumn("__S", fold(
+            f"cast(x.__cb as double) * cast(x.__cc as double) / {n}"))
+        .withColumn("__E", fold(
+            "cast(x.__ca + x.__cb as double)"
+            f" * cast(x.__ca + x.__cc as double) / {n}"))
+        .withColumn("__V", fold(
+            "CASE WHEN x.__ca + x.__cb + x.__cc + x.__cd > 1 THEN"
+            " cast(x.__ca + x.__cb as double)"
+            " * cast(x.__cc + x.__cd as double)"
+            " * cast(x.__ca + x.__cc as double)"
+            " * cast(x.__cb + x.__cd as double)"
+            f" / ({n} * {n}"
+            " * cast(x.__ca + x.__cb + x.__cc + x.__cd - 1 as double))"
+            " ELSE 0.0D END"))
+        .withColumn("__PR", fold(
+            f"(cast(x.__ca + x.__cd as double) / {n})"
+            f" * (cast(x.__ca as double) * cast(x.__cd as double) / {n})"))
+        .withColumn("__PSQR", fold(
+            f"(cast(x.__ca + x.__cd as double) / {n})"
+            f" * (cast(x.__cb as double) * cast(x.__cc as double) / {n})"
+            f" + (cast(x.__cb + x.__cc as double) / {n})"
+            f" * (cast(x.__ca as double) * cast(x.__cd as double) / {n})"))
+        .withColumn("__QS", fold(
+            f"(cast(x.__cb + x.__cc as double) / {n})"
+            f" * (cast(x.__cb as double) * cast(x.__cc as double) / {n})"))
+    )
+    ok = (F.col("__R") > 0.0) & (F.col("__S") > 0.0) \
+        & (F.col("__V") > 0.0)
+    orr = F.col("__R") / F.col("__S")
+    var = (
+        F.col("__PR") / (F.lit(2.0) * F.col("__R") * F.col("__R"))
+        + F.col("__PSQR")
+        / (F.lit(2.0) * F.col("__R") * F.col("__S"))
+        + F.col("__QS") / (F.lit(2.0) * F.col("__S") * F.col("__S"))
+    )
+    se = F.sqrt(var)
+    lo = F.exp(F.log(orr) - F.lit(1.96) * se)
+    hi = F.exp(F.log(orr) + F.lit(1.96) * se)
+    dev = F.col("sum_a").cast("double") - F.col("__E")
+    return one.select(
+        "k_strata",
+        "sum_a",
+        _r6(F.when(ok, orr)).alias("or_mh"),
+        _r6(F.when(ok, F.log(orr))).alias("log_or_mh"),
+        _r6(F.when(ok, se)).alias("se_log_or"),
+        _r6(F.when(ok, lo)).alias("or_lo95"),
+        _r6(F.when(ok, hi)).alias("or_hi95"),
+        _r6(F.when(ok, dev * dev / F.col("__V"))).alias("cmh_chi2"),
+        F.when(ok, (lo > 1.0) | (hi < 1.0)).alias("significant"),
+    )
+
+
+SQL_MANTEL_HAENSZEL = """
+WITH ev AS (
+  SELECT dayofweek(ts) AS k,
+    CAST(('0x' || substring(md5('mh|' || CAST(user_id AS VARCHAR)),
+      1, 15))::UBIGINT % 2 AS BIGINT) AS arm,
+    (event_type = 'purchase') AS pur
+  FROM events
+), st AS (
+  SELECT k,
+    CAST(sum(CASE WHEN arm = 1 AND pur THEN 1 ELSE 0 END)
+      AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN arm = 1 AND NOT pur THEN 1 ELSE 0 END)
+      AS BIGINT) AS cb,
+    CAST(sum(CASE WHEN arm = 0 AND pur THEN 1 ELSE 0 END)
+      AS BIGINT) AS cc,
+    CAST(sum(CASE WHEN arm = 0 AND NOT pur THEN 1 ELSE 0 END)
+      AS BIGINT) AS cd
+  FROM ev GROUP BY k
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_strata,
+    CAST(sum(ca) AS BIGINT) AS sum_a,
+    list_sum(list(CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE)
+      / CAST(ca + cb + cc + cd AS DOUBLE) ORDER BY k)) AS R,
+    list_sum(list(CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE)
+      / CAST(ca + cb + cc + cd AS DOUBLE) ORDER BY k)) AS S,
+    list_sum(list(CAST(ca + cb AS DOUBLE) * CAST(ca + cc AS DOUBLE)
+      / CAST(ca + cb + cc + cd AS DOUBLE) ORDER BY k)) AS E,
+    list_sum(list(CASE WHEN ca + cb + cc + cd > 1 THEN
+      CAST(ca + cb AS DOUBLE) * CAST(cc + cd AS DOUBLE)
+      * CAST(ca + cc AS DOUBLE) * CAST(cb + cd AS DOUBLE)
+      / (CAST(ca + cb + cc + cd AS DOUBLE)
+         * CAST(ca + cb + cc + cd AS DOUBLE)
+         * CAST(ca + cb + cc + cd - 1 AS DOUBLE))
+      ELSE CAST(0.0 AS DOUBLE) END ORDER BY k)) AS V,
+    list_sum(list((CAST(ca + cd AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE))
+      * (CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE)) ORDER BY k)) AS PR,
+    list_sum(list((CAST(ca + cd AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE))
+      * (CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE))
+      + (CAST(cb + cc AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE))
+      * (CAST(ca AS DOUBLE) * CAST(cd AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE)) ORDER BY k)) AS PSQR,
+    list_sum(list((CAST(cb + cc AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE))
+      * (CAST(cb AS DOUBLE) * CAST(cc AS DOUBLE)
+        / CAST(ca + cb + cc + cd AS DOUBLE)) ORDER BY k)) AS QS
+  FROM st
+), f AS (
+  SELECT k_strata, sum_a, R, S, E, V,
+    R / S AS orr,
+    sqrt(PR / (2.0 * R * R) + PSQR / (2.0 * R * S)
+         + QS / (2.0 * S * S)) AS se
+  FROM one WHERE R > 0.0 AND S > 0.0 AND V > 0.0
+)
+SELECT k_strata, sum_a,
+  round(orr, 6) AS or_mh,
+  round(ln(orr), 6) AS log_or_mh,
+  round(se, 6) AS se_log_or,
+  round(exp(ln(orr) - 1.96 * se), 6) AS or_lo95,
+  round(exp(ln(orr) + 1.96 * se), 6) AS or_hi95,
+  round((CAST(sum_a AS DOUBLE) - E) * (CAST(sum_a AS DOUBLE) - E)
+        / V, 6) AS cmh_chi2,
+  (exp(ln(orr) - 1.96 * se) > 1.0
+   OR exp(ln(orr) + 1.96 * se) < 1.0) AS significant
+FROM f
+"""
+
+QUERIES["mantel_haenszel"] = q_mantel_haenszel
+_RAW_ORACLES["mantel_haenszel"] = SQL_MANTEL_HAENSZEL
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -625,6 +625,14 @@ BUDGETS = {
     # odds-ratio: ONE corpus aggregate, nothing else
     "odds_ratio_ci": {"shuffle": 1, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # kpss: day agg + tiny single-partition day window; folds are
+    # array exprs on the 1-row frame
+    "kpss_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
+    # mantel-haenszel: ONE corpus agg to the 7-row strata frame +
+    # 1-row fold agg
+    "mantel_haenszel": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

@@ -3358,3 +3358,106 @@ def test_odds_ratio_ci_rebuild(spark):
     assert abs(r["or_hi95"] - hi) < 1e-5
     assert r["or_lo95"] < r["odds_ratio"] < r["or_hi95"]
     assert r["significant"] == (lo > 1.0 or hi < 1.0)
+
+
+def test_kpss_rebuild(spark):
+    """KPSS statistic vs a literal python rebuild (demeaned
+    residuals, partial sums, Bartlett long-run variance at
+    Schwert's lag) plus the internal identities: the lag formula,
+    s2_long collapsing to s2_short when all autocovariance weights
+    were zeroed, and the reject flag against the pinned 0.463."""
+    from mpds_spark.queries import q_kpss_test
+
+    r = q_kpss_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    X = sum(ys)
+    e = [(n * y - X) / n for y in ys]
+    cum = 0.0
+    ss = 0.0
+    cy = 0
+    for t, y in enumerate(ys, start=1):
+        cy += y
+        s = (n * cy - t * X) / n
+        ss += s * s
+    lag = int(4.0 * ((n / 100.0) ** 0.25))
+    g0 = sum(x * x for x in e)
+    s2 = g0 / n
+    for j in range(1, lag + 1):
+        gj = sum(e[i] * e[i - j] for i in range(j, n))
+        s2 += 2.0 * (1.0 - j / (lag + 1)) * gj / n
+    stat = ss / (n * s2)
+    assert r["n_days"] == n
+    assert r["lag_l"] == lag
+    assert abs(r["s2_short"] - g0 / n) < 1e-4
+    assert abs(r["s2_long"] - s2) < 1e-4
+    assert abs(r["kpss_stat"] - stat) < 1e-6
+    assert r["reject_5pct"] == (stat > 0.463)
+    assert r["s2_long"] > 0.0
+
+
+def test_mantel_haenszel_rebuild(spark):
+    """MH pooled OR, RBG variance and CMH chi2 vs a literal python
+    rebuild of the 7 day-of-week 2x2 tables under the same md5
+    parity arms, plus the CI-contains-point invariant and the
+    significance flag consistency."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_mantel_haenszel
+
+    r = q_mantel_haenszel(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT dayofweek(ts), user_id, event_type = 'purchase'"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for k, uid, pur in rows:
+        h = hashlib.md5(f"mh|{uid}".encode()).hexdigest()
+        arm = int(h[:15], 16) % 2
+        idx = (0 if pur else 1) if arm == 1 else (2 if pur else 3)
+        cells[k][idx] += 1
+    R = S = E = V = PR = PSQR = QS = 0.0
+    sum_a = 0
+    for k in sorted(cells):
+        a, b, c, d = cells[k]
+        nn = a + b + c + d
+        sum_a += a
+        R += a * d / nn
+        S += b * c / nn
+        E += (a + b) * (a + c) / nn
+        if nn > 1:
+            V += (
+                (a + b) * (c + d) * (a + c) * (b + d)
+                / (nn * nn * (nn - 1))
+            )
+        PR += ((a + d) / nn) * (a * d / nn)
+        PSQR += ((a + d) / nn) * (b * c / nn) \
+            + ((b + c) / nn) * (a * d / nn)
+        QS += ((b + c) / nn) * (b * c / nn)
+    orr = R / S
+    se = math.sqrt(
+        PR / (2 * R * R) + PSQR / (2 * R * S) + QS / (2 * S * S)
+    )
+    chi2 = (sum_a - E) ** 2 / V
+    assert r["k_strata"] == len(cells)
+    assert r["sum_a"] == sum_a
+    assert abs(r["or_mh"] - orr) < 1e-6
+    assert abs(r["se_log_or"] - se) < 1e-6
+    assert abs(r["cmh_chi2"] - chi2) < 1e-5
+    assert r["or_lo95"] < r["or_mh"] < r["or_hi95"]
+    assert r["significant"] == (
+        r["or_lo95"] > 1.0 or r["or_hi95"] < 1.0
+    )
