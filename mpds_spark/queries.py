@@ -20155,3 +20155,406 @@ FROM f
 QUERIES["mantel_haenszel"] = q_mantel_haenszel
 _RAW_ORACLES["mantel_haenszel"] = SQL_MANTEL_HAENSZEL
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test of the cumulative event-count
+    path at horizons q in {2, 3, 5} (Lo & MacKinlay Rev. Fin. Studies
+    1988 — THE random-walk diagnostic: if daily increments are iid
+    the q-period variance is exactly q times the 1-period variance,
+    VR < 1 flags mean reversion and VR > 1 flags trending/momentum;
+    for a data platform this says whether tomorrow's volume forecast
+    may simply scale today's noise or needs an AR term — the
+    horizon-sweep companion to value_acf/hurst_variance_plot).
+    Daily counts are exact longs from ONE corpus aggregate; with
+    x_0 = 0 the overlapping q-period deviations carry exact-integer
+    numerators n*(x_t - x_{t-q}) - q*X so every double is one exact
+    division; folds run t-ascending over the <=31-element day arrays
+    on BOTH engines; the unbiased-overlapping denominator
+    m = q*(n-q+1)*(1-q/n) and the homoskedastic
+    z = (VR-1)/sqrt(2(2q-1)(q-1)/(3qn)) are fixed expression trees
+    (LM 1988 eqs. 12, 14). The persisted 1-row moment frame fans out
+    to the 3 q-rows (cached-branch). 2 shuffles at any corpus
+    size."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    wcum = Window.orderBy("__day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    day = day.select(
+        "__day",
+        "__y",
+        F.sum("__y").over(wcum).cast("long").alias("__cy"),
+        F.row_number().over(Window.orderBy("__day"))
+        .cast("long").alias("__t"),
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__X"),
+        F.array_sort(
+            F.collect_list(F.struct("__t", "__y", "__cy"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__cyarr", F.expr("transform(__a, s -> s.__cy)")
+    ).withColumn(
+        "__s1",
+        F.expr(
+            "aggregate(transform(__a, s -> (cast(n_days * s.__y - __X"
+            " as double) / cast(n_days as double))"
+            " * (cast(n_days * s.__y - __X as double)"
+            " / cast(n_days as double))), 0.0D, (acc, x) -> acc + x)"
+            " / cast(n_days - 1 as double)"
+        ),
+    )
+    one = scratch_persist(one)
+    outs = []
+    for q in (2, 3, 5):
+        sq = (
+            f"aggregate(transform(sequence({q}L, n_days), t ->"
+            f" (cast(n_days * (element_at(__cyarr, cast(t as int))"
+            f" - (CASE WHEN t - {q} >= 1 THEN element_at(__cyarr,"
+            f" cast(t - {q} as int)) ELSE 0L END)) - {q} * __X"
+            f" as double) / cast(n_days as double))"
+            f" * (cast(n_days * (element_at(__cyarr, cast(t as int))"
+            f" - (CASE WHEN t - {q} >= 1 THEN element_at(__cyarr,"
+            f" cast(t - {q} as int)) ELSE 0L END)) - {q} * __X"
+            f" as double) / cast(n_days as double))), 0.0D,"
+            f" (acc, x) -> acc + x)"
+            f" / (cast({q} as double) * cast(n_days - {q} + 1 as double)"
+            f" * (cast(1 as double) - cast({q} as double)"
+            f" / cast(n_days as double)))"
+        )
+        vr = f"({sq}) / __s1"
+        z = (
+            f"(({vr}) - cast(1 as double))"
+            f" / sqrt(cast(2 * (2 * {q} - 1) * ({q} - 1) as double)"
+            f" / cast(3 * {q} as double) / cast(n_days as double))"
+        )
+        outs.append(
+            one.filter(F.col("n_days") > q).selectExpr(
+                f"cast({q} as long) AS q",
+                "n_days",
+                f"{vr} AS __vr",
+                f"{z} AS __z",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.select(
+        "q",
+        "n_days",
+        _r6("__vr").alias("vr"),
+        _r6("__z").alias("z_stat"),
+        (F.abs(F.col("__z")) > F.lit(1.96)).alias("reject_5pct"),
+    )
+
+
+SQL_VARIANCE_RATIO = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), cum AS (
+  SELECT day, y,
+    CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS cy,
+    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(y) AS BIGINT) AS X,
+    list(y ORDER BY t) AS ye,
+    list(cy ORDER BY t) AS cye
+  FROM cum
+), base AS (
+  SELECT n_days, X, cye,
+    list_sum(list_transform(range(1, n_days + 1),
+      i -> (CAST(n_days * ye[i] - X AS DOUBLE)
+            / CAST(n_days AS DOUBLE))
+         * (CAST(n_days * ye[i] - X AS DOUBLE)
+            / CAST(n_days AS DOUBLE))))
+      / CAST(n_days - 1 AS DOUBLE) AS s1
+  FROM one
+), qs AS (
+  SELECT CAST(q AS BIGINT) AS q FROM (VALUES (2), (3), (5)) v(q)
+), f AS (
+  SELECT qs.q, b.n_days,
+    list_sum(list_transform(range(qs.q, b.n_days + 1),
+      t -> (CAST(b.n_days * (b.cye[t] - (CASE WHEN t - qs.q >= 1
+              THEN b.cye[t - qs.q] ELSE CAST(0 AS BIGINT) END))
+            - qs.q * b.X AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+         * (CAST(b.n_days * (b.cye[t] - (CASE WHEN t - qs.q >= 1
+              THEN b.cye[t - qs.q] ELSE CAST(0 AS BIGINT) END))
+            - qs.q * b.X AS DOUBLE) / CAST(b.n_days AS DOUBLE))))
+      / (CAST(qs.q AS DOUBLE) * CAST(b.n_days - qs.q + 1 AS DOUBLE)
+         * (CAST(1 AS DOUBLE) - CAST(qs.q AS DOUBLE)
+            / CAST(b.n_days AS DOUBLE)))
+      / b.s1 AS vr
+  FROM base b, qs
+  WHERE b.n_days > qs.q
+), z AS (
+  SELECT q, n_days, vr,
+    (vr - CAST(1 AS DOUBLE))
+    / sqrt(CAST(2 * (2 * q - 1) * (q - 1) AS DOUBLE)
+           / CAST(3 * q AS DOUBLE) / CAST(n_days AS DOUBLE)) AS zs
+  FROM f
+)
+SELECT q, n_days,
+  round(vr, 6) AS vr,
+  round(zs, 6) AS z_stat,
+  (abs(zs) > 1.96) AS reject_5pct
+FROM z
+"""
+
+QUERIES["variance_ratio"] = q_variance_ratio
+_RAW_ORACLES["variance_ratio"] = SQL_VARIANCE_RATIO
+
+
+def _granger_frags(nu, Sz, Sz2, Sol, Sol2, Solz, Scl, Scl2, Sclz,
+                   Solcl):
+    """Shared SQL fragments for one Granger direction — executed
+    VERBATIM by both engines (the bradley_terry convention) so every
+    float op happens in the same order. All inputs are names of
+    exact-integer moment columns; outputs are expression strings for
+    the restricted/unrestricted SSEs, the lag coefficients and the
+    F statistic. Cramer's rule on the 3x3 normal equations with
+    every moment cast to double FIRST (minor products overflow
+    int64); SSE via the moment identity sum(z^2) - a*Sz - b*Solz
+    - c*Sclz, so no second pass over the data is needed."""
+    d = {k: f"cast({v} as double)" for k, v in dict(
+        nu=nu, Sz=Sz, Sz2=Sz2, Sol=Sol, Sol2=Sol2, Solz=Solz,
+        Scl=Scl, Scl2=Scl2, Sclz=Sclz, Solcl=Solcl,
+    ).items()}
+    brn = f"({d['nu']} * {d['Solz']} - {d['Sol']} * {d['Sz']})"
+    brd = f"({d['nu']} * {d['Sol2']} - {d['Sol']} * {d['Sol']})"
+    br = f"({brn} / {brd})"
+    ar = f"(({d['Sz']} - {br} * {d['Sol']}) / {d['nu']})"
+    sse_r = (
+        f"({d['Sz2']} - {ar} * {d['Sz']} - {br} * {d['Solz']})"
+    )
+    det = (
+        f"({d['nu']} * ({d['Sol2']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Solcl']})"
+        f" - {d['Sol']} * ({d['Sol']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Scl']})"
+        f" + {d['Scl']} * ({d['Sol']} * {d['Solcl']}"
+        f" - {d['Sol2']} * {d['Scl']}))"
+    )
+    da = (
+        f"({d['Sz']} * ({d['Sol2']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Solcl']})"
+        f" - {d['Sol']} * ({d['Solz']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Sclz']})"
+        f" + {d['Scl']} * ({d['Solz']} * {d['Solcl']}"
+        f" - {d['Sol2']} * {d['Sclz']}))"
+    )
+    db = (
+        f"({d['nu']} * ({d['Solz']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Sclz']})"
+        f" - {d['Sz']} * ({d['Sol']} * {d['Scl2']}"
+        f" - {d['Solcl']} * {d['Scl']})"
+        f" + {d['Scl']} * ({d['Sol']} * {d['Sclz']}"
+        f" - {d['Solz']} * {d['Scl']}))"
+    )
+    dc = (
+        f"({d['nu']} * ({d['Sol2']} * {d['Sclz']}"
+        f" - {d['Solz']} * {d['Solcl']})"
+        f" - {d['Sol']} * ({d['Sol']} * {d['Sclz']}"
+        f" - {d['Solz']} * {d['Scl']})"
+        f" + {d['Sz']} * ({d['Sol']} * {d['Solcl']}"
+        f" - {d['Sol2']} * {d['Scl']}))"
+    )
+    a = f"({da} / {det})"
+    b = f"({db} / {det})"
+    c = f"({dc} / {det})"
+    sse_u = (
+        f"({d['Sz2']} - {a} * {d['Sz']} - {b} * {d['Solz']}"
+        f" - {c} * {d['Sclz']})"
+    )
+    ok = f"(abs({det}) > cast(0 as double) and abs({brd}) > cast(0 as double))"
+    f_stat = (
+        f"(({sse_r} - {sse_u}) * ({d['nu']} - cast(3 as double))"
+        f" / {sse_u})"
+    )
+    return {
+        "ok": ok, "b_own": b, "b_cross": c,
+        "sse_r": sse_r, "sse_u": sse_u, "f": f_stat,
+    }
+
+
+_GRANGER_XY = _granger_frags(
+    "nu", "syt", "syt2", "syl", "syl2", "syly",
+    "sxl", "sxl2", "sxly", "sylxl",
+)
+_GRANGER_YX = _granger_frags(
+    "nu", "sxt", "sxt2", "sxl", "sxl2", "sxlx",
+    "syl", "syl2", "sylx", "sylxl",
+)
+
+
+def q_granger_causality(spark, sf_dir):
+    """Bivariate lag-1 Granger-causality F-tests between daily click
+    and daily purchase volume, both directions (Granger Econometrica
+    1969 — 'does yesterday's click volume improve today's purchase
+    forecast beyond purchases' own history?': the lead-lag AUDIT
+    behind cross-metric alerting and feature selection for
+    next-day-volume models; the regression companion to lagged_corr,
+    which reports raw cross-correlation without conditioning on the
+    own lag). Daily type counts are exact longs from ONE corpus
+    aggregate; the 14 regression moments over the <=30 lagged days
+    are exact-integer sums (order-free); the restricted (own-lag)
+    and unrestricted (own+cross-lag) OLS fits come from Cramer's
+    rule on the 3x3 normal equations with every moment cast to
+    double first, and both SSEs use the moment identity
+    sum(z^2) - a*Sz - b*Solz - c*Sclz — so the whole test is a fixed
+    expression tree executed VERBATIM by both engines (shared
+    generated fragments, the bradley_terry convention) and no
+    second data pass exists. F compared to the pinned 4.21
+    (the F(1, 27) 5% point for a 31-day month — approximate by one
+    df if days are missing, documented). The persisted 1-row moment
+    frame fans out to the 2 direction rows (cached-branch).
+    2 shuffles at any corpus size."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+        "event_type",
+    )
+    day = ev.groupBy("__day").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("long").alias("__p"),
+        F.sum(F.when(F.col("event_type") == "click", 1)
+              .otherwise(0)).cast("long").alias("__c"),
+    )
+    wlag = Window.orderBy("__day")
+    lagf = day.select(
+        F.col("__p").alias("__yt"),
+        F.col("__c").alias("__xt"),
+        F.lag("__p").over(wlag).alias("__yl"),
+        F.lag("__c").over(wlag).alias("__xl"),
+    ).filter(F.col("__yl").isNotNull())
+    one = lagf.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("__yt").cast("long").alias("syt"),
+        F.sum("__xt").cast("long").alias("sxt"),
+        F.sum("__yl").cast("long").alias("syl"),
+        F.sum("__xl").cast("long").alias("sxl"),
+        F.sum(F.col("__yt") * F.col("__yt")).cast("long").alias("syt2"),
+        F.sum(F.col("__xt") * F.col("__xt")).cast("long").alias("sxt2"),
+        F.sum(F.col("__yl") * F.col("__yl")).cast("long").alias("syl2"),
+        F.sum(F.col("__xl") * F.col("__xl")).cast("long").alias("sxl2"),
+        F.sum(F.col("__yl") * F.col("__xl")).cast("long").alias("sylxl"),
+        F.sum(F.col("__yl") * F.col("__yt")).cast("long").alias("syly"),
+        F.sum(F.col("__xl") * F.col("__yt")).cast("long").alias("sxly"),
+        F.sum(F.col("__xl") * F.col("__xt")).cast("long").alias("sxlx"),
+        F.sum(F.col("__yl") * F.col("__xt")).cast("long").alias("sylx"),
+    )
+    one = scratch_persist(one)
+    outs = []
+    for label, fr in (
+        ("clicks->purchases", _GRANGER_XY),
+        ("purchases->clicks", _GRANGER_YX),
+    ):
+        outs.append(one.selectExpr(
+            f"'{label}' AS direction",
+            "nu AS n_used",
+            f"CASE WHEN {fr['ok']} THEN {fr['b_own']}"
+            " ELSE NULL END AS __bo",
+            f"CASE WHEN {fr['ok']} THEN {fr['b_cross']}"
+            " ELSE NULL END AS __bc",
+            f"CASE WHEN {fr['ok']} THEN {fr['sse_r']}"
+            " ELSE NULL END AS __sr",
+            f"CASE WHEN {fr['ok']} THEN {fr['sse_u']}"
+            " ELSE NULL END AS __su",
+            f"CASE WHEN {fr['ok']} THEN {fr['f']}"
+            " ELSE NULL END AS __f",
+        ))
+    res = outs[0].unionByName(outs[1])
+    return res.select(
+        "direction",
+        "n_used",
+        _r6("__bo").alias("b_own_lag"),
+        _r6("__bc").alias("b_cross_lag"),
+        _r6("__sr").alias("sse_restricted"),
+        _r6("__su").alias("sse_unrestricted"),
+        _r6("__f").alias("f_stat"),
+        (F.col("__f") > F.lit(4.21)).alias("reject_approx_5pct"),
+    )
+
+
+_SQL_GRANGER_DIR = """
+  SELECT '{label}' AS direction, nu,
+    CASE WHEN {ok} THEN {b_own} ELSE NULL END AS bo,
+    CASE WHEN {ok} THEN {b_cross} ELSE NULL END AS bc,
+    CASE WHEN {ok} THEN {sse_r} ELSE NULL END AS sr,
+    CASE WHEN {ok} THEN {sse_u} ELSE NULL END AS su,
+    CASE WHEN {ok} THEN {f} ELSE NULL END AS ff
+  FROM one
+"""
+
+SQL_GRANGER_CAUSALITY = """
+WITH day AS (
+  SELECT day(ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      AS BIGINT) AS p,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS c
+  FROM events GROUP BY day(ts)
+), lagf AS (
+  SELECT p AS yt, c AS xt,
+    lag(p) OVER (ORDER BY day) AS yl,
+    lag(c) OVER (ORDER BY day) AS xl
+  FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu,
+    CAST(sum(yt) AS BIGINT) AS syt,
+    CAST(sum(xt) AS BIGINT) AS sxt,
+    CAST(sum(yl) AS BIGINT) AS syl,
+    CAST(sum(xl) AS BIGINT) AS sxl,
+    CAST(sum(yt * yt) AS BIGINT) AS syt2,
+    CAST(sum(xt * xt) AS BIGINT) AS sxt2,
+    CAST(sum(yl * yl) AS BIGINT) AS syl2,
+    CAST(sum(xl * xl) AS BIGINT) AS sxl2,
+    CAST(sum(yl * xl) AS BIGINT) AS sylxl,
+    CAST(sum(yl * yt) AS BIGINT) AS syly,
+    CAST(sum(xl * yt) AS BIGINT) AS sxly,
+    CAST(sum(xl * xt) AS BIGINT) AS sxlx,
+    CAST(sum(yl * xt) AS BIGINT) AS sylx
+  FROM lagf WHERE yl IS NOT NULL
+), u AS (
+{dir_xy}
+  UNION ALL
+{dir_yx}
+)
+SELECT direction, nu AS n_used,
+  round(bo, 6) AS b_own_lag,
+  round(bc, 6) AS b_cross_lag,
+  round(sr, 6) AS sse_restricted,
+  round(su, 6) AS sse_unrestricted,
+  round(ff, 6) AS f_stat,
+  (ff > 4.21) AS reject_approx_5pct
+FROM u
+""".format(
+    dir_xy=_SQL_GRANGER_DIR.format(
+        label="clicks->purchases",
+        ok=_GRANGER_XY["ok"], b_own=_GRANGER_XY["b_own"],
+        b_cross=_GRANGER_XY["b_cross"], sse_r=_GRANGER_XY["sse_r"],
+        sse_u=_GRANGER_XY["sse_u"], f=_GRANGER_XY["f"],
+    ),
+    dir_yx=_SQL_GRANGER_DIR.format(
+        label="purchases->clicks",
+        ok=_GRANGER_YX["ok"], b_own=_GRANGER_YX["b_own"],
+        b_cross=_GRANGER_YX["b_cross"], sse_r=_GRANGER_YX["sse_r"],
+        sse_u=_GRANGER_YX["sse_u"], f=_GRANGER_YX["f"],
+    ),
+)
+
+QUERIES["granger_causality"] = q_granger_causality
+_RAW_ORACLES["granger_causality"] = SQL_GRANGER_CAUSALITY
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

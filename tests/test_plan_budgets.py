@@ -633,6 +633,13 @@ BUDGETS = {
     # 1-row fold agg
     "mantel_haenszel": {"shuffle": 2, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # variance-ratio: persisted 1-row moment frame fans out to the
+    # 3 q-rows (cached-branch convention — the printed plan repeats
+    # the cached subtree per branch, so no shuffle cap)
+    "variance_ratio": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # granger: persisted 1-row moment frame fans out to the 2
+    # direction rows (cached-branch)
+    "granger_causality": {"python": 0, "cartesian": 0, "bnlj": 0},
 }
 
 

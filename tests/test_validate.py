@@ -3461,3 +3461,100 @@ def test_mantel_haenszel_rebuild(spark):
     assert r["significant"] == (
         r["or_lo95"] > 1.0 or r["or_hi95"] < 1.0
     )
+
+
+def test_variance_ratio_rebuild(spark):
+    """VR(q) and z(q) vs a literal python rebuild of the
+    Lo-MacKinlay overlapping estimator (with x_0 = 0 and the
+    unbiased-overlapping denominator), plus the internal
+    identities VR -> 1 consistency of the reject flag and the
+    q-row coverage."""
+    from mpds_spark.queries import q_variance_ratio
+
+    rows = {
+        r["q"]: r
+        for r in q_variance_ratio(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    X = sum(ys)
+    mu = X / n
+    xs = [0]
+    for y in ys:
+        xs.append(xs[-1] + y)
+    s1 = sum((y - mu) ** 2 for y in ys) / (n - 1)
+    for q in (2, 3, 5):
+        m = q * (n - q + 1) * (1 - q / n)
+        sq = sum(
+            (xs[t] - xs[t - q] - q * mu) ** 2
+            for t in range(q, n + 1)
+        ) / m
+        vr = sq / s1
+        z = (vr - 1) / (
+            (2 * (2 * q - 1) * (q - 1) / (3 * q * n)) ** 0.5
+        )
+        r = rows[q]
+        assert r["n_days"] == n
+        assert abs(r["vr"] - vr) < 1e-6
+        assert abs(r["z_stat"] - z) < 1e-5
+        assert r["reject_5pct"] == (abs(z) > 1.96)
+    assert set(rows) == {2, 3, 5}
+
+
+def test_granger_rebuild(spark):
+    """Both Granger directions vs numpy lstsq fits of the
+    restricted/unrestricted lag-1 regressions (the moment-identity
+    SSEs must match the residual-sum definition) and the F-statistic
+    formula."""
+    import numpy as np
+
+    from mpds_spark.queries import q_granger_causality
+
+    rows = {
+        r["direction"]: r
+        for r in q_granger_causality(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    day = duckdb.sql(
+        "SELECT sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0"
+        " END), sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    p = np.array([t[0] for t in day], dtype=float)
+    c = np.array([t[1] for t in day], dtype=float)
+    for label, z, cl in (
+        ("clicks->purchases", p, c),
+        ("purchases->clicks", c, p),
+    ):
+        zt, ol, clg = z[1:], z[:-1], cl[:-1]
+        nu = len(zt)
+        Xr = np.column_stack([np.ones(nu), ol])
+        Xu = np.column_stack([np.ones(nu), ol, clg])
+        br, *_ = np.linalg.lstsq(Xr, zt, rcond=None)
+        bu, *_ = np.linalg.lstsq(Xu, zt, rcond=None)
+        sse_r = float(np.sum((zt - Xr @ br) ** 2))
+        sse_u = float(np.sum((zt - Xu @ bu) ** 2))
+        f = (sse_r - sse_u) * (nu - 3) / sse_u
+        r = rows[label]
+        assert r["n_used"] == nu
+        assert abs(r["b_own_lag"] - bu[1]) < 1e-6
+        assert abs(r["b_cross_lag"] - bu[2]) < 1e-6
+        assert abs(r["sse_restricted"] - sse_r) < 1e-3
+        assert abs(r["sse_unrestricted"] - sse_u) < 1e-3
+        assert abs(r["f_stat"] - f) < 1e-4
+        assert r["reject_approx_5pct"] == (r["f_stat"] > 4.21)
