@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixty-fourth batch — continuation session)
+    "variance_ratio",
+    "granger_causality",
+    # new in round 5 (sixty-third batch — continuation session)
+    "kpss_test",
+    "mantel_haenszel",
     # new in round 5 (sixty-second batch — continuation session)
     "capture_recapture",
     "odds_ratio_ci",
