@@ -20558,3 +20558,297 @@ FROM u
 QUERIES["granger_causality"] = q_granger_causality
 _RAW_ORACLES["granger_causality"] = SQL_GRANGER_CAUSALITY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson test for lag-1 autocorrelation in the residuals
+    of the daily-volume-on-time OLS trend (Durbin & Watson Biometrika
+    1950/51 — the classic 'is the trend line lying?' diagnostic: after
+    removing a linear trend from daily event counts, DW ~ 2 says the
+    leftover noise is white, DW << 2 says positive serial correlation
+    (the trend's standard errors are overstated and a naive
+    capacity-planning extrapolation will overshoot), DW >> 2 says
+    negative/oscillating residuals; the REGRESSION-residual companion
+    to ljung_box/pacf_durbin, which test the raw series). Daily
+    counts are exact longs from ONE corpus aggregate; with
+    t = 1..n the time moments St = n(n+1)/2 and St2 = n(n+1)(2n+1)/6
+    are closed-form exact longs, so the scaled residuals
+    E_t = n*D*y_t - D*Sy + Nb*St - n*Nb*t (D = n*St2 - St^2,
+    Nb = n*Sty - St*Sy) are EXACT INTEGERS — the common factor n*D
+    cancels in DW = sum (E_t - E_{t-1})^2 / sum E_t^2, so every
+    double is one exact-long cast followed by one multiply, folded
+    t-ascending on BOTH engines. Slope = Nb/D is one exact division.
+    Savin & White (Econometrica 1977) 5% bounds at n = 30, k = 1
+    pinned: dL = 1.352, dU = 1.489 (the 30-day test frame). 2
+    shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__St", F.expr("n_days * (n_days + 1) div 2"))
+        .withColumn(
+            "__St2",
+            F.expr("n_days * (n_days + 1) * (2 * n_days + 1) div 6"),
+        )
+        .withColumn(
+            "__Sty",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, t) ->"
+                " acc + t * element_at(__yarr, cast(t as int)))"
+            ),
+        )
+    )
+    one = one.withColumn(
+        "__D", F.expr("n_days * __St2 - __St * __St")
+    ).withColumn("__Nb", F.expr("n_days * __Sty - __St * __Sy"))
+    one = one.withColumn(
+        "__earr",
+        F.expr(
+            "transform(sequence(1L, n_days), t ->"
+            " n_days * __D * element_at(__yarr, cast(t as int))"
+            " - __D * __Sy + __Nb * __St - n_days * __Nb * t)"
+        ),
+    )
+    one = one.withColumn(
+        "__num",
+        F.expr(
+            "aggregate(sequence(2L, n_days), 0.0D, (acc, t) ->"
+            " acc + cast(element_at(__earr, cast(t as int))"
+            " - element_at(__earr, cast(t - 1 as int)) as double)"
+            " * cast(element_at(__earr, cast(t as int))"
+            " - element_at(__earr, cast(t - 1 as int)) as double))"
+        ),
+    ).withColumn(
+        "__den",
+        F.expr(
+            "aggregate(sequence(1L, n_days), 0.0D, (acc, t) ->"
+            " acc + cast(element_at(__earr, cast(t as int)) as double)"
+            " * cast(element_at(__earr, cast(t as int)) as double))"
+        ),
+    )
+    one = one.filter(
+        (F.col("n_days") > 2)
+        & (F.col("__D") > 0)
+        & (F.col("__den") > 0.0)
+    )
+    dw = F.col("__num") / F.col("__den")
+    return one.select(
+        "n_days",
+        _r6(F.col("__Nb").cast("double") / F.col("__D").cast("double"))
+        .alias("slope_per_day"),
+        _r6(dw).alias("dw"),
+        _r6(F.lit(1.0) - dw / F.lit(2.0)).alias("rho_hat"),
+        F.when(dw < 1.352, F.lit("positive_autocorr"))
+        .when(dw > 2.648, F.lit("negative_autocorr"))
+        .when((dw >= 1.489) & (dw <= 2.511), F.lit("no_autocorr"))
+        .otherwise(F.lit("inconclusive"))
+        .alias("verdict"),
+    )
+
+
+SQL_DURBIN_WATSON = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), mo AS (
+  SELECT n, Sy, yarr,
+    n * (n + 1) // 2 AS St,
+    n * (n + 1) * (2 * n + 1) // 6 AS St2,
+    list_sum(list_transform(range(1, n + 1),
+      t -> t * yarr[t])) AS Sty
+  FROM one
+), dd AS (
+  SELECT n, Sy, yarr, St, Sty,
+    n * St2 - St * St AS D,
+    n * Sty - St * Sy AS Nb
+  FROM mo
+), ea AS (
+  SELECT n, D, Nb,
+    list_transform(range(1, n + 1),
+      t -> n * D * yarr[t] - D * Sy + Nb * St - n * Nb * t) AS earr
+  FROM dd
+), f AS (
+  SELECT n, D, Nb,
+    list_sum(list_transform(range(2, n + 1),
+      t -> CAST(earr[t] - earr[t - 1] AS DOUBLE)
+         * CAST(earr[t] - earr[t - 1] AS DOUBLE))) AS num,
+    list_sum(list_transform(range(1, n + 1),
+      t -> CAST(earr[t] AS DOUBLE)
+         * CAST(earr[t] AS DOUBLE))) AS den
+  FROM ea
+)
+SELECT n AS n_days,
+  round(CAST(Nb AS DOUBLE) / CAST(D AS DOUBLE), 6) AS slope_per_day,
+  round(num / den, 6) AS dw,
+  round(1.0 - num / den / 2.0, 6) AS rho_hat,
+  CASE WHEN num / den < 1.352 THEN 'positive_autocorr'
+       WHEN num / den > 2.648 THEN 'negative_autocorr'
+       WHEN num / den >= 1.489 AND num / den <= 2.511
+         THEN 'no_autocorr'
+       ELSE 'inconclusive' END AS verdict
+FROM f WHERE n > 2 AND D > 0 AND den > 0
+"""
+
+QUERIES["durbin_watson"] = q_durbin_watson
+_RAW_ORACLES["durbin_watson"] = SQL_DURBIN_WATSON
+
+
+def q_bartlett_test(spark, sf_dir):
+    """Bartlett's test of variance homogeneity for `value` across the
+    5 event types (Bartlett Proc. R. Soc. A 1937 — the likelihood-
+    ratio-based twin of levene_test: Levene is robust to
+    non-normality, Bartlett is the more powerful parametric test when
+    jarque_bera clears the normality gate; running both is the
+    textbook heteroskedasticity pre-check before pooling per-type
+    value statistics into one scaler, cf. the fit in robust_scale).
+    Values are exact 2-decimal cents (the derived_features idiom,
+    non-negative at every SF), so the per-type moments n_i, sum c,
+    sum c^2 are exact longs from ONE corpus aggregate and each
+    (n_i-1)*s_i^2 = (n_i*Sc2 - Sc^2) / (n_i * 1e4) is one exact-long
+    cast and one fixed division pair; every pooled sum (W, the
+    (n_i-1)ln s_i^2 fold, the 1/(n_i-1) fold) runs event_type-
+    ascending over the 5-row frame on BOTH engines; the Bartlett
+    statistic T = ((N-k) ln s_p^2 - sum) / C with Snedecor-Cochran
+    correction C is a fixed expression tree. chi2(4) 5% point 9.488
+    pinned (k = 5 types). 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long").alias("__c"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__ni"),
+        F.sum("__c").cast("long").alias("__sc"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__sc2"),
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__ni").cast("long").alias("n_total"),
+        F.expr(
+            "bool_and(__ni > 1 AND"
+            " __ni * __sc2 - __sc * __sc > 0)"
+        ).alias("__ok"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("event_type", "__ni", "__sc", "__sc2")
+            )
+        ).alias("__a"),
+    )
+
+    def fold(term):
+        return F.expr(
+            "aggregate(__a, 0.0D, (acc, x) -> acc + (" + term + "))"
+        )
+
+    wi = (
+        "cast(x.__ni * x.__sc2 - x.__sc * x.__sc as double)"
+        " / (cast(x.__ni as double) * 10000.0D)"
+    )
+    s2i = (
+        "(CASE WHEN x.__ni > 1 AND x.__ni * x.__sc2"
+        " - x.__sc * x.__sc > 0 THEN"
+        f" ({wi}) / cast(x.__ni - 1 as double)"
+        " ELSE 1.0D END)"
+    )
+    one = (
+        one
+        .withColumn("__W", fold(wi))
+        .withColumn(
+            "__LNS",
+            fold(f"cast(x.__ni - 1 as double) * ln({s2i})"),
+        )
+        .withColumn(
+            "__IN", fold("1.0D / cast(x.__ni - 1 as double)")
+        )
+    )
+    one = one.filter(
+        F.col("__ok")
+        & (F.col("k_groups") > 1)
+        & (F.col("n_total") > F.col("k_groups"))
+    )
+    nk = (F.col("n_total") - F.col("k_groups")).cast("double")
+    sp2 = F.col("__W") / nk
+    tnum = nk * F.log(sp2) - F.col("__LNS")
+    cf = F.lit(1.0) + (F.col("__IN") - F.lit(1.0) / nk) / (
+        F.lit(3.0) * (F.col("k_groups") - 1).cast("double")
+    )
+    t = tnum / cf
+    return one.select(
+        "k_groups",
+        "n_total",
+        _r6(sp2).alias("pooled_var"),
+        _r6(cf).alias("c_factor"),
+        _r6(t).alias("bartlett_t"),
+        (t > F.lit(9.488)).alias("reject_5pct"),
+    )
+
+
+SQL_BARTLETT_TEST = """
+WITH ev AS (
+  SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT event_type,
+    CAST(count(*) AS BIGINT) AS ni,
+    CAST(sum(c) AS BIGINT) AS sc,
+    CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM ev GROUP BY event_type
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(ni) AS BIGINT) AS N,
+    bool_and(ni > 1 AND ni * sc2 - sc * sc > 0) AS ok,
+    list_sum(list(
+      CAST(ni * sc2 - sc * sc AS DOUBLE)
+      / (CAST(ni AS DOUBLE) * 10000.0)
+      ORDER BY event_type)) AS W,
+    list_sum(list(
+      CAST(ni - 1 AS DOUBLE)
+      * ln(CASE WHEN ni > 1 AND ni * sc2 - sc * sc > 0 THEN
+          (CAST(ni * sc2 - sc * sc AS DOUBLE)
+           / (CAST(ni AS DOUBLE) * 10000.0))
+          / CAST(ni - 1 AS DOUBLE)
+        ELSE 1.0 END)
+      ORDER BY event_type)) AS LNS,
+    list_sum(list(1.0 / CAST(ni - 1 AS DOUBLE)
+      ORDER BY event_type)) AS IN_
+  FROM g
+), f AS (
+  SELECT k, N, W, LNS, IN_,
+    CAST(N - k AS DOUBLE) AS nk
+  FROM one
+  WHERE ok AND k > 1 AND N > k
+)
+SELECT k AS k_groups, N AS n_total,
+  round(W / nk, 6) AS pooled_var,
+  round(1.0 + (IN_ - 1.0 / nk) / (3.0 * CAST(k - 1 AS DOUBLE)), 6)
+    AS c_factor,
+  round((nk * ln(W / nk) - LNS)
+        / (1.0 + (IN_ - 1.0 / nk)
+           / (3.0 * CAST(k - 1 AS DOUBLE))), 6) AS bartlett_t,
+  ((nk * ln(W / nk) - LNS)
+   / (1.0 + (IN_ - 1.0 / nk)
+      / (3.0 * CAST(k - 1 AS DOUBLE))) > 9.488) AS reject_5pct
+FROM f
+"""
+
+QUERIES["bartlett_test"] = q_bartlett_test
+_RAW_ORACLES["bartlett_test"] = SQL_BARTLETT_TEST
+ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

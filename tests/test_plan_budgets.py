@@ -640,6 +640,14 @@ BUDGETS = {
     # granger: persisted 1-row moment frame fans out to the 2
     # direction rows (cached-branch)
     "granger_causality": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # durbin-watson: day agg + 1-row global agg; residuals are array
+    # folds on the 1-row frame
+    "durbin_watson": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    # bartlett: ONE corpus agg to the 5-row type frame + 1-row fold
+    # agg
+    "bartlett_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

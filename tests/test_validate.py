@@ -3558,3 +3558,96 @@ def test_granger_rebuild(spark):
         assert abs(r["sse_unrestricted"] - sse_u) < 1e-3
         assert abs(r["f_stat"] - f) < 1e-4
         assert r["reject_approx_5pct"] == (r["f_stat"] > 4.21)
+
+
+def test_durbin_watson_rebuild(spark):
+    """DW statistic vs a literal python rebuild of the
+    trend-residual autocorrelation test (OLS of daily counts on
+    t = 1..n, first-difference ratio on the residuals), plus the
+    rho_hat identity and the Savin-White verdict banding."""
+    from mpds_spark.queries import q_durbin_watson
+
+    r = q_durbin_watson(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    ts = list(range(1, n + 1))
+    tbar = sum(ts) / n
+    ybar = sum(ys) / n
+    sxy = sum((t - tbar) * (y - ybar) for t, y in zip(ts, ys))
+    sxx = sum((t - tbar) ** 2 for t in ts)
+    b = sxy / sxx
+    a = ybar - b * tbar
+    e = [y - a - b * t for t, y in zip(ts, ys)]
+    num = sum((e[i] - e[i - 1]) ** 2 for i in range(1, n))
+    den = sum(x * x for x in e)
+    dw = num / den
+    assert r["n_days"] == n
+    assert abs(r["slope_per_day"] - b) < 1e-6
+    assert abs(r["dw"] - dw) < 1e-6
+    assert abs(r["rho_hat"] - (1.0 - dw / 2.0)) < 1e-6
+    if dw < 1.352:
+        assert r["verdict"] == "positive_autocorr"
+    elif dw > 2.648:
+        assert r["verdict"] == "negative_autocorr"
+    elif 1.489 <= dw <= 2.511:
+        assert r["verdict"] == "no_autocorr"
+    else:
+        assert r["verdict"] == "inconclusive"
+    assert 0.0 < dw < 4.0
+
+
+def test_bartlett_rebuild(spark):
+    """Bartlett T vs a literal python rebuild over the 5 per-type
+    sample variances of value (exact cents), plus the
+    Snedecor-Cochran correction factor and pooled-variance
+    identities and the chi2(4) reject flag."""
+    import math
+
+    from mpds_spark.queries import q_bartlett_test
+
+    r = q_bartlett_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for et, c in rows:
+        g[et].append(c)
+    k = len(g)
+    N = sum(len(v) for v in g.values())
+    W = 0.0
+    LNS = 0.0
+    IN = 0.0
+    for et in sorted(g):
+        cs = g[et]
+        ni = len(cs)
+        m = sum(cs) / ni
+        w = sum((c - m) ** 2 for c in cs) / 1e4
+        s2 = w / (ni - 1)
+        W += w
+        LNS += (ni - 1) * math.log(s2)
+        IN += 1.0 / (ni - 1)
+    nk = N - k
+    sp2 = W / nk
+    cf = 1.0 + (IN - 1.0 / nk) / (3.0 * (k - 1))
+    t = (nk * math.log(sp2) - LNS) / cf
+    assert r["k_groups"] == k
+    assert r["n_total"] == N
+    assert abs(r["pooled_var"] - sp2) < 1e-4
+    assert abs(r["c_factor"] - cf) < 1e-6
+    assert abs(r["bartlett_t"] - t) < 1e-4
+    assert r["reject_5pct"] == (t > 9.488)
+    assert r["c_factor"] > 1.0
