@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixty-sixth batch — continuation session)
+    "breusch_pagan",
+    "cronbach_alpha",
     # new in round 5 (sixty-fifth batch — continuation session)
     "durbin_watson",
     "bartlett_test",

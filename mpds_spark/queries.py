@@ -20851,4 +20851,310 @@ FROM f
 
 QUERIES["bartlett_test"] = q_bartlett_test
 _RAW_ORACLES["bartlett_test"] = SQL_BARTLETT_TEST
+
+
+def q_breusch_pagan(spark, sf_dir):
+    """Breusch-Pagan heteroskedasticity test (Koenker's studentized
+    form) on the residuals of the daily-volume-on-time OLS trend
+    (Breusch & Pagan Econometrica 1979; Koenker J. Econometrics 1981
+    — the VARIANCE companion to durbin_watson's autocorrelation
+    check: DW asks whether the trend's residuals are serially
+    correlated, BP asks whether their spread GROWS or SHRINKS with
+    time; either failure means the trend's standard errors — and any
+    capacity-planning band built from them — are wrong. Koenker's
+    form is the modern default because it drops BP's normality
+    assumption: LM = n * R^2 of the auxiliary regression of e_t^2 on
+    t). Reuses durbin_watson's exact-integer residual machinery:
+    daily counts y_t are exact longs from ONE corpus aggregate, the
+    time moments St/St2 are closed-form exact longs, and the scaled
+    residuals E_t = n*D*y_t - D*Sy + Nb*St - n*Nb*t are EXACT
+    INTEGERS; R^2 is scale-invariant so the auxiliary regression runs
+    on g_t = (cast E_t as double)^2 directly — each g_t is ONE
+    deterministic IEEE product of an exact-long cast with itself, and
+    the three auxiliary moments Sg/Stg/Sgg fold t-ascending on BOTH
+    engines. LM = n * (n*Stg - St*Sg)^2 / (D * (n*Sgg - Sg^2)) is a
+    fixed expression tree; chi2(1) 5% point 3.841 pinned. 2 shuffles
+    at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__St", F.expr("n_days * (n_days + 1) div 2"))
+        .withColumn(
+            "__St2",
+            F.expr("n_days * (n_days + 1) * (2 * n_days + 1) div 6"),
+        )
+        .withColumn(
+            "__Sty",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, t) ->"
+                " acc + t * element_at(__yarr, cast(t as int)))"
+            ),
+        )
+    )
+    one = one.withColumn(
+        "__D", F.expr("n_days * __St2 - __St * __St")
+    ).withColumn("__Nb", F.expr("n_days * __Sty - __St * __Sy"))
+    one = one.withColumn(
+        "__garr",
+        F.expr(
+            "transform(sequence(1L, n_days), t ->"
+            " cast(n_days * __D * element_at(__yarr, cast(t as int))"
+            " - __D * __Sy + __Nb * __St - n_days * __Nb * t"
+            " as double))"
+        ),
+    )
+    one = (
+        one
+        .withColumn(
+            "__Sg",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0.0D, (acc, t) ->"
+                " acc + element_at(__garr, cast(t as int))"
+                " * element_at(__garr, cast(t as int)))"
+            ),
+        )
+        .withColumn(
+            "__Stg",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0.0D, (acc, t) ->"
+                " acc + cast(t as double)"
+                " * element_at(__garr, cast(t as int))"
+                " * element_at(__garr, cast(t as int)))"
+            ),
+        )
+        .withColumn(
+            "__Sgg",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0.0D, (acc, t) ->"
+                " acc + element_at(__garr, cast(t as int))"
+                " * element_at(__garr, cast(t as int))"
+                " * element_at(__garr, cast(t as int))"
+                " * element_at(__garr, cast(t as int)))"
+            ),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    sxy = nd * F.col("__Stg") - F.col("__St").cast("double") * F.col(
+        "__Sg"
+    )
+    sxx = F.col("__D").cast("double")
+    syy = nd * F.col("__Sgg") - F.col("__Sg") * F.col("__Sg")
+    one = one.filter(
+        (F.col("n_days") > 2) & (F.col("__D") > 0) & (syy > 0.0)
+    )
+    r2 = sxy * sxy / (sxx * syy)
+    lm = nd * r2
+    return one.select(
+        "n_days",
+        _r6(r2).alias("r2_aux"),
+        _r6(lm).alias("bp_lm"),
+        (lm > F.lit(3.841)).alias("reject_5pct"),
+        F.when(sxy > 0.0, F.lit("variance_increasing"))
+        .when(sxy < 0.0, F.lit("variance_decreasing"))
+        .otherwise(F.lit("flat"))
+        .alias("direction"),
+    )
+
+
+SQL_BREUSCH_PAGAN = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), mo AS (
+  SELECT n, Sy, yarr,
+    n * (n + 1) // 2 AS St,
+    n * (n + 1) * (2 * n + 1) // 6 AS St2,
+    list_sum(list_transform(range(1, n + 1),
+      t -> t * yarr[t])) AS Sty
+  FROM one
+), dd AS (
+  SELECT n, Sy, yarr, St, St2,
+    n * St2 - St * St AS D,
+    n * Sty - St * Sy AS Nb
+  FROM mo
+), ga AS (
+  SELECT n, St, D,
+    list_transform(range(1, n + 1),
+      t -> CAST(n * D * yarr[t] - D * Sy + Nb * St - n * Nb * t
+                AS DOUBLE)) AS garr
+  FROM dd
+), f AS (
+  SELECT n, St, D,
+    list_sum(list_transform(range(1, n + 1),
+      t -> garr[t] * garr[t])) AS Sg,
+    list_sum(list_transform(range(1, n + 1),
+      t -> CAST(t AS DOUBLE) * garr[t] * garr[t])) AS Stg,
+    list_sum(list_transform(range(1, n + 1),
+      t -> garr[t] * garr[t] * garr[t] * garr[t])) AS Sgg
+  FROM ga
+), z AS (
+  SELECT n,
+    CAST(n AS DOUBLE) * Stg - CAST(St AS DOUBLE) * Sg AS sxy,
+    CAST(D AS DOUBLE) AS sxx,
+    CAST(n AS DOUBLE) * Sgg - Sg * Sg AS syy
+  FROM f WHERE n > 2 AND D > 0
+)
+SELECT n AS n_days,
+  round(sxy * sxy / (sxx * syy), 6) AS r2_aux,
+  round(CAST(n AS DOUBLE) * sxy * sxy / (sxx * syy), 6) AS bp_lm,
+  (CAST(n AS DOUBLE) * sxy * sxy / (sxx * syy) > 3.841)
+    AS reject_5pct,
+  CASE WHEN sxy > 0 THEN 'variance_increasing'
+       WHEN sxy < 0 THEN 'variance_decreasing'
+       ELSE 'flat' END AS direction
+FROM z WHERE syy > 0
+"""
+
+QUERIES["breusch_pagan"] = q_breusch_pagan
+_RAW_ORACLES["breusch_pagan"] = SQL_BREUSCH_PAGAN
+
+
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha internal-consistency coefficient treating the
+    5 event types as ITEMS and the calendar days as SUBJECTS
+    (Cronbach Psychometrika 1951; Nunnally 1978 for the 0.7
+    acceptance bar — the reliability audit that answers 'may I sum
+    the per-type daily volumes into ONE activity score?': alpha near
+    1 says the 5 per-type series co-move and a single composite
+    feature is justified; alpha near 0 says they are independent
+    channels and a sum would destroy signal — the feature-design
+    gate before any rollup_activity-style composite, and the
+    covariance-side complement to bartlett_test's variance check).
+    Item scores x_{d,i} = count of type-i events on day d are exact
+    longs from ONE conditional corpus aggregate (absent types
+    contribute exact-zero columns); alpha = k/(k-1) * (1 - sum_i
+    var_i / var_total) is computed from the exact-long moment
+    identities (n*Q_i - S_i^2) and (n*Q_T - S_T^2) — the n(n-1)
+    denominators cancel, so the whole statistic is ONE exact-long
+    division; every double is one exact-long cast. k = 5 pinned
+    (the corpus event-type alphabet). 2 shuffles at any corpus
+    size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).alias("__day"),
+        "event_type",
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    aggs = []
+    for i, t in enumerate(types):
+        aggs.append(
+            F.sum(
+                F.when(F.col("event_type") == t, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias(f"__x{i}")
+        )
+    day = ev.groupBy("__day").agg(*aggs)
+    tot = " + ".join(f"__x{i}" for i in range(len(types)))
+    day = day.withColumn("__t", F.expr(tot))
+    one_aggs = [F.count(F.lit(1)).cast("long").alias("n_days")]
+    for i in range(len(types)):
+        one_aggs.append(
+            F.sum(f"__x{i}").cast("long").alias(f"__s{i}")
+        )
+        one_aggs.append(
+            F.sum(F.col(f"__x{i}") * F.col(f"__x{i}"))
+            .cast("long").alias(f"__q{i}")
+        )
+    one_aggs.append(F.sum("__t").cast("long").alias("__st"))
+    one_aggs.append(
+        F.sum(F.col("__t") * F.col("__t")).cast("long").alias("__qt")
+    )
+    one = day.agg(*one_aggs)
+    item_num = " + ".join(
+        f"(n_days * __q{i} - __s{i} * __s{i})"
+        for i in range(len(types))
+    )
+    one = (
+        one
+        .withColumn("__inum", F.expr(item_num))
+        .withColumn("__tden", F.expr("n_days * __qt - __st * __st"))
+    )
+    one = one.filter((F.col("n_days") > 1) & (F.col("__tden") > 0))
+    k = float(len(types))
+    ratio = F.col("__inum").cast("double") / F.col("__tden").cast(
+        "double"
+    )
+    alpha = F.lit(k / (k - 1.0)) * (F.lit(1.0) - ratio)
+    nn1 = (
+        F.col("n_days").cast("double")
+        * (F.col("n_days") - 1).cast("double")
+    )
+    return one.select(
+        F.lit(int(k)).alias("k_items"),
+        "n_days",
+        _r6(F.col("__inum").cast("double") / nn1).alias(
+            "sum_item_var"
+        ),
+        _r6(F.col("__tden").cast("double") / nn1).alias("total_var"),
+        _r6(alpha).alias("alpha"),
+        (alpha >= F.lit(0.7)).alias("acceptable"),
+    )
+
+
+SQL_CRONBACH_ALPHA = """
+WITH day AS (
+  SELECT day(ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x0,
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x1,
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x2,
+    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x3,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         AS BIGINT) AS x4
+  FROM events GROUP BY day(ts)
+), d2 AS (
+  SELECT *, x0 + x1 + x2 + x3 + x4 AS t FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x0) AS BIGINT) AS s0, CAST(sum(x0 * x0) AS BIGINT) AS q0,
+    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x1 * x1) AS BIGINT) AS q1,
+    CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(x2 * x2) AS BIGINT) AS q2,
+    CAST(sum(x3) AS BIGINT) AS s3, CAST(sum(x3 * x3) AS BIGINT) AS q3,
+    CAST(sum(x4) AS BIGINT) AS s4, CAST(sum(x4 * x4) AS BIGINT) AS q4,
+    CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS qt
+  FROM d2
+), f AS (
+  SELECT n,
+    (n * q0 - s0 * s0) + (n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+      + (n * q3 - s3 * s3) + (n * q4 - s4 * s4) AS inum,
+    n * qt - st * st AS tden
+  FROM one WHERE n > 1
+)
+SELECT 5 AS k_items, n AS n_days,
+  round(CAST(inum AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+    AS sum_item_var,
+  round(CAST(tden AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+    AS total_var,
+  round(1.25 * (1.0 - CAST(inum AS DOUBLE) / CAST(tden AS DOUBLE)),
+        6) AS alpha,
+  (1.25 * (1.0 - CAST(inum AS DOUBLE) / CAST(tden AS DOUBLE))
+   >= 0.7) AS acceptable
+FROM f WHERE tden > 0
+"""
+
+QUERIES["cronbach_alpha"] = q_cronbach_alpha
+_RAW_ORACLES["cronbach_alpha"] = SQL_CRONBACH_ALPHA
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -648,6 +648,14 @@ BUDGETS = {
     # agg
     "bartlett_test": {"shuffle": 2, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # breusch-pagan: same day agg + 1-row global agg as durbin_watson;
+    # the auxiliary regression is array folds on the 1-row frame
+    "breusch_pagan": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    # cronbach: ONE conditional corpus agg to the <=31-row day frame +
+    # 1-row moment agg; alpha is a fixed expression tree
+    "cronbach_alpha": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
 }
 
 

@@ -3651,3 +3651,87 @@ def test_bartlett_rebuild(spark):
     assert abs(r["bartlett_t"] - t) < 1e-4
     assert r["reject_5pct"] == (t > 9.488)
     assert r["c_factor"] > 1.0
+
+
+def test_breusch_pagan_rebuild(spark):
+    """Koenker-form BP LM vs a literal python rebuild: OLS of daily
+    counts on t = 1..n, then the auxiliary regression of the squared
+    residuals on t; LM = n * R^2, chi2(1) banding at 3.841."""
+    from mpds_spark.queries import q_breusch_pagan
+
+    r = q_breusch_pagan(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    ts = list(range(1, n + 1))
+    tbar = sum(ts) / n
+    ybar = sum(ys) / n
+    b = sum((t - tbar) * (y - ybar) for t, y in zip(ts, ys)) / sum(
+        (t - tbar) ** 2 for t in ts
+    )
+    a = ybar - b * tbar
+    g = [(y - a - b * t) ** 2 for t, y in zip(ts, ys)]
+    gbar = sum(g) / n
+    sxy = sum((t - tbar) * (gi - gbar) for t, gi in zip(ts, g))
+    sxx = sum((t - tbar) ** 2 for t in ts)
+    syy = sum((gi - gbar) ** 2 for gi in g)
+    r2 = sxy * sxy / (sxx * syy)
+    lm = n * r2
+    assert r["n_days"] == n
+    assert abs(r["r2_aux"] - r2) < 1e-6
+    assert abs(r["bp_lm"] - lm) < 1e-5
+    assert r["reject_5pct"] == (lm > 3.841)
+    if sxy > 0:
+        assert r["direction"] == "variance_increasing"
+    elif sxy < 0:
+        assert r["direction"] == "variance_decreasing"
+    assert 0.0 <= r["r2_aux"] <= 1.0
+
+
+def test_cronbach_alpha_rebuild(spark):
+    """Cronbach's alpha vs a literal python rebuild over the day x
+    event-type count matrix (sample variances, k/(k-1) form), plus
+    the variance-decomposition identity total_var =
+    sum_item_var + 2*sum_of_item_covariances (checked implicitly via
+    the alpha formula) and the Nunnally 0.7 flag."""
+    from mpds_spark.queries import q_cronbach_alpha
+
+    r = q_cronbach_alpha(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), event_type, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    types = ["click", "error", "purchase", "signup", "view"]
+    days = sorted({d for d, _, _ in rows})
+    mat = {d: {t: 0 for t in types} for d in days}
+    for d, t, c in rows:
+        mat[d][t] = c
+    n = len(days)
+
+    def svar(xs):
+        m = sum(xs) / n
+        return sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    item_vars = [svar([mat[d][t] for d in days]) for t in types]
+    tot = [sum(mat[d][t] for t in types) for d in days]
+    vt = svar(tot)
+    k = len(types)
+    alpha = k / (k - 1) * (1.0 - sum(item_vars) / vt)
+    assert r["k_items"] == k
+    assert r["n_days"] == n
+    assert abs(r["sum_item_var"] - sum(item_vars)) < 1e-6
+    assert abs(r["total_var"] - vt) < 1e-6
+    assert abs(r["alpha"] - alpha) < 1e-6
+    assert r["acceptable"] == (alpha >= 0.7)
+    assert r["alpha"] <= 1.25
