@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixty-eighth batch — continuation session)
+    "grubbs_test",
+    "taylor_law",
+    # new in round 5 (sixty-seventh batch — continuation session)
+    "pettitt_test",
+    "cliffs_delta",
     # new in round 5 (sixty-sixth batch — continuation session)
     "breusch_pagan",
     "cronbach_alpha",

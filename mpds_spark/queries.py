@@ -21157,4 +21157,532 @@ FROM f WHERE tden > 0
 
 QUERIES["cronbach_alpha"] = q_cronbach_alpha
 _RAW_ORACLES["cronbach_alpha"] = SQL_CRONBACH_ALPHA
+
+
+def q_pettitt_test(spark, sf_dir):
+    """Pettitt's nonparametric change-point test on daily event
+    volume (Pettitt Applied Statistics 1979 — THE single-changepoint
+    screen for monitoring series: where cusum_changepoint needs a
+    scale and page_hinkley a drift parameter, Pettitt asks the
+    assumption-free question 'did the level of this series shift at
+    some unknown day?' via a rank statistic, making it the standard
+    first look before segmented_trend fits the two pieces). The
+    statistic U_t = sum_{i<=t} sum_{j>t} sign(y_j - y_i) is an EXACT
+    INTEGER for every split point t; the corpus is touched ONCE by
+    the day aggregate and the <=31-element U array is a bounded
+    nested fold on the 1-row frame (O(n^3) = 15k comparisons at
+    n = 31 — constant work at any corpus size). K = max_t |U_t| with
+    the EARLIEST-t tie-break via 1-based first-occurrence
+    array_position on BOTH engines; the Pettitt approximation
+    p = 2 exp(-6 K^2 / (n^3 + n^2)) is one exact-long division
+    inside one exp. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__darr", F.expr("transform(__a, s -> s.__day)"))
+        .withColumn(
+            "__uarr",
+            F.expr(
+                "transform(sequence(1L, n_days - 1), t ->"
+                " aggregate(sequence(1L, t), 0L, (ai, i) ->"
+                "  ai + aggregate(sequence(t + 1, n_days), 0L,"
+                "   (aj, j) -> aj + (CASE"
+                "    WHEN element_at(__yarr, cast(j as int))"
+                "       > element_at(__yarr, cast(i as int)) THEN 1L"
+                "    WHEN element_at(__yarr, cast(j as int))"
+                "       < element_at(__yarr, cast(i as int)) THEN -1L"
+                "    ELSE 0L END))))"
+            ),
+        )
+    )
+    one = (
+        one
+        .withColumn(
+            "__absu", F.expr("transform(__uarr, u -> abs(u))")
+        )
+        .withColumn("__k", F.expr("array_max(__absu)"))
+        .withColumn(
+            "__tstar",
+            F.expr("array_position(__absu, __k)").cast("long"),
+        )
+    )
+    one = one.filter((F.col("n_days") > 2) & (F.col("__k") > 0))
+    uat = F.expr("element_at(__uarr, cast(__tstar as int))")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0) * (F.col("__k") * F.col("__k")).cast("double")
+        / F.expr(
+            "cast(n_days * n_days * n_days"
+            " + n_days * n_days as double)"
+        )
+    )
+    return one.select(
+        "n_days",
+        F.col("__k").alias("k_stat"),
+        F.expr("element_at(__darr, cast(__tstar as int))")
+        .alias("change_day"),
+        uat.alias("u_at_k"),
+        _r6(p).alias("p_approx"),
+        (p < F.lit(0.05)).alias("significant_5pct"),
+        F.when(uat > 0, F.lit("upward_shift"))
+        .otherwise(F.lit("downward_shift"))
+        .alias("direction"),
+    )
+
+
+SQL_PETTITT_TEST = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr,
+    list(day ORDER BY day) AS darr
+  FROM day
+), ua AS (
+  SELECT n, darr,
+    list_transform(range(1, n), t ->
+      list_sum(list_transform(range(1, t + 1), i ->
+        list_sum(list_transform(range(t + 1, n + 1), j ->
+          CASE WHEN yarr[j] > yarr[i] THEN 1
+               WHEN yarr[j] < yarr[i] THEN -1
+               ELSE 0 END))))) AS uarr
+  FROM one
+), kk AS (
+  SELECT n, darr, uarr,
+    list_transform(uarr, u -> abs(u)) AS absu
+  FROM ua
+), f AS (
+  SELECT n, darr, uarr,
+    list_max(absu) AS k,
+    CAST(list_position(absu, list_max(absu)) AS BIGINT) AS tstar
+  FROM kk
+)
+SELECT n AS n_days, k AS k_stat,
+  darr[CAST(tstar AS INT)] AS change_day,
+  uarr[CAST(tstar AS INT)] AS u_at_k,
+  round(2.0 * exp(-6.0 * CAST(k * k AS DOUBLE)
+        / CAST(n * n * n + n * n AS DOUBLE)), 6) AS p_approx,
+  (2.0 * exp(-6.0 * CAST(k * k AS DOUBLE)
+        / CAST(n * n * n + n * n AS DOUBLE)) < 0.05)
+    AS significant_5pct,
+  CASE WHEN uarr[CAST(tstar AS INT)] > 0 THEN 'upward_shift'
+       ELSE 'downward_shift' END AS direction
+FROM f WHERE n > 2 AND k > 0
+"""
+
+QUERIES["pettitt_test"] = q_pettitt_test
+_RAW_ORACLES["pettitt_test"] = SQL_PETTITT_TEST
+
+
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta ordinal effect size for `value` between the two
+    md5-parity user arms (Cliff Psychological Bulletin 1993; Romano
+    et al. 2006 banding — the EFFECT-SIZE companion to the
+    significance tests: srm_check/mantel_haenszel ask 'is the A/A
+    split broken?', Cliff's delta asks 'by HOW MUCH do the two arms'
+    value distributions differ?' on a pure ordinal scale that is
+    immune to outliers and monotone transforms; hash-random arms
+    make delta ~ 0 by construction, so a non-negligible band flags a
+    broken assignment). delta = (P - Q) / (m*n) where P = #(a > b),
+    Q = #(a < b) over all cross-arm pairs — computed WITHOUT the
+    quadratic pair sweep: ONE conditional corpus aggregate groups the
+    exact 2-decimal cents into the domain-bounded distinct-value
+    frame (<=56k rows — bounded by the value range, like the <=31-day
+    frames), a cumulative window over that frame yields
+    #(b < c)/#(b > c) per value, and P/Q/T are EXACT-LONG sums of
+    count products — delta, the tie-split probability of superiority
+    (2P+T)/(2mn), and the banding are fixed expression trees with
+    every double one exact-long cast. Romano bands |d| < 0.147
+    negligible / < 0.33 small / < 0.474 medium pinned. 3 shuffles at
+    any corpus size (corpus agg + domain-frame window + 1-row agg)."""
+    ev = _events(spark, sf_dir).select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("__c"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cd|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    g = ev.groupBy("__c").agg(
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long").alias("__na"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long").alias("__nb"),
+    )
+    w = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = g.withColumn(
+        "__cumb", F.coalesce(F.sum("__nb").over(w), F.lit(0)).cast("long")
+    )
+    one = g.agg(
+        F.sum("__na").cast("long").alias("__m"),
+        F.sum("__nb").cast("long").alias("__n"),
+        F.sum(F.col("__na") * F.col("__cumb")).cast("long")
+        .alias("__p"),
+        F.sum(F.col("__na") * F.col("__nb")).cast("long")
+        .alias("__t"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    one = one.withColumn(
+        "__q", F.expr("__m * __n - __p - __t")
+    ).filter((F.col("__m") > 0) & (F.col("__n") > 0))
+    mn = (F.col("__m") * F.col("__n")).cast("double")
+    delta = (F.col("__p") - F.col("__q")).cast("double") / mn
+    ad = F.abs(delta)
+    return one.select(
+        F.col("__m").alias("n_arm1"),
+        F.col("__n").alias("n_arm0"),
+        "n_values",
+        F.col("__p").alias("gt_pairs"),
+        F.col("__q").alias("lt_pairs"),
+        F.col("__t").alias("tie_pairs"),
+        _r6(delta).alias("cliffs_delta"),
+        _r6(
+            (2 * F.col("__p") + F.col("__t")).cast("double")
+            / (F.lit(2.0) * mn)
+        ).alias("p_superiority"),
+        F.when(ad < 0.147, F.lit("negligible"))
+        .when(ad < 0.33, F.lit("small"))
+        .when(ad < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("band"),
+    )
+
+
+SQL_CLIFFS_DELTA = """
+WITH ev AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+    CAST(('0x' || substring(md5('cd|' || CAST(user_id AS VARCHAR)),
+      1, 15))::UBIGINT % 2 AS BIGINT) AS arm
+  FROM events
+), g AS (
+  SELECT c,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM ev GROUP BY c
+), cw AS (
+  SELECT c, na, nb,
+    CAST(coalesce(sum(nb) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS cumb
+  FROM g
+), one AS (
+  SELECT CAST(sum(na) AS BIGINT) AS m,
+    CAST(sum(nb) AS BIGINT) AS n,
+    CAST(sum(na * cumb) AS BIGINT) AS p,
+    CAST(sum(na * nb) AS BIGINT) AS t,
+    CAST(count(*) AS BIGINT) AS n_values
+  FROM cw
+), f AS (
+  SELECT m, n, p, t, n_values, m * n - p - t AS q
+  FROM one WHERE m > 0 AND n > 0
+)
+SELECT m AS n_arm1, n AS n_arm0, n_values,
+  p AS gt_pairs, q AS lt_pairs, t AS tie_pairs,
+  round(CAST(p - q AS DOUBLE) / CAST(m * n AS DOUBLE), 6)
+    AS cliffs_delta,
+  round(CAST(2 * p + t AS DOUBLE)
+        / (2.0 * CAST(m * n AS DOUBLE)), 6) AS p_superiority,
+  CASE WHEN abs(CAST(p - q AS DOUBLE) / CAST(m * n AS DOUBLE))
+            < 0.147 THEN 'negligible'
+       WHEN abs(CAST(p - q AS DOUBLE) / CAST(m * n AS DOUBLE))
+            < 0.33 THEN 'small'
+       WHEN abs(CAST(p - q AS DOUBLE) / CAST(m * n AS DOUBLE))
+            < 0.474 THEN 'medium'
+       ELSE 'large' END AS band
+FROM f
+"""
+
+QUERIES["cliffs_delta"] = q_cliffs_delta
+_RAW_ORACLES["cliffs_delta"] = SQL_CLIFFS_DELTA
+
+
+def q_grubbs_test(spark, sf_dir):
+    """Grubbs' maximum-studentized-deviation outlier test on the
+    daily event volumes (Grubbs Technometrics 1969; critical value
+    from the NIST/SEMATECH e-Handbook table — the single-outlier
+    screen that anomaly_mad's robust z-scores deliberately avoid
+    being: Grubbs is the classical NORMAL-theory test whose verdict
+    auditors expect next to the MAD flags, and disagreement between
+    the two is itself a distribution-shape signal, cf. jarque_bera).
+    G = max_t |y_t - ybar| / s with the deviation numerators
+    |n*y_t - Sy| EXACT LONGS (so the argmax and its EARLIEST-day
+    tie-break are exact integer comparisons via array_position), and
+    G = maxnum / (n * s) where s = sqrt((n*Syy - Sy^2)/(n(n-1))) is
+    one IEEE-exact sqrt of one exact-long division — every double
+    one exact-long cast. Two-sided 5% critical value at the 30-day
+    test frame pinned: 2.908 (NIST table, n = 30). 2 shuffles at
+    any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__Syy"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn(
+            "__num",
+            F.expr("transform(__a, s -> abs(n_days * s.__y - __Sy))"),
+        )
+        .withColumn("__mx", F.expr("array_max(__num)"))
+        .withColumn(
+            "__i",
+            F.expr("array_position(__num, __mx)").cast("int"),
+        )
+        .withColumn("__ss", F.expr("n_days * __Syy - __Sy * __Sy"))
+    )
+    one = one.filter((F.col("n_days") > 2) & (F.col("__ss") > 0))
+    nd = F.col("n_days").cast("double")
+    s = F.sqrt(
+        F.col("__ss").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    g = F.col("__mx").cast("double") / (nd * s)
+    ystar = F.expr("element_at(__a, __i).__y")
+    return one.select(
+        "n_days",
+        F.expr("element_at(__a, __i).__day").alias("outlier_day"),
+        ystar.alias("outlier_value"),
+        _r6(F.col("__Sy").cast("double") / nd).alias("mean_volume"),
+        _r6(s).alias("sd_volume"),
+        _r6(g).alias("g_stat"),
+        (g > F.lit(2.908)).alias("reject_5pct"),
+        F.when(
+            (nd * ystar.cast("double"))
+            > F.col("__Sy").cast("double"),
+            F.lit("high"),
+        ).otherwise(F.lit("low")).alias("side"),
+    )
+
+
+SQL_GRUBBS_TEST = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy,
+    CAST(sum(y * y) AS BIGINT) AS Syy,
+    list(day ORDER BY day) AS darr,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), nu AS (
+  SELECT n, Sy, Syy, darr, yarr,
+    list_transform(yarr, y -> abs(n * y - Sy)) AS num,
+    n * Syy - Sy * Sy AS ss
+  FROM one
+), f AS (
+  SELECT n, Sy, darr, yarr, ss,
+    list_max(num) AS mx,
+    list_position(num, list_max(num)) AS i
+  FROM nu WHERE n > 2 AND ss > 0
+)
+SELECT n AS n_days,
+  darr[i] AS outlier_day,
+  yarr[i] AS outlier_value,
+  round(CAST(Sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_volume,
+  round(sqrt(CAST(ss AS DOUBLE)
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+    AS sd_volume,
+  round(CAST(mx AS DOUBLE) / (CAST(n AS DOUBLE)
+        * sqrt(CAST(ss AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))), 6)
+    AS g_stat,
+  (CAST(mx AS DOUBLE) / (CAST(n AS DOUBLE)
+        * sqrt(CAST(ss AS DOUBLE)
+          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) > 2.908)
+    AS reject_5pct,
+  CASE WHEN CAST(n AS DOUBLE) * CAST(yarr[i] AS DOUBLE)
+            > CAST(Sy AS DOUBLE) THEN 'high'
+       ELSE 'low' END AS side
+FROM f
+"""
+
+QUERIES["grubbs_test"] = q_grubbs_test
+_RAW_ORACLES["grubbs_test"] = SQL_GRUBBS_TEST
+
+
+def q_taylor_law(spark, sf_dir):
+    """Taylor's power law exponent for event volume across the 24
+    hour-of-day groups (Taylor Nature 1961; Eisler et al. Adv. Phys.
+    2008 for the fluctuation-scaling reading — the cross-GROUP
+    burstiness audit beside nb_dispersion's single-series check: for
+    each hour-of-day, the mean and variance of that hour's daily
+    count are one point on the log-log plane; the OLS slope b of
+    ln var on ln mean is the scaling exponent — b = 1 is Poisson
+    arrivals, b -> 2 means bursty/aggregated traffic whose hot hours
+    get MORE than proportionally noisier, which decides whether
+    per-hour capacity must be provisioned on mean or on mean^b).
+    The corpus is touched ONCE by the (day, hour) cell aggregate — a
+    <=744-row frame bounded by the calendar, like the <=31-day
+    frames — collected sorted into ONE row; n_days, the per-hour
+    sums S_h and square-sums Q_h are exact longs via bounded nested
+    folds, each variance (n*Q_h - S_h^2)/(n(n-1)) and mean S_h/n is
+    one exact division, and the log-log OLS moments fold
+    hour-ascending on BOTH engines. Verdict bands pinned at 0.8/1.2.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+    )
+    cell = ev.groupBy("__day", "__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    one = cell.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__h", "__c"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__nd",
+        F.expr(
+            "cast(size(array_distinct(transform(__a, x -> x.__day)))"
+            " as long)"
+        ),
+    )
+    # per-hour (S_h, Q_h) as exact longs; keep hours with a defined,
+    # positive variance and positive mean (ln needs both)
+    one = one.withColumn(
+        "__hs",
+        F.expr(
+            "filter(transform(sequence(0L, 23L), h -> struct("
+            " h as h,"
+            " aggregate(__a, 0L, (acc, x) ->"
+            "  acc + IF(x.__h = h, x.__c, 0L)) as s,"
+            " aggregate(__a, 0L, (acc, x) ->"
+            "  acc + IF(x.__h = h, x.__c * x.__c, 0L)) as q)),"
+            " p -> p.s > 0 AND __nd * p.q - p.s * p.s > 0)"
+        ),
+    )
+    one = one.withColumn(
+        "__pts",
+        F.expr(
+            "transform(__hs, p -> struct("
+            " ln(cast(p.s as double) / cast(__nd as double)) as x,"
+            " ln(cast(__nd * p.q - p.s * p.s as double)"
+            "  / (cast(__nd as double) * cast(__nd - 1 as double)))"
+            "  as y))"
+        ),
+    ).withColumn("__k", F.expr("cast(size(__pts) as long)"))
+
+    def fold(term):
+        return F.expr(
+            "aggregate(__pts, 0.0D, (acc, p) -> acc + (" + term + "))"
+        )
+
+    one = (
+        one
+        .withColumn("__sx", fold("p.x"))
+        .withColumn("__sy", fold("p.y"))
+        .withColumn("__sxy", fold("p.x * p.y"))
+        .withColumn("__sxx", fold("p.x * p.x"))
+        .withColumn("__syy", fold("p.y * p.y"))
+    )
+    one = one.filter((F.col("__nd") > 1) & (F.col("__k") > 2))
+    kd = F.col("__k").cast("double")
+    dxy = kd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dxx = kd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dyy = kd * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    one = one.filter((dxx > 0.0) & (dyy > 0.0))
+    b = dxy / dxx
+    a = (F.col("__sy") - b * F.col("__sx")) / kd
+    r2 = dxy * dxy / (dxx * dyy)
+    return one.select(
+        F.col("__nd").alias("n_days"),
+        F.col("__k").alias("n_hours"),
+        _r6(b).alias("taylor_b"),
+        _r6(a).alias("ln_a"),
+        _r6(r2).alias("r2"),
+        F.when(b > 1.2, F.lit("aggregated"))
+        .when(b < 0.8, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson_like"))
+        .alias("verdict"),
+    )
+
+
+SQL_TAYLOR_LAW = """
+WITH cell AS (
+  SELECT day(ts) AS day, hour(ts) AS h,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY day(ts), hour(ts)
+), one AS (
+  SELECT list({'h': h, 'c': c} ORDER BY day, h) AS a,
+    CAST(count(DISTINCT day) AS BIGINT) AS nd
+  FROM cell
+), hs AS (
+  SELECT nd,
+    list_filter(
+      list_transform(range(0, 24), h -> {
+        's': list_sum(list_transform(a,
+          x -> CASE WHEN x.h = h THEN x.c ELSE 0 END)),
+        'q': list_sum(list_transform(a,
+          x -> CASE WHEN x.h = h THEN x.c * x.c ELSE 0 END))}),
+      p -> p.s > 0 AND nd * p.q - p.s * p.s > 0) AS hsl
+  FROM one
+), pts AS (
+  SELECT nd,
+    list_transform(hsl, p -> {
+      'x': ln(CAST(p.s AS DOUBLE) / CAST(nd AS DOUBLE)),
+      'y': ln(CAST(nd * p.q - p.s * p.s AS DOUBLE)
+         / (CAST(nd AS DOUBLE) * CAST(nd - 1 AS DOUBLE)))}) AS pl,
+    CAST(len(hsl) AS BIGINT) AS k
+  FROM hs
+), mo AS (
+  SELECT nd, k,
+    list_sum(list_transform(pl, p -> p.x)) AS sx,
+    list_sum(list_transform(pl, p -> p.y)) AS sy,
+    list_sum(list_transform(pl, p -> p.x * p.y)) AS sxy,
+    list_sum(list_transform(pl, p -> p.x * p.x)) AS sxx,
+    list_sum(list_transform(pl, p -> p.y * p.y)) AS syy
+  FROM pts WHERE nd > 1 AND k > 2
+), f AS (
+  SELECT nd, k,
+    CAST(k AS DOUBLE) * sxy - sx * sy AS dxy,
+    CAST(k AS DOUBLE) * sxx - sx * sx AS dxx,
+    CAST(k AS DOUBLE) * syy - sy * sy AS dyy,
+    sx, sy
+  FROM mo
+)
+SELECT nd AS n_days, k AS n_hours,
+  round(dxy / dxx, 6) AS taylor_b,
+  round((sy - (dxy / dxx) * sx) / CAST(k AS DOUBLE), 6) AS ln_a,
+  round(dxy * dxy / (dxx * dyy), 6) AS r2,
+  CASE WHEN dxy / dxx > 1.2 THEN 'aggregated'
+       WHEN dxy / dxx < 0.8 THEN 'underdispersed'
+       ELSE 'poisson_like' END AS verdict
+FROM f WHERE dxx > 0 AND dyy > 0
+"""
+
+QUERIES["taylor_law"] = q_taylor_law
+_RAW_ORACLES["taylor_law"] = SQL_TAYLOR_LAW
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -656,6 +656,24 @@ BUDGETS = {
     # 1-row moment agg; alpha is a fixed expression tree
     "cronbach_alpha": {"shuffle": 2, "python": 0, "cartesian": 0,
                        "bnlj": 0},
+    # pettitt: day agg + 1-row global agg; the U array is a bounded
+    # nested fold on the 1-row frame
+    "pettitt_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # cliffs-delta: corpus agg to the domain-bounded distinct-cents
+    # frame + cumulative window over that frame (the window's single-
+    # partition exchange fuses with the 1-row agg) — 2 exchanges
+    "cliffs_delta": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # grubbs: day agg + 1-row global agg; argmax deviation is an
+    # exact-integer array scan on the 1-row frame
+    "grubbs_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
+    # taylor: (day,hour) cell agg (<=744 rows, calendar-bounded) +
+    # 1-row collect; per-hour moments and the log-log OLS are
+    # bounded folds on the 1-row frame
+    "taylor_law": {"shuffle": 2, "python": 0, "cartesian": 0,
+                   "bnlj": 0},
 }
 
 

@@ -3735,3 +3735,191 @@ def test_cronbach_alpha_rebuild(spark):
     assert abs(r["alpha"] - alpha) < 1e-6
     assert r["acceptable"] == (alpha >= 0.7)
     assert r["alpha"] <= 1.25
+
+
+def test_pettitt_rebuild(spark):
+    """Pettitt K/U_t vs a literal python rebuild of the rank
+    change-point statistic over the daily counts, plus the
+    earliest-t tie-break, the approximate p formula and the
+    direction banding."""
+    import math
+
+    from mpds_spark.queries import q_pettitt_test
+
+    r = q_pettitt_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [c for _, c in rows]
+    n = len(ys)
+
+    def sgn(v):
+        return (v > 0) - (v < 0)
+
+    us = []
+    for t in range(1, n):
+        us.append(
+            sum(
+                sgn(ys[j] - ys[i])
+                for i in range(t)
+                for j in range(t, n)
+            )
+        )
+    k = max(abs(u) for u in us)
+    tstar = next(i for i, u in enumerate(us) if abs(u) == k)
+    p = 2.0 * math.exp(-6.0 * k * k / (n**3 + n**2))
+    assert r["n_days"] == n
+    assert r["k_stat"] == k
+    assert r["change_day"] == days[tstar]
+    assert r["u_at_k"] == us[tstar]
+    assert abs(r["p_approx"] - p) < 1e-6
+    assert r["significant_5pct"] == (p < 0.05)
+    assert r["direction"] == (
+        "upward_shift" if us[tstar] > 0 else "downward_shift"
+    )
+
+
+def test_cliffs_delta_rebuild(spark):
+    """Cliff's delta vs a literal python brute-force over all
+    cross-arm value pairs at sf0.001 (the query computes the same
+    quantity via the distinct-cents cumulative frame), plus the
+    P + Q + T = m*n identity, the probability-of-superiority
+    formula and the Romano banding."""
+    import hashlib
+
+    from mpds_spark.queries import q_cliffs_delta
+
+    r = q_cliffs_delta(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+
+    def arm(uid):
+        h = hashlib.md5(f"cd|{uid}".encode()).hexdigest()[:15]
+        return int(h, 16) % 2
+
+    a = sorted(c for u, c in rows if arm(u) == 1)
+    b = sorted(c for u, c in rows if arm(u) == 0)
+    m, n = len(a), len(b)
+    import bisect
+
+    p = sum(bisect.bisect_left(b, x) for x in a)
+    t = sum(
+        bisect.bisect_right(b, x) - bisect.bisect_left(b, x)
+        for x in a
+    )
+    q = m * n - p - t
+    delta = (p - q) / (m * n)
+    assert r["n_arm1"] == m
+    assert r["n_arm0"] == n
+    assert r["gt_pairs"] == p
+    assert r["lt_pairs"] == q
+    assert r["tie_pairs"] == t
+    assert abs(r["cliffs_delta"] - delta) < 1e-6
+    assert abs(r["p_superiority"] - (2 * p + t) / (2 * m * n)) < 1e-6
+    ad = abs(delta)
+    band = (
+        "negligible" if ad < 0.147
+        else "small" if ad < 0.33
+        else "medium" if ad < 0.474
+        else "large"
+    )
+    assert r["band"] == band
+    # hash-random A/A arms: the effect must be negligible
+    assert r["band"] == "negligible"
+
+
+def test_grubbs_rebuild(spark):
+    """Grubbs G vs a literal python rebuild (max studentized
+    deviation of the daily counts, sample sd), plus the earliest-day
+    argmax tie-break, the NIST 2.908 banding and the side flag."""
+    from mpds_spark.queries import q_grubbs_test
+
+    r = q_grubbs_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [c for _, c in rows]
+    n = len(ys)
+    m = sum(ys) / n
+    s = (sum((y - m) ** 2 for y in ys) / (n - 1)) ** 0.5
+    devs = [abs(y - m) for y in ys]
+    g = max(devs) / s
+    i = devs.index(max(devs))
+    assert r["n_days"] == n
+    assert r["outlier_day"] == days[i]
+    assert r["outlier_value"] == ys[i]
+    assert abs(r["mean_volume"] - m) < 1e-6
+    assert abs(r["sd_volume"] - s) < 1e-6
+    assert abs(r["g_stat"] - g) < 1e-6
+    assert r["reject_5pct"] == (g > 2.908)
+    assert r["side"] == ("high" if ys[i] > m else "low")
+    assert r["g_stat"] > 0
+
+
+def test_taylor_law_rebuild(spark):
+    """Taylor exponent vs a literal python rebuild: per-hour-of-day
+    mean/variance of the daily counts (zero days included via the
+    n_days denominator), log-log OLS, r^2 and the banding."""
+    import math
+
+    from mpds_spark.queries import q_taylor_law
+
+    r = q_taylor_law(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), hour(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    days = sorted({d for d, _, _ in rows})
+    nd = len(days)
+    pts = []
+    for h in range(24):
+        cs = {d: 0 for d in days}
+        for d, hh, c in rows:
+            if hh == h:
+                cs[d] = c
+        vals = [cs[d] for d in days]
+        s = sum(vals)
+        q = sum(v * v for v in vals)
+        if s > 0 and nd * q - s * s > 0:
+            mean = s / nd
+            var = (nd * q - s * s) / (nd * (nd - 1))
+            pts.append((math.log(mean), math.log(var)))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    dxy = k * sxy - sx * sy
+    dxx = k * sxx - sx * sx
+    dyy = k * syy - sy * sy
+    b = dxy / dxx
+    assert r["n_days"] == nd
+    assert r["n_hours"] == k
+    assert abs(r["taylor_b"] - b) < 1e-6
+    assert abs(r["ln_a"] - (sy - b * sx) / k) < 1e-6
+    assert abs(r["r2"] - dxy * dxy / (dxx * dyy)) < 1e-6
+    band = (
+        "aggregated" if b > 1.2
+        else "underdispersed" if b < 0.8
+        else "poisson_like"
+    )
+    assert r["verdict"] == band
+    assert 0.0 <= r["r2"] <= 1.0
