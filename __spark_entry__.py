@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (sixty-ninth batch — continuation session)
+    "sample_entropy",
+    "spectral_entropy",
     # new in round 5 (sixty-eighth batch — continuation session)
     "grubbs_test",
     "taylor_law",

@@ -21685,4 +21685,302 @@ FROM f WHERE dxx > 0 AND dyy > 0
 
 QUERIES["taylor_law"] = q_taylor_law
 _RAW_ORACLES["taylor_law"] = SQL_TAYLOR_LAW
+
+
+def q_sample_entropy(spark, sf_dir):
+    """Sample entropy of the daily event-volume series at embedding
+    m = 2 and tolerance r = 0.5 * SD (Richman & Moorman Am. J.
+    Physiol. 2000; the tolerance sits above the classic 0.1-0.25*SD
+    band on purpose — Yentes et al. Ann. Biomed. Eng. 2013 show that
+    for VERY SHORT series (here n = 30 days) small r starves the
+    m+1 template count and SampEn degenerates, so the short-series
+    guidance is a wider r — the amplitude-aware regularity twin of
+    perm_entropy's ordinal measure: SampEn = -ln(A/B) where B counts
+    length-2 template matches under the Chebyshev tolerance and A
+    counts their length-3 extensions; low SampEn means today's
+    volume pattern keeps repeating (forecastable, cacheable), high
+    SampEn means template matches die out (provision for surprise) —
+    and unlike the original ApEn it is self-match-free and nearly
+    length-unbiased, which is why it is the monitoring default).
+    Daily counts are exact longs; distances |y_i - y_j| are exact
+    integers, the tolerance rr = 0.2 * s is ONE deterministic IEEE
+    product of the exact-moment sqrt, so every <=378-pair template
+    comparison is the identical float comparison on BOTH engines and
+    A, B are EXACT LONGS from bounded nested folds on the 1-row
+    frame; SampEn = ln(B) - ln(A) on exact-long casts. Bands 0.5/1.5
+    pinned. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__Syy"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__ss", F.expr("n_days * __Syy - __Sy * __Sy"))
+    )
+    one = one.filter((F.col("n_days") > 4) & (F.col("__ss") > 0))
+    nd = F.col("n_days").cast("double")
+    s = F.sqrt(
+        F.col("__ss").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    one = one.withColumn("__rr", F.lit(0.5) * s)
+    # M = n - 2 templates; B: 2-matches, A: 3-matches, pairs i < j
+    dij = (
+        "cast(abs(element_at(__yarr, cast(i {o} as int))"
+        " - element_at(__yarr, cast(j {o} as int))) as double)"
+    )
+    d0 = dij.format(o="+ 0")
+    d1 = dij.format(o="+ 1")
+    d2 = dij.format(o="+ 2")
+    one = (
+        one
+        .withColumn(
+            "__b",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 3), 0L, (ai, i) ->"
+                " ai + aggregate(sequence(i + 1, n_days - 2), 0L,"
+                f" (aj, j) -> aj + IF({d0} <= __rr AND {d1} <= __rr,"
+                " 1L, 0L)))"
+            ),
+        )
+        .withColumn(
+            "__aa",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 3), 0L, (ai, i) ->"
+                " ai + aggregate(sequence(i + 1, n_days - 2), 0L,"
+                f" (aj, j) -> aj + IF({d0} <= __rr AND {d1} <= __rr"
+                f" AND {d2} <= __rr, 1L, 0L)))"
+            ),
+        )
+    )
+    one = one.filter((F.col("__b") > 0) & (F.col("__aa") > 0))
+    sampen = F.log(F.col("__b").cast("double")) - F.log(
+        F.col("__aa").cast("double")
+    )
+    return one.select(
+        "n_days",
+        _r6(F.col("__rr")).alias("r_tol"),
+        F.col("__b").alias("b_count"),
+        F.col("__aa").alias("a_count"),
+        _r6(sampen).alias("sampen"),
+        F.when(sampen < 0.5, F.lit("regular"))
+        .when(sampen > 1.5, F.lit("complex"))
+        .otherwise(F.lit("moderate"))
+        .alias("band"),
+    )
+
+
+SQL_SAMPLE_ENTROPY = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy,
+    CAST(sum(y * y) AS BIGINT) AS Syy,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), pre AS (
+  SELECT n, yarr, n * Syy - Sy * Sy AS ss
+  FROM one WHERE n > 4 AND n * Syy - Sy * Sy > 0
+), rr AS (
+  SELECT n, yarr,
+    0.5 * sqrt(CAST(ss AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS r
+  FROM pre
+), cnt AS (
+  SELECT n, r,
+    list_sum(list_transform(range(1, n - 2), i ->
+      list_sum(list_transform(range(i + 1, n - 1), j ->
+        CASE WHEN CAST(abs(yarr[i] - yarr[j]) AS DOUBLE) <= r
+          AND CAST(abs(yarr[i + 1] - yarr[j + 1]) AS DOUBLE) <= r
+        THEN 1 ELSE 0 END)))) AS b,
+    list_sum(list_transform(range(1, n - 2), i ->
+      list_sum(list_transform(range(i + 1, n - 1), j ->
+        CASE WHEN CAST(abs(yarr[i] - yarr[j]) AS DOUBLE) <= r
+          AND CAST(abs(yarr[i + 1] - yarr[j + 1]) AS DOUBLE) <= r
+          AND CAST(abs(yarr[i + 2] - yarr[j + 2]) AS DOUBLE) <= r
+        THEN 1 ELSE 0 END)))) AS a
+  FROM rr
+)
+SELECT n AS n_days,
+  round(r, 6) AS r_tol,
+  CAST(b AS BIGINT) AS b_count,
+  CAST(a AS BIGINT) AS a_count,
+  round(ln(CAST(b AS DOUBLE)) - ln(CAST(a AS DOUBLE)), 6) AS sampen,
+  CASE WHEN ln(CAST(b AS DOUBLE)) - ln(CAST(a AS DOUBLE)) < 0.5
+         THEN 'regular'
+       WHEN ln(CAST(b AS DOUBLE)) - ln(CAST(a AS DOUBLE)) > 1.5
+         THEN 'complex'
+       ELSE 'moderate' END AS band
+FROM cnt WHERE b > 0 AND a > 0
+"""
+
+QUERIES["sample_entropy"] = q_sample_entropy
+_RAW_ORACLES["sample_entropy"] = SQL_SAMPLE_ENTROPY
+
+
+def q_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy and Wiener spectral flatness of
+    the daily event-volume series over the half-spectrum k = 1 ..
+    floor((n-1)/2) (Powell & Percival J. Phys. A 1979 for spectral
+    entropy; Gray & Markel 1974 for flatness — the ONE-NUMBER summary
+    of dft_periodogram's per-k shares: H near 1 means power is spread
+    flat across frequencies (white/broadband volume — no cycle worth
+    modeling), H near 0 means power concentrates in few lines (a
+    strong weekly/daily cycle that a seasonal feature must absorb);
+    flatness is the geometric/arithmetic mean ratio reading of the
+    same spectrum). Reuses dft_periodogram's conventions: the corpus
+    is touched ONCE by the day aggregate, the mean is removed exactly
+    via the integer identity n*y_t - S inside the trig folds, every
+    fold (the per-k C/S sums over t, the total-power sum over k, the
+    entropy and log-flatness sums over k) runs ASCENDING on BOTH
+    engines, and cos/sin follow the catalog's cross-engine libm
+    precedent. H is normalized by ln(m). Bands 0.6/0.9 pinned.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__s"),
+    ).select(
+        F.expr("transform(__a, e -> e.__y)").alias("__ys"),
+        "n_days", "__s",
+    )
+    one = one.withColumn(
+        "__m", F.expr("(n_days - 1) div 2")
+    ).filter((F.col("n_days") > 6) & (F.col("__m") > 1))
+    trig = (
+        "aggregate(sequence(1L, n_days), 0.0D, (acc, t) -> acc"
+        " + cast(n_days * element_at(__ys, cast(t as int)) - __s"
+        " as double)"
+        " * {fn}(6.283185307179586D * cast(k as double)"
+        " * cast(t as double) / cast(n_days as double)))"
+    )
+    ck = trig.format(fn="cos")
+    sk = trig.format(fn="sin")
+    one = one.withColumn(
+        "__p",
+        F.expr(
+            "transform(sequence(1L, __m), k ->"
+            f" ({ck}) * ({ck}) + ({sk}) * ({sk}))"
+        ),
+    )
+    one = one.withColumn(
+        "__tot",
+        F.expr("aggregate(__p, 0.0D, (acc, p) -> acc + p)"),
+    ).filter(F.col("__tot") > 0.0)
+    one = (
+        one
+        .withColumn(
+            "__h",
+            F.expr(
+                "-aggregate(__p, 0.0D, (acc, p) -> acc"
+                " + IF(p > 0.0D, (p / __tot) * ln(p / __tot),"
+                " 0.0D)) / ln(cast(__m as double))"
+            ),
+        )
+        .withColumn(
+            "__lnf",
+            F.expr(
+                "aggregate(__p, 0.0D, (acc, p) -> acc + ln(p))"
+                " / cast(__m as double)"
+            ),
+        )
+    )
+    flat = F.exp(F.col("__lnf")) / (
+        F.col("__tot") / F.col("__m").cast("double")
+    )
+    h = F.col("__h")
+    return one.select(
+        "n_days",
+        F.col("__m").alias("n_freqs"),
+        _r6(h).alias("spectral_entropy"),
+        _r6(flat).alias("spectral_flatness"),
+        F.when(h > 0.9, F.lit("broadband_noise"))
+        .when(h < 0.6, F.lit("strongly_periodic"))
+        .otherwise(F.lit("mixed"))
+        .alias("band"),
+    )
+
+
+SQL_SPECTRAL_ENTROPY = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(y ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS s
+  FROM day
+), mm AS (
+  SELECT ys, n, s, (n - 1) // 2 AS m
+  FROM one WHERE n > 6 AND (n - 1) // 2 > 1
+), pw AS (
+  SELECT n, m,
+    list_transform(range(1, m + 1), k ->
+      list_reduce(list_transform(range(1, n + 1), t ->
+        CAST(n * ys[t] - s AS DOUBLE)
+        * cos(6.283185307179586 * CAST(k AS DOUBLE)
+          * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))),
+        (a, b) -> a + b)
+      * list_reduce(list_transform(range(1, n + 1), t ->
+        CAST(n * ys[t] - s AS DOUBLE)
+        * cos(6.283185307179586 * CAST(k AS DOUBLE)
+          * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))),
+        (a, b) -> a + b)
+      + list_reduce(list_transform(range(1, n + 1), t ->
+        CAST(n * ys[t] - s AS DOUBLE)
+        * sin(6.283185307179586 * CAST(k AS DOUBLE)
+          * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))),
+        (a, b) -> a + b)
+      * list_reduce(list_transform(range(1, n + 1), t ->
+        CAST(n * ys[t] - s AS DOUBLE)
+        * sin(6.283185307179586 * CAST(k AS DOUBLE)
+          * CAST(t AS DOUBLE) / CAST(n AS DOUBLE))),
+        (a, b) -> a + b)) AS p
+  FROM mm
+), tt AS (
+  SELECT n, m, p,
+    list_reduce(p, (a, b) -> a + b) AS tot
+  FROM pw
+), f AS (
+  SELECT n, m, tot,
+    -list_sum(list_transform(p, q ->
+      CASE WHEN q > 0 THEN (q / tot) * ln(q / tot)
+           ELSE 0.0 END)) / ln(CAST(m AS DOUBLE)) AS h,
+    list_sum(list_transform(p, q -> ln(q)))
+      / CAST(m AS DOUBLE) AS lnf
+  FROM tt WHERE tot > 0
+)
+SELECT n AS n_days, m AS n_freqs,
+  round(h, 6) AS spectral_entropy,
+  round(exp(lnf) / (tot / CAST(m AS DOUBLE)), 6)
+    AS spectral_flatness,
+  CASE WHEN h > 0.9 THEN 'broadband_noise'
+       WHEN h < 0.6 THEN 'strongly_periodic'
+       ELSE 'mixed' END AS band
+FROM f
+"""
+
+QUERIES["spectral_entropy"] = q_spectral_entropy
+_RAW_ORACLES["spectral_entropy"] = SQL_SPECTRAL_ENTROPY
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

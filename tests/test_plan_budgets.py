@@ -674,6 +674,14 @@ BUDGETS = {
     # bounded folds on the 1-row frame
     "taylor_law": {"shuffle": 2, "python": 0, "cartesian": 0,
                    "bnlj": 0},
+    # sample-entropy: day agg + 1-row global agg; the <=378-pair
+    # template counts are bounded nested folds on the 1-row frame
+    "sample_entropy": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    # spectral-entropy: day agg + 1-row collect; the per-k trig
+    # folds and the entropy/flatness folds run on the 1-row frame
+    "spectral_entropy": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
 }
 
 

@@ -3923,3 +3923,110 @@ def test_taylor_law_rebuild(spark):
     )
     assert r["verdict"] == band
     assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_sample_entropy_rebuild(spark):
+    """SampEn(m=2, r=0.5*SD) vs a literal python rebuild of the
+    Richman-Moorman template counts over the daily volumes, plus
+    A <= B and the banding."""
+    import math
+
+    from mpds_spark.queries import q_sample_entropy
+
+    r = q_sample_entropy(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    m = sum(ys) / n
+    sd = (sum((y - m) ** 2 for y in ys) / (n - 1)) ** 0.5
+    tol = 0.5 * sd
+    M = n - 2
+    b = a = 0
+    for i in range(M - 1):
+        for j in range(i + 1, M):
+            if (
+                abs(ys[i] - ys[j]) <= tol
+                and abs(ys[i + 1] - ys[j + 1]) <= tol
+            ):
+                b += 1
+                if abs(ys[i + 2] - ys[j + 2]) <= tol:
+                    a += 1
+    sampen = math.log(b) - math.log(a)
+    assert r["n_days"] == n
+    assert abs(r["r_tol"] - tol) < 1e-6
+    assert r["b_count"] == b
+    assert r["a_count"] == a
+    assert r["a_count"] <= r["b_count"]
+    assert abs(r["sampen"] - sampen) < 1e-6
+    band = (
+        "regular" if sampen < 0.5
+        else "complex" if sampen > 1.5
+        else "moderate"
+    )
+    assert r["band"] == band
+    assert r["sampen"] > 0
+
+
+def test_spectral_entropy_rebuild(spark):
+    """Spectral entropy/flatness vs a literal numpy rebuild of the
+    demeaned half-spectrum periodogram of the daily volumes, plus
+    the [0,1] entropy range and flatness <= 1."""
+    import math
+
+    from mpds_spark.queries import q_spectral_entropy
+
+    r = q_spectral_entropy(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    mfr = (n - 1) // 2
+    s = sum(ys)
+    ps = []
+    for k in range(1, mfr + 1):
+        c = sum(
+            (n * ys[t - 1] - s)
+            * math.cos(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        si = sum(
+            (n * ys[t - 1] - s)
+            * math.sin(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        ps.append(c * c + si * si)
+    tot = sum(ps)
+    h = -sum(
+        (p / tot) * math.log(p / tot) for p in ps if p > 0
+    ) / math.log(mfr)
+    lnf = sum(math.log(p) for p in ps) / mfr
+    flat = math.exp(lnf) / (tot / mfr)
+    assert r["n_days"] == n
+    assert r["n_freqs"] == mfr
+    assert abs(r["spectral_entropy"] - h) < 1e-6
+    assert abs(r["spectral_flatness"] - flat) < 1e-6
+    assert 0.0 <= r["spectral_entropy"] <= 1.0
+    assert 0.0 < r["spectral_flatness"] <= 1.0
+    band = (
+        "broadband_noise" if h > 0.9
+        else "strongly_periodic" if h < 0.6
+        else "mixed"
+    )
+    assert r["band"] == band
