@@ -70,6 +70,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (seventy-fifth batch — continuation session)
+    "moran_i",
+    "geary_c",
+    # new in round 5 (seventy-fourth batch — continuation session)
+    "jensen_shannon",
+    "hellinger_affinity",
+    # new in round 5 (seventy-third batch — continuation session)
+    "lin_ccc",
+    "bland_altman",
+    # new in round 5 (seventy-second batch — continuation session)
+    "brier_decomposition",
+    "youden_j",
+    # new in round 5 (seventy-first batch — continuation session)
+    "ndcg_eval",
+    "mrr_eval",
+    # new in round 5 (seventieth batch — continuation session)
+    "adamic_adar",
+    "hits_scores",
     # new in round 5 (sixty-ninth batch — continuation session)
     "sample_entropy",
     "spectral_entropy",

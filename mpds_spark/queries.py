@@ -21983,4 +21983,1495 @@ FROM f
 
 QUERIES["spectral_entropy"] = q_spectral_entropy
 _RAW_ORACLES["spectral_entropy"] = SQL_SPECTRAL_ENTROPY
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Top-12 Adamic-Adar link predictions over the co-order part
+    graph (operators/graph.py adamic_adar; Adamic & Adar 2003,
+    Liben-Nowell & Kleinberg 2003): non-edge part pairs ranked by
+    sum 1/ln(deg z) over common neighbors — "items that should
+    co-occur but don't yet", the candidate-generation channel beside
+    basket_lift's observed pairs. Gated on the l_partkey % 4 == 0
+    subgraph (the graph_triangles fixture convention) to bound the
+    toy-scale wedge volume; per-pair weight folds are neighbor-id
+    sorted on BOTH engines, counts exact longs, top-k a
+    TakeOrderedAndProject with (aa DESC, x, y) tie-break."""
+    from mpds_spark.operators.graph import (
+        adamic_adar,
+        co_occurrence_edges,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    )
+    edges = co_occurrence_edges(
+        li, basket="l_orderkey", item="l_partkey"
+    )
+    out = adamic_adar(edges, k=12)
+    return out.select(
+        F.col("x").alias("part_a"),
+        F.col("y").alias("part_b"),
+        "common_neighbors",
+        _r6("aa").alias("aa"),
+    )
+
+
+SQL_ADAMIC_ADAR = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+  FROM lineitem WHERE l_partkey % 4 = 0
+), e AS (
+  SELECT DISTINCT a.pk AS a, b.pk AS b
+  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+), sym AS (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL SELECT b AS src, a AS dst FROM e
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg
+  FROM sym GROUP BY src
+), w AS (
+  SELECT a1.src AS z, a1.dst AS x, a2.dst AS y, deg.deg AS deg
+  FROM sym a1
+  JOIN sym a2 ON a1.src = a2.src AND a1.dst < a2.dst
+  JOIN deg ON deg.src = a1.src
+), cand AS (
+  SELECT z, x, y, deg FROM w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.y)
+), p AS (
+  SELECT x, y,
+    CAST(count(*) AS BIGINT) AS common_neighbors,
+    list_sum(list(1.0 / ln(CAST(deg AS DOUBLE)) ORDER BY z)) AS aa
+  FROM cand GROUP BY x, y
+)
+SELECT x AS part_a, y AS part_b, common_neighbors,
+  round(aa, 6) AS aa
+FROM p
+ORDER BY aa DESC, x, y
+LIMIT 12
+"""
+
+QUERIES["adamic_adar"] = q_adamic_adar
+_RAW_ORACLES["adamic_adar"] = SQL_ADAMIC_ADAR
+
+
+def q_hits_scores(spark, sf_dir):
+    """Top-10 hubs and top-10 authorities of the customer -> part
+    purchase graph by exact-integer unnormalized HITS, two full
+    sweeps (operators/graph.py hits_bipartite; Kleinberg JACM 1999):
+    round-2 authority = number of directed 3-paths into the part,
+    hubs the buyers those paths route through — the bipartite
+    reinforcement ranking beside pagerank_iter's undirected
+    centrality, and the path-count formulation keeps EVERY score an
+    exact long (integer sums are order-independent, so the float
+    normalization that no engine pins never happens; the reported
+    score_norm divides by the side's max — one exact-long division).
+    Gated on l_partkey % 4 == 0; per-side top-10 are
+    TakeOrderedAndProject with (score DESC, node) tie-break."""
+    from mpds_spark.operators.graph import hits_bipartite
+
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 4 == 0
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            F.col("l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits_bipartite(edges, n_rounds=2)
+    auth = (
+        out.filter(F.col("side") == "authority")
+        .orderBy(F.desc("score"), "node")
+        .limit(10)
+    )
+    hub = (
+        out.filter(F.col("side") == "hub")
+        .orderBy(F.desc("score"), "node")
+        .limit(10)
+    )
+    return auth.unionAll(hub).select(
+        "side", "node", "score", _r6("score_norm").alias("score_norm")
+    )
+
+
+SQL_HITS_SCORES = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_partkey % 4 = 0
+), a1 AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS a
+  FROM e GROUP BY dst
+), h1 AS (
+  SELECT src, CAST(sum(a) AS BIGINT) AS h
+  FROM e JOIN a1 USING (dst) GROUP BY src
+), a2 AS (
+  SELECT dst, CAST(sum(h) AS BIGINT) AS a
+  FROM e JOIN h1 USING (src) GROUP BY dst
+), h2 AS (
+  SELECT src, CAST(sum(a) AS BIGINT) AS h
+  FROM e JOIN a2 USING (dst) GROUP BY src
+), am AS (SELECT max(a) AS m FROM a2),
+hm AS (SELECT max(h) AS m FROM h2),
+top_a AS (
+  SELECT 'authority' AS side, dst AS node, a AS score,
+    round(CAST(a AS DOUBLE) / CAST((SELECT m FROM am) AS DOUBLE), 6)
+      AS score_norm
+  FROM a2 ORDER BY a DESC, dst LIMIT 10
+), top_h AS (
+  SELECT 'hub' AS side, src AS node, h AS score,
+    round(CAST(h AS DOUBLE) / CAST((SELECT m FROM hm) AS DOUBLE), 6)
+      AS score_norm
+  FROM h2 ORDER BY h DESC, src LIMIT 10
+)
+SELECT * FROM top_a
+UNION ALL
+SELECT * FROM top_h
+"""
+
+QUERIES["hits_scores"] = q_hits_scores
+_RAW_ORACLES["hits_scores"] = SQL_HITS_SCORES
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the revenue-based part ranking under a temporal
+    split (Järvelin & Kekäläinen TOIS 2002 — THE graded ranking
+    metric: rank parts by first-period revenue (orders before
+    1998-07-01), score the ranking against SECOND-period revenue as
+    graded relevance; nDCG near 1 says yesterday's bestseller list
+    still explains tomorrow's demand, the ranking-quality twin of
+    mase_eval's magnitude check and the offline gate for any
+    popularity-seeded recommender). Per-part period revenues are
+    exact cents from ONE corpus aggregate; both the ranking top-10
+    and the ideal top-10 are TakeOrderedAndProject heaps with exact
+    (cents DESC, part) tie-breaks; DCG = sum rel_i/(ln(i+1)/ln 2)
+    folds RANK-ASCENDING over the collected <=10-element arrays on
+    BOTH engines, each rel one exact-cents division. Also reports
+    the train/ideal top-10 overlap (exact long — the 'stability'
+    reading). 100-TB shape: the heaps never sort the part frame."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate").cast("timestamp")
+         < F.lit("1998-07-01").cast("timestamp")).alias("__first"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    cell = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__first"),
+                    F.floor(F.col("l_extendedprice") * 100
+                            + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("__r1"),
+            F.sum(
+                F.when(
+                    ~F.col("__first"),
+                    F.floor(F.col("l_extendedprice") * 100
+                            + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("__r2"),
+        )
+    )
+    from mpds_spark.operators.util import scratch_persist
+
+    cell = scratch_persist(cell)
+    top_train = (
+        cell.filter(F.col("__r1") > 0)
+        .orderBy(F.desc("__r1"), "l_partkey")
+        .limit(10)
+    )
+    top_ideal = (
+        cell.orderBy(F.desc("__r2"), "l_partkey").limit(10)
+    )
+    n_parts = cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+    # rank order keys: train ranking by (-r1, part); ideal by (-r2, part)
+    t1 = top_train.select(
+        F.col("l_partkey"),
+        F.col("__r1"),
+        F.col("__r2"),
+    ).withColumn("__ord", F.struct((-F.col("__r1")).alias("k"),
+                                   F.col("l_partkey").alias("p")))
+    one_t = t1.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ord", "__r2", "l_partkey"))
+        ).alias("__a"),
+        F.collect_set("l_partkey").alias("__train_set"),
+    )
+    t2 = top_ideal.select("l_partkey", "__r2").withColumn(
+        "__ord", F.struct((-F.col("__r2")).alias("k"),
+                          F.col("l_partkey").alias("p"))
+    )
+    one_i = t2.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ord", "__r2", "l_partkey"))
+        ).alias("__b"),
+        F.collect_set("l_partkey").alias("__ideal_set"),
+    )
+    dcg_fold = (
+        "aggregate(sequence(1, cast(size({arr}) as int)), 0.0D,"
+        " (acc, i) -> acc"
+        " + (cast(element_at({arr}, i).__r2 as double) / 100.0D)"
+        " / (ln(cast(i + 1 as double)) / ln(2.0D)))"
+    )
+    f = one_t.crossJoin(F.broadcast(one_i)).crossJoin(
+        F.broadcast(n_parts)
+    )
+    f = (
+        f
+        .withColumn("__dcg", F.expr(dcg_fold.format(arr="__a")))
+        .withColumn("__idcg", F.expr(dcg_fold.format(arr="__b")))
+        .withColumn(
+            "__ov",
+            F.expr(
+                "cast(size(array_intersect(__train_set, __ideal_set))"
+                " as long)"
+            ),
+        )
+    )
+    f = f.filter(F.col("__idcg") > 0.0)
+    return f.select(
+        F.lit(10).alias("k"),
+        "n_parts",
+        _r6(F.col("__dcg")).alias("dcg"),
+        _r6(F.col("__idcg")).alias("idcg"),
+        _r6(F.col("__dcg") / F.col("__idcg")).alias("ndcg"),
+        F.col("__ov").alias("top10_overlap"),
+    )
+
+
+SQL_NDCG_EVAL = """
+WITH cell AS (
+  SELECT l_partkey,
+    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS r2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey
+), tt AS (
+  SELECT l_partkey, r2,
+    row_number() OVER (ORDER BY r1 DESC, l_partkey) AS i
+  FROM cell WHERE r1 > 0
+  ORDER BY r1 DESC, l_partkey LIMIT 10
+), ti AS (
+  SELECT l_partkey, r2,
+    row_number() OVER (ORDER BY r2 DESC, l_partkey) AS i
+  FROM cell
+  ORDER BY r2 DESC, l_partkey LIMIT 10
+), d AS (
+  SELECT
+    list_sum(list(
+      (CAST(r2 AS DOUBLE) / 100.0)
+      / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0)) ORDER BY i)) AS dcg
+  FROM tt
+), di AS (
+  SELECT
+    list_sum(list(
+      (CAST(r2 AS DOUBLE) / 100.0)
+      / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0)) ORDER BY i)) AS idcg
+  FROM ti
+), ov AS (
+  SELECT CAST(count(*) AS BIGINT) AS overlap
+  FROM tt JOIN ti USING (l_partkey)
+), np AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_parts FROM cell
+)
+SELECT 10 AS k, np.n_parts,
+  round(d.dcg, 6) AS dcg,
+  round(di.idcg, 6) AS idcg,
+  round(d.dcg / di.idcg, 6) AS ndcg,
+  ov.overlap AS top10_overlap
+FROM d, di, ov, np
+WHERE di.idcg > 0
+"""
+
+QUERIES["ndcg_eval"] = q_ndcg_eval
+_RAW_ORACLES["ndcg_eval"] = SQL_NDCG_EVAL
+
+
+def q_mrr_eval(spark, sf_dir):
+    """Mean reciprocal rank @ 20 of per-customer part rankings under
+    the same temporal split as ndcg_eval (Voorhees TREC-8 1999 — the
+    per-USER counterpart to ndcg_eval's global ranking: for each
+    customer, rank the parts they bought before 1998-07-01 by spend;
+    the target is their single top part AFTER the split; RR = 1/rank
+    of the target in that list, 0 on a miss — the offline
+    personalization gate). EVERY aggregate is exact: per-(customer,
+    part) period spends are exact cents, the target and the rank are
+    exact integer comparisons with (cents DESC, part) tie-breaks,
+    ranks are capped at 20 and the MRR float sum is NOT folded over
+    users — users are first grouped BY RANK (<=21 groups), so
+    MRR = sum_r count_r/r folds RANK-ASCENDING over a bounded frame
+    on BOTH engines. Also reports hits@1/5/10 and the hit rate.
+    100-TB shape: two customer-keyed aggs + one bounded-frame fold;
+    no window over the part dimension, no global sort."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        (F.col("o_orderdate").cast("timestamp")
+         < F.lit("1998-07-01").cast("timestamp")).alias("__first"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    cell = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("__first"),
+                    F.floor(F.col("l_extendedprice") * 100
+                            + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("__c1"),
+            F.sum(
+                F.when(
+                    ~F.col("__first"),
+                    F.floor(F.col("l_extendedprice") * 100
+                            + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("__c2"),
+        )
+    )
+    # one customer-keyed agg: target (max c2, part tie-break) and the
+    # sorted first-half cells in one pass
+    per_user = cell.groupBy("o_custkey").agg(
+        F.max(
+            F.when(
+                F.col("__c2") > 0,
+                F.struct(
+                    F.col("__c2").alias("c2"),
+                    (-F.col("l_partkey")).alias("np"),
+                ),
+            )
+        ).alias("__tgt"),
+        F.collect_list(
+            F.when(
+                F.col("__c1") > 0,
+                F.struct(
+                    F.col("__c1").alias("c1"),
+                    F.col("l_partkey").alias("p"),
+                ),
+            )
+        ).alias("__fh"),
+    )
+    per_user = per_user.filter(F.col("__tgt").isNotNull())
+    # rank of target within the first-half list: 1 + #(strictly better)
+    per_user = per_user.withColumn(
+        "__tp", F.expr("-__tgt.np")
+    ).withColumn(
+        "__tc1",
+        F.expr(
+            "aggregate(__fh, 0L, (acc, x) ->"
+            " acc + IF(x IS NOT NULL AND x.p = __tp, x.c1, 0L))"
+        ),
+    )
+    per_user = per_user.withColumn(
+        "__rank",
+        F.when(
+            F.col("__tc1") > 0,
+            F.expr(
+                "1L + aggregate(__fh, 0L, (acc, x) ->"
+                " acc + IF(x IS NOT NULL AND (x.c1 > __tc1 OR"
+                " (x.c1 = __tc1 AND x.p < __tp)), 1L, 0L))"
+            ),
+        ).otherwise(F.lit(0).cast("long")),
+    ).withColumn(
+        "__rank",
+        F.when(F.col("__rank") > 20, F.lit(0).cast("long"))
+        .otherwise(F.col("__rank")),
+    )
+    ranks = per_user.groupBy("__rank").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    one = ranks.agg(
+        F.sum("__cnt").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("__rank") == 1, F.col("__cnt"))
+              .otherwise(F.lit(0))).cast("long").alias("hits_at_1"),
+        F.sum(
+            F.when(
+                (F.col("__rank") >= 1) & (F.col("__rank") <= 5),
+                F.col("__cnt"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("hits_at_5"),
+        F.sum(
+            F.when(
+                (F.col("__rank") >= 1) & (F.col("__rank") <= 10),
+                F.col("__cnt"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("hits_at_10"),
+        F.sum(F.when(F.col("__rank") >= 1, F.col("__cnt"))
+              .otherwise(F.lit(0))).cast("long").alias("__hits"),
+        F.array_sort(
+            F.collect_list(F.struct("__rank", "__cnt"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__rrsum",
+        F.expr(
+            "aggregate(__a, 0.0D, (acc, x) -> acc"
+            " + IF(x.__rank >= 1L,"
+            " cast(x.__cnt as double) / cast(x.__rank as double),"
+            " 0.0D))"
+        ),
+    )
+    one = one.filter(F.col("n_users") > 0)
+    nu = F.col("n_users").cast("double")
+    return one.select(
+        F.lit(20).alias("k"),
+        "n_users",
+        "hits_at_1",
+        "hits_at_5",
+        "hits_at_10",
+        _r6(F.col("__hits").cast("double") / nu).alias("hit_rate"),
+        _r6(F.col("__rrsum") / nu).alias("mrr"),
+    )
+
+
+SQL_MRR_EVAL = """
+WITH cell AS (
+  SELECT o_custkey, l_partkey,
+    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS c1,
+    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+      THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS c2
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_partkey
+), tgt AS (
+  SELECT o_custkey, l_partkey AS tp, c1 AS tc1
+  FROM (
+    SELECT o_custkey, l_partkey, c1,
+      row_number() OVER (PARTITION BY o_custkey
+        ORDER BY c2 DESC, l_partkey) AS rn
+    FROM cell WHERE c2 > 0
+  ) WHERE rn = 1
+), rk AS (
+  SELECT t.o_custkey,
+    CASE WHEN t.tc1 = 0 THEN 0
+      ELSE 1 + (
+        SELECT CAST(count(*) AS BIGINT) FROM cell c
+        WHERE c.o_custkey = t.o_custkey AND c.c1 > 0
+          AND (c.c1 > t.tc1
+               OR (c.c1 = t.tc1 AND c.l_partkey < t.tp))
+      ) END AS r
+  FROM tgt t
+), capped AS (
+  SELECT o_custkey,
+    CASE WHEN r > 20 THEN 0 ELSE r END AS r
+  FROM rk
+), g AS (
+  SELECT r, CAST(count(*) AS BIGINT) AS cnt
+  FROM capped GROUP BY r
+), one AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_users,
+    CAST(sum(CASE WHEN r = 1 THEN cnt ELSE 0 END) AS BIGINT)
+      AS hits_at_1,
+    CAST(sum(CASE WHEN r BETWEEN 1 AND 5 THEN cnt ELSE 0 END)
+      AS BIGINT) AS hits_at_5,
+    CAST(sum(CASE WHEN r BETWEEN 1 AND 10 THEN cnt ELSE 0 END)
+      AS BIGINT) AS hits_at_10,
+    CAST(sum(CASE WHEN r >= 1 THEN cnt ELSE 0 END) AS BIGINT)
+      AS hits,
+    list_sum(list(CASE WHEN r >= 1
+      THEN CAST(cnt AS DOUBLE) / CAST(r AS DOUBLE)
+      ELSE 0.0 END ORDER BY r)) AS rrsum
+  FROM g
+)
+SELECT 20 AS k, n_users, hits_at_1, hits_at_5, hits_at_10,
+  round(CAST(hits AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+    AS hit_rate,
+  round(rrsum / CAST(n_users AS DOUBLE), 6) AS mrr
+FROM one WHERE n_users > 0
+"""
+
+QUERIES["mrr_eval"] = q_mrr_eval
+_RAW_ORACLES["mrr_eval"] = SQL_MRR_EVAL
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for calibration_bins'
+    deterministic length classifier (Murphy J. Appl. Meteor. 1973 —
+    the WHY behind calibration_bins' single ECE number: Brier =
+    RELIABILITY (calibration error, want 0) - RESOLUTION (how much
+    the bins separate outcomes, want large) + UNCERTAINTY (the
+    irreducible base-rate term ybar(1-ybar)); two models with equal
+    Brier can differ entirely in the REL/RES split, which decides
+    whether to recalibrate (high REL) or re-feature (low RES) — the
+    post-mortem companion to calibration_bins). Same classifier and
+    10 equal-width bins: per-bin (n_b, pos_b, sm_b) are exact longs
+    from ONE corpus aggregate; each bin's REL term (sm_b - 400
+    pos_b)^2 / (160000 n_b) and RES term (N pos_b - n_b P)^2 /
+    (N^2 n_b) is one exact-long-cast division, folded BIN-ASCENDING
+    over the <=10-row frame on BOTH engines; UNC = P(N-P)/N^2 and
+    the Brier skill score BSS = 1 - B/UNC are fixed expression
+    trees; the identity B_binned = REL - RES + UNC is exact by
+    construction (checked in the rebuild pytest). 2 shuffles at any
+    corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars"), F.lit(400)).cast("long")
+        .alias("__m"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 50,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    b = d.groupBy(
+        F.least(F.lit(9).cast("long"), F.expr("__m div 40"))
+        .alias("__bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+        F.sum("__m").cast("long").alias("__sm"),
+    )
+    one = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("__n").cast("long").alias("__N"),
+        F.sum("__pos").cast("long").alias("__P"),
+        F.array_sort(
+            F.collect_list(F.struct("__bin", "__n", "__pos", "__sm"))
+        ).alias("__a"),
+    )
+    one = one.filter(
+        (F.col("__N") > 0) & (F.col("__P") > 0)
+        & (F.col("__P") < F.col("__N"))
+    )
+    one = (
+        one
+        .withColumn(
+            "__rel",
+            F.expr(
+                "aggregate(__a, 0.0D, (acc, x) -> acc"
+                " + cast((x.__sm - 400 * x.__pos)"
+                " * (x.__sm - 400 * x.__pos) as double)"
+                " / (160000.0D * cast(x.__n as double)))"
+                " / cast(__N as double)"
+            ),
+        )
+        .withColumn(
+            "__res",
+            F.expr(
+                "aggregate(__a, 0.0D, (acc, x) -> acc"
+                " + cast((__N * x.__pos - x.__n * __P) as double)"
+                " * cast((__N * x.__pos - x.__n * __P) as double)"
+                " / (cast(__N as double) * cast(__N as double)"
+                " * cast(x.__n as double)))"
+                " / cast(__N as double)"
+            ),
+        )
+    )
+    nn = F.col("__N").cast("double")
+    pp = F.col("__P").cast("double")
+    unc = pp * (nn - pp) / (nn * nn)
+    brier = F.col("__rel") - F.col("__res") + unc
+    return one.select(
+        "n_bins",
+        F.col("__N").alias("n_docs"),
+        _r6(pp / nn).alias("base_rate"),
+        _r6(F.col("__rel")).alias("reliability"),
+        _r6(F.col("__res")).alias("resolution"),
+        _r6(unc).alias("uncertainty"),
+        _r6(brier).alias("brier_binned"),
+        _r6(F.lit(1.0) - brier / unc).alias("bss"),
+    )
+
+
+SQL_BRIER_DECOMPOSITION = """
+WITH d AS (
+  SELECT CAST(least(n_chars, 400) AS BIGINT) AS m,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+      >= 50 THEN 1 ELSE 0 END AS y
+  FROM documents
+), b AS (
+  SELECT least(9, m // 40) AS bin,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(m) AS BIGINT) AS sm
+  FROM d GROUP BY least(9, m // 40)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+    CAST(sum(n) AS BIGINT) AS N,
+    CAST(sum(pos) AS BIGINT) AS P,
+    list_sum(list(
+      CAST((sm - 400 * pos) * (sm - 400 * pos) AS DOUBLE)
+      / (160000.0 * CAST(n AS DOUBLE)) ORDER BY bin)) AS reln,
+    list(ROW(n, pos) ORDER BY bin) AS cells
+  FROM b
+), two AS (
+  SELECT n_bins, N, P, reln,
+    list_sum(list_transform(cells, x ->
+      CAST((N * x[2] - x[1] * P) AS DOUBLE)
+      * CAST((N * x[2] - x[1] * P) AS DOUBLE)
+      / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)
+         * CAST(x[1] AS DOUBLE)))) AS resn
+  FROM one WHERE N > 0 AND P > 0 AND P < N
+), f AS (
+  SELECT n_bins, N, P,
+    reln / CAST(N AS DOUBLE) AS rel,
+    resn / CAST(N AS DOUBLE) AS res,
+    CAST(P AS DOUBLE) * CAST(N - P AS DOUBLE)
+      / (CAST(N AS DOUBLE) * CAST(N AS DOUBLE)) AS unc
+  FROM two
+)
+SELECT n_bins, N AS n_docs,
+  round(CAST(P AS DOUBLE) / CAST(N AS DOUBLE), 6) AS base_rate,
+  round(rel, 6) AS reliability,
+  round(res, 6) AS resolution,
+  round(unc, 6) AS uncertainty,
+  round(rel - res + unc, 6) AS brier_binned,
+  round(1.0 - (rel - res + unc) / unc, 6) AS bss
+FROM f
+"""
+
+QUERIES["brier_decomposition"] = q_brier_decomposition
+_RAW_ORACLES["brier_decomposition"] = SQL_BRIER_DECOMPOSITION
+
+
+def q_youden_j(spark, sf_dir):
+    """Youden's J optimal operating point for calibration_bins'
+    deterministic length classifier (Youden Cancer 1950 — the
+    threshold-CHOICE companion to rank_auc's threshold-free ranking
+    audit: sweep every decision threshold, maximize J = sensitivity
+    + specificity - 1; the argmax is where a deployed binary filter
+    should actually cut, and J* is the chance-corrected headroom the
+    score offers). The sweep is EXACT and domain-bounded: scores
+    m = least(n_chars,400) take <= 401 values, ONE corpus aggregate
+    groups (pos_m, n_m), one cumulative window over the score frame
+    gives TP/FP at every threshold, and the argmax compares the
+    exact-long numerator J_num = TP*(N-P) - FP*P with a LOWEST-
+    threshold tie-break via one exact struct max; sens/spec/J are
+    single exact-long divisions. 100-TB shape: the window runs over
+    <= 401 rows regardless of corpus size. 3 shuffles."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars"), F.lit(400)).cast("long")
+        .alias("__m"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 50,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    g = d.groupBy("__m").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__pos"),
+    )
+    wdesc = Window.orderBy(F.desc("__m")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("__m").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = g.select(
+        "__m",
+        F.sum("__pos").over(wdesc).cast("long").alias("__tp"),
+        (F.sum("__n").over(wdesc) - F.sum("__pos").over(wdesc))
+        .cast("long").alias("__fp"),
+        F.sum("__n").over(wall).cast("long").alias("__N"),
+        F.sum("__pos").over(wall).cast("long").alias("__P"),
+    )
+    g = g.withColumn(
+        "__jnum",
+        F.col("__tp") * (F.col("__N") - F.col("__P"))
+        - F.col("__fp") * F.col("__P"),
+    )
+    one = g.filter(
+        (F.col("__P") > 0) & (F.col("__P") < F.col("__N"))
+    ).agg(
+        F.max(
+            F.struct(
+                F.col("__jnum").alias("j"),
+                (-F.col("__m")).alias("nm"),
+                F.col("__tp").alias("tp"),
+                F.col("__fp").alias("fp"),
+                F.col("__N").alias("N"),
+                F.col("__P").alias("P"),
+            )
+        ).alias("__b")
+    )
+    one = one.select(
+        F.expr("__b.N").alias("n_docs"),
+        F.expr("__b.P").alias("n_pos"),
+        F.expr("-__b.nm").alias("threshold"),
+        F.expr("__b.tp").alias("tp"),
+        F.expr("__b.fp").alias("fp"),
+        _r6(
+            F.expr("cast(__b.tp as double) / cast(__b.P as double)")
+        ).alias("sensitivity"),
+        _r6(
+            F.expr(
+                "1.0D - cast(__b.fp as double)"
+                " / cast(__b.N - __b.P as double)"
+            )
+        ).alias("specificity"),
+        _r6(
+            F.expr(
+                "cast(__b.j as double)"
+                " / (cast(__b.P as double)"
+                " * cast(__b.N - __b.P as double))"
+            )
+        ).alias("youden_j"),
+    )
+    return one
+
+
+SQL_YOUDEN_J = """
+WITH d AS (
+  SELECT CAST(least(n_chars, 400) AS BIGINT) AS m,
+    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+      >= 50 THEN 1 ELSE 0 END AS y
+  FROM documents
+), g AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS pos
+  FROM d GROUP BY m
+), c AS (
+  SELECT m,
+    CAST(sum(pos) OVER (ORDER BY m DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS tp,
+    CAST(sum(n) OVER (ORDER BY m DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - sum(pos) OVER (ORDER BY m DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS fp,
+    CAST(sum(n) OVER () AS BIGINT) AS N,
+    CAST(sum(pos) OVER () AS BIGINT) AS P
+  FROM g
+), j AS (
+  SELECT m, tp, fp, N, P,
+    tp * (N - P) - fp * P AS jnum
+  FROM c WHERE P > 0 AND P < N
+), best AS (
+  SELECT * FROM j
+  ORDER BY jnum DESC, m ASC LIMIT 1
+)
+SELECT N AS n_docs, P AS n_pos, m AS threshold, tp, fp,
+  round(CAST(tp AS DOUBLE) / CAST(P AS DOUBLE), 6) AS sensitivity,
+  round(1.0 - CAST(fp AS DOUBLE) / CAST(N - P AS DOUBLE), 6)
+    AS specificity,
+  round(CAST(jnum AS DOUBLE)
+        / (CAST(P AS DOUBLE) * CAST(N - P AS DOUBLE)), 6)
+    AS youden_j
+FROM best
+"""
+
+QUERIES["youden_j"] = q_youden_j
+_RAW_ORACLES["youden_j"] = SQL_YOUDEN_J
+
+
+def q_lin_ccc(spark, sf_dir):
+    """Lin's concordance correlation coefficient between the daily
+    click-volume and daily view-volume series (Lin Biometrics 1989 —
+    the AGREEMENT statistic Pearson r deliberately is not: r asks
+    'do the two channels co-move', CCC asks 'do they give the SAME
+    number', penalizing location and scale shifts through the
+    bias-correction factor C_b = CCC/r; the right audit before
+    treating two telemetry channels as interchangeable measures of
+    daily activity, and the parametric twin of cohens_kappa's
+    categorical agreement). The day x channel counts come from ONE
+    conditional corpus aggregate; with Lin's 1/n moment convention
+    every n^2 denominator cancels, so CCC = 2(nSxy - SxSy) /
+    (nSxx - Sx^2 + nSyy - Sy^2 + (Sx-Sy)^2) is ONE division of
+    EXACT LONGS, and r, C_b, the location shift u and scale ratio
+    follow as fixed expression trees (IEEE sqrt). 2 shuffles at any
+    corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+        "event_type",
+    )
+    day = ev.groupBy("__day").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("__x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("__y"),
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("__sxy"),
+    )
+    n = F.col("n_days")
+    dxx = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    dyy = (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    dxy = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy"))
+    dm = F.col("__sx") - F.col("__sy")
+    one = one.filter((n > 1) & (dxx > 0) & (dyy > 0))
+    ccc = (F.lit(2.0) * dxy.cast("double")) / (
+        dxx.cast("double") + dyy.cast("double")
+        + (dm * dm).cast("double")
+    )
+    rr = dxy.cast("double") / (
+        F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))
+    )
+    scale = F.sqrt(dxx.cast("double") / dyy.cast("double"))
+    return one.select(
+        "n_days",
+        _r6(F.col("__sx").cast("double") / n.cast("double"))
+        .alias("mean_clicks"),
+        _r6(F.col("__sy").cast("double") / n.cast("double"))
+        .alias("mean_views"),
+        _r6(rr).alias("pearson_r"),
+        _r6(ccc).alias("ccc"),
+        _r6(ccc / rr).alias("c_b"),
+        _r6(scale).alias("scale_ratio"),
+        (ccc > F.lit(0.9)).alias("interchangeable"),
+    )
+
+
+SQL_LIN_CCC = """
+WITH day AS (
+  SELECT day(ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      AS BIGINT) AS x,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM day
+), f AS (
+  SELECT n, sx, sy,
+    n * sxx - sx * sx AS dxx,
+    n * syy - sy * sy AS dyy,
+    n * sxy - sx * sy AS dxy,
+    sx - sy AS dm
+  FROM one WHERE n > 1
+)
+SELECT n AS n_days,
+  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_clicks,
+  round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_views,
+  round(CAST(dxy AS DOUBLE)
+        / (sqrt(CAST(dxx AS DOUBLE)) * sqrt(CAST(dyy AS DOUBLE))),
+        6) AS pearson_r,
+  round(2.0 * CAST(dxy AS DOUBLE)
+        / (CAST(dxx AS DOUBLE) + CAST(dyy AS DOUBLE)
+           + CAST(dm * dm AS DOUBLE)), 6) AS ccc,
+  round((2.0 * CAST(dxy AS DOUBLE)
+        / (CAST(dxx AS DOUBLE) + CAST(dyy AS DOUBLE)
+           + CAST(dm * dm AS DOUBLE)))
+        / (CAST(dxy AS DOUBLE)
+           / (sqrt(CAST(dxx AS DOUBLE))
+              * sqrt(CAST(dyy AS DOUBLE)))), 6) AS c_b,
+  round(sqrt(CAST(dxx AS DOUBLE) / CAST(dyy AS DOUBLE)), 6)
+    AS scale_ratio,
+  (2.0 * CAST(dxy AS DOUBLE)
+   / (CAST(dxx AS DOUBLE) + CAST(dyy AS DOUBLE)
+      + CAST(dm * dm AS DOUBLE)) > 0.9) AS interchangeable
+FROM f WHERE dxx > 0 AND dyy > 0
+"""
+
+QUERIES["lin_ccc"] = q_lin_ccc
+_RAW_ORACLES["lin_ccc"] = SQL_LIN_CCC
+
+
+def q_bland_altman(spark, sf_dir):
+    """Bland-Altman limits of agreement between the daily click and
+    view volumes (Bland & Altman Lancet 1986 — the agreement plot
+    behind lin_ccc's single number: per-day differences d_t =
+    clicks_t - views_t, bias = mean d, limits of agreement = bias
+    +/- 1.96 sd; the within-limits share says how often the two
+    channels disagree by more than the noise band, and a bias whose
+    |t| = |mean|/(sd/sqrt(n)) clears 1.96 flags a SYSTEMATIC offset
+    one channel must be corrected for before substitution). The
+    differences are exact longs from the same conditional day
+    aggregate as lin_ccc; mean/sd come from exact-long moments (one
+    IEEE sqrt), the LoA are fixed expression trees, and the
+    within-band count compares exact-long-cast differences against
+    the deterministically-computed band edges — identical float
+    comparisons on BOTH engines via the day-ascending fold.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+        "event_type",
+    )
+    day = ev.groupBy("__day").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "click", 1)
+                  .otherwise(0))
+            - F.sum(F.when(F.col("event_type") == "view", 1)
+                    .otherwise(0))
+        ).cast("long").alias("__d"),
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__d").cast("long").alias("__sd"),
+        F.sum(F.col("__d") * F.col("__d")).cast("long").alias("__sdd"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__d"))
+        ).alias("__a"),
+    )
+    n = F.col("n_days")
+    ss = n * F.col("__sdd") - F.col("__sd") * F.col("__sd")
+    one = one.filter((n > 1) & (ss > 0))
+    nd = n.cast("double")
+    mean = F.col("__sd").cast("double") / nd
+    sd = F.sqrt(ss.cast("double") / (nd * (nd - F.lit(1.0))))
+    lo = mean - F.lit(1.96) * sd
+    hi = mean + F.lit(1.96) * sd
+    one = (
+        one
+        .withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .withColumn(
+            "__within",
+            F.expr(
+                "aggregate(__a, 0L, (acc, x) -> acc"
+                " + IF(cast(x.__d as double) >= __lo AND"
+                " cast(x.__d as double) <= __hi, 1L, 0L))"
+            ),
+        )
+    )
+    tstat = mean / (sd / F.sqrt(nd))
+    return one.select(
+        "n_days",
+        _r6(mean).alias("bias"),
+        _r6(sd).alias("sd_diff"),
+        _r6(F.col("__lo")).alias("loa_lower"),
+        _r6(F.col("__hi")).alias("loa_upper"),
+        F.col("__within").alias("n_within"),
+        _r6(F.col("__within").cast("double") / nd)
+        .alias("pct_within"),
+        (F.abs(tstat) > F.lit(1.96)).alias("systematic_bias"),
+    )
+
+
+SQL_BLAND_ALTMAN = """
+WITH day AS (
+  SELECT day(ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      AS BIGINT) AS d
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(d) AS BIGINT) AS sd_,
+    CAST(sum(d * d) AS BIGINT) AS sdd,
+    list(d ORDER BY day) AS darr
+  FROM day
+), f AS (
+  SELECT n, sd_, darr,
+    CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    sqrt(CAST(n * sdd - sd_ * sd_ AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS sd
+  FROM one WHERE n > 1 AND n * sdd - sd_ * sd_ > 0
+), g AS (
+  SELECT n, mean, sd,
+    mean - 1.96 * sd AS lo,
+    mean + 1.96 * sd AS hi,
+    list_sum(list_transform(darr, d ->
+      CASE WHEN CAST(d AS DOUBLE) >= mean - 1.96 * sd
+        AND CAST(d AS DOUBLE) <= mean + 1.96 * sd
+      THEN 1 ELSE 0 END)) AS within
+  FROM f
+)
+SELECT n AS n_days,
+  round(mean, 6) AS bias,
+  round(sd, 6) AS sd_diff,
+  round(lo, 6) AS loa_lower,
+  round(hi, 6) AS loa_upper,
+  CAST(within AS BIGINT) AS n_within,
+  round(CAST(within AS DOUBLE) / CAST(n AS DOUBLE), 6)
+    AS pct_within,
+  (abs(mean / (sd / sqrt(CAST(n AS DOUBLE)))) > 1.96)
+    AS systematic_bias
+FROM g
+"""
+
+QUERIES["bland_altman"] = q_bland_altman
+_RAW_ORACLES["bland_altman"] = SQL_BLAND_ALTMAN
+
+
+def q_jensen_shannon(spark, sf_dir):
+    """Jensen-Shannon divergence (bits) and total-variation distance
+    between the hour-of-day event distributions of the two
+    md5-parity user arms (Lin IEEE-IT 1991 for JSD — the SYMMETRIC,
+    always-finite repair of discrete_entropy_mi's KL, bounded by 1
+    bit, whose square root is a metric; TV is the 'worst-case event
+    probability gap' reading of the same two histograms. As an A/A
+    audit beside srm_check: hash-random arms share one temporal
+    profile, so JSD ~ 0 and a non-trivial value flags assignment
+    leakage into TIME — e.g. one arm saw a different rollout hour.
+    As drift tooling it is psi_drift's bounded cousin). The 24x2
+    cell counts come from ONE conditional corpus aggregate; TV =
+    sum_h |B a_h - A b_h| / (2AB) is EXACT (long numerators, one
+    division); JSD terms p ln(2p/(p+q)) are evaluated on the exact
+    rationals' single-division doubles and folded HOUR-ASCENDING
+    over the <=24-row frame on BOTH engines, then divided by ln 2.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("js|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    g = ev.groupBy("__h").agg(
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long").alias("__a"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long").alias("__b"),
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("__a").cast("long").alias("__A"),
+        F.sum("__b").cast("long").alias("__B"),
+        F.array_sort(
+            F.collect_list(F.struct("__h", "__a", "__b"))
+        ).alias("__c"),
+    )
+    one = one.filter((F.col("__A") > 0) & (F.col("__B") > 0))
+    one = one.withColumn(
+        "__tvnum",
+        F.expr(
+            "aggregate(__c, 0L, (acc, x) ->"
+            " acc + abs(__B * x.__a - __A * x.__b))"
+        ),
+    )
+    # JSD = sum p/2 ln(2p/(p+q)) + q/2 ln(2q/(p+q)), p=a/A, q=b/B
+    term = (
+        "(CASE WHEN x.{u} > 0 THEN"
+        " (cast(x.{u} as double) / cast(__{U} as double)) / 2.0D"
+        " * ln(2.0D * (cast(x.{u} as double) / cast(__{U} as double))"
+        " / (cast(x.__a as double) / cast(__A as double)"
+        "  + cast(x.__b as double) / cast(__B as double)))"
+        " ELSE 0.0D END)"
+    )
+    one = one.withColumn(
+        "__js",
+        F.expr(
+            "aggregate(__c, 0.0D, (acc, x) -> acc + "
+            + term.format(u="__a", U="A")
+            + " + "
+            + term.format(u="__b", U="B")
+            + ")"
+        ),
+    )
+    ab2 = (
+        F.lit(2.0)
+        * F.col("__A").cast("double")
+        * F.col("__B").cast("double")
+    )
+    jsd_bits = F.col("__js") / F.lit(float(__import__("math").log(2.0)))
+    return one.select(
+        "n_hours",
+        F.col("__A").alias("n_arm1"),
+        F.col("__B").alias("n_arm0"),
+        _r6(F.col("__tvnum").cast("double") / ab2).alias("tv_dist"),
+        _r6(jsd_bits).alias("jsd_bits"),
+        _r6(F.sqrt(F.col("__js"))).alias("js_metric"),
+        (jsd_bits < F.lit(0.01)).alias("arms_consistent"),
+    )
+
+
+SQL_JENSEN_SHANNON = """
+WITH ev AS (
+  SELECT hour(ts) AS h,
+    CAST(('0x' || substring(md5('js|' || CAST(user_id AS VARCHAR)),
+      1, 15))::UBIGINT % 2 AS BIGINT) AS arm
+  FROM events
+), g AS (
+  SELECT h,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev GROUP BY h
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(a) AS BIGINT) AS A, CAST(sum(b) AS BIGINT) AS B,
+    list({'a': a, 'b': b} ORDER BY h) AS c
+  FROM g
+), f AS (
+  SELECT n_hours, A, B,
+    list_sum(list_transform(c, x ->
+      abs(B * x.a - A * x.b))) AS tvnum,
+    list_sum(list_transform(c, x ->
+      (CASE WHEN x.a > 0 THEN
+        (CAST(x.a AS DOUBLE) / CAST(A AS DOUBLE)) / 2.0
+        * ln(2.0 * (CAST(x.a AS DOUBLE) / CAST(A AS DOUBLE))
+          / (CAST(x.a AS DOUBLE) / CAST(A AS DOUBLE)
+             + CAST(x.b AS DOUBLE) / CAST(B AS DOUBLE)))
+       ELSE 0.0 END)
+      + (CASE WHEN x.b > 0 THEN
+        (CAST(x.b AS DOUBLE) / CAST(B AS DOUBLE)) / 2.0
+        * ln(2.0 * (CAST(x.b AS DOUBLE) / CAST(B AS DOUBLE))
+          / (CAST(x.a AS DOUBLE) / CAST(A AS DOUBLE)
+             + CAST(x.b AS DOUBLE) / CAST(B AS DOUBLE)))
+       ELSE 0.0 END))) AS js
+  FROM one WHERE A > 0 AND B > 0
+)
+SELECT n_hours, A AS n_arm1, B AS n_arm0,
+  round(CAST(tvnum AS DOUBLE)
+        / (2.0 * CAST(A AS DOUBLE) * CAST(B AS DOUBLE)), 6)
+    AS tv_dist,
+  round(js / ln(2.0), 6) AS jsd_bits,
+  round(sqrt(js), 6) AS js_metric,
+  (js / ln(2.0) < 0.01) AS arms_consistent
+FROM f
+"""
+
+QUERIES["jensen_shannon"] = q_jensen_shannon
+_RAW_ORACLES["jensen_shannon"] = SQL_JENSEN_SHANNON
+
+
+def q_hellinger_affinity(spark, sf_dir):
+    """Bhattacharyya coefficient and Hellinger distance between the
+    same two md5-parity hour-of-day distributions (Bhattacharyya
+    1943; Hellinger 1909 — the sqrt-space geometry of the histogram
+    pair: BC = sum sqrt(p q) is the cosine of the angle between the
+    sqrt-distributions, H = sqrt(1 - BC) the metric; H^2 sandwiches
+    TV (H^2 <= TV <= H sqrt(2), checked in the rebuild pytest) and
+    is the distance that controls sample-complexity bounds — the
+    theory-side companion to jensen_shannon's information reading).
+    Each BC term sqrt(a_h b_h)/sqrt(AB) uses IEEE-exact sqrt of
+    exact-long products, folded HOUR-ASCENDING on BOTH engines;
+    the per-hour MAX gap term |B a_h - A b_h| and its argmax hour
+    are EXACT LONGS (earliest-hour tie-break via struct max).
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("js|"),
+                                   F.col("user_id").cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % 2
+        ).alias("__arm"),
+    )
+    g = ev.groupBy("__h").agg(
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long").alias("__a"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long").alias("__b"),
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("__a").cast("long").alias("__A"),
+        F.sum("__b").cast("long").alias("__B"),
+        F.array_sort(
+            F.collect_list(F.struct("__h", "__a", "__b"))
+        ).alias("__c"),
+    )
+    one = one.filter((F.col("__A") > 0) & (F.col("__B") > 0))
+    one = one.withColumn(
+        "__bcnum",
+        F.expr(
+            "aggregate(__c, 0.0D, (acc, x) -> acc"
+            " + sqrt(cast(x.__a as double) * cast(x.__b as double)))"
+        ),
+    ).withColumn(
+        "__mx",
+        F.expr(
+            "aggregate(__c, struct(-1L as g, -1L as h),"
+            " (acc, x) -> IF(abs(__B * x.__a - __A * x.__b) > acc.g,"
+            " struct(abs(__B * x.__a - __A * x.__b) as g,"
+            " x.__h as h), acc))"
+        ),
+    )
+    bc = F.col("__bcnum") / F.sqrt(
+        F.col("__A").cast("double") * F.col("__B").cast("double")
+    )
+    h = F.sqrt(F.lit(1.0) - bc)
+    return one.select(
+        "n_hours",
+        F.col("__A").alias("n_arm1"),
+        F.col("__B").alias("n_arm0"),
+        _r6(bc).alias("bhattacharyya"),
+        _r6(h).alias("hellinger"),
+        F.expr("__mx.h").alias("max_gap_hour"),
+        _r6(
+            F.expr("cast(__mx.g as double)")
+            / (F.col("__A").cast("double")
+               * F.col("__B").cast("double"))
+        ).alias("max_gap"),
+        (h < F.lit(0.1)).alias("arms_consistent"),
+    )
+
+
+SQL_HELLINGER_AFFINITY = """
+WITH ev AS (
+  SELECT hour(ts) AS h,
+    CAST(('0x' || substring(md5('js|' || CAST(user_id AS VARCHAR)),
+      1, 15))::UBIGINT % 2 AS BIGINT) AS arm
+  FROM events
+), g AS (
+  SELECT h,
+    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM ev GROUP BY h
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(a) AS BIGINT) AS A, CAST(sum(b) AS BIGINT) AS B,
+    list({'h': h, 'a': a, 'b': b} ORDER BY h) AS c
+  FROM g
+), f AS (
+  SELECT n_hours, A, B,
+    list_sum(list_transform(c, x ->
+      sqrt(CAST(x.a AS DOUBLE) * CAST(x.b AS DOUBLE)))) AS bcnum,
+    list_reduce(
+      list_transform(c, x -> {'g': abs(B * x.a - A * x.b),
+                              'h': x.h}),
+      (acc, x) -> CASE WHEN x.g > acc.g THEN x ELSE acc END) AS mx
+  FROM one WHERE A > 0 AND B > 0
+), z AS (
+  SELECT n_hours, A, B, mx,
+    bcnum / sqrt(CAST(A AS DOUBLE) * CAST(B AS DOUBLE)) AS bc
+  FROM f
+)
+SELECT n_hours, A AS n_arm1, B AS n_arm0,
+  round(bc, 6) AS bhattacharyya,
+  round(sqrt(1.0 - bc), 6) AS hellinger,
+  mx.h AS max_gap_hour,
+  round(CAST(mx.g AS DOUBLE)
+        / (CAST(A AS DOUBLE) * CAST(B AS DOUBLE)), 6) AS max_gap,
+  (sqrt(1.0 - bc) < 0.1) AS arms_consistent
+FROM z
+"""
+
+QUERIES["hellinger_affinity"] = q_hellinger_affinity
+_RAW_ORACLES["hellinger_affinity"] = SQL_HELLINGER_AFFINITY
+
+
+def q_moran_i(spark, sf_dir):
+    """Moran's I spatial autocorrelation of hourly event volume on
+    the CIRCULAR hour-of-day graph (Moran Biometrika 1950 — the
+    'do neighboring hours look alike?' statistic: hourly_seasonality
+    reports the diurnal profile, Moran's I certifies that the
+    profile is a smooth curve rather than independent per-hour noise
+    — the smoothness license for interpolating a missing hour from
+    its neighbors, and the graph-general form of value_acf's lag-1
+    reading). On the 24-cycle with unit weights the statistic
+    collapses to I = sum_h z_h z_{h+1 mod 24} / sum_h z_h^2, and
+    with the scaled residuals z_h = n*y_h - S EXACT LONGS both sums
+    are exact integers — I is ONE exact-long division, the
+    expectation E[I] = -1/(n-1) a fixed expression. ONE corpus
+    aggregate to the <=24-row hour frame, folds hour-ascending on
+    the 1-row frame. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+    )
+    g = ev.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("__y").cast("long").alias("__S"),
+        F.array_sort(
+            F.collect_list(F.struct("__h", "__y"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__z", F.expr("transform(__a, x -> n_cells * x.__y - __S)")
+    )
+    one = (
+        one
+        .withColumn(
+            "__num",
+            F.expr(
+                "aggregate(sequence(1L, n_cells), 0L, (acc, i) ->"
+                " acc + element_at(__z, cast(i as int))"
+                " * element_at(__z,"
+                " cast(IF(i = n_cells, 1L, i + 1) as int)))"
+            ),
+        )
+        .withColumn(
+            "__den",
+            F.expr(
+                "aggregate(__z, 0L, (acc, z) -> acc + z * z)"
+            ),
+        )
+    )
+    one = one.filter((F.col("n_cells") > 2) & (F.col("__den") > 0))
+    mi = F.col("__num").cast("double") / F.col("__den").cast("double")
+    ei = F.lit(-1.0) / (F.col("n_cells") - 1).cast("double")
+    return one.select(
+        "n_cells",
+        _r6(mi).alias("moran_i"),
+        _r6(ei).alias("expected_i"),
+        F.when(mi > 0.0, F.lit("positive_autocorr"))
+        .when(mi < F.lit(2.0) * ei, F.lit("negative_autocorr"))
+        .otherwise(F.lit("near_random"))
+        .alias("verdict"),
+    )
+
+
+SQL_MORAN_I = """
+WITH g AS (
+  SELECT hour(ts) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY hour(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS S,
+    list(y ORDER BY h) AS yarr
+  FROM g
+), z AS (
+  SELECT n,
+    list_transform(yarr, y -> n * y - S) AS zarr
+  FROM one
+), f AS (
+  SELECT n,
+    list_sum(list_transform(range(1, n + 1), i ->
+      zarr[i] * zarr[CASE WHEN i = n THEN 1 ELSE i + 1 END]))
+      AS num,
+    list_sum(list_transform(zarr, v -> v * v)) AS den
+  FROM z
+)
+SELECT n AS n_cells,
+  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS moran_i,
+  round(-1.0 / CAST(n - 1 AS DOUBLE), 6) AS expected_i,
+  CASE WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) > 0
+         THEN 'positive_autocorr'
+       WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+            < 2.0 * (-1.0 / CAST(n - 1 AS DOUBLE))
+         THEN 'negative_autocorr'
+       ELSE 'near_random' END AS verdict
+FROM f WHERE n > 2 AND den > 0
+"""
+
+QUERIES["moran_i"] = q_moran_i
+_RAW_ORACLES["moran_i"] = SQL_MORAN_I
+
+
+def q_geary_c(spark, sf_dir):
+    """Geary's C contiguity ratio on the same circular hour-of-day
+    graph (Geary The Incorporated Statistician 1954 — Moran's
+    LOCAL-difference dual: I correlates neighbors through the global
+    mean, C squares the neighbor-to-neighbor GAPS, so C is the more
+    sensitive detector of single-hour discontinuities (a cron spike
+    between smooth neighbors) while I responds to broad gradients;
+    reading the (I, C) pair together is the standard spatial
+    diagnostic — C ~ 1 - I only under smooth fields, and the rebuild
+    pytest checks both against the same histogram). On the 24-cycle
+    C = (n-1) sum_h (z_h - z_{h+1})^2 / (2n sum_h z_h^2) with
+    z_h = n*y_h - S, so numerator and denominator are EXACT LONGS
+    and C is ONE exact division; E[C] = 1 always. Same 2-shuffle
+    hour-frame shape as moran_i."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+    )
+    g = ev.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("__y").cast("long").alias("__S"),
+        F.array_sort(
+            F.collect_list(F.struct("__h", "__y"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__z", F.expr("transform(__a, x -> n_cells * x.__y - __S)")
+    )
+    one = (
+        one
+        .withColumn(
+            "__num",
+            F.expr(
+                "aggregate(sequence(1L, n_cells), 0L, (acc, i) ->"
+                " acc + (element_at(__z, cast(i as int))"
+                " - element_at(__z,"
+                "   cast(IF(i = n_cells, 1L, i + 1) as int)))"
+                " * (element_at(__z, cast(i as int))"
+                " - element_at(__z,"
+                "   cast(IF(i = n_cells, 1L, i + 1) as int))))"
+            ),
+        )
+        .withColumn(
+            "__den",
+            F.expr("aggregate(__z, 0L, (acc, z) -> acc + z * z)"),
+        )
+    )
+    one = one.filter((F.col("n_cells") > 2) & (F.col("__den") > 0))
+    c = (
+        (F.col("n_cells") - 1).cast("double")
+        * F.col("__num").cast("double")
+    ) / (
+        F.lit(2.0)
+        * F.col("n_cells").cast("double")
+        * F.col("__den").cast("double")
+    )
+    return one.select(
+        "n_cells",
+        _r6(c).alias("geary_c"),
+        F.lit(1.0).alias("expected_c"),
+        F.when(c < 1.0, F.lit("positive_autocorr"))
+        .when(c > 1.0, F.lit("negative_autocorr"))
+        .otherwise(F.lit("near_random"))
+        .alias("verdict"),
+    )
+
+
+SQL_GEARY_C = """
+WITH g AS (
+  SELECT hour(ts) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY hour(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS S,
+    list(y ORDER BY h) AS yarr
+  FROM g
+), z AS (
+  SELECT n,
+    list_transform(yarr, y -> n * y - S) AS zarr
+  FROM one
+), f AS (
+  SELECT n,
+    list_sum(list_transform(range(1, n + 1), i ->
+      (zarr[i] - zarr[CASE WHEN i = n THEN 1 ELSE i + 1 END])
+      * (zarr[i] - zarr[CASE WHEN i = n THEN 1 ELSE i + 1 END])))
+      AS num,
+    list_sum(list_transform(zarr, v -> v * v)) AS den
+  FROM z
+)
+SELECT n AS n_cells,
+  round(CAST(n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+        / (2.0 * CAST(n AS DOUBLE) * CAST(den AS DOUBLE)), 6)
+    AS geary_c,
+  1.0 AS expected_c,
+  CASE WHEN CAST(n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+            / (2.0 * CAST(n AS DOUBLE) * CAST(den AS DOUBLE)) < 1.0
+         THEN 'positive_autocorr'
+       WHEN CAST(n - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+            / (2.0 * CAST(n AS DOUBLE) * CAST(den AS DOUBLE)) > 1.0
+         THEN 'negative_autocorr'
+       ELSE 'near_random' END AS verdict
+FROM f WHERE n > 2 AND den > 0
+"""
+
+QUERIES["geary_c"] = q_geary_c
+_RAW_ORACLES["geary_c"] = SQL_GEARY_C
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -682,6 +682,47 @@ BUDGETS = {
     # folds and the entropy/flatness folds run on the 1-row frame
     "spectral_entropy": {"shuffle": 2, "python": 0, "cartesian": 0,
                          "bnlj": 0},
+    # adamic-adar: persisted-edge cached-branch plan (the printed
+    # plan repeats the cached subtree per reference, so no shuffle
+    # cap); top-k must be a heap (asserted below)
+    "adamic_adar": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # hits: cached-branch plan; the two BNLJ are the registered
+    # 1-row broadcast max-score joins
+    "hits_scores": {"python": 0, "cartesian": 0, "bnlj": 2},
+    # ndcg: persisted part-cell frame (cached-branch); the two BNLJ
+    # join the three 1-row side frames; both top-10s are heaps
+    # (asserted below)
+    "ndcg_eval": {"python": 0, "cartesian": 0, "bnlj": 2},
+    # mrr: cell agg + customer agg + rank-group agg + 1-row fold —
+    # 4 exchanges, never a window over the part dimension
+    "mrr_eval": {"shuffle": 4, "python": 0, "cartesian": 0,
+                 "bnlj": 0},
+    # brier-murphy: bin agg + 1-row fold over the <=10-row frame
+    "brier_decomposition": {"shuffle": 2, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
+    # youden: score agg + cumulative window over the <=401-row
+    # score-domain frame + 1-row argmax
+    "youden_j": {"shuffle": 3, "python": 0, "cartesian": 0,
+                 "bnlj": 0},
+    # lin-ccc: ONE conditional day agg + 1-row moment agg
+    "lin_ccc": {"shuffle": 2, "python": 0, "cartesian": 0,
+                "bnlj": 0},
+    # bland-altman: same day agg + 1-row moments; the within-band
+    # count folds day-ascending on the 1-row frame
+    "bland_altman": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    # jensen-shannon: ONE conditional hour agg + 1-row fold over the
+    # <=24-row frame
+    "jensen_shannon": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    # hellinger: same hour agg + 1-row BC fold and exact argmax
+    "hellinger_affinity": {"shuffle": 2, "python": 0,
+                           "cartesian": 0, "bnlj": 0},
+    # moran/geary: hour agg + 1-row exact-integer circular folds
+    "moran_i": {"shuffle": 2, "python": 0, "cartesian": 0,
+                "bnlj": 0},
+    "geary_c": {"shuffle": 2, "python": 0, "cartesian": 0,
+                "bnlj": 0},
 }
 
 
@@ -714,6 +755,16 @@ def test_stump_takeordered(plans):
     TakeOrderedAndProject — never a global sort of the distinct-value
     histogram."""
     assert "TakeOrderedAndProject" in plans["best_split_stump"]
+
+
+def test_graph_topk_heaps(plans):
+    """adamic_adar's top-12 and both hits_scores top-10s must plan as
+    TakeOrderedAndProject (per-partition heaps) — a global sort of
+    the candidate-pair / node-score frames is the 10^9-node scale
+    wart the r4 topk_users fix banned."""
+    assert "TakeOrderedAndProject" in plans["adamic_adar"]
+    assert "TakeOrderedAndProject" in plans["hits_scores"]
+    assert "TakeOrderedAndProject" in plans["ndcg_eval"]
 
 
 def test_kmv_windowgrouplimit(plans):

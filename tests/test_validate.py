@@ -4030,3 +4030,529 @@ def test_spectral_entropy_rebuild(spark):
         else "mixed"
     )
     assert r["band"] == band
+
+
+def test_adamic_adar_rebuild(spark):
+    """Top-12 AA pairs vs a literal python rebuild over the co-order
+    part graph (wedge enumeration, non-edge filter, 1/ln(deg)
+    weights), plus the ordering contract and the common-neighbor
+    consistency."""
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_adamic_adar
+
+    rows = q_adamic_adar(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    li = duckdb.sql(
+        "SELECT DISTINCT l_orderkey, l_partkey FROM"
+        " '/root/testdata/sf0.001/lineitem.parquet'"
+        " WHERE l_partkey % 4 = 0"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in li:
+        baskets[ok].add(pk)
+    edges = set()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                edges.add((s[i], s[j]))
+    nbr = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    cand = {}
+    for z, ns in nbr.items():
+        dz = len(nbr[z])
+        s = sorted(ns)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                x, y = s[i], s[j]
+                if (x, y) in edges:
+                    continue
+                c, w = cand.get((x, y), (0, 0.0))
+                cand[(x, y)] = (c + 1, w + 1.0 / math.log(dz))
+    top = sorted(
+        cand.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:12]
+    assert len(rows) == 12
+    got = [(r["part_a"], r["part_b"]) for r in rows]
+    assert got == [k for k, _ in top]
+    for r, (k, (c, w)) in zip(rows, top):
+        assert r["common_neighbors"] == c
+        assert abs(r["aa"] - w) < 1e-6
+        assert (k[0], k[1]) not in edges
+
+
+def test_hits_rebuild(spark):
+    """Exact-integer HITS path counts vs a literal python rebuild of
+    two full sweeps on the customer->part graph, plus the round-1
+    identity (authority = in-degree) and the max-normalization."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_hits_scores
+
+    rows = q_hits_scores(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    ed = duckdb.sql(
+        "SELECT DISTINCT o_custkey, l_partkey FROM"
+        " '/root/testdata/sf0.001/orders.parquet' o JOIN"
+        " '/root/testdata/sf0.001/lineitem.parquet' l"
+        " ON o.o_orderkey = l.l_orderkey WHERE l_partkey % 4 = 0"
+    ).fetchall()
+    out_e = defaultdict(list)
+    in_e = defaultdict(list)
+    for c, p in ed:
+        out_e[c].append(p)
+        in_e[p].append(c)
+    h = {c: 1 for c in out_e}
+    for _ in range(2):
+        a = {p: sum(h[c] for c in in_e[p]) for p in in_e}
+        h = {c: sum(a[p] for p in out_e[c]) for c in out_e}
+    am = max(a.values())
+    hm = max(h.values())
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    auth_rows = [r for r in rows if r["side"] == "authority"]
+    hub_rows = [r for r in rows if r["side"] == "hub"]
+    assert [(r["node"], r["score"]) for r in auth_rows] == top_a
+    assert [(r["node"], r["score"]) for r in hub_rows] == top_h
+    for r in auth_rows:
+        assert abs(r["score_norm"] - r["score"] / am) < 1e-6
+    for r in hub_rows:
+        assert abs(r["score_norm"] - r["score"] / hm) < 1e-6
+    assert auth_rows[0]["score_norm"] == 1.0
+    assert hub_rows[0]["score_norm"] == 1.0
+
+
+def test_ndcg_rebuild(spark):
+    """nDCG@10 vs a literal python rebuild of the temporal-split
+    part ranking (first-period revenue ranks, second-period revenue
+    relevance, log2 discounts), plus DCG <= IDCG and the overlap
+    count."""
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_ndcg_eval
+
+    r = q_ndcg_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT l_partkey, o_orderdate,"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/lineitem.parquet' l JOIN"
+        " '/root/testdata/sf0.001/orders.parquet' o"
+        " ON l_orderkey = o_orderkey"
+    ).fetchall()
+    import datetime
+
+    split = datetime.datetime(1998, 7, 1)
+    r1 = defaultdict(int)
+    r2 = defaultdict(int)
+    parts = set()
+    for p, d, c in rows:
+        parts.add(p)
+        if d < split:
+            r1[p] += c
+        else:
+            r2[p] += c
+    train = sorted(
+        [p for p in parts if r1[p] > 0], key=lambda p: (-r1[p], p)
+    )[:10]
+    ideal = sorted(parts, key=lambda p: (-r2[p], p))[:10]
+
+    def dcg(ps):
+        return sum(
+            (r2[p] / 100.0) / (math.log(i + 2) / math.log(2))
+            for i, p in enumerate(ps)
+        )
+
+    d, di = dcg(train), dcg(ideal)
+    assert r["k"] == 10
+    assert r["n_parts"] == len(parts)
+    assert abs(r["dcg"] - d) < 1e-6
+    assert abs(r["idcg"] - di) < 1e-6
+    assert abs(r["ndcg"] - d / di) < 1e-6
+    assert r["dcg"] <= r["idcg"] + 1e-9
+    assert r["top10_overlap"] == len(set(train) & set(ideal))
+    assert 0.0 <= r["ndcg"] <= 1.0
+
+
+def test_mrr_rebuild(spark):
+    """MRR@20 vs a literal python rebuild of the per-customer
+    temporal-split ranking eval, plus the hits@k monotonicity and
+    hit-rate consistency."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_mrr_eval
+
+    r = q_mrr_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT o_custkey, l_partkey, o_orderdate,"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/lineitem.parquet' l JOIN"
+        " '/root/testdata/sf0.001/orders.parquet' o"
+        " ON l_orderkey = o_orderkey"
+    ).fetchall()
+    import datetime
+
+    split = datetime.datetime(1998, 7, 1)
+    c1 = defaultdict(int)
+    c2 = defaultdict(int)
+    for u, p, d, c in rows:
+        if d < split:
+            c1[(u, p)] += c
+        else:
+            c2[(u, p)] += c
+    users = sorted({u for u, _ in list(c1) + list(c2)})
+    ranks = []
+    for u in users:
+        tgts = [(v, p) for (uu, p), v in c2.items()
+                if uu == u and v > 0]
+        if not tgts:
+            continue
+        tp = max(tgts, key=lambda t: (t[0], -t[1]))[1]
+        fh = sorted(
+            [(v, p) for (uu, p), v in c1.items()
+             if uu == u and v > 0],
+            key=lambda t: (-t[0], t[1]),
+        )
+        rank = 0
+        for i, (_, p) in enumerate(fh, start=1):
+            if p == tp:
+                rank = i
+                break
+        if rank > 20:
+            rank = 0
+        ranks.append(rank)
+    n = len(ranks)
+    mrr = sum(1.0 / x for x in ranks if x >= 1) / n
+    assert r["n_users"] == n
+    assert r["hits_at_1"] == sum(1 for x in ranks if x == 1)
+    assert r["hits_at_5"] == sum(1 for x in ranks if 1 <= x <= 5)
+    assert r["hits_at_10"] == sum(1 for x in ranks if 1 <= x <= 10)
+    assert r["hits_at_1"] <= r["hits_at_5"] <= r["hits_at_10"]
+    assert abs(
+        r["hit_rate"] - sum(1 for x in ranks if x >= 1) / n
+    ) < 1e-6
+    assert abs(r["mrr"] - mrr) < 1e-6
+    assert 0.0 <= r["mrr"] <= 1.0
+
+
+def test_brier_decomposition_rebuild(spark):
+    """Murphy REL/RES/UNC vs a literal python rebuild over the 10
+    score bins, plus the exact identity B_binned = REL - RES + UNC
+    against a direct binned-forecast Brier computation and the BSS
+    consistency."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_brier_decomposition
+
+    r = q_brier_decomposition(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT least(n_chars, 400),"
+        " CASE WHEN length(text) - length(replace(text, ' ', ''))"
+        " + 1 >= 50 THEN 1 ELSE 0 END"
+        " FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    bins = defaultdict(lambda: [0, 0, 0])
+    for m, y in rows:
+        b = min(9, m // 40)
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += m
+    N = sum(v[0] for v in bins.values())
+    P = sum(v[1] for v in bins.values())
+    ybar = P / N
+    rel = sum(
+        n * ((sm / (400 * n)) - pos / n) ** 2
+        for n, pos, sm in bins.values()
+    ) / N
+    res = sum(
+        n * (pos / n - ybar) ** 2 for n, pos, _ in bins.values()
+    ) / N
+    unc = ybar * (1 - ybar)
+    # direct binned-forecast Brier: every doc in bin b forecasts the
+    # bin's mean score sm/(400 n)
+    direct = sum(
+        (sm / (400 * n)) ** 2 * n
+        - 2 * (sm / (400 * n)) * pos
+        + pos
+        for n, pos, sm in bins.values()
+    ) / N
+    assert r["n_bins"] == len(bins)
+    assert r["n_docs"] == N
+    assert abs(r["base_rate"] - ybar) < 1e-6
+    assert abs(r["reliability"] - rel) < 1e-6
+    assert abs(r["resolution"] - res) < 1e-6
+    assert abs(r["uncertainty"] - unc) < 1e-6
+    assert abs(r["brier_binned"] - (rel - res + unc)) < 1e-6
+    assert abs((rel - res + unc) - direct) < 1e-12
+    assert abs(r["bss"] - (1 - (rel - res + unc) / unc)) < 1e-5
+    assert r["reliability"] >= 0 and r["resolution"] >= 0
+
+
+def test_youden_rebuild(spark):
+    """Youden J* vs a literal python sweep over all 401 thresholds,
+    plus the lowest-threshold tie-break and the sens/spec identity."""
+    from mpds_spark.queries import q_youden_j
+
+    r = q_youden_j(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT least(n_chars, 400),"
+        " CASE WHEN length(text) - length(replace(text, ' ', ''))"
+        " + 1 >= 50 THEN 1 ELSE 0 END"
+        " FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    N = len(rows)
+    P = sum(y for _, y in rows)
+    best = None
+    for t in sorted({m for m, _ in rows}):
+        tp = sum(1 for m, y in rows if m >= t and y == 1)
+        fp = sum(1 for m, y in rows if m >= t and y == 0)
+        jnum = tp * (N - P) - fp * P
+        if best is None or jnum > best[0] or (
+            jnum == best[0] and t < best[1]
+        ):
+            best = (jnum, t, tp, fp)
+    jnum, t, tp, fp = best
+    assert r["n_docs"] == N
+    assert r["n_pos"] == P
+    assert r["threshold"] == t
+    assert r["tp"] == tp
+    assert r["fp"] == fp
+    assert abs(r["sensitivity"] - tp / P) < 1e-6
+    assert abs(r["specificity"] - (1 - fp / (N - P))) < 1e-6
+    assert abs(r["youden_j"] - jnum / (P * (N - P))) < 1e-6
+    assert abs(
+        r["youden_j"]
+        - (r["sensitivity"] + r["specificity"] - 1.0)
+    ) < 2e-6
+    assert -1.0 <= r["youden_j"] <= 1.0
+
+
+def test_lin_ccc_rebuild(spark):
+    """Lin's CCC vs a literal python rebuild over the daily
+    click/view pairs (1/n moment convention), plus |CCC| <= |r|,
+    the C_b = CCC/r identity and the scale ratio."""
+    from mpds_spark.queries import q_lin_ccc
+
+    r = q_lin_ccc(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0"
+        " END), sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    xs = [a for a, _ in rows]
+    ys = [b for _, b in rows]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs) / n
+    syy = sum((y - my) ** 2 for y in ys) / n
+    sxy = sum(
+        (x - mx) * (y - my) for x, y in zip(xs, ys)
+    ) / n
+    ccc = 2 * sxy / (sxx + syy + (mx - my) ** 2)
+    pr = sxy / (sxx ** 0.5 * syy ** 0.5)
+    assert r["n_days"] == n
+    assert abs(r["mean_clicks"] - mx) < 1e-6
+    assert abs(r["mean_views"] - my) < 1e-6
+    assert abs(r["pearson_r"] - pr) < 1e-6
+    assert abs(r["ccc"] - ccc) < 1e-6
+    assert abs(r["c_b"] - ccc / pr) < 1e-5
+    assert abs(r["scale_ratio"] - (sxx / syy) ** 0.5) < 1e-6
+    assert abs(r["ccc"]) <= abs(r["pearson_r"]) + 1e-9
+    assert r["interchangeable"] == (ccc > 0.9)
+
+
+def test_bland_altman_rebuild(spark):
+    """Bland-Altman bias/LoA vs a literal python rebuild over the
+    daily click-view differences, plus the within-band count and the
+    bias t-test flag."""
+    from mpds_spark.queries import q_bland_altman
+
+    r = q_bland_altman(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0"
+        " END) - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0"
+        " END) FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    ds = [d for d, in rows]
+    n = len(ds)
+    mean = sum(ds) / n
+    sd = (sum((d - mean) ** 2 for d in ds) / (n - 1)) ** 0.5
+    lo, hi = mean - 1.96 * sd, mean + 1.96 * sd
+    within = sum(1 for d in ds if lo <= d <= hi)
+    assert r["n_days"] == n
+    assert abs(r["bias"] - mean) < 1e-6
+    assert abs(r["sd_diff"] - sd) < 1e-6
+    assert abs(r["loa_lower"] - lo) < 1e-6
+    assert abs(r["loa_upper"] - hi) < 1e-6
+    assert r["n_within"] == within
+    assert abs(r["pct_within"] - within / n) < 1e-6
+    assert r["systematic_bias"] == (
+        abs(mean / (sd / n ** 0.5)) > 1.96
+    )
+    assert r["loa_lower"] < r["loa_upper"]
+
+
+def test_jensen_shannon_rebuild(spark):
+    """JSD/TV vs a literal python rebuild over the 24x2 hour-arm
+    histogram, plus the JSD <= 1 bit bound, TV exactness and the
+    A/A consistency flag."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_jensen_shannon
+
+    r = q_jensen_shannon(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT hour(ts), user_id FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    cnt = defaultdict(lambda: [0, 0])
+    for h, u in rows:
+        arm = int(
+            hashlib.md5(f"js|{u}".encode()).hexdigest()[:15], 16
+        ) % 2
+        cnt[h][0 if arm == 1 else 1] += 1
+    A = sum(v[0] for v in cnt.values())
+    B = sum(v[1] for v in cnt.values())
+    tv = sum(
+        abs(v[0] / A - v[1] / B) for v in cnt.values()
+    ) / 2
+    js = 0.0
+    for v in cnt.values():
+        p, q = v[0] / A, v[1] / B
+        m = (p + q) / 2
+        if p > 0:
+            js += p / 2 * math.log(p / m)
+        if q > 0:
+            js += q / 2 * math.log(q / m)
+    assert r["n_hours"] == len(cnt)
+    assert r["n_arm1"] == A
+    assert r["n_arm0"] == B
+    assert abs(r["tv_dist"] - tv) < 1e-6
+    assert abs(r["jsd_bits"] - js / math.log(2)) < 1e-6
+    assert abs(r["js_metric"] - math.sqrt(js)) < 1e-6
+    assert 0.0 <= r["jsd_bits"] <= 1.0
+    assert r["arms_consistent"] == (js / math.log(2) < 0.01)
+
+
+def test_hellinger_rebuild(spark):
+    """BC/Hellinger vs a literal python rebuild, plus the
+    H^2 <= TV <= H*sqrt(2) sandwich against the jensen_shannon
+    query's exact TV and the argmax-gap hour."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import (
+        q_hellinger_affinity,
+        q_jensen_shannon,
+    )
+
+    r = q_hellinger_affinity(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    tv = q_jensen_shannon(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]["tv_dist"]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT hour(ts), user_id FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    cnt = defaultdict(lambda: [0, 0])
+    for h, u in rows:
+        arm = int(
+            hashlib.md5(f"js|{u}".encode()).hexdigest()[:15], 16
+        ) % 2
+        cnt[h][0 if arm == 1 else 1] += 1
+    A = sum(v[0] for v in cnt.values())
+    B = sum(v[1] for v in cnt.values())
+    bc = sum(
+        math.sqrt(v[0] / A * v[1] / B) for v in cnt.values()
+    )
+    hd = math.sqrt(1 - bc)
+    gaps = {
+        h: abs(B * v[0] - A * v[1]) for h, v in cnt.items()
+    }
+    mg = max(gaps.values())
+    mh = min(h for h, g in gaps.items() if g == mg)
+    assert r["n_arm1"] == A and r["n_arm0"] == B
+    assert abs(r["bhattacharyya"] - bc) < 1e-6
+    assert abs(r["hellinger"] - hd) < 1e-6
+    assert r["max_gap_hour"] == mh
+    assert abs(r["max_gap"] - mg / (A * B)) < 1e-6
+    # Hellinger-TV sandwich (Le Cam): H^2 <= TV <= H*sqrt(2)
+    assert hd * hd <= tv + 1e-9
+    assert tv <= hd * math.sqrt(2) + 1e-9
+    assert r["arms_consistent"] == (hd < 0.1)
+
+
+def test_moran_geary_rebuild(spark):
+    """Moran I and Geary C vs literal python rebuilds on the circular
+    hour-of-day histogram, plus the exact-integer scaling identity
+    (z_h = n*y_h - S changes neither statistic) and the smooth-field
+    complementarity reading."""
+    from mpds_spark.queries import q_geary_c, q_moran_i
+
+    ri = q_moran_i(spark, "/root/testdata/sf0.001").collect()[0]
+    rc = q_geary_c(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY hour(ts) ORDER BY hour(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    m = sum(ys) / n
+    z = [y - m for y in ys]
+    den = sum(v * v for v in z)
+    num_i = sum(z[i] * z[(i + 1) % n] for i in range(n))
+    num_c = sum(
+        (z[i] - z[(i + 1) % n]) ** 2 for i in range(n)
+    )
+    mi = num_i / den
+    gc = (n - 1) * num_c / (2 * n * den)
+    assert ri["n_cells"] == n and rc["n_cells"] == n
+    assert abs(ri["moran_i"] - mi) < 1e-6
+    assert abs(ri["expected_i"] - (-1 / (n - 1))) < 1e-6
+    assert abs(rc["geary_c"] - gc) < 1e-6
+    assert rc["expected_c"] == 1.0
+    assert -1.1 <= ri["moran_i"] <= 1.1
+    assert rc["geary_c"] >= 0.0
+    # verdicts agree with the raw statistics
+    if mi > 0:
+        assert ri["verdict"] == "positive_autocorr"
+    if gc < 1:
+        assert rc["verdict"] == "positive_autocorr"
