@@ -70,6 +70,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (seventy-eighth batch — continuation session)
+    "nelson_aalen",
+    "theta_forecast",
+    # new in round 5 (seventy-seventh batch — continuation session)
+    "g_test",
+    "mood_median_test",
+    # new in round 5 (seventy-sixth batch — continuation session)
+    "croston_forecast",
+    "tracking_signal",
     # new in round 5 (seventy-fifth batch — continuation session)
     "moran_i",
     "geary_c",

@@ -23474,4 +23474,902 @@ FROM f WHERE n > 2 AND den > 0
 
 QUERIES["geary_c"] = q_geary_c
 _RAW_ORACLES["geary_c"] = SQL_GEARY_C
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston's method with the Syntetos-Boylan approximation for
+    the INTERMITTENT daily series 'number of purchases over 150'
+    (Croston Op. Res. Q. 1972; Syntetos & Boylan IJF 2005 for the
+    (1 - alpha/2) bias fix and the ADI/CV^2 demand taxonomy — the
+    forecaster ses_alpha_grid cannot be: SES of a zero-inflated
+    series converges to a meaningless blend, Croston separates the
+    SIZE of demand from the TIME BETWEEN demands, SES-smooths each,
+    and forecasts size/interval; the taxonomy cell (smooth /
+    intermittent / erratic / lumpy at the 1.32/0.49 cutoffs) is the
+    standard router deciding whether Croston applies at all).
+    Demand sizes and inter-demand intervals are EXACT LONGS from the
+    day frame; both SES recursions run alpha = 0.2 seeded at the
+    first element — Spark folds slice(arr, 2, m-1) seeded with
+    element 1, DuckDB's list_reduce seeds from the first element
+    natively, so both engines execute the identical float sequence
+    (the ses_alpha_grid convention); ADI = t_m / m and CV^2 are
+    exact-long divisions. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+        ((F.col("event_type") == "purchase")
+         & (F.col("value") > 150)).alias("__hit"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.sum(F.when(F.col("__hit"), 1).otherwise(0))
+        .cast("long").alias("__z")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__z") > 0,
+                       F.struct("__day", "__z"))
+            )
+        ).alias("__d"),
+    )
+    one = (
+        one
+        .withColumn("__m", F.expr("cast(size(__d) as long)"))
+        .filter(F.col("__m") >= 2)
+        .withColumn(
+            "__zarr",
+            F.expr("transform(__d, s -> cast(s.__z as double))"),
+        )
+        .withColumn(
+            "__parr",
+            F.expr(
+                "transform(sequence(1L, __m), k -> cast("
+                " IF(k = 1, element_at(__d, 1).__day,"
+                " element_at(__d, cast(k as int)).__day"
+                " - element_at(__d, cast(k - 1 as int)).__day)"
+                " as double))"
+            ),
+        )
+        .withColumn("__sz", F.expr("aggregate(__d, 0L, (a, s) -> a + s.__z)"))
+        .withColumn(
+            "__szz",
+            F.expr("aggregate(__d, 0L, (a, s) -> a + s.__z * s.__z)"),
+        )
+        .withColumn("__tm", F.expr("element_at(__d, cast(__m as int)).__day"))
+    )
+    ses = (
+        "aggregate(slice({arr}, 2, cast(__m - 1 as int)),"
+        " element_at({arr}, 1),"
+        " (acc, v) -> 0.2D * v + 0.8D * acc)"
+    )
+    one = (
+        one
+        .withColumn("__zl", F.expr(ses.format(arr="__zarr")))
+        .withColumn("__pl", F.expr(ses.format(arr="__parr")))
+    )
+    md = F.col("__m").cast("double")
+    adi = F.col("__tm").cast("double") / md
+    cv2 = (
+        (F.col("__m") * F.col("__szz")
+         - F.col("__sz") * F.col("__sz")).cast("double")
+        * md
+        / (
+            (F.col("__m") - 1).cast("double")
+            * (F.col("__sz") * F.col("__sz")).cast("double")
+        )
+    )
+    cro = F.col("__zl") / F.col("__pl")
+    return one.select(
+        "n_days",
+        F.col("__m").alias("n_demands"),
+        _r6(F.lit(1.0) - md / F.col("n_days").cast("double"))
+        .alias("zero_share"),
+        _r6(adi).alias("adi"),
+        _r6(cv2).alias("cv2"),
+        _r6(F.col("__zl")).alias("size_level"),
+        _r6(F.col("__pl")).alias("interval_level"),
+        _r6(cro).alias("croston"),
+        _r6(F.lit(0.9) * cro).alias("sba"),
+        F.when((adi < 1.32) & (cv2 < 0.49), F.lit("smooth"))
+        .when((adi >= 1.32) & (cv2 < 0.49), F.lit("intermittent"))
+        .when((adi < 1.32) & (cv2 >= 0.49), F.lit("erratic"))
+        .otherwise(F.lit("lumpy"))
+        .alias("demand_class"),
+    )
+
+
+SQL_CROSTON_FORECAST = """
+WITH day AS (
+  SELECT day(ts) AS day,
+    CAST(sum(CASE WHEN event_type = 'purchase' AND value > 150
+      THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM events GROUP BY day(ts)
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM day
+), dem AS (
+  SELECT day, z FROM day WHERE z > 0
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    list(CAST(z AS DOUBLE) ORDER BY day) AS zarr,
+    list(day ORDER BY day) AS darr,
+    CAST(sum(z) AS BIGINT) AS sz,
+    CAST(sum(z * z) AS BIGINT) AS szz,
+    CAST(max(day) AS BIGINT) AS tm
+  FROM dem
+), pa AS (
+  SELECT m, zarr, sz, szz, tm,
+    list_transform(range(1, CAST(m + 1 AS INTEGER)), k ->
+      CAST(CASE WHEN k = 1 THEN darr[1]
+           ELSE darr[k] - darr[k - 1] END AS DOUBLE)) AS parr
+  FROM one WHERE m >= 2
+), sl AS (
+  SELECT m, sz, szz, tm,
+    list_reduce(zarr, (acc, v) -> 0.2 * v + 0.8 * acc) AS zl,
+    list_reduce(parr, (acc, v) -> 0.2 * v + 0.8 * acc) AS pl
+  FROM pa
+), f AS (
+  SELECT m, sz, szz, tm, zl, pl,
+    CAST(tm AS DOUBLE) / CAST(m AS DOUBLE) AS adi,
+    CAST(m * szz - sz * sz AS DOUBLE) * CAST(m AS DOUBLE)
+      / (CAST(m - 1 AS DOUBLE) * CAST(sz * sz AS DOUBLE)) AS cv2
+  FROM sl
+)
+SELECT nd.n_days, m AS n_demands,
+  round(1.0 - CAST(m AS DOUBLE) / CAST(nd.n_days AS DOUBLE), 6)
+    AS zero_share,
+  round(adi, 6) AS adi,
+  round(cv2, 6) AS cv2,
+  round(zl, 6) AS size_level,
+  round(pl, 6) AS interval_level,
+  round(zl / pl, 6) AS croston,
+  round(0.9 * (zl / pl), 6) AS sba,
+  CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+       WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+       WHEN adi < 1.32 AND cv2 >= 0.49 THEN 'erratic'
+       ELSE 'lumpy' END AS demand_class
+FROM f, nd
+"""
+
+QUERIES["croston_forecast"] = q_croston_forecast
+_RAW_ORACLES["croston_forecast"] = SQL_CROSTON_FORECAST
+
+
+def q_tracking_signal(spark, sf_dir):
+    """Brown's cumulative-error tracking signal for the alpha = 0.3
+    SES forecast of daily event volume (Brown 1959 'Statistical
+    Forecasting for Inventory Control'; the +/-4-MAD action limit is
+    the standard ops-management rule — the MONITOR that belongs on
+    top of whatever ses_alpha_grid/holt_trend deploy: a forecast can
+    have fine RMSE yet drift consistently to one side, and
+    TS = sum(e_t) / MAD crossing +/-4 is the classic 'your forecast
+    is biased, re-fit it' alarm — the forecasting twin of
+    sprt_monitor's sequential test). One-step errors e_t = y_t -
+    l_{t-1} recompute each prefix level FROM SCRATCH as a plain
+    double fold (the ses_alpha_grid O(n^2) convention — identical op
+    sequence on BOTH engines, no struct accumulators, which DuckDB
+    evaluates field-sequentially); the error and |error| sums fold
+    t-ascending. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).selectExpr(
+        "n_days",
+        "transform(__a, e -> cast(e.__y as double)) AS __ys",
+    )
+    one = one.filter(F.col("n_days") > 2)
+    lvl = (
+        "aggregate(slice(__ys, 2, cast(t - 2 as int)),"
+        " element_at(__ys, 1), (acc, y) ->"
+        " 0.3D * y + 0.7D * acc)"
+    )
+    err = f"(element_at(__ys, cast(t as int)) - {lvl})"
+    one = (
+        one
+        .withColumn(
+            "__cum",
+            F.expr(
+                "aggregate(sequence(2L, n_days), 0.0D,"
+                f" (acc, t) -> acc + {err})"
+            ),
+        )
+        .withColumn(
+            "__sad",
+            F.expr(
+                "aggregate(sequence(2L, n_days), 0.0D,"
+                f" (acc, t) -> acc + abs({err}))"
+            ),
+        )
+    )
+    one = one.filter(F.col("__sad") > 0.0)
+    mad = F.col("__sad") / (F.col("n_days") - 1).cast("double")
+    ts = F.col("__cum") / mad
+    return one.select(
+        "n_days",
+        F.lit(0.3).alias("alpha"),
+        _r6(F.col("__cum")).alias("cum_error"),
+        _r6(mad).alias("mad"),
+        _r6(ts).alias("tracking_signal"),
+        (F.abs(ts) > F.lit(4.0)).alias("alarm"),
+        F.when(ts > 0.0, F.lit("under_forecasting"))
+        .when(ts < 0.0, F.lit("over_forecasting"))
+        .otherwise(F.lit("unbiased"))
+        .alias("bias_direction"),
+    )
+
+
+def _tracking_sql() -> str:
+    lvl = (
+        "list_reduce(list_slice(ys, 1, t - 1), (acc, y) ->"
+        " 0.3 * y + 0.7 * acc)"
+    )
+    err = f"(ys[t] - {lvl})"
+    return f"""
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(CAST(y AS DOUBLE) ORDER BY x) AS ys,
+    CAST(count(*) AS BIGINT) AS n
+  FROM day
+), f AS (
+  SELECT n,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(2, CAST(n + 1 AS INTEGER)),
+        t -> {err})), (acc, v) -> acc + v) AS cum,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range(2, CAST(n + 1 AS INTEGER)),
+        t -> abs({err}))), (acc, v) -> acc + v) AS sad
+  FROM one WHERE n > 2
+)
+SELECT n AS n_days, 0.3 AS alpha,
+  round(cum, 6) AS cum_error,
+  round(sad / CAST(n - 1 AS DOUBLE), 6) AS mad,
+  round(cum / (sad / CAST(n - 1 AS DOUBLE)), 6) AS tracking_signal,
+  (abs(cum / (sad / CAST(n - 1 AS DOUBLE))) > 4.0) AS alarm,
+  CASE WHEN cum / (sad / CAST(n - 1 AS DOUBLE)) > 0
+         THEN 'under_forecasting'
+       WHEN cum / (sad / CAST(n - 1 AS DOUBLE)) < 0
+         THEN 'over_forecasting'
+       ELSE 'unbiased' END AS bias_direction
+FROM f WHERE sad > 0
+"""
+
+
+SQL_TRACKING_SIGNAL = _tracking_sql()
+
+QUERIES["tracking_signal"] = q_tracking_signal
+_RAW_ORACLES["tracking_signal"] = SQL_TRACKING_SIGNAL
+
+
+def q_g_test(spark, sf_dir):
+    """Likelihood-ratio G-test of independence with the Williams
+    correction on the same daypart x event-type table as
+    chi2_independence (Sokal & Rohlf 'Biometry' 1981 §17.4; Williams
+    Biometrika 1976 for the q divisor — the LIKELIHOOD twin of
+    Pearson's X^2: G = 2 sum O ln(O/E) is additive across partitions
+    of the table (the property hierarchical log-linear decomposition
+    needs) and is the statistic whose per-cell terms ARE the mutual
+    information in nats scaled by 2N, tying this to
+    discrete_entropy_mi; X^2 and G disagreeing is itself a
+    small-cell warning). The <=20 contingency cells come from ONE
+    corpus aggregate; each cell term O ln(O*N/(R*C)) evaluates ln on
+    ONE exact-long-product ratio (cells with O = 0 contribute 0),
+    folded (row, col)-ascending over the 1-row frame on BOTH
+    engines; the Williams q = 1 + (N sum 1/R - 1)(N sum 1/C - 1) /
+    (6 N (r-1)(c-1)) folds over the <=4 row and <=5 column marginal
+    sets. chi2(12) 5% point 21.026 pinned. 2 shuffles at any corpus
+    size."""
+    ev = _events(spark, sf_dir).select(
+        F.expr(
+            "cast((unix_micros(cast(ts as timestamp)) "
+            "div 21600000000) % 4 as bigint)"
+        ).alias("__r"),
+        F.col("event_type").alias("__c"),
+    )
+    cells = ev.groupBy("__r", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    one = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("__o").cast("long").alias("__N"),
+        F.array_sort(
+            F.collect_list(F.struct("__r", "__c", "__o"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn(
+            "__rows",
+            F.expr("array_sort(array_distinct("
+                   "transform(__a, x -> x.__r)))"),
+        )
+        .withColumn(
+            "__cols",
+            F.expr("array_sort(array_distinct("
+                   "transform(__a, x -> x.__c)))"),
+        )
+    )
+    # per-cell row/col marginals via bounded nested folds
+    rsum = (
+        "aggregate(__a, 0L, (acc, y) ->"
+        " acc + IF(y.__r = x.__r, y.__o, 0L))"
+    )
+    csum = (
+        "aggregate(__a, 0L, (acc, y) ->"
+        " acc + IF(y.__c = x.__c, y.__o, 0L))"
+    )
+    one = one.withColumn(
+        "__g",
+        F.expr(
+            "2.0D * aggregate(__a, 0.0D, (acc, x) -> acc"
+            " + IF(x.__o > 0, cast(x.__o as double)"
+            f" * ln(cast(x.__o * __N as double)"
+            f" / cast(({rsum}) * ({csum}) as double)), 0.0D))"
+        ),
+    )
+    rinv = (
+        "aggregate(__rows, 0.0D, (acc, r) -> acc"
+        " + 1.0D / cast(aggregate(__a, 0L, (acc2, y) ->"
+        " acc2 + IF(y.__r = r, y.__o, 0L)) as double))"
+    )
+    cinv = (
+        "aggregate(__cols, 0.0D, (acc, c) -> acc"
+        " + 1.0D / cast(aggregate(__a, 0L, (acc2, y) ->"
+        " acc2 + IF(y.__c = c, y.__o, 0L)) as double))"
+    )
+    one = (
+        one
+        .withColumn("__nr", F.expr("cast(size(__rows) as long)"))
+        .withColumn("__nc", F.expr("cast(size(__cols) as long)"))
+        .withColumn(
+            "__q",
+            F.expr(
+                "1.0D + (cast(__N as double) * (" + rinv + ") - 1.0D)"
+                " * (cast(__N as double) * (" + cinv + ") - 1.0D)"
+                " / (6.0D * cast(__N as double)"
+                " * cast((__nr - 1) * (__nc - 1) as double))"
+            ),
+        )
+    )
+    one = one.filter((F.col("__nr") > 1) & (F.col("__nc") > 1))
+    gadj = F.col("__g") / F.col("__q")
+    return one.select(
+        F.col("__N").alias("n_events"),
+        "n_cells",
+        ((F.col("__nr") - 1) * (F.col("__nc") - 1)).alias("dof"),
+        _r6(F.col("__g")).alias("g_stat"),
+        _r6(F.col("__q")).alias("q_williams"),
+        _r6(gadj).alias("g_adjusted"),
+        (gadj > F.lit(21.026)).alias("reject_5pct"),
+    )
+
+
+SQL_G_TEST = """
+WITH e AS (
+  SELECT CAST((epoch_us(ts) // 21600000000) % 4 AS BIGINT) AS r,
+    event_type AS c
+  FROM events
+), cells AS (
+  SELECT r, c, CAST(count(*) AS BIGINT) AS o
+  FROM e GROUP BY r, c
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+    CAST(sum(o) AS BIGINT) AS N,
+    list({'r': r, 'c': c, 'o': o} ORDER BY r, c) AS a
+  FROM cells
+), marg AS (
+  SELECT n_cells, N, a,
+    list_sort(list_distinct(list_transform(a, x -> x.r))) AS rows_,
+    list_sort(list_distinct(list_transform(a, x -> x.c))) AS cols_
+  FROM one
+), g AS (
+  SELECT n_cells, N, a, rows_, cols_,
+    2.0 * list_sum(list_transform(a, x ->
+      CASE WHEN x.o > 0 THEN CAST(x.o AS DOUBLE)
+        * ln(CAST(x.o * N AS DOUBLE)
+          / CAST(list_sum(list_transform(a, y ->
+              CASE WHEN y.r = x.r THEN y.o ELSE 0 END))
+            * list_sum(list_transform(a, y ->
+              CASE WHEN y.c = x.c THEN y.o ELSE 0 END))
+            AS DOUBLE))
+      ELSE 0.0 END)) AS gs,
+    CAST(len(rows_) AS BIGINT) AS nr,
+    CAST(len(cols_) AS BIGINT) AS nc
+  FROM marg
+), q AS (
+  SELECT n_cells, N, gs, nr, nc,
+    1.0 + (CAST(N AS DOUBLE) * list_sum(list_transform(rows_, r ->
+        1.0 / CAST(list_sum(list_transform(a, y ->
+          CASE WHEN y.r = r THEN y.o ELSE 0 END)) AS DOUBLE)))
+      - 1.0)
+      * (CAST(N AS DOUBLE) * list_sum(list_transform(cols_, c ->
+        1.0 / CAST(list_sum(list_transform(a, y ->
+          CASE WHEN y.c = c THEN y.o ELSE 0 END)) AS DOUBLE)))
+      - 1.0)
+      / (6.0 * CAST(N AS DOUBLE)
+         * CAST((nr - 1) * (nc - 1) AS DOUBLE)) AS qw
+  FROM g WHERE nr > 1 AND nc > 1
+)
+SELECT N AS n_events, n_cells,
+  (nr - 1) * (nc - 1) AS dof,
+  round(gs, 6) AS g_stat,
+  round(qw, 6) AS q_williams,
+  round(gs / qw, 6) AS g_adjusted,
+  (gs / qw > 21.026) AS reject_5pct
+FROM q
+"""
+
+QUERIES["g_test"] = q_g_test
+_RAW_ORACLES["g_test"] = SQL_G_TEST
+
+
+def q_mood_median_test(spark, sf_dir):
+    """Mood's median test of `value` across the 5 event types
+    (Mood 'Introduction to the Theory of Statistics' 1950 §16.4 —
+    the bluntest of the k-sample location tests and the right one
+    when outliers are extreme: where kruskal_wallis ranks every
+    observation, Mood only asks which SIDE of the grand median each
+    lands on, so a single corrupted value cannot move it; the
+    standard cross-check when kruskal_wallis and anova disagree).
+    The grand median is the EXACT lower-median order statistic
+    selected from the domain-bounded cents histogram (<=56k rows,
+    the cliffs_delta convention) via one cumulative window — an
+    exact integer; the 2x5 above/<=median table then comes from the
+    SAME (type, cents) frame re-aggregated against the broadcast
+    median, every cell exact; chi2 = sum (N*O - R*C)^2 / (N*R*C)
+    with the long products cast to double before squaring (the
+    granger convention), folded type-ascending. chi2(4) 5% point
+    9.488 pinned. 100-TB shape: two bounded-frame aggs + one
+    broadcast — the corpus is touched ONCE."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("__t"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("__c"),
+    )
+    tc = scratch_persist(
+        ev.groupBy("__t", "__c").agg(
+            F.count(F.lit(1)).cast("long").alias("__n")
+        )
+    )
+    ch = tc.groupBy("__c").agg(F.sum("__n").cast("long").alias("__m"))
+    wcum = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ch = ch.select(
+        "__c",
+        F.sum("__m").over(wcum).cast("long").alias("__cum"),
+        F.sum("__m").over(wall).cast("long").alias("__tot"),
+    )
+    med = ch.filter(
+        F.col("__cum") * 2 >= F.col("__tot")
+    ).agg(F.min("__c").alias("__med"))
+    cells = tc.crossJoin(F.broadcast(med)).groupBy("__t").agg(
+        F.sum(F.when(F.col("__c") > F.col("__med"), F.col("__n"))
+              .otherwise(F.lit(0))).cast("long").alias("__ab"),
+        F.sum(F.when(F.col("__c") <= F.col("__med"), F.col("__n"))
+              .otherwise(F.lit(0))).cast("long").alias("__be"),
+        F.max("__med").alias("__medx"),
+    )
+    one = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(F.col("__ab") + F.col("__be")).cast("long").alias("__N"),
+        F.sum("__ab").cast("long").alias("__A"),
+        F.max("__medx").alias("__med"),
+        F.array_sort(
+            F.collect_list(F.struct("__t", "__ab", "__be"))
+        ).alias("__g"),
+    )
+    # chi2 over the 2xk table: rows above/below, cols = types
+    term = (
+        "cast(__N as double) * cast(x.{o} as double)"
+        " - cast((x.__ab + x.__be) as double) * cast({R} as double)"
+    )
+    ta = term.format(o="__ab", R="__A")
+    tb = term.format(o="__be", R="(__N - __A)")
+    one = one.withColumn(
+        "__chi2",
+        F.expr(
+            "aggregate(__g, 0.0D, (acc, x) -> acc"
+            f" + ({ta}) * ({ta})"
+            " / (cast(__N as double)"
+            "    * cast(x.__ab + x.__be as double)"
+            "    * cast(__A as double))"
+            f" + ({tb}) * ({tb})"
+            " / (cast(__N as double)"
+            "    * cast(x.__ab + x.__be as double)"
+            "    * cast(__N - __A as double)))"
+        ),
+    )
+    one = one.filter(
+        (F.col("k_groups") > 1) & (F.col("__A") > 0)
+        & (F.col("__A") < F.col("__N"))
+    )
+    return one.select(
+        "k_groups",
+        F.col("__N").alias("n_events"),
+        (F.col("__med").cast("double") / F.lit(100.0))
+        .alias("grand_median"),
+        F.col("__A").alias("n_above"),
+        _r6(F.col("__chi2")).alias("chi2"),
+        (F.col("k_groups") - 1).alias("dof"),
+        (F.col("__chi2") > F.lit(9.488)).alias("reject_5pct"),
+    )
+
+
+SQL_MOOD_MEDIAN_TEST = """
+WITH ev AS (
+  SELECT event_type AS t,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), tc AS (
+  SELECT t, c, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY t, c
+), ch AS (
+  SELECT c,
+    CAST(sum(sum(n)) OVER (ORDER BY c
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS cum,
+    CAST(sum(sum(n)) OVER () AS BIGINT) AS tot
+  FROM tc GROUP BY c
+), med AS (
+  SELECT min(c) AS med FROM ch WHERE cum * 2 >= tot
+), cells AS (
+  SELECT t,
+    CAST(sum(CASE WHEN c > (SELECT med FROM med) THEN n ELSE 0 END)
+      AS BIGINT) AS ab,
+    CAST(sum(CASE WHEN c <= (SELECT med FROM med) THEN n ELSE 0 END)
+      AS BIGINT) AS be
+  FROM tc GROUP BY t
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+    CAST(sum(ab + be) AS BIGINT) AS N,
+    CAST(sum(ab) AS BIGINT) AS A,
+    list({'t': t, 'ab': ab, 'be': be} ORDER BY t) AS g
+  FROM cells
+), f AS (
+  SELECT k, N, A,
+    list_sum(list_transform(g, x ->
+      (CAST(N AS DOUBLE) * CAST(x.ab AS DOUBLE)
+       - CAST(x.ab + x.be AS DOUBLE) * CAST(A AS DOUBLE))
+      * (CAST(N AS DOUBLE) * CAST(x.ab AS DOUBLE)
+       - CAST(x.ab + x.be AS DOUBLE) * CAST(A AS DOUBLE))
+      / (CAST(N AS DOUBLE) * CAST(x.ab + x.be AS DOUBLE)
+         * CAST(A AS DOUBLE))
+      + (CAST(N AS DOUBLE) * CAST(x.be AS DOUBLE)
+       - CAST(x.ab + x.be AS DOUBLE) * CAST(N - A AS DOUBLE))
+      * (CAST(N AS DOUBLE) * CAST(x.be AS DOUBLE)
+       - CAST(x.ab + x.be AS DOUBLE) * CAST(N - A AS DOUBLE))
+      / (CAST(N AS DOUBLE) * CAST(x.ab + x.be AS DOUBLE)
+         * CAST(N - A AS DOUBLE)))) AS chi2
+  FROM one WHERE k > 1 AND A > 0 AND A < N
+)
+SELECT k AS k_groups, N AS n_events,
+  CAST((SELECT med FROM med) AS DOUBLE) / 100.0 AS grand_median,
+  A AS n_above,
+  round(chi2, 6) AS chi2,
+  k - 1 AS dof,
+  (chi2 > 9.488) AS reject_5pct
+FROM f
+"""
+
+QUERIES["mood_median_test"] = q_mood_median_test
+_RAW_ORACLES["mood_median_test"] = SQL_MOOD_MEDIAN_TEST
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the same hour-binned user
+    lifetimes as survival_km (Nelson Technometrics 1972; Aalen Ann.
+    Stat. 1978 — the HAZARD-side dual of Kaplan-Meier: KM multiplies
+    survival factors, NA adds d_i/n_i hazard increments, so NA has
+    the smaller small-sample bias, carries the closed-form variance
+    sum d_i/n_i^2 (Klein 1991), and its slope IS the hazard rate —
+    the churn-intensity reading a retention feature wants; the
+    Fleming-Harrington survival exp(-H) is reported beside KM's
+    product for the standard cross-check). Reuses survival_km's
+    lifetime construction verbatim (7-day censoring broadcast, hour
+    bins); the curve frame is BOUNDED by the corpus span in hours,
+    so the cumulative H and its variance are prefix folds over the
+    collected bin-ascending array — each d_i/n_i one exact-long
+    division, every prefix its own identical fold on BOTH engines
+    (the tracking_signal O(B^2) convention). Returns the curve at
+    every event bin."""
+    from mpds_spark.operators.util import scratch_persist
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("__e"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("__us"),
+    )
+    mx = ev.agg(F.max("__us").alias("__mx"))
+    sp = ev.groupBy("__e").agg(
+        F.min("__us").alias("__s"), F.max("__us").alias("__t")
+    )
+    sv = sp.crossJoin(F.broadcast(mx)).select(
+        F.expr("(__t - __s) div 3600000000").cast("long")
+        .alias("__bin"),
+        F.when(
+            F.col("__t") <= F.col("__mx") - F.lit(604800000000),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__obs"),
+    )
+    curve = sv.groupBy("__bin").agg(
+        F.sum("__obs").cast("long").alias("__d"),
+        F.sum(F.lit(1) - F.col("__obs")).cast("long").alias("__c"),
+    )
+    one = curve.agg(
+        F.sum(F.col("__d") + F.col("__c")).cast("long").alias("__n0"),
+        F.array_sort(
+            F.collect_list(F.struct("__bin", "__d", "__c"))
+        ).alias("__a"),
+    )
+    # n_risk at bin k = n0 - sum_{j<k} (d_j + c_j); then H and its
+    # variance are prefix folds of the exact d/r divisions
+    one = one.withColumn(
+        "__rw",
+        F.expr(
+            "transform(sequence(1, cast(size(__a) as int)), k ->"
+            " named_struct("
+            " 'bin', element_at(__a, k).__bin,"
+            " 'd', element_at(__a, k).__d,"
+            " 'r', __n0 - aggregate(slice(__a, 1, k - 1), 0L,"
+            "   (acc, x) -> acc + x.__d + x.__c)))"
+        ),
+    )
+    one = one.withColumn(
+        "__rows",
+        F.expr(
+            "filter(transform(sequence(1, cast(size(__rw) as int)),"
+            " k -> named_struct("
+            " 'bin', element_at(__rw, k).bin,"
+            " 'd', element_at(__rw, k).d,"
+            " 'r', element_at(__rw, k).r,"
+            " 'h', aggregate(slice(__rw, 1, k), 0.0D, (acc, x) ->"
+            "  acc + IF(x.d > 0, cast(x.d as double)"
+            "  / cast(x.r as double), 0.0D)),"
+            " 'v', aggregate(slice(__rw, 1, k), 0.0D, (acc, x) ->"
+            "  acc + IF(x.d > 0, cast(x.d as double)"
+            "  / (cast(x.r as double) * cast(x.r as double)),"
+            "  0.0D)))), p -> p.r > 0)"
+        ),
+    )
+    out = one.select(F.explode("__rows").alias("__r")).select(
+        F.expr("__r.bin").alias("duration_bin"),
+        F.expr("__r.r").alias("n_risk"),
+        F.expr("__r.d").alias("n_events"),
+        _r6(F.expr("__r.h")).alias("na_cumhaz"),
+        _r6(F.expr("__r.v")).alias("na_var"),
+        _r6(F.exp(-F.expr("__r.h"))).alias("fh_survival"),
+    )
+    return out
+
+
+SQL_NELSON_AALEN = """
+WITH d AS (SELECT user_id AS e, epoch_us(ts) AS us FROM events),
+mx AS (SELECT max(us) AS mx FROM d),
+sp AS (SELECT e, min(us) AS s, max(us) AS t FROM d GROUP BY e),
+sv AS (
+  SELECT CAST((t - s) // 3600000000 AS BIGINT) AS bin,
+    CASE WHEN t <= (SELECT mx FROM mx) - 604800000000
+         THEN 1 ELSE 0 END AS obs
+  FROM sp
+), curve AS (
+  SELECT bin, CAST(sum(obs) AS BIGINT) AS d_,
+    CAST(sum(1 - obs) AS BIGINT) AS c_
+  FROM sv GROUP BY bin
+), one AS (
+  SELECT CAST(sum(d_ + c_) AS BIGINT) AS n0,
+    list({'bin': bin, 'd': d_, 'c': c_} ORDER BY bin) AS a
+  FROM curve
+), rw AS (
+  SELECT n0,
+    list_transform(range(1, CAST(len(a) + 1 AS INTEGER)), k -> {
+      'bin': a[k].bin, 'd': a[k].d,
+      'r': n0 - list_sum(list_prepend(CAST(0 AS BIGINT),
+        list_transform(list_slice(a, 1, k - 1),
+          x -> x.d + x.c)))}) AS w
+  FROM one
+), ex AS (
+  SELECT
+    unnest(list_transform(range(1, CAST(len(w) + 1 AS INTEGER)),
+      k -> {
+      'bin': w[k].bin, 'd': w[k].d, 'r': w[k].r,
+      'h': list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_slice(w, 1, k), x ->
+          CASE WHEN x.d > 0 THEN CAST(x.d AS DOUBLE)
+            / CAST(x.r AS DOUBLE)
+          ELSE 0.0 END))),
+      'v': list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(list_slice(w, 1, k), x ->
+          CASE WHEN x.d > 0 THEN CAST(x.d AS DOUBLE)
+            / (CAST(x.r AS DOUBLE) * CAST(x.r AS DOUBLE))
+          ELSE 0.0 END)))
+    })) AS r
+  FROM rw
+)
+SELECT r.bin AS duration_bin,
+  CAST(r.r AS BIGINT) AS n_risk,
+  CAST(r.d AS BIGINT) AS n_events,
+  round(r.h, 6) AS na_cumhaz,
+  round(r.v, 6) AS na_var,
+  round(exp(-r.h), 6) AS fh_survival
+FROM ex WHERE r.r > 0
+"""
+
+QUERIES["nelson_aalen"] = q_nelson_aalen
+_RAW_ORACLES["nelson_aalen"] = SQL_NELSON_AALEN
+
+
+def q_theta_forecast(spark, sf_dir):
+    """Classical Theta-method 1/2/3-day-ahead forecasts of daily
+    event volume (Assimakopoulos & Nikolopoulos IJF 2000 — the M3
+    competition winner; Hyndman & Billah IJF 2003 proved it is SES
+    with drift, which is why it pairs here with ses_alpha_grid and
+    tracking_signal as the deployed-forecaster tier): theta-0 line =
+    the OLS trend a + b t (durbin_watson's exact-integer machinery:
+    a, b are exact-long ratios), theta-2 line = 2 y_t - (a + b t)
+    (doubles via single exact divisions), SES(alpha = 0.3, seeded at
+    the first element) smooths the theta-2 line — Spark folds
+    slice(...) seeded with element 1, DuckDB list_reduce seeds
+    natively, identical float sequences — and the h-step forecast
+    averages the extrapolated theta-0 line with the theta-2 level.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+    ).selectExpr(
+        "n_days", "__Sy",
+        "transform(__a, e -> e.__y) AS __ys",
+    )
+    one = (
+        one
+        .withColumn("__St", F.expr("n_days * (n_days + 1) div 2"))
+        .withColumn(
+            "__St2",
+            F.expr("n_days * (n_days + 1) * (2 * n_days + 1) div 6"),
+        )
+        .withColumn(
+            "__Sty",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, t) ->"
+                " acc + t * element_at(__ys, cast(t as int)))"
+            ),
+        )
+    )
+    one = (
+        one
+        .withColumn("__D", F.expr("n_days * __St2 - __St * __St"))
+        .withColumn("__Nb", F.expr("n_days * __Sty - __St * __Sy"))
+        .filter((F.col("n_days") > 2) & (F.col("__D") > 0))
+        .withColumn(
+            "__b", F.expr("cast(__Nb as double) / cast(__D as double)")
+        )
+        .withColumn(
+            "__a0",
+            F.expr(
+                "(cast(__Sy as double) - (cast(__Nb as double)"
+                " / cast(__D as double)) * cast(__St as double))"
+                " / cast(n_days as double)"
+            ),
+        )
+    )
+    one = one.withColumn(
+        "__t2",
+        F.expr(
+            "transform(sequence(1L, n_days), t ->"
+            " 2.0D * cast(element_at(__ys, cast(t as int)) as double)"
+            " - (__a0 + __b * cast(t as double)))"
+        ),
+    ).withColumn(
+        "__l",
+        F.expr(
+            "aggregate(slice(__t2, 2, cast(n_days - 1 as int)),"
+            " element_at(__t2, 1), (acc, v) ->"
+            " 0.3D * v + 0.7D * acc)"
+        ),
+    )
+
+    def fc(h):
+        return _r6(
+            F.lit(0.5)
+            * (F.col("__a0")
+               + F.col("__b")
+               * (F.col("n_days") + F.lit(h)).cast("double"))
+            + F.lit(0.5) * F.col("__l")
+        ).alias(f"forecast_{h}")
+
+    return one.select(
+        "n_days",
+        _r6(F.col("__b")).alias("trend_slope"),
+        _r6(F.col("__a0")).alias("trend_intercept"),
+        _r6(F.col("__l")).alias("theta2_level"),
+        fc(1),
+        fc(2),
+        fc(3),
+        _r6(
+            F.expr(
+                "cast(element_at(__ys, cast(n_days as int))"
+                " as double)"
+            )
+        ).alias("naive_last"),
+    )
+
+
+SQL_THETA_FORECAST = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(y ORDER BY x) AS ys,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy
+  FROM day
+), mo AS (
+  SELECT ys, n, Sy,
+    n * (n + 1) // 2 AS St,
+    n * (n + 1) * (2 * n + 1) // 6 AS St2,
+    list_sum(list_transform(range(1, CAST(n + 1 AS INTEGER)),
+      t -> t * ys[t])) AS Sty
+  FROM one
+), dd AS (
+  SELECT ys, n, Sy, St,
+    n * St2 - St * St AS D,
+    n * Sty - St * Sy AS Nb
+  FROM mo
+), ab AS (
+  SELECT ys, n,
+    CAST(Nb AS DOUBLE) / CAST(D AS DOUBLE) AS b,
+    (CAST(Sy AS DOUBLE) - (CAST(Nb AS DOUBLE) / CAST(D AS DOUBLE))
+     * CAST(St AS DOUBLE)) / CAST(n AS DOUBLE) AS a0
+  FROM dd WHERE n > 2 AND D > 0
+), t2 AS (
+  SELECT n, b, a0, ys,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), t ->
+      2.0 * CAST(ys[t] AS DOUBLE)
+      - (a0 + b * CAST(t AS DOUBLE))) AS th2
+  FROM ab
+), lv AS (
+  SELECT n, b, a0, ys,
+    list_reduce(th2, (acc, v) -> 0.3 * v + 0.7 * acc) AS l
+  FROM t2
+)
+SELECT n AS n_days,
+  round(b, 6) AS trend_slope,
+  round(a0, 6) AS trend_intercept,
+  round(l, 6) AS theta2_level,
+  round(0.5 * (a0 + b * CAST(n + 1 AS DOUBLE)) + 0.5 * l, 6)
+    AS forecast_1,
+  round(0.5 * (a0 + b * CAST(n + 2 AS DOUBLE)) + 0.5 * l, 6)
+    AS forecast_2,
+  round(0.5 * (a0 + b * CAST(n + 3 AS DOUBLE)) + 0.5 * l, 6)
+    AS forecast_3,
+  round(CAST(ys[CAST(n AS INTEGER)] AS DOUBLE), 6) AS naive_last
+FROM lv
+"""
+
+QUERIES["theta_forecast"] = q_theta_forecast
+_RAW_ORACLES["theta_forecast"] = SQL_THETA_FORECAST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

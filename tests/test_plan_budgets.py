@@ -723,6 +723,27 @@ BUDGETS = {
                 "bnlj": 0},
     "geary_c": {"shuffle": 2, "python": 0, "cartesian": 0,
                 "bnlj": 0},
+    # croston: day agg + 1-row demand-epoch folds
+    "croston_forecast": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    # tracking-signal: day agg + 1-row O(n^2) prefix refolds
+    "tracking_signal": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
+    # g-test: cell agg + 1-row marginal folds over the <=20 cells
+    "g_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+               "bnlj": 0},
+    # mood: persisted (type,cents) frame (cached-branch) + median
+    # window + broadcast median back; the 1-row BNLJ is the
+    # registered broadcast-median join
+    "mood_median_test": {"python": 0, "cartesian": 0, "bnlj": 1},
+    # nelson-aalen: entity span agg (partial+final) + bin agg +
+    # 1-row prefix folds; the 1-row BNLJ is the registered broadcast
+    # censor-cutoff join
+    "nelson_aalen": {"shuffle": 4, "python": 0, "cartesian": 0,
+                     "bnlj": 1},
+    # theta: day agg + 1-row trend moments and theta2 SES fold
+    "theta_forecast": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
 }
 
 

@@ -4556,3 +4556,292 @@ def test_moran_geary_rebuild(spark):
         assert ri["verdict"] == "positive_autocorr"
     if gc < 1:
         assert rc["verdict"] == "positive_autocorr"
+
+
+def test_croston_rebuild(spark):
+    """Croston/SBA vs a literal python rebuild of the size/interval
+    SES recursions over the thresholded purchase series, plus the
+    Syntetos-Boylan taxonomy cell and the SBA = 0.9*Croston
+    identity at alpha = 0.2."""
+    from mpds_spark.queries import q_croston_forecast
+
+    r = q_croston_forecast(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), sum(CASE WHEN event_type = 'purchase' AND"
+        " value > 150 THEN 1 ELSE 0 END) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    n_days = len(rows)
+    dem = [(d, z) for d, z in rows if z > 0]
+    m = len(dem)
+    zs = [float(z) for _, z in dem]
+    ps = [float(dem[0][0])] + [
+        float(dem[k][0] - dem[k - 1][0]) for k in range(1, m)
+    ]
+
+    def ses(xs, a=0.2):
+        lvl = xs[0]
+        for v in xs[1:]:
+            lvl = a * v + (1 - a) * lvl
+        return lvl
+
+    zl, pl = ses(zs), ses(ps)
+    sz = sum(z for _, z in dem)
+    szz = sum(z * z for _, z in dem)
+    adi = dem[-1][0] / m
+    cv2 = (m * szz - sz * sz) * m / ((m - 1) * sz * sz)
+    assert r["n_days"] == n_days
+    assert r["n_demands"] == m
+    assert abs(r["zero_share"] - (1 - m / n_days)) < 1e-6
+    assert abs(r["adi"] - adi) < 1e-6
+    assert abs(r["cv2"] - cv2) < 1e-6
+    assert abs(r["size_level"] - zl) < 1e-6
+    assert abs(r["interval_level"] - pl) < 1e-6
+    assert abs(r["croston"] - zl / pl) < 1e-6
+    assert abs(r["sba"] - 0.9 * zl / pl) < 1e-6
+    cls = (
+        "smooth" if adi < 1.32 and cv2 < 0.49
+        else "intermittent" if adi >= 1.32 and cv2 < 0.49
+        else "erratic" if adi < 1.32
+        else "lumpy"
+    )
+    assert r["demand_class"] == cls
+    assert r["interval_level"] >= 1.0
+
+
+def test_tracking_signal_rebuild(spark):
+    """Brown tracking signal vs a literal python SES(0.3) rebuild
+    over the daily volumes, plus the TS bound |TS| <= n-1 and the
+    bias-direction banding."""
+    from mpds_spark.queries import q_tracking_signal
+
+    r = q_tracking_signal(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    ys = [
+        float(t[0])
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    lvl = ys[0]
+    cum = sad = 0.0
+    for t in range(1, n):
+        e = ys[t] - lvl
+        cum += e
+        sad += abs(e)
+        lvl = 0.3 * ys[t] + 0.7 * lvl
+    mad = sad / (n - 1)
+    ts = cum / mad
+    assert r["n_days"] == n
+    assert r["alpha"] == 0.3
+    assert abs(r["cum_error"] - cum) < 1e-6
+    assert abs(r["mad"] - mad) < 1e-6
+    assert abs(r["tracking_signal"] - ts) < 1e-6
+    assert r["alarm"] == (abs(ts) > 4.0)
+    assert abs(r["tracking_signal"]) <= n - 1
+    if ts > 0:
+        assert r["bias_direction"] == "under_forecasting"
+    elif ts < 0:
+        assert r["bias_direction"] == "over_forecasting"
+
+
+def test_g_test_rebuild(spark):
+    """G and Williams q vs a literal python rebuild over the
+    daypart x type table, plus the G ~ X^2 proximity (both should
+    call the same verdict on a clean table) and q > 1."""
+    import math
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_g_test
+
+    r = q_g_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST((epoch_us(ts) // 21600000000) % 4 AS BIGINT),"
+        " event_type, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    o = defaultdict(int)
+    for rr, c, n in rows:
+        o[(rr, c)] = n
+    N = sum(o.values())
+    rws = sorted({k[0] for k in o})
+    cls = sorted({k[1] for k in o})
+    R = {x: sum(v for k, v in o.items() if k[0] == x) for x in rws}
+    C = {x: sum(v for k, v in o.items() if k[1] == x) for x in cls}
+    g = 2 * sum(
+        v * math.log(v * N / (R[k[0]] * C[k[1]]))
+        for k, v in o.items()
+        if v > 0
+    )
+    q = 1 + (
+        (N * sum(1 / R[x] for x in rws) - 1)
+        * (N * sum(1 / C[x] for x in cls) - 1)
+    ) / (6 * N * (len(rws) - 1) * (len(cls) - 1))
+    assert r["n_events"] == N
+    assert r["n_cells"] == len(o)
+    assert r["dof"] == (len(rws) - 1) * (len(cls) - 1)
+    assert abs(r["g_stat"] - g) < 1e-5
+    assert abs(r["q_williams"] - q) < 1e-6
+    assert abs(r["g_adjusted"] - g / q) < 1e-5
+    assert r["q_williams"] > 1.0
+    assert r["reject_5pct"] == (g / q > 21.026)
+
+
+def test_mood_median_rebuild(spark):
+    """Mood's median chi2 vs a literal python rebuild (exact lower
+    median of the cents, 2xk above/<=median table), plus the
+    marginal identity sum(ab) = n_above."""
+    from collections import defaultdict
+
+    from mpds_spark.queries import q_mood_median_test
+
+    r = q_mood_median_test(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT event_type,"
+        " CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    cents = sorted(c for _, c in rows)
+    N = len(cents)
+    med = cents[(N + 1) // 2 - 1]  # lower median order statistic
+    g = defaultdict(lambda: [0, 0])
+    for t, c in rows:
+        if c > med:
+            g[t][0] += 1
+        else:
+            g[t][1] += 1
+    A = sum(v[0] for v in g.values())
+    chi2 = 0.0
+    for t in sorted(g):
+        ab, be = g[t]
+        n_i = ab + be
+        ea = n_i * A / N
+        eb = n_i * (N - A) / N
+        chi2 += (ab - ea) ** 2 / ea + (be - eb) ** 2 / eb
+    assert r["k_groups"] == len(g)
+    assert r["n_events"] == N
+    assert abs(r["grand_median"] - med / 100.0) < 1e-9
+    assert r["n_above"] == A
+    assert abs(r["chi2"] - chi2) < 1e-5
+    assert r["dof"] == len(g) - 1
+    assert r["reject_5pct"] == (chi2 > 9.488)
+    assert r["n_above"] * 2 <= N  # lower-median dichotomy property
+
+
+def test_nelson_aalen_rebuild(spark):
+    """NA cumulative hazard/variance vs a literal python rebuild of
+    the hour-binned lifetime table (7-day censoring), plus
+    exp(-H) >= KM at every bin (the classic FH >= KM dominance) and
+    monotonicity."""
+    from mpds_spark.queries import q_nelson_aalen, q_survival_km
+
+    rows = q_nelson_aalen(spark, "/root/testdata/sf0.001").collect()
+    km = {
+        r["duration_bin"]: r["km_survival"]
+        for r in q_survival_km(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    spans = duckdb.sql(
+        "SELECT min(epoch_us(ts)), max(epoch_us(ts)) FROM"
+        " '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    mx = max(t for _, t in spans)
+    life = [
+        ((t - s) // 3600000000, 1 if t <= mx - 604800000000 else 0)
+        for s, t in spans
+    ]
+    from collections import defaultdict
+
+    curve = defaultdict(lambda: [0, 0])
+    for b, obs in life:
+        curve[b][0] += obs
+        curve[b][1] += 1 - obs
+    n0 = len(life)
+    h = v = 0.0
+    seen = 0
+    exp_rows = []
+    for b in sorted(curve):
+        d, c = curve[b]
+        r_ = n0 - seen
+        if d > 0:
+            h += d / r_
+            v += d / (r_ * r_)
+        exp_rows.append((b, r_, d, h, v))
+        seen += d + c
+    assert len(rows) == len(exp_rows)
+    prev_h = -1.0
+    for got, (b, r_, d, hh, vv) in zip(rows, exp_rows):
+        assert got["duration_bin"] == b
+        assert got["n_risk"] == r_
+        assert got["n_events"] == d
+        assert abs(got["na_cumhaz"] - hh) < 1e-6
+        assert abs(got["na_var"] - vv) < 1e-6
+        assert got["na_cumhaz"] >= prev_h
+        prev_h = got["na_cumhaz"]
+        if b in km:
+            # Fleming-Harrington dominates KM
+            assert got["fh_survival"] >= km[b] - 1e-9
+
+
+def test_theta_forecast_rebuild(spark):
+    """Theta forecasts vs a literal python rebuild (OLS theta-0
+    line, SES(0.3) on the theta-2 line, 50/50 combination), plus the
+    equal-spacing identity forecast_2 - forecast_1 = b/2."""
+    from mpds_spark.queries import q_theta_forecast
+
+    r = q_theta_forecast(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    ys = [
+        float(t[0])
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    ts = list(range(1, n + 1))
+    tb = sum(ts) / n
+    yb = sum(ys) / n
+    b = sum((t - tb) * (y - yb) for t, y in zip(ts, ys)) / sum(
+        (t - tb) ** 2 for t in ts
+    )
+    a = yb - b * tb
+    th2 = [2 * y - (a + b * t) for t, y in zip(ts, ys)]
+    lvl = th2[0]
+    for x in th2[1:]:
+        lvl = 0.3 * x + 0.7 * lvl
+    assert r["n_days"] == n
+    assert abs(r["trend_slope"] - b) < 1e-6
+    assert abs(r["trend_intercept"] - a) < 1e-6
+    assert abs(r["theta2_level"] - lvl) < 1e-6
+    for h in (1, 2, 3):
+        exp = 0.5 * (a + b * (n + h)) + 0.5 * lvl
+        assert abs(r[f"forecast_{h}"] - exp) < 1e-6
+    assert abs(
+        (r["forecast_2"] - r["forecast_1"]) - b / 2
+    ) < 1e-5
+    assert r["naive_last"] == ys[-1]
