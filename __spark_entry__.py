@@ -70,6 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (eightieth batch — continuation session)
+    "rare_word_profile",
+    "burrows_delta",
+    # new in round 5 (seventy-ninth batch — continuation session)
+    "allan_variance",
+    "recurrence_quantification",
     # new in round 5 (seventy-eighth batch — continuation session)
     "nelson_aalen",
     "theta_forecast",

@@ -24372,4 +24372,632 @@ FROM lv
 
 QUERIES["theta_forecast"] = q_theta_forecast
 _RAW_ORACLES["theta_forecast"] = SQL_THETA_FORECAST
+
+
+def q_allan_variance(spark, sf_dir):
+    """Non-overlapping Allan variance of daily event volume at
+    averaging times tau = 1, 2, 4 days (Allan Proc. IEEE 1966 — the
+    clock-community's noise-type discriminator, and for event-rate
+    telemetry the cleanest 'what KIND of noise is this?' instrument:
+    white rate noise gives AVAR ~ tau^-1, flicker floors it flat,
+    random-walk drift makes it RISE with tau — the log-log slope
+    between consecutive taus routes directly to how long a rate
+    feature may be averaged before drift dominates; the
+    multi-resolution companion to variance_ratio and
+    hurst_variance_plot). EVERYTHING is exact integers: block sums
+    S_k are exact longs, AVAR(tau) = sum (S_k - S_{k-1})^2 /
+    (2 (m-1) tau^2) is ONE exact-long division (the tau^2 from the
+    block-mean denominators factors out), and only the reported
+    ADEV = sqrt(AVAR) and the slope ln-ratio are IEEE doubles. ONE
+    day aggregate; the 3 tau rows explode from the 1-row frame.
+    2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__x")
+    )
+    day = ev.groupBy("__x").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.sort_array(
+            F.collect_list(F.struct("__x", "__y"))
+        ).alias("__a"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).selectExpr(
+        "n_days", "transform(__a, e -> e.__y) AS __ys"
+    )
+    # per-tau: m = n div tau blocks, S_k = sum of block k,
+    # num = sum_{k>=2} (S_k - S_{k-1})^2  (exact longs)
+    blk = (
+        "aggregate(sequence(1L, {tau}L), 0L, (acc, j) -> acc"
+        " + element_at(__ys, cast((k - 1) * {tau} + j as int)))"
+    )
+    row = (
+        "named_struct('tau', {tau}L,"
+        " 'm', n_days div {tau},"
+        " 'num', aggregate(sequence(2L, n_days div {tau}), 0L,"
+        " (acc, k) -> acc + ({sk} - {skm1}) * ({sk} - {skm1})))"
+    )
+
+    def mk(tau):
+        sk = blk.format(tau=tau)
+        skm1 = (
+            "aggregate(sequence(1L, {tau}L), 0L, (acc, j) -> acc"
+            " + element_at(__ys, cast((k - 2) * {tau} + j as int)))"
+        ).format(tau=tau)
+        return row.format(tau=tau, sk=sk, skm1=skm1)
+
+    one = one.withColumn(
+        "__rows",
+        F.expr("array(" + ", ".join(mk(t) for t in (1, 2, 4)) + ")"),
+    )
+    out = one.select(
+        "n_days", F.explode("__rows").alias("__r")
+    ).select(
+        "n_days",
+        F.expr("__r.tau").alias("tau_days"),
+        F.expr("__r.m").alias("m_blocks"),
+        F.expr("__r.num").alias("diff2_sum"),
+        _r6(
+            F.expr(
+                "cast(__r.num as double)"
+                " / (2.0D * cast(__r.m - 1 as double)"
+                " * cast(__r.tau * __r.tau as double))"
+            )
+        ).alias("avar"),
+        _r6(
+            F.sqrt(
+                F.expr(
+                    "cast(__r.num as double)"
+                    " / (2.0D * cast(__r.m - 1 as double)"
+                    " * cast(__r.tau * __r.tau as double))"
+                )
+            )
+        ).alias("adev"),
+    ).filter(F.col("m_blocks") > 1)
+    return out
+
+
+SQL_ALLAN_VARIANCE = """
+WITH day AS (
+  SELECT CAST(day(ts) AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), one AS (
+  SELECT list(y ORDER BY x) AS ys, CAST(count(*) AS BIGINT) AS n
+  FROM day
+), taus AS (
+  SELECT n, ys, unnest([1, 2, 4]) AS tau FROM one
+), rows_ AS (
+  SELECT n, CAST(tau AS BIGINT) AS tau, n // tau AS m,
+    list_sum(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range(2, CAST(n // tau + 1 AS INTEGER)), k ->
+        (list_sum(list_transform(range(1, tau + 1), j ->
+           ys[(k - 1) * tau + j]))
+         - list_sum(list_transform(range(1, tau + 1), j ->
+           ys[(k - 2) * tau + j])))
+        * (list_sum(list_transform(range(1, tau + 1), j ->
+           ys[(k - 1) * tau + j]))
+         - list_sum(list_transform(range(1, tau + 1), j ->
+           ys[(k - 2) * tau + j])))))) AS num
+  FROM taus
+)
+SELECT n AS n_days, tau AS tau_days, m AS m_blocks,
+  CAST(num AS BIGINT) AS diff2_sum,
+  round(CAST(num AS DOUBLE)
+    / (2.0 * CAST(m - 1 AS DOUBLE) * CAST(tau * tau AS DOUBLE)), 6)
+    AS avar,
+  round(sqrt(CAST(num AS DOUBLE)
+    / (2.0 * CAST(m - 1 AS DOUBLE) * CAST(tau * tau AS DOUBLE))), 6)
+    AS adev
+FROM rows_ WHERE m > 1
+"""
+
+QUERIES["allan_variance"] = q_allan_variance
+_RAW_ORACLES["allan_variance"] = SQL_ALLAN_VARIANCE
+
+
+def q_recurrence_quantification(spark, sf_dir):
+    """Recurrence quantification of the daily volume series at the
+    SampEn tolerance r = 0.5 * SD (Webber & Zbilut J. Appl. Physiol.
+    1994; Marwan et al. Phys. Rep. 2007 — the recurrence-plot
+    summary trio: RR = share of day pairs whose volumes recur within
+    tolerance (the density sample_entropy's B count normalizes),
+    DET = share of recurrent pairs sitting on a diagonal line of
+    length >= 2 (recurring SEQUENCES, not just values — high DET
+    with low RR is the signature of deterministic dynamics, the
+    thing that makes tomorrow predictable from a matched history),
+    and LMAX = the longest such diagonal, whose inverse estimates
+    divergence). All pair predicates compare EXACT-INTEGER distances
+    against the one deterministic IEEE tolerance (the sample_entropy
+    convention), so the recurrence matrix is identical on BOTH
+    engines and RR/DET/LMAX counts are EXACT LONGS from bounded
+    O(n^2)/O(n^3) folds on the 1-row frame (n = 31 days -> <=27k
+    fold steps, constant at any corpus size). 2 shuffles."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__y").cast("long").alias("__Sy"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("__Syy"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__ss", F.expr("n_days * __Syy - __Sy * __Sy"))
+        .filter("n_days > 4 AND n_days * __Syy - __Sy * __Sy > 0")
+    )
+    nd = F.col("n_days").cast("double")
+    s = F.sqrt(
+        F.col("__ss").cast("double") / (nd * (nd - F.lit(1.0)))
+    )
+    one = one.withColumn("__rr_tol", F.lit(0.5) * s)
+    rec = (
+        "cast(abs(element_at(__yarr, cast({i} as int))"
+        " - element_at(__yarr, cast({j} as int))) as double)"
+        " <= __rr_tol"
+    )
+    r_ij = rec.format(i="i", j="j")
+    r_n = rec.format(i="i + 1", j="j + 1")
+    r_p = rec.format(i="i - 1", j="j - 1")
+    one = (
+        one
+        .withColumn(
+            "__nrec",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 1), 0L, (ai, i) ->"
+                " ai + aggregate(sequence(i + 1, n_days), 0L,"
+                f" (aj, j) -> aj + IF({r_ij}, 1L, 0L)))"
+            ),
+        )
+        .withColumn(
+            "__ndet",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 1), 0L, (ai, i) ->"
+                " ai + aggregate(sequence(i + 1, n_days), 0L,"
+                f" (aj, j) -> aj + IF(({r_ij}) AND ("
+                f" (i < n_days AND j < n_days AND ({r_n}))"
+                f" OR (i > 1 AND ({r_p}))"
+                "), 1L, 0L)))"
+            ),
+        )
+        .withColumn(
+            # longest diagonal: for offset d and start s, the run
+            # length is (first non-recurrent k >= s) - s
+            "__lmax",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 1), 0L, (am, d) ->"
+                " greatest(am, aggregate("
+                "  sequence(1L, n_days - d), 0L, (as_, s) ->"
+                "  greatest(as_, aggregate("
+                "   sequence(s, n_days - d), n_days - d + 1 - s,"
+                "   (az, k) -> least(az, IF("
+                + rec.format(i="k", j="k + d")
+                + ", n_days - d + 1 - s, k - s)))))))"
+            ),
+        )
+    )
+    one = one.filter(F.col("__nrec") > 0)
+    npairs = (
+        F.col("n_days") * (F.col("n_days") - 1) / F.lit(2)
+    ).cast("double")
+    det = F.col("__ndet").cast("double") / F.col("__nrec").cast(
+        "double"
+    )
+    return one.select(
+        "n_days",
+        _r6(F.col("__rr_tol")).alias("r_tol"),
+        F.col("__nrec").alias("n_recurrent"),
+        _r6(F.col("__nrec").cast("double") / npairs)
+        .alias("recurrence_rate"),
+        _r6(det).alias("determinism"),
+        F.col("__lmax").alias("lmax"),
+        F.when(det > 0.7, F.lit("deterministic"))
+        .when(det < 0.3, F.lit("stochastic"))
+        .otherwise(F.lit("mixed"))
+        .alias("band"),
+    )
+
+
+SQL_RECURRENCE_QUANTIFICATION = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(y) AS BIGINT) AS Sy,
+    CAST(sum(y * y) AS BIGINT) AS Syy,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), pre AS (
+  SELECT n, yarr,
+    0.5 * sqrt(CAST(n * Syy - Sy * Sy AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) AS r
+  FROM one WHERE n > 4 AND n * Syy - Sy * Sy > 0
+), cnt AS (
+  SELECT n, r,
+    list_sum(list_transform(range(1, n), i ->
+      list_sum(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(i + 1, CAST(n + 1 AS INTEGER)), j ->
+          CASE WHEN CAST(abs(yarr[i] - yarr[j]) AS DOUBLE) <= r
+          THEN 1 ELSE 0 END))))) AS nrec,
+    list_sum(list_transform(range(1, n), i ->
+      list_sum(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(i + 1, CAST(n + 1 AS INTEGER)), j ->
+          CASE WHEN CAST(abs(yarr[i] - yarr[j]) AS DOUBLE) <= r
+            AND ((i < n AND j < n AND
+              CAST(abs(yarr[i + 1] - yarr[j + 1]) AS DOUBLE) <= r)
+             OR (i > 1 AND
+              CAST(abs(yarr[i - 1] - yarr[j - 1]) AS DOUBLE) <= r))
+          THEN 1 ELSE 0 END))))) AS ndet,
+    list_max(list_transform(range(1, n), d ->
+      list_max(list_transform(range(1, CAST(n - d + 1 AS INTEGER)),
+        s -> list_reduce(list_prepend(n - d + 1 - s,
+          list_transform(range(s, CAST(n - d + 1 AS INTEGER)), k ->
+            CASE WHEN CAST(abs(yarr[k] - yarr[k + d]) AS DOUBLE)
+              <= r THEN n - d + 1 - s ELSE k - s END)),
+          (acc, v) -> least(acc, v)))))) AS lmax
+  FROM pre
+)
+SELECT n AS n_days,
+  round(r, 6) AS r_tol,
+  CAST(nrec AS BIGINT) AS n_recurrent,
+  round(CAST(nrec AS DOUBLE)
+    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0), 6)
+    AS recurrence_rate,
+  round(CAST(ndet AS DOUBLE) / CAST(nrec AS DOUBLE), 6)
+    AS determinism,
+  CAST(lmax AS BIGINT) AS lmax,
+  CASE WHEN CAST(ndet AS DOUBLE) / CAST(nrec AS DOUBLE) > 0.7
+         THEN 'deterministic'
+       WHEN CAST(ndet AS DOUBLE) / CAST(nrec AS DOUBLE) < 0.3
+         THEN 'stochastic'
+       ELSE 'mixed' END AS band
+FROM cnt WHERE nrec > 0
+"""
+
+QUERIES["recurrence_quantification"] = q_recurrence_quantification
+_RAW_ORACLES["recurrence_quantification"] = (
+    SQL_RECURRENCE_QUANTIFICATION
+)
+
+
+def q_rare_word_profile(spark, sf_dir):
+    """Honoré's R, Sichel's S and Brunet's W per source from the
+    hapax end of the frequency spectrum (Honoré 1979; Sichel JRSS-A
+    1975; Brunet 1978 — the RARE-word complement to yule_k's
+    repeat-rate: K is driven by the most frequent words, these three
+    are driven by words used once (V1) or twice (V2), which is
+    where template expansion, boilerplate stuffing and synthetic
+    text first distort a source's profile; R collapses when hapaxes
+    vanish, S is the stable dis-legomena share Sichel showed is
+    near-constant for natural prose, W is the length-robust
+    vocabulary-richness constant). V, V1, V2, N are EXACT LONGS from
+    ONE (source, word) aggregation re-grouped once; R = 100 ln N /
+    (1 - V1/V) is exact divisions inside one ln; W = exp(ln N *
+    exp(-0.165 ln V)) spells the fractional power out as exp/ln on
+    BOTH engines (no pow(), whose libm paths differ). 2 shuffles at
+    any corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__w"),
+    )
+    cells = d.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    mom = cells.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+        .cast("long").alias("v1"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0))
+        .cast("long").alias("v2"),
+    )
+    mom = mom.filter(
+        (F.col("n_tokens") > 1) & (F.col("vocab") > 1)
+        & (F.col("v1") < F.col("vocab"))
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("vocab").cast("double")
+    honore = (F.lit(100.0) * F.log(nd)) / (
+        F.lit(1.0) - F.col("v1").cast("double") / vd
+    )
+    sichel = F.col("v2").cast("double") / vd
+    brunet = F.exp(
+        F.log(nd) * F.exp(F.lit(-0.165) * F.log(vd))
+    )
+    return mom.select(
+        "source", "n_tokens", "vocab", "v1", "v2",
+        _r6(honore).alias("honore_r"),
+        _r6(sichel).alias("sichel_s"),
+        _r6(brunet).alias("brunet_w"),
+    )
+
+
+SQL_RARE_WORD_PROFILE = """
+WITH d AS (
+  SELECT source,
+    unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), cells AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY source, w
+), mom AS (
+  SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2
+  FROM cells GROUP BY source
+)
+SELECT source, n_tokens, vocab, v1, v2,
+  round((100.0 * ln(CAST(n_tokens AS DOUBLE)))
+    / (1.0 - CAST(v1 AS DOUBLE) / CAST(vocab AS DOUBLE)), 6)
+    AS honore_r,
+  round(CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS sichel_s,
+  round(exp(ln(CAST(n_tokens AS DOUBLE))
+    * exp(-0.165 * ln(CAST(vocab AS DOUBLE)))), 6) AS brunet_w
+FROM mom
+WHERE n_tokens > 1 AND vocab > 1 AND v1 < vocab
+"""
+
+QUERIES["rare_word_profile"] = q_rare_word_profile
+_RAW_ORACLES["rare_word_profile"] = SQL_RARE_WORD_PROFILE
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric profile per source over the global
+    top-20 words (Burrows LLC 2002; Evert et al. 2017 for the
+    modern reading as a z-score L1 distance — THE attribution
+    distance of computational stylometry: z-score each source's
+    relative frequency of the most common words across sources,
+    Delta(s, s') = mean |z_s - z_s'|; sources produced from one
+    template sit at tiny Delta — the stylometric companion to
+    cross_source_overlap's n-gram view, usable as dedup routing at
+    the SOURCE level). The top-20 words are a TakeOrderedAndProject
+    heap with (count DESC, word) tie-break; the <=20x20 cell grid
+    and the <=20 source totals collect into ONE row, the z MATRIX is
+    materialized ONCE (each entry one fold over the sorted grid, so
+    both engines execute identical float sequences), and every Delta
+    is a bounded fold over matrix lookups; per-source output reports
+    the nearest and farthest other source with first-win tie-breaks
+    over the source-ascending scan. 100-TB shape: the corpus is
+    touched by ONE (source, word) agg; everything after runs on the
+    bounded grid."""
+    from mpds_spark.operators.util import scratch_persist
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__w"),
+    )
+    cells = scratch_persist(
+        d.groupBy("source", "__w").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+    )
+    top = (
+        cells.groupBy("__w")
+        .agg(F.sum("__c").cast("long").alias("__tot"))
+        .orderBy(F.desc("__tot"), "__w")
+        .limit(20)
+        .select("__w")
+    )
+    tot = cells.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("__n")
+    )
+    grid = cells.join(F.broadcast(top), "__w")
+    one = grid.agg(
+        F.array_sort(
+            F.collect_list(F.struct("source", "__w", "__c"))
+        ).alias("__g"),
+    ).crossJoin(
+        F.broadcast(
+            tot.agg(
+                F.array_sort(
+                    F.collect_list(F.struct("source", "__n"))
+                ).alias("__t"),
+            )
+        )
+    )
+    one = (
+        one
+        .withColumn(
+            "__srcs",
+            F.expr("transform(__t, x -> x.source)"),
+        )
+        .withColumn(
+            "__words",
+            F.expr("array_sort(array_distinct("
+                   "transform(__g, x -> x.__w)))"),
+        )
+        .withColumn("__ns", F.expr("cast(size(__srcs) as long)"))
+        .withColumn("__nw", F.expr("cast(size(__words) as long)"))
+    )
+    # frequency matrix f[si][wi] = c/n (0 when absent), ONE fold per
+    # entry over the sorted grid
+    one = one.withColumn(
+        "__fm",
+        F.expr(
+            "transform(__srcs, s -> transform(__words, w ->"
+            " aggregate(__g, 0.0D, (fa, fx) ->"
+            "  fa + IF(fx.source = s AND fx.__w = w,"
+            "  cast(fx.__c as double), 0.0D))"
+            " / cast(aggregate(__t, 0L, (ga, gx) ->"
+            "  ga + IF(gx.source = s, gx.__n, 0L)) as double)))"
+        ),
+    )
+    one = scratch_persist(one)
+    one = one.withColumn(
+        "__mu",
+        F.expr(
+            "transform(sequence(1, cast(__nw as int)), wi ->"
+            " aggregate(__fm, 0.0D, (acc, fr) ->"
+            "  acc + element_at(fr, wi)) / cast(__ns as double))"
+        ),
+    ).withColumn(
+        "__sd",
+        F.expr(
+            "transform(sequence(1, cast(__nw as int)), wi ->"
+            " sqrt(aggregate(__fm, 0.0D, (acc, fr) ->"
+            "  acc + (element_at(fr, wi) - element_at(__mu, wi))"
+            "  * (element_at(fr, wi) - element_at(__mu, wi)))"
+            " / cast(__ns - 1 as double)))"
+        ),
+    ).withColumn(
+        "__zm",
+        F.expr(
+            "transform(__fm, fr ->"
+            " transform(sequence(1, cast(__nw as int)), wi ->"
+            "  (element_at(fr, wi) - element_at(__mu, wi))"
+            "  / element_at(__sd, wi)))"
+        ),
+    )
+    one = scratch_persist(one)
+    delta = (
+        "aggregate(sequence(1, cast(__nw as int)), 0.0D,"
+        " (dacc, wi) -> dacc"
+        " + abs(element_at(element_at(__zm, cast(i1 as int)), wi)"
+        " - element_at(element_at(__zm, cast(i2 as int)), wi)))"
+        " / cast(__nw as double)"
+    )
+    one = one.withColumn(
+        "__pairs",
+        F.expr(
+            "flatten(transform(sequence(1, cast(__ns as int)),"
+            " i1 -> transform("
+            "  filter(sequence(1, cast(__ns as int)), i2 -> i2 != i1),"
+            "  i2 -> named_struct("
+            "   'src', element_at(__srcs, cast(i1 as int)),"
+            "   'oth', element_at(__srcs, cast(i2 as int)),"
+            f"   'd', {delta}))))"
+        ),
+    )
+    pairs = one.select(F.explode("__pairs").alias("__p")).select(
+        F.expr("__p.src").alias("source"),
+        F.expr("__p.oth").alias("__oth"),
+        F.expr("__p.d").alias("__d"),
+    )
+    wn = Window.partitionBy("source").orderBy("__d", "__oth")
+    wf = Window.partitionBy("source").orderBy(
+        F.desc("__d"), "__oth"
+    )
+    ranked = pairs.select(
+        "source", "__oth", "__d",
+        F.row_number().over(wn).alias("__rn"),
+        F.row_number().over(wf).alias("__rf"),
+    )
+    near = ranked.filter(F.col("__rn") == 1).select(
+        "source",
+        F.col("__oth").alias("nearest_source"),
+        _r6(F.col("__d")).alias("delta_min"),
+    )
+    far = ranked.filter(F.col("__rf") == 1).select(
+        "source",
+        F.col("__oth").alias("farthest_source"),
+        _r6(F.col("__d")).alias("delta_max"),
+    )
+    return near.join(far, "source")
+
+
+SQL_BURROWS_DELTA = """
+WITH d AS (
+  SELECT source,
+    unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), cells AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY source, w
+), top AS (
+  SELECT w FROM (
+    SELECT w, CAST(sum(c) AS BIGINT) AS tot
+    FROM cells GROUP BY w
+  ) ORDER BY tot DESC, w LIMIT 20
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n
+  FROM cells GROUP BY source
+), one AS (
+  SELECT
+    (SELECT list({'source': source, 'w': w, 'c': c}
+       ORDER BY source, w)
+     FROM cells WHERE w IN (SELECT w FROM top)) AS g,
+    (SELECT list({'source': source, 'n': n} ORDER BY source)
+     FROM tot) AS t
+), pre AS (
+  SELECT g, t,
+    list_transform(t, x -> x.source) AS srcs,
+    list_sort(list_distinct(list_transform(g, x -> x.w)))
+      AS words,
+    CAST(len(t) AS BIGINT) AS ns
+  FROM one
+), fm AS MATERIALIZED (
+  SELECT g, t, srcs, words, ns,
+    CAST(len(words) AS BIGINT) AS nw,
+    list_transform(srcs, s -> list_transform(words, w ->
+      list_sum(list_prepend(CAST(0.0 AS DOUBLE),
+        list_transform(g, fx -> CASE WHEN fx.source = s
+          AND fx.w = w THEN CAST(fx.c AS DOUBLE)
+          ELSE 0.0 END)))
+      / CAST(list_sum(list_transform(t, gx ->
+          CASE WHEN gx.source = s THEN gx.n ELSE 0 END))
+        AS DOUBLE))) AS f
+  FROM pre
+), mu AS MATERIALIZED (
+  SELECT srcs, ns, nw, f,
+    list_transform(range(1, CAST(nw + 1 AS INTEGER)), wi ->
+      list_sum(list_transform(f, fr -> fr[wi]))
+      / CAST(ns AS DOUBLE)) AS mus
+  FROM fm
+), sd AS MATERIALIZED (
+  SELECT srcs, ns, nw, f, mus,
+    list_transform(range(1, CAST(nw + 1 AS INTEGER)), wi ->
+      sqrt(list_sum(list_transform(f, fr ->
+        (fr[wi] - mus[wi]) * (fr[wi] - mus[wi])))
+      / CAST(ns - 1 AS DOUBLE))) AS sds
+  FROM mu
+), zm AS MATERIALIZED (
+  SELECT srcs, ns, nw,
+    list_transform(f, fr ->
+      list_transform(range(1, CAST(nw + 1 AS INTEGER)), wi ->
+        (fr[wi] - mus[wi]) / sds[wi])) AS z
+  FROM sd
+), pairs AS (
+  SELECT
+    unnest(flatten(list_transform(range(1, CAST(ns + 1 AS INTEGER)),
+      i1 -> list_transform(
+        list_filter(range(1, CAST(ns + 1 AS INTEGER)),
+          i2 -> i2 != i1), i2 -> {
+        'src': srcs[i1], 'oth': srcs[i2],
+        'd': list_sum(list_transform(
+          range(1, CAST(nw + 1 AS INTEGER)), wi ->
+          abs(z[i1][wi] - z[i2][wi]))) / CAST(nw AS DOUBLE)}))))
+      AS p
+  FROM zm
+), flat AS (
+  SELECT p.src AS source, p.oth AS oth, p.d AS d FROM pairs
+), ranked AS (
+  SELECT source, oth, d,
+    row_number() OVER (PARTITION BY source ORDER BY d, oth) AS rn,
+    row_number() OVER (PARTITION BY source ORDER BY d DESC, oth)
+      AS rf
+  FROM flat
+)
+SELECT n.source AS source,
+  n.oth AS nearest_source,
+  round(n.d, 6) AS delta_min,
+  f.oth AS farthest_source,
+  round(f.d, 6) AS delta_max
+FROM (SELECT * FROM ranked WHERE rn = 1) n
+JOIN (SELECT * FROM ranked WHERE rf = 1) f USING (source)
+"""
+
+
+QUERIES["burrows_delta"] = q_burrows_delta
+_RAW_ORACLES["burrows_delta"] = SQL_BURROWS_DELTA
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -744,6 +744,21 @@ BUDGETS = {
     # theta: day agg + 1-row trend moments and theta2 SES fold
     "theta_forecast": {"shuffle": 2, "python": 0, "cartesian": 0,
                        "bnlj": 0},
+    # allan: day agg + 1-row exact block-diff folds, 3-row explode
+    "allan_variance": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    # rqa: day agg + 1-row bounded O(n^2)/O(n^3) integer folds
+    "recurrence_quantification": {"shuffle": 2, "python": 0,
+                                  "cartesian": 0, "bnlj": 0},
+    # rare-words: (source,word) agg + source re-agg
+    "rare_word_profile": {"shuffle": 2, "python": 0, "cartesian": 0,
+                          "bnlj": 0},
+    # burrows: persisted grid/matrix frames (cached-branch; the
+    # persist barriers are load-bearing — they stop CollapseProject
+    # from inlining the z-matrix into all 380 pair expressions); the
+    # BNLJ prints are the ONE registered 1-row broadcast totals
+    # join, reprinted per cached branch (near/far legs x persists)
+    "burrows_delta": {"python": 0, "cartesian": 0, "bnlj": 8},
 }
 
 

@@ -4845,3 +4845,209 @@ def test_theta_forecast_rebuild(spark):
         (r["forecast_2"] - r["forecast_1"]) - b / 2
     ) < 1e-5
     assert r["naive_last"] == ys[-1]
+
+
+def test_allan_variance_rebuild(spark):
+    """AVAR(1,2,4) vs a literal python rebuild of the non-
+    overlapping block differences, plus the white-noise direction
+    check that AVAR is finite and positive at every tau."""
+    from mpds_spark.queries import q_allan_variance
+
+    rows = q_allan_variance(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    got = {r["tau_days"]: r for r in rows}
+    for tau in (1, 2, 4):
+        m = n // tau
+        if m <= 1:
+            assert tau not in got
+            continue
+        S = [
+            sum(ys[(k - 1) * tau:(k - 1) * tau + tau])
+            for k in range(1, m + 1)
+        ]
+        num = sum(
+            (S[k] - S[k - 1]) ** 2 for k in range(1, m)
+        )
+        avar = num / (2 * (m - 1) * tau * tau)
+        r = got[tau]
+        assert r["n_days"] == n
+        assert r["m_blocks"] == m
+        assert r["diff2_sum"] == num
+        assert abs(r["avar"] - avar) < 1e-6
+        assert abs(r["adev"] - avar ** 0.5) < 1e-6
+        assert r["avar"] > 0
+
+
+def test_rqa_rebuild(spark):
+    """RR/DET/LMAX vs a literal python recurrence-matrix rebuild at
+    r = 0.5*SD, plus DET membership logic and the LMAX >= 2 iff
+    any-diagonal-pair consistency."""
+    from mpds_spark.queries import q_recurrence_quantification
+
+    r = q_recurrence_quantification(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    m = sum(ys) / n
+    sd = (sum((y - m) ** 2 for y in ys) / (n - 1)) ** 0.5
+    tol = 0.5 * sd
+
+    def rec(i, j):
+        return abs(ys[i] - ys[j]) <= tol
+
+    nrec = ndet = 0
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            if rec(i, j):
+                nrec += 1
+                nxt = i + 1 < n and j + 1 < n and rec(i + 1, j + 1)
+                prv = i > 0 and rec(i - 1, j - 1)
+                if nxt or prv:
+                    ndet += 1
+    lmax = 0
+    for d in range(1, n):
+        run = 0
+        for k in range(0, n - d):
+            if rec(k, k + d):
+                run += 1
+                lmax = max(lmax, run)
+            else:
+                run = 0
+    assert r["n_days"] == n
+    assert abs(r["r_tol"] - tol) < 1e-6
+    assert r["n_recurrent"] == nrec
+    assert abs(
+        r["recurrence_rate"] - nrec / (n * (n - 1) / 2)
+    ) < 1e-6
+    assert abs(r["determinism"] - ndet / nrec) < 1e-6
+    assert r["lmax"] == lmax
+    assert (r["lmax"] >= 2) == (r["determinism"] > 0)
+    assert 0.0 <= r["determinism"] <= 1.0
+
+
+def test_rare_word_profile_rebuild(spark):
+    """Honore R / Sichel S / Brunet W vs a literal python rebuild of
+    the per-source frequency spectrum, plus the V1+V2 <= V sanity
+    and the R-collapses-without-hapaxes reading."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mpds_spark.queries import q_rare_word_profile
+
+    rows = q_rare_word_profile(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT source, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    bysrc = defaultdict(Counter)
+    for s, t in docs:
+        bysrc[s].update(t.strip().split())
+    got = {r["source"]: r for r in rows}
+    for s, cnt in bysrc.items():
+        n = sum(cnt.values())
+        v = len(cnt)
+        v1 = sum(1 for c in cnt.values() if c == 1)
+        v2 = sum(1 for c in cnt.values() if c == 2)
+        if not (n > 1 and v > 1 and v1 < v):
+            assert s not in got
+            continue
+        r = got[s]
+        assert r["n_tokens"] == n
+        assert r["vocab"] == v
+        assert r["v1"] == v1
+        assert r["v2"] == v2
+        assert v1 + v2 <= v
+        hon = 100 * math.log(n) / (1 - v1 / v)
+        assert abs(r["honore_r"] - hon) < 1e-4
+        assert abs(r["sichel_s"] - v2 / v) < 1e-6
+        w = math.exp(math.log(n) * math.exp(-0.165 * math.log(v)))
+        assert abs(r["brunet_w"] - w) < 1e-4
+
+
+def test_burrows_delta_rebuild(spark):
+    """Nearest/farthest sources by Burrows Delta vs a literal
+    python rebuild over the global top-20 word z-profiles, plus the
+    symmetry sanity that delta_min <= delta_max everywhere."""
+    from collections import Counter, defaultdict
+
+    from mpds_spark.queries import q_burrows_delta
+
+    rows = q_burrows_delta(spark, "/root/testdata/sf0.001").collect()
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT source, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    bysrc = defaultdict(Counter)
+    total = Counter()
+    for s, t in docs:
+        ws = t.strip().split()
+        bysrc[s].update(ws)
+        total.update(ws)
+    top = [
+        w for w, _ in sorted(
+            total.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:20]
+    ]
+    srcs = sorted(bysrc)
+    ns = len(srcs)
+    f = {
+        s: [bysrc[s][w] / sum(bysrc[s].values()) for w in sorted(top)]
+        for s in srcs
+    }
+    nw = len(top)
+    mus = [sum(f[s][i] for s in srcs) / ns for i in range(nw)]
+    sds = [
+        (sum((f[s][i] - mus[i]) ** 2 for s in srcs) / (ns - 1))
+        ** 0.5
+        for i in range(nw)
+    ]
+    z = {
+        s: [(f[s][i] - mus[i]) / sds[i] for i in range(nw)]
+        for s in srcs
+    }
+
+    def delta(a, b):
+        return sum(
+            abs(z[a][i] - z[b][i]) for i in range(nw)
+        ) / nw
+
+    got = {r["source"]: r for r in rows}
+    assert set(got) == set(srcs)
+    for s in srcs:
+        ds = sorted(
+            ((delta(s, o), o) for o in srcs if o != s)
+        )
+        r = got[s]
+        assert r["nearest_source"] == ds[0][1]
+        assert abs(r["delta_min"] - ds[0][0]) < 1e-6
+        assert r["farthest_source"] == ds[-1][1]
+        assert abs(r["delta_max"] - ds[-1][0]) < 1e-6
+        assert r["delta_min"] <= r["delta_max"]
