@@ -25000,4 +25000,190 @@ JOIN (SELECT * FROM ranked WHERE rf = 1) f USING (source)
 
 QUERIES["burrows_delta"] = q_burrows_delta
 _RAW_ORACLES["burrows_delta"] = SQL_BURROWS_DELTA
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points test of randomness on daily event volume
+    (Kendall & Stuart 'The Advanced Theory of Statistics' vol. 3;
+    Brockwell & Davis ITSF §1.6 — the cheapest IID screen in the
+    residual-diagnostics toolbox: count local peaks and troughs; an
+    IID series has E[T] = 2(n-2)/3 with Var = (16n-29)/90, too FEW
+    turning points means positive serial correlation (the series is
+    smoother than chance — exactly what durbin_watson/ljung_box then
+    quantify), too MANY means negative/oscillatory structure; run
+    it FIRST because it needs no moments, no ranks and no
+    distributional assumptions). T is an EXACT LONG from one strict
+    peak/trough fold over the <=31-day array ((y_t - y_{t-1}) *
+    (y_t - y_{t+1}) > 0), the null moments are exact-integer
+    formulas, z one fixed expression. 2 shuffles at any corpus
+    size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__yarr", F.expr("transform(__a, s -> s.__y)")
+    ).filter(F.col("n_days") > 3)
+    one = one.withColumn(
+        "__t",
+        F.expr(
+            "aggregate(sequence(2L, n_days - 1), 0L, (acc, t) ->"
+            " acc + IF((element_at(__yarr, cast(t as int))"
+            " - element_at(__yarr, cast(t - 1 as int)))"
+            " * (element_at(__yarr, cast(t as int))"
+            " - element_at(__yarr, cast(t + 1 as int))) > 0,"
+            " 1L, 0L))"
+        ),
+    )
+    nd = F.col("n_days").cast("double")
+    e = F.lit(2.0) * (nd - F.lit(2.0)) / F.lit(3.0)
+    v = (F.lit(16.0) * nd - F.lit(29.0)) / F.lit(90.0)
+    z = (F.col("__t").cast("double") - e) / F.sqrt(v)
+    return one.select(
+        "n_days",
+        F.col("__t").alias("n_turning"),
+        _r6(e).alias("expected"),
+        _r6(v).alias("variance"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z < 0.0, F.lit("too_smooth"))
+        .when(z > 0.0, F.lit("too_oscillatory"))
+        .otherwise(F.lit("iid_like"))
+        .alias("verdict"),
+    )
+
+
+SQL_TURNING_POINTS = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), f AS (
+  SELECT n,
+    list_sum(list_transform(range(2, CAST(n AS INTEGER)), t ->
+      CASE WHEN (yarr[t] - yarr[t - 1])
+                * (yarr[t] - yarr[t + 1]) > 0
+      THEN 1 ELSE 0 END)) AS tp
+  FROM one WHERE n > 3
+)
+SELECT n AS n_days,
+  CAST(tp AS BIGINT) AS n_turning,
+  round(2.0 * CAST(n - 2 AS DOUBLE) / 3.0, 6) AS expected,
+  round((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0, 6) AS variance,
+  round((CAST(tp AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) AS z_stat,
+  (abs((CAST(tp AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+    / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)) > 1.96)
+    AS reject_5pct,
+  CASE WHEN (CAST(tp AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+    < 0 THEN 'too_smooth'
+       WHEN (CAST(tp AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+    > 0 THEN 'too_oscillatory'
+       ELSE 'iid_like' END AS verdict
+FROM f
+"""
+
+QUERIES["turning_points"] = q_turning_points
+_RAW_ORACLES["turning_points"] = SQL_TURNING_POINTS
+
+
+def q_difference_sign(spark, sf_dir):
+    """Difference-sign test of trend on daily event volume
+    (Brockwell & Davis ITSF §1.6; Kendall & Stuart — the companion
+    count to turning_points: S = #{t : y_t > y_{t-1}} has
+    E[S] = (n-1)/2 and Var = (n+1)/12 under IID, an excess of
+    up-steps is a monotone-trend signal (the sign-only shadow of
+    mann_kendall, which it cross-checks for free) while a DEFICIT
+    with a flat mann_kendall flags sawtooth structure — and the
+    classic caveat that strong seasonality fools this test is
+    itself informative next to hourly_seasonality). S is an EXACT
+    LONG from one strict-increase fold over the <=31-day array; the
+    null moments are exact-integer formulas; z one fixed
+    expression. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__yarr", F.expr("transform(__a, s -> s.__y)")
+    ).filter(F.col("n_days") > 2)
+    one = one.withColumn(
+        "__s",
+        F.expr(
+            "aggregate(sequence(2L, n_days), 0L, (acc, t) ->"
+            " acc + IF(element_at(__yarr, cast(t as int))"
+            " > element_at(__yarr, cast(t - 1 as int)), 1L, 0L))"
+        ),
+    )
+    nd = F.col("n_days").cast("double")
+    e = (nd - F.lit(1.0)) / F.lit(2.0)
+    v = (nd + F.lit(1.0)) / F.lit(12.0)
+    z = (F.col("__s").cast("double") - e) / F.sqrt(v)
+    return one.select(
+        "n_days",
+        F.col("__s").alias("n_up_steps"),
+        _r6(e).alias("expected"),
+        _r6(v).alias("variance"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z > 0.0, F.lit("upward_trend"))
+        .when(z < 0.0, F.lit("downward_trend"))
+        .otherwise(F.lit("no_trend"))
+        .alias("verdict"),
+    )
+
+
+SQL_DIFFERENCE_SIGN = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), f AS (
+  SELECT n,
+    list_sum(list_transform(range(2, CAST(n + 1 AS INTEGER)), t ->
+      CASE WHEN yarr[t] > yarr[t - 1] THEN 1 ELSE 0 END)) AS s
+  FROM one WHERE n > 2
+)
+SELECT n AS n_days,
+  CAST(s AS BIGINT) AS n_up_steps,
+  round(CAST(n - 1 AS DOUBLE) / 2.0, 6) AS expected,
+  round(CAST(n + 1 AS DOUBLE) / 12.0, 6) AS variance,
+  round((CAST(s AS DOUBLE) - CAST(n - 1 AS DOUBLE) / 2.0)
+    / sqrt(CAST(n + 1 AS DOUBLE) / 12.0), 6) AS z_stat,
+  (abs((CAST(s AS DOUBLE) - CAST(n - 1 AS DOUBLE) / 2.0)
+    / sqrt(CAST(n + 1 AS DOUBLE) / 12.0)) > 1.96) AS reject_5pct,
+  CASE WHEN CAST(s AS DOUBLE) > CAST(n - 1 AS DOUBLE) / 2.0
+         THEN 'upward_trend'
+       WHEN CAST(s AS DOUBLE) < CAST(n - 1 AS DOUBLE) / 2.0
+         THEN 'downward_trend'
+       ELSE 'no_trend' END AS verdict
+FROM f
+"""
+
+QUERIES["difference_sign"] = q_difference_sign
+_RAW_ORACLES["difference_sign"] = SQL_DIFFERENCE_SIGN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

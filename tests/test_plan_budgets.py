@@ -759,6 +759,11 @@ BUDGETS = {
     # BNLJ prints are the ONE registered 1-row broadcast totals
     # join, reprinted per cached branch (near/far legs x persists)
     "burrows_delta": {"python": 0, "cartesian": 0, "bnlj": 8},
+    # kendall-stuart randomness screens: day agg + 1-row exact folds
+    "turning_points": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    "difference_sign": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

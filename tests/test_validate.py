@@ -5051,3 +5051,60 @@ def test_burrows_delta_rebuild(spark):
         assert r["farthest_source"] == ds[-1][1]
         assert abs(r["delta_max"] - ds[-1][0]) < 1e-6
         assert r["delta_min"] <= r["delta_max"]
+
+
+def test_turning_difference_sign_rebuild(spark):
+    """Both Kendall-Stuart randomness screens vs literal python
+    rebuilds on the daily volumes, plus the structural bounds
+    T <= n-2 and S <= n-1 and verdict-sign consistency."""
+    from mpds_spark.queries import (
+        q_difference_sign,
+        q_turning_points,
+    )
+
+    rt = q_turning_points(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rs = q_difference_sign(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    tp = sum(
+        1
+        for t in range(1, n - 1)
+        if (ys[t] - ys[t - 1]) * (ys[t] - ys[t + 1]) > 0
+    )
+    s = sum(1 for t in range(1, n) if ys[t] > ys[t - 1])
+    et = 2 * (n - 2) / 3
+    vt = (16 * n - 29) / 90
+    es = (n - 1) / 2
+    vs = (n + 1) / 12
+    assert rt["n_days"] == n and rs["n_days"] == n
+    assert rt["n_turning"] == tp
+    assert rs["n_up_steps"] == s
+    assert rt["n_turning"] <= n - 2
+    assert rs["n_up_steps"] <= n - 1
+    assert abs(rt["expected"] - et) < 1e-6
+    assert abs(rt["variance"] - vt) < 1e-6
+    assert abs(rt["z_stat"] - (tp - et) / vt ** 0.5) < 1e-6
+    assert abs(rs["expected"] - es) < 1e-6
+    assert abs(rs["variance"] - vs) < 1e-6
+    assert abs(rs["z_stat"] - (s - es) / vs ** 0.5) < 1e-6
+    assert rt["reject_5pct"] == (abs(rt["z_stat"]) > 1.96)
+    assert rs["reject_5pct"] == (abs(rs["z_stat"]) > 1.96)
+    if tp < et:
+        assert rt["verdict"] == "too_smooth"
+    if s > es:
+        assert rs["verdict"] == "upward_trend"
+    elif s < es:
+        assert rs["verdict"] == "downward_trend"
