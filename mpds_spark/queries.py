@@ -25186,4 +25186,252 @@ FROM f
 
 QUERIES["difference_sign"] = q_difference_sign
 _RAW_ORACLES["difference_sign"] = SQL_DIFFERENCE_SIGN
+
+
+def q_cox_stuart(spark, sf_dir):
+    """Cox-Stuart sign test for trend on daily event volume (Cox &
+    Stuart Biometrika 1955 — the long-HORIZON trend screen that
+    complements difference_sign's step-level view: pair day i with
+    day i + n/2 and count how often the later half wins; because
+    each comparison spans half the series it is immune to the
+    sawtooth/seasonal structure that fools step-wise tests, and
+    with ties dropped it is an exact binomial sign test). The win
+    count S+ and the non-tied pair count m are EXACT LONGS from one
+    fold over the <=31-day array (c = n div 2 offset, the odd
+    middle day dropped per the original paper); the normal
+    approximation z = (2 S+ - m)/sqrt(m) is one fixed expression of
+    exact-long casts. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__c", F.expr("n_days div 2"))
+        .filter(F.col("n_days") > 3)
+    )
+    cmpv = (
+        "element_at(__yarr, cast(i + __c as int))"
+        " {op} element_at(__yarr, cast(i as int))"
+    )
+    one = (
+        one
+        .withColumn(
+            "__sp",
+            F.expr(
+                "aggregate(sequence(1L, __c), 0L, (acc, i) ->"
+                f" acc + IF({cmpv.format(op='>')}, 1L, 0L))"
+            ),
+        )
+        .withColumn(
+            "__m",
+            F.expr(
+                "aggregate(sequence(1L, __c), 0L, (acc, i) ->"
+                f" acc + IF({cmpv.format(op='!=')}, 1L, 0L))"
+            ),
+        )
+    )
+    one = one.filter(F.col("__m") > 0)
+    z = (
+        (F.lit(2) * F.col("__sp") - F.col("__m")).cast("double")
+        / F.sqrt(F.col("__m").cast("double"))
+    )
+    return one.select(
+        "n_days",
+        F.col("__c").alias("offset"),
+        F.col("__m").alias("n_pairs"),
+        F.col("__sp").alias("n_later_wins"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z > 0.0, F.lit("upward_trend"))
+        .when(z < 0.0, F.lit("downward_trend"))
+        .otherwise(F.lit("no_trend"))
+        .alias("verdict"),
+    )
+
+
+SQL_COX_STUART = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), f AS (
+  SELECT n, n // 2 AS c,
+    list_sum(list_transform(range(1, CAST(n // 2 + 1 AS INTEGER)),
+      i -> CASE WHEN yarr[i + n // 2] > yarr[i]
+           THEN 1 ELSE 0 END)) AS sp,
+    list_sum(list_transform(range(1, CAST(n // 2 + 1 AS INTEGER)),
+      i -> CASE WHEN yarr[i + n // 2] != yarr[i]
+           THEN 1 ELSE 0 END)) AS m
+  FROM one WHERE n > 3
+)
+SELECT n AS n_days, c AS offset,
+  CAST(m AS BIGINT) AS n_pairs,
+  CAST(sp AS BIGINT) AS n_later_wins,
+  round(CAST(2 * sp - m AS DOUBLE) / sqrt(CAST(m AS DOUBLE)), 6)
+    AS z_stat,
+  (abs(CAST(2 * sp - m AS DOUBLE) / sqrt(CAST(m AS DOUBLE)))
+   > 1.96) AS reject_5pct,
+  CASE WHEN 2 * sp > m THEN 'upward_trend'
+       WHEN 2 * sp < m THEN 'downward_trend'
+       ELSE 'no_trend' END AS verdict
+FROM f WHERE m > 0
+"""
+
+QUERIES["cox_stuart"] = q_cox_stuart
+_RAW_ORACLES["cox_stuart"] = SQL_COX_STUART
+
+
+def q_bartels_rank(spark, sf_dir):
+    """Bartels' rank version of the von Neumann ratio on daily event
+    volume (Bartels JASA 1982 — the RANK-robust successor to the
+    parametric von Neumann/Durbin-Watson family: RVN = sum (R_t -
+    R_{t+1})^2 / sum (R_t - Rbar)^2 over the midranks of the daily
+    volumes, so a single outlier day cannot dominate the
+    numerator the way it does in durbin_watson's residual squares;
+    RVN ~ 2 under randomness, below 2 = positive dependence). With
+    DOUBLED midranks 2R_t = #(y_j < y_t) + #(y_j <= y_t) + 1 (exact
+    integers from bounded O(n^2) folds) and 2*Rbar = n+1, BOTH sums
+    are EXACT LONGS — the doubling cancels, RVN is ONE exact-long
+    division, and the asymptotic variance 4(n-2)(5n^2-2n-9) /
+    (5n(n+1)(n-1)^2) (Bartels 1982, eq. 6) is an exact-integer
+    ratio. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = one.withColumn(
+        "__yarr", F.expr("transform(__a, s -> s.__y)")
+    ).filter(F.col("n_days") > 3)
+    one = one.withColumn(
+        "__r2",
+        F.expr(
+            "transform(sequence(1L, n_days), t ->"
+            " aggregate(__yarr, 1L, (acc, v) -> acc"
+            " + IF(v < element_at(__yarr, cast(t as int)), 2L,"
+            "   IF(v = element_at(__yarr, cast(t as int)), 1L, 0L))))"
+        ),
+    )
+    # __r2[t] = 2*midrank: lt + le + 1 = (2*lt + ties) + 1 where the
+    # fold adds 2 per strictly-smaller and 1 per equal (incl. self)
+    one = (
+        one
+        .withColumn(
+            "__num",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 1), 0L, (acc, t) ->"
+                " acc + (element_at(__r2, cast(t as int))"
+                " - element_at(__r2, cast(t + 1 as int)))"
+                " * (element_at(__r2, cast(t as int))"
+                " - element_at(__r2, cast(t + 1 as int))))"
+            ),
+        )
+        .withColumn(
+            "__den",
+            F.expr(
+                "aggregate(__r2, 0L, (acc, r) ->"
+                " acc + (r - (n_days + 1)) * (r - (n_days + 1)))"
+            ),
+        )
+    )
+    one = one.filter(F.col("__den") > 0)
+    rvn = F.col("__num").cast("double") / F.col("__den").cast(
+        "double"
+    )
+    nd = F.col("n_days").cast("double")
+    var = (
+        F.lit(4.0) * (nd - 2) * (F.lit(5.0) * nd * nd - 2 * nd - 9)
+    ) / (F.lit(5.0) * nd * (nd + 1) * (nd - 1) * (nd - 1))
+    z = (rvn - F.lit(2.0)) / F.sqrt(var)
+    return one.select(
+        "n_days",
+        _r6(rvn).alias("rvn"),
+        _r6(var).alias("variance"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z < 0.0, F.lit("positive_dependence"))
+        .when(z > 0.0, F.lit("negative_dependence"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+SQL_BARTELS_RANK = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), rr AS (
+  SELECT n, yarr,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), t ->
+      list_sum(list_transform(yarr, v ->
+        CASE WHEN v < yarr[t] THEN 2
+             WHEN v = yarr[t] THEN 1
+             ELSE 0 END)) + 1) AS r2
+  FROM one WHERE n > 3
+), f AS (
+  SELECT n,
+    list_sum(list_transform(range(1, CAST(n AS INTEGER)), t ->
+      (r2[t] - r2[t + 1]) * (r2[t] - r2[t + 1]))) AS num,
+    list_sum(list_transform(r2, r ->
+      (r - (n + 1)) * (r - (n + 1)))) AS den
+  FROM rr
+)
+SELECT n AS n_days,
+  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rvn,
+  round(4.0 * CAST(n - 2 AS DOUBLE)
+    * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       - 2.0 * CAST(n AS DOUBLE) - 9.0)
+    / (5.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+       * CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)
+    AS variance,
+  round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) - 2.0)
+    / sqrt(4.0 * CAST(n - 2 AS DOUBLE)
+    * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       - 2.0 * CAST(n AS DOUBLE) - 9.0)
+    / (5.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+       * CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6)
+    AS z_stat,
+  (abs((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) - 2.0)
+    / sqrt(4.0 * CAST(n - 2 AS DOUBLE)
+    * (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       - 2.0 * CAST(n AS DOUBLE) - 9.0)
+    / (5.0 * CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)
+       * CAST(n - 1 AS DOUBLE) * CAST(n - 1 AS DOUBLE)))) > 1.96)
+    AS reject_5pct,
+  CASE WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) < 2.0
+         THEN 'positive_dependence'
+       WHEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) > 2.0
+         THEN 'negative_dependence'
+       ELSE 'random' END AS verdict
+FROM f WHERE den > 0
+"""
+
+QUERIES["bartels_rank"] = q_bartels_rank
+_RAW_ORACLES["bartels_rank"] = SQL_BARTELS_RANK
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -764,6 +764,11 @@ BUDGETS = {
                        "bnlj": 0},
     "difference_sign": {"shuffle": 2, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # cox-stuart / bartels: day agg + 1-row exact folds
+    "cox_stuart": {"shuffle": 2, "python": 0, "cartesian": 0,
+                   "bnlj": 0},
+    "bartels_rank": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -5108,3 +5108,61 @@ def test_turning_difference_sign_rebuild(spark):
         assert rs["verdict"] == "upward_trend"
     elif s < es:
         assert rs["verdict"] == "downward_trend"
+
+
+def test_cox_stuart_bartels_rebuild(spark):
+    """Cox-Stuart sign counts and Bartels RVN vs literal python
+    rebuilds (midrank construction included), plus RVN in (0, 4)
+    and the Cox-Stuart pair bound m <= n div 2."""
+    from mpds_spark.queries import q_bartels_rank, q_cox_stuart
+
+    rc = q_cox_stuart(spark, "/root/testdata/sf0.001").collect()[0]
+    rb = q_bartels_rank(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    c = n // 2
+    sp = sum(1 for i in range(c) if ys[i + c] > ys[i])
+    m = sum(1 for i in range(c) if ys[i + c] != ys[i])
+    z = (2 * sp - m) / m ** 0.5
+    assert rc["n_days"] == n
+    assert rc["offset"] == c
+    assert rc["n_pairs"] == m
+    assert m <= c
+    assert rc["n_later_wins"] == sp
+    assert abs(rc["z_stat"] - z) < 1e-6
+    assert rc["reject_5pct"] == (abs(z) > 1.96)
+    # midranks
+    r = [
+        sum(1 for v in ys if v < y)
+        + (sum(1 for v in ys if v == y) + 1) / 2
+        for y in ys
+    ]
+    rbar = (n + 1) / 2
+    num = sum(
+        (r[t] - r[t + 1]) ** 2 for t in range(n - 1)
+    )
+    den = sum((x - rbar) ** 2 for x in r)
+    rvn = num / den
+    var = (
+        4 * (n - 2) * (5 * n * n - 2 * n - 9)
+        / (5 * n * (n + 1) * (n - 1) ** 2)
+    )
+    assert rb["n_days"] == n
+    assert abs(rb["rvn"] - rvn) < 1e-6
+    assert abs(rb["variance"] - var) < 1e-6
+    assert abs(rb["z_stat"] - (rvn - 2) / var ** 0.5) < 1e-6
+    assert 0.0 < rb["rvn"] < 4.0
+    assert rb["reject_5pct"] == (
+        abs((rvn - 2) / var ** 0.5) > 1.96
+    )
