@@ -25434,4 +25434,245 @@ FROM f WHERE den > 0
 
 QUERIES["bartels_rank"] = q_bartels_rank
 _RAW_ORACLES["bartels_rank"] = SQL_BARTELS_RANK
+def _daily_partial_sums(spark, sf_dir):
+    """Shared 1-row frame for the partial-sum homogeneity screens:
+    daily event volumes y_1..y_n (EXACT LONGS, day-ascending) plus
+    tot = sum y, ssq = sum y^2, q = n*ssq - tot^2 (= n^2 * Dx^2 with
+    Dx the n-denominator std) and the adjusted partial sums
+    a_k = n*P_k - k*tot = n * S_k for k = 1..n-1 (S_k the classical
+    cumulative deviation sum_{i<=k}(y_i - ybar)) — every quantity an
+    EXACT LONG, so the downstream Buishand/SNHT statistics are fixed
+    expression trees over exact integers. 2 shuffles at any corpus
+    size (day agg + 1-row agg)."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn(
+            "__dayarr", F.expr("transform(__a, s -> s.__day)")
+        )
+        .filter(F.col("n_days") > 3)
+        .withColumn(
+            "__tot",
+            F.expr("aggregate(__yarr, 0L, (acc, v) -> acc + v)"),
+        )
+        .withColumn(
+            "__ssq",
+            F.expr(
+                "aggregate(__yarr, 0L, (acc, v) -> acc + v * v)"
+            ),
+        )
+        .withColumn(
+            "__q", F.expr("n_days * __ssq - __tot * __tot")
+        )
+        .filter(F.col("__q") > 0)
+        .withColumn(
+            "__ak",
+            F.expr(
+                "transform(sequence(1L, n_days - 1), k ->"
+                " n_days * aggregate(slice(__yarr, 1,"
+                " cast(k as int)), 0L, (acc, v) -> acc + v)"
+                " - k * __tot)"
+            ),
+        )
+    )
+    return one
+
+
+_SQL_DAILY_PARTIAL_SUMS = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr,
+    list(day ORDER BY day) AS dayarr
+  FROM day
+), base AS (
+  SELECT n, yarr, dayarr,
+    CAST(list_sum(yarr) AS BIGINT) AS tot,
+    CAST(list_sum(list_transform(yarr, v -> v * v)) AS BIGINT)
+      AS ssq
+  FROM one WHERE n > 3
+), wq AS (
+  SELECT *, n * ssq - tot * tot AS qq FROM base
+), ps AS (
+  SELECT n, dayarr, qq,
+    list_transform(range(1, CAST(n AS INTEGER)), k ->
+      n * CAST(list_sum(yarr[1:k]) AS BIGINT) - k * tot) AS a
+  FROM wq WHERE qq > 0
+)
+"""
+
+
+def q_buishand_range(spark, sf_dir):
+    """Buishand rescaled adjusted range test for homogeneity of
+    daily event volume (Buishand J. Hydrology 1982 — the PARTIAL-SUM
+    break detector that complements the rank-based pettitt_test and
+    the sequential cusum_changepoint: cumulative deviations S_k from
+    the global mean drift systematically away from 0 when the level
+    shifts, so R = max S - min S rescaled by Dx*sqrt(n) is large
+    under a break; Buishand's U adds the mean-square version that is
+    more sensitive to mid-series shifts). With a_k = n*S_k EXACT
+    LONGS (see _daily_partial_sums), R/(Dx sqrt(n)) = (max a - min a)
+    / sqrt(n*q) and U = sum a_k^2 / (q*n*(n+1)) are each ONE
+    division of exact longs; the changepoint candidate is the
+    argmax-|a_k| day (first on ties, an exact-integer argmax). The
+    5pct critical value 1.55 is Buishand's tabulated n=30 point for
+    R/(Dx sqrt(n)). 2 shuffles at any corpus size."""
+    one = _daily_partial_sums(spark, sf_dir)
+    one = (
+        one
+        .withColumn(
+            "__rng",
+            F.expr(
+                "greatest(array_max(__ak), 0L)"
+                " - least(array_min(__ak), 0L)"
+            ),
+        )
+        .withColumn(
+            "__sa2",
+            F.expr(
+                "aggregate(__ak, 0L, (acc, x) -> acc + x * x)"
+            ),
+        )
+        .withColumn(
+            "__absa", F.expr("transform(__ak, x -> abs(x))")
+        )
+        .withColumn(
+            "__cpk",
+            F.expr("array_position(__absa, array_max(__absa))"),
+        )
+    )
+    r = F.col("__rng").cast("double") / F.sqrt(
+        (F.col("n_days") * F.col("__q")).cast("double")
+    )
+    u = F.col("__sa2").cast("double") / (
+        F.col("__q") * F.col("n_days") * (F.col("n_days") + 1)
+    ).cast("double")
+    return one.select(
+        "n_days",
+        _r6(r).alias("r_stat"),
+        _r6(u).alias("u_stat"),
+        F.expr(
+            "element_at(__dayarr, cast(__cpk as int))"
+        ).alias("cp_day"),
+        (r > F.lit(1.55)).alias("reject_5pct"),
+        F.when(r > 1.55, F.lit("changepoint"))
+        .otherwise(F.lit("homogeneous"))
+        .alias("verdict"),
+    )
+
+
+SQL_BUISHAND_RANGE = (
+    _SQL_DAILY_PARTIAL_SUMS
+    + """
+SELECT n AS n_days,
+  round(CAST(greatest(list_max(a), 0) - least(list_min(a), 0)
+    AS DOUBLE) / sqrt(CAST(n * qq AS DOUBLE)), 6) AS r_stat,
+  round(CAST(list_sum(list_transform(a, x -> x * x)) AS DOUBLE)
+    / CAST(qq * n * (n + 1) AS DOUBLE), 6) AS u_stat,
+  CAST(dayarr[CAST(list_position(list_transform(a, x -> abs(x)),
+    list_max(list_transform(a, x -> abs(x)))) AS INTEGER)]
+    AS BIGINT) AS cp_day,
+  (CAST(greatest(list_max(a), 0) - least(list_min(a), 0) AS DOUBLE)
+    / sqrt(CAST(n * qq AS DOUBLE)) > 1.55) AS reject_5pct,
+  CASE WHEN CAST(greatest(list_max(a), 0) - least(list_min(a), 0)
+    AS DOUBLE) / sqrt(CAST(n * qq AS DOUBLE)) > 1.55
+    THEN 'changepoint' ELSE 'homogeneous' END AS verdict
+FROM ps
+"""
+)
+
+QUERIES["buishand_range"] = q_buishand_range
+_RAW_ORACLES["buishand_range"] = SQL_BUISHAND_RANGE
+
+
+def q_snht_test(spark, sf_dir):
+    """Standard Normal Homogeneity Test on daily event volume
+    (Alexandersson J. Climatology 1986 — the LIKELIHOOD-flavored
+    break detector in the homogeneity trio: T_k = k*z1bar^2 +
+    (n-k)*z2bar^2 compares the standardized means of the two
+    segments around every candidate split, so unlike buishand_range
+    (max cumulative drift) and pettitt_test (rank shift) it weights
+    breaks near the series ENDS most strongly — run all three and
+    agreeing change days are trustworthy). With a_k = n*S_k EXACT
+    LONGS, T_k collapses to n*a_k^2 / (q*k*(n-k)) — each candidate
+    ONE identically-associated double expression over exact longs,
+    so T0 = max_k T_k and the argmax day are bit-identical across
+    engines (first-match argmax via array_position on equal
+    doubles). The 5pct critical value 7.65 is the tabulated n=30
+    point (Khaliq & Ouarda Int. J. Climatology 2007). 2 shuffles at
+    any corpus size."""
+    one = _daily_partial_sums(spark, sf_dir)
+    one = (
+        one
+        .withColumn(
+            "__tarr",
+            F.expr(
+                "transform(sequence(1L, n_days - 1), k ->"
+                " cast(element_at(__ak, cast(k as int)) as double)"
+                " * cast(element_at(__ak, cast(k as int))"
+                " as double)"
+                " * cast(n_days as double)"
+                " / (cast(__q as double) * cast(k as double)"
+                " * cast(n_days - k as double)))"
+            ),
+        )
+        .withColumn("__t0", F.expr("array_max(__tarr)"))
+        .withColumn(
+            "__cpk", F.expr("array_position(__tarr, __t0)")
+        )
+    )
+    t0 = F.col("__t0")
+    return one.select(
+        "n_days",
+        _r6(t0).alias("t0_stat"),
+        F.expr(
+            "element_at(__dayarr, cast(__cpk as int))"
+        ).alias("cp_day"),
+        (t0 > F.lit(7.65)).alias("reject_5pct"),
+        F.when(t0 > 7.65, F.lit("changepoint"))
+        .otherwise(F.lit("homogeneous"))
+        .alias("verdict"),
+    )
+
+
+SQL_SNHT_TEST = (
+    _SQL_DAILY_PARTIAL_SUMS
+    + """
+, tk AS (
+  SELECT n, dayarr,
+    list_transform(range(1, CAST(n AS INTEGER)), k ->
+      CAST(a[k] AS DOUBLE) * CAST(a[k] AS DOUBLE)
+      * CAST(n AS DOUBLE)
+      / (CAST(qq AS DOUBLE) * CAST(k AS DOUBLE)
+         * CAST(n - k AS DOUBLE))) AS t
+  FROM ps
+)
+SELECT n AS n_days,
+  round(list_max(t), 6) AS t0_stat,
+  CAST(dayarr[CAST(list_position(t, list_max(t)) AS INTEGER)]
+    AS BIGINT) AS cp_day,
+  (list_max(t) > 7.65) AS reject_5pct,
+  CASE WHEN list_max(t) > 7.65 THEN 'changepoint'
+       ELSE 'homogeneous' END AS verdict
+FROM tk
+"""
+)
+
+QUERIES["snht_test"] = q_snht_test
+_RAW_ORACLES["snht_test"] = SQL_SNHT_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

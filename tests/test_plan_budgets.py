@@ -769,6 +769,11 @@ BUDGETS = {
                    "bnlj": 0},
     "bartels_rank": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # buishand / snht: day agg + 1-row exact partial-sum folds
+    "buishand_range": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    "snht_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
 }
 
 

@@ -5166,3 +5166,55 @@ def test_cox_stuart_bartels_rebuild(spark):
     assert rb["reject_5pct"] == (
         abs((rvn - 2) / var ** 0.5) > 1.96
     )
+
+
+def test_buishand_snht_rebuild(spark):
+    """Buishand R/U and SNHT T0 vs literal python rebuilds of the
+    classical definitions (cumulative deviations from the mean,
+    n-denominator std), plus the argmax changepoint days and the
+    structural bounds 0 <= U and T_k >= 0."""
+    from mpds_spark.queries import q_buishand_range, q_snht_test
+
+    rb = q_buishand_range(spark, "/root/testdata/sf0.001").collect()[0]
+    rs = q_snht_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts) AS d, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY d ORDER BY d"
+    ).fetchall()
+    days = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    n = len(ys)
+    ybar = sum(ys) / n
+    sk = []
+    acc = 0.0
+    for y in ys[:-1]:
+        acc += y - ybar
+        sk.append(acc)
+    dx = (sum((y - ybar) ** 2 for y in ys) / n) ** 0.5
+    r_stat = (max(max(sk), 0.0) - min(min(sk), 0.0)) / (
+        dx * n ** 0.5
+    )
+    u_stat = sum(s * s for s in sk) / (dx * dx * n * (n + 1))
+    assert rb["n_days"] == n
+    assert abs(rb["r_stat"] - r_stat) < 1e-6
+    assert abs(rb["u_stat"] - u_stat) < 1e-6
+    assert u_stat >= 0.0
+    cp = max(range(len(sk)), key=lambda k: (abs(sk[k]), -k))
+    assert rb["cp_day"] == days[cp]
+    assert rb["reject_5pct"] == (r_stat > 1.55)
+    # SNHT
+    tks = []
+    for k in range(1, n):
+        z1 = (sum(ys[:k]) / k - ybar) / dx
+        z2 = (sum(ys[k:]) / (n - k) - ybar) / dx
+        tks.append(k * z1 * z1 + (n - k) * z2 * z2)
+    t0 = max(tks)
+    assert all(t >= 0.0 for t in tks)
+    assert rs["n_days"] == n
+    assert abs(rs["t0_stat"] - t0) < 1e-6
+    cpk = max(range(len(tks)), key=lambda k: (tks[k], -k))
+    assert rs["cp_day"] == days[cpk]
+    assert rs["reject_5pct"] == (t0 > 7.65)
