@@ -25675,4 +25675,342 @@ FROM tk
 
 QUERIES["snht_test"] = q_snht_test
 _RAW_ORACLES["snht_test"] = SQL_SNHT_TEST
+def q_jonckheere_terpstra(spark, sf_dir):
+    """Jonckheere-Terpstra test for an ORDERED trend in daily event
+    volume across week-of-month groups (Jonckheere Biometrika 1954;
+    Terpstra 1952; tie-corrected null variance per Hollander &
+    Wolfe 'Nonparametric Statistical Methods' §6.2 — the ordered-
+    alternative upgrade of kruskal_wallis: when the hypothesis is
+    week1 <= week2 <= ... rather than 'some week differs', summing
+    the pairwise Mann-Whitney counts over ordered group pairs
+    concentrates power on the monotone alternative, the grouped
+    complement of mann_kendall's pair test). DOUBLED statistic
+    2J = sum over cross-group day pairs of 2*I(y_early < y_late) +
+    I(tie) is an EXACT LONG from one nested fold over the <=31-day
+    array; the tie-corrected variance needs only the per-element
+    group-size and value-tie-count arrays g_i, c_i (exact equality
+    folds; sum over elements of (g-1)(2g+5) etc. reproduces the
+    group-keyed tie sums exactly), so E[J] and Var[J] are fixed
+    expressions of exact longs. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn(
+            "__warr",
+            F.expr("transform(__a, s -> (s.__day - 1L) div 7L)"),
+        )
+        .filter(F.col("n_days") > 3)
+        .withColumn(
+            "__g",
+            F.expr(
+                "transform(__warr, w -> aggregate(__warr, 0L,"
+                " (acc, x) -> acc + IF(x = w, 1L, 0L)))"
+            ),
+        )
+        .withColumn(
+            "__c",
+            F.expr(
+                "transform(__yarr, y -> aggregate(__yarr, 0L,"
+                " (acc, x) -> acc + IF(x = y, 1L, 0L)))"
+            ),
+        )
+        .withColumn(
+            "__j2",
+            F.expr(
+                "aggregate(sequence(1L, n_days - 1), 0L,"
+                " (acc, i) -> acc + aggregate("
+                " sequence(i + 1, n_days), 0L, (a2, j) -> a2 +"
+                " IF(element_at(__warr, cast(i as int))"
+                "    < element_at(__warr, cast(j as int)),"
+                "  IF(element_at(__yarr, cast(i as int))"
+                "     < element_at(__yarr, cast(j as int)), 2L,"
+                "   IF(element_at(__yarr, cast(i as int))"
+                "      = element_at(__yarr, cast(j as int)),"
+                "    1L, 0L)), 0L)))"
+            ),
+        )
+        .withColumn(
+            "__sg", F.expr("aggregate(__g, 0L, (acc, v) -> acc + v)")
+        )
+        .withColumn(
+            "__a1",
+            F.expr(
+                "aggregate(__g, 0L, (acc, v) -> acc"
+                " + (v - 1L) * (2L * v + 5L))"
+            ),
+        )
+        .withColumn(
+            "__b1",
+            F.expr(
+                "aggregate(__c, 0L, (acc, v) -> acc"
+                " + (v - 1L) * (2L * v + 5L))"
+            ),
+        )
+        .withColumn(
+            "__a2",
+            F.expr(
+                "aggregate(__g, 0L, (acc, v) -> acc"
+                " + (v - 1L) * (v - 2L))"
+            ),
+        )
+        .withColumn(
+            "__b2",
+            F.expr(
+                "aggregate(__c, 0L, (acc, v) -> acc"
+                " + (v - 1L) * (v - 2L))"
+            ),
+        )
+        .withColumn(
+            "__a3",
+            F.expr("aggregate(__g, 0L, (acc, v) -> acc + v - 1L)"),
+        )
+        .withColumn(
+            "__b3",
+            F.expr("aggregate(__c, 0L, (acc, v) -> acc + v - 1L)"),
+        )
+        .withColumn(
+            "__ngrp",
+            F.expr("size(array_distinct(__warr))"),
+        )
+    )
+    n = F.col("n_days")
+    var = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - F.col("__a1")
+            - F.col("__b1")
+        ).cast("double")
+        / F.lit(72.0)
+        + (F.col("__a2") * F.col("__b2")).cast("double")
+        / (F.lit(36) * n * (n - 1) * (n - 2)).cast("double")
+        + (F.col("__a3") * F.col("__b3")).cast("double")
+        / (F.lit(8) * n * (n - 1)).cast("double")
+    )
+    j = F.col("__j2").cast("double") / F.lit(2.0)
+    e = (n * n - F.col("__sg")).cast("double") / F.lit(4.0)
+    z = (j - e) / F.sqrt(var)
+    one = one.filter(F.col("__ngrp") >= 2)
+    return one.select(
+        "n_days",
+        F.col("__ngrp").cast("long").alias("n_groups"),
+        _r6(j).alias("j_stat"),
+        _r6(e).alias("e_j"),
+        _r6(var).alias("var_j"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z > 0.0, F.lit("increasing_weeks"))
+        .when(z < 0.0, F.lit("decreasing_weeks"))
+        .otherwise(F.lit("no_trend"))
+        .alias("verdict"),
+    )
+
+
+SQL_JONCKHEERE = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr,
+    list((day - 1) // 7 ORDER BY day) AS warr
+  FROM day
+), el AS (
+  SELECT n, yarr, warr,
+    list_transform(warr, w -> CAST(len(list_filter(warr,
+      x -> x = w)) AS BIGINT)) AS g,
+    list_transform(yarr, y -> CAST(len(list_filter(yarr,
+      x -> x = y)) AS BIGINT)) AS c
+  FROM one WHERE n > 3
+), f AS (
+  SELECT n, g, c,
+    CAST(len(list_distinct(warr)) AS BIGINT) AS ngrp,
+    CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER)), i ->
+      list_sum(list_transform(
+        range(i + 1, CAST(n + 1 AS INTEGER)), j ->
+        CASE WHEN warr[i] < warr[j] THEN
+          CASE WHEN yarr[i] < yarr[j] THEN 2
+               WHEN yarr[i] = yarr[j] THEN 1 ELSE 0 END
+        ELSE 0 END)))) AS BIGINT) AS j2,
+    CAST(list_sum(g) AS BIGINT) AS sg,
+    CAST(list_sum(list_transform(g, v ->
+      (v - 1) * (2 * v + 5))) AS BIGINT) AS a1,
+    CAST(list_sum(list_transform(c, v ->
+      (v - 1) * (2 * v + 5))) AS BIGINT) AS b1,
+    CAST(list_sum(list_transform(g, v ->
+      (v - 1) * (v - 2))) AS BIGINT) AS a2,
+    CAST(list_sum(list_transform(c, v ->
+      (v - 1) * (v - 2))) AS BIGINT) AS b2,
+    CAST(list_sum(list_transform(g, v -> v - 1)) AS BIGINT) AS a3,
+    CAST(list_sum(list_transform(c, v -> v - 1)) AS BIGINT) AS b3
+  FROM el
+), st AS (
+  SELECT n, ngrp, j2, sg,
+    CAST(j2 AS DOUBLE) / 2.0 AS j,
+    CAST(n * n - sg AS DOUBLE) / 4.0 AS e,
+    CAST(n * (n - 1) * (2 * n + 5) - a1 - b1 AS DOUBLE) / 72.0
+      + CAST(a2 * b2 AS DOUBLE)
+        / CAST(36 * n * (n - 1) * (n - 2) AS DOUBLE)
+      + CAST(a3 * b3 AS DOUBLE)
+        / CAST(8 * n * (n - 1) AS DOUBLE) AS v
+  FROM f WHERE ngrp >= 2
+)
+SELECT n AS n_days, ngrp AS n_groups,
+  round(j, 6) AS j_stat,
+  round(e, 6) AS e_j,
+  round(v, 6) AS var_j,
+  round((j - e) / sqrt(v), 6) AS z_stat,
+  (abs((j - e) / sqrt(v)) > 1.96) AS reject_5pct,
+  CASE WHEN (j - e) / sqrt(v) > 0.0 THEN 'increasing_weeks'
+       WHEN (j - e) / sqrt(v) < 0.0 THEN 'decreasing_weeks'
+       ELSE 'no_trend' END AS verdict
+FROM st
+"""
+
+QUERIES["jonckheere_terpstra"] = q_jonckheere_terpstra
+_RAW_ORACLES["jonckheere_terpstra"] = SQL_JONCKHEERE
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges-Lehmann location estimators on daily event volume
+    (Hodges & Lehmann Ann. Math. Stat. 1963 — the ESTIMATOR
+    companion of the rank tests in this tier: the one-sample
+    pseudo-median is the median of the n(n+1)/2 Walsh averages
+    (y_i + y_j)/2, i <= j, the location estimate whose sign-rank
+    test is Wilcoxon's; the two-sample shift is the median of all
+    first-half x second-half pairwise differences, the estimate
+    whose test is Mann-Whitney — 29%-efficient-at-worst vs the mean
+    under ANY symmetric noise, vastly more robust to the spike days
+    that wreck a plain mean). Walsh sums y_i + y_j and cross-half
+    differences are EXACT LONGS; each median is element_at over the
+    array_sort of those longs (even-length midpoint halved — exact
+    in doubles), so both estimators are bit-identical across
+    engines. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .filter(F.col("n_days") > 3)
+        .withColumn("__h", F.expr("n_days div 2"))
+        .withColumn(
+            "__walsh",
+            F.expr(
+                "array_sort(flatten(transform("
+                " sequence(1L, n_days), i -> transform("
+                " sequence(i, n_days), j ->"
+                " element_at(__yarr, cast(i as int))"
+                " + element_at(__yarr, cast(j as int))))))"
+            ),
+        )
+        .withColumn(
+            "__diffs",
+            F.expr(
+                "array_sort(flatten(transform("
+                " sequence(1L, __h), i -> transform("
+                " sequence(__h + 1, n_days), j ->"
+                " element_at(__yarr, cast(j as int))"
+                " - element_at(__yarr, cast(i as int))))))"
+            ),
+        )
+    )
+
+    def _med(arr):
+        sz = f"size({arr})"
+        return F.expr(
+            f"IF({sz} % 2 = 1,"
+            f" cast(element_at({arr}, cast(({sz} + 1) div 2 as int))"
+            " as double),"
+            f" (cast(element_at({arr}, cast({sz} div 2 as int))"
+            " as double)"
+            f" + cast(element_at({arr}, cast({sz} div 2 + 1 as int))"
+            " as double)) / 2.0)"
+        )
+
+    pseudo = _med("__walsh") / F.lit(2.0)
+    shift = _med("__diffs")
+    return one.select(
+        "n_days",
+        F.col("__h").alias("n_first_half"),
+        (F.col("n_days") - F.col("__h")).alias("n_second_half"),
+        _r6(pseudo).alias("pseudo_median"),
+        _r6(shift).alias("hl_shift"),
+        F.when(shift > 0.0, F.lit("second_half_higher"))
+        .when(shift < 0.0, F.lit("second_half_lower"))
+        .otherwise(F.lit("no_shift"))
+        .alias("verdict"),
+    )
+
+
+SQL_HODGES_LEHMANN = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), arrs AS (
+  SELECT n, n // 2 AS h,
+    list_sort(flatten(list_transform(
+      range(1, CAST(n + 1 AS INTEGER)), i -> list_transform(
+      range(i, CAST(n + 1 AS INTEGER)), j ->
+      yarr[i] + yarr[j])))) AS walsh,
+    list_sort(flatten(list_transform(
+      range(1, CAST(n // 2 + 1 AS INTEGER)), i -> list_transform(
+      range(CAST(n // 2 + 1 AS INTEGER), CAST(n + 1 AS INTEGER)),
+      j -> yarr[j] - yarr[i])))) AS diffs
+  FROM one WHERE n > 3
+), med AS (
+  SELECT n, h,
+    CASE WHEN len(walsh) % 2 = 1
+      THEN CAST(walsh[CAST((len(walsh) + 1) // 2 AS INTEGER)]
+        AS DOUBLE)
+      ELSE (CAST(walsh[CAST(len(walsh) // 2 AS INTEGER)] AS DOUBLE)
+        + CAST(walsh[CAST(len(walsh) // 2 + 1 AS INTEGER)]
+          AS DOUBLE)) / 2.0 END AS mw,
+    CASE WHEN len(diffs) % 2 = 1
+      THEN CAST(diffs[CAST((len(diffs) + 1) // 2 AS INTEGER)]
+        AS DOUBLE)
+      ELSE (CAST(diffs[CAST(len(diffs) // 2 AS INTEGER)] AS DOUBLE)
+        + CAST(diffs[CAST(len(diffs) // 2 + 1 AS INTEGER)]
+          AS DOUBLE)) / 2.0 END AS sh
+  FROM arrs
+)
+SELECT n AS n_days,
+  CAST(h AS BIGINT) AS n_first_half,
+  CAST(n - h AS BIGINT) AS n_second_half,
+  round(mw / 2.0, 6) AS pseudo_median,
+  round(sh, 6) AS hl_shift,
+  CASE WHEN sh > 0.0 THEN 'second_half_higher'
+       WHEN sh < 0.0 THEN 'second_half_lower'
+       ELSE 'no_shift' END AS verdict
+FROM med
+"""
+
+QUERIES["hodges_lehmann"] = q_hodges_lehmann
+_RAW_ORACLES["hodges_lehmann"] = SQL_HODGES_LEHMANN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

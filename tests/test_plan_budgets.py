@@ -774,6 +774,11 @@ BUDGETS = {
                        "bnlj": 0},
     "snht_test": {"shuffle": 2, "python": 0, "cartesian": 0,
                   "bnlj": 0},
+    # jonckheere / hodges-lehmann: day agg + 1-row pair folds
+    "jonckheere_terpstra": {"shuffle": 2, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
+    "hodges_lehmann": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
 }
 
 

@@ -5218,3 +5218,81 @@ def test_buishand_snht_rebuild(spark):
     cpk = max(range(len(tks)), key=lambda k: (tks[k], -k))
     assert rs["cp_day"] == days[cpk]
     assert rs["reject_5pct"] == (t0 > 7.65)
+
+
+def test_jonckheere_hodges_rebuild(spark):
+    """Jonckheere-Terpstra J / tie-corrected variance and the
+    Hodges-Lehmann estimators vs literal python rebuilds (group-
+    keyed tie sums rebuilt the classical way, Walsh averages and
+    cross-half differences enumerated)."""
+    from mpds_spark.queries import (
+        q_hodges_lehmann,
+        q_jonckheere_terpstra,
+    )
+
+    rj = q_jonckheere_terpstra(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rh = q_hodges_lehmann(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+    from collections import Counter
+
+    rows = duckdb.sql(
+        "SELECT day(ts) AS d, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY d ORDER BY d"
+    ).fetchall()
+    days = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    ws = [(d - 1) // 7 for d in days]
+    n = len(ys)
+    j = 0.0
+    for i in range(n):
+        for k in range(i + 1, n):
+            if ws[i] < ws[k]:
+                if ys[i] < ys[k]:
+                    j += 1.0
+                elif ys[i] == ys[k]:
+                    j += 0.5
+    ni = Counter(ws)
+    tj = Counter(ys)
+    sg = sum(v * v for v in ni.values())
+    e = (n * n - sg) / 4.0
+    a1 = sum(v * (v - 1) * (2 * v + 5) for v in ni.values())
+    b1 = sum(v * (v - 1) * (2 * v + 5) for v in tj.values())
+    a2 = sum(v * (v - 1) * (v - 2) for v in ni.values())
+    b2 = sum(v * (v - 1) * (v - 2) for v in tj.values())
+    a3 = sum(v * (v - 1) for v in ni.values())
+    b3 = sum(v * (v - 1) for v in tj.values())
+    var = (
+        (n * (n - 1) * (2 * n + 5) - a1 - b1) / 72.0
+        + a2 * b2 / (36.0 * n * (n - 1) * (n - 2))
+        + a3 * b3 / (8.0 * n * (n - 1))
+    )
+    z = (j - e) / var ** 0.5
+    assert rj["n_days"] == n
+    assert rj["n_groups"] == len(ni)
+    assert abs(rj["j_stat"] - j) < 1e-6
+    assert abs(rj["e_j"] - e) < 1e-6
+    assert abs(rj["var_j"] - var) < 1e-6
+    assert abs(rj["z_stat"] - z) < 1e-6
+    assert rj["reject_5pct"] == (abs(z) > 1.96)
+    # Hodges-Lehmann
+    import statistics
+
+    walsh = [
+        (ys[i] + ys[k]) / 2.0
+        for i in range(n)
+        for k in range(i, n)
+    ]
+    h = n // 2
+    diffs = [
+        ys[k] - ys[i] for i in range(h) for k in range(h, n)
+    ]
+    assert rh["n_days"] == n
+    assert rh["n_first_half"] == h
+    assert rh["n_second_half"] == n - h
+    assert abs(rh["pseudo_median"] - statistics.median(walsh)) < 1e-6
+    assert abs(rh["hl_shift"] - statistics.median(diffs)) < 1e-6
