@@ -26013,4 +26013,300 @@ FROM med
 
 QUERIES["hodges_lehmann"] = q_hodges_lehmann
 _RAW_ORACLES["hodges_lehmann"] = SQL_HODGES_LEHMANN
+def q_diebold_mariano(spark, sf_dir):
+    """Diebold-Mariano equal-predictive-accuracy test on daily event
+    volume, naive lag-1 vs alpha=1/2 SES one-step forecasts (Diebold
+    & Mariano JBES 1995; Harvey, Leybourne & Newbold IJF 1997
+    small-sample correction — the referee for the forecasting tier:
+    ses_alpha_grid/holt_trend/theta_forecast PRODUCE forecasts,
+    DM decides whether one's squared-error advantage over the
+    competing method is distinguishable from noise given the
+    loss-differential variance). With alpha = 1/2 the SES level has
+    the EXACT-LONG closed form 2^(t-2) s_{t-1} = y_1 + sum y_i
+    2^(i-2), so every error, loss differential d_t = e1^2 - e2^2,
+    and the in-order folds for dbar and g0 are identical IEEE
+    expression trees on both engines (h=1: var = g0/m; HLN factor
+    sqrt((m-1)/m)). 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    e2 = (
+        "(cast(element_at(__yarr, cast(t as int)) as double)"
+        " - cast(element_at(__yarr, 1) + IF(t = 2L, 0L,"
+        " aggregate(sequence(2L, t - 1), 0L, (acc, i) -> acc"
+        " + element_at(__yarr, cast(i as int))"
+        " * shiftleft(1L, cast(i - 2 as int)))) as double)"
+        " / cast(shiftleft(1L, cast(t - 2 as int)) as double))"
+    )
+    e1sq = (
+        "cast((element_at(__yarr, cast(t as int))"
+        " - element_at(__yarr, cast(t - 1 as int)))"
+        " * (element_at(__yarr, cast(t as int))"
+        " - element_at(__yarr, cast(t - 1 as int))) as double)"
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .filter(F.col("n_days") > 3)
+        .withColumn(
+            "__darr",
+            F.expr(
+                "transform(sequence(2L, n_days), t ->"
+                f" {e1sq} - {e2} * {e2})"
+            ),
+        )
+        .withColumn("__m", F.expr("n_days - 1"))
+        .withColumn(
+            "__dbar",
+            F.expr(
+                "aggregate(__darr, cast(0.0 as double),"
+                " (acc, d) -> acc + d) / cast(__m as double)"
+            ),
+        )
+        .withColumn(
+            "__g0",
+            F.expr(
+                "aggregate(__darr, cast(0.0 as double),"
+                " (acc, d) -> acc + (d - __dbar) * (d - __dbar))"
+                " / cast(__m as double)"
+            ),
+        )
+        .filter(F.col("__g0") > 0)
+    )
+    m = F.col("__m").cast("double")
+    dm = F.col("__dbar") / F.sqrt(F.col("__g0") / m)
+    hln = dm * F.sqrt((m - 1) / m)
+    return one.select(
+        "n_days",
+        F.col("__m").cast("long").alias("n_forecasts"),
+        _r6(F.col("__dbar")).alias("mean_loss_diff"),
+        _r6(dm).alias("dm_stat"),
+        _r6(hln).alias("hln_stat"),
+        (F.abs(hln) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(
+            (F.abs(hln) > 1.96) & (F.col("__dbar") > 0),
+            F.lit("ses_better"),
+        )
+        .when(
+            (F.abs(hln) > 1.96) & (F.col("__dbar") < 0),
+            F.lit("naive_better"),
+        )
+        .otherwise(F.lit("no_significant_difference"))
+        .alias("verdict"),
+    )
+
+
+SQL_DIEBOLD_MARIANO = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), dl AS (
+  SELECT n, n - 1 AS m,
+    list_transform(range(2, CAST(n + 1 AS INTEGER)), t ->
+      CAST((yarr[t] - yarr[t - 1]) * (yarr[t] - yarr[t - 1])
+        AS DOUBLE)
+      - (CAST(yarr[t] AS DOUBLE)
+         - CAST(yarr[1] + coalesce(list_sum(list_transform(
+             range(2, t), i -> yarr[i]
+             * (CAST(1 AS BIGINT) << (i - 2)))), 0) AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << (t - 2) AS DOUBLE))
+      * (CAST(yarr[t] AS DOUBLE)
+         - CAST(yarr[1] + coalesce(list_sum(list_transform(
+             range(2, t), i -> yarr[i]
+             * (CAST(1 AS BIGINT) << (i - 2)))), 0) AS DOUBLE)
+           / CAST(CAST(1 AS BIGINT) << (t - 2) AS DOUBLE)))
+      AS darr
+  FROM one WHERE n > 3
+), db AS (
+  SELECT n, m, darr,
+    list_sum(darr) / CAST(m AS DOUBLE) AS dbar
+  FROM dl
+), g AS (
+  SELECT n, m, dbar,
+    list_sum(list_transform(darr, d ->
+      (d - dbar) * (d - dbar))) / CAST(m AS DOUBLE) AS g0
+  FROM db
+)
+SELECT n AS n_days, CAST(m AS BIGINT) AS n_forecasts,
+  round(dbar, 6) AS mean_loss_diff,
+  round(dbar / sqrt(g0 / CAST(m AS DOUBLE)), 6) AS dm_stat,
+  round(dbar / sqrt(g0 / CAST(m AS DOUBLE))
+    * sqrt((CAST(m AS DOUBLE) - 1) / CAST(m AS DOUBLE)), 6)
+    AS hln_stat,
+  (abs(dbar / sqrt(g0 / CAST(m AS DOUBLE))
+    * sqrt((CAST(m AS DOUBLE) - 1) / CAST(m AS DOUBLE))) > 1.96)
+    AS reject_5pct,
+  CASE WHEN abs(dbar / sqrt(g0 / CAST(m AS DOUBLE))
+         * sqrt((CAST(m AS DOUBLE) - 1) / CAST(m AS DOUBLE)))
+         > 1.96 AND dbar > 0 THEN 'ses_better'
+       WHEN abs(dbar / sqrt(g0 / CAST(m AS DOUBLE))
+         * sqrt((CAST(m AS DOUBLE) - 1) / CAST(m AS DOUBLE)))
+         > 1.96 AND dbar < 0 THEN 'naive_better'
+       ELSE 'no_significant_difference' END AS verdict
+FROM g WHERE g0 > 0
+"""
+
+QUERIES["diebold_mariano"] = q_diebold_mariano
+_RAW_ORACLES["diebold_mariano"] = SQL_DIEBOLD_MARIANO
+
+
+def q_pesaran_timmermann(spark, sf_dir):
+    """Pesaran-Timmermann directional-accuracy test of momentum on
+    daily event volume (Pesaran & Timmermann JBES 1992 — does
+    yesterday's DIRECTION of change predict today's? The sign-only
+    market-timing test: compare the hit rate of predicting
+    direction(y_t - y_{t-1}) by direction(y_{t-1} - y_{t-2})
+    against the rate expected if predicted and actual directions
+    were independent, with the variance of BOTH estimated rates
+    removed — the forecast-eval complement of runs_test, which asks
+    the same question of the sign sequence without a predictor).
+    Hit / up-actual / up-predicted counts are EXACT LONGS from one
+    fold over the <=31-day array; P-hat, P*, the two variance terms
+    and the PT statistic are one fixed expression tree over those
+    counts. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    )
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    )
+    a = (
+        "IF(element_at(__yarr, cast(t as int))"
+        " > element_at(__yarr, cast(t - 1 as int)), 1L, 0L)"
+    )
+    p = (
+        "IF(element_at(__yarr, cast(t - 1 as int))"
+        " > element_at(__yarr, cast(t - 2 as int)), 1L, 0L)"
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .filter(F.col("n_days") > 4)
+        .withColumn(
+            "__cm",
+            F.expr(
+                "aggregate(sequence(3L, n_days), 0L, (acc, t) ->"
+                f" acc + IF({a} = {p}, 1L, 0L))"
+            ),
+        )
+        .withColumn(
+            "__ca",
+            F.expr(
+                "aggregate(sequence(3L, n_days), 0L, (acc, t) ->"
+                f" acc + {a})"
+            ),
+        )
+        .withColumn(
+            "__cp",
+            F.expr(
+                "aggregate(sequence(3L, n_days), 0L, (acc, t) ->"
+                f" acc + {p})"
+            ),
+        )
+        .withColumn("__m", F.expr("n_days - 2"))
+    )
+    m = F.col("__m").cast("double")
+    ph = F.col("__cm").cast("double") / m
+    py = F.col("__ca").cast("double") / m
+    px = F.col("__cp").cast("double") / m
+    ps = py * px + (1 - py) * (1 - px)
+    vh = ps * (1 - ps) / m
+    vs = (
+        (2 * py - 1) * (2 * py - 1) * px * (1 - px) / m
+        + (2 * px - 1) * (2 * px - 1) * py * (1 - py) / m
+        + F.lit(4.0) * py * px * (1 - py) * (1 - px) / (m * m)
+    )
+    pt = (ph - ps) / F.sqrt(vh - vs)
+    one = one.withColumn("__gap", (vh - vs))
+    one = one.filter(F.col("__gap") > 0)
+    return one.select(
+        "n_days",
+        F.col("__m").cast("long").alias("n_predictions"),
+        _r6(ph).alias("hit_rate"),
+        _r6(ps).alias("p_star"),
+        _r6(pt).alias("pt_stat"),
+        (pt > F.lit(1.645)).alias("reject_5pct"),
+        F.when(pt > 1.645, F.lit("momentum_informative"))
+        .otherwise(F.lit("momentum_uninformative"))
+        .alias("verdict"),
+    )
+
+
+SQL_PESARAN_TIMMERMANN = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), cnt AS (
+  SELECT n, n - 2 AS m,
+    CAST(list_sum(list_transform(range(3, CAST(n + 1 AS INTEGER)),
+      t -> CASE WHEN (CASE WHEN yarr[t] > yarr[t - 1]
+                      THEN 1 ELSE 0 END)
+                   = (CASE WHEN yarr[t - 1] > yarr[t - 2]
+                      THEN 1 ELSE 0 END)
+           THEN 1 ELSE 0 END)) AS BIGINT) AS cm,
+    CAST(list_sum(list_transform(range(3, CAST(n + 1 AS INTEGER)),
+      t -> CASE WHEN yarr[t] > yarr[t - 1] THEN 1 ELSE 0 END))
+      AS BIGINT) AS ca,
+    CAST(list_sum(list_transform(range(3, CAST(n + 1 AS INTEGER)),
+      t -> CASE WHEN yarr[t - 1] > yarr[t - 2] THEN 1 ELSE 0 END))
+      AS BIGINT) AS cp
+  FROM one WHERE n > 4
+), st AS (
+  SELECT n, m,
+    CAST(cm AS DOUBLE) / CAST(m AS DOUBLE) AS ph,
+    CAST(ca AS DOUBLE) / CAST(m AS DOUBLE) AS py,
+    CAST(cp AS DOUBLE) / CAST(m AS DOUBLE) AS px
+  FROM cnt
+), st2 AS (
+  SELECT n, m, ph,
+    py * px + (1 - py) * (1 - px) AS ps,
+    (py * px + (1 - py) * (1 - px))
+      * (1 - (py * px + (1 - py) * (1 - px)))
+      / CAST(m AS DOUBLE) AS vh,
+    (2 * py - 1) * (2 * py - 1) * px * (1 - px)
+      / CAST(m AS DOUBLE)
+    + (2 * px - 1) * (2 * px - 1) * py * (1 - py)
+      / CAST(m AS DOUBLE)
+    + 4.0 * py * px * (1 - py) * (1 - px)
+      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS vs
+  FROM st
+)
+SELECT n AS n_days, CAST(m AS BIGINT) AS n_predictions,
+  round(ph, 6) AS hit_rate,
+  round(ps, 6) AS p_star,
+  round((ph - ps) / sqrt(vh - vs), 6) AS pt_stat,
+  ((ph - ps) / sqrt(vh - vs) > 1.645) AS reject_5pct,
+  CASE WHEN (ph - ps) / sqrt(vh - vs) > 1.645
+       THEN 'momentum_informative'
+       ELSE 'momentum_uninformative' END AS verdict
+FROM st2 WHERE vh - vs > 0
+"""
+
+QUERIES["pesaran_timmermann"] = q_pesaran_timmermann
+_RAW_ORACLES["pesaran_timmermann"] = SQL_PESARAN_TIMMERMANN
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -779,6 +779,11 @@ BUDGETS = {
                             "cartesian": 0, "bnlj": 0},
     "hodges_lehmann": {"shuffle": 2, "python": 0, "cartesian": 0,
                        "bnlj": 0},
+    # diebold-mariano / pesaran-timmermann: day agg + 1-row folds
+    "diebold_mariano": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
+    "pesaran_timmermann": {"shuffle": 2, "python": 0,
+                           "cartesian": 0, "bnlj": 0},
 }
 
 

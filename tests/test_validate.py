@@ -5296,3 +5296,70 @@ def test_jonckheere_hodges_rebuild(spark):
     assert rh["n_second_half"] == n - h
     assert abs(rh["pseudo_median"] - statistics.median(walsh)) < 1e-6
     assert abs(rh["hl_shift"] - statistics.median(diffs)) < 1e-6
+
+
+def test_dm_pt_rebuild(spark):
+    """Diebold-Mariano (naive vs alpha=1/2 SES, HLN-corrected) and
+    Pesaran-Timmermann vs literal python rebuilds with a plain SES
+    recursion (no closed form) and explicit direction counts."""
+    from mpds_spark.queries import (
+        q_diebold_mariano,
+        q_pesaran_timmermann,
+    )
+
+    rd = q_diebold_mariano(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rp = q_pesaran_timmermann(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    s = float(ys[0])
+    ds = []
+    for t in range(1, n):
+        e1 = ys[t] - ys[t - 1]
+        e2 = ys[t] - s
+        ds.append(float(e1 * e1) - e2 * e2)
+        s = (ys[t] + s) / 2.0
+    m = n - 1
+    dbar = sum(ds) / m
+    g0 = sum((d - dbar) ** 2 for d in ds) / m
+    dm = dbar / (g0 / m) ** 0.5
+    hln = dm * ((m - 1) / m) ** 0.5
+    assert rd["n_days"] == n
+    assert rd["n_forecasts"] == m
+    assert abs(rd["mean_loss_diff"] - dbar) < max(1e-6, abs(dbar) * 1e-9)
+    assert abs(rd["dm_stat"] - dm) < 1e-6
+    assert abs(rd["hln_stat"] - hln) < 1e-6
+    assert rd["reject_5pct"] == (abs(hln) > 1.96)
+    # PT
+    mm = n - 2
+    acts = [1 if ys[t] > ys[t - 1] else 0 for t in range(2, n)]
+    preds = [1 if ys[t - 1] > ys[t - 2] else 0 for t in range(2, n)]
+    ph = sum(1 for a, p in zip(acts, preds) if a == p) / mm
+    py = sum(acts) / mm
+    px = sum(preds) / mm
+    ps = py * px + (1 - py) * (1 - px)
+    vh = ps * (1 - ps) / mm
+    vs = (
+        (2 * py - 1) ** 2 * px * (1 - px) / mm
+        + (2 * px - 1) ** 2 * py * (1 - py) / mm
+        + 4 * py * px * (1 - py) * (1 - px) / mm ** 2
+    )
+    pt = (ph - ps) / (vh - vs) ** 0.5
+    assert rp["n_days"] == n
+    assert rp["n_predictions"] == mm
+    assert abs(rp["hit_rate"] - ph) < 1e-6
+    assert abs(rp["p_star"] - ps) < 1e-6
+    assert abs(rp["pt_stat"] - pt) < 1e-6
+    assert rp["reject_5pct"] == (pt > 1.645)
