@@ -26309,4 +26309,315 @@ FROM st2 WHERE vh - vs > 0
 
 QUERIES["pesaran_timmermann"] = q_pesaran_timmermann
 _RAW_ORACLES["pesaran_timmermann"] = SQL_PESARAN_TIMMERMANN
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over the event-type choices of each user's
+    first 6 events (Fleiss Psych. Bulletin 1971 — the MULTI-rater
+    generalization of cohens_kappa: treat each qualifying user as an
+    item receiving R = 6 categorical 'ratings' (their first six
+    event types, ts-then-event_id ordered) and measure how far the
+    within-item category concentration exceeds what the global
+    category mix would produce by chance; the standard screen for
+    'are this cohort's early behaviors internally consistent or
+    just drawn from the base rate'). P_i collapses to (sum_j
+    n_ij^2 - R)/(R(R-1)) so Pbar needs only T1 = sum_i sum_j
+    n_ij^2 - N*R (EXACT LONG) and Pe needs the per-category rating
+    totals S_j (EXACT LONGS): kappa = (Pbar - Pe)/(1 - Pe) is one
+    fixed expression tree over exact integers. Rating extraction is
+    one user-keyed window; the rest is two tiny category/item aggs
+    — 4 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first6 = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 6)
+    )
+    # the user-keyed groupBy rides the window's hash partitioning —
+    # no second exchange; the exactly-6 filter is a HAVING, not a join
+    per_user = (
+        first6.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.collect_list("event_type").alias("__types"),
+        )
+        .filter(F.col("__c") == 6)
+        .withColumn(
+            "__sq",
+            F.expr(
+                "aggregate(__types, 0L, (acc, t) ->"
+                " acc + size(filter(__types, x -> x = t)))"
+            ),
+        )
+    )
+    items = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__sq").cast("long").alias("__ssq"),
+    )
+    cats = (
+        per_user.select(F.explode("__types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("__s"))
+    )
+    catsum = cats.agg(
+        F.sum(F.col("__s") * F.col("__s")).cast("long").alias("__s2"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
+    one = items.crossJoin(F.broadcast(catsum)).filter(
+        F.col("n_items") > 0
+    )
+    nn = F.col("n_items")
+    r = F.lit(6)
+    pbar = (F.col("__ssq") - nn * r).cast("double") / (
+        nn * r * (r - 1)
+    ).cast("double")
+    pe = F.col("__s2").cast("double") / (nn * r * nn * r).cast(
+        "double"
+    )
+    kappa = (pbar - pe) / (F.lit(1.0) - pe)
+    return one.select(
+        "n_items",
+        F.lit(6).cast("long").alias("n_raters"),
+        "n_categories",
+        _r6(pbar).alias("p_bar"),
+        _r6(pe).alias("p_e"),
+        _r6(kappa).alias("kappa"),
+        F.when(kappa < 0.0, F.lit("poor"))
+        .when(kappa <= 0.2, F.lit("slight"))
+        .when(kappa <= 0.4, F.lit("fair"))
+        .when(kappa <= 0.6, F.lit("moderate"))
+        .when(kappa <= 0.8, F.lit("substantial"))
+        .otherwise(F.lit("almost_perfect"))
+        .alias("agreement"),
+    )
+
+
+SQL_FLEISS_KAPPA = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS rn
+  FROM events
+), first6 AS (
+  SELECT user_id, event_type FROM ranked WHERE rn <= 6
+), ok AS (
+  SELECT user_id FROM first6 GROUP BY user_id
+  HAVING count(*) = 6
+), nij AS (
+  SELECT f.user_id, f.event_type,
+    CAST(count(*) AS BIGINT) AS n
+  FROM first6 f JOIN ok USING (user_id)
+  GROUP BY f.user_id, f.event_type
+), items AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_items,
+    CAST(sum(sq) AS BIGINT) AS ssq
+  FROM (SELECT user_id, sum(n * n) AS sq FROM nij
+        GROUP BY user_id)
+), cats AS (
+  SELECT CAST(sum(s * s) AS BIGINT) AS s2,
+    CAST(count(*) AS BIGINT) AS n_categories
+  FROM (SELECT event_type, sum(n) AS s FROM nij
+        GROUP BY event_type)
+), st AS (
+  SELECT n_items, n_categories,
+    CAST(ssq - n_items * 6 AS DOUBLE)
+      / CAST(n_items * 6 * 5 AS DOUBLE) AS pbar,
+    CAST(s2 AS DOUBLE)
+      / CAST(n_items * 6 * n_items * 6 AS DOUBLE) AS pe
+  FROM items, cats WHERE n_items > 0
+)
+SELECT n_items, CAST(6 AS BIGINT) AS n_raters, n_categories,
+  round(pbar, 6) AS p_bar,
+  round(pe, 6) AS p_e,
+  round((pbar - pe) / (1.0 - pe), 6) AS kappa,
+  CASE WHEN (pbar - pe) / (1.0 - pe) < 0.0 THEN 'poor'
+       WHEN (pbar - pe) / (1.0 - pe) <= 0.2 THEN 'slight'
+       WHEN (pbar - pe) / (1.0 - pe) <= 0.4 THEN 'fair'
+       WHEN (pbar - pe) / (1.0 - pe) <= 0.6 THEN 'moderate'
+       WHEN (pbar - pe) / (1.0 - pe) <= 0.8 THEN 'substantial'
+       ELSE 'almost_perfect' END AS agreement
+FROM st
+"""
+
+QUERIES["fleiss_kappa"] = q_fleiss_kappa
+_RAW_ORACLES["fleiss_kappa"] = SQL_FLEISS_KAPPA
+
+
+def q_icc_agreement(spark, sf_dir):
+    """Intraclass correlation ICC(2,1) and ICC(3,1) over the
+    users x event-index value matrix (Shrout & Fleiss Psych.
+    Bulletin 1979 — the CONTINUOUS-measurement agreement
+    coefficients beside the categorical fleiss_kappa: rows = users
+    with >= 4 events, columns = event index 1..4, cell = that
+    event's value; two-way ANOVA decomposes variance into user,
+    index and residual, ICC(2,1) treats the index as a random
+    effect (absolute agreement), ICC(3,1) as fixed (consistency) —
+    the standard 'is a user's level reproducible across their first
+    events' screen). Cell values become EXACT INTEGER CENTS, so T,
+    A = sum x^2, sum R_i^2 and sum C_j^2 are EXACT LONGS and every
+    mean square is a fixed expression tree over them. One user-
+    keyed window + three tiny aggs — 4 shuffles at any corpus
+    size."""
+    k = 4
+    ev = _events(spark, sf_dir).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "user_id",
+            F.col("__rn").alias("__j"),
+            (
+                F.signum("value")
+                * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+            ).cast("long").alias("__x"),
+        )
+    )
+    # user-keyed groupBy rides the window partitioning (no exchange);
+    # the k fixed column sums are per-user components so the whole
+    # ANOVA needs ONE single-row agg — 2 shuffles total
+    per_user = (
+        cells.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__x").cast("long").alias("__ri"),
+            F.sum(F.col("__x") * F.col("__x")).cast("long")
+            .alias("__ai"),
+            *[
+                F.sum(
+                    F.when(F.col("__j") == j, F.col("__x"))
+                    .otherwise(F.lit(0))
+                ).cast("long").alias(f"__x{j}")
+                for j in range(1, k + 1)
+            ],
+        )
+        .filter(F.col("__c") == k)
+    )
+    one = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("__ri") * F.col("__ri")).cast("long")
+        .alias("__sr2"),
+        F.sum("__ai").cast("long").alias("__a"),
+        F.sum("__ri").cast("long").alias("__t"),
+        *[
+            F.sum(f"__x{j}").cast("long").alias(f"__c{j}")
+            for j in range(1, k + 1)
+        ],
+    ).filter(F.col("n_users") > 1)
+    one = one.withColumn(
+        "__sc2",
+        sum(
+            (F.col(f"__c{j}") * F.col(f"__c{j}") for j in range(2, k + 1)),
+            F.col("__c1") * F.col("__c1"),
+        ).cast("long"),
+    )
+    n = F.col("n_users").cast("double")
+    kd = F.lit(float(k))
+    corr = F.col("__t").cast("double") * F.col("__t").cast(
+        "double"
+    ) / (n * kd)
+    ssr = F.col("__sr2").cast("double") / kd - corr
+    ssc = F.col("__sc2").cast("double") / n - corr
+    sst = F.col("__a").cast("double") - corr
+    sse = sst - ssr - ssc
+    msr = ssr / (n - 1)
+    msc = ssc / (kd - 1)
+    mse = sse / ((n - 1) * (kd - 1))
+    icc21 = (msr - mse) / (
+        msr + (kd - 1) * mse + kd * (msc - mse) / n
+    )
+    icc31 = (msr - mse) / (msr + (kd - 1) * mse)
+    one = one.filter(
+        (F.col("__a").cast("double") - corr) > 0
+    )
+    return one.select(
+        "n_users",
+        F.lit(k).cast("long").alias("n_ratings"),
+        _r6(msr / F.lit(10000.0)).alias("ms_rows"),
+        _r6(msc / F.lit(10000.0)).alias("ms_cols"),
+        _r6(mse / F.lit(10000.0)).alias("ms_error"),
+        _r6(icc21).alias("icc_2_1"),
+        _r6(icc31).alias("icc_3_1"),
+        F.when(icc21 < 0.5, F.lit("poor"))
+        .when(icc21 < 0.75, F.lit("moderate"))
+        .when(icc21 < 0.9, F.lit("good"))
+        .otherwise(F.lit("excellent"))
+        .alias("reliability"),
+    )
+
+
+SQL_ICC_AGREEMENT = """
+WITH ranked AS (
+  SELECT user_id,
+    CAST(sign(value) * floor(abs(value) * 100 + 0.5) AS BIGINT)
+      AS x,
+    row_number() OVER (PARTITION BY user_id
+      ORDER BY ts, event_id) AS rn
+  FROM events
+), firstk AS (
+  SELECT user_id, x, rn FROM ranked WHERE rn <= 4
+), ok AS (
+  SELECT user_id FROM firstk GROUP BY user_id
+  HAVING count(*) = 4
+), cells AS (
+  SELECT f.user_id, f.rn AS j, f.x
+  FROM firstk f JOIN ok USING (user_id)
+), rs AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+    CAST(sum(ri * ri) AS BIGINT) AS sr2
+  FROM (SELECT user_id, sum(x) AS ri FROM cells
+        GROUP BY user_id)
+), cs AS (
+  SELECT CAST(sum(cj * cj) AS BIGINT) AS sc2
+  FROM (SELECT j, sum(x) AS cj FROM cells GROUP BY j)
+), ts_ AS (
+  SELECT CAST(sum(x) AS BIGINT) AS t,
+    CAST(sum(x * x) AS BIGINT) AS a
+  FROM cells
+), st AS (
+  SELECT n_users,
+    CAST(sr2 AS DOUBLE) / 4.0
+      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        / (CAST(n_users AS DOUBLE) * 4.0) AS ssr,
+    CAST(sc2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        / (CAST(n_users AS DOUBLE) * 4.0) AS ssc,
+    CAST(a AS DOUBLE)
+      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        / (CAST(n_users AS DOUBLE) * 4.0) AS sst
+  FROM rs, cs, ts_ WHERE n_users > 1 AND
+    CAST(a AS DOUBLE)
+      - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        / (CAST(n_users AS DOUBLE) * 4.0) > 0
+), ms AS (
+  SELECT n_users,
+    ssr / (CAST(n_users AS DOUBLE) - 1) AS msr,
+    ssc / 3.0 AS msc,
+    (sst - ssr - ssc)
+      / ((CAST(n_users AS DOUBLE) - 1) * 3.0) AS mse
+  FROM st
+), icc AS (
+  SELECT n_users, msr, msc, mse,
+    (msr - mse) / (msr + 3.0 * mse
+      + 4.0 * (msc - mse) / CAST(n_users AS DOUBLE)) AS i21,
+    (msr - mse) / (msr + 3.0 * mse) AS i31
+  FROM ms
+)
+SELECT n_users, CAST(4 AS BIGINT) AS n_ratings,
+  round(msr / 10000.0, 6) AS ms_rows,
+  round(msc / 10000.0, 6) AS ms_cols,
+  round(mse / 10000.0, 6) AS ms_error,
+  round(i21, 6) AS icc_2_1,
+  round(i31, 6) AS icc_3_1,
+  CASE WHEN i21 < 0.5 THEN 'poor'
+       WHEN i21 < 0.75 THEN 'moderate'
+       WHEN i21 < 0.9 THEN 'good'
+       ELSE 'excellent' END AS reliability
+FROM icc
+"""
+
+QUERIES["icc_agreement"] = q_icc_agreement
+_RAW_ORACLES["icc_agreement"] = SQL_ICC_AGREEMENT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -784,6 +784,14 @@ BUDGETS = {
                         "bnlj": 0},
     "pesaran_timmermann": {"shuffle": 2, "python": 0,
                            "cartesian": 0, "bnlj": 0},
+    # fleiss: user window (groupBy rides its partitioning) + item agg
+    # + category explode branch; the bnlj is the 1-row x 1-row
+    # combine of the two aggregate scalars
+    "fleiss_kappa": {"shuffle": 5, "python": 0, "cartesian": 0,
+                     "bnlj": 1},
+    # icc: single chain — window + one single-row ANOVA agg
+    "icc_agreement": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

@@ -5363,3 +5363,79 @@ def test_dm_pt_rebuild(spark):
     assert abs(rp["p_star"] - ps) < 1e-6
     assert abs(rp["pt_stat"] - pt) < 1e-6
     assert rp["reject_5pct"] == (pt > 1.645)
+
+
+def test_fleiss_icc_rebuild(spark):
+    """Fleiss' kappa and ICC(2,1)/ICC(3,1) vs literal python
+    rebuilds from the raw event stream (per-item category counts
+    and the classical two-way ANOVA on float values)."""
+    from mpds_spark.queries import q_fleiss_kappa, q_icc_agreement
+
+    rf = q_fleiss_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    ri = q_icc_agreement(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT user_id, event_type, value FROM (SELECT *,"
+        " row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS rn FROM"
+        " '/root/testdata/sf0.001/events.parquet') WHERE rn <= 6"
+        " ORDER BY user_id, rn"
+    ).fetchall()
+    per_user = defaultdict(list)
+    for u, t, v in rows:
+        per_user[u].append((t, v))
+    items = {u: r for u, r in per_user.items() if len(r) == 6}
+    n, R = len(items), 6
+    pis = []
+    marg = Counter()
+    for r in items.values():
+        c = Counter(t for t, _ in r)
+        marg.update(c)
+        pis.append(
+            (sum(v * v for v in c.values()) - R) / (R * (R - 1))
+        )
+    pbar = sum(pis) / n
+    pe = sum((v / (n * R)) ** 2 for v in marg.values())
+    kappa = (pbar - pe) / (1 - pe)
+    assert rf["n_items"] == n
+    assert abs(rf["p_bar"] - pbar) < 1e-6
+    assert abs(rf["p_e"] - pe) < 1e-6
+    assert abs(rf["kappa"] - kappa) < 1e-6
+    assert -1.0 <= rf["kappa"] <= 1.0
+    # ICC on the first-4 value matrix (cents-rounded like the query)
+    k = 4
+    mat = [
+        [round(v * 100) / 100.0 for _, v in r[:k]]
+        for r in per_user.values()
+        if len(r) >= k
+    ]
+    nu = len(mat)
+    t = sum(sum(r) for r in mat)
+    corr = t * t / (nu * k)
+    ssr = sum(sum(r) ** 2 for r in mat) / k - corr
+    ssc = (
+        sum(sum(mat[i][j] for i in range(nu)) ** 2 for j in range(k))
+        / nu
+        - corr
+    )
+    sst = sum(v * v for r in mat for v in r) - corr
+    sse = sst - ssr - ssc
+    msr, msc, mse = (
+        ssr / (nu - 1),
+        ssc / (k - 1),
+        sse / ((nu - 1) * (k - 1)),
+    )
+    icc21 = (msr - mse) / (
+        msr + (k - 1) * mse + k * (msc - mse) / nu
+    )
+    icc31 = (msr - mse) / (msr + (k - 1) * mse)
+    assert ri["n_users"] == nu
+    assert abs(ri["ms_rows"] - msr) < max(1e-5, abs(msr) * 1e-7)
+    assert abs(ri["ms_cols"] - msc) < max(1e-5, abs(msc) * 1e-7)
+    assert abs(ri["ms_error"] - mse) < max(1e-5, abs(mse) * 1e-7)
+    assert abs(ri["icc_2_1"] - icc21) < 1e-5
+    assert abs(ri["icc_3_1"] - icc31) < 1e-5
