@@ -26620,4 +26620,288 @@ FROM icc
 
 QUERIES["icc_agreement"] = q_icc_agreement
 _RAW_ORACLES["icc_agreement"] = SQL_ICC_AGREEMENT
+def q_atkinson_hoover(spark, sf_dir):
+    """Atkinson and Hoover inequality of user activity (Atkinson
+    J. Econ. Theory 1970; Hoover 1936 — the welfare-theoretic
+    completion of the inequality tier beside gini_concentration and
+    theil_index: Atkinson(eps) states how much TOTAL activity could
+    be given up with equality kept at current welfare — eps = 1 the
+    geometric/arithmetic-mean gap, eps = 0.5 the sqrt-utilitarian
+    version — while Hoover is the 'Robin Hood' share of events that
+    would have to move between users to equalize). Computed over
+    the per-user EVENT-COUNT histogram whose support is bounded by
+    the maximum activity level, not the user count — the same
+    scale-clean value-frame trick as theil_index: n, S and the
+    Hoover numerator sum m*|n*v - S| are EXACT LONGS (|x - mu|
+    cleared of the rational mu by multiplying through by n), the
+    ln/sqrt folds run SEQUENTIALLY over the value-sorted array so
+    both engines add in the same order. 3 shuffles at any corpus
+    size."""
+    ev = _events(spark, sf_dir).select("user_id")
+    cnt = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    h = cnt.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__m")
+    )
+    one = h.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__v", "__m"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn(
+            "__n",
+            F.expr(
+                "aggregate(__a, 0L, (acc, s) -> acc + s.__m)"
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.expr(
+                "aggregate(__a, 0L, (acc, s) ->"
+                " acc + s.__v * s.__m)"
+            ),
+        )
+        .filter((F.col("__n") > 1) & (F.col("__s") > 0))
+        .withColumn(
+            "__habs",
+            F.expr(
+                "aggregate(__a, 0L, (acc, s) ->"
+                " acc + s.__m * abs(__n * s.__v - __s))"
+            ),
+        )
+        .withColumn(
+            "__lnsum",
+            F.expr(
+                "aggregate(__a, cast(0.0 as double), (acc, s) ->"
+                " acc + cast(s.__m as double)"
+                " * ln(cast(s.__v as double)))"
+            ),
+        )
+        .withColumn(
+            "__sqsum",
+            F.expr(
+                "aggregate(__a, cast(0.0 as double), (acc, s) ->"
+                " acc + cast(s.__m as double)"
+                " * sqrt(cast(s.__v as double)))"
+            ),
+        )
+    )
+    nd = F.col("__n").cast("double")
+    sd = F.col("__s").cast("double")
+    mu = sd / nd
+    hoover = F.col("__habs").cast("double") / (
+        F.lit(2.0) * F.col("__n").cast("double") * sd
+    )
+    a1 = F.lit(1.0) - F.exp(F.col("__lnsum") / nd) / mu
+    a05 = F.lit(1.0) - (
+        (F.col("__sqsum") / nd) * (F.col("__sqsum") / nd)
+    ) / mu
+    return one.select(
+        F.col("__n").alias("n_users"),
+        F.col("__s").alias("total_events"),
+        _r6(mu).alias("mean_events"),
+        _r6(hoover).alias("hoover_index"),
+        _r6(a05).alias("atkinson_05"),
+        _r6(a1).alias("atkinson_1"),
+        F.when(hoover > 0.5, F.lit("extreme_concentration"))
+        .when(hoover > 0.2, F.lit("concentrated"))
+        .otherwise(F.lit("dispersed"))
+        .alias("verdict"),
+    )
+
+
+SQL_ATKINSON_HOOVER = """
+WITH cnt AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY user_id
+), h AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY v
+), one AS (
+  SELECT CAST(sum(m) AS BIGINT) AS n,
+    CAST(sum(v * m) AS BIGINT) AS s,
+    CAST(sum(m * abs((SELECT sum(m) FROM h) * v
+      - (SELECT sum(v * m) FROM h))) AS BIGINT) AS habs,
+    list_sum(list(CAST(m AS DOUBLE) * ln(CAST(v AS DOUBLE))
+      ORDER BY v)) AS lnsum,
+    list_sum(list(CAST(m AS DOUBLE) * sqrt(CAST(v AS DOUBLE))
+      ORDER BY v)) AS sqsum
+  FROM h
+), st AS (
+  SELECT n, s, habs, lnsum, sqsum,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+  FROM one WHERE n > 1 AND s > 0
+)
+SELECT n AS n_users, s AS total_events,
+  round(mu, 6) AS mean_events,
+  round(CAST(habs AS DOUBLE)
+    / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+    AS hoover_index,
+  round(1.0 - ((sqsum / CAST(n AS DOUBLE))
+    * (sqsum / CAST(n AS DOUBLE))) / mu, 6) AS atkinson_05,
+  round(1.0 - exp(lnsum / CAST(n AS DOUBLE)) / mu, 6)
+    AS atkinson_1,
+  CASE WHEN CAST(habs AS DOUBLE)
+    / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) > 0.5
+    THEN 'extreme_concentration'
+  WHEN CAST(habs AS DOUBLE)
+    / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) > 0.2
+    THEN 'concentrated'
+  ELSE 'dispersed' END AS verdict
+FROM st
+"""
+
+QUERIES["atkinson_hoover"] = q_atkinson_hoover
+_RAW_ORACLES["atkinson_hoover"] = SQL_ATKINSON_HOOVER
+
+
+def q_gpd_tail_fit(spark, sf_dir):
+    """Generalized-Pareto tail fit of purchase values above the
+    exact p90 via L-moments (Hosking & Wallis Technometrics 1987
+    peaks-over-threshold; Pickands-Balkema-de Haan says excesses
+    over a high threshold are GPD — the tail-RISK companion of
+    l_moments: l_moments fingerprints the WHOLE distribution, this
+    fits the law of the extreme spends that drive revenue risk,
+    with the closed-form L-moment estimators k = l1/l2 - 2,
+    sigma = l1(1+k), xi = -k — no iteration, no MLE). Threshold is
+    the exact order statistic at rank ceil(0.9 N) = (9N+9) div 10
+    (integer arithmetic); excess first/second L-moments come from
+    the excess-cents histogram with exact rank masses: S = sum v*t
+    and K = sum v*t*(2b+t-1) (= 2 sum (i-1) x_(i)) are EXACT LONGS,
+    so l1 = S/n and l2 = K/(n(n-1)) - S/n are single divisions.
+    The whole chain lives on the distinct-cents histogram after one
+    corpus aggregate, single-partition thereafter (l_moments
+    pattern). Values in dollars (cents/100)."""
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (
+            F.signum("value")
+            * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+        ).cast("long").alias("__c")
+    )
+    h = ev.groupBy("__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__t")
+    )
+    w = Window.orderBy("__c")
+    rk = h.select(
+        "__c", "__t",
+        F.sum("__t").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("__cum"),
+        F.sum("__t").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("__nn"),
+    )
+    thr = rk.filter(
+        F.expr("__cum >= (9 * __nn + 9) div 10")
+    ).agg(F.min("__c").cast("long").alias("__thr"))
+    exc = (
+        rk.crossJoin(F.broadcast(thr))
+        .filter(F.col("__c") > F.col("__thr"))
+        .select(
+            (F.col("__c") - F.col("__thr")).alias("__v"),
+            "__t", "__nn", "__thr",
+        )
+    )
+    wb = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    exb = exc.withColumn(
+        "__b", F.coalesce(F.sum("__t").over(wb), F.lit(0)).cast("long")
+    )
+    one = exb.agg(
+        F.max("__nn").cast("long").alias("n_purchases"),
+        F.max("__thr").cast("long").alias("__thrv"),
+        F.sum("__t").cast("long").alias("n_exceed"),
+        F.sum(F.col("__v") * F.col("__t")).cast("long").alias("__s"),
+        F.sum(
+            F.col("__v") * F.col("__t")
+            * (2 * F.col("__b") + F.col("__t") - 1)
+        ).cast("long").alias("__k"),
+    ).filter(F.col("n_exceed") > 5)
+    n = F.col("n_exceed").cast("double")
+    l1 = F.col("__s").cast("double") / n
+    l2 = F.col("__k").cast("double") / (
+        F.col("n_exceed") * (F.col("n_exceed") - 1)
+    ).cast("double") - l1
+    one = one.withColumn("__l1", l1).withColumn("__l2", l2).filter(
+        F.col("__l2") > 0
+    )
+    l1 = F.col("__l1")
+    l2 = F.col("__l2")
+    xi = F.lit(2.0) - l1 / l2
+    sigma = l1 * (F.lit(1.0) + (l1 / l2 - F.lit(2.0)))
+    return one.select(
+        "n_purchases",
+        _r6(F.col("__thrv").cast("double") / F.lit(100.0)).alias(
+            "threshold_dollars"
+        ),
+        "n_exceed",
+        _r6(l1 / F.lit(100.0)).alias("mean_excess_dollars"),
+        _r6(xi).alias("xi_hat"),
+        _r6(sigma / F.lit(100.0)).alias("sigma_dollars"),
+        F.when(xi > 0.05, F.lit("heavy_tail"))
+        .when(xi < -0.05, F.lit("bounded_tail"))
+        .otherwise(F.lit("exponential_like"))
+        .alias("verdict"),
+    )
+
+
+SQL_GPD_TAIL_FIT = """
+WITH ev AS (
+  SELECT CAST(sign(value) * floor(abs(value) * 100 + 0.5)
+    AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), h AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS t FROM ev GROUP BY c
+), rk AS (
+  SELECT c, t,
+    CAST(sum(t) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+      AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(sum(t) OVER () AS BIGINT) AS nn
+  FROM h
+), thr AS (
+  SELECT min(c) AS thrv FROM rk
+  WHERE cum >= (9 * nn + 9) // 10
+), exc AS (
+  SELECT rk.c - thr.thrv AS v, rk.t, rk.nn, thr.thrv
+  FROM rk, thr WHERE rk.c > thr.thrv
+), exb AS (
+  SELECT v, t, nn, thrv,
+    CAST(coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM exc
+), mom AS (
+  SELECT CAST(max(nn) AS BIGINT) AS np,
+    CAST(max(thrv) AS BIGINT) AS thrv,
+    CAST(sum(t) AS BIGINT) AS n,
+    CAST(sum(v * t) AS BIGINT) AS s,
+    CAST(sum(v * t * (2 * b + t - 1)) AS BIGINT) AS k
+  FROM exb
+), lm AS (
+  SELECT np, thrv, n,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS l1,
+    CAST(k AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS l2
+  FROM mom WHERE n > 5
+)
+SELECT np AS n_purchases,
+  round(CAST(thrv AS DOUBLE) / 100.0, 6) AS threshold_dollars,
+  n AS n_exceed,
+  round(l1 / 100.0, 6) AS mean_excess_dollars,
+  round(2.0 - l1 / l2, 6) AS xi_hat,
+  round(l1 * (1.0 + (l1 / l2 - 2.0)) / 100.0, 6) AS sigma_dollars,
+  CASE WHEN 2.0 - l1 / l2 > 0.05 THEN 'heavy_tail'
+       WHEN 2.0 - l1 / l2 < -0.05 THEN 'bounded_tail'
+       ELSE 'exponential_like' END AS verdict
+FROM lm WHERE l2 > 0
+"""
+
+QUERIES["gpd_tail_fit"] = q_gpd_tail_fit
+_RAW_ORACLES["gpd_tail_fit"] = SQL_GPD_TAIL_FIT
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

@@ -792,6 +792,12 @@ BUDGETS = {
     # icc: single chain — window + one single-row ANOVA agg
     "icc_agreement": {"shuffle": 2, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # atkinson/gpd: histogram chain (l_moments pattern); gpd's bnlj
+    # is the broadcast of the 1-row threshold onto the tiny histogram
+    "atkinson_hoover": {"shuffle": 3, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
+    "gpd_tail_fit": {"shuffle": 4, "python": 0, "cartesian": 0,
+                     "bnlj": 1},
 }
 
 

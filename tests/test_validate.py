@@ -5439,3 +5439,65 @@ def test_fleiss_icc_rebuild(spark):
     assert abs(ri["ms_error"] - mse) < max(1e-5, abs(mse) * 1e-7)
     assert abs(ri["icc_2_1"] - icc21) < 1e-5
     assert abs(ri["icc_3_1"] - icc31) < 1e-5
+
+
+def test_atkinson_gpd_rebuild(spark):
+    """Atkinson/Hoover and the GPD L-moment tail fit vs literal
+    python rebuilds on raw per-user counts / sorted excesses (no
+    histogram collapse — an independent construction), plus the
+    A(0.5) <= A(1) convexity ordering and Hoover in [0, 1)."""
+    from mpds_spark.queries import q_atkinson_hoover, q_gpd_tail_fit
+
+    ra = q_atkinson_hoover(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rg = q_gpd_tail_fit(spark, "/root/testdata/sf0.001").collect()[0]
+    import math
+
+    import duckdb
+
+    xs = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY user_id"
+        ).fetchall()
+    ]
+    n, s = len(xs), sum(xs)
+    mu = s / n
+    hoover = sum(abs(x - mu) for x in xs) / (2 * s)
+    a1 = 1 - math.exp(sum(math.log(x) for x in xs) / n) / mu
+    a05 = 1 - (sum(math.sqrt(x) for x in xs) / n) ** 2 / mu
+    assert ra["n_users"] == n
+    assert ra["total_events"] == s
+    assert abs(ra["hoover_index"] - hoover) < 1e-6
+    assert abs(ra["atkinson_05"] - a05) < 1e-6
+    assert abs(ra["atkinson_1"] - a1) < 1e-6
+    assert 0.0 <= ra["hoover_index"] < 1.0
+    assert ra["atkinson_05"] <= ra["atkinson_1"] + 1e-12
+    # GPD tail fit on sorted purchase cents
+    cs = sorted(
+        t[0]
+        for t in duckdb.sql(
+            "SELECT CAST(sign(value) * floor(abs(value) * 100 + 0.5)"
+            " AS BIGINT) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " WHERE event_type = 'purchase'"
+        ).fetchall()
+    )
+    np_ = len(cs)
+    r = -(-9 * np_ // 10)  # ceil(0.9 N)
+    thr = cs[r - 1]
+    exc = sorted(c - thr for c in cs if c > thr)
+    m = len(exc)
+    l1 = sum(exc) / m
+    b1 = sum(i * x for i, x in enumerate(exc)) / (m * (m - 1))
+    l2 = 2 * b1 - l1
+    k = l1 / l2 - 2
+    assert rg["n_purchases"] == np_
+    assert abs(rg["threshold_dollars"] - thr / 100.0) < 1e-9
+    assert rg["n_exceed"] == m
+    assert abs(rg["mean_excess_dollars"] - l1 / 100.0) < 1e-6
+    assert abs(rg["xi_hat"] - (-k)) < 1e-6
+    assert abs(rg["sigma_dollars"] - l1 * (1 + k) / 100.0) < 1e-5
