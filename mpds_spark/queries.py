@@ -26904,4 +26904,420 @@ FROM lm WHERE l2 > 0
 
 QUERIES["gpd_tail_fit"] = q_gpd_tail_fit
 _RAW_ORACLES["gpd_tail_fit"] = SQL_GPD_TAIL_FIT
+def q_getis_ord_g(spark, sf_dir):
+    """Global Getis-Ord G of hourly event volume on the circular
+    hour-of-day graph (Getis & Ord Geographical Analysis 1992 —
+    the HOT-SPOT complement of moran_i on the same 24-cycle:
+    Moran's I asks 'do neighboring hours covary around the mean?'
+    and scores high for matched COLD spots too; G asks 'do HIGH
+    values cluster next to high values?' — G above its expectation
+    means the load peak is a contiguous block of hours (one
+    scaling window), below means high hours alternate with low.
+    Same unit-weight ring as moran_i so the two are directly
+    comparable). G = 2 sum y_h y_{h+1} / (m1^2 - m2) is ONE
+    exact-long division; the randomization variance uses the
+    Getis-Ord B0..B4 moment formula with S1 = 4n, S2 = 16n,
+    W = 2n and raw moments m1..m4 (EXACT LONGS), assembled in
+    decimal(38,0)/HUGEINT so the ~1e22 numerator products never
+    round: Var = E[G^2] - E[G]^2 with E[G] = 2/(n-1). 2 shuffles
+    at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.hour(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__h"),
+    )
+    g = ev.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.array_sort(
+            F.collect_list(F.struct("__h", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .filter(F.col("n_cells") > 4)
+        .withColumn(
+            "__num",
+            F.expr(
+                "2L * aggregate(sequence(1L, n_cells), 0L,"
+                " (acc, i) -> acc"
+                " + element_at(__yarr, cast(i as int))"
+                " * element_at(__yarr,"
+                " cast(IF(i = n_cells, 1L, i + 1) as int)))"
+            ),
+        )
+        .withColumn(
+            "__m1",
+            F.expr("aggregate(__yarr, 0L, (acc, v) -> acc + v)"),
+        )
+        .withColumn(
+            "__m2",
+            F.expr(
+                "aggregate(__yarr, 0L, (acc, v) -> acc + v * v)"
+            ),
+        )
+        .withColumn(
+            "__m3",
+            F.expr(
+                "aggregate(__yarr, 0L, (acc, v) ->"
+                " acc + v * v * v)"
+            ),
+        )
+        .withColumn(
+            "__m4",
+            F.expr(
+                "aggregate(__yarr, 0L, (acc, v) ->"
+                " acc + v * v * v * v)"
+            ),
+        )
+        .withColumn("__den", F.expr("__m1 * __m1 - __m2"))
+        .filter(F.col("__den") > 0)
+    )
+    # Getis-Ord 1992 randomization moments on the unit-weight ring:
+    # W = 2n, S1 = 4n, S2 = 16n
+    one = one.withColumn(
+        "__eg2num",
+        F.expr(
+            "cast((n_cells * n_cells - 3L * n_cells + 3L)"
+            " * (4L * n_cells) - n_cells * (16L * n_cells)"
+            " + 3L * (2L * n_cells) * (2L * n_cells)"
+            " as decimal(38,0))"
+            " * cast(__m2 as decimal(38,0))"
+            " * cast(__m2 as decimal(38,0))"
+            " - cast((n_cells * n_cells - n_cells)"
+            " * (4L * n_cells) - 2L * n_cells * (16L * n_cells)"
+            " + 6L * (2L * n_cells) * (2L * n_cells)"
+            " as decimal(38,0))"
+            " * cast(__m4 as decimal(38,0))"
+            " - cast(2L * n_cells * (4L * n_cells)"
+            " - (n_cells + 3L) * (16L * n_cells)"
+            " + 6L * (2L * n_cells) * (2L * n_cells)"
+            " as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m2 as decimal(38,0))"
+            " + cast(4L * (n_cells - 1L) * (4L * n_cells)"
+            " - 2L * (n_cells + 1L) * (16L * n_cells)"
+            " + 8L * (2L * n_cells) * (2L * n_cells)"
+            " as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m3 as decimal(38,0))"
+            " + cast(4L * n_cells - 16L * n_cells"
+            " + (2L * n_cells) * (2L * n_cells)"
+            " as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+            " * cast(__m1 as decimal(38,0))"
+        ),
+    ).withColumn(
+        "__eg2den",
+        F.expr(
+            "cast(__den as decimal(38,0))"
+            " * cast(__den as decimal(38,0))"
+            " * cast(n_cells * (n_cells - 1L) * (n_cells - 2L)"
+            " * (n_cells - 3L) as decimal(38,0))"
+        ),
+    )
+    gg = F.col("__num").cast("double") / F.col("__den").cast(
+        "double"
+    )
+    e = F.lit(2.0) / (F.col("n_cells") - 1).cast("double")
+    var = (
+        F.col("__eg2num").cast("double")
+        / F.col("__eg2den").cast("double")
+        - e * e
+    )
+    z = (gg - e) / F.sqrt(var)
+    one = one.withColumn("__var", var).filter(F.col("__var") > 0)
+    return one.select(
+        "n_cells",
+        _r6(gg).alias("g_stat"),
+        _r6(e).alias("e_g"),
+        _r6(F.col("__var")).alias("var_g"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z > 0.0, F.lit("high_values_cluster"))
+        .when(z < 0.0, F.lit("high_values_disperse"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+SQL_GETIS_ORD_G = """
+WITH hr AS (
+  SELECT hour(ts) AS h, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY hour(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY h) AS yarr
+  FROM hr
+), mom AS (
+  SELECT n, yarr,
+    2 * CAST(list_sum(list_transform(
+      range(1, CAST(n + 1 AS INTEGER)), i -> yarr[i]
+      * yarr[CASE WHEN i = n THEN 1 ELSE i + 1 END]))
+      AS BIGINT) AS num,
+    CAST(list_sum(yarr) AS BIGINT) AS m1,
+    CAST(list_sum(list_transform(yarr, v -> v * v)) AS BIGINT)
+      AS m2,
+    CAST(list_sum(list_transform(yarr, v -> v * v * v))
+      AS BIGINT) AS m3,
+    CAST(list_sum(list_transform(yarr, v -> v * v * v * v))
+      AS BIGINT) AS m4
+  FROM one WHERE n > 4
+), dn AS (
+  SELECT *, m1 * m1 - m2 AS den FROM mom
+  WHERE m1 * m1 - m2 > 0
+), vr AS (
+  SELECT n, num, den,
+    (CAST((n * n - 3 * n + 3) * (4 * n) - n * (16 * n)
+       + 3 * (2 * n) * (2 * n) AS HUGEINT)
+     * CAST(m2 AS HUGEINT) * CAST(m2 AS HUGEINT)
+     - CAST((n * n - n) * (4 * n) - 2 * n * (16 * n)
+       + 6 * (2 * n) * (2 * n) AS HUGEINT)
+     * CAST(m4 AS HUGEINT)
+     - CAST(2 * n * (4 * n) - (n + 3) * (16 * n)
+       + 6 * (2 * n) * (2 * n) AS HUGEINT)
+     * CAST(m1 AS HUGEINT) * CAST(m1 AS HUGEINT)
+     * CAST(m2 AS HUGEINT)
+     + CAST(4 * (n - 1) * (4 * n) - 2 * (n + 1) * (16 * n)
+       + 8 * (2 * n) * (2 * n) AS HUGEINT)
+     * CAST(m1 AS HUGEINT) * CAST(m3 AS HUGEINT)
+     + CAST(4 * n - 16 * n + (2 * n) * (2 * n) AS HUGEINT)
+     * CAST(m1 AS HUGEINT) * CAST(m1 AS HUGEINT)
+     * CAST(m1 AS HUGEINT) * CAST(m1 AS HUGEINT)) AS eg2num,
+    CAST(den AS HUGEINT) * CAST(den AS HUGEINT)
+     * CAST(n * (n - 1) * (n - 2) * (n - 3) AS HUGEINT) AS eg2den
+  FROM dn
+), st AS (
+  SELECT n,
+    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS g,
+    2.0 / CAST(n - 1 AS DOUBLE) AS e,
+    CAST(eg2num AS DOUBLE) / CAST(eg2den AS DOUBLE)
+      - (2.0 / CAST(n - 1 AS DOUBLE))
+      * (2.0 / CAST(n - 1 AS DOUBLE)) AS v
+  FROM vr
+)
+SELECT n AS n_cells,
+  round(g, 6) AS g_stat,
+  round(e, 6) AS e_g,
+  round(v, 6) AS var_g,
+  round((g - e) / sqrt(v), 6) AS z_stat,
+  (abs((g - e) / sqrt(v)) > 1.96) AS reject_5pct,
+  CASE WHEN (g - e) / sqrt(v) > 0.0 THEN 'high_values_cluster'
+       WHEN (g - e) / sqrt(v) < 0.0 THEN 'high_values_disperse'
+       ELSE 'random' END AS verdict
+FROM st WHERE v > 0
+"""
+
+QUERIES["getis_ord_g"] = q_getis_ord_g
+_RAW_ORACLES["getis_ord_g"] = SQL_GETIS_ORD_G
+
+
+def q_conover_scale(spark, sf_dir):
+    """Conover squared-ranks test for equality of VARIANCE between
+    weekend and weekday daily event volumes (Conover & Iman 1978;
+    Conover 'Practical Nonparametric Statistics' §5.3 — the rank-
+    robust scale test that needs no normality, unlike bartlett_test,
+    and unlike levene_test needs no F approximation: rank the
+    absolute deviations from each group's own mean, sum the SQUARED
+    ranks of one group, and the null moments are exact polynomial
+    functions of the rank multiset — the 'is weekend load merely
+    shifted, or differently VOLATILE?' screen beside welch_pairs
+    which only sees the mean). Exactness: deviations are compared
+    across groups after clearing both rational means — U_i =
+    n2*|n1*x_i - G1| in the weekend group, n1*|n2*x_j - G2| in the
+    weekday group (order-preserving EXACT LONGS); doubled midranks
+    2R = #(v<u) + #(v<=u) + 1 keep every rank integer under ties,
+    and T' = sum (2R)^2 over the weekend group, sum Q2 = sum (2R)^2
+    and sum Q4 = sum (2R)^4 over all days make z one fixed
+    expression (the 4x/16x scalings cancel in z). 2 shuffles at any
+    corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("__d"),
+    )
+    day = ev.groupBy("__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    day = day.withColumn(
+        "__we",
+        (F.expr("weekday(__d)") >= 5).cast("long"),
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("__d", "__we", "__y"))
+        ).alias("__a"),
+    )
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        .withColumn("__warr", F.expr("transform(__a, s -> s.__we)"))
+        .filter(F.col("n_days") > 3)
+        .withColumn(
+            "__n1",
+            F.expr("aggregate(__warr, 0L, (acc, w) -> acc + w)"),
+        )
+        .withColumn(
+            "__g1",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, i) ->"
+                " acc + IF(element_at(__warr, cast(i as int)) = 1L,"
+                " element_at(__yarr, cast(i as int)), 0L))"
+            ),
+        )
+        .withColumn("__n2", F.expr("n_days - __n1"))
+        .withColumn(
+            "__g2",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, i) ->"
+                " acc + IF(element_at(__warr, cast(i as int)) = 0L,"
+                " element_at(__yarr, cast(i as int)), 0L))"
+            ),
+        )
+        .filter((F.col("__n1") > 1) & (F.col("__n2") > 1))
+        .withColumn(
+            "__u",
+            F.expr(
+                "transform(sequence(1L, n_days), i ->"
+                " IF(element_at(__warr, cast(i as int)) = 1L,"
+                " __n2 * abs(__n1"
+                " * element_at(__yarr, cast(i as int)) - __g1),"
+                " __n1 * abs(__n2"
+                " * element_at(__yarr, cast(i as int)) - __g2)))"
+            ),
+        )
+        .withColumn(
+            "__r2",
+            F.expr(
+                "transform(__u, u -> aggregate(__u, 1L,"
+                " (acc, v) -> acc + IF(v < u, 2L,"
+                " IF(v = u, 1L, 0L))))"
+            ),
+        )
+        .withColumn(
+            "__t4",
+            F.expr(
+                "aggregate(sequence(1L, n_days), 0L, (acc, i) ->"
+                " acc + IF(element_at(__warr, cast(i as int)) = 1L,"
+                " element_at(__r2, cast(i as int))"
+                " * element_at(__r2, cast(i as int)), 0L))"
+            ),
+        )
+        .withColumn(
+            "__q2",
+            F.expr(
+                "aggregate(__r2, 0L, (acc, r) -> acc + r * r)"
+            ),
+        )
+        .withColumn(
+            "__q4",
+            F.expr(
+                "aggregate(__r2, 0L, (acc, r) ->"
+                " acc + r * r * r * r)"
+            ),
+        )
+    )
+    n = F.col("n_days").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n2 = F.col("__n2").cast("double")
+    t = F.col("__t4").cast("double") / F.lit(4.0)
+    et = n1 * (F.col("__q2").cast("double") / F.lit(4.0)) / n
+    vt = (
+        n1 * n2 / (n * (n - 1))
+        * (
+            F.col("__q4").cast("double") / F.lit(16.0)
+            - (F.col("__q2").cast("double") / F.lit(4.0))
+            * (F.col("__q2").cast("double") / F.lit(4.0)) / n
+        )
+    )
+    z = (t - et) / F.sqrt(vt)
+    one = one.withColumn("__vt", vt).filter(F.col("__vt") > 0)
+    return one.select(
+        "n_days",
+        F.col("__n1").alias("n_weekend"),
+        F.col("__n2").alias("n_weekday"),
+        _r6(t).alias("t_stat"),
+        _r6(et).alias("e_t"),
+        _r6(F.col("__vt")).alias("var_t"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(z > 0.0, F.lit("weekend_more_variable"))
+        .when(z < 0.0, F.lit("weekday_more_variable"))
+        .otherwise(F.lit("equal_scale"))
+        .alias("verdict"),
+    )
+
+
+SQL_CONOVER_SCALE = """
+WITH day AS (
+  SELECT date_trunc('day', ts) AS d,
+    CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY date_trunc('day', ts)
+), flagged AS (
+  SELECT y, CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS we
+  FROM day
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y) AS yarr, list(we) AS warr,
+    CAST(sum(we) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN we = 1 THEN y ELSE 0 END) AS BIGINT) AS g1,
+    CAST(count(*) - sum(we) AS BIGINT) AS n2,
+    CAST(sum(CASE WHEN we = 0 THEN y ELSE 0 END) AS BIGINT) AS g2
+  FROM flagged
+), uu AS (
+  SELECT n, warr, n1, n2,
+    list_transform(range(1, CAST(n + 1 AS INTEGER)), i ->
+      CASE WHEN warr[i] = 1
+        THEN n2 * abs(n1 * yarr[i] - g1)
+        ELSE n1 * abs(n2 * yarr[i] - g2) END) AS u
+  FROM one WHERE n > 3 AND n1 > 1 AND n2 > 1
+), rr AS (
+  SELECT n, warr, n1, n2,
+    list_transform(u, x -> CAST(1 + list_sum(list_transform(u,
+      v -> CASE WHEN v < x THEN 2 WHEN v = x THEN 1
+           ELSE 0 END)) AS BIGINT)) AS r2
+  FROM uu
+), f AS (
+  SELECT n, n1, n2,
+    CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INTEGER)),
+      i -> CASE WHEN warr[i] = 1 THEN r2[i] * r2[i]
+           ELSE 0 END)) AS BIGINT) AS t4,
+    CAST(list_sum(list_transform(r2, r -> r * r)) AS BIGINT)
+      AS q2,
+    CAST(list_sum(list_transform(r2, r -> r * r * r * r))
+      AS BIGINT) AS q4
+  FROM rr
+), st AS (
+  SELECT n, n1, n2,
+    CAST(t4 AS DOUBLE) / 4.0 AS t,
+    CAST(n1 AS DOUBLE) * (CAST(q2 AS DOUBLE) / 4.0)
+      / CAST(n AS DOUBLE) AS et,
+    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+      * (CAST(q4 AS DOUBLE) / 16.0
+         - (CAST(q2 AS DOUBLE) / 4.0)
+           * (CAST(q2 AS DOUBLE) / 4.0)
+           / CAST(n AS DOUBLE)) AS vt
+  FROM f
+)
+SELECT n AS n_days, n1 AS n_weekend, n2 AS n_weekday,
+  round(t, 6) AS t_stat,
+  round(et, 6) AS e_t,
+  round(vt, 6) AS var_t,
+  round((t - et) / sqrt(vt), 6) AS z_stat,
+  (abs((t - et) / sqrt(vt)) > 1.96) AS reject_5pct,
+  CASE WHEN (t - et) / sqrt(vt) > 0.0
+         THEN 'weekend_more_variable'
+       WHEN (t - et) / sqrt(vt) < 0.0
+         THEN 'weekday_more_variable'
+       ELSE 'equal_scale' END AS verdict
+FROM st WHERE vt > 0
+"""
+
+QUERIES["conover_scale"] = q_conover_scale
+_RAW_ORACLES["conover_scale"] = SQL_CONOVER_SCALE
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

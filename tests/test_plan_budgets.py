@@ -798,6 +798,11 @@ BUDGETS = {
                         "bnlj": 0},
     "gpd_tail_fit": {"shuffle": 4, "python": 0, "cartesian": 0,
                      "bnlj": 1},
+    # getis-ord / conover: hour/day agg + 1-row exact folds
+    "getis_ord_g": {"shuffle": 2, "python": 0, "cartesian": 0,
+                    "bnlj": 0},
+    "conover_scale": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

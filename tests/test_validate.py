@@ -5501,3 +5501,89 @@ def test_atkinson_gpd_rebuild(spark):
     assert abs(rg["mean_excess_dollars"] - l1 / 100.0) < 1e-6
     assert abs(rg["xi_hat"] - (-k)) < 1e-6
     assert abs(rg["sigma_dollars"] - l1 * (1 + k) / 100.0) < 1e-5
+
+
+def test_getis_conover_rebuild(spark):
+    """Getis-Ord global G (PySAL-style B0..B4 randomization
+    variance rebuilt literally) and Conover squared-ranks vs python
+    rebuilds using plain float deviations and scipy-free midranks."""
+    from mpds_spark.queries import q_conover_scale, q_getis_ord_g
+
+    rg = q_getis_ord_g(spark, "/root/testdata/sf0.001").collect()[0]
+    rc = q_conover_scale(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY hour(ts) ORDER BY hour(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    num = 2 * sum(
+        ys[i] * ys[(i + 1) % n] for i in range(n)
+    )
+    m1 = sum(ys)
+    m2 = sum(v * v for v in ys)
+    m3 = sum(v ** 3 for v in ys)
+    m4 = sum(v ** 4 for v in ys)
+    den = m1 * m1 - m2
+    g = num / den
+    e = 2.0 / (n - 1)
+    w, s1, s2 = 2 * n, 4 * n, 16 * n
+    b0 = (n * n - 3 * n + 3) * s1 - n * s2 + 3 * w * w
+    b1 = -((n * n - n) * s1 - 2 * n * s2 + 6 * w * w)
+    b2 = -(2 * n * s1 - (n + 3) * s2 + 6 * w * w)
+    b3 = 4 * (n - 1) * s1 - 2 * (n + 1) * s2 + 8 * w * w
+    b4 = s1 - s2 + w * w
+    eg2 = (
+        b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2
+        + b3 * m1 * m3 + b4 * m1 ** 4
+    ) / (den * den * n * (n - 1) * (n - 2) * (n - 3))
+    var = eg2 - e * e
+    z = (g - e) / var ** 0.5
+    assert rg["n_cells"] == n
+    assert abs(rg["g_stat"] - g) < 1e-6
+    assert abs(rg["e_g"] - e) < 1e-6
+    assert abs(rg["var_g"] - var) < 1e-6
+    assert abs(rg["z_stat"] - z) < 1e-5
+    assert rg["reject_5pct"] == (abs(z) > 1.96)
+    # Conover squared ranks, plain float rebuild
+    rows = duckdb.sql(
+        "SELECT CASE WHEN isodow(date_trunc('day', ts)) >= 6"
+        " THEN 1 ELSE 0 END AS we, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+    ).fetchall()
+    g1v = [y for w_, y in rows if w_ == 1]
+    g2v = [y for w_, y in rows if w_ == 0]
+    mu1, mu2 = sum(g1v) / len(g1v), sum(g2v) / len(g2v)
+    us = [(abs(y - mu1), 1) for y in g1v] + [
+        (abs(y - mu2), 0) for y in g2v
+    ]
+    nn = len(us)
+    # midranks the simple way
+    vals = sorted(u for u, _ in us)
+    def midrank(u):
+        lt = sum(1 for v in vals if v < u)
+        eq = sum(1 for v in vals if v == u)
+        return lt + (eq + 1) / 2.0
+    t = sum(midrank(u) ** 2 for u, w_ in us if w_ == 1)
+    q2 = sum(midrank(u) ** 2 for u, _ in us)
+    q4 = sum(midrank(u) ** 4 for u, _ in us)
+    n1, n2 = len(g1v), len(g2v)
+    et = n1 * q2 / nn
+    vt = n1 * n2 / (nn * (nn - 1)) * (q4 - q2 * q2 / nn)
+    z = (t - et) / vt ** 0.5
+    assert rc["n_days"] == nn
+    assert rc["n_weekend"] == n1
+    assert rc["n_weekday"] == n2
+    assert abs(rc["t_stat"] - t) < 1e-6
+    assert abs(rc["e_t"] - et) < 1e-6
+    assert abs(rc["var_t"] - vt) < 1e-6
+    assert abs(rc["z_stat"] - z) < 1e-6
+    assert rc["reject_5pct"] == (abs(z) > 1.96)
