@@ -27320,4 +27320,300 @@ FROM st WHERE vt > 0
 
 QUERIES["conover_scale"] = q_conover_scale
 _RAW_ORACLES["conover_scale"] = SQL_CONOVER_SCALE
+def q_rmst(spark, sf_dir):
+    """Restricted mean survival time of user lifetimes at tau = 7
+    and 14 days (Royston & Parmar Stat. Med. 2013; Uno et al. JCO
+    2014 — THE recommended summary when KM curves cross or
+    censoring is heavy: rather than the median or a hazard ratio,
+    report the AREA under the KM curve up to a clinical horizon =
+    expected days survived of the first tau; here 'how much of the
+    first week/fortnight does a median cohort member stay
+    active?', the scalar the retention_cohorts table hints at but
+    never integrates). Built on the same hourly-binned KM curve as
+    survival_km (operators/survival.py kaplan_meier, 7-day
+    censoring): RMST(tau) = sum_k S_k * (min(b_{k+1}, tau) -
+    min(b_k, tau)) + min(b_1, tau), an in-order fold where the
+    segment widths are EXACT INTEGER hours and S_k the same
+    exp-sum-ln survival both engines already match bit-for-bit.
+    Curve is tiny after the entity/day-keyed heavy passes."""
+    from mpds_spark.operators.survival import kaplan_meier
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity_id"), "ts"
+    )
+    out = kaplan_meier(
+        ev, entity="entity_id", ts="ts", churn_gap_days=7.0,
+        bin_seconds=3600,
+    ).select("duration_bin", "km_survival")
+    one = out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("duration_bin", "km_survival")
+            )
+        ).alias("__a"),
+    ).filter(F.col("n_bins") > 0)
+    one = (
+        one
+        .withColumn(
+            "__bs", F.expr("transform(__a, s -> s.duration_bin)")
+        )
+        .withColumn(
+            "__ss", F.expr("transform(__a, s -> s.km_survival)")
+        )
+    )
+
+    def _rmst(tau: int):
+        return F.expr(
+            f"cast(least(element_at(__bs, 1), {tau}L) as double)"
+            " + aggregate(sequence(1L, n_bins),"
+            " cast(0.0 as double), (acc, k) -> acc"
+            " + element_at(__ss, cast(k as int))"
+            f" * cast(least(IF(k = n_bins, {tau}L,"
+            f" element_at(__bs, cast(k + 1 as int))), {tau}L)"
+            f" - least(element_at(__bs, cast(k as int)), {tau}L)"
+            " as double))"
+        )
+
+    r7 = _rmst(168) / F.lit(24.0)
+    r14 = _rmst(336) / F.lit(24.0)
+    return one.select(
+        "n_bins",
+        _r6(r7).alias("rmst_7d_days"),
+        _r6(r14).alias("rmst_14d_days"),
+        _r6(r7 / F.lit(7.0)).alias("restricted_frac_7d"),
+        F.when(r7 / F.lit(7.0) > 0.5, F.lit("retention_high"))
+        .when(r7 / F.lit(7.0) > 0.2, F.lit("retention_medium"))
+        .otherwise(F.lit("retention_low"))
+        .alias("verdict"),
+    )
+
+
+SQL_RMST = """
+WITH d AS (SELECT user_id AS e, epoch_us(ts) AS us FROM events),
+mx AS (SELECT max(us) AS mx FROM d),
+sp AS (SELECT e, min(us) AS s, max(us) AS t FROM d GROUP BY e),
+sv AS (
+  SELECT CAST((t - s) // 3600000000 AS BIGINT) AS day,
+    CASE WHEN t <= (SELECT mx FROM mx) - 604800000000
+         THEN 1 ELSE 0 END AS obs
+  FROM sp
+), curve AS (
+  SELECT day, CAST(sum(obs) AS BIGINT) AS n_events,
+    CAST(sum(1 - obs) AS BIGINT) AS n_censored
+  FROM sv GROUP BY day
+), risk AS (
+  SELECT day, n_events, n_censored,
+    CAST((SELECT sum(n_events + n_censored) FROM curve)
+      - coalesce(sum(n_events + n_censored) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS BIGINT) AS n_risk
+  FROM curve
+), km AS (
+  SELECT r1.day,
+    list_sum(list(CASE WHEN r2.n_events < r2.n_risk
+      THEN ln((r2.n_risk - r2.n_events)::DOUBLE / r2.n_risk::DOUBLE)
+      ELSE 0.0 END ORDER BY r2.day)) AS lnsum,
+    max(CASE WHEN r2.n_events = r2.n_risk THEN 1 ELSE 0 END) AS zero
+  FROM risk r1 JOIN risk r2 ON r2.day <= r1.day GROUP BY r1.day
+), c2 AS (
+  SELECT r.day AS b,
+    CASE WHEN k.zero = 1 THEN 0.0 ELSE exp(k.lnsum) END AS s
+  FROM risk r JOIN km k ON k.day = r.day
+), arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS kk,
+    list(b ORDER BY b) AS bs, list(s ORDER BY b) AS ss
+  FROM c2
+), f AS (
+  SELECT kk,
+    CAST(least(bs[1], 168) AS DOUBLE)
+      + list_sum(list_transform(range(1, CAST(kk + 1 AS INTEGER)),
+        k -> ss[k] * CAST(least(CASE WHEN k = kk THEN 168
+              ELSE bs[k + 1] END, 168)
+            - least(bs[k], 168) AS DOUBLE))) AS h7,
+    CAST(least(bs[1], 336) AS DOUBLE)
+      + list_sum(list_transform(range(1, CAST(kk + 1 AS INTEGER)),
+        k -> ss[k] * CAST(least(CASE WHEN k = kk THEN 336
+              ELSE bs[k + 1] END, 336)
+            - least(bs[k], 336) AS DOUBLE))) AS h14
+  FROM arr WHERE kk > 0
+)
+SELECT kk AS n_bins,
+  round(h7 / 24.0, 6) AS rmst_7d_days,
+  round(h14 / 24.0, 6) AS rmst_14d_days,
+  round(h7 / 24.0 / 7.0, 6) AS restricted_frac_7d,
+  CASE WHEN h7 / 24.0 / 7.0 > 0.5 THEN 'retention_high'
+       WHEN h7 / 24.0 / 7.0 > 0.2 THEN 'retention_medium'
+       ELSE 'retention_low' END AS verdict
+FROM f
+"""
+
+QUERIES["rmst"] = q_rmst
+_RAW_ORACLES["rmst"] = SQL_RMST
+
+
+def q_quade_test(spark, sf_dir):
+    """Quade test for day-of-week effects across the month's four
+    complete weeks (Quade JASA 1979 — the block-WEIGHTED upgrade of
+    friedman_test: Friedman gives every block equal say; Quade
+    weights each week by the rank of its within-week RANGE, so
+    weeks where the weekday pattern is pronounced dominate —
+    strictly more powerful for k <= 5-ish treatments and the
+    right test when volume swings differ week to week). Blocks =
+    weeks 1-4 (days 1-28 only; requires the full 28-day grid),
+    treatments = day-of-week. Everything stays EXACT: within-block
+    doubled midranks 2r (k = 7 so (k+1)/2 clears to the integer
+    2r - 8), block-range doubled midranks 2Q across the 4 weeks,
+    scaled scores S' = 2Q*(2r - 8) EXACT LONGS, and the statistic
+    F = (b-1)*sum_j Sj'^2 / (b*sum S'^2 - sum_j Sj'^2) is ONE
+    division of exact longs (all 4x/16x scalings cancel); F(6,18)
+    5pct critical 2.661. 2 shuffles at any corpus size."""
+    ev = _events(spark, sf_dir).select(
+        F.dayofmonth(F.col("ts").cast("timestamp")).cast("long")
+        .alias("__day"),
+    ).filter(F.col("__day") <= 28)
+    day = ev.groupBy("__day").agg(
+        F.count(F.lit(1)).cast("long").alias("__y")
+    )
+    one = day.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.array_sort(
+            F.collect_list(F.struct("__day", "__y"))
+        ).alias("__a"),
+    ).filter(F.col("__n") == 28)
+    one = (
+        one
+        .withColumn("__yarr", F.expr("transform(__a, s -> s.__y)"))
+        # within-block doubled midranks: block of day d is indices
+        # 7*((d-1) div 7)+1 .. +7
+        .withColumn(
+            "__r2",
+            F.expr(
+                "transform(sequence(1L, 28L), d ->"
+                " aggregate(sequence(7L * ((d - 1) div 7L) + 1L,"
+                " 7L * ((d - 1) div 7L) + 7L), 1L, (acc, m) ->"
+                " acc + IF(element_at(__yarr, cast(m as int))"
+                " < element_at(__yarr, cast(d as int)), 2L,"
+                " IF(element_at(__yarr, cast(m as int))"
+                " = element_at(__yarr, cast(d as int)), 1L, 0L))))"
+            ),
+        )
+        .withColumn(
+            "__rng",
+            F.expr(
+                "transform(sequence(0L, 3L), b ->"
+                " array_max(slice(__yarr, cast(7 * b + 1 as int), 7))"
+                " - array_min(slice(__yarr,"
+                " cast(7 * b + 1 as int), 7)))"
+            ),
+        )
+        .withColumn(
+            "__q2",
+            F.expr(
+                "transform(__rng, r -> aggregate(__rng, 1L,"
+                " (acc, v) -> acc + IF(v < r, 2L,"
+                " IF(v = r, 1L, 0L))))"
+            ),
+        )
+        # scaled scores S'_(d) = 2Q_block(d) * (2r_d - 8)
+        .withColumn(
+            "__sp",
+            F.expr(
+                "transform(sequence(1L, 28L), d ->"
+                " element_at(__q2, cast((d - 1) div 7 + 1 as int))"
+                " * (element_at(__r2, cast(d as int)) - 8L))"
+            ),
+        )
+        .withColumn(
+            "__aa",
+            F.expr(
+                "aggregate(__sp, 0L, (acc, s) -> acc + s * s)"
+            ),
+        )
+        # treatment sums: treatment of day d is (d-1) % 7
+        .withColumn(
+            "__sb",
+            F.expr(
+                "aggregate(sequence(0L, 6L), 0L, (acc, j) ->"
+                " acc + aggregate(sequence(0L, 3L), 0L,"
+                " (a2, b) -> a2 + element_at(__sp,"
+                " cast(7 * b + j + 1 as int)))"
+                " * aggregate(sequence(0L, 3L), 0L,"
+                " (a2, b) -> a2 + element_at(__sp,"
+                " cast(7 * b + j + 1 as int))))"
+            ),
+        )
+        .filter(F.expr("4L * __aa - __sb") > 0)
+    )
+    fstat = (F.lit(3) * F.col("__sb")).cast("double") / (
+        F.lit(4) * F.col("__aa") - F.col("__sb")
+    ).cast("double")
+    return one.select(
+        F.lit(4).cast("long").alias("n_blocks"),
+        F.lit(7).cast("long").alias("n_treatments"),
+        F.col("__aa").alias("a_scaled"),
+        F.col("__sb").alias("b_scaled"),
+        _r6(fstat).alias("f_stat"),
+        (fstat > F.lit(2.661)).alias("reject_5pct"),
+        F.when(fstat > 2.661, F.lit("weekday_effect"))
+        .otherwise(F.lit("no_weekday_effect"))
+        .alias("verdict"),
+    )
+
+
+SQL_QUADE_TEST = """
+WITH day AS (
+  SELECT day(ts) AS day, CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE day(ts) <= 28 GROUP BY day(ts)
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    list(y ORDER BY day) AS yarr
+  FROM day
+), rk AS (
+  SELECT yarr,
+    list_transform(range(1, 29), d -> CAST(1 + list_sum(
+      list_transform(range(CAST(7 * ((d - 1) // 7) + 1 AS INTEGER),
+        CAST(7 * ((d - 1) // 7) + 8 AS INTEGER)), m ->
+        CASE WHEN yarr[m] < yarr[d] THEN 2
+             WHEN yarr[m] = yarr[d] THEN 1 ELSE 0 END))
+      AS BIGINT)) AS r2,
+    list_transform(range(0, 4), b ->
+      list_max(yarr[7 * b + 1:7 * b + 7])
+      - list_min(yarr[7 * b + 1:7 * b + 7])) AS rng
+  FROM one WHERE n = 28
+), qk AS (
+  SELECT yarr, r2,
+    list_transform(rng, r -> CAST(1 + list_sum(list_transform(rng,
+      v -> CASE WHEN v < r THEN 2 WHEN v = r THEN 1
+           ELSE 0 END)) AS BIGINT)) AS q2
+  FROM rk
+), sp AS (
+  SELECT list_transform(range(1, 29), d ->
+    q2[CAST((d - 1) // 7 + 1 AS INTEGER)] * (r2[d] - 8)) AS s
+  FROM qk
+), f AS (
+  SELECT
+    CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS aa,
+    CAST(list_sum(list_transform(range(0, 7), j ->
+      list_sum(list_transform(range(0, 4), b ->
+        s[7 * b + j + 1]))
+      * list_sum(list_transform(range(0, 4), b ->
+        s[7 * b + j + 1])))) AS BIGINT) AS sb
+  FROM sp
+)
+SELECT CAST(4 AS BIGINT) AS n_blocks,
+  CAST(7 AS BIGINT) AS n_treatments,
+  aa AS a_scaled, sb AS b_scaled,
+  round(CAST(3 * sb AS DOUBLE) / CAST(4 * aa - sb AS DOUBLE), 6)
+    AS f_stat,
+  (CAST(3 * sb AS DOUBLE) / CAST(4 * aa - sb AS DOUBLE) > 2.661)
+    AS reject_5pct,
+  CASE WHEN CAST(3 * sb AS DOUBLE) / CAST(4 * aa - sb AS DOUBLE)
+    > 2.661 THEN 'weekday_effect'
+    ELSE 'no_weekday_effect' END AS verdict
+FROM f WHERE 4 * aa - sb > 0
+"""
+
+QUERIES["quade_test"] = q_quade_test
+_RAW_ORACLES["quade_test"] = SQL_QUADE_TEST
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

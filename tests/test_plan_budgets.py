@@ -803,6 +803,11 @@ BUDGETS = {
                     "bnlj": 0},
     "conover_scale": {"shuffle": 2, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # rmst rides the survival_km machinery (bnlj = 1-row max fit);
+    # quade is the standard day-agg + 1-row fold
+    "rmst": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 1},
+    "quade_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                   "bnlj": 0},
 }
 
 

@@ -5587,3 +5587,87 @@ def test_getis_conover_rebuild(spark):
     assert abs(rc["var_t"] - vt) < 1e-6
     assert abs(rc["z_stat"] - z) < 1e-6
     assert rc["reject_5pct"] == (abs(z) > 1.96)
+
+
+def test_rmst_quade_rebuild(spark):
+    """RMST vs a literal trapezoid-free step-function integral over
+    an independently rebuilt KM curve, and the Quade statistic vs
+    the classical construction with float midranks and unscaled
+    S_ij = Q_i (r_ij - 4)."""
+    from mpds_spark.queries import q_quade_test, q_rmst
+
+    rr = q_rmst(spark, "/root/testdata/sf0.001").collect()[0]
+    rq = q_quade_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    spans = duckdb.sql(
+        "SELECT CAST((max(epoch_us(ts)) - min(epoch_us(ts)))"
+        " // 3600000000 AS BIGINT) AS b,"
+        " CASE WHEN max(epoch_us(ts)) <= (SELECT max(epoch_us(ts))"
+        " FROM '/root/testdata/sf0.001/events.parquet')"
+        " - 604800000000 THEN 1 ELSE 0 END AS obs"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY user_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    ev = defaultdict(lambda: [0, 0])
+    for b, o in spans:
+        ev[b][0] += o
+        ev[b][1] += 1 - o
+    bins = sorted(ev)
+    at_risk = len(spans)
+    surv, s = [], 1.0
+    for b in bins:
+        d, c = ev[b]
+        if d == at_risk:
+            s = 0.0
+        else:
+            s *= (at_risk - d) / at_risk
+        surv.append((b, s))
+        at_risk -= d + c
+
+    def rmst(tau):
+        total = min(surv[0][0], tau)
+        for k, (b, sk) in enumerate(surv):
+            nxt = surv[k + 1][0] if k + 1 < len(surv) else tau
+            total += sk * (min(nxt, tau) - min(b, tau))
+        return total / 24.0
+
+    assert rr["n_bins"] == len(bins)
+    assert abs(rr["rmst_7d_days"] - rmst(168)) < 1e-5
+    assert abs(rr["rmst_14d_days"] - rmst(336)) < 1e-5
+    assert rr["rmst_7d_days"] <= rr["rmst_14d_days"] + 1e-9
+    assert 0.0 <= rr["restricted_frac_7d"] <= 1.0
+    # Quade classical rebuild
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " WHERE day(ts) <= 28 GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    assert len(ys) == 28
+    blocks = [ys[7 * b : 7 * b + 7] for b in range(4)]
+
+    def midranks(vals):
+        return [
+            sum(1 for v in vals if v < x)
+            + (sum(1 for v in vals if v == x) + 1) / 2.0
+            for x in vals
+        ]
+
+    rij = [midranks(b) for b in blocks]
+    rngs = [max(b) - min(b) for b in blocks]
+    q = midranks(rngs)
+    sij = [
+        [q[i] * (rij[i][j] - 4.0) for j in range(7)]
+        for i in range(4)
+    ]
+    a = sum(v * v for row in sij for v in row)
+    sj = [sum(sij[i][j] for i in range(4)) for j in range(7)]
+    b_ = sum(v * v for v in sj) / 4.0
+    f = 3.0 * b_ / (a - b_)
+    assert abs(rq["f_stat"] - f) < 1e-6
+    assert rq["reject_5pct"] == (f > 2.661)
