@@ -27616,4 +27616,182 @@ FROM f WHERE 4 * aa - sb > 0
 
 QUERIES["quade_test"] = q_quade_test
 _RAW_ORACLES["quade_test"] = SQL_QUADE_TEST
+def q_honore_sichel(spark, sf_dir):
+    """Honore's R and Sichel's S per source (Honore 1979; Sichel
+    1975 — the RARE-WORD end of the stylometry tier: yule_k scores
+    repeat-rate (dominated by the most frequent words), these score
+    the opposite tail — R = 100 ln N / (1 - V1/V) diverges as
+    hapax share V1/V grows (rich, non-templated vocabulary), S =
+    V2/V is the dis-legomena share Sichel showed is remarkably
+    stable across authors and so flags machine-generated or
+    boilerplate sources when it drifts; together with yule_k they
+    bracket the frequency-of-frequencies spectrum from both ends).
+    V, V1, V2, N are EXACT LONGS from the same one (source, word)
+    aggregation as yule_k; R rides the catalog's ln precedent and
+    everything else is exact-integer ratios. At 10^12 tokens both
+    reduce to the word-count table. 3 shuffles at any corpus
+    size."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("__w"),
+    )
+    cells = d.groupBy("source", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    mom = cells.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).cast("long")
+        .alias("v1_hapax"),
+        F.sum((F.col("__c") == 2).cast("long")).cast("long")
+        .alias("v2_dis"),
+    ).filter(
+        (F.col("vocab") > F.col("v1_hapax")) & (F.col("vocab") > 0)
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("vocab").cast("double")
+    v1 = F.col("v1_hapax").cast("double")
+    r = F.lit(100.0) * F.log(nd) / (F.lit(1.0) - v1 / vd)
+    s = F.col("v2_dis").cast("double") / vd
+    return mom.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "v1_hapax",
+        "v2_dis",
+        _r6(v1 / vd).alias("hapax_share"),
+        _r6(r).alias("honore_r"),
+        _r6(s).alias("sichel_s"),
+    ).orderBy("source")
+
+
+SQL_HONORE_SICHEL = """
+WITH w AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text),
+    '\\s+')) AS word
+  FROM documents
+), cells AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c
+  FROM w GROUP BY source, word
+), mom AS (
+  SELECT source,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v1_hapax,
+    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS v2_dis
+  FROM cells GROUP BY source
+)
+SELECT source, n_tokens, vocab, v1_hapax, v2_dis,
+  round(CAST(v1_hapax AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+    AS hapax_share,
+  round(100.0 * ln(CAST(n_tokens AS DOUBLE))
+    / (1.0 - CAST(v1_hapax AS DOUBLE) / CAST(vocab AS DOUBLE)), 6)
+    AS honore_r,
+  round(CAST(v2_dis AS DOUBLE) / CAST(vocab AS DOUBLE), 6)
+    AS sichel_s
+FROM mom WHERE vocab > v1_hapax AND vocab > 0
+ORDER BY source
+"""
+
+QUERIES["honore_sichel"] = q_honore_sichel
+_RAW_ORACLES["honore_sichel"] = SQL_HONORE_SICHEL
+
+
+def q_spiegelhalter_z(spark, sf_dir):
+    """Spiegelhalter's Z calibration test for the deterministic
+    length-based document classifier (Spiegelhalter Stat. Med. 1986
+    — the HYPOTHESIS-TEST companion of calibration_bins: the
+    reliability diagram shows WHERE the score s = min(n_chars,400)
+    /400 is miscalibrated against y = [doc has >= 50 words], Z
+    says WHETHER the total miscalibration exceeds what perfectly
+    calibrated scores would produce by chance, using the exact
+    null mean 0 and variance sum (1-2p)^2 p(1-p) of the Brier
+    score). Entirely integer-exact: scaling by 400 clears every
+    rational — Z = sum (400y - m)(400 - 2m) / sqrt(sum (400-2m)^2
+    m (400-m)) is ONE division of EXACT LONGS (the 400^2/400^4
+    scalings cancel), computed in a single corpus aggregate. 1
+    shuffle at any corpus size."""
+    d = load(spark, sf_dir, "documents").select(
+        F.least(F.col("n_chars"), F.lit(400)).cast("long")
+        .alias("__m"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) + 1 >= 50,
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long").alias("__y"),
+    )
+    one = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__y").cast("long").alias("__pos"),
+        F.sum("__m").cast("long").alias("__sm"),
+        F.sum(
+            (F.lit(400) * F.col("__y") - F.col("__m"))
+            * (F.lit(400) - 2 * F.col("__m"))
+        ).cast("long").alias("__num"),
+        F.sum(
+            (F.lit(400) - 2 * F.col("__m"))
+            * (F.lit(400) - 2 * F.col("__m"))
+            * F.col("__m") * (F.lit(400) - F.col("__m"))
+        ).cast("long").alias("__den"),
+    ).filter(F.col("__den") > 0)
+    z = F.col("__num").cast("double") / F.sqrt(
+        F.col("__den").cast("double")
+    )
+    return one.select(
+        "n_docs",
+        _r6(
+            F.col("__sm").cast("double")
+            / (F.lit(400) * F.col("n_docs")).cast("double")
+        ).alias("mean_pred"),
+        _r6(
+            F.col("__pos").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("base_rate"),
+        _r6(z).alias("z_stat"),
+        (F.abs(z) > F.lit(1.96)).alias("reject_5pct"),
+        F.when(
+            F.abs(z) <= 1.96, F.lit("calibrated")
+        )
+        .when(z > 0.0, F.lit("underconfident_scores"))
+        .otherwise(F.lit("overconfident_scores"))
+        .alias("verdict"),
+    )
+
+
+SQL_SPIEGELHALTER_Z = """
+WITH d AS (
+  SELECT CAST(least(n_chars, 400) AS BIGINT) AS m,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= 50
+      THEN 1 ELSE 0 END AS y
+  FROM documents
+), one AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(y) AS BIGINT) AS pos,
+    CAST(sum(m) AS BIGINT) AS sm,
+    CAST(sum((400 * y - m) * (400 - 2 * m)) AS BIGINT) AS num,
+    CAST(sum((400 - 2 * m) * (400 - 2 * m) * m * (400 - m))
+      AS BIGINT) AS den
+  FROM d
+)
+SELECT n_docs,
+  round(CAST(sm AS DOUBLE) / CAST(400 * n_docs AS DOUBLE), 6)
+    AS mean_pred,
+  round(CAST(pos AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+    AS base_rate,
+  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6)
+    AS z_stat,
+  (abs(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE))) > 1.96)
+    AS reject_5pct,
+  CASE WHEN abs(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))
+         <= 1.96 THEN 'calibrated'
+       WHEN CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) > 0.0
+         THEN 'underconfident_scores'
+       ELSE 'overconfident_scores' END AS verdict
+FROM one WHERE den > 0
+"""
+
+QUERIES["spiegelhalter_z"] = q_spiegelhalter_z
+_RAW_ORACLES["spiegelhalter_z"] = SQL_SPIEGELHALTER_Z
 ORACLES = {k: _rewrite_rounds(v) for k, v in _RAW_ORACLES.items()}

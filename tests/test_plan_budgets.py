@@ -808,6 +808,11 @@ BUDGETS = {
     "rmst": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 1},
     "quade_test": {"shuffle": 2, "python": 0, "cartesian": 0,
                    "bnlj": 0},
+    # honore/sichel word-count chain; spiegelhalter single corpus agg
+    "honore_sichel": {"shuffle": 3, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "spiegelhalter_z": {"shuffle": 1, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
 }
 
 

@@ -5671,3 +5671,71 @@ def test_rmst_quade_rebuild(spark):
     f = 3.0 * b_ / (a - b_)
     assert abs(rq["f_stat"] - f) < 1e-6
     assert rq["reject_5pct"] == (f > 2.661)
+
+
+def test_honore_spiegelhalter_rebuild(spark):
+    """Honore R / Sichel S vs a Counter-based python rebuild of the
+    per-source frequency spectrum, and Spiegelhalter's Z vs the
+    textbook float formula sum (y-p)(1-2p)/sqrt(sum (1-2p)^2
+    p(1-p)) on raw probabilities."""
+    from mpds_spark.queries import (
+        q_honore_sichel,
+        q_spiegelhalter_z,
+    )
+
+    rh = {
+        r["source"]: r
+        for r in q_honore_sichel(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    rs = q_spiegelhalter_z(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT source, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    per_source = {}
+    for src_, text in rows:
+        per_source.setdefault(src_, Counter()).update(
+            text.strip().split()
+        )
+    for src_, c in per_source.items():
+        n = sum(c.values())
+        v = len(c)
+        v1 = sum(1 for x in c.values() if x == 1)
+        v2 = sum(1 for x in c.values() if x == 2)
+        if v1 >= v:
+            assert src_ not in rh
+            continue
+        r = rh[src_]
+        assert r["n_tokens"] == n
+        assert r["vocab"] == v
+        assert r["v1_hapax"] == v1
+        assert r["v2_dis"] == v2
+        assert abs(
+            r["honore_r"] - 100 * math.log(n) / (1 - v1 / v)
+        ) < 1e-5
+        assert abs(r["sichel_s"] - v2 / v) < 1e-6
+    # Spiegelhalter float rebuild
+    rows = duckdb.sql(
+        "SELECT least(n_chars, 400),"
+        " CASE WHEN len(regexp_split_to_array(trim(text),"
+        " '\\s+')) >= 50 THEN 1 ELSE 0 END FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    num = sum((y - m / 400) * (1 - 2 * m / 400) for m, y in rows)
+    den = sum(
+        (1 - 2 * m / 400) ** 2 * (m / 400) * (1 - m / 400)
+        for m, _ in rows
+    )
+    z = num / den ** 0.5
+    assert rs["n_docs"] == len(rows)
+    assert abs(rs["z_stat"] - z) < 1e-5
+    assert rs["reject_5pct"] == (abs(z) > 1.96)
