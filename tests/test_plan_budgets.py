@@ -813,6 +813,11 @@ BUDGETS = {
                       "bnlj": 0},
     "spiegelhalter_z": {"shuffle": 1, "python": 0, "cartesian": 0,
                         "bnlj": 0},
+    # anderson-darling day-array fold; rle user-window chain
+    "anderson_darling_2s": {"shuffle": 2, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
+    "rle_compressibility": {"shuffle": 2, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
 }
 
 

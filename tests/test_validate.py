@@ -5739,3 +5739,100 @@ def test_honore_spiegelhalter_rebuild(spark):
     assert rs["n_docs"] == len(rows)
     assert abs(rs["z_stat"] - z) < 1e-5
     assert rs["reject_5pct"] == (abs(z) > 1.96)
+
+
+def test_ad2s_rle_rebuild(spark):
+    """Scholz-Stephens A2akN vs a literal float transcription of
+    JASA 1987 eq. 6 + the a/b/c/d variance polynomial (independent
+    of the engine's exact-long scaling), and the RLE audit vs a
+    straight python run count."""
+    from mpds_spark.queries import (
+        q_anderson_darling_2s,
+        q_rle_compressibility,
+    )
+
+    ra = q_anderson_darling_2s(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rl = q_rle_compressibility(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CASE WHEN isodow(date_trunc('day', ts)) >= 6"
+        " THEN 1 ELSE 0 END AS we, count(*) AS y FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+    ).fetchall()
+    samples = [
+        [y for w, y in rows if w == 1],
+        [y for w, y in rows if w == 0],
+    ]
+    pooled = sorted(y for _, y in rows)
+    n = len(pooled)
+    k = 2
+    zs = sorted(set(pooled))
+    a2 = 0.0
+    for i, sample in enumerate(samples):
+        ni = len(sample)
+        inner = 0.0
+        for z in zs:
+            lj = pooled.count(z)
+            fij = sample.count(z)
+            cj = sum(1 for v in pooled if v <= z)
+            fcum = sum(1 for v in sample if v <= z)
+            ba = cj - lj / 2.0
+            ma = fcum - fij / 2.0
+            den = ba * (n - ba) - n * lj / 4.0
+            inner += (lj / n) * (n * ma - ni * ba) ** 2 / den
+        a2 += inner / ni
+    a2 *= (n - 1) / n
+    h = sum(1.0 / i for i in range(1, n))
+    g = sum(
+        1.0 / ((n - i) * j)
+        for i in range(1, n - 1)
+        for j in range(i + 1, n)
+    )
+    hh = sum(1.0 / len(s) for s in samples)
+    av = (4 * g - 6) * (k - 1) + (10 - 6 * g) * hh
+    bv = (
+        (2 * g - 4) * k * k + 8 * h * k
+        + (2 * g - 14 * h - 4) * hh - 8 * h + 4 * g - 6
+    )
+    cv = (
+        (6 * h + 2 * g - 2) * k * k + (4 * h - 4 * g + 6) * k
+        + (2 * h - 6) * hh + 4 * h
+    )
+    dv = (2 * h + 6) * k * k - 4 * h * k
+    var = (av * n ** 3 + bv * n * n + cv * n + dv) / (
+        (n - 1) * (n - 2) * (n - 3)
+    )
+    t = (a2 - (k - 1)) / var ** 0.5
+    assert ra["n_days"] == n
+    assert abs(ra["a2_stat"] - a2) < 1e-6
+    assert abs(ra["sigma"] - var ** 0.5) < 1e-6
+    assert abs(ra["t_stat"] - t) < 1e-5
+    assert ra["reject_5pct"] == (t > 1.960)
+    # RLE rebuild
+    ev = duckdb.sql(
+        "SELECT user_id, event_type FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for u, t_ in ev:
+        seqs[u].append(t_)
+    runs = sum(
+        1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+        for s in seqs.values()
+    )
+    dist = sum(len(set(s)) for s in seqs.values())
+    assert rl["n_users"] == len(seqs)
+    assert rl["n_rows"] == len(ev)
+    assert rl["runs_timeorder"] == runs
+    assert rl["runs_sorted"] == dist
+    assert rl["runs_sorted"] <= rl["runs_timeorder"]
+    assert abs(rl["sort_benefit"] - runs / dist) < 1e-6
