@@ -818,6 +818,11 @@ BUDGETS = {
                             "cartesian": 0, "bnlj": 0},
     "rle_compressibility": {"shuffle": 2, "python": 0,
                             "cartesian": 0, "bnlj": 0},
+    # brunner-munzel / cucconi: day agg + 1-row rank folds
+    "brunner_munzel": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    "cucconi_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -5836,3 +5836,77 @@ def test_ad2s_rle_rebuild(spark):
     assert rl["runs_sorted"] == dist
     assert rl["runs_sorted"] <= rl["runs_timeorder"]
     assert abs(rl["sort_benefit"] - runs / dist) < 1e-6
+
+
+def test_bm_cucconi_rebuild(spark):
+    """Brunner-Munzel vs the lawstat-style float construction
+    (plain midranks, no integer clearing) and Cucconi vs the
+    Marozzi 2009 float formulas."""
+    from mpds_spark.queries import q_brunner_munzel, q_cucconi_test
+
+    rb = q_brunner_munzel(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rc = q_cucconi_test(spark, "/root/testdata/sf0.001").collect()[0]
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CASE WHEN isodow(date_trunc('day', ts)) >= 6"
+        " THEN 1 ELSE 0 END AS we, count(*) AS y FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+    ).fetchall()
+    x = [y for w, y in rows if w == 1]  # weekend
+    yv = [y for w, y in rows if w == 0]  # weekday
+    n1, n2 = len(x), len(yv)
+    nn = n1 + n2
+    pooled = x + yv
+
+    def midrank(vals, v):
+        return sum(1 for u in vals if u < v) + (
+            sum(1 for u in vals if u == v) + 1
+        ) / 2.0
+
+    r1 = [midrank(pooled, v) for v in x]
+    r2 = [midrank(pooled, v) for v in yv]
+    ri1 = [midrank(x, v) for v in x]
+    ri2 = [midrank(yv, v) for v in yv]
+    r1m, r2m = sum(r1) / n1, sum(r2) / n2
+    v1 = sum(
+        (r1[i] - ri1[i] - r1m + (n1 + 1) / 2.0) ** 2
+        for i in range(n1)
+    ) / (n1 - 1)
+    v2 = sum(
+        (r2[i] - ri2[i] - r2m + (n2 + 1) / 2.0) ** 2
+        for i in range(n2)
+    ) / (n2 - 1)
+    stat = (
+        n1 * n2 * (r2m - r1m)
+        / (nn * (n1 * v1 + n2 * v2) ** 0.5)
+    )
+    df = (n1 * v1 + n2 * v2) ** 2 / (
+        (n1 * v1) ** 2 / (n1 - 1) + (n2 * v2) ** 2 / (n2 - 1)
+    )
+    phat = (r2m - (n2 + 1) / 2.0) / n1
+    assert rb["n_weekend"] == n1
+    assert rb["n_weekday"] == n2
+    assert abs(rb["p_weekday_busier"] - phat) < 1e-6
+    assert abs(rb["bm_stat"] - stat) < 1e-6
+    assert abs(rb["df_welch"] - df) < 1e-4
+    assert rb["reject_5pct"] == (abs(stat) > 1.96)
+    # Cucconi on weekend ranks
+    sr2 = sum(midrank(pooled, v) ** 2 for v in x)
+    sc2 = sum((nn + 1 - midrank(pooled, v)) ** 2 for v in x)
+    den = (
+        n1 * n2 * (nn + 1) * (2 * nn + 1) * (8 * nn + 11) / 5.0
+    ) ** 0.5
+    u = (6 * sr2 - n1 * (nn + 1) * (2 * nn + 1)) / den
+    v = (6 * sc2 - n1 * (nn + 1) * (2 * nn + 1)) / den
+    rho = 2.0 * (nn * nn - 4) / ((2 * nn + 1) * (8 * nn + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert abs(rc["u_stat"] - u) < 1e-6
+    assert abs(rc["v_stat"] - v) < 1e-6
+    assert abs(rc["rho"] - rho) < 1e-6
+    assert abs(rc["c_stat"] - c) < 1e-6
+    assert rc["c_stat"] >= 0.0
+    assert rc["reject_5pct"] == (c > 2.995732)
