@@ -823,6 +823,11 @@ BUDGETS = {
                        "bnlj": 0},
     "cucconi_test": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # zero-inflation user agg chain; laplace single corpus agg
+    "zero_inflation": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    "laplace_trend": {"shuffle": 1, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

@@ -5910,3 +5910,61 @@ def test_bm_cucconi_rebuild(spark):
     assert abs(rc["c_stat"] - c) < 1e-6
     assert rc["c_stat"] >= 0.0
     assert rc["reject_5pct"] == (c > 2.995732)
+
+
+def test_zeroinfl_laplace_rebuild(spark):
+    """van den Broek score statistic and the Laplace U vs literal
+    float rebuilds from the raw stream (python floats, no decimal
+    path), plus centroid_frac in (0, 1)."""
+    from mpds_spark.queries import q_laplace_trend, q_zero_inflation
+
+    rz = q_zero_inflation(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rl = q_laplace_trend(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    import math
+
+    import duckdb
+
+    xs = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT sum(CASE WHEN event_type = 'purchase' THEN 1"
+            " ELSE 0 END) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY user_id"
+        ).fetchall()
+    ]
+    n = len(xs)
+    n0 = sum(1 for x in xs if x == 0)
+    lam = sum(xs) / n
+    p0 = math.exp(-lam)
+    stat = (n0 - n * p0) ** 2 / (
+        n * p0 * (1 - p0) - n * lam * p0 * p0
+    )
+    assert rz["n_users"] == n
+    assert rz["n_zero"] == n0
+    assert abs(rz["lambda_hat"] - lam) < 1e-6
+    assert abs(rz["expected_zeros"] - n * p0) < 1e-5
+    assert abs(rz["score_stat"] - stat) < 1e-5
+    assert rz["reject_5pct"] == (stat > 3.841459)
+    # Laplace
+    us = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT epoch_us(ts) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+        ).fetchall()
+    ]
+    m = len(us)
+    mn, mx = min(us), max(us)
+    frac = (sum(us) - m * mn) / m / (mx - mn)
+    z = math.sqrt(12 * m) * (frac - 0.5)
+    assert rl["n_events"] == m
+    assert abs(rl["window_days"] - (mx - mn) / 86400e6) < 1e-6
+    assert 0.0 < rl["centroid_frac"] < 1.0
+    assert abs(rl["centroid_frac"] - frac) < 1e-6
+    assert abs(rl["laplace_u"] - z) < 1e-6
+    assert rl["reject_5pct"] == (abs(z) > 1.96)
