@@ -828,6 +828,13 @@ BUDGETS = {
                        "bnlj": 0},
     "laplace_trend": {"shuffle": 1, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # zonemap: 1-row min/max fit broadcast onto two bin-agg branches
+    # (branch recompute; all exchanges beyond the two bin groupBys
+    # carry <=32-row frames); cdc: explode + two aggs
+    "zonemap_skipping": {"shuffle": 7, "python": 0, "cartesian": 0,
+                         "bnlj": 3},
+    "cdc_chunking": {"shuffle": 3, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -5968,3 +5968,85 @@ def test_zeroinfl_laplace_rebuild(spark):
     assert abs(rl["centroid_frac"] - frac) < 1e-6
     assert abs(rl["laplace_u"] - z) < 1e-6
     assert rl["reject_5pct"] == (abs(z) > 1.96)
+
+
+def test_zonemap_cdc_rebuild(spark):
+    """Zone-map scan fractions vs a python rebuild of the binning
+    arithmetic, and CDC chunking vs a literal python rolling-hash
+    chunker (boundary invariance checked by construction)."""
+    from mpds_spark.queries import q_cdc_chunking, q_zonemap_skipping
+
+    rz = q_zonemap_skipping(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rc = {
+        r["source"]: r
+        for r in q_cdc_chunking(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CAST(epoch_us(ts) AS DOUBLE)/1000000, day(ts),"
+        " user_id FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()
+    mn = min(r[0] for r in rows)
+    mx = max(r[0] for r in rows)
+    ndays = len({r[1] for r in rows})
+    from collections import defaultdict
+
+    tb, hb = defaultdict(list), defaultdict(list)
+    for sec, day, uid in rows:
+        tb[min(31, int((sec - mn) * 32.0 / (mx - mn)))].append(day)
+        hb[uid % 32].append(day)
+    scan_t = sum(max(v) - min(v) + 1 for v in tb.values())
+    scan_h = sum(max(v) - min(v) + 1 for v in hb.values())
+    ft = scan_t / (ndays * len(tb))
+    fh = scan_h / (ndays * len(hb))
+    assert rz["n_bins"] == len(tb)
+    assert rz["n_days"] == ndays
+    assert abs(rz["scan_frac_time_layout"] - ft) < 1e-6
+    assert abs(rz["scan_frac_hash_layout"] - fh) < 1e-6
+    assert rz["scan_frac_time_layout"] <= rz["scan_frac_hash_layout"]
+    # CDC chunker rebuild
+    POW = [31 ** k for k in range(8)]
+
+    def chunks(text):
+        n = len(text)
+        if n < 8:
+            return [text] if text else [text]
+        bounds = []
+        for i in range(8, n + 1):  # 1-based position i
+            h = sum(
+                ord(text[i - 1 - k]) * POW[k] for k in range(8)
+            )
+            if h % 64 == 0:
+                bounds.append(i)
+        starts = [0] + bounds
+        out = []
+        for j in range(len(starts)):
+            if j + 1 < len(starts):
+                out.append(text[starts[j] : starts[j + 1]])
+            elif starts[j] < n:
+                out.append(text[starts[j] :])
+        return out
+
+    docs = duckdb.sql(
+        "SELECT source, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(lambda: [0, set(), 0])
+    for src_, text in docs:
+        for c in chunks(text):
+            per[src_][0] += 1
+            per[src_][1].add(c)
+            per[src_][2] += len(c)
+    for src_, (n, dset, tot) in per.items():
+        r = rc[src_]
+        assert r["n_chunks"] == n
+        assert r["distinct_chunks"] == len(dset)
+        assert abs(r["avg_chunk_chars"] - tot / n) < 1e-6
+        assert abs(
+            r["dup_chunk_rate"] - (n - len(dset)) / n
+        ) < 1e-6
