@@ -835,6 +835,11 @@ BUDGETS = {
                          "bnlj": 3},
     "cdc_chunking": {"shuffle": 3, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # seasonal kendall / partial corr: day agg + 1-row folds
+    "seasonal_kendall": {"shuffle": 2, "python": 0, "cartesian": 0,
+                         "bnlj": 0},
+    "partial_correlation": {"shuffle": 2, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
 }
 
 

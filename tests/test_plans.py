@@ -173,6 +173,17 @@ def test_catalog_plan_inventory(spark):
         "ledoit_wolf_shrinkage",  # si broadcast + 1-row moment combines
         "ols_influence",       # broadcast 1-row moment fit x day frame
         "pr_curve_ap",         # 1-row AP fold x best-F1 row combine
+        # bounded 1-row combines registered in BUDGETS with bnlj >= 1
+        # (sync-checked against test_plan_budgets by name):
+        "hits_scores",         # 1-row hub/auth norm broadcast per sweep
+        "burrows_delta",       # 1-row corpus-moment broadcast
+        "mood_median_test",    # 1-row grand-median broadcast
+        "ndcg_eval",           # 1-row ideal-DCG combine
+        "nelson_aalen",        # broadcast 1-row corpus-max censor boundary
+        "fleiss_kappa",        # 1-row item-agg x 1-row category-agg combine
+        "gpd_tail_fit",        # 1-row p90-threshold broadcast onto histogram
+        "rmst",                # broadcast 1-row corpus-max censor boundary
+        "zonemap_skipping",    # 1-row min/max fit + two 1-row layout aggs
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -6050,3 +6050,85 @@ def test_zonemap_cdc_rebuild(spark):
         assert abs(
             r["dup_chunk_rate"] - (n - len(dset)) / n
         ) < 1e-6
+
+
+def test_seasonal_kendall_partial_corr_rebuild(spark):
+    """Hirsch-Slack seasonal Kendall vs a per-season literal MK
+    rebuild (independent tie handling via Counter), and the
+    partial correlation vs numpy-free float Pearson algebra."""
+    from mpds_spark.queries import (
+        q_partial_correlation,
+        q_seasonal_kendall,
+    )
+
+    rs = q_seasonal_kendall(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rp = q_partial_correlation(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import duckdb
+    from collections import Counter, defaultdict
+
+    rows = duckdb.sql(
+        "SELECT isodow(date_trunc('day', ts)) AS g, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+        " ORDER BY date_trunc('day', ts)"
+    ).fetchall()
+    seasons = defaultdict(list)
+    for g, y in rows:
+        seasons[g].append(y)
+    s_tot, var_tot = 0, 0.0
+    for ys in seasons.values():
+        n = len(ys)
+        s_tot += sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(ys)
+        var_tot += (
+            n * (n - 1) * (2 * n + 5)
+            - sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        ) / 18.0
+    z = (s_tot - (1 if s_tot > 0 else -1 if s_tot < 0 else 0)) / (
+        var_tot ** 0.5
+    )
+    assert rs["n_days"] == len(rows)
+    assert rs["s_stat"] == s_tot
+    assert abs(rs["var_s"] - var_tot) < 1e-6
+    assert abs(rs["z_stat"] - z) < 1e-6
+    assert rs["reject_5pct"] == (abs(z) > 1.96)
+    # partial correlation rebuild
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*), sum(CASE WHEN"
+        " event_type = 'purchase' THEN 1 ELSE 0 END) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts)"
+    ).fetchall()
+    zs = [float(r[0]) for r in rows]
+    xs = [float(r[1]) for r in rows]
+    ys = [float(r[2]) for r in rows]
+    n = len(rows)
+
+    def pearson(a, b):
+        ma, mb = sum(a) / n, sum(b) / n
+        num = sum((u - ma) * (v - mb) for u, v in zip(a, b))
+        da = sum((u - ma) ** 2 for u in a) ** 0.5
+        db = sum((v - mb) ** 2 for v in b) ** 0.5
+        return num / (da * db)
+
+    rxy = pearson(xs, ys)
+    rxz = pearson(xs, zs)
+    ryz = pearson(ys, zs)
+    rpart = (rxy - rxz * ryz) / (
+        (1 - rxz * rxz) * (1 - ryz * ryz)
+    ) ** 0.5
+    t = rpart * ((n - 3) / (1 - rpart * rpart)) ** 0.5
+    assert rp["n_days"] == n
+    assert abs(rp["r_raw"] - rxy) < 1e-6
+    assert abs(rp["r_partial"] - rpart) < 1e-6
+    assert abs(rp["t_stat"] - t) < 1e-5
+    assert -1.0 <= rp["r_partial"] <= 1.0
+    assert rp["reject_5pct"] == (abs(t) > 1.96)
