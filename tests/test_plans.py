@@ -194,3 +194,30 @@ def test_catalog_plan_inventory(spark):
         assert "CartesianProduct" not in plan, name
         if name not in BNLJ_BY_DESIGN:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bnlj_registry_synced_with_budgets():
+    """Every BUDGETS entry in tests/test_plan_budgets.py that
+    registers bnlj >= 1 must also appear in BNLJ_BY_DESIGN above
+    (and vice versa is NOT required — budget-less queries may be
+    registered here directly). Guards the drift that let
+    hits_scores ship with a budgeted BNLJ but no registry row."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    bud = open(os.path.join(here, "test_plan_budgets.py")).read()
+    pl = open(os.path.join(here, "test_plans.py")).read()
+    entries = re.findall(
+        r'"([a-z0-9_]+)":\s*\{[^}]*"bnlj":\s*([0-9]+)', bud
+    )
+    need = sorted({n for n, b in entries if int(b) > 0})
+    reg = pl[
+        pl.index("BNLJ_BY_DESIGN = {") : pl.index(
+            "EAGER_CONSTRUCTION"
+        )
+    ]
+    missing = [n for n in need if f'"{n}"' not in reg]
+    assert not missing, (
+        f"bnlj>0 budgets missing from BNLJ_BY_DESIGN: {missing}"
+    )
