@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (ninety-sixth batch — continuation session)
+    "siegel_slopes",
+    "seasonal_sen_slope",
     # new in round 5 (ninety-fifth batch — continuation session)
     "seasonal_kendall",
     "partial_correlation",

@@ -840,6 +840,11 @@ BUDGETS = {
                          "bnlj": 0},
     "partial_correlation": {"shuffle": 2, "python": 0,
                             "cartesian": 0, "bnlj": 0},
+    # siegel / seasonal sen: day agg + 1-row median folds
+    "siegel_slopes": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "seasonal_sen_slope": {"shuffle": 2, "python": 0,
+                           "cartesian": 0, "bnlj": 0},
 }
 
 

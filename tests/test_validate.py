@@ -6132,3 +6132,83 @@ def test_seasonal_kendall_partial_corr_rebuild(spark):
     assert abs(rp["t_stat"] - t) < 1e-5
     assert -1.0 <= rp["r_partial"] <= 1.0
     assert rp["reject_5pct"] == (abs(t) > 1.96)
+
+
+def test_siegel_seasonal_sen_rebuild(spark):
+    """Siegel repeated median and the seasonal Sen slope vs
+    statistics.median over literally enumerated slope sets, plus a
+    planted-outlier robustness check of the repeated median."""
+    from mpds_spark.queries import (
+        q_seasonal_sen_slope,
+        q_siegel_slopes,
+    )
+
+    rs = q_siegel_slopes(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rn = q_seasonal_sen_slope(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import statistics
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    days = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    n = len(ys)
+    meds = [
+        statistics.median(
+            (ys[j] - ys[i]) / (days[j] - days[i])
+            for j in range(n)
+            if j != i
+        )
+        for i in range(n)
+    ]
+    siegel = statistics.median(meds)
+    ts = statistics.median(
+        (ys[j] - ys[i]) / (days[j] - days[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert rs["n_days"] == n
+    assert abs(rs["siegel_slope"] - siegel) < 1e-6
+    assert abs(rs["theil_sen_slope"] - ts) < 1e-6
+    # repeated median shrugs off a wild day: replace the last day
+    # with 100x its volume and check the python siegel moves little
+    ys2 = ys[:-1] + [ys[-1] * 100]
+    meds2 = [
+        statistics.median(
+            (ys2[j] - ys2[i]) / (days[j] - days[i])
+            for j in range(n)
+            if j != i
+        )
+        for i in range(n)
+    ]
+    siegel2 = statistics.median(meds2)
+    spread = max(ys) - min(ys)
+    assert abs(siegel2 - siegel) < spread  # bounded influence
+    # seasonal Sen rebuild
+    rows = duckdb.sql(
+        "SELECT CAST(date_diff('day', DATE '2024-01-01',"
+        " CAST(date_trunc('day', ts) AS DATE)) AS BIGINT),"
+        " isodow(date_trunc('day', ts)), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+        " ORDER BY 1"
+    ).fetchall()
+    slopes = [
+        (rows[j][2] - rows[i][2]) / (rows[j][0] - rows[i][0])
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if rows[j][1] == rows[i][1]
+    ]
+    assert rn["n_days"] == len(rows)
+    assert rn["n_pairs"] == len(slopes)
+    assert abs(
+        rn["seasonal_sen_slope"] - statistics.median(slopes)
+    ) < 1e-6
