@@ -6035,6 +6035,9 @@ def test_zonemap_cdc_rebuild(spark):
     docs = duckdb.sql(
         "SELECT source, text FROM"
         " '/root/testdata/sf0.001/documents.parquet'"
+        " WHERE CAST(('0x' || substring(md5('cdc|' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+        " % 4 = 0"
     ).fetchall()
     per = defaultdict(lambda: [0, set(), 0])
     for src_, text in docs:
