@@ -845,6 +845,11 @@ BUDGETS = {
                       "bnlj": 0},
     "seasonal_sen_slope": {"shuffle": 2, "python": 0,
                            "cartesian": 0, "bnlj": 0},
+    # DL meta-analysis / poisson rate: day agg + 1-row folds
+    "dersimonian_laird": {"shuffle": 3, "python": 0,
+                          "cartesian": 0, "bnlj": 0},
+    "poisson_rate_test": {"shuffle": 2, "python": 0,
+                          "cartesian": 0, "bnlj": 0},
 }
 
 

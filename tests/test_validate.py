@@ -6215,3 +6215,89 @@ def test_siegel_seasonal_sen_rebuild(spark):
     assert abs(
         rn["seasonal_sen_slope"] - statistics.median(slopes)
     ) < 1e-6
+
+
+def test_dl_poisson_rate_rebuild(spark):
+    """DerSimonian-Laird pooling vs a literal metafor-style float
+    rebuild (statistics.mean/variance per stratum) and the
+    conditional Poisson rate test vs textbook formulas."""
+    from mpds_spark.queries import (
+        q_dersimonian_laird,
+        q_poisson_rate_test,
+    )
+
+    rd = q_dersimonian_laird(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rp = q_poisson_rate_test(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import math
+    import statistics
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT (day(date_trunc('day', ts)) - 1) // 7 AS w,"
+        " CASE WHEN isodow(date_trunc('day', ts)) >= 6 THEN 1"
+        " ELSE 0 END AS we, count(*) AS y FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE day(ts) <= 28"
+        " GROUP BY date_trunc('day', ts) ORDER BY 1"
+    ).fetchall()
+    ds, vs = [], []
+    for w in range(4):
+        g1 = [y for ww, we, y in rows if ww == w and we == 1]
+        g2 = [y for ww, we, y in rows if ww == w and we == 0]
+        if len(g1) < 2 or len(g2) < 2:
+            continue
+        d = statistics.mean(g1) - statistics.mean(g2)
+        v = statistics.variance(g1) / len(g1) + statistics.variance(
+            g2
+        ) / len(g2)
+        if v > 0:
+            ds.append(d)
+            vs.append(v)
+    k = len(ds)
+    sw = sum(1 / v for v in vs)
+    sw2 = sum(1 / v / v for v in vs)
+    fe = sum(d / v for d, v in zip(ds, vs)) / sw
+    q = sum((d - fe) ** 2 / v for d, v in zip(ds, vs))
+    tau2 = max(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+    re = sum(d / (v + tau2) for d, v in zip(ds, vs)) / sum(
+        1 / (v + tau2) for v in vs
+    )
+    i2 = max(0.0, (q - (k - 1)) / q)
+    assert rd["n_strata"] == k
+    assert abs(rd["fixed_effect"] - fe) < 1e-5
+    assert abs(rd["random_effect"] - re) < 1e-5
+    assert abs(rd["cochran_q"] - q) < 1e-5
+    assert abs(rd["tau2"] - tau2) < 1e-5
+    assert abs(rd["i2"] - i2) < 1e-6
+    assert 0.0 <= rd["i2"] < 1.0
+    assert rd["heterogeneous_5pct"] == (q > 7.814728)
+    # poisson rate rebuild
+    rows = duckdb.sql(
+        "SELECT CASE WHEN isodow(date_trunc('day', ts)) >= 6"
+        " THEN 1 ELSE 0 END AS we,"
+        " sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " FROM '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+    ).fetchall()
+    n1 = sum(1 for we, _ in rows if we == 1)
+    n2 = len(rows) - n1
+    x1 = sum(x for we, x in rows if we == 1)
+    x2 = sum(x for we, x in rows if we == 0)
+    w = n1 / (n1 + n2)
+    x = x1 + x2
+    z = (x1 - x * w) / math.sqrt(x * w * (1 - w))
+    rr = (x1 / n1) / (x2 / n2)
+    se = math.sqrt(1 / x1 + 1 / x2)
+    assert rp["n1_days"] == n1 and rp["n2_days"] == n2
+    assert rp["x1"] == x1 and rp["x2"] == x2
+    assert abs(rp["z_stat"] - z) < 1e-6
+    assert abs(rp["rate_ratio"] - rr) < 1e-6
+    assert abs(rp["rr_lo95"] - rr * math.exp(-1.96 * se)) < 1e-5
+    assert abs(rp["rr_hi95"] - rr * math.exp(1.96 * se)) < 1e-5
+    assert rp["rr_lo95"] <= rp["rate_ratio"] <= rp["rr_hi95"]
+    assert rp["reject_5pct"] == (abs(z) > 1.96)
