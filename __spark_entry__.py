@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (ninety-eighth batch — continuation session)
+    "prewhitened_mk",
+    "kupiec_pof",
     # new in round 5 (ninety-seventh batch — continuation session)
     "dersimonian_laird",
     "poisson_rate_test",

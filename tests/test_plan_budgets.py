@@ -850,6 +850,11 @@ BUDGETS = {
                           "cartesian": 0, "bnlj": 0},
     "poisson_rate_test": {"shuffle": 2, "python": 0,
                           "cartesian": 0, "bnlj": 0},
+    # prewhitened MK day fold; kupiec threshold-fit broadcast
+    "prewhitened_mk": {"shuffle": 2, "python": 0, "cartesian": 0,
+                       "bnlj": 0},
+    "kupiec_pof": {"shuffle": 3, "python": 0, "cartesian": 0,
+                   "bnlj": 1},
 }
 
 

@@ -184,6 +184,7 @@ def test_catalog_plan_inventory(spark):
         "gpd_tail_fit",        # 1-row p90-threshold broadcast onto histogram
         "rmst",                # broadcast 1-row corpus-max censor boundary
         "zonemap_skipping",    # 1-row min/max fit + two 1-row layout aggs
+        "kupiec_pof",          # 1-row week-1 threshold fit broadcast
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

@@ -6301,3 +6301,88 @@ def test_dl_poisson_rate_rebuild(spark):
     assert abs(rp["rr_hi95"] - rr * math.exp(1.96 * se)) < 1e-5
     assert rp["rr_lo95"] <= rp["rate_ratio"] <= rp["rr_hi95"]
     assert rp["reject_5pct"] == (abs(z) > 1.96)
+
+
+def test_pwmk_kupiec_rebuild(spark):
+    """TFPW Mann-Kendall vs a literal float rebuild (numpy-free
+    r1, prewhitening and tie-corrected MK) and the Kupiec POF LR
+    vs the textbook binomial likelihood ratio."""
+    from mpds_spark.queries import q_kupiec_pof, q_prewhitened_mk
+
+    rm = q_prewhitened_mk(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rk = q_kupiec_pof(spark, "/root/testdata/sf0.001").collect()[0]
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    ybar = sum(ys) / n
+    r1 = sum(
+        (ys[t] - ybar) * (ys[t - 1] - ybar) for t in range(1, n)
+    ) / sum((y - ybar) ** 2 for y in ys)
+    yp = [ys[t] - r1 * ys[t - 1] for t in range(1, n)]
+
+    def mk(vals):
+        m = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(m)
+            for j in range(i + 1, m)
+        )
+        ties = Counter(vals)
+        var = (
+            m * (m - 1) * (2 * m + 5)
+            - sum(
+                t * (t - 1) * (2 * t + 5) for t in ties.values()
+            )
+        ) / 18.0
+        z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / var ** 0.5
+        return s, z
+
+    sr, zr = mk(ys)
+    sp, zp = mk(yp)
+    assert rm["n_days"] == n
+    assert abs(rm["lag1_autocorr"] - r1) < 1e-6
+    assert rm["s_raw"] == sr
+    assert abs(rm["z_raw"] - zr) < 1e-6
+    assert rm["s_prewhitened"] == sp
+    assert abs(rm["z_prewhitened"] - zp) < 1e-6
+    assert rm["reject_5pct"] == (abs(zp) > 1.96)
+    # Kupiec rebuild
+    cs = [
+        (d, round(v * 100))
+        for d, v in duckdb.sql(
+            "SELECT day(ts), value FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " WHERE event_type = 'purchase'"
+        ).fetchall()
+    ]
+    ins = sorted(c for d, c in cs if d <= 7)
+    thr = ins[-(-19 * len(ins) // 20) - 1]
+    oos = [c for d, c in cs if d > 7]
+    nn, x = len(oos), sum(1 for c in oos if c > thr)
+    p = 0.05
+    lr = -2 * (
+        (nn - x) * math.log(1 - p)
+        + x * math.log(p)
+        - ((nn - x) * math.log(1 - x / nn) if x < nn else 0.0)
+        - (x * math.log(x / nn) if x > 0 else 0.0)
+    )
+    assert abs(rk["threshold_dollars"] - thr / 100.0) < 1e-9
+    assert rk["m_insample"] == len(ins)
+    assert rk["n_oos"] == nn
+    assert rk["x_exceed"] == x
+    assert abs(rk["lr_pof"] - lr) < 1e-5
+    assert rk["lr_pof"] >= 0.0
+    assert rk["reject_5pct"] == (lr > 3.841459)
