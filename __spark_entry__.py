@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (ninety-ninth batch — continuation session)
+    "chow_test",
+    "hodges_lehmann_ci",
     # new in round 5 (ninety-eighth batch — continuation session)
     "prewhitened_mk",
     "kupiec_pof",

@@ -855,6 +855,11 @@ BUDGETS = {
                        "bnlj": 0},
     "kupiec_pof": {"shuffle": 3, "python": 0, "cartesian": 0,
                    "bnlj": 1},
+    # chow / HL-CI: day agg + 1-row folds
+    "chow_test": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
+    "hodges_lehmann_ci": {"shuffle": 2, "python": 0,
+                          "cartesian": 0, "bnlj": 0},
 }
 
 

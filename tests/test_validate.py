@@ -6386,3 +6386,63 @@ def test_pwmk_kupiec_rebuild(spark):
     assert abs(rk["lr_pof"] - lr) < 1e-5
     assert rk["lr_pof"] >= 0.0
     assert rk["reject_5pct"] == (lr > 3.841459)
+
+
+def test_chow_hlci_rebuild(spark):
+    """Chow F vs three literal float OLS fits and the Moses CI vs
+    a sorted-difference rebuild with the same k formula."""
+    from mpds_spark.queries import q_chow_test, q_hodges_lehmann_ci
+
+    rc = q_chow_test(spark, "/root/testdata/sf0.001").collect()[0]
+    rh = q_hodges_lehmann_ci(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+
+    def sse(pts):
+        nn = len(pts)
+        mx = sum(x for x, _ in pts) / nn
+        my = sum(y for _, y in pts) / nn
+        sxx = sum((x - mx) ** 2 for x, _ in pts)
+        sxy = sum((x - mx) * (y - my) for x, y in pts)
+        syy = sum((y - my) ** 2 for _, y in pts)
+        return syy - sxy * sxy / sxx
+
+    n = len(rows)
+    ssep = sse(rows)
+    s1 = sse([r for r in rows if r[0] <= 15])
+    s2 = sse([r for r in rows if r[0] > 15])
+    f = ((ssep - s1 - s2) / 2.0) / ((s1 + s2) / (n - 4))
+    assert rc["n_days"] == n
+    assert abs(rc["sse_pooled"] - ssep) < max(1e-4, ssep * 1e-9)
+    assert abs(rc["sse_split"] - (s1 + s2)) < max(
+        1e-4, (s1 + s2) * 1e-9
+    )
+    assert abs(rc["f_stat"] - f) < 1e-5
+    assert rc["reject_5pct"] == (f > 3.354)
+    # Moses CI rebuild
+    ys = [y for _, y in rows]
+    h = n // 2
+    diffs = sorted(
+        ys[j] - ys[i] for i in range(h) for j in range(h, n)
+    )
+    npair = len(diffs)
+    k = math.floor(
+        npair / 2.0 - 1.96 * math.sqrt(npair * (n + 1) / 12.0)
+    )
+    assert rh["n_pairs"] == npair
+    assert rh["k_rank"] == k
+    assert rh["ci_lo"] == diffs[k - 1]
+    assert rh["ci_hi"] == diffs[npair - k]
+    assert rh["ci_lo"] <= rh["hl_shift"] <= rh["ci_hi"]
+    assert rh["excludes_zero"] == (
+        rh["ci_lo"] > 0 or rh["ci_hi"] < 0
+    )
