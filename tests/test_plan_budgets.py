@@ -860,6 +860,11 @@ BUDGETS = {
                   "bnlj": 0},
     "hodges_lehmann_ci": {"shuffle": 2, "python": 0,
                           "cartesian": 0, "bnlj": 0},
+    # mcc single corpus agg; pinball day fold
+    "mcc_confusion": {"shuffle": 1, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "pinball_loss": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

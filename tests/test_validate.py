@@ -6446,3 +6446,61 @@ def test_chow_hlci_rebuild(spark):
     assert rh["excludes_zero"] == (
         rh["ci_lo"] > 0 or rh["ci_hi"] < 0
     )
+
+
+def test_mcc_pinball_rebuild(spark):
+    """MCC/F1 vs sklearn-free cell arithmetic and the pinball loss
+    vs a float expanding-quantile rebuild."""
+    from mpds_spark.queries import q_mcc_confusion, q_pinball_loss
+
+    rm = q_mcc_confusion(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rp = q_pinball_loss(spark, "/root/testdata/sf0.001").collect()[0]
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END,"
+        " CASE WHEN len(regexp_split_to_array(trim(text),"
+        " '\\s+')) >= 50 THEN 1 ELSE 0 END FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    tp = sum(1 for p, y in rows if p and y)
+    fp = sum(1 for p, y in rows if p and not y)
+    fn = sum(1 for p, y in rows if not p and y)
+    tn = sum(1 for p, y in rows if not p and not y)
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert (rm["tp"], rm["fp"], rm["fn"], rm["tn"]) == (
+        tp, fp, fn, tn,
+    )
+    assert abs(rm["mcc"] - mcc) < 1e-6
+    assert -1.0 <= rm["mcc"] <= 1.0
+    assert abs(
+        rm["f1"] - 2 * tp / (2 * tp + fp + fn)
+    ) < 1e-6
+    # pinball rebuild
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    tot, cov = 0.0, 0
+    for t in range(7, n):
+        hist = sorted(ys[:t])
+        f = hist[-(-9 * t // 10) - 1]
+        y = ys[t]
+        tot += 0.9 * (y - f) if y >= f else 0.1 * (f - y)
+        cov += 1 if y <= f else 0
+    m = n - 7
+    assert rp["n_forecasts"] == m
+    assert abs(rp["mean_pinball_09"] - tot / m) < 1e-6
+    assert abs(rp["coverage"] - cov / m) < 1e-6
+    assert 0.0 <= rp["coverage"] <= 1.0
