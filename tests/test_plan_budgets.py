@@ -865,6 +865,11 @@ BUDGETS = {
                       "bnlj": 0},
     "pinball_loss": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # deviance day fold; collision audit distinct agg
+    "poisson_deviance_gof": {"shuffle": 2, "python": 0,
+                             "cartesian": 0, "bnlj": 0},
+    "hash_collision_audit": {"shuffle": 2, "python": 0,
+                             "cartesian": 0, "bnlj": 0},
 }
 
 

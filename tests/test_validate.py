@@ -6504,3 +6504,67 @@ def test_mcc_pinball_rebuild(spark):
     assert abs(rp["mean_pinball_09"] - tot / m) < 1e-6
     assert abs(rp["coverage"] - cov / m) < 1e-6
     assert 0.0 <= rp["coverage"] <= 1.0
+
+
+def test_deviance_collision_rebuild(spark):
+    """Poisson deviance vs a literal float fold and the birthday
+    audit vs hashlib-truncated slot counting with the closed-form
+    expectation."""
+    from mpds_spark.queries import (
+        q_hash_collision_audit,
+        q_poisson_deviance_gof,
+    )
+
+    rd = q_poisson_deviance_gof(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rh = q_hash_collision_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import hashlib
+    import math
+
+    import duckdb
+
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    mu = sum(ys) / n
+    g = 2 * sum(
+        (mu if y == 0 else y * math.log(y / mu) - (y - mu))
+        for y in ys
+    )
+    assert rd["n_days"] == n
+    assert abs(rd["mean_rate"] - mu) < 1e-6
+    assert abs(rd["deviance_g"] - g) < 1e-5
+    assert abs(rd["deviance_per_df"] - g / (n - 1)) < 1e-6
+    assert rd["deviance_g"] >= 0.0
+    assert rd["reject_5pct"] == (g > 43.773)
+    # collision audit rebuild
+    ids = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT doc_id FROM"
+            " '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    ]
+    slots = {
+        int(hashlib.md5(str(i).encode()).hexdigest()[:5], 16)
+        for i in ids
+    }
+    nn, m = len(ids), 1 << 20
+    ed = m * (1 - math.exp(nn * math.log(1 - 1 / m)))
+    assert rh["n_keys"] == nn
+    assert rh["observed_distinct"] == len(slots)
+    assert abs(rh["expected_distinct"] - ed) < 1e-4
+    assert rh["observed_collisions"] == nn - len(slots)
+    assert abs(
+        rh["collision_ratio"]
+        - (nn - len(slots)) / (nn - ed)
+    ) < 1e-4
