@@ -870,6 +870,11 @@ BUDGETS = {
                              "cartesian": 0, "bnlj": 0},
     "hash_collision_audit": {"shuffle": 2, "python": 0,
                              "cartesian": 0, "bnlj": 0},
+    # SPC tier: day agg + 1-row folds
+    "ewma_control_chart": {"shuffle": 2, "python": 0,
+                           "cartesian": 0, "bnlj": 0},
+    "western_electric_rules": {"shuffle": 2, "python": 0,
+                               "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -6568,3 +6568,66 @@ def test_deviance_collision_rebuild(spark):
         rh["collision_ratio"]
         - (nn - len(slots)) / (nn - ed)
     ) < 1e-4
+
+
+def test_ewma_we_rules_rebuild(spark):
+    """EWMA chart vs a python recursion with steady-state limits,
+    and the Western Electric rule counts vs literal window sweeps."""
+    from mpds_spark.queries import (
+        q_ewma_control_chart,
+        q_western_electric_rules,
+    )
+
+    re_ = q_ewma_control_chart(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rw = q_western_electric_rules(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import math
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    days = [d for d, _ in rows]
+    ys = [y for _, y in rows]
+    n = len(ys)
+    mu = sum(ys) / n
+    sig = math.sqrt(sum((y - mu) ** 2 for y in ys) / n)
+    hw = 3 * sig * math.sqrt(0.2 / 1.8)
+    z, sigs, first = mu, 0, None
+    for d, y in rows:
+        z = 0.2 * y + 0.8 * z
+        if z > mu + hw or z < mu - hw:
+            sigs += 1
+            if first is None:
+                first = d
+    assert re_["n_days"] == n
+    assert abs(re_["center_line"] - mu) < 1e-6
+    assert abs(re_["ucl"] - (mu + hw)) < 1e-6
+    assert abs(re_["lcl"] - (mu - hw)) < 1e-6
+    assert abs(re_["final_ewma"] - z) < 1e-6
+    assert re_["n_signals"] == sigs
+    assert re_["first_signal_day"] == first
+    # WE rules rebuild
+    zs = [(y - mu) / sig for y in ys]
+    r1 = sum(1 for v in zs if abs(v) > 3)
+    def rule(width, th, need):
+        c = 0
+        for t in range(width - 1, n):
+            w = zs[t - width + 1 : t + 1]
+            if (
+                sum(1 for v in w if v > th) >= need
+                or sum(1 for v in w if v < -th) >= need
+            ):
+                c += 1
+        return c
+
+    assert rw["rule1_beyond_3sigma"] == r1
+    assert rw["rule2_2of3_beyond_2sigma"] == rule(3, 2.0, 2)
+    assert rw["rule3_4of5_beyond_1sigma"] == rule(5, 1.0, 4)
+    assert rw["rule4_8_same_side"] == rule(8, 0.0, 8)
