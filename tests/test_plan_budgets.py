@@ -875,6 +875,11 @@ BUDGETS = {
                            "cartesian": 0, "bnlj": 0},
     "western_electric_rules": {"shuffle": 2, "python": 0,
                                "cartesian": 0, "bnlj": 0},
+    # LZ parse / spectral flatness: day agg + 1-row folds
+    "lz_complexity": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "spectral_flatness": {"shuffle": 2, "python": 0,
+                          "cartesian": 0, "bnlj": 0},
 }
 
 

