@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (hundred-fourth batch — continuation session)
+    "readability_scores",
+    "powerlaw_mle",
     # new in round 5 (hundred-third batch — continuation session)
     "lz_complexity",
     "spectral_flatness",

@@ -880,6 +880,11 @@ BUDGETS = {
                       "bnlj": 0},
     "spectral_flatness": {"shuffle": 2, "python": 0,
                           "cartesian": 0, "bnlj": 0},
+    # readability word+doc passes; power-law activity histogram
+    "readability_scores": {"shuffle": 4, "python": 0,
+                           "cartesian": 0, "bnlj": 0},
+    "powerlaw_mle": {"shuffle": 3, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
 }
 
 

@@ -6702,3 +6702,70 @@ def test_lz_flatness_rebuild(spark):
     assert rf["n_freqs"] == len(ps)
     assert abs(rf["spectral_flatness"] - flat) < 1e-6
     assert 0.0 < rf["spectral_flatness"] <= 1.0 + 1e-9
+
+
+def test_readability_powerlaw_rebuild(spark):
+    """Flesch/fog vs a literal python syllable counter and the CSN
+    alpha vs the closed-form MLE on raw counts."""
+    import math
+    import re as re_mod
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_powerlaw_mle,
+        q_readability_scores,
+    )
+
+    rr = {
+        r["source"]: r
+        for r in q_readability_scores(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    rp = q_powerlaw_mle(spark, "/root/testdata/sf0.001").collect()[0]
+    docs = duckdb.sql(
+        "SELECT source, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    agg = {}
+    for src_, text in docs:
+        a = agg.setdefault(src_, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += max(1, sum(text.count(ch) for ch in ".!?"))
+        for w in text.strip().split():
+            syl = max(
+                1, len(re_mod.findall(r"[aeiouy]+", w.lower()))
+            )
+            a[2] += 1
+            a[3] += syl
+            a[4] += 1 if syl >= 3 else 0
+    for src_, (nd, sent, wc, syls, cpx) in agg.items():
+        r = rr[src_]
+        assert r["n_docs"] == nd
+        assert r["n_sentences"] == sent
+        assert r["n_words"] == wc
+        assert r["n_syllables"] == syls
+        assert r["n_complex_words"] == cpx
+        flesch = 206.835 - 1.015 * (wc / sent) - 84.6 * (syls / wc)
+        fog = 0.4 * ((wc / sent) + 100.0 * (cpx / wc))
+        assert abs(r["flesch_ease"] - flesch) < 1e-5
+        assert abs(r["gunning_fog"] - fog) < 1e-5
+    # power-law rebuild
+    xs = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY user_id"
+        ).fetchall()
+    ]
+    tail = [x for x in xs if x >= 5]
+    alpha = 1 + len(tail) / sum(math.log(x / 4.5) for x in tail)
+    assert rp["n_users"] == len(xs)
+    assert rp["n_tail"] == len(tail)
+    assert abs(rp["alpha_hat"] - alpha) < 1e-6
+    assert rp["alpha_hat"] > 1.0
+    assert abs(
+        rp["alpha_se"] - (alpha - 1) / math.sqrt(len(tail))
+    ) < 1e-6
