@@ -885,6 +885,11 @@ BUDGETS = {
                            "cartesian": 0, "bnlj": 0},
     "powerlaw_mle": {"shuffle": 3, "python": 0, "cartesian": 0,
                      "bnlj": 0},
+    # normality/skewness pair: day agg + 1-row folds
+    "dagostino_k2": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    "medcouple": {"shuffle": 2, "python": 0, "cartesian": 0,
+                  "bnlj": 0},
 }
 
 

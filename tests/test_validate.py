@@ -6769,3 +6769,97 @@ def test_readability_powerlaw_rebuild(spark):
     assert abs(
         rp["alpha_se"] - (alpha - 1) / math.sqrt(len(tail))
     ) < 1e-6
+
+
+def test_dagostino_medcouple_rebuild(spark):
+    """K^2 vs a literal float transcription of the 1990 Am. Stat.
+    recipe and the medcouple vs a brute-force kernel median with
+    the same no-tie variant."""
+    import math
+    import statistics
+
+    import duckdb
+
+    from mpds_spark.queries import q_dagostino_k2, q_medcouple
+
+    rd = q_dagostino_k2(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rm = q_medcouple(spark, "/root/testdata/sf0.001").collect()[0]
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    n = len(ys)
+    mu = sum(ys) / n
+    m2 = sum((y - mu) ** 2 for y in ys) / n
+    m3 = sum((y - mu) ** 3 for y in ys) / n
+    m4 = sum((y - mu) ** 4 for y in ys) / n
+    g1 = m3 / m2 ** 1.5
+    b2 = m4 / m2 ** 2
+    yy = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    beta2 = (
+        3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2 / (w2 - 1))
+    z1 = delta * math.log(
+        yy / alpha + math.sqrt((yy / alpha) ** 2 + 1)
+    )
+    x = (b2 - 3.0 * (n - 1) / (n + 1)) / math.sqrt(
+        24.0 * n * (n - 2) * (n - 3)
+        / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    )
+    sqb = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(
+            6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3))
+        )
+    )
+    aa = 6 + 8 / sqb * (2 / sqb + math.sqrt(1 + 4 / sqb ** 2))
+    z2 = (
+        (1 - 2 / (9 * aa))
+        - ((1 - 2 / aa) / (1 + x * math.sqrt(2 / (aa - 2))))
+        ** (1 / 3)
+    ) / math.sqrt(2 / (9 * aa))
+    k2 = z1 * z1 + z2 * z2
+    assert rd["n_days"] == n
+    assert abs(rd["skew_g1"] - g1) < 1e-6
+    assert abs(rd["kurtosis_b2"] - b2) < 1e-6
+    assert abs(rd["z_skew"] - z1) < 1e-5
+    assert abs(rd["z_kurtosis"] - z2) < 1e-5
+    assert abs(rd["k2_stat"] - k2) < 1e-4
+    assert rd["reject_5pct"] == (k2 > 5.991465)
+    # medcouple rebuild
+    med = statistics.median(ys)
+    hs = [
+        ((xi + xj) - 2 * med) / (xi - xj)
+        for xi in ys
+        for xj in ys
+        if xi > med and xj < med and xi != xj
+    ]
+    mc = statistics.median(hs)
+    assert abs(rm["medcouple"] - mc) < 1e-6
+    assert -1.0 <= rm["medcouple"] <= 1.0
+    sv = sorted(ys)
+    q1 = sv[-(-n // 4) - 1]
+    q3 = sv[-(-3 * n // 4) - 1]
+    assert rm["q1"] == q1 and rm["q3"] == q3
+    iqr = q3 - q1
+    if mc >= 0:
+        lo = q1 - 1.5 * math.exp(-4 * mc) * iqr
+        hi = q3 + 1.5 * math.exp(3 * mc) * iqr
+    else:
+        lo = q1 - 1.5 * math.exp(-3 * mc) * iqr
+        hi = q3 + 1.5 * math.exp(4 * mc) * iqr
+    assert abs(rm["fence_lo"] - lo) < 1e-5
+    assert abs(rm["fence_hi"] - hi) < 1e-5
+    assert rm["n_outliers"] == sum(
+        1 for y in ys if y < lo or y > hi
+    )
