@@ -890,6 +890,11 @@ BUDGETS = {
                      "bnlj": 0},
     "medcouple": {"shuffle": 2, "python": 0, "cartesian": 0,
                   "bnlj": 0},
+    # hill profile / funnel audit: histogram chains
+    "hill_numbers": {"shuffle": 2, "python": 0, "cartesian": 0,
+                     "bnlj": 0},
+    "funnel_plot_audit": {"shuffle": 3, "python": 0,
+                          "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -6863,3 +6863,66 @@ def test_dagostino_medcouple_rebuild(spark):
     assert rm["n_outliers"] == sum(
         1 for y in ys if y < lo or y > hi
     )
+
+
+def test_hill_funnel_rebuild(spark):
+    """Hill profile vs Counter arithmetic (with the q-monotonicity
+    invariant q0 >= q1 >= q2 >= qinf) and the funnel audit vs a
+    per-user float z rebuild."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from mpds_spark.queries import q_funnel_plot_audit, q_hill_numbers
+
+    rh = q_hill_numbers(spark, "/root/testdata/sf0.001").collect()[0]
+    rf = q_funnel_plot_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    srcs = Counter(
+        t[0]
+        for t in duckdb.sql(
+            "SELECT source FROM"
+            " '/root/testdata/sf0.001/documents.parquet'"
+        ).fetchall()
+    )
+    d = sum(srcs.values())
+    h = -sum(c / d * math.log(c / d) for c in srcs.values())
+    q2 = d * d / sum(c * c for c in srcs.values())
+    assert rh["n_sources"] == len(srcs)
+    assert rh["n_docs"] == d
+    assert abs(rh["shannon_h"] - h) < 1e-6
+    assert abs(rh["hill_q1"] - math.exp(h)) < 1e-5
+    assert abs(rh["hill_q2"] - q2) < 1e-5
+    assert abs(
+        rh["hill_qinf"] - d / max(srcs.values())
+    ) < 1e-6
+    assert (
+        rh["n_sources"] + 1e-9
+        >= rh["hill_q1"] + 1e-9
+        >= rh["hill_q2"]
+        >= rh["hill_qinf"] - 1e-9
+    )
+    # funnel rebuild
+    rows = duckdb.sql(
+        "SELECT count(*), sum(CASE WHEN event_type = 'purchase'"
+        " THEN 1 ELSE 0 END) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY user_id"
+    ).fetchall()
+    nn = sum(n for n, _ in rows)
+    xx = sum(x for _, x in rows)
+    p = xx / nn
+    out, phis = 0, 0.0
+    for n, x in rows:
+        z = (x - n * p) / math.sqrt(n * p * (1 - p))
+        phis += z * z
+        if abs(z) > 1.96:
+            out += 1
+    assert rf["n_users"] == len(rows)
+    assert abs(rf["pooled_rate"] - p) < 1e-6
+    assert rf["n_outside_funnel"] == out
+    assert abs(
+        rf["overdispersion_phi"] - phis / len(rows)
+    ) < 1e-5
