@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (hundred-seventh batch — continuation session)
+    "weighted_logrank",
+    "median_survival_ci",
     # new in round 5 (hundred-sixth batch — continuation session)
     "hill_numbers",
     "funnel_plot_audit",

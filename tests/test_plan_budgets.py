@@ -895,6 +895,12 @@ BUDGETS = {
                      "bnlj": 0},
     "funnel_plot_audit": {"shuffle": 3, "python": 0,
                           "cartesian": 0, "bnlj": 0},
+    # weighted logrank / median CI ride the logrank curve machinery
+    # (1-row corpus-max censor boundary broadcast)
+    "weighted_logrank": {"shuffle": 4, "python": 0, "cartesian": 0,
+                         "bnlj": 1},
+    "median_survival_ci": {"shuffle": 4, "python": 0,
+                           "cartesian": 0, "bnlj": 1},
 }
 
 

@@ -185,6 +185,8 @@ def test_catalog_plan_inventory(spark):
         "rmst",                # broadcast 1-row corpus-max censor boundary
         "zonemap_skipping",    # 1-row min/max fit + two 1-row layout aggs
         "kupiec_pof",          # 1-row week-1 threshold fit broadcast
+        "weighted_logrank",    # broadcast 1-row corpus-max censor boundary
+        "median_survival_ci",  # broadcast 1-row corpus-max censor boundary
     }
     EAGER_CONSTRUCTION = {"near_dup_components", "kcenter_coreset"}
     sf = "/root/testdata/sf0.001"

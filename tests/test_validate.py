@@ -6926,3 +6926,115 @@ def test_hill_funnel_rebuild(spark):
     assert abs(
         rf["overdispersion_phi"] - phis / len(rows)
     ) < 1e-5
+
+
+def test_weighted_logrank_medianci_rebuild(spark):
+    """Gehan/Tarone-Ware chi2 vs a literal float curve sweep, and
+    the gap-time median + BC band vs an independently rebuilt KM
+    with multiplicative survival products."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_median_survival_ci,
+        q_weighted_logrank,
+    )
+
+    rw = q_weighted_logrank(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rm = q_median_survival_ci(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rows = duckdb.sql(
+        "SELECT user_id, epoch(ts) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " WHERE event_type = 'purchase' ORDER BY user_id, ts,"
+        " event_id"
+    ).fetchall()
+    mx = duckdb.sql(
+        "SELECT max(epoch(ts)) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+    ).fetchall()[0][0]
+    per = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    spans = []
+    for u, ts_ in per.items():
+        arm = (
+            int(
+                hashlib.md5(f"lr|{u}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+        )
+        for i, t in enumerate(ts_):
+            nxt = ts_[i + 1] if i + 1 < len(ts_) else None
+            day = math.floor(((nxt or mx) - t) / 3600.0)
+            spans.append((day, 1 if nxt is not None else 0, arm))
+    curve = defaultdict(lambda: [0, 0, 0, 0])
+    for day, obs, arm in spans:
+        c = curve[day]
+        if arm == 1:
+            c[0] += obs
+            c[1] += 1 - obs
+        else:
+            c[2] += obs
+            c[3] += 1 - obs
+    days = sorted(curve)
+    tot1 = sum(curve[d][0] + curve[d][1] for d in days)
+    tott = sum(sum(curve[d]) for d in days)
+    o1 = og = ot = v1 = vg = vt = 0.0
+    n1, nt = tot1, tott
+    for d in days:
+        d1, c1, d0, c0 = curve[d]
+        dd = d1 + d0
+        if dd > 0:
+            term = d1 - dd * n1 / nt
+            o1 += term
+            og += nt * term
+            ot += math.sqrt(nt) * term
+            if nt > 1:
+                vv = (
+                    dd * (n1 / nt) * ((nt - n1) / nt)
+                    * ((nt - dd) / (nt - 1))
+                )
+                v1 += vv
+                vg += nt * nt * vv
+                vt += nt * vv
+        n1 -= d1 + c1
+        nt -= d1 + c1 + d0 + c0
+    assert abs(rw["chi2_logrank"] - o1 * o1 / v1) < 1e-4
+    assert abs(rw["chi2_gehan"] - og * og / vg) < 1e-4
+    assert abs(rw["chi2_tarone_ware"] - ot * ot / vt) < 1e-4
+    # median CI rebuild (pooled)
+    pooled = defaultdict(lambda: [0, 0])
+    for day, obs, _ in spans:
+        pooled[day][0] += obs
+        pooled[day][1] += 1 - obs
+    days = sorted(pooled)
+    at_risk = sum(sum(v) for v in pooled.values())
+    s, gw = 1.0, 0.0
+    scurve = []
+    for d in days:
+        dd, cc = pooled[d]
+        if dd >= at_risk:
+            s = 0.0
+        else:
+            s *= (at_risk - dd) / at_risk
+            gw += dd / (at_risk * (at_risk - dd))
+        scurve.append((d, s, gw))
+        at_risk -= dd + cc
+    med = next(d for d, s_, _ in scurve if s_ <= 0.5)
+    band = [
+        d
+        for d, s_, g_ in scurve
+        if abs(s_ - 0.5) <= 1.96 * s_ * math.sqrt(g_)
+    ]
+    assert abs(rm["median_days"] - med / 24.0) < 1e-6
+    assert abs(rm["ci_lo_days"] - min(band) / 24.0) < 1e-6
+    assert abs(rm["ci_hi_days"] - max(band) / 24.0) < 1e-6
+    assert rm["n_band_bins"] == len(band)
+    assert rm["ci_lo_days"] <= rm["median_days"] <= rm["ci_hi_days"]
