@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (hundred-eighth batch — continuation session)
+    "lorenz_asymmetry",
+    "record_counts",
     # new in round 5 (hundred-seventh batch — continuation session)
     "weighted_logrank",
     "median_survival_ci",

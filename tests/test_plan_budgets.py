@@ -901,6 +901,11 @@ BUDGETS = {
                          "bnlj": 1},
     "median_survival_ci": {"shuffle": 4, "python": 0,
                            "cartesian": 0, "bnlj": 1},
+    # lorenz asymmetry histogram chain; record counts day fold
+    "lorenz_asymmetry": {"shuffle": 3, "python": 0,
+                         "cartesian": 0, "bnlj": 0},
+    "record_counts": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
 }
 
 

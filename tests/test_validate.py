@@ -7038,3 +7038,75 @@ def test_weighted_logrank_medianci_rebuild(spark):
     assert abs(rm["ci_hi_days"] - max(band) / 24.0) < 1e-6
     assert rm["n_band_bins"] == len(band)
     assert rm["ci_lo_days"] <= rm["median_days"] <= rm["ci_hi_days"]
+
+
+def test_lorenz_records_rebuild(spark):
+    """Lorenz asymmetry vs a literal sorted-values rebuild of
+    Damgaard-Weiner eq. 3, and record counts vs a running-max
+    python sweep with harmonic moments."""
+    import math
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_lorenz_asymmetry,
+        q_record_counts,
+    )
+
+    rl = q_lorenz_asymmetry(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rr = q_record_counts(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    xs = sorted(
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY user_id"
+        ).fetchall()
+    )
+    n, tot = len(xs), sum(xs)
+    mu = tot / n
+    m = sum(1 for x in xs if x < mu)
+    xm, xm1 = xs[m - 1], xs[m]
+    delta = (mu - xm) / (xm1 - xm) if xm1 > xm else 0.0
+    fmu = (m + delta) / n
+    lmu = (sum(xs[:m]) + delta * xm1) / tot
+    assert rl["n_users"] == n
+    assert rl["total_events"] == tot
+    assert abs(rl["f_at_mean"] - fmu) < 1e-6
+    assert abs(rl["l_at_mean"] - lmu) < 1e-6
+    assert abs(rl["lorenz_asymmetry"] - (fmu + lmu)) < 1e-6
+    # records rebuild
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    nd = len(ys)
+    up = dn = 1
+    mx, mn = ys[0], ys[0]
+    for y in ys[1:]:
+        if y > mx:
+            up += 1
+            mx = y
+        if y < mn:
+            dn += 1
+            mn = y
+    h1 = sum(1 / i for i in range(1, nd + 1))
+    h2 = sum(1 / i / i for i in range(1, nd + 1))
+    assert rr["n_days"] == nd
+    assert rr["upper_records"] == up
+    assert rr["lower_records"] == dn
+    assert abs(rr["expected_records"] - h1) < 1e-6
+    assert abs(
+        rr["z_upper"] - (up - h1) / math.sqrt(h1 - h2)
+    ) < 1e-6
+    assert abs(
+        rr["z_lower"] - (dn - h1) / math.sqrt(h1 - h2)
+    ) < 1e-6
