@@ -906,6 +906,11 @@ BUDGETS = {
                          "cartesian": 0, "bnlj": 0},
     "record_counts": {"shuffle": 2, "python": 0, "cartesian": 0,
                       "bnlj": 0},
+    # week-over-week paired tests: day agg + 1-row pair folds
+    "sign_test_wow": {"shuffle": 2, "python": 0, "cartesian": 0,
+                      "bnlj": 0},
+    "wilcoxon_signed_rank": {"shuffle": 2, "python": 0,
+                             "cartesian": 0, "bnlj": 0},
 }
 
 

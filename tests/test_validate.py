@@ -7110,3 +7110,68 @@ def test_lorenz_records_rebuild(spark):
     assert abs(
         rr["z_lower"] - (dn - h1) / math.sqrt(h1 - h2)
     ) < 1e-6
+
+
+def test_wow_sign_wilcoxon_rebuild(spark):
+    """Both week-over-week paired tests vs literal python rebuilds
+    with float midranks and the scipy convention for ties."""
+    import math
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_sign_test_wow,
+        q_wilcoxon_signed_rank,
+    )
+
+    rs = q_sign_test_wow(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rw = q_wilcoxon_signed_rank(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    ys = [
+        t[0]
+        for t in duckdb.sql(
+            "SELECT count(*) FROM"
+            " '/root/testdata/sf0.001/events.parquet'"
+            " GROUP BY day(ts) ORDER BY day(ts)"
+        ).fetchall()
+    ]
+    d = [
+        ys[t + 7] - ys[t]
+        for t in range(len(ys) - 7)
+        if ys[t + 7] != ys[t]
+    ]
+    m = len(d)
+    sp = sum(1 for x in d if x > 0)
+    z = (sp - m / 2 - 0.5 * (1 if sp > m / 2 else -1 if sp < m / 2 else 0)) / (
+        math.sqrt(m) / 2
+    )
+    assert rs["n_pairs"] == m
+    assert rs["n_up_pairs"] == sp
+    assert abs(rs["z_stat"] - z) < 1e-6
+    assert rs["reject_5pct"] == (abs(z) > 1.96)
+    # wilcoxon
+    absd = sorted(abs(x) for x in d)
+
+    def midrank(v):
+        lt = sum(1 for u in absd if u < v)
+        eq = sum(1 for u in absd if u == v)
+        return lt + (eq + 1) / 2.0
+
+    w = sum(midrank(abs(x)) for x in d if x > 0)
+    e = m * (m + 1) / 4.0
+    from collections import Counter
+
+    ties = Counter(abs(x) for x in d)
+    var = m * (m + 1) * (2 * m + 1) / 24.0 - sum(
+        t ** 3 - t for t in ties.values()
+    ) / 48.0
+    zw = (w - e) / math.sqrt(var)
+    assert rw["n_pairs"] == m
+    assert abs(rw["w_plus"] - w) < 1e-6
+    assert abs(rw["e_w"] - e) < 1e-6
+    assert abs(rw["var_w"] - var) < 1e-6
+    assert abs(rw["z_stat"] - zw) < 1e-6
+    assert rw["reject_5pct"] == (abs(zw) > 1.96)
