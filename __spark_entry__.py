@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (hundred-tenth batch — continuation session)
+    "breusch_godfrey",
+    "cumulative_periodogram",
     # new in round 5 (hundred-ninth batch — continuation session)
     "sign_test_wow",
     "wilcoxon_signed_rank",

@@ -911,6 +911,11 @@ BUDGETS = {
                       "bnlj": 0},
     "wilcoxon_signed_rank": {"shuffle": 2, "python": 0,
                              "cartesian": 0, "bnlj": 0},
+    # whiteness pair: day agg + 1-row folds
+    "breusch_godfrey": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
+    "cumulative_periodogram": {"shuffle": 2, "python": 0,
+                               "cartesian": 0, "bnlj": 0},
 }
 
 

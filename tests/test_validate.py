@@ -7175,3 +7175,83 @@ def test_wow_sign_wilcoxon_rebuild(spark):
     assert abs(rw["var_w"] - var) < 1e-6
     assert abs(rw["z_stat"] - zw) < 1e-6
     assert rw["reject_5pct"] == (abs(zw) > 1.96)
+
+
+def test_bg_cumperio_rebuild(spark):
+    """Breusch-Godfrey LM vs a literal float OLS + partial-R^2
+    rebuild and the cumulative periodogram vs a numpy-free DFT
+    sweep."""
+    import math
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_breusch_godfrey,
+        q_cumulative_periodogram,
+    )
+
+    rb = q_breusch_godfrey(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rc = q_cumulative_periodogram(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rows = duckdb.sql(
+        "SELECT day(ts), count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY day(ts) ORDER BY day(ts)"
+    ).fetchall()
+    xs = [float(d) for d, _ in rows]
+    ys = [float(y) for _, y in rows]
+    n = len(ys)
+    mx, my = sum(xs) / n, sum(ys) / n
+    b = sum(
+        (x - mx) * (y - my) for x, y in zip(xs, ys)
+    ) / sum((x - mx) ** 2 for x in xs)
+    a = my - b * mx
+    e = [y - a - b * x for x, y in zip(xs, ys)]
+    resp, p1, p2 = e[1:], xs[1:], e[:-1]
+
+    def corr(u, v):
+        m = len(u)
+        mu, mv = sum(u) / m, sum(v) / m
+        return sum(
+            (a_ - mu) * (b_ - mv) for a_, b_ in zip(u, v)
+        ) / math.sqrt(
+            sum((a_ - mu) ** 2 for a_ in u)
+            * sum((b_ - mv) ** 2 for b_ in v)
+        )
+
+    r1, r2, r12 = corr(resp, p1), corr(resp, p2), corr(p1, p2)
+    rsq = (r1 * r1 + r2 * r2 - 2 * r1 * r2 * r12) / (1 - r12 * r12)
+    lm = len(resp) * rsq
+    assert rb["n_days"] == n
+    assert abs(rb["resid_lag1_corr"] - r2) < 1e-5
+    assert abs(rb["aux_r2"] - rsq) < 1e-5
+    assert abs(rb["lm_stat"] - lm) < 1e-4
+    assert rb["reject_5pct"] == (lm > 3.841459)
+    # cumulative periodogram
+    mu = sum(ys) / n
+    ps = []
+    for k in range(1, n // 2 + 1):
+        ca = sum(
+            (ys[t - 1] - mu) * math.cos(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        sa = sum(
+            (ys[t - 1] - mu) * math.sin(2 * math.pi * k * t / n)
+            for t in range(1, n + 1)
+        )
+        ps.append(ca * ca + sa * sa)
+    tot = sum(ps)
+    h = len(ps)
+    devs = [
+        abs(sum(ps[:k]) / tot - k / h) for k in range(1, h + 1)
+    ]
+    d = max(devs)
+    kmax = devs.index(d) + 1
+    assert rc["n_freqs"] == h
+    assert abs(rc["max_deviation"] - d) < 1e-6
+    assert rc["k_at_max"] == kmax
+    assert abs(rc["crit_5pct"] - 1.36 / math.sqrt(h - 1)) < 1e-6
+    assert rc["reject_5pct"] == (d > 1.36 / math.sqrt(h - 1))
