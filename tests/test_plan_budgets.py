@@ -916,6 +916,11 @@ BUDGETS = {
                         "bnlj": 0},
     "cumulative_periodogram": {"shuffle": 2, "python": 0,
                                "cartesian": 0, "bnlj": 0},
+    # energy / bimodality: day agg + 1-row folds
+    "energy_distance": {"shuffle": 2, "python": 0, "cartesian": 0,
+                        "bnlj": 0},
+    "bimodality_coefficient": {"shuffle": 2, "python": 0,
+                               "cartesian": 0, "bnlj": 0},
 }
 
 

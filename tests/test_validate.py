@@ -7255,3 +7255,62 @@ def test_bg_cumperio_rebuild(spark):
     assert rc["k_at_max"] == kmax
     assert abs(rc["crit_5pct"] - 1.36 / math.sqrt(h - 1)) < 1e-6
     assert rc["reject_5pct"] == (d > 1.36 / math.sqrt(h - 1))
+
+
+def test_energy_bimodality_rebuild(spark):
+    """Energy distance vs brute-force pairwise sums (plus E >= 0
+    and e in [0,1]) and BC vs the SAS formula with
+    statistics-module sample moments."""
+    import math
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_bimodality_coefficient,
+        q_energy_distance,
+    )
+
+    re_ = q_energy_distance(spark, "/root/testdata/sf0.001").collect()[
+        0
+    ]
+    rb = q_bimodality_coefficient(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    rows = duckdb.sql(
+        "SELECT CASE WHEN isodow(date_trunc('day', ts)) >= 6"
+        " THEN 1 ELSE 0 END, count(*) FROM"
+        " '/root/testdata/sf0.001/events.parquet'"
+        " GROUP BY date_trunc('day', ts)"
+    ).fetchall()
+    xs = [y for w, y in rows if w == 1]
+    ys = [y for w, y in rows if w == 0]
+    exy = sum(abs(a - b) for a in xs for b in ys) / (
+        len(xs) * len(ys)
+    )
+    exx = sum(abs(a - b) for a in xs for b in xs) / len(xs) ** 2
+    eyy = sum(abs(a - b) for a in ys for b in ys) / len(ys) ** 2
+    e = 2 * exy - exx - eyy
+    assert abs(re_["mean_cross_dist"] - exy) < 1e-6
+    assert abs(re_["energy_distance"] - e) < 1e-6
+    assert re_["energy_distance"] >= -1e-9
+    assert abs(re_["e_coefficient"] - e / (2 * exy)) < 1e-6
+    assert -1e-9 <= re_["e_coefficient"] <= 1.0 + 1e-9
+    # bimodality
+    vals = [y for _, y in rows]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals) / n
+    m3 = sum((v - mu) ** 3 for v in vals) / n
+    m4 = sum((v - mu) ** 4 for v in vals) / n
+    b1 = m3 / m2 ** 1.5
+    g1 = b1 * math.sqrt(n * (n - 1)) / (n - 2)
+    b2 = m4 / m2 ** 2
+    g2 = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * (b2 - 3) + 6)
+    bc = (g1 * g1 + 1) / (
+        g2 + 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+    )
+    assert rb["n_days"] == n
+    assert abs(rb["sample_skew_g1"] - g1) < 1e-6
+    assert abs(rb["excess_kurtosis_g2"] - g2) < 1e-6
+    assert abs(rb["bimodality_coef"] - bc) < 1e-6
+    assert 0.0 < rb["bimodality_coef"] <= 1.0 + 1e-9
