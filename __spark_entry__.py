@@ -70,6 +70,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # is mirror-EXACT at sf0.01 on final code (tools/check_correctness.py —
 # the same value gate; see BENCH/BASELINE.md closing record).
 _PRIORITY = [
+    # new in round 5 (hundred-twelfth batch — continuation session)
+    "lang_confusion_audit",
+    "tokenizer_fertility",
     # new in round 5 (hundred-eleventh batch — continuation session)
     "energy_distance",
     "bimodality_coefficient",

@@ -921,6 +921,11 @@ BUDGETS = {
                         "bnlj": 0},
     "bimodality_coefficient": {"shuffle": 2, "python": 0,
                                "cartesian": 0, "bnlj": 0},
+    # lang eval pair: doc map + label aggs
+    "lang_confusion_audit": {"shuffle": 2, "python": 0,
+                             "cartesian": 0, "bnlj": 0},
+    "tokenizer_fertility": {"shuffle": 4, "python": 0,
+                            "cartesian": 0, "bnlj": 0},
 }
 
 

@@ -7314,3 +7314,74 @@ def test_energy_bimodality_rebuild(spark):
     assert abs(rb["excess_kurtosis_g2"] - g2) < 1e-6
     assert abs(rb["bimodality_coef"] - bc) < 1e-6
     assert 0.0 < rb["bimodality_coef"] <= 1.0 + 1e-9
+
+
+def test_lang_fertility_rebuild(spark):
+    """Confusion cells vs a literal python marker classifier and
+    fertility ratios vs Counter arithmetic; per-label shares sum
+    to 1."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from mpds_spark.queries import (
+        q_lang_confusion_audit,
+        q_tokenizer_fertility,
+    )
+
+    rc = q_lang_confusion_audit(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    rf = {
+        r["lang"]: r
+        for r in q_tokenizer_fertility(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    docs = duckdb.sql(
+        "SELECT lang, text FROM"
+        " '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    markers = {
+        "en": {"the", "and", "of", "to", "is"},
+        "de": {"der", "die", "und", "ist", "das"},
+        "fr": {"le", "la", "et", "est", "les"},
+        "es": {"el", "la", "los", "es", "una"},
+    }
+    cells = Counter()
+    for lang, text in docs:
+        words = text.strip().split()
+        hits = {
+            lg: sum(1 for w in words if w in ms)
+            for lg, ms in markers.items()
+        }
+        g = max(hits.values())
+        pred = "und"
+        if g > 0:
+            for lg in ("en", "de", "fr", "es"):
+                if hits[lg] == g:
+                    pred = lg
+                    break
+        cells[(lang, pred)] += 1
+    got = {(r["lang_label"], r["lang_pred"]): r["n_docs"] for r in rc}
+    assert got == dict(cells)
+    shares = defaultdict(float)
+    for r in rc:
+        shares[r["lang_label"]] += r["share_of_label"]
+    for v in shares.values():
+        assert abs(v - 1.0) < 1e-5
+    # fertility
+    agg = defaultdict(lambda: [0, 0, Counter()])
+    for lang, text in docs:
+        a = agg[lang]
+        a[0] += 1
+        a[1] += len(text)
+        a[2].update(text.strip().split())
+    for lang, (nd, chars, wc) in agg.items():
+        r = rf[lang]
+        tw = sum(wc.values())
+        assert r["n_docs"] == nd
+        assert r["n_words"] == tw
+        assert r["n_word_types"] == len(wc)
+        assert abs(r["chars_per_word"] - chars / tw) < 1e-6
+        assert abs(r["type_token_ratio"] - len(wc) / tw) < 1e-6
