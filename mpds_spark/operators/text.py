@@ -22,9 +22,16 @@ LANG_MARKERS = {
 }
 
 
-def lang_id(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    keep: tuple = (),
+) -> DataFrame:
     """Stopword-hit language heuristic: argmax of per-lang marker counts,
-    ties and zero-hits -> 'und' (undetermined)."""
+    ties and zero-hits -> 'und' (undetermined). `keep` carries extra
+    columns through (e.g. a ground-truth label for downstream eval) so
+    callers do not need a self-join to re-attach them."""
     w = words_col(text)
     scores = []
     for lang, markers in LANG_MARKERS.items():
@@ -34,7 +41,10 @@ def lang_id(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame
                 F.expr(f"filter(split(trim(text), '\\\\s+'), x -> x in ({lst}))")
             ).alias(f"n_{lang}")
         )
-    d = df.select(F.col(key), F.size(w).alias("n_words"), *scores)
+    d = df.select(
+        F.col(key), *[F.col(c) for c in keep],
+        F.size(w).alias("n_words"), *scores,
+    )
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"n_{lg}") for lg in langs])
     pred = F.lit("und")
