@@ -833,7 +833,10 @@ BUDGETS = {
     # carry <=32-row frames); cdc: explode + two aggs
     "zonemap_skipping": {"shuffle": 7, "python": 0, "cartesian": 0,
                          "bnlj": 3},
-    "cdc_chunking": {"shuffle": 3, "python": 0, "cartesian": 0,
+    # r6: boundary scan is one vectorized Arrow batch kernel (numpy
+    # int64 sliding-dot, guide §4.2) — exactly one python node; chunk
+    # extraction + md5 + both aggregations stay JVM-side
+    "cdc_chunking": {"shuffle": 3, "python": 1, "cartesian": 0,
                      "bnlj": 0},
     # seasonal kendall / partial corr: day agg + 1-row folds
     "seasonal_kendall": {"shuffle": 2, "python": 0, "cartesian": 0,

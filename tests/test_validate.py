@@ -7385,3 +7385,41 @@ def test_lang_fertility_rebuild(spark):
         assert r["n_word_types"] == len(wc)
         assert abs(r["chars_per_word"] - chars / tw) < 1e-6
         assert abs(r["type_token_ratio"] - len(wc) / tw) < 1e-6
+
+
+def test_cdc_starts_kernel_edges():
+    """The r6 vectorized boundary kernel (_cdc_starts) vs a literal
+    per-position rolling-hash loop: empty / short / boundary-rich /
+    non-ASCII BMP inputs. No Spark needed — the numpy body is called
+    directly; exactness here is what keeps chunk identity (and the
+    frozen oracle) byte-stable."""
+    import pandas as pd
+
+    from mpds_spark.queries import _cdc_starts
+
+    POW = [31 ** k for k in range(8)]
+
+    def ref_starts(text):
+        n = len(text)
+        if n < 8:
+            return [0, n]
+        bounds = []
+        for i in range(8, n + 1):
+            h = sum(ord(text[i - 1 - k]) * POW[k] for k in range(8))
+            if h % 64 == 0:
+                bounds.append(i)
+        return [0] + bounds
+
+    cases = [
+        "",
+        "a",
+        "1234567",
+        "12345678",
+        "@" * 64,  # '@'=64: every window hash is 0 mod 64
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "café naïve 世界 " * 40,
+        "\x00\x01\x02\x03\x04\x05\x06\x07" * 16,
+    ]
+    got = _cdc_starts.func(pd.Series(cases))
+    for text, arr in zip(cases, got):
+        assert list(arr) == ref_starts(text), text[:32]
