@@ -60,6 +60,100 @@ def cosine_topk(
     )
 
 
+def cosine_nn1_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact 1-NN cosine neighbor of each query among `vectors`
+    (self-matches excluded, ties -> smallest neighbor id) — the same
+    contract as cosine_topk(k=1), computed as a vectorized Arrow batch
+    kernel (guide §4.2) instead of a per-pair JVM expression fold.
+
+    The per-pair float sequence is IDENTICAL to cosine_topk's:
+    d-ascending sequential fold for the dot and the squared norms
+    (acc = acc + q_d*v_d elementwise per dim — NOT numpy's pairwise
+    np.dot), then (dot/nq)/nv, so every cosine is bit-equal and the
+    argmax/tie-break matches cosine_topk exactly.  The bounded query
+    side is closure-captured (same distribution model as the broadcast
+    join it replaces); the corpus streams through in batches, each
+    emitting one best-candidate row per query, and a tiny per-query
+    max(struct(cos, -id)) reduce combines batch partials."""
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col)).collect()
+    )
+    import numpy as np
+
+    qids_l = [int(r[0]) for r in q_rows]
+    qm_l = [list(r[1]) for r in q_rows]
+
+    def gen(batches):
+        import numpy as _n
+        import pyarrow as pa
+
+        qids = _n.asarray(qids_l, dtype=_n.int64)
+        qm = _n.asarray(qm_l, dtype=_n.float64)
+        nq = qm.shape[0]
+        if nq:
+            d_ = qm.shape[1]
+            accq = _n.zeros(nq)
+            for d in range(d_):
+                accq = accq + qm[:, d] * qm[:, d]
+            qn = _n.sqrt(accq)
+        for b in batches:
+            ids = _n.asarray(b.column(0), dtype=_n.int64)
+            nb = len(ids)
+            if nb == 0 or nq == 0:
+                continue
+            v = _n.asarray(
+                b.column(1).flatten(), dtype=_n.float64
+            ).reshape(nb, -1)
+            acc = _n.zeros((nq, nb))
+            accv = _n.zeros(nb)
+            for d in range(v.shape[1]):
+                acc = acc + _n.multiply.outer(qm[:, d], v[:, d])
+                accv = accv + v[:, d] * v[:, d]
+            vn = _n.sqrt(accv)
+            cos = (acc / qn[:, None]) / vn[None, :]
+            cos[qids[:, None] == ids[None, :]] = -_n.inf
+            best = cos.max(axis=1)
+            bid = _n.where(
+                cos == best[:, None],
+                ids[None, :],
+                _n.iinfo(_n.int64).max,
+            ).min(axis=1)
+            keep = ~_n.isneginf(best)
+            yield pa.record_batch(
+                [
+                    pa.array(qids[keep]),
+                    pa.array(bid[keep]),
+                    pa.array(best[keep]),
+                ],
+                names=["query_id", "neighbor_id", "cosine"],
+            )
+
+    part = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInArrow(
+        gen, f"query_id long, neighbor_id long, cosine double"
+    )
+    best = part.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("cosine"),
+                (-F.col("neighbor_id")).alias("__ni"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "query_id",
+        (-F.col("__b.__ni")).alias("neighbor_id"),
+        F.col("__b.cosine").alias("cosine"),
+        F.lit(1).alias("rank"),
+    )
+
+
 def sign_code(col: str, bits: int = 4, offset: int = 0) -> Column:
     """Deterministic b-bit bucket: sign bits of components offset+1..offset+b.
     Axis-aligned — engine-portable (DuckDB oracle twin), but a weak hash

@@ -19,7 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 PAT = {
     "shuffle": r"\bExchange (?:hash|range|Single)",
-    "python": r"\b(?:BatchEvalPython|ArrowEvalPython)\b",
+    "python": r"\b(?:BatchEvalPython|ArrowEvalPython|(?:Python)?MapInArrow|MapInPandas)\b",
     "grouped_pandas": r"\bFlatMapGroupsInPandas\b|\bFlatMapCoGroupsInPandas\b",
     "bnlj": r"\bBroadcastNestedLoopJoin\b",
     "cartesian": r"\bCartesianProduct\b",
@@ -370,9 +370,10 @@ BUDGETS = {
     # PageRank: persisted adjacency (cached-branch convention: no
     # shuffle budget); 6 BNLJs = the registered 1-row node-count fits
     "pagerank_iter": {"python": 0, "cartesian": 0, "bnlj": 6},
-    # kNN eval: broadcast sampled-query brute scorer (registered) +
-    # per-query WindowGroupLimit heap + label agg
-    "knn_eval": {"shuffle": 2, "python": 0, "cartesian": 0, "bnlj": 1},
+    # kNN eval (r6): vectorized Arrow brute scorer — one python node
+    # (cosine_nn1_arrow mapInArrow, bit-equal to the old broadcast
+    # BNLJ fold), per-query best-candidate reduce + label agg
+    "knn_eval": {"shuffle": 2, "python": 1, "cartesian": 0, "bnlj": 0},
     # both are ONE entity exchange + an all-integer array fold
     "window_funnel": {"shuffle": 1, "python": 0, "cartesian": 0,
                       "bnlj": 0},

@@ -7423,3 +7423,33 @@ def test_cdc_starts_kernel_edges():
     got = _cdc_starts.func(pd.Series(cases))
     for text, arr in zip(cases, got):
         assert list(arr) == ref_starts(text), text[:32]
+
+
+def test_cosine_nn1_arrow_matches_cosine_topk(spark):
+    """The r6 vectorized 1-NN scorer must reproduce cosine_topk(k=1)
+    bit-for-bit on the real embedding table: same neighbor, same
+    cosine double, same tie-break — the bit-equality that keeps
+    knn_eval's frozen oracle green."""
+    from pyspark.sql import functions as F
+
+    from mpds_spark.operators.similarity import (
+        cosine_nn1_arrow,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.filter(F.col("vec_id") % 4 == 0)
+    ref = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    got = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_nn1_arrow(emb, q).collect()
+    }
+    assert set(ref) == set(got)
+    for k in ref:
+        assert ref[k][0] == got[k][0], k
+        assert ref[k][1] == got[k][1], k  # bitwise-equal doubles
