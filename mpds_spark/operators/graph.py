@@ -485,6 +485,25 @@ def hits_bipartite(
     h = e.select("src").distinct().select(
         "src", F.lit(1).cast("long").alias("h")
     )
+    if int(n_rounds) >= 3:
+        # score growth is bounded by (max degree)^(2*n_rounds); past
+        # two rounds a hot hub can push the exact-long path counts
+        # over 2^63 silently (non-ANSI) — refuse rather than wrap
+        dmax = (
+            e.select(F.col("src").alias("n"))
+            .unionAll(e.select(F.col("dst").alias("n")))
+            .groupBy("n")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+            or 1
+        )
+        if int(dmax) ** (2 * int(n_rounds)) >= 2 ** 63:
+            raise ValueError(
+                f"hits_bipartite: max degree {dmax} with "
+                f"n_rounds={n_rounds} could overflow the exact-long "
+                "path counts (bound (max_deg)^(2*n_rounds) >= 2^63)"
+            )
     a_frame = None
     for _ in range(int(n_rounds)):
         a_frame = (
@@ -497,6 +516,11 @@ def hits_bipartite(
             .groupBy("src")
             .agg(F.sum("a").cast("long").alias("h"))
         )
+    # both final score frames feed TWO consumers each (their max and
+    # the output projection) — without a barrier the whole sweep chain
+    # re-executes per consumer (r6: measured ~4x on the 2-round query)
+    a_frame = scratch_persist(a_frame)
+    h = scratch_persist(h)
     amax = a_frame.agg(F.max("a").alias("__m"))
     hmax = h.agg(F.max("h").alias("__m"))
     auth = a_frame.crossJoin(F.broadcast(amax)).select(

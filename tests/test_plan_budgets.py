@@ -80,7 +80,10 @@ BUDGETS = {
     "tokenized_asof_features": {"shuffle": 2, "python": 0, "grouped_pandas": 0},
     "token_ngram_novelty": {"shuffle": 3, "python": 0, "cartesian": 0},
     "suffix_prefix_overlap": {"shuffle": 1, "python": 0},
-    "multimodal_stats": {"shuffle": 0, "python": 0, "cartesian": 0},
+    # 1 python node = the decode mapInArrow itself (counted since the
+    # r6 python-regex widening; the budget was authored when only
+    # BatchEvalPython/ArrowEvalPython nodes counted)
+    "multimodal_stats": {"shuffle": 0, "python": 1, "cartesian": 0},
     # vocab via TakeOrdered + broadcast membership; the token stream is
     # never joined non-broadcast
     "vocab_coverage": {"shuffle": 2, "python": 0, "cartesian": 0},
