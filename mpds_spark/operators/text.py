@@ -969,36 +969,77 @@ def cross_group_ngram_overlap(
     mixing two crawls — high containment means one source is largely a
     subset of the other and its mixture weight double-counts.
 
-    Shape at scale: distinct (n-gram, group) FIRST — after that, an
-    n-gram occurs in at most |groups| rows, so the n-gram-keyed self-join
-    explodes to at most |groups| choose 2 pairs per n-gram and CANNOT skew
-    no matter how hot the n-gram is in the raw corpus. One distinct
-    aggregation, one bounded self-join, one (g1, g2) count, per-group set
-    sizes broadcast back. Output is |groups|^2-bounded (tiny).
+    Shape at scale: ONE n-gram-keyed aggregation folds each n-gram to
+    its distinct group set (collect_set dedups map-side, so the raw
+    (n-gram, group) stream partial-aggregates before the exchange);
+    after that an n-gram contributes at most |groups| choose 2 pairs
+    from a <=|groups| array and CANNOT skew no matter how hot the
+    n-gram is in the raw corpus — and the n-gram STRING never rides a
+    second shuffle (r6: the previous distinct + n-gram-keyed self-join
+    sorted and joined the gram strings twice). One group-set
+    aggregation, two tiny explodes off it, per-group set sizes
+    broadcast back. Output is |groups|^2-bounded (tiny).
     """
     d = df.withColumn("__ws", words_col(text))
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("__ws") - n),
-            lambda i: F.concat_ws(" ", F.slice("__ws", i + 1, n)),
-        )
-    )
     from mpds_spark.operators.util import scratch_persist
 
-    # persisted: consumed three times (sizes + both self-join sides) —
-    # without it Catalyst re-splits and re-explodes the corpus per branch
-    gs = scratch_persist(
+    def _gram_gen(batches):
+        # guide §4.2: gram ASSEMBLY is a per-batch kernel — the word
+        # split stays JVM-side (words_col, exact regex semantics), so
+        # a gram here is exactly ' '.join of the same word slice the
+        # r5 slice+concat_ws expression produced, deduped per doc like
+        # array_distinct; only (group, gram) rows cross back.
+        import pyarrow as pa
+
+        for b in batches:
+            gvals = b.column(0).to_pylist()
+            wlists = b.column(1).to_pylist()
+            out_g, out_gram = [], []
+            for gval, ws in zip(gvals, wlists):
+                seen = set()
+                for i in range(len(ws) - n + 1):
+                    gm = " ".join(ws[i : i + n])
+                    if gm not in seen:
+                        seen.add(gm)
+                        out_g.append(gval)
+                        out_gram.append(gm)
+            yield pa.record_batch(
+                [pa.array(out_g, pa.string()),
+                 pa.array(out_gram, pa.string())],
+                names=["g", "__g"],
+            )
+
+    # persisted: consumed twice (pair counts + set sizes) — without it
+    # Catalyst re-splits and re-explodes the corpus per branch
+    per_gram = scratch_persist(
         d.filter(F.size("__ws") >= n)
-        .select(F.col(group).alias("g"), F.explode(grams).alias("__g"))
-        .distinct()
+        .select(F.col(group).alias("g"), "__ws")
+        .mapInArrow(_gram_gen, "g string, __g string")
+        .groupBy("__g")
+        .agg(F.array_sort(F.collect_set("g")).alias("__gl"))
+        .select("__gl")
     )
-    sizes = gs.groupBy("g").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = gs.select(F.col("g").alias("g1"), "__g")
-    b = gs.select(F.col("g").alias("g2"), "__g")
+    sizes = per_gram.select(
+        F.explode("__gl").alias("g")
+    ).groupBy("g").agg(F.count(F.lit(1)).alias("n_grams"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__gl") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("__gl")),
+                lambda j: F.struct(
+                    F.element_at("__gl", i).alias("g1"),
+                    F.element_at("__gl", j).alias("g2"),
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "__g")
-        .filter(F.col("g1") < F.col("g2"))
-        .groupBy("g1", "g2")
+        per_gram.filter(F.size("__gl") >= 2)
+        .select(F.explode(pair_structs).alias("__p"))
+        .groupBy(
+            F.col("__p.g1").alias("g1"), F.col("__p.g2").alias("g2")
+        )
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     s1 = sizes.select(F.col("g").alias("g1"), F.col("n_grams").alias("n1"))

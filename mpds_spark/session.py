@@ -60,4 +60,34 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("MPDS_PRIME_PYTHON_WORKERS", "1") == "1":
+        _prime_python_workers(spark)
     return spark
+
+
+def _prime_python_workers(spark: SparkSession) -> None:
+    """Fork one Python worker per core and pay the pandas/pyarrow/numpy
+    import once, at session creation — the same reason the JVM and
+    parquet footers are warmed before any measurement: with
+    spark.python.worker.reuse (default) the pool persists, so the first
+    Arrow-kernel stage of the session does not absorb a multi-second
+    fork+import storm into whatever query happens to run it. Purely a
+    warmup — no data is read and nothing is cached. Disable with
+    MPDS_PRIME_PYTHON_WORKERS=0."""
+    try:
+        n = spark.sparkContext.defaultParallelism
+
+        def _prime(batches):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            for b in batches:
+                yield b
+
+        spark.range(n, numPartitions=n).mapInArrow(
+            _prime, "id long"
+        ).count()
+    except Exception:
+        # priming must never break session creation
+        pass
