@@ -441,36 +441,63 @@ def consistent_hash_audit(
     one node-keyed agg.
 
     Returns (node, n_before, n_after, n_gained, n_lost)."""
-    from mpds_spark.operators.sketches import _h60
+    import hashlib
+
+    def _h60_py(s: str) -> int:
+        # top 60 bits of md5 as a non-negative int — the same value
+        # _h60 / the oracle's ('0x'||substring(md5(x),1,15))::UBIGINT
+        # produce (all-integer, no float anywhere)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def ring(n):
-        vn = None
-        for i in range(n):
-            for j in range(int(n_virtual)):
-                h = F.struct(
-                    _h60(F.lit(f"node{i}|v{j}")).alias("h"),
-                    F.lit(f"node{i}").alias("node"),
-                )
-                vn = F.array(h) if vn is None else F.concat(
-                    vn, F.array(h)
-                )
-        return F.array_sort(vn)
-
-    d = df.select(
-        _h60(F.col(key).cast("string"), salt="key|").alias("__hk")
-    )
-    d = d.withColumn("__r1", ring(int(n_nodes))).withColumn(
-        "__r2", ring(int(n_nodes) + 1)
-    )
-
-    def assign(r):
-        return F.expr(
-            f"coalesce(try_element_at(filter({r}, e -> e.h >= __hk),"
-            f" 1).node, try_element_at({r}, 1).node)"
+        pts = sorted(
+            (_h60_py(f"node{i}|v{j}"), f"node{i}")
+            for i in range(n)
+            for j in range(int(n_virtual))
         )
+        return [p[0] for p in pts], [p[1] for p in pts]
 
-    a = d.select(
-        assign("__r1").alias("__before"), assign("__r2").alias("__after")
+    r1h, r1n = ring(int(n_nodes))
+    r2h, r2n = ring(int(n_nodes) + 1)
+
+    def _assign_gen(batches):
+        # guide §4.2: per-batch md5 + sorted-ring searchsorted replaces
+        # the r5 per-row interpreted filter over the 128/144-element
+        # ring literal (first vnode with h >= key position, wrapping to
+        # the ring minimum) — identical integer assignments
+        import numpy as np
+        import pyarrow as pa
+
+        a1h = np.asarray(r1h, dtype=np.uint64)
+        a2h = np.asarray(r2h, dtype=np.uint64)
+        n1 = np.asarray(r1n + [r1n[0]])
+        n2 = np.asarray(r2n + [r2n[0]])
+
+        for b in batches:
+            ks = b.column(0).to_pylist()
+            if not ks:
+                continue
+            hk = np.asarray(
+                [_h60_py(f"key|{k}") for k in ks], dtype=np.uint64
+            )
+            i1 = np.searchsorted(a1h, hk, side="left")
+            i2 = np.searchsorted(a2h, hk, side="left")
+            # index == len(ring) -> wrap to the ring minimum (the
+            # appended sentinel element)
+            yield pa.record_batch(
+                [pa.array(n1[i1]), pa.array(n2[i2])],
+                names=["__before", "__after"],
+            )
+
+    from mpds_spark.operators.util import scratch_persist
+
+    # persisted: consumed four times (node-set union's two branches +
+    # both per-node aggs) — without a barrier the per-key assignment
+    # kernel re-executes per consumer (r6: ~4x)
+    a = scratch_persist(
+        df.select(F.col(key).cast("string").alias("__k")).mapInArrow(
+            _assign_gen, "__before string, __after string"
+        )
     )
     nodes = a.select(F.col("__before").alias("node")).union(
         a.select(F.col("__after").alias("node"))

@@ -386,7 +386,8 @@ BUDGETS = {
     "quant_recall": {"shuffle": 6, "python": 0, "cartesian": 0,
                      "bnlj": 3},
     # ring audit: key scan + two 1-row ring-array broadcasts + node agg
-    "consistent_hash_audit": {"shuffle": 3, "python": 0,
+    # r6: ring assignment is one vectorized Arrow searchsorted kernel
+    "consistent_hash_audit": {"shuffle": 3, "python": 1,
                               "cartesian": 0, "bnlj": 0},
     # LPA: persisted adjacency (cached-branch convention)
     "label_propagation": {"python": 0, "cartesian": 0, "bnlj": 0},
