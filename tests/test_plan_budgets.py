@@ -610,9 +610,12 @@ BUDGETS = {
     # out to the 5-way type union (cached-branch convention); the lag
     # pass shares one entity-keyed exchange
     "markov_stationary": {"python": 0, "cartesian": 0, "bnlj": 0},
-    # jl: projection map + md5-rank window + half-pair equi-join +
-    # bin agg — 2 shuffles, never a pairwise cross
-    "jl_projection_audit": {"shuffle": 2, "python": 0, "cartesian": 0,
+    # jl: Arrow int64-matmul projection kernel (r6) + md5-rank window
+    # + half-pair equi-join + bin agg — never a pairwise cross. ONE
+    # executed kernel + window; the persisted rank frame's cached plan
+    # is re-displayed per half-pairing branch, so the TEXTUAL counts
+    # are doubled (2 branches x (scan line + cached-plan display))
+    "jl_projection_audit": {"shuffle": 4, "python": 4, "cartesian": 0,
                             "bnlj": 0},
     # pr-ap: histogram agg + tiny desc windows + TakeOrdered best-F1
     # + 1-row AP-fold combine (registered BNLJ)
