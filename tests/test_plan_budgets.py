@@ -693,7 +693,9 @@ BUDGETS = {
     # adamic-adar: persisted-edge cached-branch plan (the printed
     # plan repeats the cached subtree per reference, so no shuffle
     # cap); top-k must be a heap (asserted below)
-    "adamic_adar": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # r6: the per-pair z-ascending weight fold is one streaming Arrow
+    # kernel over the (x,y,z)-sorted candidate stream
+    "adamic_adar": {"python": 1, "cartesian": 0, "bnlj": 0},
     # hits: cached-branch plan; the two BNLJ are the registered
     # 1-row broadcast max-score joins
     "hits_scores": {"python": 0, "cartesian": 0, "bnlj": 2},
