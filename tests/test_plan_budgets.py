@@ -580,7 +580,10 @@ BUDGETS = {
     # ledoit-wolf: persisted codes + dim^2 scatter (cached-branch,
     # the pca shape); si-broadcast per-row/cell passes + two 1-row
     # moment combines are the registered BNLJs
-    "ledoit_wolf_shrinkage": {"python": 0, "cartesian": 0, "bnlj": 4},
+    # r6: shared Arrow scatter kernel (ONE executed python stage; the
+    # persisted kernel frame's cached plan is re-displayed per
+    # consumer, inflating the TEXTUAL count to 7)
+    "ledoit_wolf_shrinkage": {"python": 7, "cartesian": 0, "bnlj": 4},
     # page-hinkley: ONE day agg + 1-row prefix-fold arrays
     "page_hinkley": {"shuffle": 2, "python": 0, "cartesian": 0,
                      "bnlj": 0},
