@@ -7453,3 +7453,26 @@ def test_cosine_nn1_arrow_matches_cosine_topk(spark):
     for k in ref:
         assert ref[k][0] == got[k][0], k
         assert ref[k][1] == got[k][1], k  # bitwise-equal doubles
+
+
+def test_lang_confusion_oracle_markers_synced():
+    """SQL_LANG_CONFUSION_AUDIT hard-codes the marker word IN-lists and
+    the en>de>fr>es tie-break inline; this pins them to
+    operators/text.py LANG_MARKERS so a marker edit cannot silently
+    desync engine and oracle until the gate run (ADVICE r5)."""
+    import re
+
+    from mpds_spark.operators.text import LANG_MARKERS
+    from mpds_spark.queries import SQL_LANG_CONFUSION_AUDIT
+
+    in_lists = re.findall(
+        r"list_filter\(words, x -> x IN\s*\(([^)]*)\)",
+        SQL_LANG_CONFUSION_AUDIT,
+    )
+    assert len(in_lists) == len(LANG_MARKERS)
+    for (lang, markers), found in zip(LANG_MARKERS.items(), in_lists):
+        got = [w.strip().strip("'") for w in found.split(",")]
+        assert got == markers, (lang, got, markers)
+    # tie-break order in the CASE chain must match dict order
+    case_order = re.findall(r"WHEN n_(\w+) = g AND g > 0", SQL_LANG_CONFUSION_AUDIT)
+    assert case_order == list(LANG_MARKERS)
