@@ -386,8 +386,10 @@ BUDGETS = {
     "quant_recall": {"shuffle": 6, "python": 0, "cartesian": 0,
                      "bnlj": 3},
     # ring audit: key scan + two 1-row ring-array broadcasts + node agg
-    # r6: ring assignment is one vectorized Arrow searchsorted kernel
-    "consistent_hash_audit": {"shuffle": 3, "python": 1,
+    # r6: ring assignment is ONE executed Arrow searchsorted kernel;
+    # the persisted assignment frame's cached plan is re-displayed per
+    # consumer, so the TEXTUAL python count is 4
+    "consistent_hash_audit": {"shuffle": 3, "python": 4,
                               "cartesian": 0, "bnlj": 0},
     # LPA: persisted adjacency (cached-branch convention)
     "label_propagation": {"python": 0, "cartesian": 0, "bnlj": 0},
