@@ -95,7 +95,11 @@ BUDGETS = {
     "bigram_nll": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
     "tfidf_top_terms": {"shuffle": 4, "python": 0, "cartesian": 0},
     "domain_cap": {"shuffle": 4, "python": 0, "cartesian": 0, "bnlj": 0},
-    "cross_source_overlap": {"python": 0, "cartesian": 0, "bnlj": 0},
+    # r6: gram assembly is ONE executed Arrow kernel feeding the
+    # group-set agg; the persisted per-gram frame's cached plan is
+    # re-displayed per consumer (pair counts + sizes + broadcast),
+    # inflating the TEXTUAL python count to 6
+    "cross_source_overlap": {"python": 6, "cartesian": 0, "bnlj": 0},
     # r5 third batch: boilerplate removal is distinct + frequent-set agg
     # + doc re-agg, frequent set broadcast back; incremental admission is
     # batch-vs-corpus only (band join + shingle verify), never a corpus
