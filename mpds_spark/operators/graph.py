@@ -363,6 +363,59 @@ def degree_assortativity(
     )
 
 
+def _aa_fold_gen(batches):
+    # guide §4.2: streaming segmented fold over the (x, y, z)-
+    # sorted candidate stream — the identical z-ascending float
+    # sequence as the r5 collect_list + array_sort + aggregate
+    # (acc = acc + 1.0/ln(deg), acc from 0.0), without building a
+    # per-pair struct array for ~2M mostly-singleton groups
+    # (measured 91% of pairs have ONE common neighbor at sf0.1).
+    # math.log is the platform libm ln — the same function the
+    # DuckDB oracle's ln calls, so per-term weights match the
+    # frozen oracle bit-for-bit.
+    import math
+
+    import pyarrow as pa
+
+    cx = cy = None
+    cn = 0
+    acc = 0.0
+    started = False
+    ox, oy, ocn, oaa = [], [], [], []
+
+    def _flush():
+        ox.append(cx)
+        oy.append(cy)
+        ocn.append(cn)
+        oaa.append(acc)
+
+    for b in batches:
+        xs = b.column("x").to_pylist()
+        ys = b.column("y").to_pylist()
+        degs = b.column("__deg").to_pylist()
+        for x_, y_, d_ in zip(xs, ys, degs):
+            if not started or x_ != cx or y_ != cy:
+                if started:
+                    _flush()
+                cx, cy = x_, y_
+                cn = 0
+                acc = 0.0
+                started = True
+            cn += 1
+            acc = acc + 1.0 / math.log(float(d_))
+    if started:
+        _flush()
+    yield pa.record_batch(
+        [
+            pa.array(ox, pa.int64()),
+            pa.array(oy, pa.int64()),
+            pa.array(ocn, pa.int64()),
+            pa.array(oaa, pa.float64()),
+        ],
+        names=["x", "y", "common_neighbors", "aa"],
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     a: str = "a",
@@ -423,64 +476,12 @@ def adamic_adar(
         ["x", "y"],
         "left_anti",
     )
-    def _fold_gen(batches):
-        # guide §4.2: streaming segmented fold over the (x, y, z)-
-        # sorted candidate stream — the identical z-ascending float
-        # sequence as the r5 collect_list + array_sort + aggregate
-        # (acc = acc + 1.0/ln(deg), acc from 0.0), without building a
-        # per-pair struct array for ~2M mostly-singleton groups
-        # (measured 91% of pairs have ONE common neighbor at sf0.1).
-        # math.log is the platform libm ln — the same function the
-        # DuckDB oracle's ln calls, so per-term weights match the
-        # frozen oracle bit-for-bit.
-        import math
-
-        import pyarrow as pa
-
-        cx = cy = None
-        cn = 0
-        acc = 0.0
-        started = False
-        ox, oy, ocn, oaa = [], [], [], []
-
-        def _flush():
-            ox.append(cx)
-            oy.append(cy)
-            ocn.append(cn)
-            oaa.append(acc)
-
-        for b in batches:
-            xs = b.column("x").to_pylist()
-            ys = b.column("y").to_pylist()
-            degs = b.column("__deg").to_pylist()
-            for x_, y_, d_ in zip(xs, ys, degs):
-                if not started or x_ != cx or y_ != cy:
-                    if started:
-                        _flush()
-                    cx, cy = x_, y_
-                    cn = 0
-                    acc = 0.0
-                    started = True
-                cn += 1
-                acc = acc + 1.0 / math.log(float(d_))
-        if started:
-            _flush()
-        yield pa.record_batch(
-            [
-                pa.array(ox, pa.int64()),
-                pa.array(oy, pa.int64()),
-                pa.array(ocn, pa.int64()),
-                pa.array(oaa, pa.float64()),
-            ],
-            names=["x", "y", "common_neighbors", "aa"],
-        )
-
     pairs = (
         cand.select("x", "y", "z", "__deg")
         .repartition(F.col("x"), F.col("y"))
         .sortWithinPartitions("x", "y", "z")
         .mapInArrow(
-            _fold_gen,
+            _aa_fold_gen,
             "x long, y long, common_neighbors long, aa double",
         )
     )

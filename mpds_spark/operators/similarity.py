@@ -835,9 +835,16 @@ def kcenter_coreset(
     distance."""
     import math
 
-    v = vectors.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    from mpds_spark.operators.util import scratch_persist
+
+    # persisted: the normed frame is scanned 2x per greedy round (the
+    # corpus side + the chosen-center lookup) plus the seed probe —
+    # ~2k-1 lineage recomputes of the cast+norm scan without it (r6)
+    v = scratch_persist(
+        vectors.select(
+            F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+        ).withColumn("__n", F.sqrt(_dot(F.col("__v"), F.col("__v"))))
+    )
     seed = v.select(F.min("__id").alias("m")).collect()[0]["m"]
     chosen = [(0, seed, None)]
     for r in range(1, int(k)):

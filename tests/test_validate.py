@@ -7476,3 +7476,31 @@ def test_lang_confusion_oracle_markers_synced():
     # tie-break order in the CASE chain must match dict order
     case_order = re.findall(r"WHEN n_(\w+) = g AND g > 0", SQL_LANG_CONFUSION_AUDIT)
     assert case_order == list(LANG_MARKERS)
+
+
+def test_cosine_nn1_arrow_tie_break(spark):
+    """Duplicate vectors force exact cosine ties: the Arrow 1-NN must
+    pick the smallest neighbor id, matching cosine_topk's
+    (cosine DESC, neighbor_id) row_number order."""
+    from mpds_spark.operators.similarity import (
+        cosine_nn1_arrow,
+        cosine_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 2.0]),
+        (2, [1.0, 0.0, 2.0]),   # duplicate of 1
+        (3, [2.0, 0.0, 4.0]),   # same direction, scaled
+        (4, [0.0, 1.0, 0.0]),
+        (5, [0.0, 2.0, 0.0]),   # same direction as 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ref = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(df, df, k=1).collect()
+    }
+    got = {
+        r["query_id"]: (r["neighbor_id"], r["cosine"])
+        for r in cosine_nn1_arrow(df, df).collect()
+    }
+    assert ref == got
