@@ -322,43 +322,64 @@ def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
 
     16-bit simhash16 is kept for back-compat, but 2^16 codes collide
     massively at production corpus sizes; 64-bit is the standard width.
-    Two conv'd 32-bit halves (md5 hex chars 1-8 / 9-16) keep every value
+    Two 32-bit halves (md5 hex chars 1-8 / 9-16) keep every value
     < 2^32, so the arithmetic stays inside signed BIGINT in any engine
-    (a single 64-bit unsigned hash would overflow a signed long)."""
-    w = df.select(
-        F.col(key).alias("k"), F.explode(words_col(text)).alias("word")
-    )
-    w = w.withColumn("md5", F.md5("word")).select(
-        "k",
-        F.conv(F.substring("md5", 1, 8), 16, 10).cast("long").alias("hh"),
-        F.conv(F.substring("md5", 9, 8), 16, 10).cast("long").alias("hl"),
-    )
-    # the classic +1/-1 bit vote, folded: sum over words of (+1 if bit set
-    # else -1) == 2*count_of_set_bits - n_words, so each of the 64 votes is
-    # a plain conditional-free SUM of the extracted bit (integer-identical,
-    # half the per-row expression work of a CASE per bit)
-    aggs = [F.count(F.lit(1)).alias("n_w")]
-    for half, col in (("hi", "hh"), ("lo", "hl")):
-        for b in range(32):
-            aggs.append(
-                F.sum(F.shiftright(F.col(col), b).bitwiseAND(1)).alias(
-                    f"c_{half}_{b}"
-                )
+    (a single 64-bit unsigned hash would overflow a signed long).
+
+    r6 (guide §4.2): the per-word md5 + 64 bit-vote sums run as one
+    vectorized Arrow batch kernel per doc instead of a 1.4M-row explode
+    through a 65-buffer aggregate — the word split stays JVM-side
+    (words_col, exact regex semantics), hashlib md5 is the same
+    function the engine's md5()/the oracle's md5() compute, and every
+    vote is an integer count (order-independent), so the signatures
+    are bit-identical to the r5 explode+agg."""
+
+    def _sig_gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(32, dtype=np.int64)
+        for b in batches:
+            keys = b.column(0).to_pylist()
+            wss = b.column(1).to_pylist()
+            out_k, out_hi, out_lo = [], [], []
+            for k, ws in zip(keys, wss):
+                n = len(ws)
+                hh = np.empty(n, dtype=np.int64)
+                hl = np.empty(n, dtype=np.int64)
+                for i, wd in enumerate(ws):
+                    hx = hashlib.md5(wd.encode()).hexdigest()
+                    hh[i] = int(hx[:8], 16)
+                    hl[i] = int(hx[8:16], 16)
+                hi = 0
+                lo = 0
+                c_hi = ((hh[:, None] >> shifts) & 1).sum(axis=0)
+                c_lo = ((hl[:, None] >> shifts) & 1).sum(axis=0)
+                for bb in range(32):
+                    if 2 * int(c_hi[bb]) - n > 0:
+                        hi += 1 << bb
+                    if 2 * int(c_lo[bb]) - n > 0:
+                        lo += 1 << bb
+                out_k.append(k)
+                out_hi.append(hi)
+                out_lo.append(lo)
+            yield pa.record_batch(
+                [
+                    pa.array(out_k),
+                    pa.array(out_hi, pa.int64()),
+                    pa.array(out_lo, pa.int64()),
+                ],
+                names=["k", "sim_hi", "sim_lo"],
             )
-    sums = w.groupBy("k").agg(*aggs)
-    outs = {}
-    for half in ("hi", "lo"):
-        acc = None
-        for b in range(32):
-            bit = F.when(
-                2 * F.col(f"c_{half}_{b}") - F.col("n_w") > 0, F.lit(1 << b)
-            ).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        outs[half] = acc.cast("long")
-    return sums.select(
-        F.col("k").alias(key),
-        outs["hi"].alias("sim_hi"),
-        outs["lo"].alias("sim_lo"),
+
+    ktype = df.schema[key].dataType.simpleString()
+    sig = df.select(
+        F.col(key).alias("__k"), words_col(text).alias("__ws")
+    ).mapInArrow(_sig_gen, f"k {ktype}, sim_hi long, sim_lo long")
+    return sig.select(
+        F.col("k").alias(key), "sim_hi", "sim_lo"
     )
 
 
