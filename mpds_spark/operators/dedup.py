@@ -157,8 +157,65 @@ def minhash_signature(
     md5('<i>|' || shingle) — hex strings, engine-portable.
 
     shingle_df: optional precomputed (key, shingle) frame (e.g. a persisted
-    one shared with a verify stage) — avoids re-exploding the corpus."""
-    sh = shingles(df, text, n=n) if shingle_df is None else shingle_df
+    one shared with a verify stage) — avoids re-exploding the corpus.
+
+    r6 (guide §4.2): when no shared shingle frame is supplied, the
+    shingling + k md5 mins run as ONE per-doc Arrow batch kernel — the
+    word split stays JVM-side (words_col, exact regex semantics), a
+    shingle is exactly ' '.join of the same word slice, hashlib md5 is
+    the same md5 both engines compute, and min over lowercase-hex
+    strings is order-independent — so the signatures are bit-identical
+    to the explode + k-min aggregate, which remains the path when a
+    shingle_df IS shared (min over either grouping is the same value)."""
+    if shingle_df is None:
+        ktype = df.schema[key].dataType.simpleString()
+
+        def _mh_gen(batches):
+            import hashlib
+
+            import pyarrow as pa
+
+            for b in batches:
+                keys = b.column(0).to_pylist()
+                wss = b.column(1).to_pylist()
+                out_k = []
+                out_h = [[] for _ in range(k)]
+                for kk, ws in zip(keys, wss):
+                    if len(ws) < n:
+                        continue
+                    mins = [None] * k
+                    seen = set()
+                    for i in range(len(ws) - n + 1):
+                        s = " ".join(ws[i : i + n])
+                        if s in seen:
+                            continue
+                        seen.add(s)
+                        for j in range(k):
+                            h = hashlib.md5(
+                                f"{j}|{s}".encode()
+                            ).hexdigest()
+                            if mins[j] is None or h < mins[j]:
+                                mins[j] = h
+                    out_k.append(kk)
+                    for j in range(k):
+                        out_h[j].append(mins[j])
+                if not out_k:
+                    continue
+                yield pa.record_batch(
+                    [pa.array(out_k)]
+                    + [pa.array(col, pa.string()) for col in out_h],
+                    names=["k"] + [f"h{i}" for i in range(k)],
+                )
+
+        schema = f"k {ktype}, " + ", ".join(
+            f"h{i} string" for i in range(k)
+        )
+        return df.select(
+            F.col(key).alias("__k"), words_col(text).alias("__ws")
+        ).mapInArrow(_mh_gen, schema).select(
+            F.col("k").alias(key), *[f"h{i}" for i in range(k)]
+        )
+    sh = shingle_df
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(k)
@@ -365,6 +422,8 @@ def simhash64(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
                 out_k.append(k)
                 out_hi.append(hi)
                 out_lo.append(lo)
+            if not out_k:
+                continue
             yield pa.record_batch(
                 [
                     pa.array(out_k),
