@@ -119,8 +119,11 @@ BUDGETS = {
     # only the (group, len) count touches the corpus; the grid/CDF
     # stages run on aggregate frames of <= |groups| x |lengths| rows
     "length_ks_drift": {"shuffle": 7, "python": 0, "cartesian": 0},
+    # r6: the batch-side MinHash signature is the per-doc Arrow kernel
+    # (2 textual python nodes: batch + corpus signature legs); one
+    # shingle-row shuffle dropped with it
     "incremental_dedup": {
-        "shuffle": 8, "python": 0, "cartesian": 0, "bnlj": 0,
+        "shuffle": 8, "python": 2, "cartesian": 0, "bnlj": 0,
     },
     # first-occurrence agg + per-doc count join + one per-group rank
     # window; the regression fold runs on <= log2(n_docs)+1 points/group
